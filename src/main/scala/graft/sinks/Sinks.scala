@@ -1,0 +1,82 @@
+package graft.sinks
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.LoadError
+import graft.config.{EtlConfig, WriteDisposition}
+
+/** Sinks (reference §2.3): CSV artifact, warehouse table, backup copy.
+  * The reference's GCS staging hop (load.py:18-47) disappears — Spark
+  * writes to the destination filesystem natively.
+  */
+object Sinks {
+
+  /** L1 — CSV artifact write (reference: save_to_csv transform.py:66-72).
+    * Header on; timestamps formatted `yyyy-MM-dd HH:mm:ss` (the canonical
+    * text form, transform.py:27,34). `singleFile=true` reproduces the
+    * reference's one-file contract via coalesce(1) — a small-data
+    * compatibility knob; leave false for a partitioned write at scale.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): String = {
+    val formatted = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          acc.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+        case _ => acc
+      }
+    }
+    val out = if (singleFile) formatted.coalesce(1) else formatted
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+
+  /** L4 — warehouse load with append/truncate disposition (reference:
+    * load_to_bigquery load.py:67-110). BigQuery's REQUIRED mode → we assert
+    * the frame's contract upstream (TrafficTransform.requireNoNulls) since
+    * Parquet happily stores nulls. Returns loaded row count like the
+    * reference (load.py:108-109) — taken from the materialized table so the
+    * count reflects what actually committed.
+    */
+  def loadWarehouse(spark: SparkSession, df: DataFrame, path: String,
+                    disposition: WriteDisposition): Long = {
+    val mode = disposition match {
+      case WriteDisposition.Append   => SaveMode.Append
+      case WriteDisposition.Truncate => SaveMode.Overwrite
+    }
+    try {
+      df.write.mode(mode).parquet(path)
+      spark.read.parquet(path).count()
+    } catch {
+      case e: Exception =>
+        throw LoadError(s"Warehouse load to $path failed: ${e.getMessage}", e)
+    }
+  }
+
+  /** L3 — backup copy of the raw artifact before load (reference:
+    * copy_within_gcs load.py:50-64, invoked __main__.py:61-63). A pure
+    * object-store operation via the Hadoop FileSystem API — works on any
+    * scheme (file://, gs://, s3a://) without engine involvement.
+    */
+  def backup(spark: SparkSession, sourceUri: String, destUri: String): String = {
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val srcPath = new Path(sourceUri)
+      val dstPath = new Path(destUri)
+      val srcFs = FileSystem.get(new URI(sourceUri), conf)
+      val dstFs = FileSystem.get(new URI(destUri), conf)
+      if (!srcFs.exists(srcPath))
+        throw LoadError(s"Backup source does not exist: $sourceUri")
+      dstFs.mkdirs(dstPath.getParent)
+      FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, true, conf)
+      destUri
+    } catch {
+      case e: LoadError => throw e
+      case e: Exception =>
+        throw LoadError(s"Backup $sourceUri -> $destUri failed: ${e.getMessage}", e)
+    }
+  }
+}

@@ -1,13 +1,436 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — every implemented operator from SURVEY.md §2 (plus the
+  * LLM-pipeline extensions) exposed as a named query with a DuckDB oracle.
+  *
+  * Parity conventions between `queries` (Spark) and `oracleSql` (DuckDB):
+  *  - identical output column NAMES (driver sorts columns by name, then
+  *    hashes values);
+  *  - double aggregates rounded to 4 decimals on both sides (canonicalizes
+  *    FP accumulation-order noise across engines/partitionings);
+  *  - counts/ranks as BIGINT on both sides; timestamps rendered as strings;
+  *  - identical total ORDER BY (with unique tiebreak) on both sides;
+  *  - md5 as the shared hash primitive (identical hex in both engines).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** ETL-parity transform (reference transform.py:55-63 semantics) applied
+    * to the events table, with a FIXED run timestamp for determinism.
+    */
+  private def etlTransform(s: SparkSession, dir: String): DataFrame = {
+    val runTs = Timestamp.valueOf("2026-01-01 00:00:00")
+    // exercise T1 (mixed-case names), T2 (already-timestamp passthrough),
+    // T4 (run-constant literal), T8 (projection) as one lazy plan
+    val src = sources.Tables.events(s, dir)
+      .select(col("event_id").as("row_id"), col("ts").as("TIME"),
+        col("value").as("Traffic"))
+    val named = TrafficTransform.normalizeColumnNames(src)
+    val parsed = TrafficTransform.parseTimeColumn(named)
+    val enriched = TrafficTransform.addCreatedAt(parsed, runTs)
+    TrafficTransform.requireNumeric(enriched, "traffic")
+    enriched.select(
+      col("row_id"),
+      date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time"),
+      col("traffic"),
+      date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_at"))
+      .orderBy(col("row_id"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference ETL parity ----
+    "q_etl_transform" -> (etlTransform(_, _)),
+    // ---- relational analytics (the reference's BigQuery-delegated surface) ----
+    "q_agg_pricing_summary" -> (Analytics.pricingSummary(_, _)),
+    "q_join_shipping_priority" -> (Analytics.shippingPriority(_, _)),
+    "q_join_region_revenue" -> (Analytics.regionRevenue(_, _)),
+    "q_outer_join_order_counts" -> (Analytics.customerOrderCounts(_, _)),
+    "q_semi_join_urgent_customers" -> (Analytics.customersWithUrgentOrders(_, _)),
+    "q_anti_join_orderless_customers" -> (Analytics.customersWithoutOrders(_, _)),
+    "q_distinct_agg_supplier_parts" -> (Analytics.supplierPartBreadth(_, _)),
+    "q_rollup_orders" -> (Analytics.orderRollup(_, _)),
+    "q_cube_events" -> (Analytics.eventCube(_, _)),
+    "q_window_top_customers" -> (Analytics.topCustomersPerNation(_, _)),
+    "q_window_moving_avg" -> (Analytics.movingAverage(_, _)),
+    "q_window_event_gaps" -> (Analytics.eventGaps(_, _)),
+    "q_topk_orders" -> (Analytics.topOrders(_, _)),
+    "q_setops_nations" -> (Analytics.nationSetOps(_, _)),
+    "q_having_frequent_buyers" -> (Analytics.frequentBuyers(_, _)),
+    "q_scalar_subquery_big_orders" -> (Analytics.bigTicketOrders(_, _)),
+    "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
+    "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
+    "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
+    // ---- text analysis ----
+    "q_text_stats" -> (TextAnalysis.textStats(_, _)),
+    "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
+    "q_lang_id" -> (TextAnalysis.langId(_, _)),
+    "q_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
+    // ---- deduplication ----
+    "q_dedup_exact" -> (Dedup.exact(_, _)),
+    "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
+    "q_dedup_simhash" -> (Dedup.simHash(_, _)),
+    "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
+    // ---- similarity search ----
+    "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
+    "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)), // no oracle: recall spec
+    "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
+    // ---- multimodal ----
+    "q_multimodal_features" -> (Multimodal.assetFeatures(_, _))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Table names resolve to {sfDir}/{name}.parquet.
+  // ------------------------------------------------------------------
+
+  private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val ShinglesCte =
+    s"""d AS (SELECT doc_id, $Toks AS ws FROM documents),
+        shd AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                FROM d WHERE len(ws) >= 3)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val minhashSigs = (0 until Dedup.NumHashes).map(j =>
+    s"list_aggregate(list_transform(sh, t -> md5(t || ':$j')), 'min') AS sig_$j").mkString(", ")
+  private val minhashBands = (0 until Dedup.Bands).map { b =>
+    val parts = (0 until Dedup.RowsPerBand).map(r => s"sig_${b * Dedup.RowsPerBand + r}")
+    s"md5(${parts.mkString(" || ")}) AS band_$b"
+  }.mkString(", ")
+  private val minhashBandRows = (0 until Dedup.Bands).map(b =>
+    s"SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM bands").mkString(" UNION ALL ")
+
+  private val simhashSql = (0 until 32).map { p =>
+    val weight = 1L << p
+    s"""CASE WHEN list_aggregate(list_transform(sh, t ->
+          CASE WHEN substr(md5(t), ${p + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+          THEN 1 ELSE -1 END), 'sum') > 0
+        THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+  }.mkString(" + ")
+
+  private val simhashBandRows = (0 until 4).map(b =>
+    s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 8}) & 255 AS band_val FROM sims")
+    .mkString(" UNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_etl_transform" ->
+      """SELECT event_id AS row_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS time,
+         value AS traffic, '2026-01-01 00:00:00' AS created_at
+         FROM events ORDER BY row_id""",
+
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_join_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey, orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_join_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_outer_join_order_counts" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS order_count
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+
+    "q_semi_join_urgent_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q_anti_join_orderless_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_distinct_agg_supplier_parts" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts,
+         count(*) AS lineitems
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q_rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+
+    "q_cube_events" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(hour, 'ALL') AS hour,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM (SELECT event_type, strftime(ts, '%H') AS hour, value FROM events)
+         GROUP BY CUBE(event_type, hour)
+         ORDER BY event_type, hour""",
+
+    "q_window_top_customers" ->
+      """WITH revenue AS (
+           SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+           FROM orders GROUP BY o_custkey)
+         SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey, revenue FROM (
+           SELECT c_nationkey, c_custkey, revenue,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY revenue DESC, c_custkey) AS rk
+           FROM revenue JOIN customer ON o_custkey = c_custkey) t
+         WHERE rk <= 3 ORDER BY c_nationkey, rk""",
+
+    "q_window_moving_avg" ->
+      """WITH c AS (SELECT user_id, event_id, ts, value,
+                    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         f AS (SELECT user_id, event_id, value,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_cents,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mv_n
+               FROM c)
+         SELECT user_id, event_id, round(value, 4) AS value,
+                ((200 * mv_cents + mv_n) // (2 * mv_n)) / 10000.0 AS moving_avg
+         FROM f ORDER BY user_id, event_id""",
+
+    "q_window_event_gaps" ->
+      """SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS gap_us
+         FROM events ORDER BY user_id, event_id""",
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q_setops_nations" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+              s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         SELECT 'union' AS tag, CAST(nationkey AS BIGINT) AS nationkey
+           FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s) u
+         UNION ALL
+         SELECT 'intersect', CAST(nationkey AS BIGINT)
+           FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s) i
+         UNION ALL
+         SELECT 'except', CAST(nationkey AS BIGINT)
+           FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s) e
+         ORDER BY tag, nationkey""",
+
+    "q_having_frequent_buyers" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 4) AS total_spent
+         FROM orders GROUP BY o_custkey HAVING count(*) > 12
+         ORDER BY o_custkey""",
+
+    "q_scalar_subquery_big_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q_json_extract_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_time_bucket_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS bucket,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY bucket ORDER BY bucket""",
+
+    "q_asof_join_events_orders" ->
+      """WITH dedup AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate),
+         o2 AS (
+           SELECT dedup.o_custkey, dedup.o_orderdate, dedup.o_orderkey,
+                  orders.o_totalprice
+           FROM dedup JOIN orders ON orders.o_orderkey = dedup.o_orderkey)
+         SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
+         FROM events e ASOF JOIN o2
+           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+         ORDER BY e.event_id""",
+
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $Toks AS toks FROM documents)
+         SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         round(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum')
+               / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+         FROM t ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         m AS (SELECT doc_id, text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
+           FROM t)
+         SELECT doc_id, n_tokens,
+         round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+         round(punct_chars / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+         round(least(1.0, n_tokens / 50.0)
+               * (1.0 - punct_chars / CAST(length(text) AS DOUBLE))
+               * (0.5 + stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+         FROM m ORDER BY doc_id""",
+
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(toks, t -> list_contains(['der','die','und','ist','nicht','das'], t))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est'], t))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(toks, t -> list_contains(['el','los','que','una','por','como'], t))) AS BIGINT) AS s_es
+           FROM t)
+         SELECT doc_id, s_en, s_de, s_fr, s_es,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+
+    "q_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents)
+         SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp_md5,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+           list_transform(toks, t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+         FROM t ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      s"""WITH t AS (SELECT doc_id, md5(array_to_string($Toks, ' ')) AS fp FROM documents)
+         SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+         FROM t GROUP BY fp ORDER BY fp""",
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM shd),
+         flt AS (SELECT * FROM (
+             SELECT doc_id, n_sh, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM ex) f
+           WHERE df <= 100),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b,
+                round(common / CAST(na + nb - common AS DOUBLE), 4) AS jaccard
+         FROM pairs
+         WHERE round(common / CAST(na + nb - common AS DOUBLE), 4) >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $ShinglesCte,
+         sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+         bands AS (SELECT doc_id, $minhashBands FROM sigs),
+         br AS ($minhashBandRows),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM br a JOIN br b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id),
+         verify AS (
+           SELECT doc_a, doc_b,
+                  round(len(list_intersect(sa.sh, sb.sh))
+                        / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+           FROM cand
+           JOIN shd sa ON sa.doc_id = cand.doc_a
+           JOIN shd sb ON sb.doc_id = cand.doc_b)
+         SELECT doc_a, doc_b, jaccard FROM verify
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_simhash" ->
+      s"""WITH $ShinglesCte
+         SELECT doc_id, $simhashSql AS simhash
+         FROM shd ORDER BY doc_id""",
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $ShinglesCte,
+         sims AS (SELECT doc_id, $simhashSql AS simhash FROM shd),
+         br AS ($simhashBandRows),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  bit_count(xor(a.simhash, b.simhash)) AS hamming
+                  FROM br a JOIN br b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM cand
+         WHERE hamming <= 4 ORDER BY doc_a, doc_b""",
+
+    "q_ann_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, vec_id,
+                    round(${cosSql("qv", "v")}, 6) AS score6
+                    FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         ranked AS (SELECT query_id, vec_id, score6,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score6 DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                round(score6, 4) AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_embed_nearest_in_label" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pairs AS (SELECT a.vec_id, a.label, b.vec_id AS b_vec_id,
+                   round(${cosSql("a.v", "b.v")}, 6) AS score6
+                   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         ranked AS (SELECT vec_id, label, b_vec_id, score6,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score6 DESC, b_vec_id) AS rk
+                    FROM pairs)
+         SELECT vec_id, CAST(label AS BIGINT) AS label, b_vec_id AS nn_vec_id,
+                round(score6, 4) AS nn_score, score6 >= 0.95 AS is_near_dup
+         FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+         md5(text) AS content_hash,
+         32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8 AS fake_width,
+         32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS fake_height,
+         round((ascii(substr(md5(text), 3, 1)) % 64) / 64.0, 4) AS fake_channel_mean
+         FROM documents ORDER BY asset_id"""
+  )
 }

@@ -66,7 +66,9 @@ object EtlConfig {
       dataset = env("BQ_DATASET").trim,
       table = env("BQ_TABLE").trim,
       writeDisposition = WriteDisposition.parse(
-        env.getOrElse("BQ_WRITE_DISPOSITION", "append"))
+        env.getOrElse("BQ_WRITE_DISPOSITION", "append")),
+      sourceBlob = env.getOrElse("SOURCE_BLOB",
+        "raw_data/traffic_spreadsheet.xls").trim
     )
   }
 

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational analytics suite over the star schema.
+  *
+  * The reference delegates ALL of this to BigQuery (SURVEY §2.5 — the repo
+  * itself has no joins/aggs/windows); these operators are that delegated
+  * capability, implemented natively so a reference user's warehouse queries
+  * run inside this engine.
+  *
+  * Scale notes baked into each operator:
+  *  - dimension tables (region/nation/supplier at any SF, customer at small
+  *    SF) go through `broadcast()` so fact-table scans never shuffle for them;
+  *  - aggregations rely on partial (map-side) aggregation — no `distinct`
+  *    before `groupBy`;
+  *  - every output is deterministically ordered (total order incl. tiebreak)
+  *    so results are stable for the correctness gate;
+  *  - all double aggregates are rounded to 4 decimals: canonicalizes
+  *    accumulation-order FP noise across partition counts AND engines.
+  */
+object Analytics {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** TPC-H Q1-style pricing summary: single-pass hash aggregate on the fact
+    * table; only 7 lineitem columns are read (check ReadSchema in explain).
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join narrowed by pushed-down
+    * filters, group + top-10. Customer side is filtered before the join so
+    * AQE can flip it to broadcast at runtime.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional revenue: 6-way join; all dimensions broadcast,
+    * so the only shuffle is the final small groupBy.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val supplier = Tables.supplier(s, dir)
+    val customer = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left outer join + aggregate: order count per customer INCLUDING
+    * zero-order customers (the outer-join contract).
+    */
+  def customerOrderCounts(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join: customers having at least one URGENT order. */
+  def customersWithUrgentOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers with no orders at all. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val ord = Tables.orders(s, dir).select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Exact distinct aggregation (expand-based two-phase count distinct). */
+  def supplierPartBreadth(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("lineitems"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** ROLLUP grouping sets over orders; grouping nulls surfaced as 'ALL'
+    * so ordering is engine-agnostic (Spark sorts nulls first, DuckDB last).
+    */
+  def orderRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** CUBE over event type x hour-of-day. */
+  def eventCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "HH").as("hour"), col("value"))
+      .cube(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hour"), lit("ALL")).as("hour"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Window ranking: top-3 customers by order revenue within each nation.
+    * Rank input is pre-rounded so FP noise can't flip ranks between engines.
+    */
+  def topCustomersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(r4(sum(col("o_totalprice"))).as("revenue"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    revenue.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk").cast("long").as("rk"),
+        col("c_custkey"), col("revenue"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  /** Sliding window frame: 10-event moving average of `value` per user.
+    *
+    * Exactness note: `value` is 2-decimal money-like data and small frame
+    * counts (often powers of two) make the true quotient land EXACTLY on
+    * `.xxxx5` boundaries, where Spark (rounds the shortest decimal repr)
+    * and other engines (round the raw double) legitimately disagree. So the
+    * rounded average is computed in integer arithmetic — cents summed
+    * exactly over the frame, then half-up division — which is
+    * engine-portable bit-for-bit: avg4 = floor((200*cents + n) / (2n)) / 1e4.
+    */
+  def movingAverage(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("mv_cents", sum(col("cents")).over(w))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .withColumn("moving_avg",
+        expr("((200 * mv_cents + mv_n) div (2 * mv_n)) / 10000.0"))
+      .select(col("user_id"), col("event_id"), r4(col("value")).as("value"), col("moving_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** lag(): microsecond gap between consecutive events per user. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Global top-K with total-order tiebreak (TakeOrderedAndProject —
+    * no full sort at scale).
+    */
+  def topOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Set operations: customer nations vs supplier nations, tagged and
+    * stacked (UNION / INTERSECT / EXCEPT in one deterministic result).
+    */
+  def nationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    val union = custNations.union(suppNations).distinct().withColumn("tag", lit("union"))
+    val inter = custNations.intersect(suppNations).withColumn("tag", lit("intersect"))
+    val exceptOp = custNations.except(suppNations).withColumn("tag", lit("except"))
+    union.unionByName(inter).unionByName(exceptOp)
+      .select(col("tag"), col("nationkey").cast("long").as("nationkey"))
+      .orderBy(col("tag"), col("nationkey"))
+  }
+
+  /** GROUP BY + HAVING: customers with more than 12 orders. */
+  def frequentBuyers(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), r4(sum(col("o_totalprice"))).as("total_spent"))
+      .filter(col("n_orders") > 12)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Scalar subquery pattern: orders above 1.5x the global average price.
+    * The scalar aggregate is broadcast (a 1-row cross join), not recomputed
+    * per row.
+    */
+  def bigTicketOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val avgPrice = ord.agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** JSON extraction over events.props (reference has none; `events.props`
+    * is the natural fixture — SURVEY §2.5 scalar-function note).
+    */
+  def jsonPropsAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        r4(avg(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Tumbling 1-hour buckets over the event stream (batch equivalent of the
+    * Structured Streaming windowed aggregation in graft.streaming).
+    */
+  def hourlyEventRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        r4(sum(col("value"))).as("sum_value"),
+        r4(avg(col("value"))).as("avg_value"))
+      .orderBy(col("bucket"))
+  }
+}

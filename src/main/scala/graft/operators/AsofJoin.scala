@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (point-in-time) join — an operator Spark lacks natively.
+  *
+  * Semantics: for each left row, attach the single right row with the
+  * greatest `rightTime <= leftTime` within the same key (the "most recent
+  * fact as of this instant" lookup common in feature stores / market data).
+  *
+  * Implementation is the scalable union-scan pattern, NOT a range join:
+  * union both sides tagged, then one window pass per key ordered by
+  * (time, side) carrying the last-seen right payload forward
+  * (`last(_, ignoreNulls = true)`). Cost = one shuffle on the key + one
+  * sort within partitions — O(n log n) total, versus the O(n·m)-per-key
+  * blowup of the naive `l.time >= r.time` theta-join. At equal timestamps
+  * the right row sorts first, so equality matches (asof >=) are included.
+  *
+  * This composes existing operators (union/window) per the extension
+  * preference order — no custom Catalyst plan needed; the shuffle and sort
+  * are exactly what a bespoke SparkPlan would do anyway.
+  */
+object AsofJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (build/fact) side; must carry `keyCol` and `timeCol`
+    * @param keyCol     equi-join key column name (same name both sides)
+    * @param leftTime   event-time column on the left
+    * @param rightTime  event-time column on the right
+    * @param payload    right-side columns to attach
+    */
+  def apply(left: DataFrame, right: DataFrame, keyCol: String,
+            leftTime: String, rightTime: String,
+            payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // side marker: right rows (0) sort before left rows (1) at equal times
+    val taggedRight = right.select(
+      (col(keyCol).as("__key") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        payload.map(c => col(c).as(s"__p_$c")) ++:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (col(keyCol).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        leftCols.map(col)): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ payload.map(c => col(s"__p_$c").as(c))): _*)
+  }
+
+  /** Query wrapper: each event joined to the user's most recent order as of
+    * the event time. The right side is deduplicated to one row per
+    * (custkey, orderdate) — max orderkey wins — so the as-of match is
+    * unique and deterministic (and comparable to DuckDB's ASOF JOIN).
+    */
+  def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(s, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed("o_custkey", "user_id")
+    apply(events, orders, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+}

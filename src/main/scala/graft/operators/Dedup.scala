@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Four families over `documents`, in increasing fuzziness:
+  *  1. exact       — hash-groupBy on the normalized-text md5;
+  *  2. n-gram      — word-trigram Jaccard via an inverted shingle index
+  *                   (explode → self-join on shingle → count agreement);
+  *  3. MinHash+LSH — 12 md5-derived min-hashes, banded 4×3, bucket join
+  *                   for candidates, exact Jaccard verify;
+  *  4. SimHash     — 32-bit token-shingle simhash, banded byte-wise for
+  *                   candidate pairs within small Hamming distance.
+  * (The 5th family, embedding-cosine near-dup, lives in Similarity.)
+  *
+  * Scale design: NOTHING here is O(n²) over the corpus. Candidate
+  * generation always goes through an equi-join key (shingle, band hash,
+  * simhash byte-band) so Spark shuffles on that key and each bucket stays
+  * small; a `HAVING count <= cap` guard drops degenerate stop-shingle
+  * buckets (skew guard). Verify steps run only on candidate pairs.
+  *
+  * Engine parity: hashes are md5 hex strings (min over them is plain
+  * lexicographic string order), so every step has an exact DuckDB twin in
+  * SparkEntry.oracleSql.
+  */
+object Dedup {
+
+  /** Word-trigram shingle expression (0-based Spark indexing; the DuckDB
+    * twin uses 1-based `range`). Distinct set per document.
+    */
+  val ShinglesExpr: String =
+    """array_distinct(transform(sequence(0, size(ws) - 3),
+       i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"""
+
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws", expr(TextAnalysis.TokensExpr))
+      .filter(expr("size(ws) >= 3"))
+      .withColumn("sh", expr(ShinglesExpr))
+
+  /** 1. Exact dedup: group on normalized-text md5. Output = one row per
+    * distinct content, with multiplicity and the keeper (min doc_id) —
+    * the standard "keep first, drop rest" contract.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("fp", expr(s"md5(array_join(${TextAnalysis.TokensExpr}, ' '))"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("fp"))
+
+  /** 2. N-gram Jaccard via inverted index: explode distinct shingles,
+    * self-join on the shingle (skipping stop-shingles present in > 100
+    * docs — the skew guard), count common shingles per pair, then
+    * jaccard = common / (|A| + |B| - common). Emits pairs >= 0.5.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = withShingles(s, dir)
+      .select(col("doc_id"), col("sh"), expr("size(sh)").as("n_sh"))
+    val exploded = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val filtered = exploded.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= 100)
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard", expr("round(common / CAST(na + nb - common AS DOUBLE), 4)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Number of min-hash functions and LSH banding (4 bands x 3 rows).
+    * P(candidate | j) = 1 - (1 - j^3)^4: ~0.06 at j=0.25, ~0.65 at j=0.6,
+    * ~0.98 at j=0.8 — tuned for a >= 0.5 dedup threshold.
+    */
+  val NumHashes = 12
+  val Bands = 4
+  val RowsPerBand = 3
+
+  /** Min-hash signature columns: sig_j = min over shingles of
+    * md5(shingle || ':j'). Plain string min == numeric min of the hash.
+    */
+  private def signatureExprs: Seq[String] =
+    (0 until NumHashes).map(j =>
+      s"array_min(transform(sh, t -> md5(concat(t, ':$j')))) AS sig_$j")
+
+  private def bandExprs: Seq[String] =
+    (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig_${b * RowsPerBand + r}")
+      s"md5(concat(${parts.mkString(", ")})) AS band_$b"
+    }
+
+  /** 3. MinHash + LSH: signature → bands → bucket-join for candidates →
+    * exact Jaccard verify on the candidate pairs only. At 100 TB the
+    * bucket join is the only shuffle that touches every document; the
+    * verify join re-fetches shingle sets for candidates alone.
+    */
+  def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    val sigs = docs.selectExpr(Seq("doc_id", "sh") ++ signatureExprs: _*)
+    val banded = sigs.selectExpr(Seq("doc_id") ++ bandExprs: _*)
+    // unpivot bands to (doc_id, band_idx, band_val)
+    val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")
+    val bandRows = banded.selectExpr("doc_id",
+      s"stack($Bands, $stackExpr) AS (band_idx, band_val)")
+    val candidates = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verify = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", expr(
+        "round(size(array_intersect(sh_a, sh_b)) / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)"))
+    verify.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash over trigram shingles: bit p votes +1/-1 by the p-th
+    * hex digit of md5(shingle); the sign of the vote sum sets the bit.
+    */
+  private def simhashExpr: String = {
+    val bitTerms = (0 until 32).map { p =>
+      val weight = 1L << p
+      s"""CASE WHEN aggregate(transform(sh, t ->
+            CASE WHEN substr(md5(t), ${p + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+            THEN 1 ELSE -1 END), 0, (a, b) -> a + b) > 0
+          THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+    }
+    bitTerms.mkString(" + ")
+  }
+
+  /** Per-document 32-bit simhash. */
+  def simHash(s: SparkSession, dir: String): DataFrame =
+    withShingles(s, dir)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** 4. SimHash near-dup pairs: band the 32 bits into 4 bytes; pairs
+    * sharing any byte-band are candidates (a pair within Hamming distance
+    * 3 must agree on >= 1 of 4 bytes); verify with bit_count(xor) <= 4.
+    */
+  def simHashPairs(s: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
+    val sims = simHash(s, dir)
+    val bandCols = (0 until 4).map(b =>
+      s"CAST((simhash >> ${b * 8}) & 255 AS BIGINT) AS byte_$b")
+    val banded = sims.selectExpr(Seq("doc_id", "simhash") ++ bandCols: _*)
+    val stackExpr = (0 until 4).map(b => s"$b, byte_$b").mkString(", ")
+    val bandRows = banded.selectExpr("doc_id", "simhash",
+      s"stack(4, $stackExpr) AS (band_idx, band_val)")
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

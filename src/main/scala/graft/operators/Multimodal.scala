@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as distributed batch operators.
+  *
+  * No image/audio codecs exist in this environment, so the actual decode
+  * is STUBBED (deterministic fake derived from the payload hash, clearly
+  * marked below). Everything Spark-side is real and tested: the schema
+  * (binary payload + metadata struct), the partition-batched decode shape
+  * (mapPartitions — one codec init per partition, streaming through rows),
+  * and the column-level feature queries.
+  */
+object Multimodal {
+
+  /** Decoded-asset feature record (what a real image decode would emit). */
+  final case class AssetFeatures(
+      asset_id: Long,
+      byte_size: Long,
+      width: Int,
+      height: Int,
+      channel_mean: Double)
+
+  /** Build a multimodal asset table from `documents`: payload = utf-8
+    * bytes of the text (stand-in for image/audio bytes), metadata struct
+    * alongside. At scale this is exactly the layout for parquet-with-blobs:
+    * payload column stays unread unless selected (column pruning).
+    */
+  def assets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source"),
+        col("lang"),
+        col("n_chars").as("orig_chars"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  /** Feature extraction as pure columns (parity-safe with a DuckDB twin):
+    * byte size, a content hash, and deterministic fake decode dims derived
+    * from the hash — the shape a real decoder would produce.
+    */
+  def assetFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("asset_id"),
+      expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").as("byte_size"),
+      expr("md5(text)").as("content_hash"),
+      // ---- STUB: stands in for decoded image dims / channel stats ----
+      expr("32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8").as("fake_width"),
+      expr("32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8").as("fake_height"),
+      expr("round((ascii(substr(md5(text), 3, 1)) % 64) / 64.0, 4)").as("fake_channel_mean"))
+      .orderBy(col("asset_id"))
+
+  /** Partition-batched decode: the real-codec pattern. One decoder init
+    * per partition (the expensive part with real libs), then a streaming
+    * pass over the partition's rows — never a per-row init, never a
+    * collect. Swap `decodeStub` for a JNI/ImageIO call to go live.
+    */
+  def decodeAssets(s: SparkSession, dir: String): Dataset[AssetFeatures] = {
+    import s.implicits._
+    assets(s, dir)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec would be initialized HERE, once per partition
+        val codec = new StubCodec
+        rows.map { case (id, payload) => codec.decode(id, payload) }
+      }
+  }
+
+  /** STUB decoder — deterministic fake features from the payload digest.
+    * A real implementation would replace `decode` with an actual
+    * image/audio parse; the call shape and output schema stay identical.
+    */
+  private final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(id: Long, payload: Array[Byte]): AssetFeatures = {
+      val digest = md.digest(payload)
+      def ub(i: Int): Int = digest(i) & 0xFF
+      AssetFeatures(
+        asset_id = id,
+        byte_size = payload.length.toLong,
+        width = 32 + (ub(0) % 16) * 8,
+        height = 32 + (ub(1) % 16) * 8,
+        channel_mean = (ub(2) % 64) / 64.0)
+    }
+  }
+}

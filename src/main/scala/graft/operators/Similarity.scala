@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * ARRAY<FLOAT> [64-dim unit-norm], label).
+  *
+  * Vector math is pure higher-order-function Catalyst (zip_with +
+  * aggregate in double precision — codegen'd, no UDF). Two search paths:
+  *  - brute-force cosine top-k: exact baseline. The query set is broadcast,
+  *    so the corpus scan is embarrassingly parallel with NO shuffle of the
+  *    corpus — at 100 TB this is one pass, k results per query via
+  *    per-partition top-k then a tiny final merge.
+  *  - LSH-bucketed ANN: 16 deterministic hyperplane bits, banded 2×8;
+  *    candidates share a band with the query, ~1/256 of the corpus per
+  *    band — the scale path when the query set is itself large.
+  */
+object Similarity {
+
+  /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
+    * double, left-to-right (parity with DuckDB's list_dot_product on
+    * DOUBLE[]).
+    */
+  def cosineExpr(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Exact brute-force top-k neighbors for query vectors (vec_id < nQueries).
+    * Rank on the 6-decimal-rounded score with vec_id tiebreak so ordering
+    * is engine-stable.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score6", expr(s"round(${cosineExpr("qv", "embedding")}, 6)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score6"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic hyperplanes for LSH (seeded java.util.Random — the
+    * LCG + nextGaussian algorithms are spec-fixed, so signatures are
+    * stable across runs and JVMs).
+    */
+  private def planes(s: SparkSession, dim: Int = 64, nPlanes: Int = 16): DataFrame = {
+    val rows = (0 until nPlanes).map { p =>
+      val rnd = new java.util.Random(1000L + p)
+      (p, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    s.createDataFrame(rows).toDF("plane_id", "plane")
+  }
+
+  /** 16-bit hyperplane signature per vector: bit p = sign(v . h_p).
+    * Computed via a broadcast join against the 16 planes + pivot-free
+    * groupBy sum — one corpus pass, no corpus shuffle before the final
+    * tiny aggregate on vec_id.
+    */
+  def lshSignatures(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    emb.crossJoin(broadcast(planes(s)))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(embedding, plane, (p, q) -> CAST(p AS DOUBLE) * q),
+           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") >= 0, expr("CAST(1 AS BIGINT) << plane_id"))
+        .otherwise(lit(0L))).as("sig"))
+  }
+
+  /** ANN top-k via LSH banding (2 bands x 8 bits): candidates = corpus
+    * vectors sharing >= 1 band with the query; exact cosine re-rank on
+    * candidates only. Not SQL-oracle'd (verified by a recall-vs-brute-force
+    * spec instead).
+    */
+  def annLshTopK(s: SparkSession, dir: String,
+                 nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sigs = lshSignatures(s, dir)
+      .selectExpr("vec_id",
+        "stack(2, 0, sig & 255, 1, (sig >> 8) & 255) AS (band_idx, band_val)")
+    val queryBands = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_val"))
+    val candidates = sigs.join(broadcast(queryBands), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val withVecs = candidates
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("score6", expr(s"round(${cosineExpr("qv", "embedding")}, 6)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("vec_id"))
+    withVecs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("score6"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup detection: nearest neighbor within each label
+    * block (label = the blocking key), flagged when cosine >= 0.95.
+    * Blocked pairwise: O(sum of block²), never corpus².
+    */
+  def nearestInLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val b = emb.select(col("vec_id").as("b_vec_id"), col("label"),
+      col("embedding").as("b_embedding"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("b_vec_id"))
+      .withColumn("score6", expr(s"round(${cosineExpr("embedding", "b_embedding")}, 6)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score6").desc, col("b_vec_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("b_vec_id").as("nn_vec_id"),
+        round(col("score6"), 4).as("nn_score"),
+        (col("score6") >= 0.95).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All logic is pure Catalyst expressions (higher-order functions on
+  * arrays — codegen-friendly, no UDFs), so it runs distributed with
+  * map-side-only cost: no shuffle in any per-document operator.
+  *
+  * Engine-parity conventions (these expressions have DuckDB twins in
+  * SparkEntry.oracleSql — keep them in lockstep):
+  *  - tokens = regexp_extract_all(lower(text), '[a-z0-9]+')
+  *  - hashes via md5 (identical hex output in every engine)
+  *  - left-fold aggregates (Spark `aggregate` == DuckDB list_reduce)
+  */
+object TextAnalysis {
+
+  /** Tokenizer expression shared by every operator. */
+  val TokensExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** Per-document token statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(TokensExpr))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
+        expr("round(aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b) / CAST(size(toks) AS DOUBLE), 4)").as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length/stopword/punctuation heuristics composited
+    * into one [0,1] score (the standard cheap pre-filter before expensive
+    * dedup/model-based scoring at 100 TB).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(TokensExpr))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("stop_hits", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it'), t))) AS BIGINT)"))
+      .withColumn("punct_chars", expr(
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT)"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr("round(stop_hits / CAST(n_tokens AS DOUBLE), 4)").as("stop_ratio"),
+        expr("round(punct_chars / CAST(length(text) AS DOUBLE), 4)").as("punct_ratio"),
+        expr("""round(least(1.0, n_tokens / 50.0)
+                * (1.0 - punct_chars / CAST(length(text) AS DOUBLE))
+                * (0.5 + stop_hits / CAST(n_tokens AS DOUBLE)), 4)""").as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language identification by stopword-marker voting (n-gram-free
+    * heuristic: count hits from per-language marker sets, argmax with a
+    * fixed precedence for ties). Deterministic and engine-portable.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+      "es" -> Seq("el", "los", "que", "una", "por", "como"))
+    val scored = markers.foldLeft(
+      Tables.documents(s, dir).withColumn("toks", expr(TokensExpr))) {
+      case (df, (lang, words)) =>
+        val arr = words.map(w => s"'$w'").mkString(",")
+        df.withColumn(s"s_$lang", expr(
+          s"CAST(size(filter(toks, t -> array_contains(array($arr), t))) AS BIGINT)"))
+    }
+    scored.select(
+      col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      expr("""CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr'
+                   ELSE 'es' END""").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: md5 of the token-normalized text (exact-dedup
+    * key) + a 31-radix rolling hash over token codes (order-sensitive,
+    * cheap to compare/shard on).
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(TokensExpr))
+      .select(
+        col("doc_id"),
+        expr("md5(array_join(toks, ' '))").as("fp_md5"),
+        expr("""aggregate(
+                  transform(toks, t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT)),
+                  CAST(7 AS BIGINT),
+                  (a, b) -> (a * 31 + b) % 1000000007)""").as("fp_rolling"))
+      .orderBy(col("doc_id"))
+}

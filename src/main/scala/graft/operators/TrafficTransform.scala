@@ -36,18 +36,16 @@ object TrafficTransform {
     df.schema(column).dataType match {
       case TimestampType => df
       case StringType =>
-        // day-first patterns, most-specific first
-        val c = col(column)
-        val parsed = coalesce(
-          to_timestamp(c, "dd/MM/yyyy HH:mm:ss"),
-          to_timestamp(c, "dd/MM/yyyy HH:mm"),
-          to_timestamp(c, "dd/MM/yyyy"),
-          to_timestamp(c, "dd/MM/yy HH:mm:ss"),
-          to_timestamp(c, "dd/MM/yy HH:mm"),
-          to_timestamp(c, "dd/MM/yy"),
-          to_timestamp(c, "yyyy-MM-dd HH:mm:ss"),
-          to_timestamp(c, "yyyy-MM-dd HH:mm"),
-          to_timestamp(c, "yyyy-MM-dd"))
+        // day-first patterns, most-specific first. try_to_timestamp (null on
+        // mismatch, even under ANSI mode) + coalesce; strictness is restored
+        // by assertParsedFully's null check, matching the reference's
+        // fail-on-any-unparsed contract.
+        val patterns = Seq(
+          "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy",
+          "dd/MM/yy HH:mm:ss", "dd/MM/yy HH:mm", "dd/MM/yy",
+          "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd")
+        val parsed = coalesce(patterns.map(p =>
+          try_to_timestamp(col(column), lit(p))): _*)
         df.withColumn(column, parsed)
       case DoubleType | FloatType | LongType | IntegerType =>
         throw TransformError(

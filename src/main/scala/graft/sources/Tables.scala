@@ -23,7 +23,19 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = load(s, dir, "events")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as long (legacy conf, set here
+    * defensively for sessions we didn't build) and floor-convert to
+    * microsecond TimestampType — the same truncation DuckDB applies, so
+    * oracle comparisons agree.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events feed (event_id, ts,
+  * user_id, event_type, value, props).
+  *
+  * The reference is strictly batch (SURVEY §2.5 — streaming is ABSENT,
+  * one file per run); this is the extension surface: the same event table
+  * consumed as an unbounded stream. All transforms here take a streaming
+  * DataFrame (from readStream / MemoryStream) and return one — they also
+  * work verbatim on a batch frame (Analytics.hourlyEventRollup is the
+  * batch twin of hourlyCounts, used for the DuckDB oracle).
+  */
+object EventsStream {
+
+  /** Watermarked tumbling-window aggregation: 1-hour windows, tolerating
+    * 30 minutes of event-time lateness. State is bounded: windows older
+    * than watermark - 30min are finalized and dropped.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window rate: 15-minute windows sliding by 5, per event type. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long,
+                                sumValue: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Long,
+                               sum_value: Double)
+
+  /** Custom stateful sessionization: 30-minute-gap sessions per user via
+    * flatMapGroupsWithState with event-time timeout. State per user is one
+    * small record; timeouts flush idle sessions so state never grows
+    * unboundedly — the pattern for arbitrary stateful ops at scale.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def toUs(t: Timestamp): Long = t.getTime * 1000L
+          def emit(st: SessionState): UserSession = UserSession(
+            userId, new Timestamp(st.startUs / 1000), new Timestamp(st.lastUs / 1000),
+            st.nEvents, st.sumValue)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = toUs(e.ts)
+              cur match {
+                case Some(st) if us - st.lastUs <= gapUs =>
+                  cur = Some(st.copy(lastUs = us, nEvents = st.nEvents + 1,
+                    sumValue = st.sumValue + e.value))
+                case Some(st) =>
+                  closed ::= emit(st)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000 + gapMinutes * 60000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

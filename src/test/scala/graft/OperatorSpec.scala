@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Spot-value and invariant checks per operator family. The full
+  * cell-exact cross-engine check is the driver's DuckDB gate; these specs
+  * pin down semantics and invariants that survive refactors.
+  */
+class OperatorSpec extends SparkTestBase {
+
+  test("pricing summary: groups complete, counts conserve") {
+    val out = Analytics.pricingSummary(spark, Sf).collect()
+    assert(out.length == 6) // 3 returnflags x 2 linestatus (as observed in data)
+    val total = out.map(_.getAs[Long]("count_order")).sum
+    val expected = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("outer join keeps zero-order customers; semi+anti partition customers") {
+    val outer = Analytics.customerOrderCounts(spark, Sf)
+    val nCust = spark.read.parquet(s"$Sf/customer.parquet").count()
+    assert(outer.count() == nCust)
+    val semi = Analytics.customersWithUrgentOrders(spark, Sf).count()
+    val anti = Analytics.customersWithoutOrders(spark, Sf).count()
+    val withOrders = outer.filter(col("order_count") > 0).count()
+    assert(withOrders + anti == nCust)
+    assert(semi <= withOrders)
+  }
+
+  test("rollup: grand total row equals table count") {
+    val out = Analytics.orderRollup(spark, Sf)
+      .filter(col("status") === "ALL" && col("priority") === "ALL").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_orders") ==
+      spark.read.parquet(s"$Sf/orders.parquet").count())
+  }
+
+  test("moving average: first row per user equals its own value") {
+    val out = Analytics.movingAverage(spark, Sf)
+    val firsts = out.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(col("value") =!= col("moving_avg")).count() == 0)
+  }
+
+  test("as-of join: every matched order predates its event") {
+    val ev = sources.Tables.events(spark, Sf).select(col("event_id"), col("ts"))
+    val joined = AsofJoin.eventsAsofOrders(spark, Sf).join(ev, "event_id")
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val checked = joined.join(orders, "o_orderkey")
+      .filter(col("o_orderdate") > col("ts"))
+    assert(checked.count() == 0)
+    // "latest such order" is covered cell-exactly by the DuckDB ASOF oracle;
+    // here we assert the temporal invariant only
+  }
+
+  test("minhash-LSH pairs are a subset of exhaustive ngram-jaccard pairs") {
+    val lsh = Dedup.minHashLsh(spark, Sf).select("doc_a", "doc_b").collect().toSet
+    val exact = Dedup.ngramJaccard(spark, Sf).select("doc_a", "doc_b").collect().toSet
+    assert(lsh.subsetOf(exact))
+    // recall on this dataset's injected near-dups should be high
+    assert(lsh.size >= (exact.size * 0.8).toInt)
+  }
+
+  test("exact dedup: keeper is min doc_id and groups cover all docs") {
+    val out = Dedup.exact(spark, Sf)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(out.agg(sum("n_docs")).head().getLong(0) == docs)
+  }
+
+  test("ANN LSH recall vs brute force on clustered vectors") {
+    // The driver testdata embeddings are near-orthogonal random vectors (no
+    // true neighbors), where hyperplane LSH legitimately finds nothing. Build
+    // a clustered fixture — 40 clusters x 10 members around unit centroids —
+    // where true neighbors are close (cos ~0.99): LSH must recover most.
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val dim = 64
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until 40
+      centroid = normalize(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      m <- 0 until 10
+    } yield {
+      val v = normalize(centroid.zip(
+        Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)).map { case (a, b) => a + b })
+      ((c * 10 + m).toLong, v, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLshTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(f"ANN LSH recall@5 = $recall%.2f")
+    assert(recall >= 0.5)
+  }
+
+  test("multimodal decode: mapPartitions path matches column path") {
+    val viaColumns = Multimodal.assetFeatures(spark, Sf)
+      .select("asset_id", "byte_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaDecode = Multimodal.decodeAssets(spark, Sf).collect()
+    assert(viaDecode.length == viaColumns.size)
+    viaDecode.foreach { f =>
+      assert(viaColumns(f.asset_id) == f.byte_size)
+      assert(f.width >= 32 && f.width <= 152 && f.height >= 32)
+    }
+  }
+
+  test("lang_id predicts only known languages") {
+    val langs = TextAnalysis.langId(spark, Sf)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es")))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.TrafficTransform
+
+/** Property-based invariants (SURVEY §5.3): row-count conservation through
+  * the transform, timestamp parse/format round-trip. Uses raw ScalaCheck
+  * generators with fixed seeds (scalatestplus bridge is not in this
+  * offline dependency set).
+  */
+class PropertySpec extends SparkTestBase {
+
+  private val runTs = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private val tsGen: Gen[Timestamp] = Gen.choose(
+    Timestamp.valueOf("1995-01-01 00:00:00").getTime,
+    Timestamp.valueOf("2030-12-31 23:59:59").getTime)
+    .map(ms => new Timestamp((ms / 1000) * 1000)) // whole seconds
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("transform conserves rows and never nulls its outputs") {
+    samples(Gen.nonEmptyListOf(Gen.zip(tsGen, Gen.choose(0.0, 100.0))), 10)
+      .foreach { rows =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (t, v) => Row(t, v) }, 2),
+          StructType(Seq(StructField("time", TimestampType),
+            StructField("traffic", DoubleType))))
+        val out = TrafficTransform(df, runTs)
+        assert(out.count() == rows.length)
+        assert(out.filter("time IS NULL OR traffic IS NULL OR created_at IS NULL")
+          .count() == 0)
+      }
+  }
+
+  test("day-first string parse round-trips through canonical format") {
+    val fmt = new java.text.SimpleDateFormat("dd/MM/yyyy HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    samples(tsGen, 25).foreach { t =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(fmt.format(t), 1.0)), 1),
+        StructType(Seq(StructField("time", StringType),
+          StructField("traffic", DoubleType))))
+      val parsed = TrafficTransform.parseTimeColumn(df).head().getTimestamp(0)
+      assert(parsed == t, s"parse mismatch for ${fmt.format(t)}")
+    }
+  }
+}

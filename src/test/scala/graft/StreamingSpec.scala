@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregation over a memory stream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:25:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 11:10:00"), 2, "view", 3.0),
+      Event(4, ts("2024-01-01 11:40:00"), 1, "click", 4.0))
+    val agg = EventsStream.hourlyCounts(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      input.addData(Event(9, ts("2024-01-01 14:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly")
+        .select("bucket_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+      assert(out.contains(("2024-01-01 11:00:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization: 30-min gap splits sessions, state emits on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventsStream.sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+        // 50-min gap -> new session
+        Event(3, ts("2024-01-01 11:00:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      // push watermark forward so the open session times out
+      input.addData(Event(9, ts("2024-01-01 15:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts("2024-01-01 20:00:00"), 3, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[EventsStream.UserSession]
+        .collect().filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(out.length >= 1)
+      val first = out.head
+      assert(first.n_events == 2 && first.sum_value == 3.0)
+      assert(first.session_start == ts("2024-01-01 10:00:00"))
+      assert(first.session_end == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+}

@@ -35,6 +35,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up on the smallest fixture: whole-stage codegen compilation is
+    // plan-shape-keyed and cached, so this amortizes janino + JIT cost out
+    // of the timed pass — we report steady-state per-query latency.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) Headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = Headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -106,7 +106,8 @@ object SparkEntry {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   private val minhashSigs = (0 until Dedup.NumHashes).map(j =>
-    s"list_aggregate(list_transform(sh, t -> md5(t || ':$j')), 'min') AS sig_$j").mkString(", ")
+    s"list_aggregate(list_transform(sh, t -> substr(md5(t || ':${j / 4}'), ${(j % 4) * 8 + 1}, 8)), 'min') AS sig_$j")
+    .mkString(", ")
   private val minhashBands = (0 until Dedup.Bands).map { b =>
     val parts = (0 until Dedup.RowsPerBand).map(r => s"sig_${b * Dedup.RowsPerBand + r}")
     s"md5(${parts.mkString(" || ")}) AS band_$b"
@@ -114,13 +115,20 @@ object SparkEntry {
   private val minhashBandRows = (0 until Dedup.Bands).map(b =>
     s"SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM bands").mkString(" UNION ALL ")
 
-  private val simhashSql = (0 until 32).map { p =>
-    val weight = 1L << p
-    s"""CASE WHEN list_aggregate(list_transform(sh, t ->
-          CASE WHEN substr(md5(t), ${p + 1}, 1) IN ('8','9','a','b','c','d','e','f')
-          THEN 1 ELSE -1 END), 'sum') > 0
-        THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
-  }.mkString(" + ")
+  /** DuckDB twin of Dedup.simhashExpr as a relational pipeline (unnest ->
+    * one md5 per shingle -> 32-way vote sum -> bit assembly); results are
+    * identical to Spark's HOF fold.
+    */
+  private val simhashSimsCte =
+    """ex AS (SELECT doc_id, md5(unnest(sh)) AS hh FROM shd),
+       votes AS (SELECT doc_id, p,
+                 sum(CASE WHEN substr(hh, p + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END) AS v
+                 FROM ex CROSS JOIN range(0, 32) r(p) GROUP BY doc_id, p),
+       sims AS (SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id)"""
 
   private val simhashBandRows = (0 until 4).map(b =>
     s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 8}) & 255 AS band_val FROM sims")
@@ -381,13 +389,11 @@ object SparkEntry {
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
 
     "q_dedup_simhash" ->
-      s"""WITH $ShinglesCte
-         SELECT doc_id, $simhashSql AS simhash
-         FROM shd ORDER BY doc_id""",
+      s"""WITH $ShinglesCte, $simhashSimsCte
+         SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
 
     "q_dedup_simhash_pairs" ->
-      s"""WITH $ShinglesCte,
-         sims AS (SELECT doc_id, $simhashSql AS simhash FROM shd),
+      s"""WITH $ShinglesCte, $simhashSimsCte,
          br AS ($simhashBandRows),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the ARRAY<FLOAT> dot product — the hot
+  * inner loop of similarity search.
+  *
+  * Rationale (extension preference order: composed ops → native Expression
+  * → custom plan): the composed form
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v)` is
+  * semantically right but higher-order functions evaluate interpreted, one
+  * lambda dispatch per element. This expression whole-stage-codegens to a
+  * tight primitive loop — same left-to-right double accumulation, so
+  * results are bit-identical to the HOF form (and to DuckDB's
+  * list_dot_product on DOUBLE[]), just faster.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Function registration: session-local (register) or via
+  * spark.sql.extensions=graft.functions.GraftExtensions.
+  */
+object GraftFunctions {
+  val DotFInfo = new ExpressionInfo(
+    classOf[DotProductFloat].getName, "", "dot_f",
+    "dot_f(a, b) - dot product of two ARRAY<FLOAT> columns in double precision",
+    "")
+
+  private[graft] def build(exprs: Seq[Expression]): DotProductFloat = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"dot_f requires exactly 2 arguments, got ${exprs.length}")
+    DotProductFloat(exprs(0), exprs(1))
+  }
+
+  /** Idempotent session-local registration; call before using dot_f in SQL. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", build, "built-in")
+}
+
+/** SparkSessionExtensions injector: enables
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      GraftFunctions.DotFInfo,
+      (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
+  }
+}

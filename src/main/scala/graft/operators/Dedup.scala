@@ -85,12 +85,27 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 3
 
-  /** Min-hash signature columns: sig_j = min over shingles of
-    * md5(shingle || ':j'). Plain string min == numeric min of the hash.
+  /** Min-hash signature columns: 12 hash slots derived from THREE md5
+    * digests per shingle (8-hex/32-bit substrings of md5(shingle || ':d'),
+    * d in 0..2), not 12 independent md5 calls — hashing dominates MinHash
+    * cost at corpus scale, and 32-bit slots keep the min-estimator exact
+    * enough while cutting digest work 4x. Plain string min == numeric min
+    * (hex is order-preserving).
     */
-  private def signatureExprs: Seq[String] =
+  private[graft] def sigExpr(j: Int, shCol: String = "sh"): String =
+    s"array_min(transform($shCol, t -> substr(md5(concat(t, ':${j / 4}')), ${(j % 4) * 8 + 1}, 8)))"
+
+  /** Digest-sharing form: `hs` holds the 3 md5 digests per shingle
+    * (computed ONCE — Catalyst does not CSE across projection columns, so
+    * the naive per-sig form would hash 12x), and each sig_j slices its
+    * 8-hex window out. Definitionally identical to sigExpr.
+    */
+  private val digestsExpr: String =
+    "transform(sh, t -> array(md5(concat(t, ':0')), md5(concat(t, ':1')), md5(concat(t, ':2'))))"
+
+  private def signatureExprsShared: Seq[String] =
     (0 until NumHashes).map(j =>
-      s"array_min(transform(sh, t -> md5(concat(t, ':$j')))) AS sig_$j")
+      s"array_min(transform(hs, h -> substr(h[${j / 4}], ${(j % 4) * 8 + 1}, 8))) AS sig_$j")
 
   private def bandExprs: Seq[String] =
     (0 until Bands).map { b =>
@@ -105,7 +120,8 @@ object Dedup {
     */
   def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
-    val sigs = docs.selectExpr(Seq("doc_id", "sh") ++ signatureExprs: _*)
+    val sigs = docs.withColumn("hs", expr(digestsExpr))
+      .selectExpr(Seq("doc_id") ++ signatureExprsShared: _*)
     val banded = sigs.selectExpr(Seq("doc_id") ++ bandExprs: _*)
     // unpivot bands to (doc_id, band_idx, band_val)
     val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")
@@ -129,17 +145,27 @@ object Dedup {
 
   /** 32-bit SimHash over trigram shingles: bit p votes +1/-1 by the p-th
     * hex digit of md5(shingle); the sign of the vote sum sets the bit.
+    *
+    * One md5 per shingle: shingles are first mapped to digests, then each
+    * digest expands to a 32-slot ±1 vote vector; the fold zip-adds vote
+    * vectors and the final map converts vote signs to bit weights. (The
+    * naive form — 32 independent CASE-aggregates — recomputes md5 32x per
+    * shingle and generates a pathologically large codegen unit.)
     */
-  private def simhashExpr: String = {
-    val bitTerms = (0 until 32).map { p =>
-      val weight = 1L << p
-      s"""CASE WHEN aggregate(transform(sh, t ->
-            CASE WHEN substr(md5(t), ${p + 1}, 1) IN ('8','9','a','b','c','d','e','f')
-            THEN 1 ELSE -1 END), 0, (a, b) -> a + b) > 0
-          THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
-    }
-    bitTerms.mkString(" + ")
-  }
+  private def simhashExpr: String =
+    s"""aggregate(
+          zip_with(
+            aggregate(
+              transform(transform(sh, t -> md5(t)),
+                        h -> transform(sequence(0, 31), p ->
+                          CASE WHEN substr(h, p + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                          THEN 1 ELSE -1 END)),
+              array_repeat(0, 32),
+              (acc, x) -> zip_with(acc, x, (a, b) -> a + b)),
+            sequence(0, 31),
+            (v, p) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), p)
+                      ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (a, b) -> a + b)"""
 
   /** Per-document 32-bit simhash. */
   def simHash(s: SparkSession, dir: String): DataFrame =

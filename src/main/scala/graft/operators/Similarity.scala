@@ -73,13 +73,17 @@ object Similarity {
     * LCG + nextGaussian algorithms are spec-fixed, so signatures are
     * stable across runs and JVMs).
     */
-  private def planes(s: SparkSession, dim: Int = 64, nPlanes: Int = 16): DataFrame = {
-    val rows = (0 until nPlanes).map { p =>
+  /** Exposed so the DuckDB oracle can embed the identical plane values as
+    * SQL literals (Double.toString shortest-repr round-trips exactly).
+    */
+  private[graft] def planeData(dim: Int = 64, nPlanes: Int = 16): Seq[(Int, Array[Double])] =
+    (0 until nPlanes).map { p =>
       val rnd = new java.util.Random(1000L + p)
       (p, Array.fill(dim)(rnd.nextGaussian()))
     }
-    s.createDataFrame(rows).toDF("plane_id", "plane")
-  }
+
+  private def planes(s: SparkSession, dim: Int = 64, nPlanes: Int = 16): DataFrame =
+    s.createDataFrame(planeData(dim, nPlanes)).toDF("plane_id", "plane")
 
   /** 16-bit hyperplane signature per vector: bit p = sign(v . h_p).
     * Computed via a broadcast join against the 16 planes + pivot-free

@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
+    "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dedup_simhash" -> (Dedup.simHash(_, _)),
     "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
     // ---- similarity search ----
@@ -130,6 +131,26 @@ object SparkEntry {
   }.mkString(", ")
   private val minhashBandRows = (0 until Dedup.Bands).map(b =>
     s"SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM bands").mkString(" UNION ALL ")
+
+  /** Shared CTE chain: shingles -> signatures -> bands -> LSH candidates ->
+    * verified jaccard pairs (used by the pair query and the apply query).
+    */
+  private def minhashVerifyCtes: String =
+    s"""$ShinglesCte,
+       sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+       bands AS (SELECT doc_id, $minhashBands FROM sigs),
+       br AS ($minhashBandRows),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM br a JOIN br b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id),
+       verify AS (
+         SELECT doc_a, doc_b,
+                round(len(list_intersect(sa.sh, sb.sh))
+                      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+         FROM cand
+         JOIN shd sa ON sa.doc_id = cand.doc_a
+         JOIN shd sb ON sb.doc_id = cand.doc_b)"""
 
   /** DuckDB twin of Dedup.simhashExpr as a relational pipeline (unnest ->
     * one md5 per shingle -> 32-way vote sum -> bit assembly); results are
@@ -386,23 +407,18 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
 
     "q_dedup_minhash_lsh" ->
-      s"""WITH $ShinglesCte,
-         sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
-         bands AS (SELECT doc_id, $minhashBands FROM sigs),
-         br AS ($minhashBandRows),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM br a JOIN br b
-                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                       AND a.doc_id < b.doc_id),
-         verify AS (
-           SELECT doc_a, doc_b,
-                  round(len(list_intersect(sa.sh, sb.sh))
-                        / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
-           FROM cand
-           JOIN shd sa ON sa.doc_id = cand.doc_a
-           JOIN shd sb ON sb.doc_id = cand.doc_b)
+      s"""WITH $minhashVerifyCtes
          SELECT doc_a, doc_b, jaccard FROM verify
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_apply" ->
+      s"""WITH $minhashVerifyCtes,
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jaccard >= 0.5)
+         SELECT source, count(*) AS kept_docs,
+                CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         GROUP BY source ORDER BY source""",
 
     "q_dedup_simhash" ->
       s"""WITH $ShinglesCte, $simhashSimsCte

@@ -147,6 +147,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The user-facing dedup application: the corpus with near-duplicates
+    * REMOVED. Keep-first policy: within each detected near-dup pair the
+    * higher doc_id is dropped (transitively: any doc that is the greater
+    * side of some pair goes; the smallest member of each dup cluster
+    * survives). Candidates come from MinHash-LSH, so the anti-join's right
+    * side is tiny compared to the corpus.
+    */
+  def dedupCorpus(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val drops = minHashLsh(s, dir, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, dir)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   /** 32-bit SimHash over trigram shingles: bit p votes +1/-1 by the p-th
     * hex digit of md5(shingle); the sign of the vote sum sets the bit.
     *

@@ -68,4 +68,25 @@ class StreamingSpec extends SparkTestBase {
       assert(first.session_end == ts("2024-01-01 10:10:00"))
     } finally q.stop()
   }
+
+  test("sliding windows: an event lands in overlapping 15/5-min windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventsStream.slidingRates(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:07:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts("2024-01-01 14:00:00"), 2, "view", 0.0))
+      q.processAllAvailable()
+      val windows = spark.table("sliding")
+        .filter("event_type = 'click'")
+        .collect().map(_.getTimestamp(0).toString).toSet
+      // 10:07 falls in [09:55,10:10), [10:00,10:15), [10:05,10:20)
+      assert(windows == Set("2024-01-01 09:55:00.0",
+        "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+    } finally q.stop()
+  }
 }

@@ -274,7 +274,8 @@ object SparkEntry {
                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mv_n
                FROM c)
          SELECT user_id, event_id, round(value, 4) AS value,
-                ((200 * mv_cents + mv_n) // (2 * mv_n)) / 10000.0 AS moving_avg
+                (CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) // (2 * mv_n)
+                      ELSE -((200 * -mv_cents + mv_n) // (2 * mv_n)) END) / 10000.0 AS moving_avg
          FROM f ORDER BY user_id, event_id""",
 
     "q_window_event_gaps" ->
@@ -433,7 +434,7 @@ object SparkEntry {
                     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                        AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM cand
-         WHERE hamming <= 4 ORDER BY doc_a, doc_b""",
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
 
     "q_ann_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -200,8 +200,11 @@ object Analytics {
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
       .withColumn("mv_cents", sum(col("cents")).over(w))
       .withColumn("mv_n", count(lit(1)).over(w))
-      .withColumn("moving_avg",
-        expr("((200 * mv_cents + mv_n) div (2 * mv_n)) / 10000.0"))
+      // sign split keeps half-up-away-from-zero semantics AND avoids the
+      // Spark-div-truncates vs DuckDB-//-floors divergence on negative sums
+      .withColumn("moving_avg", expr(
+        """(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) div (2 * mv_n)
+                 ELSE -((200 * -mv_cents + mv_n) div (2 * mv_n)) END) / 10000.0"""))
       .select(col("user_id"), col("event_id"), r4(col("value")).as("value"), col("moving_avg"))
       .orderBy(col("user_id"), col("event_id"))
   }

@@ -37,23 +37,28 @@ object AsofJoin {
             leftTime: String, rightTime: String,
             payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // Payload travels as ONE struct so the carry-forward is atomic: a right
+    // row with a legitimately-NULL payload FIELD still contributes a
+    // non-null struct, and can never be "torn" against fields carried from
+    // an older right row (which per-column last(ignoreNulls) would do).
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     // side marker: right rows (0) sort before left rows (1) at equal times
     val taggedRight = right.select(
       (col(keyCol).as("__key") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        payload.map(c => col(c).as(s"__p_$c")) ++:
+        struct(payload.map(col): _*).as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(keyCol).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        lit(null).cast(payloadStructType).as("__p") +:
         leftCols.map(col)): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(c => col(s"__p_$c").as(c))): _*)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ payload.map(c => col(s"__p.$c").as(c))): _*)
   }
 
   /** Query wrapper: each event joined to the user's most recent order as of

@@ -196,10 +196,15 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** 4. SimHash near-dup pairs: band the 32 bits into 4 bytes; pairs
-    * sharing any byte-band are candidates (a pair within Hamming distance
-    * 3 must agree on >= 1 of 4 bytes); verify with bit_count(xor) <= 4.
+    * sharing any byte-band are candidates. Pigeonhole guarantee: a pair
+    * within Hamming distance 3 differs in at most 3 of the 4 bytes, so it
+    * MUST agree on one — hence maxHamming defaults to 3 (at 4, a pair with
+    * one flipped bit per byte would be silently missed). Raise the band
+    * count if a larger radius is needed.
     */
-  def simHashPairs(s: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
+  def simHashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-byte banding only guarantees recall for Hamming <= 3, got $maxHamming")
     val sims = simHash(s, dir)
     val bandCols = (0 until 4).map(b =>
       s"CAST((simhash >> ${b * 8}) & 255 AS BIGINT) AS byte_$b")

@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewUtils {
 
+  private val SafeJoinTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit each unmatched RIGHT row `salts` times
+    // (the right side is replicated); only left-preserving types are sound
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports left-preserving join types only, got '$joinType'")
     val leftCols = left.columns
     val salted = left.withColumn("__salt",
       pmod(xxhash64(leftCols.map(col): _*), lit(salts)).cast("int"))

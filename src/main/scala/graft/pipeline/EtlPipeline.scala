@@ -53,9 +53,12 @@ final class EtlPipeline(spark: SparkSession, config: EtlConfig) {
     log.info(s"Transformed $nTransformed rows")
 
     log.info("=== LOAD ===")
-    // L3 backup of raw input (reference: __main__.py:61-63)
+    // L3 backup of raw input (reference: __main__.py:61-63); keep the
+    // source's real extension — sourceBlob is configurable (.xls/.csv/...)
+    val srcName = config.sourceBlob.split('/').last
+    val ext = if (srcName.contains('.')) "." + srcName.split('.').last else ""
     val backupUri = Sinks.backup(spark, config.inputUri,
-      s"${config.backupsPrefix}/original_$stamp.xls")
+      s"${config.backupsPrefix}/original_$stamp$ext")
     // L1/L2 processed CSV artifact (reference: __main__.py:52-53 + load.py:18-47)
     val csvUri = Sinks.writeCsv(transformed,
       s"${config.processedPrefix}/traffic_data_$stamp.csv", singleFile = true)
@@ -130,9 +133,12 @@ object EtlCli {
             System.err.println(s"Pipeline failed: ${e.getMessage}")
             sys.exit(1)
         } finally spark.stop()
-      case _ =>
+      case other =>
+        // exit 1 on unknown subcommands too — a typo'd cron entry must not
+        // register as a successful run (argparse parity, __main__.py:77-93)
+        other.foreach(cmd => System.err.println(s"Unknown command: $cmd"))
         println("usage: EtlCli run [--truncate]")
-        sys.exit(if (args.isEmpty) 1 else 0)
+        sys.exit(1)
     }
   }
 }

@@ -244,29 +244,76 @@ object XlsSource {
       if (div100) v / 100.0 else v
     }
 
-    // Parse the SST's mixed compressed/uncompressed strings, following
-    // continuation records if needed (small files: single record).
-    def parseSst(data: Array[Byte]): Unit = {
-      val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-      val unique = b.getInt(4)
-      var pos = 8
+    // Parse the SST's mixed compressed/uncompressed strings across the SST
+    // record and its CONTINUE (0x3C) records. Character data that spans a
+    // record boundary resumes with a fresh grbit (encoding flag) byte per
+    // the BIFF8 spec; non-character data (rich runs / ext blocks) continues
+    // raw. Any structural inconsistency throws — silent string loss would
+    // corrupt downstream cells (LABELSST indices would dangle).
+    def parseSst(segments: Seq[Array[Byte]]): Unit = {
+      var seg = 0
+      var off = 8 // skip cstTotal/cstUnique in the first segment
+      def segLen = segments(seg).length
+      def atEnd: Boolean = seg >= segments.length ||
+        (seg == segments.length - 1 && off >= segLen)
+      def ensure(): Unit = { // hop to the next segment if this one is done
+        while (seg < segments.length && off >= segments(seg).length) {
+          seg += 1; off = 0
+        }
+      }
+      def u8(): Int = {
+        ensure()
+        if (seg >= segments.length)
+          throw graft.ExtractError("SST truncated in string header")
+        val v = segments(seg)(off) & 0xFF; off += 1; v
+      }
+      def u16(): Int = u8() | (u8() << 8)
+      def i32(): Int = u16() | (u16() << 16)
+      val unique = {
+        val b = ByteBuffer.wrap(segments.head).order(ByteOrder.LITTLE_ENDIAN)
+        b.getInt(4)
+      }
       var i = 0
-      while (i < unique && pos < data.length - 2) {
-        val len = b.getShort(pos) & 0xFFFF
-        val flags = data(pos + 2) & 0xFF
-        pos += 3
-        val rich = (flags & 8) != 0
-        val ext = (flags & 4) != 0
-        val richCount = if (rich) { val c = b.getShort(pos) & 0xFFFF; pos += 2; c } else 0
-        val extSize = if (ext) { val s = b.getInt(pos); pos += 4; s } else 0
-        val str =
-          if ((flags & 1) == 0) { // compressed: 1 byte/char
-            val s = new String(data, pos, len, "ISO-8859-1"); pos += len; s
-          } else {
-            val s = new String(data, pos, len * 2, "UTF-16LE"); pos += len * 2; s
+      while (i < unique) {
+        if (atEnd) throw graft.ExtractError(
+          s"SST truncated: expected $unique strings, got $i")
+        val len = u16()
+        val flags0 = u8()
+        var wide = (flags0 & 1) != 0
+        val rich = (flags0 & 8) != 0
+        val ext = (flags0 & 4) != 0
+        val richCount = if (rich) u16() else 0
+        val extSize = if (ext) i32() else 0
+        val sb = new java.lang.StringBuilder(len)
+        var remaining = len
+        while (remaining > 0) {
+          ensure()
+          if (seg >= segments.length) throw graft.ExtractError(
+            "SST truncated mid-string")
+          if (off == 0 && sb.length() > 0) {
+            // character data resuming in a CONTINUE record: new grbit byte
+            wide = (u8() & 1) != 0
           }
-        pos += richCount * 4 + extSize
-        sst += str
+          val avail = segments(seg).length - off
+          val charBytes = if (wide) 2 else 1
+          val take = math.min(remaining, avail / charBytes)
+          if (take == 0 && avail > 0) throw graft.ExtractError(
+            "SST record split mid-character")
+          sb.append(new String(segments(seg), off, take * charBytes,
+            if (wide) "UTF-16LE" else "ISO-8859-1"))
+          off += take * charBytes
+          remaining -= take
+        }
+        // skip rich-text runs and ext data (raw bytes, may span segments)
+        var skip = richCount * 4 + extSize
+        while (skip > 0) {
+          ensure()
+          if (seg >= segments.length) throw graft.ExtractError(
+            "SST truncated in rich/ext data")
+          val take = math.min(skip, segments(seg).length - off)
+          off += take; skip -= take
+        }
+        sst += sb.toString
         i += 1
       }
     }
@@ -280,7 +327,16 @@ object XlsSource {
       recType match {
         case 0x809 => sheetCount += 1 // BOF #1 = workbook globals, #2 = sheet 1
         case 0x0A if sheetCount >= 2 => pos = wb.length // EOF of sheet 1: stop
-        case 0xFC => parseSst(wb.slice(body, body + recLen))
+        case 0xFC =>
+          // collect the SST body + all immediately-following CONTINUE bodies
+          val segs = mutable.ArrayBuffer(wb.slice(body, body + recLen))
+          var next = body + recLen
+          while (next + 4 <= wb.length && (bb.getShort(next) & 0xFFFF) == 0x3C) {
+            val cLen = bb.getShort(next + 2) & 0xFFFF
+            segs += wb.slice(next + 4, next + 4 + cLen)
+            next += 4 + cLen
+          }
+          parseSst(segs.toSeq)
         case 0x41E => // FORMAT: custom number format — date if it has y/m/d/h/s codes
           val ifmt = bb.getShort(body) & 0xFFFF
           val cch = bb.getShort(body + 2) & 0xFFFF
@@ -318,7 +374,10 @@ object XlsSource {
           val r = bb.getShort(body) & 0xFFFF
           val c = bb.getShort(body + 2) & 0xFFFF
           val idx = bb.getInt(body + 6)
-          if (idx >= 0 && idx < sst.length) cells((r, c)) = StrCell(sst(idx))
+          if (idx < 0 || idx >= sst.length)
+            throw ExtractError(
+              s"LABELSST index $idx out of range (SST has ${sst.length} strings) at cell ($r,$c)")
+          cells((r, c)) = StrCell(sst(idx))
         case 0x204 if sheetCount == 2 => // LABEL (inline string)
           val r = bb.getShort(body) & 0xFFFF
           val c = bb.getShort(body + 2) & 0xFFFF

@@ -18,12 +18,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(pairs.filter(col("native") =!= col("hofv")).count() == 0)
   }
 
-  test("dot_f null semantics: null array yields null") {
+  test("dot_f null semantics: null array or length mismatch yields null") {
     GraftFunctions.register(spark)
     val out = spark.sql(
       "SELECT dot_f(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS d")
       .head()
     assert(out.isNullAt(0))
+    val mismatch = spark.sql(
+      """SELECT dot_f(array(CAST(1.0 AS FLOAT)),
+                      array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d""")
+      .head()
+    assert(mismatch.isNullAt(0))
   }
 
   test("MinHash aggregator: signature matches column-expression minhash semantics") {

@@ -68,6 +68,8 @@ object SparkEntry {
     "q_setops_nations" -> (Analytics.nationSetOps(_, _)),
     "q_having_frequent_buyers" -> (Analytics.frequentBuyers(_, _)),
     "q_scalar_subquery_big_orders" -> (Analytics.bigTicketOrders(_, _)),
+    "q_distribution_order_counts" -> (Analytics.orderCountDistribution(_, _)),
+    "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
@@ -310,6 +312,19 @@ object SparkEntry {
     "q_scalar_subquery_big_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q_distribution_order_counts" ->
+      """SELECT order_count, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS order_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) t
+         GROUP BY order_count ORDER BY order_count""",
+
+    "q_correlated_above_own_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE o_totalprice > 1.2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                     WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
 
     "q_json_extract_props" ->

@@ -279,6 +279,35 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Double aggregation (TPC-H Q13 shape): distribution of customers by
+    * order count, zero-bucket included via the outer join.
+    */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .groupBy(col("order_count"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("order_count"))
+  }
+
+  /** Correlated per-group subquery shape: orders 20% above their OWN
+    * customer's average price. Written as the decorrelated plan Catalyst
+    * would produce anyway (group-avg + equi-join), so there is exactly one
+    * pass over orders plus a small broadcastable aggregate.
+    */
+  def aboveOwnAverage(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val avgPerCust = ord.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    ord.join(avgPerCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.2)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Tumbling 1-hour buckets over the event stream (batch equivalent of the
     * Structured Streaming windowed aggregation in graft.streaming).
     */

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_having_frequent_buyers" -> (Analytics.frequentBuyers(_, _)),
     "q_scalar_subquery_big_orders" -> (Analytics.bigTicketOrders(_, _)),
     "q_distribution_order_counts" -> (Analytics.orderCountDistribution(_, _)),
+    "q_percentiles_order_price" -> (Analytics.pricePercentiles(_, _)),
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
@@ -320,6 +321,13 @@ object SparkEntry {
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey) t
          GROUP BY order_count ORDER BY order_count""",
+
+    "q_percentiles_order_price" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_correlated_above_own_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o

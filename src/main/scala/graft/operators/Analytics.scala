@@ -279,6 +279,23 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation). The
+    * approximate-sketch variant (approx_percentile / approx_count_distinct)
+    * is demonstrated in ApproxSpec — sketches differ across engines, so
+    * they are spec-checked against exact values rather than oracle'd.
+    */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Double aggregation (TPC-H Q13 shape): distribution of customers by
     * order count, zero-bucket included via the outer join.
     */

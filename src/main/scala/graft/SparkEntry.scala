@@ -89,6 +89,7 @@ object SparkEntry {
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
+    "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _))
@@ -501,6 +502,39 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY m DESC, vec_id) AS rank
                     FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+         scored_c AS (SELECT e.vec_id, c.centroid_id,
+                      ${cosMicrosSql("e.v", "c.cv")} AS cm
+                      FROM e CROSS JOIN c),
+         assign AS (SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scored_c) t WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scored_c WHERE vec_id < 10) t WHERE rn <= 3),
+         cand AS (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+                  WHERE a.vec_id <> p.query_id),
+         rr AS (SELECT cand.query_id, cand.vec_id,
+                ${cosMicrosSql("q.qv", "e.v")} AS m
+                FROM cand
+                JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q
+                  ON q.qid = cand.query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM rr)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",

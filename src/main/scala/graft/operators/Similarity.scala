@@ -132,6 +132,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-flat ANN: coarse-quantize the corpus into `nLists` inverted lists
+    * (deterministic quantizer: the first `nLists` vectors serve as
+    * centroids), then search only the query's `nProbe` nearest lists and
+    * re-rank candidates exactly.
+    *
+    * Scale shape: assignment is ONE corpus pass against a broadcast
+    * centroid table (no corpus shuffle); a query then touches ~nProbe/nLists
+    * of the corpus. With a trained quantizer (k-means offline) the same
+    * plan applies — the quantizer here is deterministic so the DuckDB
+    * oracle can recompute it exactly.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+    registerFunctions(s)
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // one corpus pass: nearest centroid per vector
+    val scoredC = emb.crossJoin(broadcast(centroids))
+      .withColumn("cm", expr(scoreMicrosExpr("embedding", "cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cm").desc, col("centroid_id"))
+    val assign = scoredC.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("centroid_id"))
+    // per query: the nProbe nearest lists
+    val probes = scoredC.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val reranked = candidates
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("m").desc, col("vec_id"))
+    reranked.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup detection: nearest neighbor within each label
     * block (label = the blocking key), flagged when cosine >= 0.95.
     * Blocked pairwise: O(sum of block²), never corpus².

@@ -106,6 +106,16 @@ class OperatorSpec extends SparkTestBase {
     val recall = (brute intersect approx).size.toDouble / brute.size
     info(f"ANN LSH recall@5 = $recall%.2f")
     assert(recall >= 0.5)
+    // IVF with the deterministic first-K quantizer: on this fixture the
+    // first 16 vectors all sit in 2 of the 40 clusters, so recall measures
+    // the probe mechanics, not quantizer quality (a trained k-means
+    // quantizer is the production path) — probe wider to compensate
+    val ivf = Similarity.ivfTopK(spark, dir, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"ANN IVF recall@5 (nProbe=8) = $ivfRecall%.2f")
+    assert(ivfRecall >= 0.5)
   }
 
   test("multimodal decode: mapPartitions path matches column path") {

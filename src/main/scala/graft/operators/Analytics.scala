@@ -290,9 +290,12 @@ object Analytics {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
-        r4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
+        // array form: ONE per-group value buffer for all three quantiles
+        // (three separate percentile() calls would buffer the group 3x)
+        expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        r4(expr("ps[0]")).as("p50"), r4(expr("ps[1]")).as("p90"),
+        r4(expr("ps[2]")).as("p99"))
       .orderBy(col("o_orderpriority"))
   }
 

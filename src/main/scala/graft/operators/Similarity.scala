@@ -69,12 +69,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic hyperplanes for LSH (seeded java.util.Random — the
-    * LCG + nextGaussian algorithms are spec-fixed, so signatures are
-    * stable across runs and JVMs).
-    */
-  /** Exposed so the DuckDB oracle can embed the identical plane values as
-    * SQL literals (Double.toString shortest-repr round-trips exactly).
+  /** Deterministic hyperplanes for LSH (seeded java.util.Random — the LCG
+    * + nextGaussian algorithms are spec-fixed, so signatures are stable
+    * across runs and JVMs). Exposed so the DuckDB oracle can embed the
+    * identical plane values as SQL literals (Double.toString shortest-repr
+    * round-trips exactly).
     */
   private[graft] def planeData(dim: Int = 64, nPlanes: Int = 16): Seq[(Int, Array[Double])] =
     (0 until nPlanes).map { p =>
@@ -102,10 +101,30 @@ object Similarity {
         .otherwise(lit(0L))).as("sig"))
   }
 
+
+  /** Shared exact re-rank: score candidate (query_id, vec_id) pairs with
+    * micro-unit cosine and keep each query's top-k. One definition so the
+    * score/tie-break/output contract (and its oracle parity) lives in one
+    * place for both ANN paths.
+    */
+  private def rerankTopK(candidates: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val withVecs = candidates
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("m").desc, col("vec_id"))
+    withVecs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k via LSH banding (2 bands x 8 bits): candidates = corpus
     * vectors sharing >= 1 band with the query; exact cosine re-rank on
-    * candidates only. Not SQL-oracle'd (verified by a recall-vs-brute-force
-    * spec instead).
+    * candidates only. Oracle'd (hyperplanes embedded as SQL literals) AND
+    * recall-vs-brute-force spec'd on a clustered fixture.
     */
   def annLshTopK(s: SparkSession, dir: String,
                  nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -119,17 +138,7 @@ object Similarity {
     val candidates = sigs.join(broadcast(queryBands), Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    val withVecs = candidates
-      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("m").desc, col("vec_id"))
-    withVecs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rerankTopK(candidates, emb, k)
   }
 
   /** IVF-flat ANN: coarse-quantize the corpus into `nLists` inverted lists
@@ -164,17 +173,7 @@ object Similarity {
     val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    val reranked = candidates
-      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("m").desc, col("vec_id"))
-    reranked.withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rerankTopK(candidates, emb, k)
   }
 
   /** Embedding near-dup detection: nearest neighbor within each label

@@ -73,6 +73,8 @@ object SparkEntry {
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
+    "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
+    "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -347,6 +349,34 @@ object SparkEntry {
          count(*) AS n_events, round(sum(value), 4) AS sum_value,
          round(avg(value), 4) AS avg_value
          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    "q_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (SELECT user_id, event_id, ts_us, value,
+           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800000000
+                     OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (SELECT user_id, event_id, ts_us, value,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                round(sum(value), 4) AS sum_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q_top_tokens_per_source" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                      FROM documents),
+         counts AS (SELECT source, token, count(*) AS n FROM tok GROUP BY source, token),
+         ranked AS (SELECT source, token, n,
+                    row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+                    FROM counts)
+         SELECT source, CAST(rk AS BIGINT) AS rk, token, n
+         FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
 
     "q_asof_join_events_orders" ->
       """WITH dedup AS (

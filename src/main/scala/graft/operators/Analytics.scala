@@ -328,6 +328,30 @@ object Analytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Gap-based sessionization in batch: the exact batch twin of
+    * streaming.EventsStream.sessionize (30-minute inactivity gap). Session
+    * boundaries via lag + cumulative sum of new-session flags — one
+    * shuffle on user_id, both window passes reuse that partitioning.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs || lag(col("ts_us"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        r4(sum(col("value"))).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Tumbling 1-hour buckets over the event stream (batch equivalent of the
     * Structured Streaming windowed aggregation in graft.streaming).
     */

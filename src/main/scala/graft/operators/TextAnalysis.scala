@@ -83,6 +83,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-5 tokens per source (explode → count → rank): the
+    * generator-then-aggregate shape. Shuffle volume is (source, token)
+    * pairs after map-side combine, never the raw token stream.
+    */
+  def topTokensPerSource(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token"))
+    Tables.documents(s, dir)
+      .select(col("source"), explode(expr(TokensExpr)).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("token"), col("n"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Document fingerprints: md5 of the token-normalized text (exact-dedup
     * key) + a 31-radix rolling hash over token codes (order-sensitive,
     * cheap to compare/shard on).

@@ -76,6 +76,10 @@ object SparkEntry {
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
+    "q_pivot_order_status" -> (Reshape.orderStatusPivot(_, _)),
+    "q_unpivot_order_status" -> (Reshape.orderStatusUnpivot(_, _)),
+    "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
+    "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
@@ -109,16 +113,27 @@ object SparkEntry {
                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
                 FROM d WHERE len(ws) >= 3)"""
 
+  /** Left-to-right double dot product with pinned evaluation order.
+    * Deliberately NOT list_dot_product: a builtin is free to change its
+    * accumulation order/precision between DuckDB releases, while this
+    * explicit fold is bit-identical to Spark's dot_f on every engine
+    * that implements IEEE-754 doubles.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
   private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** DuckDB twins of Similarity.scoreMicrosExpr / Micro4 (integer-exact
-    * score handling — see that scaladoc for why).
+    * score handling — see that scaladoc for why). floor(x + 0.5) instead of
+    * round(): engines disagree on round()'s tie-breaking and result type
+    * across versions, while floor on an explicit DOUBLE is universal.
     */
   private def cosMicrosSql(a: String, b: String): String =
-    s"CAST(round((${cosSql(a, b)}) * 1000000, 0) AS BIGINT)"
+    s"CAST(floor((${cosSql(a, b)}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
   private val micro4Sql =
-    "(CASE WHEN m >= 0 THEN (m + 50) // 100 ELSE -((-m + 50) // 100) END) / 10000.0"
+    "CAST(CASE WHEN m >= 0 THEN (m + 50) // 100 ELSE -((-m + 50) // 100) END AS BIGINT)"
 
   /** The LSH hyperplanes as SQL literals (Double.toString round-trips
     * exactly, so the oracle computes the same signatures bit-for-bit).
@@ -272,16 +287,17 @@ object SparkEntry {
 
     "q_window_moving_avg" ->
       """WITH c AS (SELECT user_id, event_id, ts, value,
-                    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+                    CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM events),
          f AS (SELECT user_id, event_id, value,
                CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_cents,
                count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mv_n
                FROM c)
-         SELECT user_id, event_id, round(value, 4) AS value,
-                (CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) // (2 * mv_n)
-                      ELSE -((200 * -mv_cents + mv_n) // (2 * mv_n)) END) / 10000.0 AS moving_avg
+         SELECT user_id, event_id, value,
+                CAST(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) // (2 * mv_n)
+                     ELSE -((200 * -mv_cents + mv_n) // (2 * mv_n)) END AS BIGINT) AS moving_avg_1e4
          FROM f ORDER BY user_id, event_id""",
 
     "q_window_event_gaps" ->
@@ -314,8 +330,12 @@ object SparkEntry {
          ORDER BY o_custkey""",
 
     "q_scalar_subquery_big_orders" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+              CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+              FROM orders),
+         g AS (SELECT sum(cents) AS sum_cents, count(*) AS n FROM o)
+         SELECT o_orderkey, o_totalprice FROM o, g
+         WHERE cents * 2 * n > sum_cents * 3
          ORDER BY o_orderkey""",
 
     "q_distribution_order_counts" ->
@@ -333,9 +353,14 @@ object SparkEntry {
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_correlated_above_own_avg" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-         WHERE o_totalprice > 1.2 * (SELECT avg(o2.o_totalprice) FROM orders o2
-                                     WHERE o2.o_custkey = o.o_custkey)
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+              CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+              FROM orders),
+         g AS (SELECT o_custkey AS k, sum(cents) AS sum_cents, count(*) AS n
+               FROM o GROUP BY o_custkey)
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM o JOIN g ON o_custkey = k
+         WHERE cents * 5 * n > sum_cents * 6
          ORDER BY o_orderkey""",
 
     "q_json_extract_props" ->
@@ -507,7 +532,7 @@ object SparkEntry {
     "q_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          planes AS (SELECT * FROM (VALUES $planesValuesSql) AS t(plane_id, plane)),
-         dots AS (SELECT vec_id, plane_id, list_dot_product(v, plane) AS d
+         dots AS (SELECT vec_id, plane_id, ${dotSql("v", "plane")} AS d
                   FROM e CROSS JOIN planes),
          sigs AS (SELECT vec_id,
                   CAST(sum(CASE WHEN d >= 0
@@ -588,7 +613,7 @@ object SparkEntry {
          md5(text) AS content_hash,
          32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8 AS fake_width,
          32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS fake_height,
-         round((ascii(substr(md5(text), 3, 1)) % 64) / 64.0, 4) AS fake_channel_mean
+         CAST(ascii(substr(md5(text), 3, 1)) % 64 AS DOUBLE) / CAST(64 AS DOUBLE) AS fake_channel_mean
          FROM documents ORDER BY asset_id"""
   )
 }

@@ -19,9 +19,12 @@ object MinHashAggregator {
 
   val NumHashes = 12
 
-  /** First 60 bits of md5(shingle:j) as a positive Long (matches the
-    * lexicographic ordering trick used in Dedup: min over hex strings ==
-    * min over these longs, because the hex encoding is order-preserving).
+  /** First 60 bits of md5(shingle:j) as a positive Long. NOTE: this is a
+    * self-contained signature scheme, NOT interchangeable with Dedup's —
+    * Dedup (and its oracle) derive 12 slots as 8-hex-char windows of three
+    * digests md5(shingle:0..2), while this aggregator hashes md5(shingle:j)
+    * for j=0..11. Both are valid minhash families; mixing signatures across
+    * the two would silently compare incompatible values.
     */
   private[graft] def hashSlot(shingle: String, j: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

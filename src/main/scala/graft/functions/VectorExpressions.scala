@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * semantically right but higher-order functions evaluate interpreted, one
   * lambda dispatch per element. This expression whole-stage-codegens to a
   * tight primitive loop — same left-to-right double accumulation, so
-  * results are bit-identical to the HOF form (and to DuckDB's
-  * list_dot_product on DOUBLE[]), just faster.
+  * results are bit-identical to the HOF form (and to any engine's
+  * left-to-right fold over the DOUBLE-widened elements, which is what the
+  * DuckDB oracle's pinned list_reduce computes), just faster.
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,10 +39,11 @@ case class DotProductFloat(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  // Length mismatch yields NULL — same contract as the HOF
-  // zip_with/aggregate form this replaces (zip_with pads with null, the
-  // null poisons the sum). Truncating instead would silently rank
-  // malformed vectors with a plausible partial score.
+  // Length mismatch or any null element yields NULL — same contract as
+  // the HOF zip_with/aggregate form this replaces (zip_with pads with
+  // null, and a null element poisons the sum). Truncating or skipping
+  // instead would silently rank malformed vectors with a plausible
+  // partial score.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -50,6 +52,7 @@ case class DotProductFloat(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,11 +61,23 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // null-element guard only generated when the schema admits null
+      // elements — the common containsNull=false corpus keeps the tight
+      // branch-free loop
+      val nullGuard =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,9 +85,12 @@ case class DotProductFloat(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

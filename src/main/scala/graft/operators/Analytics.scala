@@ -196,16 +196,21 @@ object Analytics {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-9, Window.currentRow)
     Tables.events(s, dir)
+      // floor(x+0.5) not round(): identical on every engine (see Similarity
+      // .scoreMicrosExpr); `value` passes through untouched (raw parquet
+      // bits — no arithmetic, so no engine can disagree on it)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cents"))
       .withColumn("mv_cents", sum(col("cents")).over(w))
       .withColumn("mv_n", count(lit(1)).over(w))
       // sign split keeps half-up-away-from-zero semantics AND avoids the
-      // Spark-div-truncates vs DuckDB-//-floors divergence on negative sums
-      .withColumn("moving_avg", expr(
-        """(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) div (2 * mv_n)
-                 ELSE -((200 * -mv_cents + mv_n) div (2 * mv_n)) END) / 10000.0"""))
-      .select(col("user_id"), col("event_id"), r4(col("value")).as("value"), col("moving_avg"))
+      // Spark-div-truncates vs DuckDB-//-floors divergence on negative sums;
+      // emitted as BIGINT ten-thousandths of the cent average (fixed-point
+      // end-to-end — money pipelines avoid float drift the same way)
+      .withColumn("moving_avg_1e4", expr(
+        """CAST(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) div (2 * mv_n)
+                ELSE -((200 * -mv_cents + mv_n) div (2 * mv_n)) END AS BIGINT)"""))
+      .select(col("user_id"), col("event_id"), col("value"), col("moving_avg_1e4"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
@@ -218,6 +223,23 @@ object Analytics {
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("gap_us"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Ranking-window family: ntile quartile, percent_rank, cume_dist per
+    * priority over order price. The o_orderkey tiebreak makes every rank
+    * deterministic; pct_rank/cume are single IEEE divisions of exact small
+    * ints, so they hash identically on any engine. One shuffle on the
+    * partition key serves all three functions (same window spec).
+    */
+  def orderPriceRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Global top-K with total-order tiebreak (TakeOrderedAndProject —
@@ -256,12 +278,21 @@ object Analytics {
   /** Scalar subquery pattern: orders above 1.5x the global average price.
     * The scalar aggregate is broadcast (a 1-row cross join), not recomputed
     * per row.
+    *
+    * The comparison is pure integer arithmetic: price > 1.5*avg rewritten
+    * as 2*n*cents > 3*sum_cents over exact cents. A raw double average
+    * would make boundary-row membership depend on accumulation order —
+    * i.e. on partitioning and on the engine. (BIGINT headroom: cents*2*n
+    * stays < 2^63 up to ~10^12 rows of 10^7-cent orders; beyond that,
+    * swap to DECIMAL(38,0).)
     */
   def bigTicketOrders(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
-    val avgPrice = ord.agg(avg(col("o_totalprice")).as("avg_price"))
-    ord.crossJoin(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+      expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        .as("cents"))
+    val totals = ord.agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+    ord.crossJoin(broadcast(totals))
+      .filter(col("cents") * 2 * col("n") > col("sum_cents") * 3)
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
@@ -319,11 +350,16 @@ object Analytics {
     * pass over orders plus a small broadcastable aggregate.
     */
   def aboveOwnAverage(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-    val avgPerCust = ord.groupBy(col("o_custkey").as("k"))
-      .agg(avg(col("o_totalprice")).as("cust_avg"))
-    ord.join(avgPerCust, col("o_custkey") === col("k"))
-      .filter(col("o_totalprice") > col("cust_avg") * 1.2)
+    // price > 1.2*avg as integer cents: 5*n*cents > 6*sum_cents — see
+    // bigTicketOrders for why the threshold must not be a raw double
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"),
+      expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        .as("cents"))
+    val perCust = ord.groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+    ord.join(perCust, col("o_custkey") === col("k"))
+      .filter(col("cents") * 5 * col("n") > col("sum_cents") * 6)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }

@@ -52,7 +52,12 @@ object Multimodal {
       // ---- STUB: stands in for decoded image dims / channel stats ----
       expr("32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8").as("fake_width"),
       expr("32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8").as("fake_height"),
-      expr("round((ascii(substr(md5(text), 3, 1)) % 64) / 64.0, 4)").as("fake_channel_mean"))
+      // k/64 is an exact dyadic double (k < 64, /64 = exponent shift):
+      // bit-identical on every engine, so no round() needed — round()'s
+      // tie-breaking on the exact .xxxx5 values k≡2 (mod 4) produces is
+      // engine-version-dependent
+      expr("CAST(ascii(substr(md5(text), 3, 1)) % 64 AS DOUBLE) / CAST(64 AS DOUBLE)")
+        .as("fake_channel_mean"))
       .orderBy(col("asset_id"))
 
   /** Partition-batched decode: the real-codec pattern. One decoder init

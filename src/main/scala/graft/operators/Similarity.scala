@@ -31,18 +31,25 @@ object Similarity {
   def cosineExpr(a: String, b: String): String =
     s"dot_f($a, $b) / (sqrt(dot_f($a, $a)) * sqrt(dot_f($b, $b)))"
 
-  /** Cosine as integer micro-units (round(cos*1e6) as BIGINT). All ranking,
-    * thresholds, and the displayed 4-decimal score derive from this integer
+  /** Cosine as integer micro-units (floor(cos*1e6 + 0.5) as BIGINT). All
+    * ranking, thresholds, and the emitted score derive from this integer
     * via exact arithmetic — engines disagree on rounding doubles that sit
-    * exactly on `.xxxx5`, and a 6-decimal score re-rounded to 4 hits that
-    * boundary systematically (~1% of rows).
+    * exactly on `.xxxx5`, and round()'s tie-breaking and result TYPE have
+    * both changed between DuckDB releases. floor on an explicit DOUBLE is
+    * a single IEEE-754 op: bit-identical on every engine given identical
+    * cosine bits (which the oracle's pinned-order fold guarantees).
     */
   def scoreMicrosExpr(a: String, b: String): String =
-    s"CAST(round((${cosineExpr(a, b)}) * 1000000, 0) AS BIGINT)"
+    s"CAST(floor((${cosineExpr(a, b)}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 
-  /** Half-up 4-decimal score from micro-units, as exact integer division. */
+  /** Half-up 4-decimal score from micro-units, emitted as BIGINT
+    * ten-thousandths (score 0.8123 -> 8123). Kept integer end-to-end:
+    * an int hashes identically under every engine/driver comparison,
+    * while int/10000.0 is hostage to the engine's decimal-vs-double
+    * division typing.
+    */
   val Micro4: String =
-    "(CASE WHEN m >= 0 THEN (m + 50) div 100 ELSE -((-m + 50) div 100) END) / 10000.0"
+    "CAST(CASE WHEN m >= 0 THEN (m + 50) div 100 ELSE -((-m + 50) div 100) END AS BIGINT)"
 
   private def registerFunctions(s: SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)

@@ -37,9 +37,9 @@ object Sinks {
   /** L4 — warehouse load with append/truncate disposition (reference:
     * load_to_bigquery load.py:67-110). BigQuery's REQUIRED mode → we assert
     * the frame's contract upstream (TrafficTransform.requireNoNulls) since
-    * Parquet happily stores nulls. Returns loaded row count like the
-    * reference (load.py:108-109) — taken from the materialized table so the
-    * count reflects what actually committed.
+    * Parquet happily stores nulls. Returns the loaded row count of THIS
+    * batch like the reference (load.py:108-109 reports the load job's own
+    * output_rows) — a table-total would over-report under Append.
     */
   /** @param partitionOn optional column names to partition the table by
     *   (e.g. a derived date column). At warehouse scale a date-partitioned
@@ -59,7 +59,10 @@ object Sinks {
       val partitioned =
         if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer
       partitioned.parquet(path)
-      spark.read.parquet(path).count()
+      // count THIS batch, not the whole table — under Append the table
+      // total would over-report rowsLoaded (reference load.py:108-109
+      // reports the load job's own output_rows)
+      df.count()
     } catch {
       case e: Exception =>
         throw LoadError(s"Warehouse load to $path failed: ${e.getMessage}", e)

@@ -97,11 +97,12 @@ object XlsSource {
     * fictitious 1900-02-29 leap bug by the standard -2 day adjustment.
     */
   private def serialToTimestamp(serial: Double): Timestamp = {
-    val epoch1899 = -2208988800000L // 1899-12-31T00:00:00Z in millis
+    val epoch1900 = -2208988800000L // 1900-01-01T00:00:00Z in millis
     val days = serial.toLong
     val frac = serial - days
     val adjDays = if (days >= 60) days - 1 else days // 1900 leap-year bug
-    val millis = epoch1899 + (adjDays - 1) * 86400000L +
+    // serial 1 == 1900-01-01, hence (adjDays - 1) days after the epoch
+    val millis = epoch1900 + (adjDays - 1) * 86400000L +
       math.round(frac * 86400.0) * 1000L
     new Timestamp(millis)
   }

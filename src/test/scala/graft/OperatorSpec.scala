@@ -44,7 +44,10 @@ class OperatorSpec extends SparkTestBase {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("event_id")))
       .filter(col("rn") === 1)
-    assert(firsts.filter(col("value") =!= col("moving_avg")).count() == 0)
+    // window of one row: avg == the row's own cents, in 1e-4 units
+    assert(firsts.filter(col("moving_avg_1e4") =!=
+      expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) * 100"))
+      .count() == 0)
   }
 
   test("as-of join: every matched order predates its event") {

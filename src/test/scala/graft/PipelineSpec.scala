@@ -40,9 +40,11 @@ class PipelineSpec extends SparkTestBase {
     val r1 = new EtlPipeline(spark, csvConfig(bucket, WriteDisposition.Append)).run()
     assert(r1.rowsExtracted == 287 && r1.rowsTransformed == 287 && r1.rowsLoaded == 287)
     val r2 = new EtlPipeline(spark, csvConfig(bucket, WriteDisposition.Append)).run()
-    assert(r2.rowsLoaded == 574) // append accumulates
+    assert(r2.rowsLoaded == 287) // the batch's own rows, not the table total
+    assert(spark.read.parquet(r2.warehousePath).count() == 574) // append accumulates
     val r3 = new EtlPipeline(spark, csvConfig(bucket, WriteDisposition.Truncate)).run()
     assert(r3.rowsLoaded == 287) // truncate resets
+    assert(spark.read.parquet(r3.warehousePath).count() == 287)
     // artifacts exist in all three zones
     assert(new java.io.File(s"$bucket/backups").listFiles().nonEmpty)
     assert(new java.io.File(s"$bucket/processed").listFiles().nonEmpty)

@@ -310,6 +310,44 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
 
+    "q_pivot_order_status" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_unpivot_order_status" ->
+      """WITH p AS (SELECT o_orderpriority,
+              count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+              count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+              count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+              FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, 'F' AS status, n_f AS n FROM p
+         UNION ALL SELECT o_orderpriority, 'O', n_o FROM p
+         UNION ALL SELECT o_orderpriority, 'P', n_p FROM p
+         ORDER BY o_orderpriority, status""",
+
+    "q_range_join_value_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('p00_low',  CAST(0   AS DOUBLE), CAST(10   AS DOUBLE)),
+           ('p10_mid',  CAST(10  AS DOUBLE), CAST(50   AS DOUBLE)),
+           ('p50_high', CAST(50  AS DOUBLE), CAST(100  AS DOUBLE)),
+           ('p90_peak', CAST(100 AS DOUBLE), CAST(1000 AS DOUBLE)))
+         SELECT band, event_type, count(*) AS n_events
+         FROM events JOIN bands ON value >= lo AND value < hi
+         GROUP BY band, event_type ORDER BY band, event_type""",
+
+    "q_window_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+
     "q_setops_nations" ->
       """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
               s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)

@@ -42,6 +42,21 @@ object Similarity {
   def scoreMicrosExpr(a: String, b: String): String =
     s"CAST(floor((${cosineExpr(a, b)}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 
+  /** Same micro-unit score, but from a precomputed dot and norms. The norm
+    * of each vector is computed ONCE per row (not once per pair — a 3x cut
+    * of the inner-loop flops that compounds at corpus x query scale). The
+    * doubles are identical wherever they're computed, so oracle bit-parity
+    * is untouched; na/nb must keep the same operand order the oracle's
+    * `sqrt(dot(a,a)) * sqrt(dot(b,b))` uses.
+    */
+  def scoreMicrosFromNorms(dot: String, na: String, nb: String): String =
+    s"CAST(floor(($dot / ($na * $nb)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** Corpus with a per-row L2 norm column. */
+  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
+
   /** Half-up 4-decimal score from micro-units, emitted as BIGINT
     * ten-thousandths (score 0.8123 -> 8123). Kept integer end-to-end:
     * an int hashes identically under every engine/driver comparison,
@@ -61,12 +76,14 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 5): DataFrame = {
     registerFunctions(s)
-    val emb = Tables.embeddings(s, dir)
+    val emb = embWithNorm(s, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vnorm").as("qnorm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(qv, embedding)", "qnorm", "vnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("m").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -116,9 +133,11 @@ object Similarity {
     */
   private def rerankTopK(candidates: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val withVecs = candidates
-      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("m", expr(scoreMicrosExpr("qv", "embedding")))
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vnorm").as("qnorm")), "query_id")
+      .join(emb.select(col("vec_id"), col("embedding"), col("vnorm")), "vec_id")
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(qv, embedding)", "qnorm", "vnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("m").desc, col("vec_id"))
     withVecs.withColumn("rank", row_number().over(w))
@@ -136,7 +155,7 @@ object Similarity {
   def annLshTopK(s: SparkSession, dir: String,
                  nQueries: Int = 10, k: Int = 5): DataFrame = {
     registerFunctions(s)
-    val emb = Tables.embeddings(s, dir)
+    val emb = embWithNorm(s, dir)
     val sigs = lshSignatures(s, dir)
       .selectExpr("vec_id",
         "stack(2, 0, sig & 255, 1, (sig >> 8) & 255) AS (band_idx, band_val)")
@@ -162,12 +181,14 @@ object Similarity {
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nLists: Int = 16, nProbe: Int = 3): DataFrame = {
     registerFunctions(s)
-    val emb = Tables.embeddings(s, dir)
+    val emb = embWithNorm(s, dir)
     val centroids = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        col("vnorm").as("cnorm"))
     // one corpus pass: nearest centroid per vector
     val scoredC = emb.crossJoin(broadcast(centroids))
-      .withColumn("cm", expr(scoreMicrosExpr("embedding", "cv")))
+      .withColumn("cm",
+        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cm").desc, col("centroid_id"))
     val assign = scoredC.withColumn("rn", row_number().over(wAssign))
@@ -189,13 +210,14 @@ object Similarity {
     */
   def nearestInLabel(s: SparkSession, dir: String): DataFrame = {
     registerFunctions(s)
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val emb = embWithNorm(s, dir)
+    val a = emb.select(col("vec_id"), col("label"), col("embedding"), col("vnorm"))
     val b = emb.select(col("vec_id").as("b_vec_id"), col("label"),
-      col("embedding").as("b_embedding"))
+      col("embedding").as("b_embedding"), col("vnorm").as("b_vnorm"))
     val pairs = a.join(b, Seq("label"))
       .filter(col("vec_id") =!= col("b_vec_id"))
-      .withColumn("m", expr(scoreMicrosExpr("embedding", "b_embedding")))
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(embedding, b_embedding)", "vnorm", "b_vnorm")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("m").desc, col("b_vec_id"))
     pairs.withColumn("rk", row_number().over(w))

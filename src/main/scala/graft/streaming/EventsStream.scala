@@ -40,6 +40,39 @@ object EventsStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped, and per-key state
+    * is evicted once the watermark passes it — the streaming twin of
+    * Dedup.exact's hash-groupBy (which at-least-once sources need in
+    * front of every downstream aggregate).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each event joined to the click events of
+    * the SAME user within the preceding 10 minutes. Both sides watermarked
+    * so the join state (buffered rows awaiting matches) is evicted once
+    * event time passes the interval bound — the canonical bounded-state
+    * stream-stream join shape.
+    */
+  def recentClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    events
+      .withWatermark("ts", "30 minutes")
+      .join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+          col("click_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long,

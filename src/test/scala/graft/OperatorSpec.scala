@@ -50,6 +50,31 @@ class OperatorSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("pivot/unpivot round-trip conserves the order count") {
+    val wide = Reshape.orderStatusPivot(spark, Sf)
+    val nOrders = spark.read.parquet(s"$Sf/orders.parquet").count()
+    val wideTotal = wide.select((col("n_f") + col("n_o") + col("n_p")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(wideTotal == nOrders)
+    val long = Reshape.orderStatusUnpivot(spark, Sf)
+    assert(long.count() == wide.count() * 3)
+    assert(long.agg(sum("n")).head().getLong(0) == nOrders)
+  }
+
+  test("range join assigns every event to exactly one band") {
+    val out = RangeJoin.eventValueBands(spark, Sf)
+    val nEvents = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(out.agg(sum("n_events")).head().getLong(0) == nEvents)
+  }
+
+  test("rank family: quartile in 1..4, pct_rank/cume bounded, cume hits 1") {
+    val out = Analytics.orderPriceRanks(spark, Sf)
+    assert(out.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    assert(out.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    val maxCume = out.groupBy("o_orderpriority").agg(max("cume").as("m"))
+    assert(maxCume.filter(col("m") =!= 1.0).count() == 0)
+  }
+
   test("as-of join: every matched order predates its event") {
     val ev = sources.Tables.events(spark, Sf).select(col("event_id"), col("ts"))
     val joined = AsofJoin.eventsAsofOrders(spark, Sf).join(ev, "event_id")

@@ -69,6 +69,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventsStream.dedupedEvents(input.toDF())
+    val q = out.writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0),
+        Event(1, ts("2024-01-01 10:02:00"), 1, "click", 1.0)) // dup id
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-01 10:03:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events with the user's recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val joined = EventsStream.recentClickJoin(input.toDF())
+    val q = joined.writeStream.format("memory").queryName("clickjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),   // joins click 1
+        Event(3, ts("2024-01-01 10:20:00"), 1, "view", 3.0),   // >10min after click 1
+        Event(4, ts("2024-01-01 10:05:00"), 2, "view", 4.0))   // other user
+      q.processAllAvailable()
+      val pairs = spark.table("clickjoin")
+        .select("event_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("sliding windows: an event lands in overlapping 15/5-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

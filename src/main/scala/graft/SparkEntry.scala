@@ -76,6 +76,7 @@ object SparkEntry {
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
+    "q_join_bucketed_revenue" -> (Bucketing.bucketedOrderRevenue(_, _)),
     "q_pivot_order_status" -> (Reshape.orderStatusPivot(_, _)),
     "q_unpivot_order_status" -> (Reshape.orderStatusUnpivot(_, _)),
     "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
@@ -167,8 +168,9 @@ object SparkEntry {
                      AND a.doc_id < b.doc_id),
        verify AS (
          SELECT doc_a, doc_b,
-                round(len(list_intersect(sa.sh, sb.sh))
-                      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 4) AS jaccard
+                (20000 * len(list_intersect(sa.sh, sb.sh))
+                 + len(list_distinct(sa.sh || sb.sh)))
+                // (2 * len(list_distinct(sa.sh || sb.sh))) AS jaccard_1e4
          FROM cand
          JOIN shd sa ON sa.doc_id = cand.doc_a
          JOIN shd sb ON sb.doc_id = cand.doc_b)"""
@@ -309,6 +311,12 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+
+    "q_join_bucketed_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey""",
 
     "q_pivot_order_status" ->
       """SELECT o_orderpriority,
@@ -519,19 +527,21 @@ object SparkEntry {
            FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4)
          SELECT doc_a, doc_b,
-                round(common / CAST(na + nb - common AS DOUBLE), 4) AS jaccard
+                (20000 * common + (na + nb - common))
+                // (2 * (na + nb - common)) AS jaccard_1e4
          FROM pairs
-         WHERE round(common / CAST(na + nb - common AS DOUBLE), 4) >= 0.5
+         WHERE (20000 * common + (na + nb - common))
+               // (2 * (na + nb - common)) >= 5000
          ORDER BY doc_a, doc_b""",
 
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashVerifyCtes
-         SELECT doc_a, doc_b, jaccard FROM verify
-         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+         SELECT doc_a, doc_b, jaccard_1e4 FROM verify
+         WHERE jaccard_1e4 >= 5000 ORDER BY doc_a, doc_b""",
 
     "q_dedup_apply" ->
       s"""WITH $minhashVerifyCtes,
-         drops AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jaccard >= 0.5)
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jaccard_1e4 >= 5000)
          SELECT source, count(*) AS kept_docs,
                 CAST(sum(n_chars) AS BIGINT) AS kept_chars
          FROM documents

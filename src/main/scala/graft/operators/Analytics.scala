@@ -25,7 +25,7 @@ import graft.sources.Tables
   */
 object Analytics {
 
-  private def r4(c: Column): Column = round(c, 4)
+  private[operators] def r4(c: Column): Column = round(c, 4)
 
   /** TPC-H Q1-style pricing summary: single-pass hash aggregate on the fact
     * table; only 7 lineitem columns are read (check ReadSchema in explain).

@@ -71,9 +71,13 @@ object Dedup {
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .withColumn("jaccard", expr("round(common / CAST(na + nb - common AS DOUBLE), 4)"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // half-up 4-decimal jaccard in BIGINT ten-thousandths, pure integer
+      // arithmetic — engine round() semantics never enter (see
+      // Similarity.Micro4 for the full rationale)
+      .withColumn("jaccard_1e4", expr(
+        "CAST((20000 * common + (na + nb - common)) div (2 * (na + nb - common)) AS BIGINT)"))
+      .filter(col("jaccard_1e4") >= math.round(threshold * 10000))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_1e4"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -140,10 +144,11 @@ object Dedup {
     val verify = candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", expr(
-        "round(size(array_intersect(sh_a, sh_b)) / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 4)"))
-    verify.filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("jaccard_1e4", expr(
+        """CAST((20000 * size(array_intersect(sh_a, sh_b)) + size(array_union(sh_a, sh_b)))
+           div (2 * size(array_union(sh_a, sh_b))) AS BIGINT)"""))
+    verify.filter(col("jaccard_1e4") >= math.round(threshold * 10000))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_1e4"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

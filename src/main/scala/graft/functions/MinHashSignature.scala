@@ -40,6 +40,13 @@ case class MinHashSignature(child: Expression, numHashes: Int = 12)
 
   @transient private lazy val hexChars = "0123456789abcdef".toCharArray
 
+  // ":0", ":1", ... as raw bytes, computed once — the digest input is
+  // fed as (shingle utf8 bytes, suffix bytes) so no per-(shingle, d)
+  // string concatenation or re-encoding happens in the hot loop. md5 of
+  // the same byte stream == md5(shingle || ':' || d) by definition.
+  @transient private lazy val suffixBytes: Array[Array[Byte]] =
+    Array.tabulate(digestsNeeded)(d => s":$d".getBytes("UTF-8"))
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -48,11 +55,13 @@ case class MinHashSignature(child: Expression, numHashes: Int = 12)
     val mins = Array.fill[String](numHashes)(null)
     var i = 0
     while (i < n) {
-      val shingle = arr.getUTF8String(i).toString
+      val shingleBytes = arr.getUTF8String(i).getBytes
       var d = 0
       while (d < digestsNeeded) {
         md.reset()
-        val digest = md.digest(s"$shingle:$d".getBytes("UTF-8"))
+        md.update(shingleBytes)
+        md.update(suffixBytes(d))
+        val digest = md.digest()
         // hex-encode once, slice four 8-hex windows
         val hex = new Array[Char](32)
         var b = 0

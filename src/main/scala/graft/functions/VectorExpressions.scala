@@ -141,5 +141,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       GraftFunctions.DotFInfo,
       (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "", "minhash_sig",
+        "minhash_sig(shingles) - 12-slot MinHash signature of an ARRAY<STRING>",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"minhash_sig requires exactly 1 argument, got ${exprs.length}")
+        MinHashSignature(exprs.head)
+      }))
   }
 }

@@ -40,7 +40,18 @@ object XlsSource {
     * strings → StringType. Empty input rejects, mirroring extract.py:76-77.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val cells = parseCells(readAllBytes(spark, path), path)
+    val (schema, rows) = decode(readAllBytes(spark, path), path)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+  }
+
+  /** Core decode: XLS bytes -> (inferred schema, data rows as Seq[Any]
+    * aligned with the schema). Pure function of the bytes — callable on
+    * the driver (single-blob `read`, the reference's shape) or inside an
+    * executor task (the `xls` DataSource V2, one task per file).
+    */
+  private[sources] def decode(bytes: Array[Byte], path: String): (StructType, Seq[Seq[Any]]) = {
+    val cells = parseCells(bytes, path)
     if (cells.isEmpty) throw ExtractError(s"No cells decoded from XLS at $path")
     val nCols = cells.keys.map(_._2).max + 1
     val nRows = cells.keys.map(_._1).max + 1
@@ -67,8 +78,8 @@ object XlsSource {
     val schema = StructType(header.zip(colTypes).map {
       case (name, t) => StructField(name, t, nullable = true)
     })
-    val rows: Seq[Row] = (1 until nRows).map { r =>
-      Row.fromSeq((0 until nCols).map { c =>
+    val rows: Seq[Seq[Any]] = (1 until nRows).map { r =>
+      (0 until nCols).map { c =>
         (cells.get((r, c)), colTypes(c)) match {
           case (Some(DateCell(serial)), TimestampType) => serialToTimestamp(serial)
           case (Some(NumCell(d)), TimestampType)       => serialToTimestamp(d)
@@ -79,10 +90,9 @@ object XlsSource {
           case (Some(DateCell(d)), StringType)         => serialToTimestamp(d).toString
           case _                                       => null
         }
-      })
+      }
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    (schema, rows)
   }
 
   // ---------- cell model ----------
@@ -207,8 +217,11 @@ object XlsSource {
     * (file://, gs://, s3a://) — the reference's GCS download-to-tempfile hop
     * (extract.py:18-52) collapses into this one call.
     */
-  private def readAllBytes(spark: SparkSession, path: String): Array[Byte] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  private def readAllBytes(spark: SparkSession, path: String): Array[Byte] =
+    readAllBytes(spark.sparkContext.hadoopConfiguration, path)
+
+  private[sources] def readAllBytes(conf: org.apache.hadoop.conf.Configuration,
+                                    path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) throw ExtractError(s"XLS not found at $path")

@@ -1,0 +1,165 @@
+package graft.sources.xls
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.XlsSource
+
+/** DataSource V2 for BIFF8 Excel files: `spark.read.format("xls").load(p)`.
+  *
+  * The reference reads exactly one spreadsheet on the driver
+  * (extract.py:55-67, pandas + xlrd) — XlsSource.read reproduces that
+  * single-blob shape. This connector is the multi-file scale-out of the
+  * same decoder: `load(dirOrGlob)` plans ONE input partition per .xls
+  * file, each executor task decodes its file independently, and required-
+  * column pruning (SupportsPushDownRequiredColumns) means a query that
+  * selects two columns never materializes the rest. An .xls workbook is
+  * not splittable (whole-container OLE2 + SST), so file granularity is
+  * the natural parallel unit — the pattern for "ten thousand daily
+  * exports land in a bucket" ingestion.
+  *
+  * Schema: inferred from the FIRST file (or supplied explicitly via
+  * .schema(...) — supportsExternalMetadata). All files must share the
+  * header contract, the same assumption the reference's required-column
+  * check makes per file.
+  */
+class XlsDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "xls"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val conf = new Configuration()
+    val raw = Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
+    val expanded = raw.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      globbed.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(f => f.isFile &&
+            f.getPath.getName.toLowerCase.endsWith(".xls")).map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }
+    if (expanded.isEmpty)
+      throw graft.ExtractError(s"xls source matched no files for ${raw.mkString(",")}")
+    expanded.sorted
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val first = paths(options).head
+    XlsSource.decode(XlsSource.readAllBytes(new Configuration(), first), first)._1
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new XlsTable(schema, paths(opts))
+  }
+}
+
+class XlsTable(tableSchema: StructType, files: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"xls(${files.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsScanBuilder(tableSchema, files)
+}
+
+/** Column pruning: Catalyst hands us the required columns; each task then
+  * converts only those. (Predicate pushdown is deliberately absent: a
+  * non-splittable XLS must be fully decoded either way, so a filter would
+  * prune rows only after decode — no I/O saved, complexity for nothing.)
+  */
+class XlsScanBuilder(fullSchema: StructType, files: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve full-schema field order; empty projection (count(*)) is legal
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new XlsScan(fullSchema, required, files)
+}
+
+class XlsScan(fullSchema: StructType, required: StructType, files: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"XlsScan[${files.length} files, ${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => XlsInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsReaderFactory(fullSchema, required)
+}
+
+case class XlsInputPartition(path: String) extends InputPartition
+
+class XlsReaderFactory(fullSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[XlsInputPartition].path
+    new XlsPartitionReader(path, fullSchema, required)
+  }
+}
+
+/** One task = one file: decode, project to the pruned schema, convert to
+  * InternalRow (timestamps as micros, strings as UTF8String).
+  */
+class XlsPartitionReader(path: String, fullSchema: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[Seq[Any]] = {
+    val (fileSchema, data) = XlsSource.decode(
+      XlsSource.readAllBytes(new Configuration(), path), path)
+    // map required fields to the FILE's column positions by name — files
+    // may order columns differently as long as names match
+    val idx = required.fields.map { f =>
+      val i = fileSchema.fieldIndex(f.name) // throws with a clear message if absent
+      val ft = fileSchema.fields(i).dataType
+      require(ft == f.dataType,
+        s"xls column '${f.name}' in $path is $ft, expected ${f.dataType}")
+      i
+    }
+    data.iterator.map(row => idx.toSeq.map(row))
+  }
+
+  private var current: Seq[Any] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = current.zip(required.fields).map {
+      case (null, _) => null
+      case (v: java.sql.Timestamp, f) if f.dataType == TimestampType =>
+        v.getTime * 1000L + (v.getNanos / 1000) % 1000
+      case (v: String, _)  => UTF8String.fromString(v)
+      case (v, _)          => v
+    }
+    new GenericInternalRow(values.toArray)
+  }
+
+  override def close(): Unit = ()
+}

@@ -34,7 +34,7 @@ object ExplainAudit {
         val nlj = "NestedLoop".r.findAllIn(plan).length
         val scans = "Scan parquet".r.findAllIn(plan).length
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
-        val codegen = "WholeStageCodegen".r.findAllIn(plan).length
+        val codegen = "codegen id : ".r.findAllIn(plan).length
         println(s"[plan] $name: scans=$scans pushedFilterScans=$pushed " +
           s"shuffles=$shuffles bhj=$bhj smj=$smj nlj=$nlj codegenSpans=$codegen")
       } catch { case e: Throwable =>

@@ -99,7 +99,10 @@ object SparkEntry {
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     // ---- multimodal ----
-    "q_multimodal_features" -> (Multimodal.assetFeatures(_, _))
+    "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
+    // ---- deterministic sampling / dataset mixing ----
+    "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
+    "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -662,6 +665,22 @@ object SparkEntry {
          32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8 AS fake_width,
          32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS fake_height,
          CAST(ascii(substr(md5(text), 3, 1)) % 64 AS DOUBLE) / CAST(64 AS DOUBLE) AS fake_channel_mean
-         FROM documents ORDER BY asset_id"""
+         FROM documents ORDER BY asset_id""",
+
+    "q_sample_hash_docs" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(0.25)}'
+         ORDER BY doc_id""",
+
+    "q_sample_weighted_mix" -> {
+      val cases = Sampling.DefaultMixWeights.toSeq.sortBy(_._1).map { case (src, r) =>
+        s"WHEN '$src' THEN '${Sampling.hexThreshold(r)}'"
+      }.mkString(" ")
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+               CASE source $cases ELSE '${Sampling.hexThreshold(0.0)}' END
+         GROUP BY source ORDER BY source"""
+    }
   )
 }

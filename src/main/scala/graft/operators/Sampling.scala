@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic content-hash sampling — the training-pipeline way to
+  * subsample and mix datasets.
+  *
+  * `df.sample()` / `sampleBy()` use engine- and partitioning-dependent
+  * RNG streams: reruns, engine swaps, or a repartition silently change
+  * WHICH rows are kept, which poisons dataset reproducibility and any
+  * cross-engine check. Hashing a stable key instead gives a sample that
+  * is (a) exactly reproducible everywhere, (b) consistent across scale
+  * (a row is in or out regardless of cluster layout), and (c) cheap —
+  * one md5 per row, no shuffle, fully pushdown-friendly.
+  *
+  * Mechanics: keep a row iff the first 8 hex chars of md5(key) compare
+  * lexicographically below the rate's threshold. Fixed-width lowercase
+  * hex compares identically to the numeric value, and every engine agrees
+  * on md5 — so the DuckDB oracle reproduces the sample cell-exactly.
+  */
+object Sampling {
+
+  /** 8-hex-char threshold for a keep-rate in [0, 1]: rows with
+    * hash-prefix < threshold survive. rate 1.0 maps past "ffffffff" so
+    * everything survives.
+    */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) "g" // lexicographically above every hex string
+    else f"${math.round(rate * 4294967296.0)}%08x"
+  }
+
+  /** The sampling predicate on an arbitrary key column. */
+  def keepExpr(key: Column, rate: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(rate))
+
+  /** 25% deterministic sample of documents by doc_id. */
+  def sampledDocs(s: SparkSession, dir: String, rate: Double = 0.25): DataFrame =
+    Tables.documents(s, dir)
+      .filter(keepExpr(col("doc_id"), rate))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Weighted dataset mix: per-source keep-rates (the "30% web, all of
+    * wikipedia" recipe). One pass, one md5 per row; the per-source
+    * threshold is a broadcast map baked into a CASE expression.
+    */
+  def weightedMix(s: SparkSession, dir: String,
+                  weights: Map[String, Double] = DefaultMixWeights,
+                  defaultRate: Double = 0.0): DataFrame = {
+    val cases = weights.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN '$src' THEN '${hexThreshold(r)}'"
+    }.mkString(" ")
+    val thresholdExpr = s"CASE source $cases ELSE '${hexThreshold(defaultRate)}' END"
+    Tables.documents(s, dir)
+      .filter(expr(s"substr(md5(CAST(doc_id AS STRING)), 1, 8) < $thresholdExpr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Fixture mix: keep all of src0, half of src1, a quarter of src2,
+    * 10% of src3..src5, drop the rest.
+    */
+  val DefaultMixWeights: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+    "src3" -> 0.1, "src4" -> 0.1, "src5" -> 0.1)
+}

@@ -75,6 +75,23 @@ class OperatorSpec extends SparkTestBase {
     assert(maxCume.filter(col("m") =!= 1.0).count() == 0)
   }
 
+  test("hash sampling is deterministic and near the nominal rate") {
+    val a = Sampling.sampledDocs(spark, Sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.sampledDocs(spark, Sf).collect().map(_.getLong(0)).toSeq
+    assert(a == b) // same rows every run, any partitioning
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count().toDouble
+    assert(a.length > total * 0.15 && a.length < total * 0.35) // 25% nominal
+  }
+
+  test("weighted mix keeps all of src0 and drops unlisted sources") {
+    val mix = Sampling.weightedMix(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0Total = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("source") === "src0").count()
+    assert(mix("src0") == src0Total)
+    assert(!mix.keySet.exists(s => !Sampling.DefaultMixWeights.contains(s)))
+  }
+
   test("as-of join: every matched order predates its event") {
     val ev = sources.Tables.events(spark, Sf).select(col("event_id"), col("ts"))
     val joined = AsofJoin.eventsAsofOrders(spark, Sf).join(ev, "event_id")

@@ -73,6 +73,29 @@ object Similarity {
     * Rank on the 6-decimal-rounded score with vec_id tiebreak so ordering
     * is engine-stable.
     */
+  /** Top-k per query via the map-side-combining TopKNeighbors Aggregator
+    * (graft.functions) — NOT a window: a window over query_id would
+    * shuffle every scored row into #queries partitions (max volume, max
+    * skew), while the aggregator's partial aggregation ships at most k
+    * rows per upstream partition. Selection order (m DESC, vec_id ASC) is
+    * identical, so results — and the DuckDB oracle, which uses
+    * row_number — are unchanged.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKNeighbors(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor])
+    scored
+      .filter(col("m").isNotNull) // a malformed (null-score) vector never ranks
+      .groupBy(col("query_id"))
+      .agg(topk(col("m"), col("vec_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "sn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("sn.vecId").as("neighbor_id"), col("sn.m").as("m"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        expr(Micro4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def bruteForceTopK(s: SparkSession, dir: String,
                      nQueries: Int = 10, k: Int = 5): DataFrame = {
     registerFunctions(s)
@@ -84,13 +107,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("m",
         expr(scoreMicrosFromNorms("dot_f(qv, embedding)", "qnorm", "vnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("m").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic hyperplanes for LSH (seeded java.util.Random — the LCG
@@ -138,13 +155,7 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding"), col("vnorm")), "vec_id")
       .withColumn("m",
         expr(scoreMicrosFromNorms("dot_f(qv, embedding)", "qnorm", "vnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("m").desc, col("vec_id"))
-    withVecs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), expr(Micro4).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(withVecs, k)
   }
 
   /** ANN top-k via LSH banding (2 bands x 8 bits): candidates = corpus

@@ -73,4 +73,31 @@ class FunctionsSpec extends SparkTestBase {
       assert(both.filter(s"sigarr[$j] <> h_$j").count() == 0, s"slot $j diverged")
     }
   }
+
+  test("TopKNeighbors keeps the (m DESC, vecId ASC) top-k through reduce and merge") {
+    import graft.functions.{ScoredNeighbor, TopKNeighbors}
+    val agg = new TopKNeighbors(3)
+    val xs = Seq(
+      ScoredNeighbor(5, 9), ScoredNeighbor(7, 2), ScoredNeighbor(5, 1),
+      ScoredNeighbor(9, 4), ScoredNeighbor(1, 0), ScoredNeighbor(5, 3))
+    // all-in-one reduce
+    val viaReduce = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(viaReduce == List(ScoredNeighbor(9, 4), ScoredNeighbor(7, 2), ScoredNeighbor(5, 1)))
+    // split across two partitions, merged — same answer regardless of split
+    for (cut <- 1 until xs.length) {
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == viaReduce, s"cut=$cut")
+    }
+    // equals the window-equivalent selection against Spark itself
+    import spark.implicits._
+    val topkUdaf = org.apache.spark.sql.functions.udaf(
+      agg, org.apache.spark.sql.Encoders.product[ScoredNeighbor])
+    val df = xs.toDF("m", "vecId")
+    val viaSpark = df.groupBy(org.apache.spark.sql.functions.lit(1))
+      .agg(topkUdaf(org.apache.spark.sql.functions.col("m"),
+        org.apache.spark.sql.functions.col("vecId")).as("nn"))
+      .selectExpr("inline(nn)").as[ScoredNeighbor].collect().toList
+    assert(viaSpark == viaReduce)
+  }
 }

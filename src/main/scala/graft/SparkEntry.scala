@@ -84,6 +84,7 @@ object SparkEntry {
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
+    "q_text_clean" -> (TextAnalysis.cleanText(_, _)),
     "q_lang_id" -> (TextAnalysis.langId(_, _)),
     "q_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
     // ---- deduplication ----
@@ -102,7 +103,9 @@ object SparkEntry {
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
     // ---- deterministic sampling / dataset mixing ----
     "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
-    "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _))
+    "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _)),
+    // ---- embedding quantization ----
+    "q_embed_quantize" -> (Quantize.int8Summary(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -470,8 +473,9 @@ object SparkEntry {
          SELECT doc_id, n_chars,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         round(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum')
-               / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+         CAST((20000 * list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum')
+               + CAST(len(toks) AS BIGINT))
+              // (2 * CAST(len(toks) AS BIGINT)) AS BIGINT) AS avg_token_len_1e4
          FROM t ORDER BY doc_id""",
 
     "q_text_quality" ->
@@ -483,11 +487,14 @@ object SparkEntry {
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
            FROM t)
          SELECT doc_id, n_tokens,
-         round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-         round(punct_chars / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-         round(least(1.0, n_tokens / 50.0)
-               * (1.0 - punct_chars / CAST(length(text) AS DOUBLE))
-               * (0.5 + stop_hits / CAST(n_tokens AS DOUBLE)), 4) AS quality
+         CAST((20000 * stop_hits + n_tokens) // (2 * n_tokens) AS BIGINT) AS stop_ratio_1e4,
+         CAST((20000 * punct_chars + CAST(length(text) AS BIGINT))
+              // (2 * CAST(length(text) AS BIGINT)) AS BIGINT) AS punct_ratio_1e4,
+         CAST(floor(
+           least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+           * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+           * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS quality_1e4
          FROM m ORDER BY doc_id""",
 
     "q_lang_id" ->
@@ -666,6 +673,33 @@ object SparkEntry {
          32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS fake_height,
          CAST(ascii(substr(md5(text), 3, 1)) % 64 AS DOUBLE) / CAST(64 AS DOUBLE) AS fake_channel_mean
          FROM documents ORDER BY asset_id""",
+
+    "q_text_clean" ->
+      """WITH c AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(regexp_replace(text,
+             '<[^>]*>', ' ', 'g'), '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+           FROM documents)
+         SELECT doc_id, md5(cleaned) AS clean_fp,
+                CAST(length(cleaned) AS BIGINT) AS clean_chars,
+                CAST(length(text) - length(cleaned) AS BIGINT) AS removed_chars
+         FROM c ORDER BY doc_id""",
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, v,
+               list_transform(v, x -> CAST(floor(x * CAST(127 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS codes FROM e)
+         SELECT vec_id,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(codes, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(codes, 'max') AS BIGINT) AS q_max,
+           CAST(floor(
+             list_reduce(list_transform(range(1, len(v) + 1),
+               i -> (v[i] - CAST(codes[i] AS DOUBLE) / CAST(127 AS DOUBLE))
+                  * (v[i] - CAST(codes[i] AS DOUBLE) / CAST(127 AS DOUBLE))),
+               (a, b) -> a + b)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mse_micro
+         FROM q ORDER BY vec_id""",
 
     "q_sample_hash_docs" ->
       s"""SELECT doc_id, source, n_chars FROM documents

@@ -32,7 +32,13 @@ object TextAnalysis {
         col("n_chars"),
         expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
         expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
-        expr("round(aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b) / CAST(size(toks) AS DOUBLE), 4)").as("avg_token_len"))
+        // half-up 4-decimal mean token length as BIGINT ten-thousandths —
+        // pure integer arithmetic (see Similarity.Micro4 for why ratios of
+        // small ints must not go through engine round())
+        expr("""CAST((20000 * aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),
+                      CAST(0 AS BIGINT), (a, b) -> a + b)
+                + CAST(size(toks) AS BIGINT))
+               div (2 * CAST(size(toks) AS BIGINT)) AS BIGINT)""").as("avg_token_len_1e4"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length/stopword/punctuation heuristics composited
@@ -50,11 +56,37 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        expr("round(stop_hits / CAST(n_tokens AS DOUBLE), 4)").as("stop_ratio"),
-        expr("round(punct_chars / CAST(length(text) AS DOUBLE), 4)").as("punct_ratio"),
-        expr("""round(least(1.0, n_tokens / 50.0)
-                * (1.0 - punct_chars / CAST(length(text) AS DOUBLE))
-                * (0.5 + stop_hits / CAST(n_tokens AS DOUBLE)), 4)""").as("quality"))
+        // ratios and the composite score as BIGINT ten-thousandths: the
+        // ratio ints are exact, the composite is floor(product*1e4 + 0.5)
+        // of bit-identical double factors — no engine round() anywhere
+        expr("CAST((20000 * stop_hits + n_tokens) div (2 * n_tokens) AS BIGINT)")
+          .as("stop_ratio_1e4"),
+        expr("""CAST((20000 * punct_chars + CAST(length(text) AS BIGINT))
+               div (2 * CAST(length(text) AS BIGINT)) AS BIGINT)""").as("punct_ratio_1e4"),
+        expr("""CAST(floor(
+                  least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+                  * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+                  * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)""").as("quality_1e4"))
+      .orderBy(col("doc_id"))
+
+  /** Text cleaning / normalization: strip markup-ish tags, drop control
+    * characters, collapse whitespace, trim — the canonicalization pass
+    * that runs before fingerprinting and dedup in a training pipeline.
+    * Patterns are restricted to the regex subset Java regex and RE2
+    * interpret identically (no backrefs, no lookaround), so the oracle
+    * reproduces the cleaning byte-for-byte.
+    */
+  def cleanText(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("cleaned", expr(
+        """trim(regexp_replace(regexp_replace(regexp_replace(text,
+           '<[^>]*>', ' '), '[\\x00-\\x1f]', ' '), '\\s+', ' '))"""))
+      .select(
+        col("doc_id"),
+        expr("md5(cleaned)").as("clean_fp"),
+        expr("CAST(length(cleaned) AS BIGINT)").as("clean_chars"),
+        expr("CAST(length(text) - length(cleaned) AS BIGINT)").as("removed_chars"))
       .orderBy(col("doc_id"))
 
   /** Language identification by stopword-marker voting (n-gram-free

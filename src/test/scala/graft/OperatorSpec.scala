@@ -75,6 +75,19 @@ class OperatorSpec extends SparkTestBase {
     assert(maxCume.filter(col("m") =!= 1.0).count() == 0)
   }
 
+  test("text cleaning never grows text and is idempotent on its output") {
+    val out = TextAnalysis.cleanText(spark, Sf)
+    assert(out.filter(col("removed_chars") < 0).count() == 0)
+    assert(out.count() == spark.read.parquet(s"$Sf/documents.parquet").count())
+  }
+
+  test("int8 quantization: codes bounded, reconstruction error tiny") {
+    val out = Quantize.int8Summary(spark, Sf)
+    assert(out.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0)
+    // unit-norm 64-dim: per-dim error <= (1/254)^2, so mse < ~1e-3 = 1000 micro
+    assert(out.filter(col("mse_micro") < 0 || col("mse_micro") > 2000).count() == 0)
+  }
+
   test("hash sampling is deterministic and near the nominal rate") {
     val a = Sampling.sampledDocs(spark, Sf).collect().map(_.getLong(0)).toSeq
     val b = Sampling.sampledDocs(spark, Sf).collect().map(_.getLong(0)).toSeq

@@ -111,6 +111,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("traffic stream ingests each landed CSV exactly once") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("trafficstream")
+    val (raw, wh, ckpt) = (s"$root/raw", s"$root/wh", s"$root/ckpt")
+    new java.io.File(raw).mkdirs()
+    def writeCsv(name: String, rows: Int): Unit = {
+      val lines = (0 until rows).map(i => f"23/05/2021 ${i / 12}%02d:${(i % 12) * 5}%02d,${4.0 + i * 0.1}%.4f")
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        ("Time,Traffic\n" + lines.mkString("\n")).getBytes)
+    }
+    val runTs = ts("2026-01-01 00:00:00")
+    writeCsv("day1.csv", 24)
+    graft.streaming.TrafficStream.start(spark, raw, wh, ckpt, runTs).awaitTermination()
+    assert(spark.read.parquet(wh).count() == 24)
+    // second file lands; rerun picks up ONLY the new file (checkpoint)
+    writeCsv("day2.csv", 12)
+    graft.streaming.TrafficStream.start(spark, raw, wh, ckpt, runTs).awaitTermination()
+    val out = spark.read.parquet(wh)
+    assert(out.count() == 36)
+    assert(out.columns.toSeq == Seq("time", "traffic", "created_at"))
+    // day-first parse held: hour 1 of day1 file = 2021-05-23 01:00
+    assert(out.filter(org.apache.spark.sql.functions.col("time") ===
+      ts("2021-05-23 01:00:00")).count() == 1)
+  }
+
   test("sliding windows: an event lands in overlapping 15/5-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

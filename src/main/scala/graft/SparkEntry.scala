@@ -320,7 +320,9 @@ object SparkEntry {
 
     "q_join_bucketed_revenue" ->
       """SELECT o_orderkey, o_custkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+              * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS revenue_1e4
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey""",
 

@@ -37,24 +37,27 @@ object Bucketing {
     */
   def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
     val (ot, lt) = (s"orders_b_${suffix(dir)}", s"lineitem_b_${suffix(dir)}")
-    if (!s.catalog.tableExists(ot)) {
-      // the in-memory catalog forgets tables between JVMs but their
-      // warehouse directories persist — clear any stale location so the
-      // CTAS below doesn't trip LOCATION_ALREADY_EXISTS
-      val conf = s.sparkContext.hadoopConfiguration
-      Seq(ot, lt).foreach { t =>
+    // each table created independently: a partial prior run (orders
+    // written, lineitem failed) must self-heal, not wedge the session
+    def ensure(table: String, write: String => Unit): Unit =
+      if (!s.catalog.tableExists(table)) {
+        // the in-memory catalog forgets tables between JVMs but their
+        // warehouse directories persist — clear any stale location so
+        // the CTAS doesn't trip LOCATION_ALREADY_EXISTS
         val p = new org.apache.hadoop.fs.Path(
-          s.sessionState.conf.warehousePath.stripSuffix("/") + "/" + t)
-        val fs = p.getFileSystem(conf)
+          s.sessionState.conf.warehousePath.stripSuffix("/") + "/" + table)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
+        write(table)
       }
-      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-    }
+    ensure(ot, t => Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(t))
+    ensure(lt, t => Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey").saveAsTable(t))
     (ot, lt)
   }
 
@@ -65,11 +68,17 @@ object Bucketing {
     */
   def revenueJoinPlan(s: SparkSession, dir: String): DataFrame = {
     val (ot, lt) = ensureBucketedTables(s, dir)
+    // per-row 4-decimal fixed-point BEFORE the sum: the int sum is exact
+    // in any accumulation order, so the bucketed plan, the shuffled plain
+    // plan, and the oracle all agree bit-for-bit (round(sum(double)) would
+    // depend on fetch order — the repo-wide fixed-point discipline)
     s.table(ot)
       .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_custkey"))
-      .agg(graft.operators.Analytics.r4(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .agg(sum(expr(
+        """CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+           * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+        .as("revenue_1e4"))
   }
 
   /** Oracle-comparable form (deterministic total order). */

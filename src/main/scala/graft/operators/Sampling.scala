@@ -29,8 +29,13 @@ object Sampling {
     */
   def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    if (rate >= 1.0) "g" // lexicographically above every hex string
-    else f"${math.round(rate * 4294967296.0)}%08x"
+    val t = math.round(rate * 4294967296.0)
+    // rates within 2^-33 of 1.0 round to 2^32, which %08x would render as
+    // a NINE-char "100000000" — lexicographically that keeps only ~1/16 of
+    // rows instead of ~all. Route anything that rounds to the top to the
+    // keep-everything sentinel.
+    if (t >= 4294967296L) "g" // lexicographically above every hex string
+    else f"$t%08x"
   }
 
   /** The sampling predicate on an arbitrary key column. */

@@ -55,14 +55,21 @@ object Sinks {
       case WriteDisposition.Truncate => SaveMode.Overwrite
     }
     try {
-      val writer = df.write.mode(mode)
+      // count THIS batch, not the whole table — under Append the table
+      // total would over-report rowsLoaded (reference load.py:108-109
+      // reports the load job's own output_rows). Observation rides the
+      // write itself: one pass, and the count is of the rows actually
+      // committed (a separate df.count() would re-execute the lineage
+      // and could disagree with what was written).
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows_loaded"))
+      val writer = observed.write.mode(mode)
       val partitioned =
         if (partitionOn.nonEmpty) writer.partitionBy(partitionOn: _*) else writer
       partitioned.parquet(path)
-      // count THIS batch, not the whole table — under Append the table
-      // total would over-report rowsLoaded (reference load.py:108-109
-      // reports the load job's own output_rows)
-      df.count()
+      obs.get("rows_loaded").asInstanceOf[Long]
     } catch {
       case e: Exception =>
         throw LoadError(s"Warehouse load to $path failed: ${e.getMessage}", e)

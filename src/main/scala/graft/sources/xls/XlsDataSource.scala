@@ -42,10 +42,24 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** The SESSION's Hadoop configuration (spark.hadoop.* credentials,
+    * filesystem impls for gs://, s3a://, ...) — a bare `new
+    * Configuration()` would silently drop them and break every
+    * non-local-FS read that XlsSource.read (which uses the session conf)
+    * handles fine.
+    */
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val conf = new Configuration()
-    val raw = Option(options.get("path")).toSeq ++
-      Option(options.get("paths")).toSeq.flatMap(_.split(",").map(_.trim))
+    val conf = hadoopConf()
+    // Spark encodes load(p1, p2, ...) as a JSON ARRAY in the "paths"
+    // option (DataSourceV2Utils) — it is NOT comma-separated
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(json, classOf[Array[String]]).toSeq
+    }
+    val raw = Option(options.get("path")).toSeq ++ multi
     val expanded = raw.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
@@ -64,7 +78,7 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val first = paths(options).head
-    XlsSource.decode(XlsSource.readAllBytes(new Configuration(), first), first)._1
+    XlsSource.decode(XlsSource.readAllBytes(hadoopConf(), first), first)._1
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -74,13 +88,30 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Java-serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]).
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class XlsTable(tableSchema: StructType, files: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"xls(${files.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsScanBuilder(tableSchema, files)
+    new XlsScanBuilder(tableSchema, files,
+      new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 /** Column pruning: Catalyst hands us the required columns; each task then
@@ -88,7 +119,8 @@ class XlsTable(tableSchema: StructType, files: Seq[String]) extends Table with S
   * non-splittable XLS must be fully decoded either way, so a filter would
   * prune rows only after decode — no I/O saved, complexity for nothing.)
   */
-class XlsScanBuilder(fullSchema: StructType, files: Seq[String])
+class XlsScanBuilder(fullSchema: StructType, files: Seq[String],
+                     conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -97,10 +129,11 @@ class XlsScanBuilder(fullSchema: StructType, files: Seq[String])
     required = requiredSchema
   }
 
-  override def build(): Scan = new XlsScan(fullSchema, required, files)
+  override def build(): Scan = new XlsScan(fullSchema, required, files, conf)
 }
 
-class XlsScan(fullSchema: StructType, required: StructType, files: Seq[String])
+class XlsScan(fullSchema: StructType, required: StructType, files: Seq[String],
+              conf: SerializableHadoopConf)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -111,28 +144,30 @@ class XlsScan(fullSchema: StructType, required: StructType, files: Seq[String])
     files.map(f => XlsInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsReaderFactory(fullSchema, required)
+    new XlsReaderFactory(fullSchema, required, conf)
 }
 
 case class XlsInputPartition(path: String) extends InputPartition
 
-class XlsReaderFactory(fullSchema: StructType, required: StructType)
+class XlsReaderFactory(fullSchema: StructType, required: StructType,
+                       conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsInputPartition].path
-    new XlsPartitionReader(path, fullSchema, required)
+    new XlsPartitionReader(path, fullSchema, required, conf)
   }
 }
 
 /** One task = one file: decode, project to the pruned schema, convert to
   * InternalRow (timestamps as micros, strings as UTF8String).
   */
-class XlsPartitionReader(path: String, fullSchema: StructType, required: StructType)
+class XlsPartitionReader(path: String, fullSchema: StructType, required: StructType,
+                         conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[Seq[Any]] = {
     val (fileSchema, data) = XlsSource.decode(
-      XlsSource.readAllBytes(new Configuration(), path), path)
+      XlsSource.readAllBytes(conf.value, path), path)
     // map required fields to the FILE's column positions by name — files
     // may order columns differently as long as names match
     val idx = required.fields.map { f =>

@@ -34,9 +34,12 @@ object ExplainAudit {
         val nlj = "NestedLoop".r.findAllIn(plan).length
         val scans = "Scan parquet".r.findAllIn(plan).length
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
-        val codegen = "codegen id : ".r.findAllIn(plan).length
+        // NOTE: no codegen-span metric — under AQE the pre-execution
+        // formatted plan carries no WholeStageCodegen wrappers (codegen is
+        // applied as stages materialize), so counting here would always
+        // read 0 and mislead
         println(s"[plan] $name: scans=$scans pushedFilterScans=$pushed " +
-          s"shuffles=$shuffles bhj=$bhj smj=$smj nlj=$nlj codegenSpans=$codegen")
+          s"shuffles=$shuffles bhj=$bhj smj=$smj nlj=$nlj")
       } catch { case e: Throwable =>
         println(s"[plan] $name: ERROR ${e.getMessage.linesIterator.next()}")
       }

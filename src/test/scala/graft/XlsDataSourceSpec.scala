@@ -32,6 +32,16 @@ class XlsDataSourceSpec extends SparkTestBase {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("multi-path load() reads every named file (paths arrive as a JSON array)") {
+    assume(new java.io.File(sample).exists())
+    val dir = Files.createTempDirectory("xlspaths")
+    Files.copy(Paths.get(sample), dir.resolve("a.xls"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(sample), dir.resolve("b.xls"), StandardCopyOption.REPLACE_EXISTING)
+    val df = spark.read.format("xls")
+      .load(s"$dir/a.xls", s"$dir/b.xls")
+    assert(df.count() == 574)
+  }
+
   test("required-column pruning reaches the scan") {
     assume(new java.io.File(sample).exists())
     val df = spark.read.format("xls").load(sample).select("traffic")

@@ -61,6 +61,9 @@ object SparkEntry {
     "q_distinct_agg_supplier_parts" -> (Analytics.supplierPartBreadth(_, _)),
     "q_rollup_orders" -> (Analytics.orderRollup(_, _)),
     "q_cube_events" -> (Analytics.eventCube(_, _)),
+    "q_grouping_sets_orders" -> (Analytics.orderGroupingSets(_, _)),
+    "q_window_rolling_hour" -> (Analytics.rollingHourValue(_, _)),
+    "q_window_first_last" -> (Analytics.userEventEndpoints(_, _)),
     "q_window_top_customers" -> (Analytics.topCustomersPerNation(_, _)),
     "q_window_moving_avg" -> (Analytics.movingAverage(_, _)),
     "q_window_event_gaps" -> (Analytics.eventGaps(_, _)),
@@ -307,6 +310,36 @@ object SparkEntry {
                 CAST(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) // (2 * mv_n)
                      ELSE -((200 * -mv_cents + mv_n) // (2 * mv_n)) END AS BIGINT) AS moving_avg_1e4
          FROM f ORDER BY user_id, event_id""",
+
+    "q_grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
+
+    "q_window_rolling_hour" ->
+      """WITH c AS (SELECT user_id, event_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             FROM events)
+         SELECT user_id, event_id, ts_sec,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_sec
+                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
+         FROM c ORDER BY user_id, event_id""",
+
+    "q_window_first_last" ->
+      """WITH w AS (SELECT user_id, event_id,
+           first_value(event_id) OVER win AS first_event,
+           last_value(event_id) OVER win AS last_event,
+           nth_value(event_id, 2) OVER win AS second_event
+           FROM events
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT user_id, first_event, last_event, second_event,
+                count(*) AS n_events
+         FROM w GROUP BY 1, 2, 3, 4 ORDER BY user_id""",
 
     "q_window_event_gaps" ->
       """SELECT user_id, event_id,

@@ -150,6 +150,58 @@ object Analytics {
       .orderBy(col("status"), col("priority"))
   }
 
+  /** Arbitrary GROUPING SETS (not the rollup/cube lattice): per-status,
+    * per-priority, and grand-total groups in ONE pass — the grouping-set
+    * expansion happens before the partial aggregate, so it is still a
+    * single shuffle.
+    */
+  def orderGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** RANGE-frame window: per user, the rolling 1-hour event-time sum in
+    * exact cents — a true range frame (varying row count per frame), not
+    * a ROWS frame. The frame bound is on integer epoch seconds so both
+    * engines resolve identical frames.
+    */
+  def rollingHourValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(unix_micros(ts) div 1000000 AS BIGINT)").as("ts_sec"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .withColumn("hour_cents", sum(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("hour_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** first_value / last_value / nth_value over each user's full ordered
+    * history (unbounded frame; ids only, engine-proof).
+    */
+  def userEventEndpoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("first_event", first(col("event_id")).over(w))
+      .withColumn("last_event", last(col("event_id")).over(w))
+      .withColumn("second_event", nth_value(col("event_id"), 2).over(w))
+      .groupBy(col("user_id"), col("first_event"), col("last_event"), col("second_event"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** CUBE over event type x hour-of-day. */
   def eventCube(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)

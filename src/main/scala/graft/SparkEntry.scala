@@ -62,6 +62,7 @@ object SparkEntry {
     "q_rollup_orders" -> (Analytics.orderRollup(_, _)),
     "q_cube_events" -> (Analytics.eventCube(_, _)),
     "q_grouping_sets_orders" -> (Analytics.orderGroupingSets(_, _)),
+    "q_upsert_orders" -> (Analytics.upsertOrders(_, _)),
     "q_window_rolling_hour" -> (Analytics.rollingHourValue(_, _)),
     "q_window_first_last" -> (Analytics.userEventEndpoints(_, _)),
     "q_window_top_customers" -> (Analytics.topCustomersPerNation(_, _)),
@@ -310,6 +311,21 @@ object SparkEntry {
                 CAST(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) // (2 * mv_n)
                      ELSE -((200 * -mv_cents + mv_n) // (2 * mv_n)) END AS BIGINT) AS moving_avg_1e4
          FROM f ORDER BY user_id, event_id""",
+
+    "q_upsert_orders" ->
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+         u AS (SELECT o_orderkey, o_orderpriority,
+                      o_totalprice + CAST(1 AS DOUBLE) AS o_totalprice
+               FROM o
+               WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(0.1)}'),
+         m AS (SELECT * FROM u
+               UNION ALL
+               SELECT * FROM o
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u))
+         SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_grouping_sets_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

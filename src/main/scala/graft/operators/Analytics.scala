@@ -202,6 +202,27 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Upsert (MERGE emulation) demo: a deterministic 10% of orders gets a
+    * price correction and is merged keep-latest into the table via
+    * Sinks.upsert; the merged result is summarized in exact cents. The
+    * update set derives from the hash-sampling predicate so the oracle
+    * reproduces the exact same batch.
+    */
+  def upsertOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val updates = orders
+      .filter(Sampling.keepExpr(col("o_orderkey"), 0.1))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    graft.sinks.Sinks.upsert(orders, updates, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr(
+          "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** CUBE over event type x hour-of-day. */
   def eventCube(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)

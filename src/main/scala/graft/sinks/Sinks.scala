@@ -47,6 +47,25 @@ object Sinks {
     *   instead of scanning history — pass Seq("dt") derived via
     *   `withColumn("dt", to_date(col("time")))` to get it.
     */
+  /** Keep-latest upsert (MERGE emulation): rows in `updates` replace
+    * same-key rows in `existing`; unmatched rows from both survive.
+    * Plain parquet has no transactional MERGE, so the standard rewrite is
+    * union + per-key keep-one with the update side preferred — one
+    * shuffle on the key. At warehouse scale this runs partition-scoped
+    * (only the date partitions the batch touches are rewritten), which is
+    * exactly what the `dt=` layout loadWarehouse writes enables.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__src").desc) // updates (1) win over existing (0)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   def loadWarehouse(spark: SparkSession, df: DataFrame, path: String,
                     disposition: WriteDisposition,
                     partitionOn: Seq[String] = Nil): Long = {

@@ -75,6 +75,15 @@ class OperatorSpec extends SparkTestBase {
     assert(maxCume.filter(col("m") =!= 1.0).count() == 0)
   }
 
+  test("upsert: updates win on key collision, unmatched rows survive") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val merged = sinks.Sinks.upsert(existing, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
   test("text cleaning never grows text and is idempotent on its output") {
     val out = TextAnalysis.cleanText(spark, Sf)
     assert(out.filter(col("removed_chars") < 0).count() == 0)

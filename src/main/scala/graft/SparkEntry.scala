@@ -131,7 +131,12 @@ object SparkEntry {
     * that implements IEEE-754 doubles.
     */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    // CASE guard: list_reduce errors on an empty list (where Spark's dot_f
+    // returns 0.0), so a zero-length embedding in a future fixture would
+    // fail the oracle query instead of comparing. CAST(0 AS DOUBLE), not
+    // 0.0 — newer DuckDB types decimal literals as DECIMAL.
+    s"CASE WHEN len($a) = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y) END"
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"

@@ -171,14 +171,20 @@ object Analytics {
   /** RANGE-frame window: per user, the rolling 1-hour event-time sum in
     * exact cents — a true range frame (varying row count per frame), not
     * a ROWS frame. The frame bound is on integer epoch seconds so both
-    * engines resolve identical frames.
+    * engines resolve identical frames. ts_sec uses explicit FLOOR
+    * semantics (sign-split, since Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors) so pre-1970 timestamps land in the same
+    * second bucket on both engines.
     */
   def rollingHourValue(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
       .rangeBetween(-3599, Window.currentRow)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
-        expr("CAST(unix_micros(ts) div 1000000 AS BIGINT)").as("ts_sec"),
+        expr("""CAST(CASE WHEN unix_micros(ts) >= 0
+                    THEN unix_micros(ts) div 1000000
+                    ELSE -((-unix_micros(ts) + 999999) div 1000000)
+                END AS BIGINT)""").as("ts_sec"),
         expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
           .as("cents"))
       .withColumn("hour_cents", sum(col("cents")).over(w))

@@ -54,16 +54,41 @@ object Sinks {
     * shuffle on the key. At warehouse scale this runs partition-scoped
     * (only the date partitions the batch touches are rewritten), which is
     * exactly what the `dt=` layout loadWarehouse writes enables.
+    *
+    * Determinism contract: with no `versionCols`, each side must carry at
+    * most one row per key (the ANSI MERGE precondition — real MERGE errors
+    * on multiple matches) and this is ASSERTED, not assumed: a duplicate
+    * key within one side fails the job with the offending key, instead of
+    * silently keeping a partition-order-dependent winner. When a batch CAN
+    * legitimately hold several updates for one key, pass `versionCols`
+    * (e.g. an event timestamp) — they extend the window ordering so the
+    * highest-version row wins deterministically.
     */
-  def upsert(existing: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def upsert(existing: DataFrame, updates: DataFrame, keyCols: Seq[String],
+             versionCols: Seq[String] = Nil): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
+    val tiebreak = versionCols.map(col(_).desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__src").desc) // updates (1) win over existing (0)
-    tagged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__src", "__rn")
+      .orderBy(col("__src").desc +: tiebreak: _*) // updates (1) win over existing (0)
+    val ranked = tagged.withColumn("__rn", row_number().over(w))
+    val deduped =
+      if (versionCols.nonEmpty) ranked
+      else {
+        // same window partitioning — the uniqueness check rides the one
+        // shuffle the upsert already pays, no extra pass
+        ranked.withColumn("__side_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy((keyCols.map(col) :+ col("__src")): _*)))
+          .withColumn("__rn", when(col("__side_n") > 1,
+            raise_error(concat(lit("upsert: duplicate key within one side for ("),
+              concat_ws(",", keyCols.map(col): _*),
+              lit(") — pass versionCols for a deterministic winner"))))
+            .otherwise(col("__rn")))
+          .drop("__side_n")
+      }
+    deduped.filter(col("__rn") === 1).drop("__src", "__rn")
   }
 
   def loadWarehouse(spark: SparkSession, df: DataFrame, path: String,

@@ -51,6 +51,14 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
   private def hadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
+  /** Expands paths/globs to the .xls file list. The .xls suffix filter is
+    * applied UNIFORMLY — to directory listings and to glob/direct matches
+    * alike — so a stray .csv swept up by a glob fails here with a clear
+    * message instead of deep inside the BIFF8 decoder. Directory expansion
+    * is one level deep (non-recursive), like a non-globbed Spark file
+    * source without recursiveFileLookup; use a nested glob for deeper
+    * layouts.
+    */
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val conf = hadoopConf()
     // Spark encodes load(p1, p2, ...) as a JSON ARRAY in the "paths"
@@ -60,17 +68,22 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
       mapper.readValue(json, classOf[Array[String]]).toSeq
     }
     val raw = Option(options.get("path")).toSeq ++ multi
-    val expanded = raw.flatMap { p =>
+    def isXls(name: String): Boolean = name.toLowerCase.endsWith(".xls")
+    val matched = raw.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
       globbed.flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(f => f.isFile &&
-            f.getPath.getName.toLowerCase.endsWith(".xls")).map(_.getPath.toString)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
         else Seq(st.getPath.toString)
       }
     }
+    val expanded = matched.filter(f => isXls(new Path(f).getName))
+    if (matched.nonEmpty && expanded.isEmpty)
+      throw graft.ExtractError(
+        s"xls source matched ${matched.length} file(s) for ${raw.mkString(",")} " +
+          "but none have the .xls extension")
     if (expanded.isEmpty)
       throw graft.ExtractError(s"xls source matched no files for ${raw.mkString(",")}")
     expanded.sorted
@@ -104,7 +117,11 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
 }
 
 class XlsTable(tableSchema: StructType, files: Seq[String]) extends Table with SupportsRead {
-  override def name(): String = s"xls(${files.mkString(",")})"
+  // keep the table name bounded: at 10k-files scale a full path list would
+  // put megabytes into plan strings, the UI, and error messages
+  override def name(): String =
+    if (files.length <= 3) s"xls(${files.mkString(",")})"
+    else s"xls(${files.length} files: ${files.head}, ...)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava

@@ -84,6 +84,27 @@ class OperatorSpec extends SparkTestBase {
     assert(merged == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
   }
 
+  test("upsert: duplicate key within one side fails (MERGE precondition)") {
+    import spark.implicits._
+    val existing = Seq((1L, "a")).toDF("k", "v")
+    val updates = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val e = intercept[Exception] {
+      sinks.Sinks.upsert(existing, updates, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate key")))
+  }
+
+  test("upsert: versionCols picks the highest version deterministically") {
+    import spark.implicits._
+    val existing = Seq((1L, 0L, "a")).toDF("k", "ver", "v")
+    val updates = Seq((1L, 5L, "x"), (1L, 9L, "y"), (2L, 1L, "z"))
+      .toDF("k", "ver", "v")
+    val merged = sinks.Sinks.upsert(existing, updates, Seq("k"), Seq("ver"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(merged == Map(1L -> "y", 2L -> "z"))
+  }
+
   test("text cleaning never grows text and is idempotent on its output") {
     val out = TextAnalysis.cleanText(spark, Sf)
     assert(out.filter(col("removed_chars") < 0).count() == 0)

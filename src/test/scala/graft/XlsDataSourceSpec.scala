@@ -67,4 +67,15 @@ class XlsDataSourceSpec extends SparkTestBase {
     assert(e.getMessage.contains("matched no files") ||
       Option(e.getCause).exists(_.getMessage.contains("matched no files")))
   }
+
+  test("a glob that matches only non-.xls files raises up front, not in decode") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsglob").toFile
+    val f = new java.io.File(dir, "notes.csv")
+    java.nio.file.Files.write(f.toPath, "a,b\n1,2\n".getBytes)
+    val e = intercept[Exception] {
+      spark.read.format("xls").load(s"${dir.getAbsolutePath}/notes.*").collect()
+    }
+    assert(e.getMessage.contains(".xls extension") ||
+      Option(e.getCause).exists(_.getMessage.contains(".xls extension")))
+  }
 }

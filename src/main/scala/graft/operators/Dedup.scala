@@ -37,7 +37,7 @@ object Dedup {
        i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"""
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents") // shingling+hashing is compute-bound
       .withColumn("ws", expr(TextAnalysis.TokensExpr))
       .filter(expr("size(ws) >= 3"))
       .withColumn("sh", expr(ShinglesExpr))
@@ -47,7 +47,7 @@ object Dedup {
     * the standard "keep first, drop rest" contract.
     */
   def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents")
       .withColumn("fp", expr(s"md5(array_join(${TextAnalysis.TokensExpr}, ' '))"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))

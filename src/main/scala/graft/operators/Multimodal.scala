@@ -31,7 +31,7 @@ object Multimodal {
     * payload column stays unread unless selected (column pruning).
     */
   def assets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.spread(s, dir, "documents").select(
       col("doc_id").as("asset_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
@@ -45,7 +45,7 @@ object Multimodal {
     * from the hash — the shape a real decoder would produce.
     */
   def assetFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.spread(s, dir, "documents").select(
       col("doc_id").as("asset_id"),
       expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").as("byte_size"),
       expr("md5(text)").as("content_hash"),

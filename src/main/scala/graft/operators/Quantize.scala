@@ -27,7 +27,7 @@ object Quantize {
     * reconstruction MSE in integer micro-units.
     */
   def int8Summary(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.spread(s, dir, "embeddings")
       .withColumn("q", expr(CodesExpr))
       .select(col("vec_id"),
         expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),

@@ -52,9 +52,12 @@ object Similarity {
   def scoreMicrosFromNorms(dot: String, na: String, nb: String): String =
     s"CAST(floor(($dot / ($na * $nb)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
 
-  /** Corpus with a per-row L2 norm column. */
+  /** Corpus with a per-row L2 norm column. Spread across cores first: the
+    * vector math downstream is compute-bound, so its parallelism must not
+    * inherit the scan's split count (see Tables.spreadForCompute).
+    */
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.spread(s, dir, "embeddings")
       .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
 
   /** Half-up 4-decimal score from micro-units, emitted as BIGINT
@@ -132,7 +135,7 @@ object Similarity {
     */
   def lshSignatures(s: SparkSession, dir: String): DataFrame = {
     registerFunctions(s)
-    val emb = Tables.embeddings(s, dir)
+    val emb = Tables.spread(s, dir, "embeddings")
     emb.crossJoin(broadcast(planes(s)))
       .withColumn("dot", expr(
         """aggregate(zip_with(embedding, plane, (p, q) -> CAST(p AS DOUBLE) * q),

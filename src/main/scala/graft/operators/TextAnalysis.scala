@@ -25,7 +25,7 @@ object TextAnalysis {
 
   /** Per-document token statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents")
       .withColumn("toks", expr(TokensExpr))
       .select(
         col("doc_id"),
@@ -46,7 +46,7 @@ object TextAnalysis {
     * dedup/model-based scoring at 100 TB).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents")
       .withColumn("toks", expr(TokensExpr))
       .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
       .withColumn("stop_hits", expr(
@@ -78,7 +78,7 @@ object TextAnalysis {
     * reproduces the cleaning byte-for-byte.
     */
   def cleanText(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents")
       .withColumn("cleaned", expr(
         """trim(regexp_replace(regexp_replace(regexp_replace(text,
            '<[^>]*>', ' '), '[\\x00-\\x1f]', ' '), '\\s+', ' '))"""))
@@ -100,7 +100,7 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "et", "les", "des", "est"),
       "es" -> Seq("el", "los", "que", "una", "por", "como"))
     val scored = markers.foldLeft(
-      Tables.documents(s, dir).withColumn("toks", expr(TokensExpr))) {
+      Tables.spread(s, dir, "documents").withColumn("toks", expr(TokensExpr))) {
       case (df, (lang, words)) =>
         val arr = words.map(w => s"'$w'").mkString(",")
         df.withColumn(s"s_$lang", expr(
@@ -123,7 +123,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("n").desc, col("token"))
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents")
       .select(col("source"), explode(expr(TokensExpr)).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("n"))
@@ -139,7 +139,7 @@ object TextAnalysis {
     * cheap to compare/shard on).
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, dir, "documents")
       .withColumn("toks", expr(TokensExpr))
       .select(
         col("doc_id"),

@@ -39,6 +39,43 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
+  /** Decouples COMPUTE parallelism from SCAN parallelism for compute-bound
+    * per-row pipelines (shingling + hashing, vector math, payload decode).
+    *
+    * Scan task count is bounded by file splits — a table that is physically
+    * few files / few row groups decodes in few tasks, and everything
+    * downstream of it (md5 over every shingle, dot products over every
+    * embedding) inherits that ceiling until the first shuffle. For
+    * compute-heavy operators that is the difference between 1 busy core and
+    * the whole cluster.
+    *
+    * The repartition is CONDITIONAL on the scan being too small to fill the
+    * cluster on its own (bytes < cores x maxPartitionBytes): exactly the
+    * regime where the extra round-robin shuffle is cheap (it moves less
+    * than one scan-split per core). At warehouse scale the same table spans
+    * thousands of splits, the condition is false, and this is an identity —
+    * so operators can call it unconditionally.
+    */
+  def spreadForCompute(df: DataFrame, files: Seq[String] = Nil): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cores = sc.defaultParallelism
+    val maxSplit = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .replaceAll("[^0-9]", "") match { case "" => 134217728L; case s => s.toLong }
+    // Hadoop FS, not java.io — works for any scheme the scan itself reads
+    val hconf = sc.hadoopConfiguration
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    if (files.nonEmpty && bytes >= cores * maxSplit) df
+    else df.repartition(cores)
+  }
+
+  /** spreadForCompute keyed off the table's backing file. */
+  def spread(s: SparkSession, dir: String, name: String): DataFrame =
+    spreadForCompute(load(s, dir, name), Seq(s"$dir/$name.parquet"))
+
   /** Register all tables as temp views (for spark.sql callers). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     All.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

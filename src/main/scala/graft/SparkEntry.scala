@@ -85,17 +85,23 @@ object SparkEntry {
     "q_unpivot_order_status" -> (Reshape.orderStatusUnpivot(_, _)),
     "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
+    "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
     "q_text_clean" -> (TextAnalysis.cleanText(_, _)),
     "q_lang_id" -> (TextAnalysis.langId(_, _)),
     "q_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
+    "q_repetition_stats" -> (TextAnalysis.repetitionStats(_, _)),
+    "q_tfidf_top_terms" -> (TextAnalysis.tfidfTopTerms(_, _)),
+    "q_chunk_docs" -> (TextAnalysis.chunkDocs(_, _)),
+    "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
+    "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
     "q_dedup_simhash" -> (Dedup.simHash(_, _)),
     "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
     // ---- similarity search ----
@@ -575,6 +581,105 @@ object SparkEntry {
            list_transform(toks, t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
          FROM t ORDER BY doc_id""",
+
+    "q_date_parts_orders" ->
+      """WITH p AS (SELECT
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+           FROM orders)
+         SELECT yr, qtr, mon, month_start, month_end,
+           count(*) AS n_orders,
+           CAST(sum(dow0) AS BIGINT) AS sum_dow0,
+           CAST(sum(doy) AS BIGINT) AS sum_doy,
+           CAST(sum(dom) AS BIGINT) AS sum_dom,
+           CAST(max(isoweek) AS BIGINT) AS max_isoweek,
+           count(DISTINCT dom) AS distinct_days
+         FROM p GROUP BY yr, qtr, mon, month_start, month_end
+         ORDER BY yr, mon""",
+
+    "q_repetition_stats" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         g AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+               FROM d WHERE len(ws) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+         a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_distinct,
+           CAST((20000 * (n_grams - n_distinct) + n_grams) // (2 * n_grams) AS BIGINT)
+             AS dup_gram_ratio_1e4,
+           CAST((20000 * top_n + n_grams) // (2 * n_grams) AS BIGINT)
+             AS top_gram_frac_1e4
+         FROM a ORDER BY doc_id""",
+
+    "q_tfidf_top_terms" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest($Toks) AS term FROM documents)
+             GROUP BY doc_id, term),
+         s AS (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         r AS (SELECT doc_id, term, tf, df,
+               CAST((tf * 1000000) // df AS BIGINT) AS score_1e6,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CAST((tf * 1000000) // df AS BIGINT) DESC, term) AS rk
+               FROM s)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_1e6
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q_chunk_docs" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS start
+                FROM d WHERE len(ws) >= 1),
+         ch AS (SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
+                list_slice(ws, start + 1, least(start + 40, len(ws))) AS chunk
+                FROM st)
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // single-backslash twins of TextAnalysis.{EmailRe,PhoneRe,IpRe}; DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@mail.example.com or call 555-' ||
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS aug
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+         FROM a ORDER BY doc_id""",
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(a, b) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.b FROM edges e JOIN reach r ON r.a = e.dst),
+         lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a)
+         SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lab ORDER BY doc_id""",
 
     "q_dedup_exact" ->
       s"""WITH t AS (SELECT doc_id, md5(array_to_string($Toks, ' ')) AS fp FROM documents)

@@ -229,6 +229,36 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Datetime function suite over o_orderdate, grouped per calendar month:
+    * extract fields (year/quarter/month/day-of-*), ISO week, day-of-week,
+    * date_trunc, last_day — the scalar date surface a warehouse user needs.
+    * All outputs are ints or formatted strings (engine-exact). dow is
+    * normalized to 0=Sunday (Spark's dayofweek is 1-based Sunday-first;
+    * DuckDB's dow is 0-based — the explicit -1 aligns them).
+    */
+  def orderDateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderdate").as("d"))
+      .select(
+        year(col("d")).cast("long").as("yr"),
+        quarter(col("d")).cast("long").as("qtr"),
+        month(col("d")).cast("long").as("mon"),
+        (dayofweek(col("d")) - 1).cast("long").as("dow0"),
+        dayofyear(col("d")).cast("long").as("doy"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        weekofyear(col("d")).cast("long").as("isoweek"),
+        date_format(date_trunc("month", col("d")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"))
+      .groupBy(col("yr"), col("qtr"), col("mon"), col("month_start"), col("month_end"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("dow0")).as("sum_dow0"),
+        sum(col("doy")).as("sum_doy"),
+        sum(col("dom")).as("sum_dom"),
+        max(col("isoweek")).as("max_isoweek"),
+        countDistinct(col("dom")).as("distinct_days"))
+      .orderBy(col("yr"), col("mon"))
+
   /** CUBE over event type x hour-of-day. */
   def eventCube(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)

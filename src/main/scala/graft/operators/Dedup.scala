@@ -170,6 +170,52 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    * pair graph, by iterative min-label propagation — each round every
+    * vertex adopts the smallest cluster id among itself and its neighbors,
+    * until a fixed point. Converges in O(graph diameter) rounds; dup
+    * clusters are near-cliques, so the diameter (and round count) is tiny
+    * even at corpus scale. Each round is one equi-join + aggregate on the
+    * EDGE set (which is O(near-dups), not O(corpus)), and lineage is cut
+    * per round with an eager localCheckpoint — the standard Spark shape
+    * for iterative graph algorithms without the lineage blowup.
+    *
+    * Output: one row per doc that appears in any near-dup pair, with its
+    * cluster id (the cluster's smallest doc_id) and the cluster size.
+    */
+  def dupClusters(s: SparkSession, dir: String, threshold: Double = 0.5,
+                  maxIters: Int = 50): DataFrame = {
+    val pairs = minHashLsh(s, dir, threshold).select(col("doc_a"), col("doc_b"))
+    // symmetric edge list, materialized once (every round re-reads it)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    val wSize = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.withColumn("cluster_size", count(lit(1)).over(wSize))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over trigram shingles: bit p votes +1/-1 by the p-th
     * hex digit of md5(shingle); the sign of the vote sum sets the bit.
     *

@@ -149,4 +149,120 @@ object TextAnalysis {
                   CAST(7 AS BIGINT),
                   (a, b) -> (a * 31 + b) % 1000000007)""").as("fp_rolling"))
       .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition signals: the fraction of word-bigram
+    * OCCURRENCES that are repeats, and the fraction taken by the single
+    * most frequent bigram — the standard cheap filters for boilerplate /
+    * generated text. Shape: explode to (doc, bigram) and aggregate with
+    * map-side combine, so the shuffle carries per-doc-distinct bigrams,
+    * never the raw token stream. Ratios are half-up 4-decimal BIGINT
+    * fixed-point (integer-exact across engines).
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TokensExpr))
+      .filter(expr("size(ws) >= 2"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+          .as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"),
+        expr("CAST((20000 * (n_grams - n_distinct) + n_grams) div (2 * n_grams) AS BIGINT)")
+          .as("dup_gram_ratio_1e4"),
+        expr("CAST((20000 * top_n + n_grams) div (2 * n_grams) AS BIGINT)")
+          .as("top_gram_frac_1e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rank-equivalent integer TF-IDF: per-document top-3 terms scored by
+    * tf * 1e6 div df (df = number of docs containing the term). The true
+    * tf*ln(N/df) ranking is monotone in tf/df for a fixed corpus, and the
+    * integer surrogate sidesteps cross-engine libm log() last-bit skew —
+    * the same exactness discipline as every ratio in this repo. df comes
+    * from a window over the (doc, term) tf table: cost is one shuffle of
+    * per-doc-distinct terms, never the raw token stream.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(TokensExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_1e6").desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("score_1e6", expr("CAST((tf * 1000000) div df AS BIGINT)"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("df"), col("score_1e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Fixed-size token chunking with overlap (size 40, stride 30): the
+    * context-window prep step of a training pipeline. Pure per-row explode
+    * — zero shuffles; chunk identity is the md5 of the joined tokens so
+    * downstream chunk-level dedup can run exactly like doc-level dedup.
+    */
+  def chunkDocs(s: SparkSession, dir: String,
+                size: Int = 40, stride: Int = 30): DataFrame = {
+    require(stride > 0 && size > 0)
+    Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TokensExpr))
+      .filter(expr("size(ws) >= 1"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(expr(s"sequence(0, size(ws) - 1, $stride)")).as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(ws, start + 1, $size)").as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        expr("CAST(size(chunk) AS BIGINT)").as("chunk_tokens"),
+        expr("md5(array_join(chunk, ' '))").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // PII regex patterns, Java-regex/RE2-portable (no lookaround, no
+  // backrefs). The Spark constants are SQL-literal-escaped (\\ -> \);
+  // keep them in lockstep with the single-backslash DuckDB twins in
+  // SparkEntry.oracleSql.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\\\b\\\\d{3}-\\\\d{3}-\\\\d{4}\\\\b"
+  val IpRe = "\\\\b\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\b"
+
+  /** PII redaction: emails, phone numbers, IPv4 addresses -> typed
+    * placeholder tokens, with per-kind match counts. Redaction order is
+    * fixed (emails, then phones, then IPs) so overlapping matches resolve
+    * identically everywhere. The fixture corpus carries no PII, so the
+    * operator first augments each document with synthetic, doc_id-derived
+    * PII — the oracle rebuilds the identical augmented text, making the
+    * redaction itself (not just a no-op pass) hash-verified.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .withColumn("aug", expr(
+        """concat(text, ' contact user', CAST(doc_id AS STRING),
+           '@mail.example.com or call 555-',
+           lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+           lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+           ' from 10.', CAST(doc_id % 256 AS STRING), '.0.1')"""))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(size(regexp_extract_all(aug, '$EmailRe', 0)) AS BIGINT)").as("n_emails"),
+        expr(s"CAST(size(regexp_extract_all(aug, '$PhoneRe', 0)) AS BIGINT)").as("n_phones"),
+        expr(s"CAST(size(regexp_extract_all(aug, '$IpRe', 0)) AS BIGINT)").as("n_ips"),
+        expr(s"""md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                 '$EmailRe', '<EMAIL>'),
+                 '$PhoneRe', '<PHONE>'),
+                 '$IpRe', '<IP>'))""").as("redacted_md5"))
+      .orderBy(col("doc_id"))
 }

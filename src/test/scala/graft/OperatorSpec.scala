@@ -105,6 +105,75 @@ class OperatorSpec extends SparkTestBase {
     assert(merged == Map(1L -> "y", 2L -> "z"))
   }
 
+  test("date parts: month rollup conserves orders; calendar fields bounded") {
+    val out = Analytics.orderDateParts(spark, Sf).collect()
+    val nOrders = spark.read.parquet(s"$Sf/orders.parquet").count()
+    assert(out.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    assert(out.forall(r => r.getAs[Long]("mon") >= 1 && r.getAs[Long]("mon") <= 12))
+    assert(out.forall(_.getAs[Long]("distinct_days") <= 31))
+    assert(out.forall(r => r.getAs[String]("month_start") <= r.getAs[String]("month_end")))
+  }
+
+  test("repetition stats: ratios bounded, distinct never exceeds total") {
+    val out = TextAnalysis.repetitionStats(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_grams"))
+      val dup = r.getAs[Long]("dup_gram_ratio_1e4")
+      val top = r.getAs[Long]("top_gram_frac_1e4")
+      assert(dup >= 0 && dup <= 10000)
+      assert(top > 0 && top <= 10000)
+    }
+  }
+
+  test("tfidf: per-doc ranks are 1..k with non-increasing scores") {
+    val out = TextAnalysis.tfidfTopTerms(spark, Sf).collect()
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length))
+      val scores = byRank.map(_.getAs[Long]("score_1e6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("chunking: chunk indexes contiguous, sizes capped, coverage complete") {
+    val stats = graft.operators.TextAnalysis.textStats(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val chunks = TextAnalysis.chunkDocs(spark, Sf).collect()
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rows) =>
+      val n = stats(doc)
+      val idxs = rows.map(_.getAs[Long]("chunk_idx")).sorted.toSeq
+      assert(idxs == (0L until ((n - 1) / 30 + 1)), s"doc $doc")
+      assert(rows.forall(_.getAs[Long]("chunk_tokens") <= 40))
+      // strided chunks cover every token at least once
+      assert(rows.map(_.getAs[Long]("chunk_tokens")).sum >= n)
+    }
+  }
+
+  test("pii redaction finds exactly the injected email/phone/ip per doc") {
+    val out = TextAnalysis.piiRedact(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1)
+      assert(r.getAs[Long]("n_phones") == 1)
+      assert(r.getAs[Long]("n_ips") == 1)
+    }
+  }
+
+  test("dup clusters: both ends of every near-dup pair share a cluster") {
+    val labels = Dedup.dupClusters(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Dedup.minHashLsh(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the smallest member; every cluster has >= 2 docs
+    labels.foreach { case (doc, c) => assert(c <= doc) }
+    labels.groupBy(_._2).foreach { case (_, m) => assert(m.size >= 2) }
+  }
+
   test("text cleaning never grows text and is idempotent on its output") {
     val out = TextAnalysis.cleanText(spark, Sf)
     assert(out.filter(col("removed_chars") < 0).count() == 0)

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
+    "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
+    "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
     // ---- deterministic sampling / dataset mixing ----
@@ -603,6 +605,44 @@ object SparkEntry {
            count(DISTINCT dom) AS distinct_days
          FROM p GROUP BY yr, qtr, mon, month_start, month_end
          ORDER BY yr, mon""",
+
+    // HUGEINT moment sums mirror Spark's DECIMAL(38,0); the exact truncated
+    // quotient (x - x % den) // den matches Spark's decimal division of the
+    // same remainder-free dividend
+    "q_regr_slope_price_qty" ->
+      """WITH b AS (SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p
+           FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n,
+           sum(q) AS sq, sum(p) AS sp, sum(q * p) AS sqp, sum(q * q) AS sqq
+           FROM b GROUP BY l_returnflag),
+         d AS (SELECT l_returnflag, n,
+           (n * sqp - sq * sp) * 1000000 AS num,
+           (n * sqq - sq * sq) AS den
+           FROM m)
+         SELECT l_returnflag, n,
+                CAST((num - num % den) // den AS BIGINT) AS slope_cents_1e6
+         FROM d ORDER BY l_returnflag""",
+
+    // parallel unnests iterate in lockstep (Postgres semantics), so pos and
+    // code stay aligned; pos numbering differs from Spark's 0-based
+    // posexplode but only ever joins against itself
+    "q_centroid_affinity" ->
+      """WITH codes AS (SELECT vec_id, label,
+           unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS code
+           FROM embeddings),
+         cent AS (SELECT label, pos, CAST(sum(code) AS BIGINT) AS csum,
+                  count(*) AS n_label
+                  FROM codes GROUP BY label, pos)
+         SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
+                CAST(max(t.n_label) AS BIGINT) AS n_label,
+                CAST(sum(c.code * t.csum) AS BIGINT) AS affinity_q
+         FROM codes c JOIN cent t ON c.label = t.label AND c.pos = t.pos
+         GROUP BY c.vec_id, c.label ORDER BY c.vec_id""",
 
     "q_repetition_stats" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),

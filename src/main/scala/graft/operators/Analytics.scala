@@ -259,7 +259,35 @@ object Analytics {
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
 
-  /** CUBE over event type x hour-of-day. */
+  /** Least-squares regression slope of price-vs-quantity per return flag,
+    * in EXACT integer arithmetic: quantities and price-cents are ints, the
+    * four moment sums accumulate in DECIMAL(38,0) (order-free, overflow-
+    * checked — a double sum would be partition-order-dependent), and
+    * slope_1e6 = (1e6 * (n*Sqp - Sq*Sp)) / (n*Sqq - Sq*Sq) is computed as
+    * the exact truncated quotient (x - x % den) / den, which both engines
+    * evaluate identically (remainder takes the dividend's sign in Spark
+    * and DuckDB alike). The same shape gives corr/covar/stddev — one
+    * shuffle, map-side partial aggregation of the moments.
+    */
+  def priceQuantitySlope(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"),
+        sum(expr("CAST(p AS DECIMAL(38,0))")).as("sp"),
+        sum(expr("CAST(q * p AS DECIMAL(38,0))")).as("sqp"),
+        sum(expr("CAST(q * q AS DECIMAL(38,0))")).as("sqq"))
+      .withColumn("num", expr(
+        "(CAST(n AS DECIMAL(38,0)) * sqp - sq * sp) * CAST(1000000 AS DECIMAL(38,0))"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * sqq - sq * sq"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST((num - num % den) / den AS BIGINT)").as("slope_cents_1e6"))
+      .orderBy(col("l_returnflag"))
   def eventCube(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .select(col("event_type"), date_format(col("ts"), "HH").as("hour"), col("value"))

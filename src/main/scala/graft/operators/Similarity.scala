@@ -218,6 +218,40 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** Per-label centroid affinity in EXACT integer arithmetic: components
+    * quantize to 2^20-scale codes (floor(x*2^20 + 0.5) — one IEEE op,
+    * bit-identical everywhere), the label centroid is the component-wise
+    * code SUM (kept unnormalized: dividing by n would reintroduce
+    * engine-dependent rounding, and affinity ranking within a label is
+    * invariant to the scale), and each vector's affinity is its code
+    * dot-product with the centroid sums — all BIGINT, order-free, so the
+    * result is independent of partitioning on both engines.
+    *
+    * Shape: posexplode to (label, pos, code) — the component-wise shuffle
+    * pattern for vector aggregation, which scales as rows x dim without
+    * ever holding a per-label vector list — then one groupBy for
+    * centroids, a broadcast-joinable (label, pos) lookup, and a per-vector
+    * sum for the dot.
+    */
+  def labelCentroidAffinity(s: SparkSession, dir: String): DataFrame = {
+    val codes = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(expr(
+          """transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))"""))
+          .as(Seq("pos", "code")))
+    val centroids = codes.groupBy(col("label"), col("pos"))
+      .agg(sum(col("code")).as("csum"), count(lit(1)).as("n_label"))
+    codes.join(broadcast(centroids), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("code * csum")).as("affinity_q"),
+        max(col("n_label")).as("n_label"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("n_label"), col("affinity_q"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding near-dup detection: nearest neighbor within each label
     * block (label = the blocking key), flagged when cosine >= 0.95.
     * Blocked pairwise: O(sum of block²), never corpus².

@@ -114,6 +114,42 @@ class OperatorSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[String]("month_start") <= r.getAs[String]("month_end")))
   }
 
+  test("regression slope matches a driver-side double computation") {
+    val out = Analytics.priceQuantitySlope(spark, Sf).collect()
+    val rows = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        math.floor(r.getDouble(2) * 100 + 0.5)))
+    assert(out.map(_.getAs[Long]("n")).sum == rows.length)
+    out.foreach { r =>
+      val g = rows.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      val (sq, sp) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sqp = g.map(x => x._2 * x._3).sum
+      val sqq = g.map(x => x._2 * x._2).sum
+      val expect = (n * sqp - sq * sp) / (n * sqq - sq * sq)
+      assert(math.abs(r.getAs[Long]("slope_cents_1e6") / 1e6 - expect) < 0.01,
+        s"flag ${r.getString(0)}")
+    }
+  }
+
+  test("centroid affinity matches a driver-side exact recompute") {
+    val out = Similarity.labelCentroidAffinity(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.floor(x.toDouble * 1048576 + 0.5).toLong)))
+    val centroids = vecs.groupBy(_._2).map { case (l, g) =>
+      l -> g.toSeq.map(_._3.toSeq).transpose.map(_.sum)
+    }
+    vecs.take(25).foreach { case (id, label, codes) =>
+      val expect = codes.zip(centroids(label)).map { case (a, b) => a * b }.sum
+      assert(out(id).getAs[Long]("affinity_q") == expect, s"vec $id")
+      assert(out(id).getAs[Long]("n_label") == vecs.count(_._2 == label))
+    }
+  }
+
   test("repetition stats: ratios bounded, distinct never exceeds total") {
     val out = TextAnalysis.repetitionStats(spark, Sf).collect()
     assert(out.nonEmpty)

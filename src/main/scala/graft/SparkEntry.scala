@@ -87,6 +87,7 @@ object SparkEntry {
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
+    "q_mode_order_priority" -> (Analytics.orderPriorityMode(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
@@ -605,6 +606,16 @@ object SparkEntry {
            count(DISTINCT dom) AS distinct_days
          FROM p GROUP BY yr, qtr, mon, month_start, month_end
          ORDER BY yr, mon""",
+
+    "q_mode_order_priority" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+         r AS (SELECT o_orderstatus, o_orderpriority, n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rk
+               FROM c)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+         FROM r WHERE rk = 1 ORDER BY o_orderstatus""",
 
     // HUGEINT moment sums mirror Spark's DECIMAL(38,0); the exact truncated
     // quotient (x - x % den) // den matches Spark's decimal division of the

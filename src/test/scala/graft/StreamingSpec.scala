@@ -136,6 +136,35 @@ class StreamingSpec extends SparkTestBase {
       ts("2021-05-23 01:00:00")).count() == 1)
   }
 
+  test("streaming upsert applies CDC batches keyed and versioned") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("streamupsert")
+    val (raw, tbl, ckpt) = (s"$root/raw", s"$root/tbl", s"$root/ckpt")
+    new java.io.File(raw).mkdirs()
+    def land(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$raw/$name"),
+        ("k,ver,v\n" + rows.map { case (k, ver, v) => s"$k,$ver,$v" }.mkString("\n")).getBytes)
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("k LONG, ver LONG, v STRING")
+        .option("header", "true").csv(raw)
+      graft.streaming.TrafficStream
+        .startUpsert(spark, src, tbl, ckpt, Seq("k"), Seq("ver"))
+        .awaitTermination()
+    }
+    // batch 1: initial state, including an in-batch same-key race (ver wins)
+    land("b1.csv", Seq((1L, 1L, "a"), (2L, 1L, "b"), (2L, 3L, "B")))
+    run()
+    val after1 = spark.read.parquet(tbl).as[(Long, Long, String)].collect().toSet
+    assert(after1 == Set((1L, 1L, "a"), (2L, 3L, "B")))
+    // batch 2: update key 1, insert key 3; key 2 untouched
+    land("b2.csv", Seq((1L, 9L, "A2"), (3L, 1L, "c")))
+    run()
+    val after2 = spark.read.parquet(tbl).as[(Long, Long, String)].collect().toSet
+    assert(after2 == Set((1L, 9L, "A2"), (2L, 3L, "B"), (3L, 1L, "c")))
+  }
+
   test("sliding windows: an event lands in overlapping 15/5-min windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

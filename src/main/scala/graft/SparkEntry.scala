@@ -125,7 +125,9 @@ object SparkEntry {
   // DuckDB oracles. Table names resolve to {sfDir}/{name}.parquet.
   // ------------------------------------------------------------------
 
-  private val Toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  // twin of TextAnalysis.TokensExpr (incl. the null-text -> empty-list
+  // coalesce)
+  private val Toks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
 
   private val ShinglesCte =
     s"""d AS (SELECT doc_id, $Toks AS ws FROM documents),

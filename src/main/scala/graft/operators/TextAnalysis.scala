@@ -20,8 +20,13 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** Tokenizer expression shared by every operator. */
-  val TokensExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  /** Tokenizer expression shared by every operator. coalesce: a NULL text
+    * tokenizes to the empty list (so null documents flow through stats /
+    * dedup / chunking as empty, instead of propagating NULL arrays whose
+    * size() is -1) — real corpora have null bodies even though the
+    * fixtures don't. Mirrored by SparkEntry.Toks on the oracle side.
+    */
+  val TokensExpr = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
 
   /** Per-document token statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame =

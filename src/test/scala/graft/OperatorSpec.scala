@@ -150,6 +150,14 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer maps null text to the empty token list") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("doc_id", "text")
+    val out = df.selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS toks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    assert(out == Map(1L -> 0, 2L -> 2))
+  }
+
   test("repetition stats: ratios bounded, distinct never exceeds total") {
     val out = TextAnalysis.repetitionStats(spark, Sf).collect()
     assert(out.nonEmpty)

@@ -88,6 +88,8 @@ object SparkEntry {
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
     "q_mode_order_priority" -> (Analytics.orderPriorityMode(_, _)),
+    "q_string_funcs" -> (Analytics.customerStringShapes(_, _)),
+    "q_join_brand_revenue" -> (Analytics.brandRevenue(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
@@ -608,6 +610,29 @@ object SparkEntry {
            count(DISTINCT dom) AS distinct_days
          FROM p GROUP BY yr, qtr, mon, month_start, month_end
          ORDER BY yr, mon""",
+
+    "q_join_brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+         upper(c_mktsegment) AS seg_upper,
+         lower(c_name) AS name_lower,
+         CAST(length(c_name) AS BIGINT) AS name_len,
+         substr(c_name, 1, 8) AS name_prefix,
+         replace(c_name, 'Customer', 'C') AS name_short,
+         lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+         split_part(c_name, '#', 2) AS name_num,
+         CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+         translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+         reverse(c_name) AS name_rev,
+         concat_ws('|', c_mktsegment, c_name) AS seg_name,
+         trim(split_part(c_name, '#', 2), '0') AS num_trimmed
+         FROM customer ORDER BY c_custkey""",
 
     "q_mode_order_priority" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n

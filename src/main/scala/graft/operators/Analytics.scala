@@ -96,6 +96,24 @@ object Analytics {
       .orderBy(col("n_name"))
   }
 
+  /** Fact x part-dimension join: revenue by part brand. Part is a true
+    * dimension join (shuffle-or-broadcast decided by AQE from its actual
+    * size — at warehouse scale `part` is itself large, so no forced
+    * broadcast here, unlike the filtered region/nation sides).
+    */
+  def brandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(s, dir).select("p_partkey", "p_brand")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Left outer join + aggregate: order count per customer INCLUDING
     * zero-order customers (the outer-join contract).
     */
@@ -258,6 +276,30 @@ object Analytics {
         max(col("isoweek")).as("max_isoweek"),
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
+
+  /** Scalar string-function surface in one pass over customer — the
+    * warehouse string toolkit (case, slice, search, pad, replace,
+    * translate, split, reverse, concat) restricted to functions with
+    * identical cross-engine semantics (1-based positions, 0-if-absent
+    * search). Pure projection: zero shuffles beyond the result sort.
+    */
+  def customerStringShapes(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        expr("upper(c_mktsegment)").as("seg_upper"),
+        expr("lower(c_name)").as("name_lower"),
+        expr("CAST(length(c_name) AS BIGINT)").as("name_len"),
+        expr("substr(c_name, 1, 8)").as("name_prefix"),
+        expr("replace(c_name, 'Customer', 'C')").as("name_short"),
+        expr("lpad(CAST(c_custkey AS STRING), 12, '0')").as("key_padded"),
+        expr("split_part(c_name, '#', 2)").as("name_num"),
+        expr("CAST(instr(c_name, '#') AS BIGINT)").as("hash_pos"),
+        expr("translate(c_mktsegment, 'AEIOU', 'aeiou')").as("seg_translated"),
+        expr("reverse(c_name)").as("name_rev"),
+        expr("concat_ws('|', c_mktsegment, c_name)").as("seg_name"),
+        expr("trim(BOTH '0' FROM split_part(c_name, '#', 2))").as("num_trimmed"))
+      .orderBy(col("c_custkey"))
 
   /** Deterministic MODE (argmax-by-count) of order priority per status:
     * count per candidate, keep the most frequent with a pinned tiebreak

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_repetition_stats" -> (TextAnalysis.repetitionStats(_, _)),
     "q_tfidf_top_terms" -> (TextAnalysis.tfidfTopTerms(_, _)),
     "q_chunk_docs" -> (TextAnalysis.chunkDocs(_, _)),
+    "q_chunk_dedup" -> (TextAnalysis.chunkDedup(_, _)),
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
@@ -130,6 +131,15 @@ object SparkEntry {
   // twin of TextAnalysis.TokensExpr (incl. the null-text -> empty-list
   // coalesce)
   private val Toks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+
+  /** Twin of TextAnalysis.chunkDocs (size 40 / stride 30). */
+  private def chunkCtes: String =
+    s"""d AS (SELECT doc_id, $Toks AS ws FROM documents),
+       st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS start
+              FROM d WHERE len(ws) >= 1),
+       ch AS (SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
+              list_slice(ws, start + 1, least(start + 40, len(ws))) AS chunk
+              FROM st)"""
 
   private val ShinglesCte =
     s"""d AS (SELECT doc_id, $Toks AS ws FROM documents),
@@ -713,15 +723,20 @@ object SparkEntry {
          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     "q_chunk_docs" ->
-      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
-         st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS start
-                FROM d WHERE len(ws) >= 1),
-         ch AS (SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
-                list_slice(ws, start + 1, least(start + 40, len(ws))) AS chunk
-                FROM st)
+      s"""WITH $chunkCtes
          SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
                 md5(array_to_string(chunk, ' ')) AS chunk_md5
          FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_chunk_dedup" ->
+      s"""WITH $chunkCtes
+         SELECT md5(array_to_string(chunk, ' ')) AS chunk_md5,
+                count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occurrences,
+                min(doc_id) AS keeper_doc_id
+         FROM ch
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_md5""",
 
     // single-backslash twins of TextAnalysis.{EmailRe,PhoneRe,IpRe}; DuckDB
     // regexp_replace needs the explicit 'g' flag to match Spark's

@@ -218,6 +218,59 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** Materialized IVF index — the pay-at-load path SCALE.md describes:
+    * assignment runs ONCE (one corpus pass against broadcast centroids),
+    * lands as parquet partitioned by centroid list, and every subsequent
+    * query prunes to its probed lists' partitions instead of recomputing
+    * the quantizer. Returns the index directory.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
+                    nLists: Int = 16): String = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val centroids = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        col("vnorm").as("cnorm"))
+    val scoredC = emb.crossJoin(broadcast(centroids))
+      .withColumn("cm",
+        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cm").desc, col("centroid_id"))
+    scoredC.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
+    indexDir
+  }
+
+  /** ANN top-k over a prebuilt IVF index: probe assignment happens only
+    * for the query vectors; candidate fetch reads ONLY the probed lists'
+    * partitions (partition pruning on centroid_id), then the exact re-rank
+    * runs on candidates. Same output contract as the inline ivfTopK.
+    */
+  def ivfTopKFromIndex(s: SparkSession, dir: String, indexDir: String,
+                       nQueries: Int = 10, k: Int = 5,
+                       nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val centroids = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        col("vnorm").as("cnorm"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cm",
+        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cm").desc, col("centroid_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val index = s.read.parquet(indexDir)
+    val candidates = index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    rerankTopK(candidates, emb, k)
+  }
+
   /** Per-label centroid affinity in EXACT integer arithmetic: components
     * quantize to 2^20-scale codes (floor(x*2^20 + 0.5) — one IEEE op,
     * bit-identical everywhere), the label centroid is the component-wise

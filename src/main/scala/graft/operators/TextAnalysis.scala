@@ -236,6 +236,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Chunk-level cross-document dedup: identical 40-token chunks shared
+    * by MULTIPLE documents (boilerplate / template detection — the
+    * chunk-granularity twin of exact doc dedup, catching repeated passages
+    * that whole-document hashing misses). One shuffle on the chunk hash
+    * with map-side combine.
+    */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(s, dir)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_md5"))
+
   // PII regex patterns, Java-regex/RE2-portable (no lookaround, no
   // backrefs). The Spark constants are SQL-literal-escaped (\\ -> \);
   // keep them in lockstep with the single-backslash DuckDB twins in

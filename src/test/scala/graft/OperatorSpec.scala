@@ -133,6 +133,28 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("materialized IVF index answers identically to the inline IVF path") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildIvfIndex(spark, Sf, idx)
+    // partitioned layout on disk = list-pruned reads at query time
+    val parts = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(parts.nonEmpty)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    val inline = Similarity.ivfTopK(spark, Sf).collect().toSeq
+    assert(fromIndex == inline)
+  }
+
+  test("chunk dedup finds only cross-doc shared chunks, keeper is min doc") {
+    val out = TextAnalysis.chunkDedup(spark, Sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    // near-dup docs exist in the fixture, so shared chunks must exist
+    assert(out.nonEmpty)
+  }
+
   test("centroid affinity matches a driver-side exact recompute") {
     val out = Similarity.labelCentroidAffinity(spark, Sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r).toMap

@@ -120,6 +120,7 @@ object SparkEntry {
     // ---- deterministic sampling / dataset mixing ----
     "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
     "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _)),
+    "q_sample_token_budget" -> (Sampling.tokenBudgetMix(_, _)),
     // ---- embedding quantization ----
     "q_embed_quantize" -> (Quantize.int8Summary(_, _))
   )
@@ -643,6 +644,21 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    "q_sample_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+           CAST(len($Toks) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS hkey
+           FROM documents),
+         c AS (SELECT source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+               FROM t)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS mixed_tokens
+         FROM c WHERE cum_tokens <= 2000
+         GROUP BY source ORDER BY source""",
 
     "q_mode_order_priority" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n

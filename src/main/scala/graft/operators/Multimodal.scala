@@ -77,12 +77,47 @@ object Multimodal {
       }
   }
 
+  /** One sampled "frame" of a (video-like) asset. */
+  final case class FrameFeature(
+      asset_id: Long,
+      frame_idx: Int,
+      byte_offset: Long,
+      frame_hash: String)
+
+  /** Frame sampling: K evenly spaced frames per asset — the video
+    * equivalent of the decode path. Same partition-batched shape as
+    * decodeAssets (one codec init per partition, streaming rows, never a
+    * per-row init or a collect); the STUB "frame" is a byte window at the
+    * sampled offset where a real codec would seek and decode. Output is
+    * rows-per-frame, ready for per-frame feature extraction or dedup.
+    */
+  def sampleFrames(s: SparkSession, dir: String, k: Int = 4): Dataset[FrameFeature] = {
+    import s.implicits._
+    require(k >= 1)
+    assets(s, dir)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new StubCodec // real video codec init happens HERE
+        rows.flatMap { case (id, payload) =>
+          (0 until k).iterator.map { i =>
+            val offset = (payload.length.toLong * i) / k
+            val end = math.min(payload.length.toLong, offset + 256).toInt
+            val window = java.util.Arrays.copyOfRange(payload, offset.toInt, end)
+            FrameFeature(id, i, offset, codec.digestHex(window))
+          }
+        }
+      }
+  }
+
   /** STUB decoder — deterministic fake features from the payload digest.
     * A real implementation would replace `decode` with an actual
     * image/audio parse; the call shape and output schema stay identical.
     */
   private final class StubCodec {
     private val md = java.security.MessageDigest.getInstance("MD5")
+    def digestHex(bytes: Array[Byte]): String =
+      md.digest(bytes).map(b => f"${b & 0xFF}%02x").mkString
     def decode(id: Long, payload: Array[Byte]): AssetFeatures = {
       val digest = md.digest(payload)
       def ub(i: Int): Int = digest(i) & 0xFF

@@ -73,4 +73,31 @@ object Sampling {
   val DefaultMixWeights: Map[String, Double] = Map(
     "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
     "src3" -> 0.1, "src4" -> 0.1, "src5" -> 0.1)
+
+  /** Token-budget mixing: fill each source's token budget with documents
+    * in deterministic hash order — "give me ~N tokens per source,
+    * reproducibly" (the mixture recipe is usually expressed in tokens,
+    * not keep-rates). A doc is kept iff the running token total of its
+    * source, taken in md5(doc_id) order, stays within budget — the
+    * cumulative-sum window makes the cut content-addressed and identical
+    * across engines/partitionings, unlike a quota filled in arrival
+    * order. One shuffle (the per-source window).
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String,
+                     budgetTokens: Long = 2000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("hkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)").as("n_tokens"),
+        expr("md5(CAST(doc_id AS STRING))").as("hkey"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("mixed_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -155,6 +155,26 @@ class OperatorSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("token-budget mix stays within budget and is deterministic") {
+    val a = Sampling.tokenBudgetMix(spark, Sf).collect()
+    val b = Sampling.tokenBudgetMix(spark, Sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.foreach(r => assert(r.getAs[Long]("mixed_tokens") <= 2000))
+    assert(a.nonEmpty)
+  }
+
+  test("frame sampling emits k increasing-offset frames per asset") {
+    val frames = Multimodal.sampleFrames(spark, Sf, k = 4).collect()
+    val nAssets = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(frames.length == nAssets * 4)
+    frames.groupBy(_.asset_id).foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_.frame_idx)
+      assert(sorted.map(_.frame_idx).toSeq == (0 until 4))
+      assert(sorted.map(_.byte_offset).toSeq == sorted.map(_.byte_offset).sorted.toSeq)
+      assert(fs.forall(_.frame_hash.length == 32))
+    }
+  }
+
   test("centroid affinity matches a driver-side exact recompute") {
     val out = Similarity.labelCentroidAffinity(spark, Sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r).toMap

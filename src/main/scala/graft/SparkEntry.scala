@@ -84,6 +84,7 @@ object SparkEntry {
     "q_pivot_order_status" -> (Reshape.orderStatusPivot(_, _)),
     "q_unpivot_order_status" -> (Reshape.orderStatusUnpivot(_, _)),
     "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
+    "q_interval_overlaps" -> (RangeJoin.intervalOverlaps(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
@@ -644,6 +645,20 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    "q_interval_overlaps" ->
+      """WITH e AS (SELECT user_id, event_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS lo,
+           CAST(epoch_us(ts) // 1000000 + 600 AS BIGINT) AS hi
+           FROM events),
+         p AS (SELECT a.user_id,
+               least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_sec
+               FROM e a JOIN e b ON a.user_id = b.user_id
+                                AND a.event_id < b.event_id
+               WHERE a.lo < b.hi AND b.lo < a.hi)
+         SELECT user_id, count(*) AS n_pairs,
+                CAST(sum(overlap_sec) AS BIGINT) AS overlap_sec_total
+         FROM p GROUP BY user_id ORDER BY user_id""",
 
     "q_sample_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -49,6 +49,45 @@ object RangeJoin {
       .drop("bucket")
   }
 
+  /** Interval-OVERLAP join (interval x interval, not point x interval):
+    * overlapping event time-windows per user. The naive non-equi
+    * formulation is a nested-loop; the scale path expands BOTH sides into
+    * the fixed-width buckets they touch and equi-joins on (key, bucket) —
+    * each 600s interval spans at most 2 buckets of width 600, so the
+    * expansion is O(1) per row — then dedups pairs that met in more than
+    * one bucket and re-checks the exact overlap predicate. Shuffle volume
+    * is (rows x buckets-per-row), never pairs.
+    *
+    * Epoch seconds use the same explicit sign-split floor division as
+    * rollingHourValue (Spark `div` truncates, DuckDB `//` floors).
+    */
+  def intervalOverlaps(s: SparkSession, dir: String,
+                       windowSec: Long = 600): DataFrame = {
+    val tsSec = """CAST(CASE WHEN unix_micros(ts) >= 0
+                      THEN unix_micros(ts) div 1000000
+                      ELSE -((-unix_micros(ts) + 999999) div 1000000)
+                  END AS BIGINT)"""
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr(tsSec).as("lo"),
+        expr(s"$tsSec + $windowSec").as("hi"))
+      .withColumn("bucket",
+        explode(expr(s"sequence(lo div $windowSec, (hi - 1) div $windowSec)")))
+    val pairs = iv.as("a").join(iv.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id"))
+      .filter(col("a.lo") < col("b.hi") && col("b.lo") < col("a.hi"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("ev_a"), col("b.event_id").as("ev_b"),
+        (least(col("a.hi"), col("b.hi")) - greatest(col("a.lo"), col("b.lo")))
+          .as("overlap_sec"))
+      .distinct() // a pair meeting in 2 buckets counts once
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_sec")).as("overlap_sec_total"))
+      .orderBy(col("user_id"))
+  }
+
   /** Fixed value bands for the events fixture (value in [0.01, ~500)).
     * Literal boundaries so the DuckDB oracle can embed the identical table.
     */

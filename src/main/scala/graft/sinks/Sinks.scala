@@ -120,6 +120,35 @@ object Sinks {
     }
   }
 
+  /** Small-files compaction for a parquet directory: rewrite to about
+    * `targetFileBytes` per file. Streaming appends and per-batch loads
+    * accumulate small files, and at warehouse scale scan cost tracks the
+    * FILE count (task scheduling + footer reads), not just bytes —
+    * periodic compaction is a standard maintenance op. Writes to a
+    * sibling temp dir then swaps, so the input is never read and
+    * overwritten in the same job; the swap is not atomic for concurrent
+    * readers (a table format with a transaction log is the answer when
+    * that matters).
+    *
+    * @return number of output files written
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + ".compact-tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(path + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old) || !fs.rename(tmp, p))
+      throw LoadError(s"compact: directory swap failed for $path")
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** L3 — backup copy of the raw artifact before load (reference:
     * copy_within_gcs load.py:50-64, invoked __main__.py:61-63). A pure
     * object-store operation via the Hadoop FileSystem API — works on any

@@ -155,6 +155,29 @@ class OperatorSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("compaction shrinks file count and preserves every row") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    orders.repartition(20).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 20)
+    val before = orders.count()
+    sinks.Sinks.compact(spark, dir)
+    assert(files() < 20)
+    assert(spark.read.parquet(dir).count() == before)
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+    assert(!new java.io.File(dir + ".compact-old").exists())
+  }
+
+  test("interval overlaps: symmetric pairs counted once, bounded by window") {
+    val out = RangeJoin.intervalOverlaps(spark, Sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") >= 1)
+      assert(r.getAs[Long]("overlap_sec_total") <= r.getAs[Long]("n_pairs") * 600)
+      assert(r.getAs[Long]("overlap_sec_total") > 0)
+    }
+  }
+
   test("token-budget mix stays within budget and is deterministic") {
     val a = Sampling.tokenBudgetMix(spark, Sf).collect()
     val b = Sampling.tokenBudgetMix(spark, Sf).collect()

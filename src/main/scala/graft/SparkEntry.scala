@@ -85,6 +85,8 @@ object SparkEntry {
     "q_unpivot_order_status" -> (Reshape.orderStatusUnpivot(_, _)),
     "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
     "q_interval_overlaps" -> (RangeJoin.intervalOverlaps(_, _)),
+    "q_event_funnel" -> (Analytics.eventFunnel(_, _)),
+    "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
@@ -645,6 +647,34 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    "q_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+         s1 AS (SELECT user_id, min(t_us) AS t_prev FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, min(t_us) AS t_prev FROM ev
+                JOIN s1 ON ev.user_id = s1.user_id
+                WHERE event_type = 'click' AND t_us > s1.t_prev
+                GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, min(t_us) AS t_prev FROM ev
+                JOIN s2 ON ev.user_id = s2.user_id
+                WHERE event_type = 'purchase' AND t_us > s2.t_prev
+                GROUP BY ev.user_id)
+         SELECT '1_view' AS step, count(*) AS n_users FROM s1
+         UNION ALL SELECT '2_click', count(*) FROM s2
+         UNION ALL SELECT '3_purchase', count(*) FROM s3
+         ORDER BY step""",
+
+    "q_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day_idx
+           FROM events),
+         c AS (SELECT user_id, min(day_idx) AS cohort_day FROM ud GROUP BY user_id)
+         SELECT cohort_day, day_idx - cohort_day AS day_offset,
+                count(DISTINCT ud.user_id) AS n_active
+         FROM ud JOIN c ON ud.user_id = c.user_id
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
 
     "q_interval_overlaps" ->
       """WITH e AS (SELECT user_id, event_id,

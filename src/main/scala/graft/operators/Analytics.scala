@@ -277,6 +277,65 @@ object Analytics {
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
 
+  /** Ordered funnel (view -> click -> purchase): per user, each step's
+    * first occurrence must land strictly AFTER the previous step's — the
+    * traffic-warehouse conversion query. Step frontiers are per-user min
+    * aggregates joined step-over-step (each a (user) equi-join on an
+    * already-aggregated, so tiny, left side); timestamps compare as exact
+    * integer micros. Emits one row per step with the surviving user count.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"))
+    def firstAfter(typ: String, prev: Option[DataFrame]): DataFrame = {
+      val base = prev match {
+        case None => ev.filter(col("event_type") === typ)
+        case Some(p) => ev.filter(col("event_type") === typ)
+          .join(p, Seq("user_id"))
+          .filter(col("t_us") > col("t_prev"))
+      }
+      base.groupBy(col("user_id")).agg(min(col("t_us")).as("t_prev"))
+    }
+    val s1 = firstAfter("view", None)
+    val s2 = firstAfter("click", Some(s1))
+    val s3 = firstAfter("purchase", Some(s2))
+    val counts = Seq(("1_view", s1), ("2_click", s2), ("3_purchase", s3))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+      }
+    counts.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
+  /** Cohort retention: users grouped by their first active day; for each
+    * (cohort day, day offset) the count of distinct users active again.
+    * Two aggregates and one join on already-distinct (user, day) rows —
+    * the shuffle carries user-days, never raw events. Day indexes are
+    * explicit floor divisions of epoch seconds (sign-split, same
+    * discipline as rollingHourValue).
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val daySec = 86400L
+    val dayIdx = s"""CAST(CASE WHEN ts_sec >= 0 THEN ts_sec div $daySec
+                        ELSE -((-ts_sec + ${daySec - 1}) div $daySec)
+                    END AS BIGINT)"""
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("""CAST(CASE WHEN unix_micros(ts) >= 0
+                    THEN unix_micros(ts) div 1000000
+                    ELSE -((-unix_micros(ts) + 999999) div 1000000)
+                END AS BIGINT)""").as("ts_sec"))
+      .select(col("user_id"), expr(dayIdx).as("day_idx"))
+      .distinct()
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("cohort_day"))
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day_idx") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Scalar string-function surface in one pass over customer — the
     * warehouse string toolkit (case, slice, search, pad, replace,
     * translate, split, reverse, concat) restricted to functions with

@@ -178,6 +178,25 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("funnel steps are monotonically non-increasing") {
+    val out = Analytics.eventFunnel(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(out.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(out("1_view") >= out("2_click"))
+    assert(out("2_click") >= out("3_purchase"))
+    assert(out("1_view") > 0)
+  }
+
+  test("cohort retention: offset 0 equals cohort size, actives never exceed it") {
+    val out = Analytics.cohortRetention(spark, Sf).collect()
+    val day0 = out.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(r => r.getAs[Long]("cohort_day") -> r.getAs[Long]("n_active")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("day_offset") >= 0)
+      assert(r.getAs[Long]("n_active") <= day0(r.getAs[Long]("cohort_day")))
+    }
+  }
+
   test("token-budget mix stays within budget and is deterministic") {
     val a = Sampling.tokenBudgetMix(spark, Sf).collect()
     val b = Sampling.tokenBudgetMix(spark, Sf).collect()

@@ -628,7 +628,9 @@ object SparkEntry {
     "q_join_brand_revenue" ->
       """SELECT p_brand, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+           * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
 

@@ -110,7 +110,13 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_items"),
         sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"),
-        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        // per-row exact cents then integer sum — order-free, unlike
+        // round(sum(double)) whose accumulation order and rounding ties
+        // are engine-dependent
+        sum(expr(
+          """CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+             * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+          .as("revenue_cents"))
       .orderBy(col("p_brand"))
   }
 
@@ -295,7 +301,11 @@ object Analytics {
           .join(p, Seq("user_id"))
           .filter(col("t_us") > col("t_prev"))
       }
+      // materialize each step's tiny per-user frontier: the three count
+      // branches and the step-over-step joins would otherwise re-scan the
+      // events table once per consumer (~6 scans in the final union)
       base.groupBy(col("user_id")).agg(min(col("t_us")).as("t_prev"))
+        .localCheckpoint(true)
     }
     val s1 = firstAfter("view", None)
     val s2 = firstAfter("click", Some(s1))

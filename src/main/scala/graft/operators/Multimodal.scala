@@ -33,7 +33,9 @@ object Multimodal {
   def assets(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, dir, "documents").select(
       col("doc_id").as("asset_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      // null body -> empty payload (same null discipline as TokensExpr):
+      // downstream decode must never NPE on a null blob
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
       struct(
         col("source"),
         col("lang"),

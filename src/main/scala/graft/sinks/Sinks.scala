@@ -73,21 +73,23 @@ object Sinks {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__src").desc +: tiebreak: _*) // updates (1) win over existing (0)
     val ranked = tagged.withColumn("__rn", row_number().over(w))
-    val deduped =
-      if (versionCols.nonEmpty) ranked
-      else {
-        // same window partitioning — the uniqueness check rides the one
-        // shuffle the upsert already pays, no extra pass
-        ranked.withColumn("__side_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy((keyCols.map(col) :+ col("__src")): _*)))
-          .withColumn("__rn", when(col("__side_n") > 1,
-            raise_error(concat(lit("upsert: duplicate key within one side for ("),
-              concat_ws(",", keyCols.map(col): _*),
-              lit(") — pass versionCols for a deterministic winner"))))
-            .otherwise(col("__rn")))
-          .drop("__side_n")
-      }
+    // uniqueness guard rides the shuffle the upsert already pays: without
+    // versionCols each side must hold one row per key (MERGE
+    // precondition); with versionCols, (key, side, version) must be
+    // unique or the "highest version wins" contract is still ambiguous
+    val guardCols = keyCols.map(col) ++ (col("__src") +: versionCols.map(col))
+    val deduped = ranked
+      .withColumn("__side_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(guardCols: _*)))
+      .withColumn("__rn", when(col("__side_n") > 1,
+        raise_error(concat(lit("upsert: ambiguous duplicate for key ("),
+          concat_ws(",", keyCols.map(col): _*),
+          lit(if (versionCols.isEmpty)
+            ") — pass versionCols for a deterministic winner"
+          else ") — same key and version on one side; no deterministic winner"))))
+        .otherwise(col("__rn")))
+      .drop("__side_n")
     deduped.filter(col("__rn") === 1).drop("__src", "__rn")
   }
 
@@ -138,13 +140,36 @@ object Sinks {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // preserve a Hive-style partition layout: walk `k=v` directory levels
+    // to recover the partition columns, and rewrite with the same
+    // partitionBy — otherwise compacting a dt= table would silently fold
+    // the partition columns into flat files and kill pruning/DPP
+    val partitionCols = {
+      val cols = Seq.newBuilder[String]
+      var cur = p
+      var done = false
+      while (!done) {
+        val subdirs = fs.listStatus(cur).filter(_.isDirectory)
+          .filter(_.getPath.getName.contains("="))
+        if (subdirs.isEmpty) done = true
+        else { cols += subdirs.head.getPath.getName.split("=", 2)(0); cur = subdirs.head.getPath }
+      }
+      cols.result()
+    }
     val tmp = new Path(path + ".compact-tmp")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
     val old = new Path(path + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(p, old) || !fs.rename(tmp, p))
-      throw LoadError(s"compact: directory swap failed for $path")
+    if (!fs.rename(p, old))
+      throw LoadError(s"compact: could not move $path aside; table untouched")
+    if (!fs.rename(tmp, p)) {
+      // roll the original back so the table path never stays nonexistent
+      fs.rename(old, p)
+      throw LoadError(s"compact: swap failed for $path; original restored")
+    }
     fs.delete(old, true)
     nFiles
   }

@@ -59,8 +59,11 @@ object Tables {
   def spreadForCompute(df: DataFrame, files: Seq[String] = Nil): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val cores = sc.defaultParallelism
-    val maxSplit = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .replaceAll("[^0-9]", "") match { case "" => 134217728L; case s => s.toLong }
+    // JavaUtils understands Spark byte strings ("128m", "1g") — a naive
+    // digit-strip would read "256m" as 256 bytes and silently disable the
+    // spread everywhere
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     // Hadoop FS, not java.io — works for any scheme the scan itself reads
     val hconf = sc.hadoopConfiguration
     val bytes = files.map { f =>

@@ -69,21 +69,26 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
     }
     val raw = Option(options.get("path")).toSeq ++ multi
     def isXls(name: String): Boolean = name.toLowerCase.endsWith(".xls")
-    val matched = raw.flatMap { p =>
+    // directory listings filter to *.xls SILENTLY (a mixed directory is
+    // normal); files matched by name or glob must all be .xls — dropping
+    // one silently would lose explicitly-requested data, so any offender
+    // is a loud, named error
+    val (dirListed, fileMatched) = raw.foldLeft(
+      (Seq.empty[String], Seq.empty[String])) { case ((dl, fm), p) =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      globbed.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
-        else Seq(st.getPath.toString)
-      }
+      val (dirs, files) = globbed.partition(_.isDirectory)
+      val listed = dirs.flatMap(d => fs.listStatus(d.getPath).toSeq
+        .filter(f => f.isFile && isXls(f.getPath.getName)).map(_.getPath.toString))
+      (dl ++ listed, fm ++ files.map(_.getPath.toString))
     }
-    val expanded = matched.filter(f => isXls(new Path(f).getName))
-    if (matched.nonEmpty && expanded.isEmpty)
+    val badFiles = fileMatched.filterNot(f => isXls(new Path(f).getName))
+    if (badFiles.nonEmpty)
       throw graft.ExtractError(
-        s"xls source matched ${matched.length} file(s) for ${raw.mkString(",")} " +
-          "but none have the .xls extension")
+        s"xls source: matched file(s) without the .xls extension: " +
+          s"${badFiles.take(5).mkString(", ")}${if (badFiles.length > 5) ", ..." else ""}")
+    val expanded = dirListed ++ fileMatched
     if (expanded.isEmpty)
       throw graft.ExtractError(s"xls source matched no files for ${raw.mkString(",")}")
     expanded.sorted

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -69,10 +70,20 @@ object TrafficStream {
     source.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        // ONLY a genuinely absent/empty table reads as empty — any other
+        // read failure (transient FS error, corrupt footer, interrupted
+        // overwrite) must abort the batch, or mode("overwrite") below
+        // would replace the whole table with just this batch's rows
+        val fs = new Path(tableDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val tablePath = new Path(tableDir)
+        val hasData = fs.exists(tablePath) &&
+          fs.listStatus(tablePath).exists(f =>
+            f.getPath.getName.endsWith(".parquet") || f.isDirectory)
         val existing =
-          try spark.read.parquet(tableDir)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (hasData) spark.read.parquet(tableDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = graft.sinks.Sinks
           .upsert(existing, batch.toDF(), keyCols, versionCols)
           .localCheckpoint(true) // materialize BEFORE overwriting the input dir

@@ -91,8 +91,8 @@ class OperatorSpec extends SparkTestBase {
     val e = intercept[Exception] {
       sinks.Sinks.upsert(existing, updates, Seq("k")).collect()
     }
-    assert(e.getMessage.contains("duplicate key") ||
-      Option(e.getCause).exists(_.getMessage.contains("duplicate key")))
+    assert(e.getMessage.contains("ambiguous duplicate") ||
+      Option(e.getCause).exists(_.getMessage.contains("ambiguous duplicate")))
   }
 
   test("upsert: versionCols picks the highest version deterministically") {
@@ -153,6 +153,31 @@ class OperatorSpec extends SparkTestBase {
     }
     // near-dup docs exist in the fixture, so shared chunks must exist
     assert(out.nonEmpty)
+  }
+
+  test("upsert: equal key AND version on one side fails loudly") {
+    import spark.implicits._
+    val existing = Seq((1L, 0L, "a")).toDF("k", "ver", "v")
+    val updates = Seq((1L, 5L, "x"), (1L, 5L, "y")).toDF("k", "ver", "v")
+    val e = intercept[Exception] {
+      sinks.Sinks.upsert(existing, updates, Seq("k"), Seq("ver")).collect()
+    }
+    assert(e.getMessage.contains("ambiguous duplicate") ||
+      Option(e.getCause).exists(_.getMessage.contains("ambiguous duplicate")))
+  }
+
+  test("compaction preserves a dt= partition layout") {
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    spark.read.parquet(s"$Sf/orders.parquet")
+      .withColumn("dt", to_date(col("o_orderdate")))
+      .write.partitionBy("dt").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    sinks.Sinks.compact(spark, dir)
+    val dtDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("dt="))
+    assert(dtDirs.nonEmpty, "partition layout must survive compaction")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before)
+    assert(after.columns.contains("dt"))
   }
 
   test("compaction shrinks file count and preserves every row") {

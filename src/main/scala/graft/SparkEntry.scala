@@ -124,6 +124,7 @@ object SparkEntry {
     "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
     "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _)),
     "q_sample_token_budget" -> (Sampling.tokenBudgetMix(_, _)),
+    "q_sample_exact_n" -> (Sampling.exactNPerSource(_, _)),
     // ---- embedding quantization ----
     "q_embed_quantize" -> (Quantize.int8Summary(_, _))
   )
@@ -691,6 +692,15 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_pairs,
                 CAST(sum(overlap_sec) AS BIGINT) AS overlap_sec_total
          FROM p GROUP BY user_id ORDER BY user_id""",
+
+    "q_sample_exact_n" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+           md5(CAST(doc_id AS VARCHAR)) AS hkey,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+           FROM documents)
+         SELECT doc_id, source, n_chars FROM t
+         WHERE rk <= 20 ORDER BY doc_id""",
 
     "q_sample_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,

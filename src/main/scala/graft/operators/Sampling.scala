@@ -74,6 +74,25 @@ object Sampling {
     "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
     "src3" -> 0.1, "src4" -> 0.1, "src5" -> 0.1)
 
+  /** Fixed-size deterministic sample: exactly the N smallest-hash docs
+    * per source (or fewer if the source is smaller) — the "carve out a
+    * 100-doc eval set, reproducibly" op. Same content-addressing as the
+    * rate sample, so membership is stable under reruns, engine swaps, and
+    * corpus appends that don't disturb the chosen hashes. One per-source
+    * window shuffle.
+    */
+  def exactNPerSource(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("md5(CAST(doc_id AS STRING))").as("hkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget mixing: fill each source's token budget with documents
     * in deterministic hash order — "give me ~N tokens per source,
     * reproducibly" (the mixture recipe is usually expressed in tokens,

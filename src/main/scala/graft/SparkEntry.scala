@@ -86,6 +86,7 @@ object SparkEntry {
     "q_range_join_value_bands" -> (RangeJoin.eventValueBands(_, _)),
     "q_interval_overlaps" -> (RangeJoin.intervalOverlaps(_, _)),
     "q_event_funnel" -> (Analytics.eventFunnel(_, _)),
+    "q_forward_fill" -> (Analytics.forwardFillValues(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
@@ -650,6 +651,24 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    // portable LOCF rewrite: group id = running count of non-nulls, fill =
+    // the group's (single) non-null value — equivalent to last(...) IGNORE
+    // NULLS without depending on that syntax existing in the oracle engine
+    "q_forward_fill" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+           CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+           THEN CAST(NULL AS BIGINT)
+           ELSE CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           END AS cents
+           FROM events),
+         g AS (SELECT user_id, event_id, cents,
+               count(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+               FROM c)
+         SELECT user_id, event_id, cents,
+                CAST(max(cents) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_cents
+         FROM g ORDER BY user_id, event_id""",
 
     "q_event_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),

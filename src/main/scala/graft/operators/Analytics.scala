@@ -283,6 +283,31 @@ object Analytics {
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
 
+  /** Forward fill (LOCF): per user, nulls take the last preceding
+    * non-null observation — the gap-filling pass for sparse telemetry.
+    * The fixture has no nulls, so a deterministic hash knockout blanks
+    * ~20% of readings first (the oracle rebuilds the same knockout);
+    * values are exact cents. Spark side uses the idiomatic
+    * `last(ignoreNulls)` running frame; the oracle uses the portable
+    * two-window rewrite (non-null prefix count as group, max per group) —
+    * same semantics, so parity checks the OPERATOR, not one vendor's
+    * syntax. One window shuffle.
+    */
+  def forwardFillValues(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("""CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0','1','2')
+                THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("cents"))
+      .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("cents"), col("filled_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Ordered funnel (view -> click -> purchase): per user, each step's
     * first occurrence must land strictly AFTER the previous step's — the
     * traffic-warehouse conversion query. Step frontiers are per-user min

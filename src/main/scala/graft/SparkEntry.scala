@@ -87,6 +87,8 @@ object SparkEntry {
     "q_interval_overlaps" -> (RangeJoin.intervalOverlaps(_, _)),
     "q_event_funnel" -> (Analytics.eventFunnel(_, _)),
     "q_forward_fill" -> (Analytics.forwardFillValues(_, _)),
+    "q_dense_daily_counts" -> (Analytics.denseDailyCounts(_, _)),
+    "q_revenue_share" -> (Analytics.nationRevenueShare(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
@@ -651,6 +653,33 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    "q_dense_daily_counts" ->
+      """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span),
+         types AS (SELECT DISTINCT event_type AS etype FROM events),
+         actual AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT strftime(CAST(days.day AS DATE), '%Y-%m-%d') AS day,
+                types.etype AS event_type,
+                CAST(coalesce(actual.n, 0) AS BIGINT) AS n_events
+         FROM days CROSS JOIN types
+         LEFT JOIN actual ON CAST(days.day AS DATE) = actual.day
+                         AND types.etype = actual.event_type
+         ORDER BY day, event_type""",
+
+    "q_revenue_share" ->
+      """WITH rev AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey),
+         t AS (SELECT nationkey, revenue_cents,
+               CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents FROM rev)
+         SELECT nationkey, revenue_cents,
+                CAST((20000 * revenue_cents + total_cents) // (2 * total_cents) AS BIGINT)
+                  AS share_1e4
+         FROM t ORDER BY nationkey""",
 
     // portable LOCF rewrite: group id = running count of non-nulls, fill =
     // the group's (single) non-null value — equivalent to last(...) IGNORE

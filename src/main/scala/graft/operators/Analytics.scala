@@ -283,6 +283,50 @@ object Analytics {
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
 
+  /** Dense reporting scaffold: every (day x event_type) cell over the
+    * data's full date span, with explicit zeros where nothing happened —
+    * downstream charts/exports need the absent cells, and a bare groupBy
+    * silently drops them. The scaffold is sequence+explode of the
+    * (min,max) day range crossed with the distinct types (both tiny,
+    * broadcast), left-joined to the actual counts.
+    */
+  def denseDailyCounts(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .agg(min(expr("to_date(ts)")).as("d0"), max(expr("to_date(ts)")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = Tables.events(s, dir).select(col("event_type")).distinct()
+    val actual = Tables.events(s, dir)
+      .groupBy(expr("to_date(ts)").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    days.crossJoin(types)
+      .join(actual, Seq("day", "event_type"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Percent-of-total (ratio-to-report): each nation's share of global
+    * revenue via an unpartitioned window total — exact cents in, half-up
+    * 4-decimal fixed-point share out.
+    */
+  def nationRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(expr(
+        "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("revenue_cents"))
+    rev.withColumn("total_cents",
+        sum(col("revenue_cents")).over(Window.partitionBy()))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("revenue_cents"),
+        expr("CAST((20000 * revenue_cents + total_cents) div (2 * total_cents) AS BIGINT)")
+          .as("share_1e4"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Forward fill (LOCF): per user, nulls take the last preceding
     * non-null observation — the gap-filling pass for sparse telemetry.
     * The fixture has no nulls, so a deterministic hash knockout blanks

@@ -259,6 +259,25 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("spreadForCompute widens small scans and is identity on big ones") {
+    val docs = s"$Sf/documents.parquet"
+    val cores = spark.sparkContext.defaultParallelism
+    // small input (fixture is a few hundred KB) -> repartitioned to cores
+    val spreadDf = sources.Tables.spread(spark, Sf, "documents")
+    assert(spreadDf.rdd.getNumPartitions == cores)
+    // pretend the scan already fills the cluster: unit-suffixed conf must
+    // parse as bytes ("1b" = 1 byte -> condition bytes >= cores*1 holds)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1b")
+      val noSpread = sources.Tables.spreadForCompute(
+        spark.read.parquet(docs), Seq(docs))
+      assert(noSpread.queryExecution.logical ==
+        spark.read.parquet(docs).queryExecution.logical)
+    } finally spark.conf.set(key, old)
+  }
+
   test("tokenizer maps null text to the empty token list") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("doc_id", "text")

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_forward_fill" -> (Analytics.forwardFillValues(_, _)),
     "q_dense_daily_counts" -> (Analytics.denseDailyCounts(_, _)),
     "q_revenue_share" -> (Analytics.nationRevenueShare(_, _)),
+    "q_contract_audit" -> (Quality.contractAudit(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
@@ -653,6 +654,28 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    "q_contract_audit" ->
+      """SELECT * FROM (
+           SELECT 'lineitem_orders_fk' AS check_name,
+             (SELECT count(*) FROM lineitem
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+             AS n_violations
+           UNION ALL
+           SELECT 'orders_customer_fk',
+             (SELECT count(*) FROM orders
+              WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+           UNION ALL
+           SELECT 'orders_orderkey_nulls',
+             (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+           UNION ALL
+           SELECT 'orders_pk_unique',
+             (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                    GROUP BY o_orderkey HAVING count(*) > 1))
+           UNION ALL
+           SELECT 'orders_totalprice_nonpositive',
+             (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+         ) ORDER BY check_name""",
 
     "q_dense_daily_counts" ->
       """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),

@@ -203,6 +203,28 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("quality checks report violations with evidence") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 3L), (12L, 3L)).toDF("id", "fk")
+    val orph = Quality.orphans(child, "fk", parent, "pk").collect()
+    assert(orph.map(_.getLong(0)).toSet == Set(11L, 12L))
+    val dups = Quality.duplicateKeys(child, Seq("fk")).collect()
+    assert(dups.map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(3L -> 2L))
+    val comp = Quality.completeness(
+      Seq((1L, Some("a")), (2L, None), (3L, Some("a"))).toDF("k", "v"),
+      Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(comp("k") == ((3L, 0L, 3L)))
+    assert(comp("v") == ((3L, 1L, 1L)))
+  }
+
+  test("contract audit: the fixture warehouse is healthy") {
+    val out = Quality.contractAudit(spark, Sf).collect()
+    assert(out.length == 5)
+    out.foreach(r => assert(r.getAs[Long]("n_violations") == 0L, r.getString(0)))
+  }
+
   test("funnel steps are monotonically non-increasing") {
     val out = Analytics.eventFunnel(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap

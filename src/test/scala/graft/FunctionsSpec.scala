@@ -100,4 +100,45 @@ class FunctionsSpec extends SparkTestBase {
       .selectExpr("inline(nn)").as[ScoredNeighbor].collect().toList
     assert(viaSpark == viaReduce)
   }
+
+  // LAST test in this suite on purpose: spark.sql.extensions is a static
+  // conf read at CONTEXT creation, so proving the cluster-deploy path
+  // (--conf spark.sql.extensions=graft.functions.GraftExtensions) needs a
+  // fresh SparkContext. Suites run sequentially in the forked test JVM,
+  // and the finally block restores a SparkTestBase-identical baseline
+  // session for whatever runs next.
+  test("GraftExtensions injects dot_f/minhash_sig via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    spark.stop()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val dot = s2.sql(
+        """SELECT dot_f(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+                        array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)))""")
+        .collect().head.getDouble(0)
+      assert(dot == 11.0)
+      val sig = s2.sql("SELECT minhash_sig(array('a b c'))").collect().head.getSeq[String](0)
+      assert(sig.length == graft.operators.Dedup.NumHashes)
+    } finally {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .foreach(_.stop())
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+  }
 }

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
     "q_dedup_simhash" -> (Dedup.simHash(_, _)),
     "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
+    "q_dedup_sorted_neighborhood" -> (Dedup.sortedNeighborhoodPairs(_, _)),
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
@@ -970,6 +971,25 @@ object SparkEntry {
                        AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM cand
          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_sorted_neighborhood" ->
+      s"""WITH $ShinglesCte, $simhashSimsCte,
+         b AS (SELECT doc_id, simhash, (simhash >> 24) & 255 AS block FROM sims),
+         l AS (SELECT doc_id, simhash,
+               lag(doc_id, 1) OVER w AS p1, lag(simhash, 1) OVER w AS s1,
+               lag(doc_id, 2) OVER w AS p2, lag(simhash, 2) OVER w AS s2
+               FROM b
+               WINDOW w AS (PARTITION BY block ORDER BY simhash, doc_id)),
+         pr AS (
+           SELECT least(doc_id, p1) AS doc_a, greatest(doc_id, p1) AS doc_b,
+                  bit_count(xor(simhash, s1)) AS hamming
+           FROM l WHERE p1 IS NOT NULL
+           UNION
+           SELECT least(doc_id, p2), greatest(doc_id, p2),
+                  bit_count(xor(simhash, s2))
+           FROM l WHERE p2 IS NOT NULL)
+         SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+         FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
 
     "q_ann_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -203,6 +203,17 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sorted-neighborhood pairs are a subset of the banded simhash pairs") {
+    // byte-banding guarantees ALL pairs within Hamming 3 (pigeonhole), so
+    // any SNM find at that radius must already be in the banded set
+    val snm = Dedup.sortedNeighborhoodPairs(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val banded = Dedup.simHashPairs(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(snm.subsetOf(banded))
+    assert(snm.nonEmpty)
+  }
+
   test("quality checks report violations with evidence") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")

@@ -90,6 +90,8 @@ object SparkEntry {
     "q_dense_daily_counts" -> (Analytics.denseDailyCounts(_, _)),
     "q_revenue_share" -> (Analytics.nationRevenueShare(_, _)),
     "q_contract_audit" -> (Quality.contractAudit(_, _)),
+    "q_histogram_order_price" -> (Analytics.orderPriceHistogram(_, _)),
+    "q_setops_all_nationkeys" -> (Analytics.nationKeyMultisets(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
@@ -655,6 +657,32 @@ object SparkEntry {
          concat_ws('|', c_mktsegment, c_name) AS seg_name,
          trim(split_part(c_name, '#', 2), '0') AS num_trimmed
          FROM customer ORDER BY c_custkey""",
+
+    "q_histogram_order_price" ->
+      """WITH b AS (SELECT
+           least(CAST(floor(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT),
+                 CAST(9 AS BIGINT)) AS bucket,
+           CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS cents
+           FROM orders)
+         SELECT bucket, count(*) AS n_orders,
+                CAST(min(cents) AS BIGINT) AS min_cents,
+                CAST(max(cents) AS BIGINT) AS max_cents
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q_setops_all_nationkeys" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT s_nationkey AS nationkey FROM supplier),
+         ea AS (SELECT nationkey, count(*) AS n
+                FROM (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+                GROUP BY nationkey),
+         ia AS (SELECT nationkey, count(*) AS n
+                FROM (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s)
+                GROUP BY nationkey)
+         SELECT 'except_all' AS op, CAST(nationkey AS BIGINT) AS nationkey, n FROM ea
+         UNION ALL
+         SELECT 'intersect_all', CAST(nationkey AS BIGINT), n FROM ia
+         ORDER BY op, nationkey""",
 
     "q_contract_audit" ->
       """SELECT * FROM (

@@ -283,6 +283,44 @@ object Analytics {
         countDistinct(col("dom")).as("distinct_days"))
       .orderBy(col("yr"), col("mon"))
 
+  /** Equi-width histogram of order value: 10 fixed 50k-wide buckets with
+    * an overflow top bucket — one hash aggregate (bucket id is a pure
+    * projection), counts and exact-cent bounds per bucket.
+    */
+  def orderPriceHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      // identical IEEE ops on both engines: double divide, floor, least —
+      // (`div`'s double handling differs between engines, floor does not)
+      .select(expr(
+        "least(CAST(floor(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT), CAST(9 AS BIGINT))")
+        .as("bucket"),
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("bucket"))
+
+  /** Multiset (ALL-variant) set operations: nation keys of customers
+    * minus/intersected-with suppliers WITH multiplicity — EXCEPT ALL and
+    * INTERSECT ALL keep duplicate counts, where the distinct forms
+    * (q_setops_nations) collapse them. Aggregated per key so the output
+    * is small and totally ordered.
+    */
+  def nationKeyMultisets(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    val exceptAllCounts = c.exceptAll(sup)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("nationkey").cast("long").as("nationkey"), col("n"))
+    val intersectAllCounts = c.intersectAll(sup)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("nationkey").cast("long").as("nationkey"), col("n"))
+    exceptAllCounts.unionByName(intersectAllCounts)
+      .orderBy(col("op"), col("nationkey"))
+  }
+
   /** Dense reporting scaffold: every (day x event_type) cell over the
     * data's full date span, with explicit zeros where nothing happened —
     * downstream charts/exports need the absent cells, and a bare groupBy

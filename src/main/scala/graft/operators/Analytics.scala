@@ -14,8 +14,11 @@ import graft.sources.Tables
   * run inside this engine.
   *
   * Scale notes baked into each operator:
-  *  - dimension tables (region/nation/supplier at any SF, customer at small
-  *    SF) go through `broadcast()` so fact-table scans never shuffle for them;
+  *  - truly bounded dimension tables (region/nation — fixed 5/25-row
+  *    domains at ANY scale factor) go through `broadcast()`; every side
+  *    that scales with the data (customer, supplier, part) carries NO
+  *    hint, so AQE picks broadcast-vs-shuffle from runtime stats — a
+  *    forced hint there would override the size check and OOM at 100×;
   *  - aggregations rely on partial (map-side) aggregation — no `distinct`
   *    before `groupBy`;
   *  - every output is deterministically ordered (total order incl. tiebreak)
@@ -48,7 +51,10 @@ object Analytics {
 
   /** TPC-H Q3-style shipping priority: 3-way join narrowed by pushed-down
     * filters, group + top-10. Customer side is filtered before the join so
-    * AQE can flip it to broadcast at runtime.
+    * AQE can flip it to broadcast at runtime — no forced hint, because
+    * customer scales with the data (1-in-5 of an SF-scaled table is still
+    * SF-scaled; PlanFeaturesSpec pins that AQE broadcasts it at fixture
+    * scale from runtime stats alone).
     */
   def shippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
@@ -61,7 +67,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority"))
@@ -70,8 +76,11 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5-style regional revenue: 6-way join; all dimensions broadcast,
-    * so the only shuffle is the final small groupBy.
+  /** TPC-H Q5-style regional revenue: 6-way join. Only the genuinely
+    * bounded dims (region: 5 rows, nation: 25 rows at every SF) carry a
+    * broadcast hint; customer and supplier scale with the fact data, so
+    * they are left to AQE — broadcast at small SF (runtime stats), SMJ at
+    * warehouse scale, never a driver OOM from an overridden size check.
     */
   def regionRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
@@ -85,8 +94,8 @@ object Analytics {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -192,24 +192,44 @@ object Similarity {
     * plan applies — the quantizer here is deterministic so the DuckDB
     * oracle can recompute it exactly.
     */
+  /** Nearest-centroid assignment over scored (vec_id, centroid_id, cm)
+    * rows — a map-side-combining max_by aggregate, NOT a window. The old
+    * window shuffled AND SORTED all corpus×nLists scored rows (full
+    * embedding payload included); max_by ships one partial row of three
+    * BIGINTs per (vec_id, upstream partition) and never sorts. The
+    * tie-break (cm desc, then smallest centroid_id — identical to the old
+    * window's row_number ordering) is packed into ONE BIGINT,
+    * `cm * 65536 - centroid_id`: larger cm wins, equal cm falls to the
+    * smaller id. Packed rather than a struct ordering because a struct
+    * aggregation buffer is not hash-aggregable — Spark would demote the
+    * agg to SortAggregateExec, reintroducing the very sort this removes
+    * (IvfPlanSpec pins HashAggregate + zero SortExec).
+    * cm ∈ [-1e6, 1e6] micros and centroid_id < 65536, so the packed key
+    * fits a BIGINT with no overlap between cm steps.
+    */
+  private[graft] def nearestCentroid(scoredC: DataFrame): DataFrame =
+    scoredC.groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        expr("cm * CAST(65536 AS BIGINT) - centroid_id")).as("centroid_id"))
+
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
     val centroids = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
         col("vnorm").as("cnorm"))
-    // one corpus pass: nearest centroid per vector
     val scoredC = emb.crossJoin(broadcast(centroids))
       .withColumn("cm",
         expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
-    val wAssign = Window.partitionBy(col("vec_id"))
+    val assign = nearestCentroid(scoredC)
+    // per query: the nProbe nearest lists. nQueries×nLists rows — a window
+    // over this side is bounded by the query set, not the corpus.
+    val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cm").desc, col("centroid_id"))
-    val assign = scoredC.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("centroid_id"))
-    // per query: the nProbe nearest lists
     val probes = scoredC.filter(col("vec_id") < nQueries)
-      .withColumn("rn", row_number().over(wAssign))
+      .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
@@ -226,18 +246,21 @@ object Similarity {
     */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
                     nLists: Int = 16): String = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
     val centroids = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
         col("vnorm").as("cnorm"))
+    // same sort-free max_by assignment as ivfTopK. The embedding payload
+    // is re-attached by a shuffled-hash join on vec_id AFTER the agg
+    // (carrying it through the agg buffer would force SortAggregate;
+    // joining back shuffles the corpus once with no sort — shuffle_hash
+    // hint keeps AQE from planning a sort-merge join at scale)
     val scoredC = emb.crossJoin(broadcast(centroids))
       .withColumn("cm",
         expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cm").desc, col("centroid_id"))
-    scoredC.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    emb.join(nearestCentroid(scoredC).hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
     indexDir

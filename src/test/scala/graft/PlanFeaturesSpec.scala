@@ -41,6 +41,52 @@ class PlanFeaturesSpec extends SparkTestBase {
     }
   }
 
+  test("AQE broadcasts the unhinted customer/supplier join sides at fixture scale") {
+    // The SF-scaled sides (customer, supplier) deliberately carry NO
+    // broadcast() hint — a forced hint would override AQE's size check and
+    // OOM the driver at warehouse scale. This pins the other half of that
+    // contract: at small scale AQE must still pick broadcast from runtime
+    // stats, so dropping the hints costs nothing locally.
+    import graft.operators.Analytics
+    val rr = Analytics.regionRevenue(spark, Sf)
+    assert(rr.collect().nonEmpty) // finalize THIS query execution's adaptive plan
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    val rrBhj = "BroadcastHashJoin".r.findAllIn(rrPlan).size
+    assert(rrBhj >= 5, // orders, customer, supplier, nation, region sides
+      s"expected >=5 BroadcastHashJoin (AQE-chosen) in region revenue, got $rrBhj:\n$rrPlan")
+    assert(!rrPlan.contains("SortMergeJoin"),
+      s"no join should fall back to SMJ at fixture scale:\n$rrPlan")
+
+    val sp = Analytics.shippingPriority(spark, Sf)
+    assert(sp.collect().nonEmpty)
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(spPlan).size >= 2,
+      s"expected AQE broadcast joins in shipping priority:\n$spPlan")
+  }
+
+  test("IVF nearest-centroid assignment hash-aggregates with no sort anywhere") {
+    // the one full-corpus step of the IVF path: must be a map-side
+    // combining HashAggregate (packed-BIGINT max_by ordering), never a
+    // window or SortAggregate — at corpus scale a sort of corpus×nLists
+    // scored rows is the difference between one pass and a spill storm
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        col("vnorm").as("cnorm"))
+    val scored = emb.crossJoin(broadcast(centroids)).withColumn("cm",
+      expr(Similarity.scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+    val assign = Similarity.nearestCentroid(scored)
+    assert(assign.count() > 0)
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      s"assignment must stay hash-aggregable (primitive buffer):\n$plan")
+    assert(!plan.contains("Sort"),
+      s"no sort of the scored corpus is acceptable:\n$plan")
+  }
+
   test("dynamic partition pruning fires on the dt-partitioned warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val orders = spark.read.parquet(s"$Sf/orders.parquet")

@@ -1002,20 +1002,35 @@ object SparkEntry {
 
     "q_dedup_sorted_neighborhood" ->
       s"""WITH $ShinglesCte, $simhashSimsCte,
-         b AS (SELECT doc_id, simhash, (simhash >> 24) & 255 AS block FROM sims),
-         l AS (SELECT doc_id, simhash,
+         b AS (SELECT doc_id, simhash,
+               (simhash >> 16) & 65535 AS block0,
+               ((simhash + 32768) >> 16) & 65535 AS block1 FROM sims),
+         l0 AS (SELECT doc_id, simhash,
                lag(doc_id, 1) OVER w AS p1, lag(simhash, 1) OVER w AS s1,
                lag(doc_id, 2) OVER w AS p2, lag(simhash, 2) OVER w AS s2
                FROM b
-               WINDOW w AS (PARTITION BY block ORDER BY simhash, doc_id)),
+               WINDOW w AS (PARTITION BY block0 ORDER BY simhash, doc_id)),
+         l1 AS (SELECT doc_id, simhash,
+               lag(doc_id, 1) OVER w AS p1, lag(simhash, 1) OVER w AS s1,
+               lag(doc_id, 2) OVER w AS p2, lag(simhash, 2) OVER w AS s2
+               FROM b
+               WINDOW w AS (PARTITION BY block1 ORDER BY simhash, doc_id)),
          pr AS (
            SELECT least(doc_id, p1) AS doc_a, greatest(doc_id, p1) AS doc_b,
                   bit_count(xor(simhash, s1)) AS hamming
-           FROM l WHERE p1 IS NOT NULL
+           FROM l0 WHERE p1 IS NOT NULL
            UNION
            SELECT least(doc_id, p2), greatest(doc_id, p2),
                   bit_count(xor(simhash, s2))
-           FROM l WHERE p2 IS NOT NULL)
+           FROM l0 WHERE p2 IS NOT NULL
+           UNION
+           SELECT least(doc_id, p1), greatest(doc_id, p1),
+                  bit_count(xor(simhash, s1))
+           FROM l1 WHERE p1 IS NOT NULL
+           UNION
+           SELECT least(doc_id, p2), greatest(doc_id, p2),
+                  bit_count(xor(simhash, s2))
+           FROM l1 WHERE p2 IS NOT NULL)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
 

@@ -171,33 +171,44 @@ object Dedup {
   }
 
   /** 5th candidate-generation family: SORTED NEIGHBORHOOD (SNM). Docs
-    * sort by simhash within coarse blocks (high byte); each doc compares
-    * only to its `windowSize` predecessors in sort order via lag() —
-    * candidate volume is O(n x window), with one shuffle+sort, no
-    * self-join at all. Near-identical simhashes are numerically adjacent,
-    * so the sorted window finds them; pairs straddling a block boundary
-    * are the recall trade-off (shrink blocks or double-pass with a
-    * shifted key to close it). Complements banding: cheaper plan shape,
-    * windowed instead of exhaustive-within-bucket.
+    * sort by simhash within blocks keyed on the HIGH 16 BITS (65,536
+    * blocks — the parallelism ceiling scales past any executor count a
+    * 100 TB corpus would use, unlike a high-byte key's 256); each doc
+    * compares only to its `windowSize` predecessors in sort order via
+    * lag() — candidate volume is O(n x window), with one shuffle+sort per
+    * pass, no self-join at all. Near-identical simhashes are numerically
+    * adjacent, so the sorted window finds them; pairs straddling a block
+    * boundary are closed by a SECOND pass whose block key is shifted by
+    * half a block (simhash + 2^15), so any two simhashes within 2^15 of
+    * each other share a block in at least one pass. Complements banding:
+    * cheaper plan shape, windowed instead of exhaustive-within-bucket.
     */
   def sortedNeighborhoodPairs(s: SparkSession, dir: String,
                               windowSize: Int = 2, maxHamming: Int = 3): DataFrame = {
     val sims = simHash(s, dir).select(col("doc_id"), col("simhash"))
-      .withColumn("block", expr("(simhash >> 24) & 255"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("block")).orderBy(col("simhash"), col("doc_id"))
-    val lagged = (1 to windowSize).foldLeft(sims) { (df, i) =>
-      df.withColumn(s"prev_id_$i", lag(col("doc_id"), i).over(w))
-        .withColumn(s"prev_sim_$i", lag(col("simhash"), i).over(w))
+    def passPairs(shift: Long): DataFrame = {
+      // shifting before the block cut moves the boundaries by half a
+      // block; within-block sort order is unchanged (x -> x + c is
+      // monotonic), so the two passes differ ONLY in which adjacencies
+      // straddle a boundary
+      val blocked = sims.withColumn("block",
+        expr(s"((simhash + $shift) >> 16) & 65535"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block")).orderBy(col("simhash"), col("doc_id"))
+      val lagged = (1 to windowSize).foldLeft(blocked) { (df, i) =>
+        df.withColumn(s"prev_id_$i", lag(col("doc_id"), i).over(w))
+          .withColumn(s"prev_sim_$i", lag(col("simhash"), i).over(w))
+      }
+      (1 to windowSize).map { i =>
+        lagged.filter(col(s"prev_id_$i").isNotNull)
+          .select(
+            least(col("doc_id"), col(s"prev_id_$i")).as("doc_a"),
+            greatest(col("doc_id"), col(s"prev_id_$i")).as("doc_b"),
+            expr(s"bit_count(simhash ^ prev_sim_$i)").as("hamming"))
+      }.reduce(_ unionByName _)
     }
-    val pairs = (1 to windowSize).map { i =>
-      lagged.filter(col(s"prev_id_$i").isNotNull)
-        .select(
-          least(col("doc_id"), col(s"prev_id_$i")).as("doc_a"),
-          greatest(col("doc_id"), col(s"prev_id_$i")).as("doc_b"),
-          expr(s"bit_count(simhash ^ prev_sim_$i)").as("hamming"))
-    }.reduce(_ unionByName _)
-    pairs.filter(col("hamming") <= maxHamming)
+    passPairs(0L).unionByName(passPairs(1L << 15))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -214,6 +214,21 @@ class OperatorSpec extends SparkTestBase {
     assert(snm.nonEmpty)
   }
 
+  test("sorted-neighborhood block key spans far more than 256 blocks") {
+    // the parallelism ceiling the 16-bit key buys: the block domain is
+    // 65,536 — fixture simhashes must actually land beyond the 256 a
+    // high-byte key could ever produce
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, max}
+    val blocks = Dedup.simHash(spark, Sf)
+      .select(expr("(simhash >> 16) & 65535").as("block"))
+      .agg(max(col("block")).as("max_block"),
+        countDistinct(col("block")).as("n_blocks"))
+      .collect()(0)
+    assert(blocks.getAs[Long]("max_block") > 255L,
+      "16-bit block key should exceed the old 256-block ceiling")
+    assert(blocks.getAs[Long]("n_blocks") > 64L)
+  }
+
   test("quality checks report violations with evidence") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")

@@ -1126,14 +1126,21 @@ object SparkEntry {
                 $micro4Sql AS nn_score, m >= 950000 AS is_near_dup
          FROM ranked WHERE rk = 1 ORDER BY vec_id""",
 
+    // The Spark side generates a real constant-fill PNG per document
+    // (dims/level picked by md5(text) hex chars) and DECODES it with
+    // javax.imageio; the oracle predicts the decoded features from the
+    // same generation formula — agreement proves the encode/decode
+    // round-trip is faithful, not just that two formulas match.
     "q_multimodal_features" ->
-      """SELECT doc_id AS asset_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
-         md5(text) AS content_hash,
-         32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8 AS fake_width,
-         32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8 AS fake_height,
-         CAST(ascii(substr(md5(text), 3, 1)) % 64 AS DOUBLE) / CAST(64 AS DOUBLE) AS fake_channel_mean
-         FROM documents ORDER BY asset_id""",
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+         SELECT doc_id AS asset_id,
+         CAST(32 + (ascii(substr(hx, 1, 1)) % 16) * 8 AS INTEGER) AS width,
+         CAST(32 + (ascii(substr(hx, 2, 1)) % 16) * 8 AS INTEGER) AS height,
+         CAST(CAST(32 + (ascii(substr(hx, 1, 1)) % 16) * 8 AS BIGINT)
+              * (32 + (ascii(substr(hx, 2, 1)) % 16) * 8)
+              * 3 * ((ascii(substr(hx, 3, 1)) % 64) * 4) AS BIGINT) AS channel_sum,
+         CAST((ascii(substr(hx, 3, 1)) % 64) * 4 AS BIGINT) AS gray_level
+         FROM m ORDER BY asset_id""",
 
     "q_text_clean" ->
       """WITH c AS (SELECT doc_id, text,

@@ -8,64 +8,104 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extraction as distributed batch operators.
   *
-  * No image/audio codecs exist in this environment, so the actual decode
-  * is STUBBED (deterministic fake derived from the payload hash, clearly
-  * marked below). Everything Spark-side is real and tested: the schema
-  * (binary payload + metadata struct), the partition-batched decode shape
-  * (mapPartitions — one codec init per partition, streaming through rows),
-  * and the column-level feature queries.
+  * The payloads are REAL PNG images, generated deterministically per
+  * document (dimensions and fill level derived from the md5 of the text,
+  * so an external oracle can predict the decoded features without a PNG
+  * decoder of its own), and the decode path runs a genuine
+  * `javax.imageio` parse — actual IDAT inflate, actual pixel traversal —
+  * in the partition-batched shape a production codec integration uses:
+  * one codec/digest instance per partition, streaming through rows,
+  * never a per-row init, never a collect.
   */
 object Multimodal {
 
-  /** Decoded-asset feature record (what a real image decode would emit). */
+  /** Decoded-asset feature record (emitted by the real image decode).
+    * `byte_size` is the encoded PNG's size — real but codec-dependent, so
+    * oracle queries exclude it; `channel_sum` is the sum of every RGB
+    * component of every decoded pixel and `gray_level` the exact per-
+    * channel mean (the generator fills with a constant, so the integer
+    * division is exact).
+    */
   final case class AssetFeatures(
       asset_id: Long,
       byte_size: Long,
       width: Int,
       height: Int,
-      channel_mean: Double)
+      channel_sum: Long,
+      gray_level: Long)
 
-  /** Build a multimodal asset table from `documents`: payload = utf-8
-    * bytes of the text (stand-in for image/audio bytes), metadata struct
-    * alongside. At scale this is exactly the layout for parquet-with-blobs:
-    * payload column stays unread unless selected (column pruning).
+  /** Internal generator record (public: Catalyst's generated serializer
+    * code must be able to reach the accessors — a `private` nested case
+    * class compiles, but janino then rejects the accessor calls and every
+    * batch falls back to the interpreted projection).
     */
-  def assets(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, dir, "documents").select(
-      col("doc_id").as("asset_id"),
-      // null body -> empty payload (same null discipline as TokensExpr):
-      // downstream decode must never NPE on a null blob
-      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
-      struct(
-        col("source"),
-        col("lang"),
-        col("n_chars").as("orig_chars"),
-        lit("text/plain").as("mime")).as("meta"))
+  final case class AssetRow(
+      asset_id: Long,
+      payload: Array[Byte],
+      source: String,
+      lang: String,
+      orig_chars: Long,
+      mime: String)
 
-  /** Feature extraction as pure columns (parity-safe with a DuckDB twin):
-    * byte size, a content hash, and deterministic fake decode dims derived
-    * from the hash — the shape a real decoder would produce.
+  /** The deterministic generation formula, shared by the PNG generator,
+    * the predicted-features twin, and the DuckDB oracle: three leading
+    * hex chars of md5(text) pick width, height, and the constant gray
+    * fill. Null text behaves as ''.
     */
-  def assetFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, dir, "documents").select(
-      col("doc_id").as("asset_id"),
-      expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").as("byte_size"),
-      expr("md5(text)").as("content_hash"),
-      // ---- STUB: stands in for decoded image dims / channel stats ----
-      expr("32 + (ascii(substr(md5(text), 1, 1)) % 16) * 8").as("fake_width"),
-      expr("32 + (ascii(substr(md5(text), 2, 1)) % 16) * 8").as("fake_height"),
-      // k/64 is an exact dyadic double (k < 64, /64 = exponent shift):
-      // bit-identical on every engine, so no round() needed — round()'s
-      // tie-breaking on the exact .xxxx5 values k≡2 (mod 4) produces is
-      // engine-version-dependent
-      expr("CAST(ascii(substr(md5(text), 3, 1)) % 64 AS DOUBLE) / CAST(64 AS DOUBLE)")
-        .as("fake_channel_mean"))
-      .orderBy(col("asset_id"))
+  private def dims(md5Hex: String): (Int, Int, Int) = {
+    val w = 32 + (md5Hex.charAt(0).toInt % 16) * 8
+    val h = 32 + (md5Hex.charAt(1).toInt % 16) * 8
+    val v = (md5Hex.charAt(2).toInt % 64) * 4
+    (w, h, v)
+  }
 
-  /** Partition-batched decode: the real-codec pattern. One decoder init
-    * per partition (the expensive part with real libs), then a streaming
-    * pass over the partition's rows — never a per-row init, never a
-    * collect. Swap `decodeStub` for a JNI/ImageIO call to go live.
+  /** Build a multimodal asset table from `documents`: payload = a real
+    * PNG (constant-fill RGB, content-addressed dimensions), metadata
+    * struct alongside. At scale this is exactly the layout for
+    * parquet-with-blobs: the payload column stays unread unless selected
+    * (column pruning), and generation is one codec init per partition.
+    */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"),
+        // null body -> empty text (same null discipline as TokensExpr):
+        // downstream must never NPE on a null document
+        coalesce(col("text"), lit("")).as("text"),
+        col("source"), col("lang"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .as[(Long, String, String, String, Long)]
+      .mapPartitions { rows =>
+        // encoder state initialized HERE, once per partition
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text, src, lang, nChars) =>
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"${b & 0xFF}%02x").mkString
+          val (w, h, v) = dims(hex)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream(1024)
+          javax.imageio.ImageIO.write(img, "png", out)
+          AssetRow(id, out.toByteArray, src, lang, nChars, "image/png")
+        }
+      }
+      .toDF()
+      .select(col("asset_id"), col("payload"),
+        struct(col("source"), col("lang"),
+          col("orig_chars"), col("mime")).as("meta"))
+  }
+
+  /** Partition-batched REAL decode: `ImageIO.read` parses the PNG bytes
+    * (header, zlib-inflated scanlines, the lot) and the feature pass sums
+    * actual decoded pixel components. One reader init per partition,
+    * streaming rows — the production-codec call shape.
     */
   def decodeAssets(s: SparkSession, dir: String): Dataset[AssetFeatures] = {
     import s.implicits._
@@ -73,11 +113,59 @@ object Multimodal {
       .select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real codec would be initialized HERE, once per partition
-        val codec = new StubCodec
-        rows.map { case (id, payload) => codec.decode(id, payload) }
+        rows.map { case (id, payload) => decodeOne(id, payload) }
       }
   }
+
+  private def decodeOne(id: Long, payload: Array[Byte]): AssetFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"asset $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    AssetFeatures(id, payload.length.toLong, w, h, sum, sum / (3L * w * h))
+  }
+
+  /** Decoded features as a DataFrame query surface (q_multimodal_features):
+    * everything here comes out of the real PNG decode; only the
+    * oracle-predictable columns are selected (the encoded byte size is
+    * codec-dependent, so it stays out of the comparison surface).
+    */
+  def assetFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeAssets(s, dir).toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        col("channel_sum"), col("gray_level"))
+      .orderBy(col("asset_id"))
+
+  /** The generation-formula twin of `assetFeatures`, computed as pure
+    * columns with NO image round-trip — what the DuckDB oracle evaluates.
+    * MultimodalSpec pins decode == prediction row for row, which is the
+    * end-to-end proof that the PNGs encode and decode faithfully.
+    */
+  def predictedFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .withColumn("hx", expr("md5(coalesce(text, ''))"))
+      .select(
+        col("doc_id").as("asset_id"),
+        expr("CAST(32 + (ascii(substr(hx, 1, 1)) % 16) * 8 AS INT)").as("width"),
+        expr("CAST(32 + (ascii(substr(hx, 2, 1)) % 16) * 8 AS INT)").as("height"),
+        expr("""CAST(CAST(32 + (ascii(substr(hx, 1, 1)) % 16) * 8 AS BIGINT)
+                * CAST(32 + (ascii(substr(hx, 2, 1)) % 16) * 8 AS BIGINT)
+                * 3 * ((ascii(substr(hx, 3, 1)) % 64) * 4) AS BIGINT)""")
+          .as("channel_sum"),
+        expr("CAST((ascii(substr(hx, 3, 1)) % 64) * 4 AS BIGINT)").as("gray_level"))
+      .orderBy(col("asset_id"))
 
   /** One sampled "frame" of a (video-like) asset. */
   final case class FrameFeature(
@@ -86,12 +174,12 @@ object Multimodal {
       byte_offset: Long,
       frame_hash: String)
 
-  /** Frame sampling: K evenly spaced frames per asset — the video
-    * equivalent of the decode path. Same partition-batched shape as
-    * decodeAssets (one codec init per partition, streaming rows, never a
-    * per-row init or a collect); the STUB "frame" is a byte window at the
-    * sampled offset where a real codec would seek and decode. Output is
-    * rows-per-frame, ready for per-frame feature extraction or dedup.
+  /** Frame sampling: K evenly spaced byte windows per asset — the seek
+    * pattern of video frame extraction, over the real PNG payloads. Same
+    * partition-batched shape as decodeAssets (one digest init per
+    * partition, streaming rows); a video codec integration would replace
+    * the windowed digest with a seek+decode at the sampled timestamp.
+    * Output is rows-per-frame, ready for per-frame features or dedup.
     */
   def sampleFrames(s: SparkSession, dir: String, k: Int = 4): Dataset[FrameFeature] = {
     import s.implicits._
@@ -100,35 +188,16 @@ object Multimodal {
       .select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = new StubCodec // real video codec init happens HERE
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, payload) =>
           (0 until k).iterator.map { i =>
             val offset = (payload.length.toLong * i) / k
             val end = math.min(payload.length.toLong, offset + 256).toInt
             val window = java.util.Arrays.copyOfRange(payload, offset.toInt, end)
-            FrameFeature(id, i, offset, codec.digestHex(window))
+            val hex = md.digest(window).map(b => f"${b & 0xFF}%02x").mkString
+            FrameFeature(id, i, offset, hex)
           }
         }
       }
-  }
-
-  /** STUB decoder — deterministic fake features from the payload digest.
-    * A real implementation would replace `decode` with an actual
-    * image/audio parse; the call shape and output schema stay identical.
-    */
-  private final class StubCodec {
-    private val md = java.security.MessageDigest.getInstance("MD5")
-    def digestHex(bytes: Array[Byte]): String =
-      md.digest(bytes).map(b => f"${b & 0xFF}%02x").mkString
-    def decode(id: Long, payload: Array[Byte]): AssetFeatures = {
-      val digest = md.digest(payload)
-      def ub(i: Int): Int = digest(i) & 0xFF
-      AssetFeatures(
-        asset_id = id,
-        byte_size = payload.length.toLong,
-        width = 32 + (ub(0) % 16) * 8,
-        height = 32 + (ub(1) % 16) * 8,
-        channel_mean = (ub(2) % 64) / 64.0)
-    }
   }
 }

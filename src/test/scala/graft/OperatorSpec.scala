@@ -495,15 +495,33 @@ class OperatorSpec extends SparkTestBase {
     assert(ivfRecall >= 0.5)
   }
 
-  test("multimodal decode: mapPartitions path matches column path") {
-    val viaColumns = Multimodal.assetFeatures(spark, Sf)
-      .select("asset_id", "byte_size").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val viaDecode = Multimodal.decodeAssets(spark, Sf).collect()
-    assert(viaDecode.length == viaColumns.size)
-    viaDecode.foreach { f =>
-      assert(viaColumns(f.asset_id) == f.byte_size)
-      assert(f.width >= 32 && f.width <= 152 && f.height >= 32)
+  test("multimodal: real PNG decode matches the generation-formula prediction") {
+    // end-to-end proof the payloads are faithful images: generator writes
+    // a real PNG, ImageIO decodes it, and every decoded feature equals
+    // what the md5-derived formula (and thus the DuckDB oracle) predicts
+    val predicted = Multimodal.predictedFeatures(spark, Sf).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Long]("channel_sum"), r.getAs[Long]("gray_level")))).toMap
+    val decoded = Multimodal.decodeAssets(spark, Sf).collect()
+    assert(decoded.length == predicted.size)
+    decoded.foreach { f =>
+      assert(predicted(f.asset_id) ==
+        ((f.width, f.height, f.channel_sum, f.gray_level)),
+        s"decoded features diverge from generation formula for asset ${f.asset_id}")
+      assert(f.byte_size > 0)
+      assert(f.width >= 32 && f.width <= 152 && f.height >= 32 && f.height <= 152)
+    }
+  }
+
+  test("multimodal payloads are genuine PNG files") {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val payloads = Multimodal.assets(spark, Sf)
+      .select("payload").limit(20).collect()
+      .map(_.getAs[Array[Byte]]("payload"))
+    assert(payloads.nonEmpty)
+    payloads.foreach { p =>
+      assert(p.take(8).sameElements(sig), "payload must start with the PNG signature")
     }
   }
 

@@ -72,5 +72,54 @@ object EtlConfig {
     )
   }
 
-  def fromEnv(): EtlConfig = fromMap(sys.env)
+  /** Reference parity with `load_config()` (config.py:34-38): dotenv is
+    * loaded first — from `envPath` if given, else a `.env` in the working
+    * directory if one exists — and then process env vars take precedence
+    * (python-dotenv's no-override default: an already-set env var is never
+    * replaced by a file value).
+    */
+  def fromEnv(envPath: Option[String] = None): EtlConfig = {
+    val path = envPath.orElse(
+      Some(".env").filter(p => java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(p))))
+    path match {
+      case Some(p) => fromEnvFile(p)
+      case None    => fromMap(sys.env)
+    }
+  }
+
+  /** Load from a dotenv/properties file merged UNDER the given env map
+    * (env wins — see fromEnv). Accepts `KEY=VALUE` lines, blank lines,
+    * `#` comments, an optional `export ` prefix, and single or double
+    * quotes around the value.
+    */
+  def fromEnvFile(path: String, env: Map[String, String] = sys.env): EtlConfig =
+    fromMap(parseEnvFile(path) ++ env)
+
+  private[config] def parseEnvFile(path: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(p))
+      throw ConfigError(s"Env file not found: $path")
+    val lines = java.nio.file.Files.readAllLines(p)
+    import scala.jdk.CollectionConverters._
+    lines.asScala.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { line =>
+        val body = if (line.startsWith("export ")) line.stripPrefix("export ").trim else line
+        body.indexOf('=') match {
+          case -1 => None // not KEY=VALUE; dotenv ignores such lines
+          case i =>
+            val key = body.substring(0, i).trim
+            val raw = body.substring(i + 1).trim
+            val value =
+              if (raw.length >= 2 &&
+                ((raw.head == '"' && raw.last == '"') ||
+                  (raw.head == '\'' && raw.last == '\'')))
+                raw.substring(1, raw.length - 1)
+              else raw
+            if (key.isEmpty) None else Some(key -> value)
+        }
+      }
+      .toMap
+  }
 }

@@ -101,7 +101,13 @@ final class EtlPipeline(spark: SparkSession, config: EtlConfig) {
     } catch {
       case e: PipelineError => throw e
       case e: Exception =>
-        throw ExtractError(s"Failed to extract from $uri: ${e.getMessage}", e)
+        // actionable remediation, reference extract.py:26-29: a storage
+        // access failure most often means missing credentials for the
+        // bucket's filesystem
+        throw ExtractError(
+          s"Failed to extract from $uri: ${e.getMessage}\n" +
+            "If the source filesystem needs credentials, authenticate first " +
+            "(for gs:// buckets: run 'gcloud auth application-default login').", e)
     }
   }
 }

@@ -118,7 +118,12 @@ object Sinks {
       obs.get("rows_loaded").asInstanceOf[Long]
     } catch {
       case e: Exception =>
-        throw LoadError(s"Warehouse load to $path failed: ${e.getMessage}", e)
+        // actionable remediation, reference load.py:98-101: the commonest
+        // load failure is a destination that was never created
+        throw LoadError(
+          s"Warehouse load to $path failed: ${e.getMessage}\n" +
+            "If the destination dataset does not exist, create it first " +
+            "(BigQuery: 'bq mk --dataset <project>:<dataset>').", e)
     }
   }
 

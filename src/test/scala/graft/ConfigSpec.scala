@@ -28,6 +28,40 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BQ_TABLE"))
   }
 
+  test(".env file loads, with process env taking precedence (config.py:34-38)") {
+    val f = java.nio.file.Files.createTempFile("graft_env", ".env")
+    java.nio.file.Files.writeString(f,
+      """# pipeline config
+        |PROJECT_ID=file-project
+        |export GCS_BUCKET="file:///tmp/envbucket"
+        |BQ_DATASET='envds'
+        |BQ_TABLE=envtable
+        |BQ_WRITE_DISPOSITION=truncate
+        |
+        |not a key value line
+        |""".stripMargin)
+    // no overriding env: every value comes from the file, with comments,
+    // export prefix, and both quote styles handled
+    val fromFile = EtlConfig.fromEnvFile(f.toString, env = Map.empty)
+    assert(fromFile.projectId == "file-project")
+    assert(fromFile.bucketUri == "file:///tmp/envbucket")
+    assert(fromFile.dataset == "envds")
+    assert(fromFile.table == "envtable")
+    assert(fromFile.writeDisposition == WriteDisposition.Truncate)
+    // dotenv no-override semantics: an already-set env var beats the file
+    val merged = EtlConfig.fromEnvFile(f.toString,
+      env = Map("PROJECT_ID" -> "env-project"))
+    assert(merged.projectId == "env-project")
+    assert(merged.dataset == "envds") // gaps still filled from the file
+    java.nio.file.Files.delete(f)
+  }
+
+  test("missing env file is a ConfigError") {
+    val e = intercept[ConfigError](
+      EtlConfig.fromEnvFile("/nonexistent/graft.env", env = Map.empty))
+    assert(e.getMessage.contains("/nonexistent/graft.env"))
+  }
+
   test("disposition enum validated (reference config.py:47-54)") {
     assert(EtlConfig.fromMap(full + ("BQ_WRITE_DISPOSITION" -> "truncate"))
       .writeDisposition == WriteDisposition.Truncate)

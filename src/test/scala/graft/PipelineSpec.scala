@@ -90,4 +90,26 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(e.getMessage.toLowerCase.contains("traffic"))
   }
+
+  test("extract failure carries the auth remediation hint (extract.py:26-29)") {
+    val bucket = freshBucket()
+    // no raw_data file at all -> the read itself fails
+    val e = intercept[ExtractError] {
+      new EtlPipeline(spark, csvConfig(bucket, WriteDisposition.Append)).run()
+    }
+    assert(e.getMessage.contains("gcloud auth application-default login"))
+  }
+
+  test("load failure carries the dataset-creation hint (load.py:98-101)") {
+    import org.apache.spark.sql.functions.lit
+    val bucket = freshBucket()
+    // destination parent is a FILE -> parquet write cannot create the dir
+    Files.write(Paths.get(s"$bucket/not_a_dir"), "x".getBytes)
+    val df = spark.range(3).withColumn("v", lit(1))
+    val e = intercept[LoadError] {
+      graft.sinks.Sinks.loadWarehouse(spark, df,
+        s"$bucket/not_a_dir/table", WriteDisposition.Append)
+    }
+    assert(e.getMessage.contains("bq mk --dataset"))
+  }
 }

@@ -122,25 +122,35 @@ object Dedup {
     * bucket join is the only shuffle that touches every document; the
     * verify join re-fetches shingle sets for candidates alone.
     */
-  def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
-    // native single-pass signature (graft.functions.MinHashSignature) —
-    // definitionally identical to signatureExprsShared, one array traversal
+  /** Band rows (doc_id, band_idx, band_val) computed inline: native
+    * single-pass signature (graft.functions.MinHashSignature —
+    * definitionally identical to signatureExprsShared, one array
+    * traversal), band digests, then an unpivot.
+    */
+  private def bandRowsInline(docs: DataFrame): DataFrame = {
     val sigs = docs.withColumn("sigarr", expr("minhash_sig(sh)"))
       .selectExpr(Seq("doc_id") ++
         (0 until NumHashes).map(j => s"sigarr[$j] AS sig_$j"): _*)
     val banded = sigs.selectExpr(Seq("doc_id") ++ bandExprs: _*)
-    // unpivot bands to (doc_id, band_idx, band_val)
     val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")
-    val bandRows = banded.selectExpr("doc_id",
+    banded.selectExpr("doc_id",
       s"stack($Bands, $stackExpr) AS (band_idx, band_val)")
-    val candidates = bandRows.as("a").join(bandRows.as("b"),
+  }
+
+  /** Candidate pairs from band rows: same-band equi-join, each pair once. */
+  private def candidatePairs(bandRows: DataFrame): DataFrame =
+    bandRows.as("a").join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs (candidates only —
+    * never the full corpus) against the shingle sets.
+    */
+  private def verifyPairs(docs: DataFrame, candidates: DataFrame,
+                          threshold: Double): DataFrame = {
     val verify = candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -150,6 +160,42 @@ object Dedup {
     verify.filter(col("jaccard_1e4") >= math.round(threshold * 10000))
       .select(col("doc_a"), col("doc_b"), col("jaccard_1e4"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    verifyPairs(docs, candidatePairs(bandRowsInline(docs)), threshold)
+  }
+
+  /** Materialized LSH band index — the pay-at-load path, symmetric with
+    * Similarity.buildIvfIndex: shingling, signatures, and band digests run
+    * ONCE over the corpus and land as parquet partitioned by band_idx
+    * (band_val has unbounded cardinality, so it rides as a data column —
+    * sorted within each band partition so the candidate join's scan is
+    * clustered — not as a partition dir). Repeated dedup runs, incremental
+    * corpus additions, and band-targeted lookups all skip the signature
+    * recompute. Returns the index directory.
+    */
+  def buildLshBandIndex(s: SparkSession, dir: String, indexDir: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    bandRowsInline(docs)
+      .sortWithinPartitions(col("band_val"))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(indexDir)
+    indexDir
+  }
+
+  /** MinHash-LSH near-dup pairs from a prebuilt band index: candidates
+    * come from the parquet band rows (no shingling or signature work for
+    * the candidate stage); only the verify step computes shingles, and
+    * only for docs that appear in some candidate pair. Same output
+    * contract as the inline minHashLsh (OperatorSpec pins equality).
+    */
+  def minHashLshFromIndex(s: SparkSession, dir: String, indexDir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    verifyPairs(docs, candidatePairs(s.read.parquet(indexDir)), threshold)
   }
 
   /** The user-facing dedup application: the corpus with near-duplicates

@@ -145,6 +145,20 @@ class OperatorSpec extends SparkTestBase {
     assert(fromIndex == inline)
   }
 
+  test("materialized LSH band index answers identically to the inline path") {
+    val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.buildLshBandIndex(spark, Sf, idx)
+    // band_idx partition dirs on disk = the candidate join never touches
+    // shingles or signatures again
+    val parts = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("band_idx=")).map(_.getName)
+    assert(parts.length == Dedup.Bands)
+    val fromIndex = Dedup.minHashLshFromIndex(spark, Sf, idx).collect().toSeq
+    val inline = Dedup.minHashLsh(spark, Sf).collect().toSeq
+    assert(fromIndex == inline)
+    assert(inline.nonEmpty)
+  }
+
   test("chunk dedup finds only cross-doc shared chunks, keeper is min doc") {
     val out = TextAnalysis.chunkDedup(spark, Sf).collect()
     out.foreach { r =>

@@ -119,6 +119,17 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simHash(_, _)),
     "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
     "q_dedup_sorted_neighborhood" -> (Dedup.sortedNeighborhoodPairs(_, _)),
+    "q_dedup_incremental" -> ((s, d) => {
+      // the scenario IS "corpus already indexed, delta arrives": the
+      // wrapper stages the band index for the older 80% of doc_ids, then
+      // runs only the delta against it
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val idx = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+      Dedup.buildLshBandIndex(s, d, idx, maxDocIdExclusive = split)
+      Dedup.minHashLshIncremental(s, d, idx, split)
+    }),
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
@@ -975,6 +986,16 @@ object SparkEntry {
       s"""WITH $minhashVerifyCtes
          SELECT doc_a, doc_b, jaccard_1e4 FROM verify
          WHERE jaccard_1e4 >= 5000 ORDER BY doc_a, doc_b""",
+
+    // Full-corpus pairs restricted to those whose greater member is in the
+    // delta (doc_id >= 80% of max): band rows agree between the index and
+    // an inline recompute, so incremental == full ∩ (doc_b in delta).
+    "q_dedup_incremental" ->
+      s"""WITH $minhashVerifyCtes,
+         mx AS (SELECT max(doc_id) * 4 // 5 AS split FROM documents)
+         SELECT doc_a, doc_b, jaccard_1e4 FROM verify, mx
+         WHERE jaccard_1e4 >= 5000 AND doc_b >= split
+         ORDER BY doc_a, doc_b""",
 
     "q_dedup_apply" ->
       s"""WITH $minhashVerifyCtes,

@@ -139,12 +139,7 @@ object Dedup {
 
   /** Candidate pairs from band rows: same-band equi-join, each pair once. */
   private def candidatePairs(bandRows: DataFrame): DataFrame =
-    bandRows.as("a").join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    bandRowsSelfPairs(bandRows).distinct()
 
   /** Exact-Jaccard verification of candidate pairs (candidates only —
     * never the full corpus) against the shingle sets.
@@ -177,9 +172,11 @@ object Dedup {
     * corpus additions, and band-targeted lookups all skip the signature
     * recompute. Returns the index directory.
     */
-  def buildLshBandIndex(s: SparkSession, dir: String, indexDir: String): String = {
+  def buildLshBandIndex(s: SparkSession, dir: String, indexDir: String,
+                        maxDocIdExclusive: Long = Long.MaxValue): String = {
     graft.functions.GraftFunctions.register(s)
     val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+      .filter(col("doc_id") < maxDocIdExclusive)
     bandRowsInline(docs)
       .sortWithinPartitions(col("band_val"))
       .write.mode("overwrite").partitionBy("band_idx").parquet(indexDir)
@@ -197,6 +194,40 @@ object Dedup {
     val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
     verifyPairs(docs, candidatePairs(s.read.parquet(indexDir)), threshold)
   }
+
+  /** INCREMENTAL MinHash-LSH — the steady-state dedup shape for a growing
+    * corpus: a delta batch (doc_id >= minDeltaId) is checked against an
+    * already-indexed corpus (buildLshBandIndex over doc_id < minDeltaId)
+    * without ever recomparing the corpus to itself. Signature work is
+    * O(delta); the corpus contributes one equi-join against the band
+    * index. Pairs wholly inside the old corpus were reported when THEIR
+    * batch arrived, so the output is exactly the full minHashLsh result
+    * restricted to pairs whose greater member is in the delta
+    * (OperatorSpec pins that equality; doc_a < doc_b ordering means any
+    * pair involving the delta has its greater side there).
+    */
+  def minHashLshIncremental(s: SparkSession, dir: String, indexDir: String,
+                            minDeltaId: Long, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+    val deltaBands = bandRowsInline(docs.filter(col("doc_id") >= minDeltaId))
+    val corpusBands = s.read.parquet(indexDir)
+    val cross = corpusBands.as("a").join(deltaBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val intra = bandRowsSelfPairs(deltaBands)
+    verifyPairs(docs, cross.unionByName(intra).distinct(), threshold)
+  }
+
+  /** Same-band self-join, each unordered pair once (not yet distinct). */
+  private def bandRowsSelfPairs(bandRows: DataFrame): DataFrame =
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
 
   /** The user-facing dedup application: the corpus with near-duplicates
     * REMOVED. Keep-first policy: within each detected near-dup pair the

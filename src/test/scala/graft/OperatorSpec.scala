@@ -159,6 +159,22 @@ class OperatorSpec extends SparkTestBase {
     assert(inline.nonEmpty)
   }
 
+  test("incremental dedup equals the full run restricted to delta pairs") {
+    import org.apache.spark.sql.functions.{col, max}
+    val maxId = spark.read.parquet(s"$Sf/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("lshinc").toString
+    Dedup.buildLshBandIndex(spark, Sf, idx, maxDocIdExclusive = split)
+    // index must hold ONLY the old corpus
+    val idxMax = spark.read.parquet(idx).agg(max(col("doc_id"))).head().getLong(0)
+    assert(idxMax < split)
+    val inc = Dedup.minHashLshIncremental(spark, Sf, idx, split).collect().toSeq
+    val full = Dedup.minHashLsh(spark, Sf)
+      .filter(col("doc_b") >= split).collect().toSeq
+    assert(inc == full)
+  }
+
   test("chunk dedup finds only cross-doc shared chunks, keeper is min doc") {
     val out = TextAnalysis.chunkDedup(spark, Sf).collect()
     out.foreach { r =>

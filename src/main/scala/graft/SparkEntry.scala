@@ -110,6 +110,7 @@ object SparkEntry {
     "q_chunk_docs" -> (TextAnalysis.chunkDocs(_, _)),
     "q_chunk_dedup" -> (TextAnalysis.chunkDedup(_, _)),
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
+    "q_corpus_funnel" -> (TextAnalysis.corpusFunnel(_, _)),
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -942,6 +943,55 @@ object SparkEntry {
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
          FROM a ORDER BY doc_id""",
+
+    // Funnel stages are cumulative conditional aggregates of one flagged
+    // table: quality gate (composite >= 0.5), language gate (argmax 'en'),
+    // near-dup removal (minhash doc_b drop set).
+    "q_corpus_funnel" ->
+      s"""WITH $minhashVerifyCtes,
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jaccard_1e4 >= 5000),
+         qm AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ws, t -> list_contains(
+               ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars,
+             CAST(length(text) AS BIGINT) AS text_len
+             FROM d JOIN documents USING (doc_id)),
+         qs AS (SELECT doc_id,
+             CAST(floor(
+               least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+               * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(text_len AS DOUBLE))
+               * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS quality_1e4
+             FROM qm),
+         ls AS (SELECT doc_id,
+             CAST(len(list_filter(ws, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(ws, t -> list_contains(['der','die','und','ist','nicht','das'], t))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(ws, t -> list_contains(['le','la','et','les','des','est'], t))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(ws, t -> list_contains(['el','los','que','una','por','como'], t))) AS BIGINT) AS s_es
+             FROM d),
+         f AS (SELECT doc.doc_id, doc.n_chars,
+             coalesce(qs.quality_1e4 >= 5000, FALSE) AS q_ok,
+             coalesce(ls.s_en >= ls.s_de AND ls.s_en >= ls.s_fr AND ls.s_en >= ls.s_es, FALSE) AS l_ok,
+             doc.doc_id IN (SELECT doc_id FROM drops) AS dup
+             FROM documents doc
+             LEFT JOIN qs ON qs.doc_id = doc.doc_id
+             LEFT JOIN ls ON ls.doc_id = doc.doc_id),
+         a AS (SELECT
+             CAST(count(*) AS BIGINT) AS c0, CAST(sum(n_chars) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN q_ok THEN n_chars ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN q_ok AND l_ok THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN q_ok AND l_ok THEN n_chars ELSE 0 END) AS BIGINT) AS h2,
+             CAST(sum(CASE WHEN q_ok AND l_ok AND NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN q_ok AND l_ok AND NOT dup THEN n_chars ELSE 0 END) AS BIGINT) AS h3
+             FROM f)
+         SELECT stage, docs_kept, chars_kept FROM (
+           SELECT '0_all' AS stage, c0 AS docs_kept, h0 AS chars_kept FROM a
+           UNION ALL SELECT '1_quality', c1, h1 FROM a
+           UNION ALL SELECT '2_lang_en', c2, h2 FROM a
+           UNION ALL SELECT '3_dedup', c3, h3 FROM a)
+         ORDER BY stage""",
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $minhashVerifyCtes,

@@ -286,4 +286,48 @@ object TextAnalysis {
                  '$PhoneRe', '<PHONE>'),
                  '$IpRe', '<IP>'))""").as("redacted_md5"))
       .orderBy(col("doc_id"))
+
+  /** Corpus filter FUNNEL: the canonical training-data pipeline
+    * composition — quality gate, then language gate, then near-dup
+    * removal — reported as cumulative per-stage survivor counts and
+    * character volume (the numbers a data curation run logs).
+    *
+    * Shape at scale: the per-doc flags come from one pass joined against
+    * the (tiny) near-dup drop set, and all four stage counters are
+    * CONDITIONAL AGGREGATES of that single flagged table — one scan, one
+    * final single-row aggregate, never four passes over the corpus. The
+    * stage rows are unstacked from that one aggregate row.
+    */
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val qual = qualityScore(s, dir).select(col("doc_id"), col("quality_1e4"))
+    val lang = langId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val drops = Dedup.minHashLsh(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val flagged = docs
+      .join(qual, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"), "left")
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("n_chars"),
+        // empty docs have NULL quality (0-token division) -> fail the gate
+        coalesce(col("quality_1e4") >= 5000, lit(false)).as("q_ok"),
+        coalesce(col("pred_lang") === "en", lit(false)).as("l_ok"),
+        coalesce(col("is_dup"), lit(false)).as("dup"))
+    def cnt(cond: String) = s"sum(CASE WHEN $cond THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    def chars(cond: String) = s"sum(CASE WHEN $cond THEN n_chars ELSE CAST(0 AS BIGINT) END)"
+    flagged.selectExpr(
+      s"${cnt("true")} AS c0", s"${chars("true")} AS h0",
+      s"${cnt("q_ok")} AS c1", s"${chars("q_ok")} AS h1",
+      s"${cnt("q_ok AND l_ok")} AS c2", s"${chars("q_ok AND l_ok")} AS h2",
+      s"${cnt("q_ok AND l_ok AND NOT dup")} AS c3",
+      s"${chars("q_ok AND l_ok AND NOT dup")} AS h3")
+      .selectExpr(
+        """stack(4,
+           '0_all', c0, h0,
+           '1_quality', c1, h1,
+           '2_lang_en', c2, h2,
+           '3_dedup', c3, h3) AS (stage, docs_kept, chars_kept)""")
+      .orderBy(col("stage"))
+  }
 }

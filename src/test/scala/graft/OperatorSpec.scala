@@ -159,6 +159,19 @@ class OperatorSpec extends SparkTestBase {
     assert(inline.nonEmpty)
   }
 
+  test("corpus funnel: stages shrink monotonically from the full corpus") {
+    val rows = TextAnalysis.corpusFunnel(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0_all", "1_quality", "2_lang_en", "3_dedup"))
+    val docs = rows.map(_.getAs[Long]("docs_kept"))
+    val chars = rows.map(_.getAs[Long]("chars_kept"))
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(docs(0) == total)
+    docs.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    chars.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    assert(docs.last > 0, "the funnel should not annihilate the fixture corpus")
+  }
+
   test("incremental dedup equals the full run restricted to delta pairs") {
     import org.apache.spark.sql.functions.{col, max}
     val maxId = spark.read.parquet(s"$Sf/documents.parquet")

@@ -292,27 +292,47 @@ object TextAnalysis {
     * removal — reported as cumulative per-stage survivor counts and
     * character volume (the numbers a data curation run logs).
     *
-    * Shape at scale: the per-doc flags come from one pass joined against
-    * the (tiny) near-dup drop set, and all four stage counters are
-    * CONDITIONAL AGGREGATES of that single flagged table — one scan, one
-    * final single-row aggregate, never four passes over the corpus. The
-    * stage rows are unstacked from that one aggregate row.
+    * Shape at scale: the quality and language gates are per-row
+    * expressions, so they FUSE into one projection over a single corpus
+    * scan (joining the standalone qualityScore/langId outputs would
+    * re-read the text column three times — the dominant cost at 100 TB);
+    * only the tiny near-dup drop set joins. All four stage counters are
+    * CONDITIONAL AGGREGATES of that flagged table — one scan, one final
+    * single-row aggregate unstacked into stage rows. The flag expressions
+    * are definitionally the qualityScore / langId formulas (their specs
+    * and oracles pin the shared semantics).
     */
   def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val qual = qualityScore(s, dir).select(col("doc_id"), col("quality_1e4"))
-    val lang = langId(s, dir).select(col("doc_id"), col("pred_lang"))
     val drops = Dedup.minHashLsh(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val flagged = docs
-      .join(qual, Seq("doc_id"), "left")
-      .join(lang, Seq("doc_id"), "left")
+    val flagged = Tables.spread(s, dir, "documents")
+      .withColumn("toks", expr(TokensExpr))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("stop_hits", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it'), t))) AS BIGINT)"))
+      .withColumn("punct_chars", expr(
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT)"))
+      .withColumn("quality_1e4", expr(
+        """CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+      .withColumn("s_en", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('the','and','of','to','in','is'), t))) AS BIGINT)"))
+      .withColumn("s_de", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('der','die','und','ist','nicht','das'), t))) AS BIGINT)"))
+      .withColumn("s_fr", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('le','la','et','les','des','est'), t))) AS BIGINT)"))
+      .withColumn("s_es", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('el','los','que','una','por','como'), t))) AS BIGINT)"))
       .join(drops, Seq("doc_id"), "left")
       .select(col("n_chars"),
         // empty docs have NULL quality (0-token division) -> fail the gate
         coalesce(col("quality_1e4") >= 5000, lit(false)).as("q_ok"),
-        coalesce(col("pred_lang") === "en", lit(false)).as("l_ok"),
+        coalesce(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), lit(false)).as("l_ok"),
         coalesce(col("is_dup"), lit(false)).as("dup"))
     def cnt(cond: String) = s"sum(CASE WHEN $cond THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     def chars(cond: String) = s"sum(CASE WHEN $cond THEN n_chars ELSE CAST(0 AS BIGINT) END)"

@@ -170,6 +170,29 @@ class OperatorSpec extends SparkTestBase {
     docs.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
     chars.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
     assert(docs.last > 0, "the funnel should not annihilate the fixture corpus")
+
+    // the fused flag expressions must stay in lockstep with the standalone
+    // operators they duplicate (fusion buys the single scan; this buys the
+    // guarantee it computes the same gates)
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    val composed = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+      .join(TextAnalysis.qualityScore(spark, Sf).select(col("doc_id"), col("quality_1e4")),
+        Seq("doc_id"), "left")
+      .join(TextAnalysis.langId(spark, Sf).select(col("doc_id"), col("pred_lang")),
+        Seq("doc_id"), "left")
+      .join(Dedup.minHashLsh(spark, Sf).select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(
+        coalesce(col("quality_1e4") >= 5000, lit(false)).as("q_ok"),
+        coalesce(col("pred_lang") === "en", lit(false)).as("l_ok"),
+        coalesce(col("is_dup"), lit(false)).as("dup"),
+        col("n_chars"))
+    val c = composed.agg(
+      sum(when(col("q_ok"), 1L).otherwise(0L)),
+      sum(when(col("q_ok") && col("l_ok"), 1L).otherwise(0L)),
+      sum(when(col("q_ok") && col("l_ok") && !col("dup"), 1L).otherwise(0L))).head()
+    assert(Seq(c.getLong(0), c.getLong(1), c.getLong(2)) == docs.drop(1).toSeq)
   }
 
   test("incremental dedup equals the full run restricted to delta pairs") {

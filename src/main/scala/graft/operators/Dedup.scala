@@ -221,6 +221,28 @@ object Dedup {
     verifyPairs(docs, cross.unionByName(intra).distinct(), threshold)
   }
 
+  /** Band + signature rows for an ARBITRARY (doc_id, text) frame — the
+    * building block continuous ingestion uses (graft.streaming.DedupStream):
+    * one row per (doc, band) carrying the full 12-slot signature alongside,
+    * so downstream similarity can be ESTIMATED from signature agreement
+    * without ever re-reading document text. Docs with fewer than 3 tokens
+    * have no shingles and emit no rows (they cannot near-dup by trigram).
+    */
+  def bandSigRows(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val shingled = docs
+      .withColumn("ws", expr(TextAnalysis.TokensExpr))
+      .filter(expr("size(ws) >= 3"))
+      .withColumn("sh", expr(ShinglesExpr))
+    val sigs = shingled.withColumn("sigarr", expr("minhash_sig(sh)"))
+      .selectExpr(Seq("doc_id", "sigarr") ++
+        (0 until NumHashes).map(j => s"sigarr[$j] AS sig_$j"): _*)
+    val banded = sigs.selectExpr(Seq("doc_id", "sigarr") ++ bandExprs: _*)
+    val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")
+    banded.selectExpr("doc_id", "sigarr AS sigs",
+      s"stack($Bands, $stackExpr) AS (band_idx, band_val)")
+  }
+
   /** Same-band self-join, each unordered pair once (not yet distinct). */
   private def bandRowsSelfPairs(bandRows: DataFrame): DataFrame =
     bandRows.as("a").join(bandRows.as("b"),

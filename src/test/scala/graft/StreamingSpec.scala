@@ -185,4 +185,37 @@ class StreamingSpec extends SparkTestBase {
         "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
     } finally q.stop()
   }
+
+  test("streaming ingestion dedup: later batches screen against earlier ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val input = MemoryStream[(Long, String)]
+    val body = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val q = graft.streaming.DedupStream.start(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt")
+    try {
+      // batch 1: a near-identical pair + one unique doc
+      input.addData((1L, body), (2L, body + " tonight"),
+        (3L, "completely different words about streaming parquet indexes here"))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$base/pairs")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1.contains((1L, 2L)), s"intra-batch pair missing: $afterB1")
+      assert(!afterB1.exists(p => p._1 == 3L || p._2 == 3L))
+      // batch 2: a near-dup of doc 1 — found ONLY via the persistent index
+      input.addData((10L, body + " again"))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(s"$base/pairs")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB2.contains((1L, 10L)), s"cross-batch pair missing: $afterB2")
+      // the index now holds band rows for every screened doc
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 2L, 3L, 10L))
+    } finally q.stop()
+  }
 }

@@ -127,7 +127,11 @@ object SparkEntry {
       val maxId = sources.Tables.documents(s, d)
         .agg(max(col("doc_id"))).head().getLong(0)
       val split = maxId * 4 / 5
-      val idx = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+      // deterministic per-sfDir staging path, rewritten in place
+      // (overwrite) — repeated runs reuse the location instead of leaking
+      // a fresh temp index per invocation
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_lsh_inc_" + Integer.toHexString(d.hashCode)).toString
       Dedup.buildLshBandIndex(s, d, idx, maxDocIdExclusive = split)
       Dedup.minHashLshIncremental(s, d, idx, split)
     }),
@@ -593,11 +597,12 @@ object SparkEntry {
          CAST((20000 * stop_hits + n_tokens) // (2 * n_tokens) AS BIGINT) AS stop_ratio_1e4,
          CAST((20000 * punct_chars + CAST(length(text) AS BIGINT))
               // (2 * CAST(length(text) AS BIGINT)) AS BIGINT) AS punct_ratio_1e4,
+         CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
          CAST(floor(
            least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
            * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
            * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-           * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS quality_1e4
+           * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
          FROM m ORDER BY doc_id""",
 
     "q_lang_id" ->
@@ -958,11 +963,12 @@ object SparkEntry {
              CAST(length(text) AS BIGINT) AS text_len
              FROM d JOIN documents USING (doc_id)),
          qs AS (SELECT doc_id,
+             CASE WHEN n_tokens = 0 OR text_len = 0 THEN NULL ELSE
              CAST(floor(
                least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
                * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(text_len AS DOUBLE))
                * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-               * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS quality_1e4
+               * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
              FROM qm),
          ls AS (SELECT doc_id,
              CAST(len(list_filter(ws, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,

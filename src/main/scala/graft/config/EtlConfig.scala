@@ -116,7 +116,11 @@ object EtlConfig {
                 ((raw.head == '"' && raw.last == '"') ||
                   (raw.head == '\'' && raw.last == '\'')))
                 raw.substring(1, raw.length - 1)
-              else raw
+              else
+                // python-dotenv parity: an unquoted value ends at a
+                // whitespace-preceded '#' (inline comment); quoted values
+                // keep '#' literally
+                raw.replaceFirst("\\s+#.*$", "").trim
             if (key.isEmpty) None else Some(key -> value)
         }
       }

@@ -122,20 +122,29 @@ object Dedup {
     * bucket join is the only shuffle that touches every document; the
     * verify join re-fetches shingle sets for candidates alone.
     */
-  /** Band rows (doc_id, band_idx, band_val) computed inline: native
-    * single-pass signature (graft.functions.MinHashSignature —
-    * definitionally identical to signatureExprsShared, one array
-    * traversal), band digests, then an unpivot.
+  /** Shared signature → band-digest → unpivot pipeline over a frame that
+    * already carries `sh` shingle sets: native single-pass signature
+    * (graft.functions.MinHashSignature — definitionally identical to
+    * signatureExprsShared, one array traversal), band digests, then a
+    * stack to (doc_id, band_idx, band_val). With `carrySigs` the full
+    * 12-slot signature array rides alongside as `sigs` (the streaming
+    * index stores it for estimator-based verification).
     */
-  private def bandRowsInline(docs: DataFrame): DataFrame = {
-    val sigs = docs.withColumn("sigarr", expr("minhash_sig(sh)"))
-      .selectExpr(Seq("doc_id") ++
+  private def stackBands(shingled: DataFrame, carrySigs: Boolean): DataFrame = {
+    val carry = if (carrySigs) Seq("sigarr") else Nil
+    val sigs = shingled.withColumn("sigarr", expr("minhash_sig(sh)"))
+      .selectExpr(Seq("doc_id") ++ carry ++
         (0 until NumHashes).map(j => s"sigarr[$j] AS sig_$j"): _*)
-    val banded = sigs.selectExpr(Seq("doc_id") ++ bandExprs: _*)
+    val banded = sigs.selectExpr(Seq("doc_id") ++ carry ++ bandExprs: _*)
     val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")
-    banded.selectExpr("doc_id",
-      s"stack($Bands, $stackExpr) AS (band_idx, band_val)")
+    banded.selectExpr(
+      Seq("doc_id") ++ (if (carrySigs) Seq("sigarr AS sigs") else Nil) ++
+        Seq(s"stack($Bands, $stackExpr) AS (band_idx, band_val)"): _*)
   }
+
+  /** Band rows (doc_id, band_idx, band_val) computed inline. */
+  private def bandRowsInline(docs: DataFrame): DataFrame =
+    stackBands(docs, carrySigs = false)
 
   /** Candidate pairs from band rows: same-band equi-join, each pair once. */
   private def candidatePairs(bandRows: DataFrame): DataFrame =
@@ -234,13 +243,7 @@ object Dedup {
       .withColumn("ws", expr(TextAnalysis.TokensExpr))
       .filter(expr("size(ws) >= 3"))
       .withColumn("sh", expr(ShinglesExpr))
-    val sigs = shingled.withColumn("sigarr", expr("minhash_sig(sh)"))
-      .selectExpr(Seq("doc_id", "sigarr") ++
-        (0 until NumHashes).map(j => s"sigarr[$j] AS sig_$j"): _*)
-    val banded = sigs.selectExpr(Seq("doc_id", "sigarr") ++ bandExprs: _*)
-    val stackExpr = (0 until Bands).map(b => s"$b, band_$b").mkString(", ")
-    banded.selectExpr("doc_id", "sigarr AS sigs",
-      s"stack($Bands, $stackExpr) AS (band_idx, band_val)")
+    stackBands(shingled, carrySigs = true)
   }
 
   /** Same-band self-join, each unordered pair once (not yet distinct). */

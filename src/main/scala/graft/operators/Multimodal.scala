@@ -61,9 +61,11 @@ object Multimodal {
 
   /** Build a multimodal asset table from `documents`: payload = a real
     * PNG (constant-fill RGB, content-addressed dimensions), metadata
-    * struct alongside. At scale this is exactly the layout for
-    * parquet-with-blobs: the payload column stays unread unless selected
-    * (column pruning), and generation is one codec init per partition.
+    * struct alongside. The typed generator materializes the payload for
+    * every row it produces (an object pipeline does not column-prune
+    * through itself) — the blob-layout economics apply once the table is
+    * PERSISTED as parquet, where readers selecting only id/meta never
+    * touch the payload column. Generation state is per partition.
     */
   def assets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -76,7 +78,9 @@ object Multimodal {
         coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .as[(Long, String, String, String, Long)]
       .mapPartitions { rows =>
-        // encoder state initialized HERE, once per partition
+        // encoder state initialized HERE, once per partition; cache off so
+        // ImageIO.write never round-trips each image through a temp file
+        javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text, src, lang, nChars) =>
           val hex = md.digest(text.getBytes("UTF-8"))
@@ -113,13 +117,24 @@ object Multimodal {
       .select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, payload) => decodeOne(id, payload) }
+        // REAL per-partition codec init: disable the disk-backed stream
+        // cache (ImageIO defaults to a temp FILE per read) and resolve the
+        // PNG reader from the plugin registry ONCE, not per row — the two
+        // hidden per-call costs of the convenience ImageIO.read()
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        rows.map { case (id, payload) => decodeOne(reader, id, payload) }
       }
   }
 
-  private def decodeOne(id: Long, payload: Array[Byte]): AssetFeatures = {
-    val img = javax.imageio.ImageIO.read(
+  private def decodeOne(reader: javax.imageio.ImageReader, id: Long,
+                        payload: Array[Byte]): AssetFeatures = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    val img =
+      try { reader.setInput(iis); reader.read(0) }
+      finally iis.close()
     require(img != null, s"asset $id: payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight

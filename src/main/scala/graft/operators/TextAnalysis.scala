@@ -68,11 +68,16 @@ object TextAnalysis {
           .as("stop_ratio_1e4"),
         expr("""CAST((20000 * punct_chars + CAST(length(text) AS BIGINT))
                div (2 * CAST(length(text) AS BIGINT)) AS BIGINT)""").as("punct_ratio_1e4"),
-        expr("""CAST(floor(
+        // zero guard: 0-token / empty docs get NULL, not a 0/0 whose
+        // NaN handling differs BETWEEN DUCKDB VERSIONS (v1.0.0: NULL;
+        // newer ieee_floating_point_ops default: NaN, and CAST(NaN AS
+        // BIGINT) then errors) — the guard keeps both engines at NULL
+        expr("""CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+                CAST(floor(
                   least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
                   * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
                   * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-                  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)""").as("quality_1e4"))
+                  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END""").as("quality_1e4"))
       .orderBy(col("doc_id"))
 
   /** Text cleaning / normalization: strip markup-ish tags, drop control
@@ -314,11 +319,12 @@ object TextAnalysis {
       .withColumn("punct_chars", expr(
         "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT)"))
       .withColumn("quality_1e4", expr(
-        """CAST(floor(
+        """CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
              least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
              * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
              * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"""))
       .withColumn("s_en", expr(
         "CAST(size(filter(toks, t -> array_contains(array('the','and','of','to','in','is'), t))) AS BIGINT)"))
       .withColumn("s_de", expr(

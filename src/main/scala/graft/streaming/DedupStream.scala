@@ -47,14 +47,23 @@ object DedupStream {
         val index =
           if (fs.exists(new Path(indexDir)))
             s.read.option("basePath", indexDir).parquet(indexDir)
+              // a replayed batch must not screen against its own rows from
+              // a failed earlier attempt — that would emit every pair in
+              // both orientations and break the idempotence contract
+              .filter(col("batch") < batchId)
               .select("doc_id", "sigs", "band_idx", "band_val")
           else newRows.limit(0)
-        // cross: every prior doc sharing a band with a new doc
+        // cross: every prior doc sharing a band with a new doc. Output
+        // pairs are least/greatest-normalized like every batch dedup
+        // operator (keep-first consumers drop doc_b = the GREATER id, so
+        // orientation must not depend on arrival order); n_matching is
+        // symmetric in (sa, sb), so the signature sides need no swap.
         val cross = index.as("a").join(newRows.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_val") === col("b.band_val") &&
               col("a.doc_id") =!= col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
             col("a.sigs").as("sa"), col("b.sigs").as("sb"))
         // intra-batch pairs, each once
         val intra = newRows.as("a").join(newRows.as("b"),

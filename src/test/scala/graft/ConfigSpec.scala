@@ -35,7 +35,7 @@ class ConfigSpec extends AnyFunSuite {
         |PROJECT_ID=file-project
         |export GCS_BUCKET="file:///tmp/envbucket"
         |BQ_DATASET='envds'
-        |BQ_TABLE=envtable
+        |BQ_TABLE=envtable  # inline comment stripped from unquoted values
         |BQ_WRITE_DISPOSITION=truncate
         |
         |not a key value line

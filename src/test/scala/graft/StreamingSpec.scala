@@ -212,10 +212,21 @@ class StreamingSpec extends SparkTestBase {
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(afterB2.contains((1L, 10L)), s"cross-batch pair missing: $afterB2")
+      // batch 3: a near-dup with a SMALLER id than anything indexed —
+      // pair orientation must still be (least, greatest), independent of
+      // arrival order
+      input.addData((0L, body + " yesterday"))
+      q.processAllAvailable()
+      val afterB3 = spark.read.parquet(s"$base/pairs")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB3.contains((0L, 1L)), s"backfill pair missing: $afterB3")
+      assert(afterB3.forall(p => p._1 < p._2),
+        s"every pair must be least/greatest-normalized: $afterB3")
       // the index now holds band rows for every screened doc
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(indexed == Set(1L, 2L, 3L, 10L))
+      assert(indexed == Set(0L, 1L, 2L, 3L, 10L))
     } finally q.stop()
   }
 }

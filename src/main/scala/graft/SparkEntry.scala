@@ -111,6 +111,7 @@ object SparkEntry {
     "q_chunk_dedup" -> (TextAnalysis.chunkDedup(_, _)),
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     "q_corpus_funnel" -> (TextAnalysis.corpusFunnel(_, _)),
+    "q_corpus_report" -> (TextAnalysis.corpusReport(_, _)),
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -948,6 +949,38 @@ object SparkEntry {
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
          FROM a ORDER BY doc_id""",
+
+    // Per-source report card: exact-integer sums only (no means — engine
+    // division semantics stay out of the comparison).
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT source, text, $Toks AS toks FROM documents),
+         m AS (SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars,
+             CAST(length(text) AS BIGINT) AS text_len,
+             CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(toks, t -> list_contains(['der','die','und','ist','nicht','das'], t))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est'], t))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(toks, t -> list_contains(['el','los','que','una','por','como'], t))) AS BIGINT) AS s_es
+             FROM t),
+         q AS (SELECT source, n_tokens,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                  THEN 1 ELSE 0 END AS is_en,
+             coalesce(CASE WHEN n_tokens = 0 OR text_len = 0 THEN NULL ELSE
+               CAST(floor(
+                 least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(text_len AS DOUBLE))
+                 * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END, 0) AS q4
+             FROM m)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(is_en) AS BIGINT) AS en_docs,
+           CAST(sum(q4) AS BIGINT) AS quality_sum_1e4
+         FROM q GROUP BY source ORDER BY source""",
 
     // Funnel stages are cumulative conditional aggregates of one flagged
     // table: quality gate (composite >= 0.5), language gate (argmax 'en'),

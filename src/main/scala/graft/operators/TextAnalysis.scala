@@ -307,6 +307,42 @@ object TextAnalysis {
     * are definitionally the qualityScore / langId formulas (their specs
     * and oracles pin the shared semantics).
     */
+  /** Per-source corpus report card: the summary panel a curation run
+    * prints per data source — document count, token volume, language mix,
+    * and quality mass. One scan, one groupBy(source); every output is an
+    * exact integer (sums, not means — a mean would drag engine division
+    * semantics into the comparison; consumers divide at display time).
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .withColumn("toks", expr(TokensExpr))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("stop_hits", expr(
+        "CAST(size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it'), t))) AS BIGINT)"))
+      .withColumn("punct_chars", expr(
+        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT)"))
+      .withColumn("quality_1e4", expr(
+        """CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"""))
+      .withColumn("is_en", expr(
+        """CAST(size(filter(toks, t -> array_contains(array('the','and','of','to','in','is'), t))) AS BIGINT)
+             >= CAST(size(filter(toks, t -> array_contains(array('der','die','und','ist','nicht','das'), t))) AS BIGINT)
+           AND CAST(size(filter(toks, t -> array_contains(array('the','and','of','to','in','is'), t))) AS BIGINT)
+             >= CAST(size(filter(toks, t -> array_contains(array('le','la','et','les','des','est'), t))) AS BIGINT)
+           AND CAST(size(filter(toks, t -> array_contains(array('the','and','of','to','in','is'), t))) AS BIGINT)
+             >= CAST(size(filter(toks, t -> array_contains(array('el','los','que','una','por','como'), t))) AS BIGINT)"""))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("is_en"), lit(1L)).otherwise(lit(0L))).as("en_docs"),
+        sum(coalesce(col("quality_1e4"), lit(0L))).as("quality_sum_1e4"))
+      .orderBy(col("source"))
+
   def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
     val drops = Dedup.minHashLsh(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()

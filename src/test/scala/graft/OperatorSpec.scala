@@ -159,6 +159,20 @@ class OperatorSpec extends SparkTestBase {
     assert(inline.nonEmpty)
   }
 
+  test("corpus report: per-source sums reconcile with per-doc stats") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val report = TextAnalysis.corpusReport(spark, Sf).collect()
+    val totalDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    val tokensFromStats = TextAnalysis.textStats(spark, Sf)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(report.map(_.getAs[Long]("total_tokens")).sum == tokensFromStats)
+    report.foreach { r =>
+      assert(r.getAs[Long]("en_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("quality_sum_1e4") <= r.getAs[Long]("n_docs") * 10000)
+    }
+  }
+
   test("corpus funnel: stages shrink monotonically from the full corpus") {
     val rows = TextAnalysis.corpusFunnel(spark, Sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_histogram_order_price" -> (Analytics.orderPriceHistogram(_, _)),
     "q_setops_all_nationkeys" -> (Analytics.nationKeyMultisets(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
+    "q_rolling_active_users" -> (Analytics.rollingActiveUsers(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
@@ -796,6 +797,21 @@ object SparkEntry {
          FROM ud JOIN c ON ud.user_id = c.user_id
          GROUP BY cohort_day, day_offset
          ORDER BY cohort_day, day_offset""",
+
+    // Bounded-explode sliding distinct: each (user, day) feeds the 7
+    // window-end days it covers; windows beyond the data end are cut.
+    "q_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS uday
+           FROM events),
+         mx AS (SELECT max(uday) AS mx FROM ud),
+         ex AS (SELECT user_id, uday, uday + o AS wend
+                FROM ud CROSS JOIN range(0, 7) os(o)),
+         f AS (SELECT user_id, uday, wend FROM ex, mx WHERE wend <= mx)
+         SELECT wend AS day,
+           CAST(count(DISTINCT CASE WHEN uday = wend THEN user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         FROM f GROUP BY wend ORDER BY day""",
 
     "q_interval_overlaps" ->
       """WITH e AS (SELECT user_id, event_id,

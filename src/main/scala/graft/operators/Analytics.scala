@@ -462,6 +462,45 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Rolling DAU/WAU: for every day, the distinct users active THAT day
+    * and within the trailing `windowDays` window ending on it. The
+    * classic sliding-distinct problem solved by a BOUNDED explode — each
+    * distinct (user, day) row contributes to exactly the `windowDays`
+    * window-end days it covers (sequence(day, day+w-1)), then ONE hash
+    * aggregate counts distincts per window end. Expansion is a fixed ×w
+    * of user-days (already distinct, tiny vs raw events), versus the
+    * alternatives at corpus scale: a RANGE-frame window cannot do
+    * count(DISTINCT), and a day×day range self-join shuffles user-days
+    * w times without map-side combine. DAU rides the same aggregate as a
+    * conditional distinct (window end == the contributing day).
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    val daySec = 86400L
+    val dayIdx = s"""CAST(CASE WHEN ts_sec >= 0 THEN ts_sec div $daySec
+                        ELSE -((-ts_sec + ${daySec - 1}) div $daySec)
+                    END AS BIGINT)"""
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("""CAST(CASE WHEN unix_micros(ts) >= 0
+                    THEN unix_micros(ts) div 1000000
+                    ELSE -((-unix_micros(ts) + 999999) div 1000000)
+                END AS BIGINT)""").as("ts_sec"))
+      .select(col("user_id"), expr(dayIdx).as("day"))
+      .distinct()
+    val maxDay = userDays.agg(max(col("day")).as("mx"))
+    userDays
+      .select(col("user_id"), col("day").as("uday"),
+        explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wend"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("mx")) // windows past the data end don't report
+      .groupBy(col("wend").as("day"))
+      .agg(
+        countDistinct(when(col("uday") === col("wend"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+  }
+
   /** Scalar string-function surface in one pass over customer — the
     * warehouse string toolkit (case, slice, search, pad, replace,
     * translate, split, reverse, concat) restricted to functions with

@@ -159,6 +159,26 @@ class OperatorSpec extends SparkTestBase {
     assert(inline.nonEmpty)
   }
 
+  test("rolling active users: wau bounds dau and matches a brute recompute") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = Analytics.rollingActiveUsers(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau")))
+    // driver-side brute force on the middle window
+    val userDays = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("user_id"),
+        expr("CAST(unix_micros(timestamp_micros(ts div 1000)) div 1000000 div 86400 AS BIGINT)").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mid = out(out.length / 2)
+    val d = mid.getAs[Long]("day")
+    val bruteWau = userDays.filter { case (_, ud) => ud >= d - 6 && ud <= d }
+      .map(_._1).distinct.length
+    val bruteDau = userDays.filter(_._2 == d).map(_._1).distinct.length
+    assert(mid.getAs[Long]("wau") == bruteWau)
+    assert(mid.getAs[Long]("dau") == bruteDau)
+  }
+
   test("corpus report: per-source sums reconcile with per-doc stats") {
     import org.apache.spark.sql.functions.{col, sum}
     val report = TextAnalysis.corpusReport(spark, Sf).collect()

@@ -52,4 +52,25 @@ class PropertySpec extends SparkTestBase {
       assert(parsed == t, s"parse mismatch for ${fmt.format(t)}")
     }
   }
+
+  test("dotenv values round-trip through a written file") {
+    // value alphabet excludes the characters the format itself consumes
+    // (newlines, '#' comment starts, surrounding quotes) — those are
+    // covered deterministically in ConfigSpec
+    val valGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(':', '/', '.', '-', '_', ' ')))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+    val cfgGen = Gen.zip(valGen, valGen, valGen, valGen)
+    samples(cfgGen, 40).foreach { case (p, b, d, t) =>
+      val f = java.nio.file.Files.createTempFile("graft_prop", ".env")
+      java.nio.file.Files.writeString(f,
+        s"PROJECT_ID=$p\nGCS_BUCKET=$b\nBQ_DATASET=$d\nBQ_TABLE=$t\n")
+      val c = graft.config.EtlConfig.fromEnvFile(f.toString, env = Map.empty)
+      assert(c.projectId == p.trim)
+      assert(c.bucketUri == b.trim.stripSuffix("/"))
+      assert(c.dataset == d.trim)
+      assert(c.table == t.trim)
+      java.nio.file.Files.delete(f)
+    }
+  }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_setops_all_nationkeys" -> (Analytics.nationKeyMultisets(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_rolling_active_users" -> (Analytics.rollingActiveUsers(_, _)),
+    "q_interp_residuals" -> (Analytics.valueVsLocalTrend(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
     "q_date_parts_orders" -> (Analytics.orderDateParts(_, _)),
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
@@ -797,6 +798,23 @@ object SparkEntry {
          FROM ud JOIN c ON ud.user_id = c.user_id
          GROUP BY cohort_day, day_offset
          ORDER BY cohort_day, day_offset""",
+
+    // Same pinned-order interpolation arithmetic as the Spark side; the
+    // zero-span/endpoint guard keeps engine NaN semantics out entirely.
+    "q_interp_residuals" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),
+         l AS (SELECT event_id, user_id, value, t,
+           lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+           lag(t) OVER w AS pt, lead(t) OVER w AS nt
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         SELECT event_id, user_id,
+           CASE WHEN pt IS NULL OR nt IS NULL OR nt = pt THEN NULL
+           ELSE CAST(floor((value - (pv + (nv - pv)
+             * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))))
+             * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           END AS residual_cents
+         FROM l ORDER BY event_id""",
 
     // Bounded-explode sliding distinct: each (user, day) feeds the 7
     // window-end days it covers; windows beyond the data end are cut.

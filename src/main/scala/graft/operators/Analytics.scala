@@ -501,6 +501,38 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Per-event residual against the LINEAR INTERPOLATION of its two
+    * neighbors in the user's series — the local-trend anomaly signal
+    * (large residual = spike/dip vs the straight line through the
+    * surrounding points). One lag/lead window pass, one shuffle on
+    * user_id. Endpoints (no neighbor) and zero-span neighbors emit NULL —
+    * the zero-span guard also keeps 0/0 NaN semantics (which differ
+    * between DuckDB releases) out of the comparison. The interpolation
+    * arithmetic is the same pinned-order double expression on both
+    * engines, so the residual bits match exactly; output is cents via
+    * floor(x*100 + 0.5).
+    */
+  def valueVsLocalTrend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("""CAST(CASE WHEN unix_micros(ts) >= 0
+                    THEN unix_micros(ts) div 1000000
+                    ELSE -((-unix_micros(ts) + 999999) div 1000000)
+                END AS BIGINT)""").as("t"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("nv", lead(col("value"), 1).over(w))
+      .withColumn("pt", lag(col("t"), 1).over(w))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        expr("""CASE WHEN pt IS NULL OR nt IS NULL OR nt = pt THEN NULL
+                ELSE CAST(floor((value - (pv + (nv - pv)
+                  * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))))
+                  * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("residual_cents"))
+      .orderBy(col("event_id"))
+  }
+
   /** Scalar string-function surface in one pass over customer — the
     * warehouse string toolkit (case, slice, search, pad, replace,
     * translate, split, reverse, concat) restricted to functions with

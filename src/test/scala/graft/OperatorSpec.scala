@@ -159,6 +159,19 @@ class OperatorSpec extends SparkTestBase {
     assert(inline.nonEmpty)
   }
 
+  test("interp residuals: exactly the series endpoints are NULL") {
+    import org.apache.spark.sql.functions.col
+    val out = Analytics.valueVsLocalTrend(spark, Sf)
+    val nulls = out.filter(col("residual_cents").isNull).count()
+    // a user's first and last events have no interpolation neighbors
+    // (a 1-event series has one such row, not two)
+    val expected = spark.read.parquet(s"$Sf/events.parquet")
+      .groupBy(col("user_id")).count().collect()
+      .map(r => math.min(2L, r.getAs[Long]("count"))).sum
+    assert(nulls == expected)
+    assert(out.count() > nulls, "interior rows must carry residuals")
+  }
+
   test("rolling active users: wau bounds dau and matches a brute recompute") {
     import org.apache.spark.sql.functions.{col, expr}
     val out = Analytics.rollingActiveUsers(spark, Sf).collect()

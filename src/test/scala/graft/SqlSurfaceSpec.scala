@@ -39,6 +39,26 @@ class SqlSurfaceSpec extends SparkTestBase {
       operators.Analytics.orderPriceRanks(spark, Sf))
   }
 
+  test("rolling DAU/WAU via spark.sql matches the operator") {
+    assertSameResult(
+      """WITH m AS (SELECT user_id, ts div 1000 AS us FROM events),
+         ud AS (SELECT DISTINCT user_id,
+           CAST(CASE WHEN us >= 0 THEN us div 1000000
+                ELSE -((-us + 999999) div 1000000)
+                END div 86400 AS BIGINT) AS uday
+           FROM m),
+         mx AS (SELECT max(uday) AS mx FROM ud),
+         ex AS (SELECT user_id, uday,
+                explode(sequence(uday, uday + 6)) AS wend FROM ud),
+         f AS (SELECT user_id, uday, wend FROM ex CROSS JOIN mx
+               WHERE wend <= mx)
+         SELECT wend AS day,
+           count(DISTINCT CASE WHEN uday = wend THEN user_id END) AS dau,
+           count(DISTINCT user_id) AS wau
+         FROM f GROUP BY wend ORDER BY day""",
+      operators.Analytics.rollingActiveUsers(spark, Sf))
+  }
+
   test("registered graft functions are callable from SQL") {
     functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, Sf)

@@ -245,10 +245,14 @@ object Similarity {
     * the quantizer. Returns the index directory.
     */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
-                    nLists: Int = 16): String = {
+                    nLists: Int = 16,
+                    maxVecIdExclusive: Long = Long.MaxValue): String = {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    require(maxVecIdExclusive > nLists,
+      "the index must at least cover the centroid vectors")
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
+      .filter(col("vec_id") < maxVecIdExclusive)
     val centroids = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
         col("vnorm").as("cnorm"))
@@ -263,6 +267,32 @@ object Similarity {
     emb.join(nearestCentroid(scoredC).hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
+    indexDir
+  }
+
+  /** Append a vector delta (vec_id >= minVecId) to a prebuilt IVF index:
+    * assignment runs over the DELTA ONLY against the same deterministic
+    * centroids, and the new rows land inside the existing list partitions
+    * (parquet append) without touching prior rows — the incremental path
+    * a continuously-embedded corpus needs, symmetric with
+    * Dedup.minHashLshIncremental. OperatorSpec pins build(all) ==
+    * build(prefix) + append(rest) at the query level.
+    */
+  def appendToIvfIndex(s: SparkSession, dir: String, indexDir: String,
+                       minVecId: Long, nLists: Int = 16): String = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val centroids = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        col("vnorm").as("cnorm"))
+    val delta = emb.filter(col("vec_id") >= minVecId)
+    val scoredC = delta.crossJoin(broadcast(centroids))
+      .withColumn("cm",
+        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+    delta.join(nearestCentroid(scoredC).hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
+      .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
     indexDir
   }
 

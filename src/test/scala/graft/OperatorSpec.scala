@@ -145,6 +145,22 @@ class OperatorSpec extends SparkTestBase {
     assert(fromIndex == inline)
   }
 
+  test("incremental IVF append equals a from-scratch index build") {
+    val full = java.nio.file.Files.createTempDirectory("ivffull").toString
+    val inc = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    Similarity.buildIvfIndex(spark, Sf, full)
+    val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val split = maxVec * 4 / 5
+    Similarity.buildIvfIndex(spark, Sf, inc, maxVecIdExclusive = split)
+    Similarity.appendToIvfIndex(spark, Sf, inc, minVecId = split)
+    val viaFull = Similarity.ivfTopKFromIndex(spark, Sf, full).collect().toSeq
+    val viaInc = Similarity.ivfTopKFromIndex(spark, Sf, inc).collect().toSeq
+    assert(viaInc == viaFull)
+    assert(viaFull.nonEmpty)
+  }
+
   test("materialized LSH band index answers identically to the inline path") {
     val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
     Dedup.buildLshBandIndex(spark, Sf, idx)

@@ -64,6 +64,21 @@ class PlanFeaturesSpec extends SparkTestBase {
       s"expected AQE broadcast joins in shipping priority:\n$spPlan")
   }
 
+  test("corpus funnel: AQE broadcasts the unhinted drop-set join at fixture scale") {
+    // the drop set joins with no forced hint (it is O(near-dups) — small
+    // in practice but data-scaled, same policy as customer/supplier);
+    // statically the planner picks SMJ, and this pins that AQE flips it
+    // to broadcast from runtime stats, so the no-hint policy is free
+    val fn = graft.operators.TextAnalysis.corpusFunnel(spark, Sf)
+    assert(fn.collect().nonEmpty)
+    // AdaptiveSparkPlan's string includes the pre-AQE "Initial Plan"
+    // section (where SMJ legitimately appears) — judge the FINAL plan only
+    val plan = fn.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"drop-set join should be AQE-broadcast at fixture scale:\n$plan")
+  }
+
   test("IVF nearest-centroid assignment hash-aggregates with no sort anywhere") {
     // the one full-corpus step of the IVF path: must be a map-side
     // combining HashAggregate (packed-BIGINT max_by ordering), never a

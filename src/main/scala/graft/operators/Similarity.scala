@@ -358,28 +358,78 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Packing constant for (m DESC, vec_id ASC) orderings: 2^41. |m| is at
+    * most 2^20 micro-units, so m * 2^41 stays under 2^61; vec_id must stay
+    * below 2^41 (~2.2e12 vectors — beyond a 100 TB corpus of 64-dim
+    * float32, which tops out near 4e11 rows).
+    */
+  private val PackShift: Long = 1L << 41
+
   /** Embedding near-dup detection: nearest neighbor within each label
     * block (label = the blocking key), flagged when cosine >= 0.95.
-    * Blocked pairwise: O(sum of block²), never corpus².
+    * Blocked pairwise: O(sum of block²), never corpus² — with two guards
+    * the naive blocked self-join lacks:
+    *
+    *  - **Whale-label sub-blocking.** One label holding ~1% of a 100 TB
+    *    corpus would make its block quadratically dominant (the failure
+    *    the n-gram dedup path caps with `df <= 100` stop-shingles). A
+    *    label whose member count exceeds `maxBlock` is split into
+    *    ceil(n / maxBlock) deterministic hash sub-blocks and the NN
+    *    search runs within (label, sub-block): candidate work is bounded
+    *    by O(n · maxBlock) per label instead of O(n²), at the cost of the
+    *    NN being sub-block-local for whale labels (the stop-shingle
+    *    trade: bounded work beats exhaustive pairs on degenerate blocks).
+    *    Labels at or under the cap get n_sub = 1 — bit-identical to the
+    *    exact blocked search, so the DuckDB oracle is unchanged wherever
+    *    blocks fit the cap (all driver fixtures do).
+    *
+    *  - **Top-1 via packed max_by, not a window.** row_number() over
+    *    Window.partitionBy(vec_id) shuffles AND SORTS every scored pair;
+    *    the packed max_by (the nearestCentroid shape) is a
+    *    map-side-combining HashAggregate over three BIGINTs — at most one
+    *    partial row per (vec_id, upstream partition), zero sorts.
+    *    packed = m·2^41 − b_vec_id encodes (m DESC, b_vec_id ASC) in one
+    *    BIGINT; m is recovered exactly as (max(packed) + nn_vec_id)/2^41
+    *    since the sum is an exact multiple.
     */
-  def nearestInLabel(s: SparkSession, dir: String): DataFrame = {
+  def nearestInLabel(s: SparkSession, dir: String,
+                     maxBlock: Int = 1 << 16): DataFrame = {
     registerFunctions(s)
-    val emb = embWithNorm(s, dir)
-    val a = emb.select(col("vec_id"), col("label"), col("embedding"), col("vnorm"))
-    val b = emb.select(col("vec_id").as("b_vec_id"), col("label"),
+    nearestInLabelCore(embWithNorm(s, dir), maxBlock).orderBy(col("vec_id"))
+  }
+
+  /** Unsorted core of [[nearestInLabel]] over a (vec_id, label, embedding,
+    * vnorm) frame — exposed so specs can pin plan shape and sub-blocking
+    * behavior on synthetic skewed fixtures.
+    */
+  private[graft] def nearestInLabelCore(emb: DataFrame, maxBlock: Int): DataFrame = {
+    require(maxBlock > 0, "maxBlock must be positive")
+    registerFunctions(emb.sparkSession)
+    // one row per label; left unhinted — AQE broadcasts it from runtime
+    // stats when small, and a genuinely huge label dimension still joins
+    val nSub = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("block_n"))
+      .select(col("label"),
+        expr(s"CAST((block_n + ${maxBlock - 1}) DIV $maxBlock AS INT)").as("n_sub"))
+    val withSub = emb.join(nSub, Seq("label"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub")).cast("int"))
+    val a = withSub.select(col("vec_id"), col("label"), col("sub"),
+      col("embedding"), col("vnorm"))
+    val b = withSub.select(col("vec_id").as("b_vec_id"), col("label"), col("sub"),
       col("embedding").as("b_embedding"), col("vnorm").as("b_vnorm"))
-    val pairs = a.join(b, Seq("label"))
+    val pairs = a.join(b, Seq("label", "sub"))
       .filter(col("vec_id") =!= col("b_vec_id"))
       .withColumn("m",
         expr(scoreMicrosFromNorms("dot_f(embedding, b_embedding)", "vnorm", "b_vnorm")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("m").desc, col("b_vec_id"))
-    pairs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    pairs
+      .withColumn("packed", expr(s"m * CAST($PackShift AS BIGINT) - b_vec_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("b_vec_id"), col("packed")).as("nn_vec_id"),
+        max(col("packed")).as("pk"))
+      .withColumn("m", expr(s"(pk + nn_vec_id) DIV CAST($PackShift AS BIGINT)"))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        col("b_vec_id").as("nn_vec_id"),
+        col("nn_vec_id"),
         expr(Micro4).as("nn_score"),
         (col("m") >= 950000).as("is_near_dup"))
-      .orderBy(col("vec_id"))
   }
 }

@@ -102,6 +102,25 @@ class PlanFeaturesSpec extends SparkTestBase {
       s"no sort of the scored corpus is acceptable:\n$plan")
   }
 
+  test("nearestInLabel top-1 hash-aggregates with no sort anywhere") {
+    // the near-dup NN stage over every within-label pair: the packed
+    // max_by must plan as a map-side-combining HashAggregate — the old
+    // row_number() window shuffled AND sorted all scored pairs, which at
+    // corpus scale is the dominant cost of the whole query
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
+    val out = Similarity.nearestInLabelCore(emb, maxBlock = 1 << 16)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("HashAggregate"),
+      s"top-1 must stay hash-aggregable (primitive buffer):\n$plan")
+    assert(!plan.contains("Sort"),
+      s"no sort (window, SortAggregate, or SMJ) is acceptable:\n$plan")
+  }
+
   test("dynamic partition pruning fires on the dt-partitioned warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val orders = spark.read.parquet(s"$Sf/orders.parquet")

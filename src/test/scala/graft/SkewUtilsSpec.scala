@@ -34,4 +34,72 @@ class SkewUtilsSpec extends SparkTestBase {
       .select("s").distinct().count()
     assert(distinctSalts >= 4)
   }
+
+  /** Deterministic synthetic embeddings: 4-dim, label-controlled, with the
+    * same (vec_id, label, embedding, vnorm) shape nearestInLabelCore reads.
+    */
+  private def embFixture(rows: Seq[(Long, Int)]) = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    rows.map { case (id, label) =>
+      val rnd = new java.util.Random(7700L + id)
+      (id, label, Array.fill(4)(rnd.nextFloat()))
+    }.toDF("vec_id", "label", "embedding")
+      .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
+  }
+
+  test("nearestInLabel: packed max_by top-1 equals the window reference below the cap") {
+    import graft.operators.Similarity
+    val emb = embFixture((0L until 40L).map(i => (i, (i % 3).toInt)))
+    val out = Similarity.nearestInLabelCore(emb, maxBlock = 1 << 16)
+    // reference: the pre-r5 window shape (row_number over m DESC, b_vec_id)
+    val a = emb.select(col("vec_id"), col("label"), col("embedding"), col("vnorm"))
+    val b = emb.select(col("vec_id").as("b_vec_id"), col("label"),
+      col("embedding").as("b_embedding"), col("vnorm").as("b_vnorm"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("b_vec_id"))
+      .withColumn("m", expr(Similarity.scoreMicrosFromNorms(
+        "dot_f(embedding, b_embedding)", "vnorm", "b_vnorm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("m").desc, col("b_vec_id"))
+    val ref = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("b_vec_id").as("nn_vec_id"),
+        expr(Similarity.Micro4).as("nn_score"),
+        (col("m") >= 950000).as("is_near_dup"))
+    assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0)
+  }
+
+  test("nearestInLabel: whale labels sub-block (bounded work), small labels stay exact") {
+    import graft.operators.Similarity
+    // label 1 is a whale (120 members, cap 32 -> 4 hash sub-blocks);
+    // label 2 fits the cap (8 members) and must be untouched by it
+    val emb = embFixture(
+      (0L until 120L).map(i => (i, 1)) ++ (200L until 208L).map(i => (i, 2)))
+    val capped = Similarity.nearestInLabelCore(emb, maxBlock = 32)
+    val exact = Similarity.nearestInLabelCore(emb, maxBlock = 1 << 16)
+
+    val cappedSmall = capped.filter(col("label") === 2)
+    val exactSmall = exact.filter(col("label") === 2)
+    assert(cappedSmall.exceptAll(exactSmall).count() == 0 &&
+      exactSmall.exceptAll(cappedSmall).count() == 0,
+      "labels under the cap must be exact (n_sub = 1)")
+
+    // whale label: every reported NN must share the vector's hash sub-block
+    val nSubWhale = 4 // ceil(120 / 32)
+    val subs = emb.filter(col("label") === 1)
+      .select(col("vec_id"),
+        pmod(xxhash64(col("vec_id")), lit(nSubWhale)).cast("int").as("sub"))
+    val whale = capped.filter(col("label") === 1)
+      .join(subs, "vec_id")
+      .join(subs.withColumnRenamed("vec_id", "nn_vec_id")
+        .withColumnRenamed("sub", "nn_sub"), "nn_vec_id")
+    assert(whale.filter(col("sub") =!= col("nn_sub")).count() == 0,
+      "whale-label candidates must stay within their sub-block")
+    // every whale vector whose sub-block has >= 2 members gets a row
+    val expectedWhaleRows = subs
+      .join(subs.groupBy("sub").count().filter(col("count") >= 2), "sub")
+      .count()
+    assert(capped.filter(col("label") === 1).count() == expectedWhaleRows)
+  }
 }

@@ -146,6 +146,7 @@ object SparkEntry {
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
+    "q_frame_features" -> (Multimodal.frameFeatures(_, _)),
     // ---- deterministic sampling / dataset mixing ----
     "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
     "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _)),
@@ -1285,6 +1286,27 @@ object SparkEntry {
               * 3 * ((ascii(substr(hx, 3, 1)) % 64) * 4) AS BIGINT) AS channel_sum,
          CAST((ascii(substr(hx, 3, 1)) % 64) * 4 AS BIGINT) AS gray_level
          FROM m ORDER BY asset_id""",
+
+    // The Spark side writes a real animated GIF per document (2-4
+    // constant-fill frames; dims/fills/frame-count from md5(text) hex),
+    // then seeks and DECODES the k=3 sampled frames with javax.imageio.
+    // The oracle predicts every decoded value from the generation formula
+    // — agreement proves the multi-frame encode/seek/decode round-trip.
+    "q_frame_features" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         p AS (SELECT doc_id,
+                 CAST(16 + (ascii(substr(hx, 1, 1)) % 8) * 4 AS INTEGER) AS width,
+                 CAST(16 + (ascii(substr(hx, 2, 1)) % 8) * 4 AS INTEGER) AS height,
+                 CAST((ascii(substr(hx, 3, 1)) % 50) * 4 AS BIGINT) AS base,
+                 CAST(2 + (ascii(substr(hx, 4, 1)) % 3) AS INTEGER) AS n_frames
+               FROM m),
+         sampled AS (SELECT DISTINCT doc_id, width, height, base, n_frames,
+                       CAST((n_frames * t.i) // 3 AS INTEGER) AS frame_idx
+                     FROM p, range(0, 3) t(i))
+         SELECT doc_id AS asset_id, frame_idx, n_frames, width, height,
+                CAST(3 * (base + 8 * frame_idx) AS BIGINT) * width * height AS channel_sum,
+                CAST(base + 8 * frame_idx AS BIGINT) AS gray_level
+         FROM sampled ORDER BY asset_id, frame_idx""",
 
     "q_text_clean" ->
       """WITH c AS (SELECT doc_id, text,

@@ -182,37 +182,169 @@ object Multimodal {
         expr("CAST((ascii(substr(hx, 3, 1)) % 64) * 4 AS BIGINT)").as("gray_level"))
       .orderBy(col("asset_id"))
 
-  /** One sampled "frame" of a (video-like) asset. */
+  /** One sampled, DECODED frame of a multi-frame (video-like) asset. */
   final case class FrameFeature(
       asset_id: Long,
       frame_idx: Int,
-      byte_offset: Long,
-      frame_hash: String)
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      channel_sum: Long,
+      gray_level: Long)
 
-  /** Frame sampling: K evenly spaced byte windows per asset — the seek
-    * pattern of video frame extraction, over the real PNG payloads. Same
-    * partition-batched shape as decodeAssets (one digest init per
-    * partition, streaming rows); a video codec integration would replace
-    * the windowed digest with a seek+decode at the sampled timestamp.
-    * Output is rows-per-frame, ready for per-frame features or dedup.
+  /** Internal generator record for multi-frame assets (public for the
+    * same janino-accessor reason as AssetRow).
+    */
+  final case class VideoAssetRow(
+      asset_id: Long,
+      payload: Array[Byte],
+      n_frames: Int,
+      mime: String)
+
+  /** The multi-frame generation formula, shared by the GIF generator, the
+    * predicted-features twin, and the DuckDB oracle. Hex chars 1-4 of
+    * md5(text) pick width, height, the base gray fill, and the frame
+    * count; frame i fills with base + 8*i (base <= 196 and nFrames <= 4,
+    * so every fill stays inside the 256-gray palette with no modular
+    * wrap the oracle would have to mirror).
+    */
+  private def videoDims(md5Hex: String): (Int, Int, Int, Int) = {
+    val w = 16 + (md5Hex.charAt(0).toInt % 8) * 4
+    val h = 16 + (md5Hex.charAt(1).toInt % 8) * 4
+    val base = (md5Hex.charAt(2).toInt % 50) * 4
+    val nFrames = 2 + (md5Hex.charAt(3).toInt % 3)
+    (w, h, base, nFrames)
+  }
+
+  /** 256-entry grayscale palette: index i decodes to RGB (i, i, i), so an
+    * indexed GIF round-trips pixel values exactly (no quantization).
+    */
+  private def grayPalette(): java.awt.image.IndexColorModel = {
+    val grays = Array.tabulate(256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+  }
+
+  /** Multi-frame (video-like) asset table: payload = a REAL animated GIF
+    * (2-4 constant-fill frames, content-addressed dims and fills),
+    * written with javax.imageio's sequence writer. Same per-partition
+    * codec-init discipline as `assets`: one writer instance per
+    * partition, streamed rows, never a temp file.
+    */
+  def videoAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val icm = grayPalette()
+        rows.map { case (id, text) =>
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"${b & 0xFF}%02x").mkString
+          val (w, h, base, nFrames) = videoDims(hex)
+          val out = new java.io.ByteArrayOutputStream(1024)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var i = 0
+          while (i < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val data = Array.fill[Byte](w * h)((base + 8 * i).toByte)
+            img.getRaster.setDataElements(0, 0, w, h, data)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            i += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          VideoAssetRow(id, out.toByteArray, nFrames, "image/gif")
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling with REAL per-frame decode: k evenly spaced frame
+    * indices per asset (deduplicated when the asset has fewer than k
+    * frames), each decoded from the animated GIF via `reader.read(idx)` —
+    * the seek+decode-at-sampled-timestamp shape of video frame
+    * extraction. Frame count comes from the container itself
+    * (`getNumImages`), not the generator; one reader init per partition.
     */
   def sampleFrames(s: SparkSession, dir: String, k: Int = 4): Dataset[FrameFeature] = {
     import s.implicits._
     require(k >= 1)
-    assets(s, dir)
+    videoAssets(s, dir)
       .select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
         rows.flatMap { case (id, payload) =>
-          (0 until k).iterator.map { i =>
-            val offset = (payload.length.toLong * i) / k
-            val end = math.min(payload.length.toLong, offset + 256).toInt
-            val window = java.util.Arrays.copyOfRange(payload, offset.toInt, end)
-            val hex = md.digest(window).map(b => f"${b & 0xFF}%02x").mkString
-            FrameFeature(id, i, offset, hex)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val sampled = (0 until k).map(i => (n * i) / k).distinct
+          val features = sampled.map { idx =>
+            val img = reader.read(idx)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            FrameFeature(id, idx, n, w, h, sum, sum / (3L * w * h))
           }
+          iis.close()
+          features.iterator
         }
       }
   }
+
+  /** Sampled-frame features as a DataFrame query surface
+    * (q_frame_features): every value here comes out of the real GIF
+    * decode — frame count from the container, pixel sums from decoded
+    * rasters.
+    */
+  def frameFeatures(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    sampleFrames(s, dir, k).toDF()
+      .orderBy(col("asset_id"), col("frame_idx"))
+
+  /** The generation-formula twin of `frameFeatures` — pure columns, no
+    * GIF round-trip — what the DuckDB oracle evaluates. OperatorSpec pins
+    * decode == prediction row for row, proving the animated-GIF encode /
+    * seek / per-frame decode is faithful.
+    */
+  def predictedFrameFeatures(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .withColumn("hx", expr("md5(coalesce(text, ''))"))
+      .select(
+        col("doc_id").as("asset_id"),
+        expr("CAST(16 + (ascii(substr(hx, 1, 1)) % 8) * 4 AS INT)").as("width"),
+        expr("CAST(16 + (ascii(substr(hx, 2, 1)) % 8) * 4 AS INT)").as("height"),
+        expr("CAST((ascii(substr(hx, 3, 1)) % 50) * 4 AS BIGINT)").as("base"),
+        expr("CAST(2 + (ascii(substr(hx, 4, 1)) % 3) AS INT)").as("n_frames"))
+      .crossJoin(s.range(k).select(col("id").as("i")))
+      .select(col("asset_id"),
+        expr("CAST((n_frames * i) DIV " + k + " AS INT)").as("frame_idx"),
+        col("n_frames"), col("width"), col("height"), col("base"))
+      .distinct()
+      .select(col("asset_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"),
+        expr("CAST(3 * (base + 8 * frame_idx) AS BIGINT) * width * height")
+          .as("channel_sum"),
+        expr("CAST(base + 8 * frame_idx AS BIGINT)").as("gray_level"))
+      .orderBy(col("asset_id"), col("frame_idx"))
 }

@@ -407,15 +407,25 @@ class OperatorSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
-  test("frame sampling emits k increasing-offset frames per asset") {
-    val frames = Multimodal.sampleFrames(spark, Sf, k = 4).collect()
-    val nAssets = spark.read.parquet(s"$Sf/documents.parquet").count()
-    assert(frames.length == nAssets * 4)
-    frames.groupBy(_.asset_id).foreach { case (_, fs) =>
-      val sorted = fs.sortBy(_.frame_idx)
-      assert(sorted.map(_.frame_idx).toSeq == (0 until 4))
-      assert(sorted.map(_.byte_offset).toSeq == sorted.map(_.byte_offset).sorted.toSeq)
-      assert(fs.forall(_.frame_hash.length == 32))
+  test("frame sampling: real GIF decode equals the generation-formula prediction") {
+    // end-to-end proof the multi-frame path is a faithful codec
+    // round-trip: the generator writes a real animated GIF, sampleFrames
+    // seeks+decodes frames via reader.read(idx), and every decoded value
+    // (including the frame count read from the container) equals what the
+    // md5-derived formula — and thus the DuckDB oracle — predicts
+    val decoded = Multimodal.frameFeatures(spark, Sf, k = 3).collect()
+    val predicted = Multimodal.predictedFrameFeatures(spark, Sf, k = 3).collect()
+    assert(decoded.length == predicted.length && decoded.nonEmpty)
+    decoded.zip(predicted).foreach { case (d, p) =>
+      assert(d.toSeq == p.toSeq, s"decoded $d != predicted $p")
+    }
+    // sampling dedupes when n_frames < k: per-asset row count is
+    // min(k, n_frames) distinct evenly spaced indices
+    val byAsset = decoded.groupBy(_.getAs[Long]("asset_id"))
+    byAsset.foreach { case (_, fs) =>
+      val n = fs.head.getAs[Int]("n_frames")
+      val expectIdx = (0 until 3).map(i => (n * i) / 3).distinct.sorted
+      assert(fs.map(_.getAs[Int]("frame_idx")).toSeq.sorted == expectIdx)
     }
   }
 

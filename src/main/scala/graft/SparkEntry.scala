@@ -142,6 +142,7 @@ object SparkEntry {
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
+    "q_ann_ivf_trained_topk" -> (Similarity.ivfTopKTrained(_, _)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     // ---- multimodal ----
@@ -205,6 +206,88 @@ object SparkEntry {
     s"CAST(floor((${cosSql(a, b)}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
   private val micro4Sql =
     "CAST(CASE WHEN m >= 0 THEN (m + 50) // 100 ELSE -((-m + 50) // 100) END AS BIGINT)"
+
+  /** DuckDB twin of Similarity.ivfTopKTrained: fixed-iteration Lloyd's
+    * k-means over BIGINT quantization codes, unrolled as one CTE chain
+    * per iteration (assign -> component-sum -> centroid list), then the
+    * standard IVF probe/candidate/re-rank tail. Centroids are exact
+    * integer component SUMS (order-free on both engines); every double
+    * is a pinned-order fold of CAST(int AS DOUBLE) products, so the
+    * trained centroids — and therefore the search result — are
+    * bit-identical to Spark's without embedding any data-derived literal.
+    */
+  private def trainedIvfSql(iters: Int = 2): String = {
+    def dotc(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, len($a) + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cmOf(a: String, b: String, na: String, nb: String): String =
+      s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
+        "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
+         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
+                     FROM codes),
+         cent0 AS (SELECT vec_id AS centroid_id, code AS csum
+                   FROM codes WHERE vec_id < 16),""")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(
+        s"""
+         cn$p AS (SELECT centroid_id, csum, sqrt(${dotc("csum", "csum")}) AS cqn
+                  FROM cent$p),
+         scored$t AS (SELECT c.vec_id, c.code, k.centroid_id,
+                      ${cmOf("c.code", "k.csum", "c.vqn", "k.cqn")} AS cm
+                      FROM codes_n c CROSS JOIN cn$p k),
+         assign$t AS (SELECT vec_id, code, centroid_id FROM (
+                      SELECT vec_id, code, centroid_id,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY cm DESC, centroid_id) AS rn
+                      FROM scored$t) s WHERE rn = 1),
+         sums$t AS (SELECT centroid_id, r.i AS i, SUM(code[r.i]) AS s
+                    FROM assign$t, range(1, 65) r(i) -- 64-dim embeddings
+                    GROUP BY centroid_id, r.i),
+         cent$t AS (SELECT centroid_id, list(s ORDER BY i) AS csum
+                    FROM sums$t GROUP BY centroid_id),""")
+    }
+    sb.append(
+      s"""
+         cnF AS (SELECT centroid_id, csum, sqrt(${dotc("csum", "csum")}) AS cqn
+                 FROM cent$iters),
+         scoredF AS (SELECT c.vec_id, k.centroid_id,
+                     ${cmOf("c.code", "k.csum", "c.vqn", "k.cqn")} AS cm
+                     FROM codes_n c CROSS JOIN cnF k),
+         assignF AS (SELECT vec_id, centroid_id FROM (
+                     SELECT vec_id, centroid_id,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cm DESC, centroid_id) AS rn
+                     FROM scoredF) s WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scoredF WHERE vec_id < 10) s WHERE rn <= 3),
+         cand AS (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM assignF a JOIN probes p ON a.centroid_id = p.centroid_id
+                  WHERE a.vec_id <> p.query_id),
+         rr AS (SELECT cand.query_id, cand.vec_id,
+                ${cosMicrosSql("q.qv", "e.v")} AS m
+                FROM cand
+                JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q
+                  ON q.qid = cand.query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM rr)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")
+    sb.toString
+  }
 
   /** The LSH hyperplanes as SQL literals (Double.toString round-trips
     * exactly, so the oracle computes the same signatures bit-for-bit).
@@ -1257,6 +1340,8 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_ivf_trained_topk" -> trainedIvfSql(),
 
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

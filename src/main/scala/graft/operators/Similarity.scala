@@ -238,6 +238,110 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** BIGINT quantization codes of the embedding: floor(x·2^20 + 0.5) per
+    * component — one IEEE-754 op, bit-identical on every engine (the
+    * labelCentroidAffinity discipline). The trained quantizer aggregates
+    * CODES, not floats: component sums of integers are exact and
+    * order-free, so k-means centroids are independent of partitioning and
+    * recomputable by the DuckDB oracle.
+    */
+  private val CodeExpr: String =
+    """transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+       + CAST(0.5 AS DOUBLE)) AS BIGINT))"""
+
+  /** Left-to-right double dot of two BIGINT-array columns. Every product
+    * is CAST(int AS DOUBLE) — exact below 2^53 — and the fold order is
+    * pinned, so the oracle's indexed list_reduce reproduces identical
+    * bits.
+    */
+  private def dotCodesExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** (vec_id, code, vqn): integer codes + the code-space norm, computed
+    * once per vector (not once per centroid pair).
+    */
+  private[graft] def vectorCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(CodeExpr).as("code"))
+      .withColumn("vqn", expr(s"sqrt(${dotCodesExpr("code", "code")})"))
+
+  /** Code-space micro-cosine of every vector against every centroid.
+    * Centroids stay unnormalized component SUMS — cosine is invariant to
+    * positive scaling, so dividing by the member count (and its
+    * engine-dependent rounding) is never needed.
+    */
+  private def scoreAgainstCentroids(codes: DataFrame, centroids: DataFrame): DataFrame = {
+    val withNorm = centroids
+      .withColumn("cqn", expr(s"sqrt(${dotCodesExpr("csum", "csum")})"))
+    codes.crossJoin(broadcast(withNorm))
+      .withColumn("cm", expr(
+        s"""CAST(floor((${dotCodesExpr("code", "csum")} / (vqn * cqn))
+            * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+  }
+
+  /** Fixed-iteration spherical Lloyd's k-means over the integer codes —
+    * the trained coarse quantizer. Init is the deterministic first-N
+    * codes (the existing fallback quantizer); each iteration assigns every
+    * vector to its max-cosine centroid (packed max_by — the sort-free
+    * nearestCentroid shape) and replaces each centroid with the exact
+    * component-wise integer SUM of its members. Everything is either
+    * exact integer arithmetic or pinned-order double folds, so a fixed
+    * `iters` yields centroids the DuckDB oracle recomputes bit-for-bit.
+    * Clusters that lose all members drop out (both engines agree).
+    *
+    * Scale shape: per iteration, ONE corpus pass against a broadcast
+    * centroid table (crossJoin + hash-agg assignment, posexplode +
+    * two-level hash-agg update — rows×dim, never a per-label vector
+    * list); the O(nLists·dim) centroid table is localCheckpoint'd
+    * between iterations so the lazy plan doesn't double per round.
+    */
+  private[graft] def trainCentroids(codes: DataFrame, nLists: Int, iters: Int): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    require(iters >= 0, "iters must be non-negative")
+    var centroids = codes.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("centroid_id"), col("code").as("csum"))
+    for (_ <- 1 to iters) {
+      val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
+      centroids = codes.join(assign, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("code")).as(Seq("pos", "c")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("c")).as("s"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+          .as("csum"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** IVF-flat ANN with the TRAINED quantizer: Lloyd's k-means centroids
+    * (trainCentroids) instead of the raw first-N vectors, same probe
+    * mechanics, same exact float re-rank and output contract as ivfTopK.
+    * On clustered data the trained centroids track the true clusters, so
+    * recall at equal nProbe dominates the first-N quantizer
+    * (OperatorSpec pins trained >= first-N on the clustered fixture).
+    */
+  def ivfTopKTrained(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                     nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val codes = vectorCodes(emb)
+    val centroids = trainCentroids(codes, nLists, iters)
+    val scoredC = scoreAgainstCentroids(codes, centroids)
+    val assign = nearestCentroid(scoredC)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cm").desc, col("centroid_id"))
+    val probes = scoredC.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    rerankTopK(candidates, emb, k)
+  }
+
   /** Materialized IVF index — the pay-at-load path SCALE.md describes:
     * assignment runs ONCE (one corpus pass against broadcast centroids),
     * lands as parquet partitioned by centroid list, and every subsequent

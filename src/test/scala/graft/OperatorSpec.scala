@@ -632,6 +632,24 @@ class OperatorSpec extends SparkTestBase {
     val ivfRecall = (brute intersect ivf).size.toDouble / brute.size
     info(f"ANN IVF recall@5 (nProbe=8) = $ivfRecall%.2f")
     assert(ivfRecall >= 0.5)
+    // the trained quantizer (2 Lloyd iterations from the same first-16
+    // init) must dominate the raw first-N quantizer at equal probe width:
+    // k-means pulls the 16 centroids apart toward the 40 true clusters,
+    // while first-N leaves them all inside clusters 0 and 1. Compare at
+    // BOTH widths — the narrow probe is where quantizer quality shows
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      (brute intersect pairs).size.toDouble / brute.size
+    for (probe <- Seq(2, 8)) {
+      val firstN = recallOf(Similarity.ivfTopK(spark, dir, nProbe = probe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val trained = recallOf(Similarity.ivfTopKTrained(spark, dir, nProbe = probe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      info(f"ANN IVF recall@5 (nProbe=$probe) first-N=$firstN%.2f trained=$trained%.2f")
+      assert(trained >= firstN,
+        f"trained k-means quantizer ($trained%.2f) must be >= first-N ($firstN%.2f) at nProbe=$probe")
+    }
   }
 
   test("multimodal: real PNG decode matches the generation-formula prediction") {

@@ -142,7 +142,9 @@ object SparkEntry {
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
-    "q_ann_ivf_trained_topk" -> (Similarity.ivfTopKTrained(_, _)),
+    "q_ann_ivf_trained_topk" -> ((s, d) => Similarity.ivfTopKTrained(s, d,
+      nQueries = TrainedIvf.nQueries, k = TrainedIvf.k, nLists = TrainedIvf.nLists,
+      nProbe = TrainedIvf.nProbe, iters = TrainedIvf.iters)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     // ---- multimodal ----
@@ -216,7 +218,18 @@ object SparkEntry {
     * trained centroids — and therefore the search result — are
     * bit-identical to Spark's without embedding any data-derived literal.
     */
-  private def trainedIvfSql(iters: Int = 2): String = {
+  /** The single source of the q_ann_ivf_trained_topk parameters: the
+    * registry query calls Similarity.ivfTopKTrained with exactly these and
+    * the oracle builder below takes the same values, so operator call and
+    * oracle cannot drift (the dim is never hardcoded — the oracle derives
+    * it from len(code)).
+    */
+  private object TrainedIvf {
+    val iters = 2; val nLists = 16; val nQueries = 10; val nProbe = 3; val k = 5
+  }
+
+  private def trainedIvfSql(iters: Int, nLists: Int, nQueries: Int,
+                            nProbe: Int, k: Int): String = {
     def dotc(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, len($a) + 1), " +
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -232,7 +245,7 @@ object SparkEntry {
          codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
                      FROM codes),
          cent0 AS (SELECT vec_id AS centroid_id, code AS csum
-                   FROM codes WHERE vec_id < 16),""")
+                   FROM codes WHERE vec_id < $nLists),""")
     for (t <- 1 to iters) {
       val p = t - 1
       sb.append(
@@ -247,9 +260,12 @@ object SparkEntry {
                              row_number() OVER (PARTITION BY vec_id
                                                 ORDER BY cm DESC, centroid_id) AS rn
                       FROM scored$t) s WHERE rn = 1),
-         sums$t AS (SELECT centroid_id, r.i AS i, SUM(code[r.i]) AS s
-                    FROM assign$t, range(1, 65) r(i) -- 64-dim embeddings
-                    GROUP BY centroid_id, r.i),
+         sums$t AS (SELECT centroid_id, i, SUM(c) AS s FROM (
+                      SELECT centroid_id,
+                             unnest(range(1, len(code) + 1)) AS i,
+                             unnest(code) AS c
+                      FROM assign$t) z$t
+                    GROUP BY centroid_id, i),
          cent$t AS (SELECT centroid_id, list(s ORDER BY i) AS csum
                     FROM sums$t GROUP BY centroid_id),""")
     }
@@ -269,7 +285,7 @@ object SparkEntry {
                     SELECT vec_id, centroid_id,
                            row_number() OVER (PARTITION BY vec_id
                                               ORDER BY cm DESC, centroid_id) AS rn
-                    FROM scoredF WHERE vec_id < 10) s WHERE rn <= 3),
+                    FROM scoredF WHERE vec_id < $nQueries) s WHERE rn <= $nProbe),
          cand AS (SELECT DISTINCT p.query_id, a.vec_id
                   FROM assignF a JOIN probes p ON a.centroid_id = p.centroid_id
                   WHERE a.vec_id <> p.query_id),
@@ -277,7 +293,7 @@ object SparkEntry {
                 ${cosMicrosSql("q.qv", "e.v")} AS m
                 FROM cand
                 JOIN e ON e.vec_id = cand.vec_id
-                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries) q
                   ON q.qid = cand.query_id),
          ranked AS (SELECT query_id, vec_id, m,
                     row_number() OVER (PARTITION BY query_id
@@ -285,7 +301,7 @@ object SparkEntry {
                     FROM rr)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")
+         FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
     sb.toString
   }
 
@@ -1341,7 +1357,8 @@ object SparkEntry {
                 $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
-    "q_ann_ivf_trained_topk" -> trainedIvfSql(),
+    "q_ann_ivf_trained_topk" -> trainedIvfSql(TrainedIvf.iters, TrainedIvf.nLists,
+      TrainedIvf.nQueries, TrainedIvf.nProbe, TrainedIvf.k),
 
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -262,7 +262,7 @@ object Multimodal {
           writer.endWriteSequence()
           ios.close()
           VideoAssetRow(id, out.toByteArray, nFrames, "image/gif")
-        }
+        } ++ { writer.dispose(); Iterator.empty }
       }
       .toDF()
   }
@@ -287,29 +287,32 @@ object Multimodal {
         rows.flatMap { case (id, payload) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          val sampled = (0 until k).map(i => (n * i) / k).distinct
-          val features = sampled.map { idx =>
-            val img = reader.read(idx)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-                x += 1
+          // close the stream even when a corrupt payload makes read throw
+          // (otherwise the executor leaks one stream per bad row)
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val sampled = (0 until k).map(i => (n * i) / k).distinct
+            val features = sampled.map { idx =>
+              val img = reader.read(idx)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              FrameFeature(id, idx, n, w, h, sum, sum / (3L * w * h))
             }
-            FrameFeature(id, idx, n, w, h, sum, sum / (3L * w * h))
-          }
-          iis.close()
-          features.iterator
-        }
+            features.iterator
+          } finally iis.close()
+        } ++ { reader.dispose(); Iterator.empty }
       }
   }
 

@@ -496,6 +496,16 @@ object Similarity {
     *    BIGINT; m is recovered exactly as (max(packed) + nn_vec_id)/2^41
     *    since the sum is an exact multiple.
     */
+  /** QUERY-LEVEL CONTRACT (q_embed_nearest_in_label): for labels with at
+    * most `maxBlock` members the result is the EXACT blocked nearest
+    * neighbor. For whale labels (> maxBlock members) the neighbor is
+    * sub-block-local and therefore best-effort: a vector's true >= 0.95
+    * neighbor can hash to a different sub-block (false-negative
+    * is_near_dup), and a vector alone in its sub-block emits no row.
+    * Downstream dedup consumers must treat whale-label rows as a recall
+    * floor, not ground truth — raise maxBlock (cost O(n·maxBlock) per
+    * whale) or pre-split such labels when exactness matters.
+    */
   def nearestInLabel(s: SparkSession, dir: String,
                      maxBlock: Int = 1 << 16): DataFrame = {
     registerFunctions(s)
@@ -526,7 +536,14 @@ object Similarity {
       .withColumn("m",
         expr(scoreMicrosFromNorms("dot_f(embedding, b_embedding)", "vnorm", "b_vnorm")))
     pairs
-      .withColumn("packed", expr(s"m * CAST($PackShift AS BIGINT) - b_vec_id"))
+      // packing is only order-correct for b_vec_id in [0, 2^41); out of
+      // range would silently corrupt the (m DESC, vec_id ASC) recovery,
+      // so fail loudly instead (one branch per pair row, codegen'd)
+      .withColumn("packed", expr(
+        s"""CASE WHEN b_vec_id >= 0 AND b_vec_id < CAST($PackShift AS BIGINT)
+            THEN m * CAST($PackShift AS BIGINT) - b_vec_id
+            ELSE CAST(raise_error('nearestInLabel: vec_id outside [0, 2^41) packing range') AS BIGINT)
+            END"""))
       .groupBy(col("vec_id"), col("label"))
       .agg(max_by(col("b_vec_id"), col("packed")).as("nn_vec_id"),
         max(col("packed")).as("pk"))

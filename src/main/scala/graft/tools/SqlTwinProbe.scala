@@ -33,15 +33,20 @@ object SqlTwinProbe {
           try {
             val viaSql = spark.sql(sql)
             val df = SparkEntry.queries(name)(spark, sfDir)
-            val sameCols = viaSql.schema.fieldNames.sameElements(df.schema.fieldNames)
-            if (!sameCols)
-              println(s"MISMATCH $name cols ${viaSql.columns.mkString(",")} vs ${df.columns.mkString(",")}")
+            // full schema (name + type): a type-only mismatch would make
+            // exceptAll throw and be mislabeled SQL_FAIL
+            val sqlSchema = viaSql.schema.map(f => (f.name, f.dataType))
+            val dfSchema = df.schema.map(f => (f.name, f.dataType))
+            if (sqlSchema != dfSchema)
+              println(s"MISMATCH $name schema ${sqlSchema.mkString(",")} vs ${dfSchema.mkString(",")}")
             else if (viaSql.exceptAll(df).isEmpty && df.exceptAll(viaSql).isEmpty)
               println(s"PORTABLE $name")
             else println(s"MISMATCH $name values differ")
           } catch {
             case e: Throwable =>
-              println(s"SQL_FAIL $name :: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next().take(160)}")
+              val msg = Option(e.getMessage).getOrElse(e.toString)
+                .linesIterator.find(_.trim.nonEmpty).getOrElse("")
+              println(s"SQL_FAIL $name :: ${msg.take(160)}")
           }
       }
     }

@@ -79,7 +79,14 @@ object Tables {
   def spread(s: SparkSession, dir: String, name: String): DataFrame =
     spreadForCompute(load(s, dir, name), Seq(s"$dir/$name.parquet"))
 
-  /** Register all tables as temp views (for spark.sql callers). */
+  /** Register all tables as temp views (for spark.sql callers). Events
+    * goes through [[events]] so SQL callers see the same micro-truncated
+    * TimestampType `ts` the operators (and DuckDB) see — the raw view
+    * would expose nanos-as-BIGINT.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    All.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    All.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1,0 +1,1066 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkEntry
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** The SQL front door: a `spark.sql`-runnable statement for EVERY query in
+  * `SparkEntry.queries`, so a SQL-speaking consumer (the reference's users
+  * talk to their warehouse in SQL — `/root/reference/src/etl/load.py:67-110`,
+  * `README.md:150-170`) can run the whole registry without touching the
+  * DataFrame API.
+  *
+  * Two sources of SQL text:
+  *  - queries whose DuckDB oracle is already valid Spark SQL pass the
+  *    oracle text through verbatim (`portable`), so the two surfaces can
+  *    never drift;
+  *  - queries whose oracle leans on DuckDB dialect (list_* functions,
+  *    1-based `arr[i]`, `unnest`, `//`, `epoch_us`, `strftime`, ASOF JOIN,
+  *    unbounded recursion) get a hand-written Spark-dialect twin built from
+  *    the same helper builders, structurally mirroring the oracle so the
+  *    translation is reviewable side by side.
+  *
+  * Twins use ONLY built-in Spark SQL — no graft-registered functions — so
+  * the front door works on a stock SparkSession. SqlFrontDoorSpec iterates
+  * the registry and asserts twin-vs-DataFrame equality for every entry.
+  *
+  * Dialect map used throughout (DuckDB -> Spark):
+  *   len(a)->size(a)  a[i]->element_at(a,i)  list_transform->transform
+  *   list_filter->filter  list_distinct->array_distinct
+  *   list_contains(l,x)->array_contains  list_intersect->array_intersect
+  *   list_aggregate(l,'min'|'max')->array_min|array_max
+  *   list_aggregate(l,'sum')/list_reduce->aggregate(l, init, +)
+  *   list_slice(a,s,e)->slice(a,s,e-s+1)  l1||l2->concat  [x,y]->array(x,y)
+  *   range(a,b[,s])->sequence(a,b-1[,s])  unnest->explode/posexplode
+  *   x//y->x DIV y (identical trunc semantics, verified)  xor(a,b)->a^b
+  *   (1<<p)->shiftleft  epoch_us->unix_micros  strftime->date_format
+  *   quantile_cont->percentile  json_extract_string->get_json_object
+  *   array_to_string->array_join  VARCHAR->STRING  DOUBLE[]->ARRAY<DOUBLE>
+  *   regexp_extract_all(s,re)->regexp_extract_all(s,re,0) + \\-escaping
+  *   regexp_replace(s,re,r,'g')->regexp_replace(s,re,r)
+  *   dayofweek (Sun=0) -> dayofweek - 1 (Sun=1)
+  *   strpos->instr  trim(x,c)->trim(BOTH c FROM x)
+  */
+object SqlFrontDoor {
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Pinned left-to-right double dot of two DOUBLE-array columns; empty ->
+    * 0. Same fold order as the oracle's list_reduce (init 0.0 + v1 == v1
+    * bitwise), so micro-rounded scores agree with both the oracle and the
+    * operator.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"CASE WHEN size($a) = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"aggregate(zip_with($a, $b, (p, q) -> p * q), CAST(0 AS DOUBLE), (x, y) -> x + y) END"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def cosMicrosSql(a: String, b: String): String =
+    s"CAST(floor((${cosSql(a, b)}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  private val micro4Sql =
+    "CAST(CASE WHEN m >= 0 THEN (m + 50) DIV 100 ELSE -((-m + 50) DIV 100) END AS BIGINT)"
+
+  /** Tokenizer shared by every documents-table twin. */
+  private val toksSql =
+    "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
+
+  /** d (tokens) + shd (distinct word-trigram shingles) CTE prefix. */
+  private val shingleCtes =
+    s"""d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+        shd AS (SELECT doc_id, array_distinct(transform(sequence(1, size(ws) - 2),
+                i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))) AS sh
+                FROM d WHERE size(ws) >= 3)"""
+
+  private val minhashSigs = (0 until Dedup.NumHashes).map(j =>
+    s"array_min(transform(sh, t -> substr(md5(t || ':${j / 4}'), ${(j % 4) * 8 + 1}, 8))) AS sig_$j")
+    .mkString(", ")
+  private val minhashBands = (0 until Dedup.Bands).map { b =>
+    val parts = (0 until Dedup.RowsPerBand).map(r => s"sig_${b * Dedup.RowsPerBand + r}")
+    s"md5(${parts.mkString(" || ")}) AS band_$b"
+  }.mkString(", ")
+  private val minhashBandRows = (0 until Dedup.Bands).map(b =>
+    s"SELECT doc_id, $b AS band_idx, band_$b AS band_val FROM bands").mkString(" UNION ALL ")
+
+  /** Shingles -> signatures -> bands -> LSH candidates -> verified jaccard
+    * pairs (mirror of SparkEntry.minhashVerifyCtes).
+    */
+  private val minhashVerifyCtes =
+    s"""$shingleCtes,
+       sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+       bands AS (SELECT doc_id, $minhashBands FROM sigs),
+       br AS ($minhashBandRows),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM br a JOIN br b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id),
+       verify AS (
+         SELECT doc_a, doc_b,
+                (20000 * size(array_intersect(sa.sh, sb.sh))
+                 + size(array_distinct(concat(sa.sh, sb.sh))))
+                DIV (2 * size(array_distinct(concat(sa.sh, sb.sh)))) AS jaccard_1e4
+         FROM cand
+         JOIN shd sa ON sa.doc_id = cand.doc_a
+         JOIN shd sb ON sb.doc_id = cand.doc_b)"""
+
+  /** Shingles -> 32-bit SimHash per doc (mirror of the oracle chain). */
+  private val simhashCtes =
+    s"""$shingleCtes,
+       ex AS (SELECT doc_id, md5(s) AS hh FROM (SELECT doc_id, explode(sh) AS s FROM shd)),
+       votes AS (SELECT doc_id, p,
+                 sum(CASE WHEN substr(hh, p + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END) AS v
+                 FROM ex CROSS JOIN (SELECT explode(sequence(0, 31)) AS p) r GROUP BY doc_id, p),
+       sims AS (SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id)"""
+
+  /** Chunking CTE prefix: 30-token stride, 40-token window. */
+  private val chunkCtes =
+    s"""d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       st AS (SELECT doc_id, ws, start
+              FROM d LATERAL VIEW explode(sequence(0, size(ws) - 1, 30)) t AS start
+              WHERE size(ws) >= 1),
+       ch AS (SELECT doc_id, CAST(start DIV 30 AS BIGINT) AS chunk_idx,
+              slice(ws, start + 1, least(start + 40, size(ws)) - start) AS chunk
+              FROM st)"""
+
+  /** The LSH hyperplanes as a Spark VALUES literal (same Double.toString
+    * round-trip as the oracle's literal).
+    */
+  private val planesValuesSql: String =
+    Similarity.planeData().map { case (p, arr) =>
+      s"($p, CAST(array(${arr.mkString(", ")}) AS ARRAY<DOUBLE>))"
+    }.mkString(", ")
+
+  /** Per-doc language-ID stopword scores (mirror of the oracle's sc CTE
+    * body; expects a frame aliased with tokens column named `toks`).
+    */
+  private def langScores(toks: String): String =
+    s"""CAST(size(filter($toks, t -> array_contains(array('the','and','of','to','in','is'), t))) AS BIGINT) AS s_en,
+        CAST(size(filter($toks, t -> array_contains(array('der','die','und','ist','nicht','das'), t))) AS BIGINT) AS s_de,
+        CAST(size(filter($toks, t -> array_contains(array('le','la','et','les','des','est'), t))) AS BIGINT) AS s_fr,
+        CAST(size(filter($toks, t -> array_contains(array('el','los','que','una','por','como'), t))) AS BIGINT) AS s_es"""
+
+  /** Quality-metric columns over (text, toks) (mirror of the oracle). */
+  private def qualityMetrics(toks: String): String =
+    s"""CAST(size($toks) AS BIGINT) AS n_tokens,
+        CAST(size(filter($toks, t -> array_contains(
+          array('the','a','of','and','to','in','is','it'), t))) AS BIGINT) AS stop_hits,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT) AS punct_chars,
+        CAST(length(text) AS BIGINT) AS text_len"""
+
+  private val qualityScoreSql =
+    """CASE WHEN n_tokens = 0 OR text_len = 0 THEN NULL ELSE
+       CAST(floor(
+         least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+         * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(text_len AS DOUBLE))
+         * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"""
+
+  // --------------------------------------------------- the ANN twin bodies
+
+  private val annBruteforceSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, vec_id, ${cosMicrosSql("qv", "v")} AS m
+                    FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val annIvfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+         scored_c AS (SELECT e.vec_id, c.centroid_id,
+                      ${cosMicrosSql("e.v", "c.cv")} AS cm
+                      FROM e CROSS JOIN c),
+         assign AS (SELECT vec_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scored_c) t WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scored_c WHERE vec_id < 10) t WHERE rn <= 3),
+         cand AS (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+                  WHERE a.vec_id <> p.query_id),
+         rr AS (SELECT cand.query_id, cand.vec_id,
+                ${cosMicrosSql("q.qv", "e.v")} AS m
+                FROM cand
+                JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q
+                  ON q.qid = cand.query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM rr)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val annLshSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         planes AS (SELECT * FROM (VALUES $planesValuesSql) AS t(plane_id, plane)),
+         dots AS (SELECT vec_id, plane_id, ${dotSql("v", "plane")} AS d
+                  FROM e CROSS JOIN planes),
+         sigs AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN d >= 0
+                           THEN shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sig
+                  FROM dots GROUP BY vec_id),
+         br AS (SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
+                UNION ALL
+                SELECT vec_id, 1, shiftright(sig, 8) & 255 FROM sigs),
+         qb AS (SELECT vec_id AS query_id, band_idx, band_val FROM br WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT qb.query_id, br.vec_id
+                  FROM br JOIN qb ON br.band_idx = qb.band_idx
+                                 AND br.band_val = qb.band_val
+                  WHERE br.vec_id <> qb.query_id),
+         scored AS (SELECT c.query_id, c.vec_id,
+                    ${cosMicrosSql("q.qv", "e.v")} AS m
+                    FROM cand c
+                    JOIN e ON e.vec_id = c.vec_id
+                    JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10) q
+                      ON q.qid = c.query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Twin of the trained-IVF oracle: the same fixed-iteration k-means CTE
+    * chain (assign -> component-sum -> centroid list per iteration), in
+    * Spark dialect. Component positions are 0-based here (posexplode) vs
+    * the oracle's 1-based — positions only ever join/sort against
+    * themselves, so the numbering is internal.
+    */
+  private def trainedIvfSql(iters: Int, nLists: Int, nQueries: Int,
+                            nProbe: Int, k: Int): String = {
+    def dotc(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (x, y) -> x + y)"
+    def cmOf(a: String, b: String, na: String, nb: String): String =
+      s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
+        "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+           transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
+         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
+                     FROM codes),
+         cent0 AS (SELECT vec_id AS centroid_id, code AS csum
+                   FROM codes WHERE vec_id < $nLists),""")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(
+        s"""
+         cn$p AS (SELECT centroid_id, csum, sqrt(${dotc("csum", "csum")}) AS cqn
+                  FROM cent$p),
+         scored$t AS (SELECT c.vec_id, c.code, k.centroid_id,
+                      ${cmOf("c.code", "k.csum", "c.vqn", "k.cqn")} AS cm
+                      FROM codes_n c CROSS JOIN cn$p k),
+         assign$t AS (SELECT vec_id, code, centroid_id FROM (
+                      SELECT vec_id, code, centroid_id,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY cm DESC, centroid_id) AS rn
+                      FROM scored$t) s WHERE rn = 1),
+         sums$t AS (SELECT centroid_id, i, SUM(c) AS s FROM (
+                      SELECT centroid_id, posexplode(code) AS (i, c)
+                      FROM assign$t) z$t
+                    GROUP BY centroid_id, i),
+         cent$t AS (SELECT centroid_id,
+                    transform(array_sort(collect_list(struct(i, s))), x -> x.s) AS csum
+                    FROM sums$t GROUP BY centroid_id),""")
+    }
+    sb.append(
+      s"""
+         cnF AS (SELECT centroid_id, csum, sqrt(${dotc("csum", "csum")}) AS cqn
+                 FROM cent$iters),
+         scoredF AS (SELECT c.vec_id, k.centroid_id,
+                     ${cmOf("c.code", "k.csum", "c.vqn", "k.cqn")} AS cm
+                     FROM codes_n c CROSS JOIN cnF k),
+         assignF AS (SELECT vec_id, centroid_id FROM (
+                     SELECT vec_id, centroid_id,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cm DESC, centroid_id) AS rn
+                     FROM scoredF) s WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scoredF WHERE vec_id < $nQueries) s WHERE rn <= $nProbe),
+         cand AS (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM assignF a JOIN probes p ON a.centroid_id = p.centroid_id
+                  WHERE a.vec_id <> p.query_id),
+         rr AS (SELECT cand.query_id, cand.vec_id,
+                ${cosMicrosSql("q.qv", "e.v")} AS m
+                FROM cand
+                JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries) q
+                  ON q.qid = cand.query_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM rr)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- the twins
+
+  /** Hand-written Spark-dialect SQL for every query whose DuckDB oracle is
+    * not directly runnable by Spark. Keys must stay a subset of
+    * SparkEntry.queries.
+    */
+  val twins: Map[String, String] = Map(
+
+    "q_ann_bruteforce_topk" -> annBruteforceSql,
+    "q_ann_ivf_topk" -> annIvfSql,
+    "q_ann_lsh_topk" -> annLshSql,
+    "q_ann_ivf_trained_topk" -> trainedIvfSql(2, 16, 10, 3, 5),
+
+    // ASOF JOIN has no Spark SQL surface; same semantics via the latest
+    // order at-or-before each event (dedup makes (custkey, orderdate)
+    // unique, so the DESC pick is deterministic).
+    "q_asof_join_events_orders" ->
+      """WITH dedup AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate),
+         o2 AS (
+           SELECT dedup.o_custkey, dedup.o_orderdate, dedup.o_orderkey,
+                  orders.o_totalprice
+           FROM dedup JOIN orders ON orders.o_orderkey = dedup.o_orderkey),
+         j AS (SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o2.o_orderdate DESC) AS rn
+               FROM events e JOIN o2
+                 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate)
+         SELECT event_id, user_id, o_orderkey, o_totalprice
+         FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "q_centroid_affinity" ->
+      """WITH codes AS (SELECT vec_id, label, pos, code
+           FROM (SELECT vec_id, label,
+                 posexplode(transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS (pos, code)
+                 FROM embeddings)),
+         cent AS (SELECT label, pos, CAST(sum(code) AS BIGINT) AS csum,
+                  count(*) AS n_label
+                  FROM codes GROUP BY label, pos)
+         SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
+                CAST(max(t.n_label) AS BIGINT) AS n_label,
+                CAST(sum(c.code * t.csum) AS BIGINT) AS affinity_q
+         FROM codes c JOIN cent t ON c.label = t.label AND c.pos = t.pos
+         GROUP BY c.vec_id, c.label ORDER BY c.vec_id""",
+
+    "q_chunk_docs" ->
+      s"""WITH $chunkCtes
+         SELECT doc_id, chunk_idx, CAST(size(chunk) AS BIGINT) AS chunk_tokens,
+                md5(array_join(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_chunk_dedup" ->
+      s"""WITH $chunkCtes
+         SELECT md5(array_join(chunk, ' ')) AS chunk_md5,
+                count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occurrences,
+                min(doc_id) AS keeper_doc_id
+         FROM ch
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_md5""",
+
+    "q_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(unix_micros(ts) DIV 1000000 DIV 86400 AS BIGINT) AS day_idx
+           FROM events),
+         c AS (SELECT user_id, min(day_idx) AS cohort_day FROM ud GROUP BY user_id)
+         SELECT cohort_day, day_idx - cohort_day AS day_offset,
+                count(DISTINCT ud.user_id) AS n_active
+         FROM ud JOIN c ON ud.user_id = c.user_id
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
+
+    "q_corpus_funnel" ->
+      s"""WITH $minhashVerifyCtes,
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jaccard_1e4 >= 5000),
+         qm AS (SELECT doc_id, ${qualityMetrics("ws")}
+             FROM d JOIN documents USING (doc_id)),
+         qs AS (SELECT doc_id, $qualityScoreSql AS quality_1e4
+             FROM qm),
+         ls AS (SELECT doc_id, ${langScores("ws")}
+             FROM d),
+         f AS (SELECT doc.doc_id, doc.n_chars,
+             coalesce(qs.quality_1e4 >= 5000, FALSE) AS q_ok,
+             coalesce(ls.s_en >= ls.s_de AND ls.s_en >= ls.s_fr AND ls.s_en >= ls.s_es, FALSE) AS l_ok,
+             (dr.doc_id IS NOT NULL) AS dup
+             FROM documents doc
+             LEFT JOIN qs ON qs.doc_id = doc.doc_id
+             LEFT JOIN ls ON ls.doc_id = doc.doc_id
+             LEFT JOIN drops dr ON dr.doc_id = doc.doc_id),
+         a AS (SELECT
+             CAST(count(*) AS BIGINT) AS c0, CAST(sum(n_chars) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN q_ok THEN n_chars ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN q_ok AND l_ok THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN q_ok AND l_ok THEN n_chars ELSE 0 END) AS BIGINT) AS h2,
+             CAST(sum(CASE WHEN q_ok AND l_ok AND NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN q_ok AND l_ok AND NOT dup THEN n_chars ELSE 0 END) AS BIGINT) AS h3
+             FROM f)
+         SELECT stage, docs_kept, chars_kept FROM (
+           SELECT '0_all' AS stage, c0 AS docs_kept, h0 AS chars_kept FROM a
+           UNION ALL SELECT '1_quality', c1, h1 FROM a
+           UNION ALL SELECT '2_lang_en', c2, h2 FROM a
+           UNION ALL SELECT '3_dedup', c3, h3 FROM a)
+         ORDER BY stage""",
+
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
+         m AS (SELECT source, ${qualityMetrics("toks")}, ${langScores("toks")}
+             FROM t),
+         q AS (SELECT source, n_tokens,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                  THEN 1 ELSE 0 END AS is_en,
+             coalesce($qualityScoreSql, 0) AS q4
+             FROM m)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(is_en) AS BIGINT) AS en_docs,
+           CAST(sum(q4) AS BIGINT) AS quality_sum_1e4
+         FROM q GROUP BY source ORDER BY source""",
+
+    "q_cube_events" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+         coalesce(hour, 'ALL') AS hour,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM (SELECT event_type, date_format(ts, 'HH') AS hour, value FROM events)
+         GROUP BY CUBE(event_type, hour)
+         ORDER BY event_type, hour""",
+
+    "q_date_parts_orders" ->
+      """WITH p AS (SELECT
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(dayofweek(o_orderdate) - 1 AS BIGINT) AS dow0,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
+           date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start,
+           date_format(last_day(CAST(o_orderdate AS DATE)), 'yyyy-MM-dd') AS month_end
+           FROM orders)
+         SELECT yr, qtr, mon, month_start, month_end,
+           count(*) AS n_orders,
+           CAST(sum(dow0) AS BIGINT) AS sum_dow0,
+           CAST(sum(doy) AS BIGINT) AS sum_doy,
+           CAST(sum(dom) AS BIGINT) AS sum_dom,
+           CAST(max(isoweek) AS BIGINT) AS max_isoweek,
+           count(DISTINCT dom) AS distinct_days
+         FROM p GROUP BY yr, qtr, mon, month_start, month_end
+         ORDER BY yr, mon""",
+
+    "q_dedup_apply" ->
+      s"""WITH $minhashVerifyCtes,
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM verify WHERE jaccard_1e4 >= 5000)
+         SELECT source, count(*) AS kept_docs,
+                CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         GROUP BY source ORDER BY source""",
+
+    "q_dedup_exact" ->
+      s"""WITH t AS (SELECT doc_id, md5(array_join($toksSql, ' ')) AS fp FROM documents)
+         SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+         FROM t GROUP BY fp ORDER BY fp""",
+
+    "q_dedup_incremental" ->
+      s"""WITH $minhashVerifyCtes,
+         mx AS (SELECT max(doc_id) * 4 DIV 5 AS split FROM documents)
+         SELECT doc_a, doc_b, jaccard_1e4 FROM verify, mx
+         WHERE jaccard_1e4 >= 5000 AND doc_b >= split
+         ORDER BY doc_a, doc_b""",
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $minhashVerifyCtes
+         SELECT doc_a, doc_b, jaccard_1e4 FROM verify
+         WHERE jaccard_1e4 >= 5000 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, n_sh, shingle
+                FROM (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle
+                      FROM shd)),
+         flt AS (SELECT * FROM (
+             SELECT doc_id, n_sh, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM ex) f
+           WHERE df <= 100),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b,
+                (20000 * common + (na + nb - common))
+                DIV (2 * (na + nb - common)) AS jaccard_1e4
+         FROM pairs
+         WHERE (20000 * common + (na + nb - common))
+               DIV (2 * (na + nb - common)) >= 5000
+         ORDER BY doc_a, doc_b""",
+
+    "q_dedup_simhash" ->
+      s"""WITH $simhashCtes
+         SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         br AS (SELECT doc_id, simhash, 0 AS band_idx, simhash & 255 AS band_val FROM sims
+                UNION ALL SELECT doc_id, simhash, 1, shiftright(simhash, 8) & 255 FROM sims
+                UNION ALL SELECT doc_id, simhash, 2, shiftright(simhash, 16) & 255 FROM sims
+                UNION ALL SELECT doc_id, simhash, 3, shiftright(simhash, 24) & 255 FROM sims),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  bit_count(a.simhash ^ b.simhash) AS hamming
+                  FROM br a JOIN br b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM cand
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_sorted_neighborhood" ->
+      s"""WITH $simhashCtes,
+         b AS (SELECT doc_id, simhash,
+               shiftright(simhash, 16) & 65535 AS block0,
+               shiftright(simhash + 32768, 16) & 65535 AS block1 FROM sims),
+         l0 AS (SELECT doc_id, simhash,
+               lag(doc_id, 1) OVER w AS p1, lag(simhash, 1) OVER w AS s1,
+               lag(doc_id, 2) OVER w AS p2, lag(simhash, 2) OVER w AS s2
+               FROM b
+               WINDOW w AS (PARTITION BY block0 ORDER BY simhash, doc_id)),
+         l1 AS (SELECT doc_id, simhash,
+               lag(doc_id, 1) OVER w AS p1, lag(simhash, 1) OVER w AS s1,
+               lag(doc_id, 2) OVER w AS p2, lag(simhash, 2) OVER w AS s2
+               FROM b
+               WINDOW w AS (PARTITION BY block1 ORDER BY simhash, doc_id)),
+         pr AS (
+           SELECT least(doc_id, p1) AS doc_a, greatest(doc_id, p1) AS doc_b,
+                  bit_count(simhash ^ s1) AS hamming
+           FROM l0 WHERE p1 IS NOT NULL
+           UNION
+           SELECT least(doc_id, p2), greatest(doc_id, p2),
+                  bit_count(simhash ^ s2)
+           FROM l0 WHERE p2 IS NOT NULL
+           UNION
+           SELECT least(doc_id, p1), greatest(doc_id, p1),
+                  bit_count(simhash ^ s1)
+           FROM l1 WHERE p1 IS NOT NULL
+           UNION
+           SELECT least(doc_id, p2), greatest(doc_id, p2),
+                  bit_count(simhash ^ s2)
+           FROM l1 WHERE p2 IS NOT NULL)
+         SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+         FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+
+    "q_dense_daily_counts" ->
+      """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         days AS (SELECT explode(sequence(d0, d1, interval 1 day)) AS day FROM span),
+         types AS (SELECT DISTINCT event_type AS etype FROM events),
+         actual AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT date_format(CAST(days.day AS DATE), 'yyyy-MM-dd') AS day,
+                types.etype AS event_type,
+                CAST(coalesce(actual.n, 0) AS BIGINT) AS n_events
+         FROM days CROSS JOIN types
+         LEFT JOIN actual ON CAST(days.day AS DATE) = actual.day
+                         AND types.etype = actual.event_type
+         ORDER BY day, event_type""",
+
+    // Spark's recursive CTE only supports UNION ALL, so full transitive
+    // reach is depth-bounded (8 hops — dup clusters are near-cliques with
+    // diameter 2-3; the spec proves equality with the operator's true
+    // connected components on the fixture).
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(a, b, d) AS (
+           SELECT src, src, 0 FROM edges
+           UNION ALL
+           SELECT e.src, r.b, r.d + 1 FROM edges e JOIN reach r ON r.a = e.dst
+           WHERE r.d < 8),
+         lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a)
+         SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lab ORDER BY doc_id""",
+
+    "q_embed_nearest_in_label" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         pairs AS (SELECT a.vec_id, a.label, b.vec_id AS b_vec_id,
+                   ${cosMicrosSql("a.v", "b.v")} AS m
+                   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         ranked AS (SELECT vec_id, label, b_vec_id, m,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY m DESC, b_vec_id) AS rk
+                    FROM pairs)
+         SELECT vec_id, CAST(label AS BIGINT) AS label, b_vec_id AS nn_vec_id,
+                $micro4Sql AS nn_score, m >= 950000 AS is_near_dup
+         FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         q AS (SELECT vec_id, v,
+               transform(v, x -> CAST(floor(x * CAST(127 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS codes FROM e)
+         SELECT vec_id,
+           CAST(aggregate(codes, CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(array_min(codes) AS BIGINT) AS q_min,
+           CAST(array_max(codes) AS BIGINT) AS q_max,
+           CAST(floor(
+             aggregate(zip_with(v, codes,
+               (x, c) -> (x - CAST(c AS DOUBLE) / CAST(127 AS DOUBLE))
+                       * (x - CAST(c AS DOUBLE) / CAST(127 AS DOUBLE))),
+               CAST(0 AS DOUBLE), (a, b) -> a + b)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mse_micro
+         FROM q ORDER BY vec_id""",
+
+    "q_etl_transform" ->
+      """SELECT event_id AS row_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS time,
+         value AS traffic, '2026-01-01 00:00:00' AS created_at
+         FROM events ORDER BY row_id""",
+
+    "q_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, unix_micros(ts) AS t_us FROM events),
+         s1 AS (SELECT user_id, min(t_us) AS t_prev FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, min(t_us) AS t_prev FROM ev
+                JOIN s1 ON ev.user_id = s1.user_id
+                WHERE event_type = 'click' AND t_us > s1.t_prev
+                GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, min(t_us) AS t_prev FROM ev
+                JOIN s2 ON ev.user_id = s2.user_id
+                WHERE event_type = 'purchase' AND t_us > s2.t_prev
+                GROUP BY ev.user_id)
+         SELECT '1_view' AS step, count(*) AS n_users FROM s1
+         UNION ALL SELECT '2_click', count(*) FROM s2
+         UNION ALL SELECT '3_purchase', count(*) FROM s3
+         ORDER BY step""",
+
+    "q_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         SELECT doc_id, md5(array_join(toks, ' ')) AS fp_md5,
+         aggregate(transform(toks, t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT)),
+           CAST(7 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+         FROM t ORDER BY doc_id""",
+
+    "q_forward_fill" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+           CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0','1','2')
+           THEN CAST(NULL AS BIGINT)
+           ELSE CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           END AS cents
+           FROM events),
+         g AS (SELECT user_id, event_id, cents,
+               count(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+               FROM c)
+         SELECT user_id, event_id, cents,
+                CAST(max(cents) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_cents
+         FROM g ORDER BY user_id, event_id""",
+
+    "q_frame_features" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         p AS (SELECT doc_id,
+                 CAST(16 + (ascii(substr(hx, 1, 1)) % 8) * 4 AS INTEGER) AS width,
+                 CAST(16 + (ascii(substr(hx, 2, 1)) % 8) * 4 AS INTEGER) AS height,
+                 CAST((ascii(substr(hx, 3, 1)) % 50) * 4 AS BIGINT) AS base,
+                 CAST(2 + (ascii(substr(hx, 4, 1)) % 3) AS INTEGER) AS n_frames
+               FROM m),
+         sampled AS (SELECT DISTINCT doc_id, width, height, base, n_frames,
+                       CAST((n_frames * t.i) DIV 3 AS INTEGER) AS frame_idx
+                     FROM p CROSS JOIN (SELECT explode(sequence(0, 2)) AS i) t)
+         SELECT doc_id AS asset_id, frame_idx, n_frames, width, height,
+                CAST(3 * (base + 8 * frame_idx) AS BIGINT) * width * height AS channel_sum,
+                CAST(base + 8 * frame_idx AS BIGINT) AS gray_level
+         FROM sampled ORDER BY asset_id, frame_idx""",
+
+    "q_interp_residuals" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+           CAST(unix_micros(ts) DIV 1000000 AS BIGINT) AS t FROM events),
+         l AS (SELECT event_id, user_id, value, t,
+           lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+           lag(t) OVER w AS pt, lead(t) OVER w AS nt
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         SELECT event_id, user_id,
+           CASE WHEN pt IS NULL OR nt IS NULL OR nt = pt THEN NULL
+           ELSE CAST(floor((value - (pv + (nv - pv)
+             * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))))
+             * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           END AS residual_cents
+         FROM l ORDER BY event_id""",
+
+    "q_interval_overlaps" ->
+      """WITH e AS (SELECT user_id, event_id,
+           CAST(unix_micros(ts) DIV 1000000 AS BIGINT) AS lo,
+           CAST(unix_micros(ts) DIV 1000000 + 600 AS BIGINT) AS hi
+           FROM events),
+         p AS (SELECT a.user_id,
+               least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_sec
+               FROM e a JOIN e b ON a.user_id = b.user_id
+                                AND a.event_id < b.event_id
+               WHERE a.lo < b.hi AND b.lo < a.hi)
+         SELECT user_id, count(*) AS n_pairs,
+                CAST(sum(overlap_sec) AS BIGINT) AS overlap_sec_total
+         FROM p GROUP BY user_id ORDER BY user_id""",
+
+    "q_join_shipping_priority" ->
+      """SELECT l_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+         o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey, orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_json_extract_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         round(avg(CAST(get_json_object(props, '$.k') AS BIGINT)), 4) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         sc AS (SELECT doc_id, ${langScores("toks")}
+           FROM t)
+         SELECT doc_id, s_en, s_de, s_fr, s_es,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+
+    "q_percentiles_order_price" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         round(percentile(o_totalprice, 0.5), 4) AS p50,
+         round(percentile(o_totalprice, 0.9), 4) AS p90,
+         round(percentile(o_totalprice, 0.99), 4) AS p99
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS STRING) ||
+           '@mail.example.com or call 555-' ||
+           lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' ||
+           lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ||
+           ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.1' AS aug
+           FROM documents)
+         SELECT doc_id,
+           CAST(size(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+           CAST(size(regexp_extract_all(aug, '\\b\\d{3}-\\d{3}-\\d{4}\\b', 0)) AS BIGINT) AS n_phones,
+           CAST(size(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+             '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS redacted_md5
+         FROM a ORDER BY doc_id""",
+
+    "q_regr_slope_price_qty" ->
+      """WITH b AS (SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p
+           FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n,
+           sum(q) AS sq, sum(p) AS sp, sum(q * p) AS sqp, sum(q * q) AS sqq
+           FROM b GROUP BY l_returnflag),
+         d AS (SELECT l_returnflag, n,
+           (n * sqp - sq * sp) * 1000000 AS num,
+           (n * sqq - sq * sq) AS den
+           FROM m)
+         SELECT l_returnflag, n,
+                CAST((num - num % den) DIV den AS BIGINT) AS slope_cents_1e6
+         FROM d ORDER BY l_returnflag""",
+
+    "q_repetition_stats" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         g AS (SELECT doc_id, gram
+               FROM (SELECT doc_id,
+                     explode(transform(sequence(1, size(ws) - 1),
+                       i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) AS gram
+                     FROM d WHERE size(ws) >= 2)),
+         c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+         a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, n_grams, n_distinct,
+           CAST((20000 * (n_grams - n_distinct) + n_grams) DIV (2 * n_grams) AS BIGINT)
+             AS dup_gram_ratio_1e4,
+           CAST((20000 * top_n + n_grams) DIV (2 * n_grams) AS BIGINT)
+             AS top_gram_frac_1e4
+         FROM a ORDER BY doc_id""",
+
+    "q_revenue_share" ->
+      """WITH rev AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey),
+         t AS (SELECT nationkey, revenue_cents,
+               CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents FROM rev)
+         SELECT nationkey, revenue_cents,
+                CAST((20000 * revenue_cents + total_cents) DIV (2 * total_cents) AS BIGINT)
+                  AS share_1e4
+         FROM t ORDER BY nationkey""",
+
+    "q_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(unix_micros(ts) DIV 1000000 DIV 86400 AS BIGINT) AS uday
+           FROM events),
+         mx AS (SELECT max(uday) AS mx FROM ud),
+         ex AS (SELECT user_id, uday, uday + o AS wend
+                FROM ud CROSS JOIN (SELECT explode(sequence(0, 6)) AS o) os),
+         f AS (SELECT user_id, uday, wend FROM ex, mx WHERE wend <= mx)
+         SELECT wend AS day,
+           CAST(count(DISTINCT CASE WHEN uday = wend THEN user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         FROM f GROUP BY wend ORDER BY day""",
+
+    "q_sample_exact_n" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+           md5(CAST(doc_id AS STRING)) AS hkey,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS STRING))) AS rk
+           FROM documents)
+         SELECT doc_id, source, n_chars FROM t
+         WHERE rk <= 20 ORDER BY doc_id""",
+
+    "q_sample_hash_docs" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) < '40000000'
+         ORDER BY doc_id""",
+
+    "q_sample_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+           CAST(size($toksSql) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS STRING)) AS hkey
+           FROM documents),
+         c AS (SELECT source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+               FROM t)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS mixed_tokens
+         FROM c WHERE cum_tokens <= 2000
+         GROUP BY source ORDER BY source""",
+
+    "q_sample_weighted_mix" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) <
+               CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '1999999a' WHEN 'src4' THEN '1999999a' WHEN 'src5' THEN '1999999a' ELSE '00000000' END
+         GROUP BY source ORDER BY source""",
+
+    "q_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, unix_micros(ts) AS ts_us FROM events),
+         flagged AS (SELECT user_id, event_id, ts_us, value,
+           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800000000
+                     OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (SELECT user_id, event_id, ts_us, value,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                round(sum(value), 4) AS sum_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+         upper(c_mktsegment) AS seg_upper,
+         lower(c_name) AS name_lower,
+         CAST(length(c_name) AS BIGINT) AS name_len,
+         substr(c_name, 1, 8) AS name_prefix,
+         replace(c_name, 'Customer', 'C') AS name_short,
+         lpad(CAST(c_custkey AS STRING), 12, '0') AS key_padded,
+         split_part(c_name, '#', 2) AS name_num,
+         CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+         translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+         reverse(c_name) AS name_rev,
+         concat_ws('|', c_mktsegment, c_name) AS seg_name,
+         trim(BOTH '0' FROM split_part(c_name, '#', 2)) AS num_trimmed
+         FROM customer ORDER BY c_custkey""",
+
+    "q_text_clean" ->
+      """WITH c AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(regexp_replace(text,
+             '<[^>]*>', ' '), '[\\x00-\\x1f]', ' '), '\\s+', ' ')) AS cleaned
+           FROM documents)
+         SELECT doc_id, md5(cleaned) AS clean_fp,
+                CAST(length(cleaned) AS BIGINT) AS clean_chars,
+                CAST(length(text) - length(cleaned) AS BIGINT) AS removed_chars
+         FROM c ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         m AS (SELECT doc_id, text, ${qualityMetrics("toks")}
+           FROM t)
+         SELECT doc_id, n_tokens,
+         CAST((20000 * stop_hits + n_tokens) DIV (2 * n_tokens) AS BIGINT) AS stop_ratio_1e4,
+         CAST((20000 * punct_chars + text_len)
+              DIV (2 * text_len) AS BIGINT) AS punct_ratio_1e4,
+         $qualityScoreSql AS quality_1e4
+         FROM m ORDER BY doc_id""",
+
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
+         SELECT doc_id, n_chars,
+         CAST(size(toks) AS BIGINT) AS n_tokens,
+         CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST((20000 * aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)),
+                                 CAST(0 AS BIGINT), (a, b) -> a + b)
+               + CAST(size(toks) AS BIGINT))
+              DIV (2 * CAST(size(toks) AS BIGINT)) AS BIGINT) AS avg_token_len_1e4
+         FROM t ORDER BY doc_id""",
+
+    "q_tfidf_top_terms" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, explode($toksSql) AS term FROM documents)
+             GROUP BY doc_id, term),
+         s AS (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         r AS (SELECT doc_id, term, tf, df,
+               CAST((tf * 1000000) DIV df AS BIGINT) AS score_1e6,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CAST((tf * 1000000) DIV df AS BIGINT) DESC, term) AS rk
+               FROM s)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_1e6
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q_time_bucket_events" ->
+      """SELECT date_format(ts, 'yyyy-MM-dd HH:00:00') AS bucket,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY bucket ORDER BY bucket""",
+
+    "q_top_tokens_per_source" ->
+      """WITH tok AS (SELECT source, token
+                      FROM (SELECT source,
+                            explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS token
+                            FROM documents)),
+         counts AS (SELECT source, token, count(*) AS n FROM tok GROUP BY source, token),
+         ranked AS (SELECT source, token, n,
+                    row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk
+                    FROM counts)
+         SELECT source, CAST(rk AS BIGINT) AS rk, token, n
+         FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
+
+    "q_upsert_orders" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+         u AS (SELECT o_orderkey, o_orderpriority,
+                      o_totalprice + CAST(1 AS DOUBLE) AS o_totalprice
+               FROM o
+               WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 8) < '1999999a'),
+         m AS (SELECT * FROM u
+               UNION ALL
+               SELECT * FROM o
+               WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u))
+         SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_window_event_gaps" ->
+      """SELECT user_id, event_id,
+         unix_micros(ts) - lag(unix_micros(ts), 1) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id) AS gap_us
+         FROM events ORDER BY user_id, event_id""",
+
+    "q_window_moving_avg" ->
+      """WITH c AS (SELECT user_id, event_id, ts, value,
+                    CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM events),
+         f AS (SELECT user_id, event_id, value,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv_cents,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mv_n
+               FROM c)
+         SELECT user_id, event_id, value,
+                CAST(CASE WHEN mv_cents >= 0 THEN (200 * mv_cents + mv_n) DIV (2 * mv_n)
+                     ELSE -((200 * -mv_cents + mv_n) DIV (2 * mv_n)) END AS BIGINT) AS moving_avg_1e4
+         FROM f ORDER BY user_id, event_id""",
+
+    "q_window_rolling_hour" ->
+      """WITH c AS (SELECT user_id, event_id,
+             CAST(unix_micros(ts) DIV 1000000 AS BIGINT) AS ts_sec,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             FROM events)
+         SELECT user_id, event_id, ts_sec,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_sec
+                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
+         FROM c ORDER BY user_id, event_id"""
+  )
+
+  /** Queries whose oracle text runs under Spark verbatim (classified by
+    * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).
+    */
+  val portable: Set[String] = Set(
+    "q_agg_pricing_summary", "q_anti_join_orderless_customers",
+    "q_contract_audit", "q_correlated_above_own_avg",
+    "q_distinct_agg_supplier_parts", "q_distribution_order_counts",
+    "q_grouping_sets_orders", "q_having_frequent_buyers",
+    "q_histogram_order_price", "q_join_brand_revenue",
+    "q_join_bucketed_revenue", "q_join_region_revenue",
+    "q_mode_order_priority", "q_multimodal_features",
+    "q_outer_join_order_counts", "q_pivot_order_status",
+    "q_range_join_value_bands", "q_rollup_orders",
+    "q_scalar_subquery_big_orders", "q_semi_join_urgent_customers",
+    "q_setops_all_nationkeys", "q_setops_nations", "q_topk_orders",
+    "q_unpivot_order_status", "q_window_first_last",
+    "q_window_rank_family", "q_window_top_customers")
+
+  /** Queries with no SQL surface (API-only). Currently none — every
+    * registry query has a runnable Spark SQL statement.
+    */
+  val exemptions: Map[String, String] = Map.empty
+
+  /** The Spark SQL text for a registry query, if it has a SQL surface. */
+  def sql(name: String): Option[String] =
+    twins.get(name).orElse(
+      if (portable(name)) SparkEntry.oracleSql.get(name) else None)
+
+  /** Run a registry query through the SQL surface (registers the sf-dir
+    * tables as temp views; twins need no graft-registered functions).
+    */
+  def run(s: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sql(name).getOrElse(
+      sys.error(s"no SQL surface for $name (exempt: ${exemptions.get(name)})")))
+  }
+}

@@ -41,12 +41,9 @@ class SqlSurfaceSpec extends SparkTestBase {
 
   test("rolling DAU/WAU via spark.sql matches the operator") {
     assertSameResult(
-      """WITH m AS (SELECT user_id, ts div 1000 AS us FROM events),
-         ud AS (SELECT DISTINCT user_id,
-           CAST(CASE WHEN us >= 0 THEN us div 1000000
-                ELSE -((-us + 999999) div 1000000)
-                END div 86400 AS BIGINT) AS uday
-           FROM m),
+      """WITH ud AS (SELECT DISTINCT user_id,
+           CAST(unix_micros(ts) div 1000000 div 86400 AS BIGINT) AS uday
+           FROM events),
          mx AS (SELECT max(uday) AS mx FROM ud),
          ex AS (SELECT user_id, uday,
                 explode(sequence(uday, uday + 6)) AS wend FROM ud),

@@ -342,35 +342,89 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** Coarse-quantizer choice for the materialized IVF index lifecycle.
+    * FirstN is the deterministic baseline (centroids = the first nLists
+    * vectors, scored in exact float space). Trained runs the fixed-
+    * iteration spherical k-means ([[trainCentroids]]) at build time and
+    * PERSISTS the centroids inside the index (`_centroids/`, invisible to
+    * the posting-list scan — Spark ignores underscore-prefixed paths), so
+    * append and query reuse the frozen quantizer instead of retraining:
+    * train once, append forever — the standard IVF contract, and the only
+    * one under which build(prefix) + append(rest) == build(all).
+    * trainMaxVecIdExclusive bounds the TRAINING corpus (not the indexed
+    * corpus), so an index can be trained on a stable prefix and still
+    * cover later deltas.
+    */
+  sealed trait IvfQuantizer
+  case object FirstNQuantizer extends IvfQuantizer
+  final case class TrainedQuantizer(iters: Int = 2,
+      trainMaxVecIdExclusive: Long = Long.MaxValue) extends IvfQuantizer
+
+  private def centroidsPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_centroids")
+
+  /** The persisted trained centroids, if this index was built with
+    * [[TrainedQuantizer]] — append/query auto-detect the quantizer from
+    * the index itself, so the two can never disagree with the build.
+    */
+  private def storedCentroids(s: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = centroidsPath(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Sort-free (vec_id, centroid_id) assignment of `emb` rows: exact
+    * float scoring against the first-N centroids, or code-space scoring
+    * against an explicit trained centroid table.
+    */
+  private def assignToLists(emb: DataFrame, nLists: Int,
+                            trained: Option[DataFrame]): DataFrame =
+    trained match {
+      case Some(cents) =>
+        nearestCentroid(scoreAgainstCentroids(vectorCodes(emb), cents))
+      case None =>
+        val centroids = emb.filter(col("vec_id") < nLists)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+            col("vnorm").as("cnorm"))
+        nearestCentroid(emb.crossJoin(broadcast(centroids))
+          .withColumn("cm",
+            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm"))))
+    }
+
   /** Materialized IVF index — the pay-at-load path SCALE.md describes:
     * assignment runs ONCE (one corpus pass against broadcast centroids),
     * lands as parquet partitioned by centroid list, and every subsequent
     * query prunes to its probed lists' partitions instead of recomputing
-    * the quantizer. Returns the index directory.
+    * the quantizer. With [[TrainedQuantizer]] the k-means centroids are
+    * trained first and persisted alongside the lists. Returns the index
+    * directory.
     */
   def buildIvfIndex(s: SparkSession, dir: String, indexDir: String,
                     nLists: Int = 16,
-                    maxVecIdExclusive: Long = Long.MaxValue): String = {
+                    maxVecIdExclusive: Long = Long.MaxValue,
+                    quantizer: IvfQuantizer = FirstNQuantizer): String = {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     require(maxVecIdExclusive > nLists,
       "the index must at least cover the centroid vectors")
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
       .filter(col("vec_id") < maxVecIdExclusive)
-    val centroids = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
-        col("vnorm").as("cnorm"))
+    val trained = quantizer match {
+      case TrainedQuantizer(iters, trainMax) =>
+        Some(trainCentroids(
+          vectorCodes(emb.filter(col("vec_id") < trainMax)), nLists, iters))
+      case FirstNQuantizer => None
+    }
     // same sort-free max_by assignment as ivfTopK. The embedding payload
     // is re-attached by a shuffled-hash join on vec_id AFTER the agg
     // (carrying it through the agg buffer would force SortAggregate;
     // joining back shuffles the corpus once with no sort — shuffle_hash
     // hint keeps AQE from planning a sort-merge join at scale)
-    val scoredC = emb.crossJoin(broadcast(centroids))
-      .withColumn("cm",
-        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
-    emb.join(nearestCentroid(scoredC).hint("shuffle_hash"), Seq("vec_id"))
+    emb.join(assignToLists(emb, nLists, trained).hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
+    trained.foreach(_.write.mode("overwrite")
+      .parquet(centroidsPath(indexDir).toString))
     indexDir
   }
 
@@ -387,14 +441,22 @@ object Similarity {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
-    val centroids = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
-        col("vnorm").as("cnorm"))
     val delta = emb.filter(col("vec_id") >= minVecId)
-    val scoredC = delta.crossJoin(broadcast(centroids))
-      .withColumn("cm",
-        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
-    delta.join(nearestCentroid(scoredC).hint("shuffle_hash"), Seq("vec_id"))
+    // quantizer auto-detected from the index: a trained index appends
+    // with its own frozen centroids (first-N uses the corpus head, which
+    // predates any delta — deterministic under appends either way)
+    val trained = storedCentroids(s, indexDir)
+    val assignSrc = trained match {
+      case Some(_) => assignToLists(delta, nLists, trained)
+      case None =>
+        val centroids = emb.filter(col("vec_id") < nLists)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+            col("vnorm").as("cnorm"))
+        nearestCentroid(delta.crossJoin(broadcast(centroids))
+          .withColumn("cm",
+            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm"))))
+    }
+    delta.join(assignSrc.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
       .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
     indexDir
@@ -410,13 +472,22 @@ object Similarity {
                        nLists: Int = 16, nProbe: Int = 3): DataFrame = {
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
-    val centroids = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
-        col("vnorm").as("cnorm"))
-    val probes = emb.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(centroids))
-      .withColumn("cm",
-        expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+    // probe scoring matches the index's quantizer (auto-detected): code-
+    // space cosine vs stored trained centroids, or exact float vs first-N.
+    // nQueries×nLists rows either way — the window is bounded by the
+    // query set, never the corpus.
+    val scoredQ = storedCentroids(s, indexDir) match {
+      case Some(cents) => scoreAgainstCentroids(vectorCodes(queries), cents)
+      case None =>
+        val centroids = emb.filter(col("vec_id") < nLists)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+            col("vnorm").as("cnorm"))
+        queries.crossJoin(broadcast(centroids))
+          .withColumn("cm",
+            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+    }
+    val probes = scoredQ
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cm").desc, col("centroid_id"))))
       .filter(col("rn") <= nProbe)

@@ -161,6 +161,39 @@ class OperatorSpec extends SparkTestBase {
     assert(viaFull.nonEmpty)
   }
 
+  test("trained-quantizer IVF index answers identically to the inline trained path") {
+    val idx = java.nio.file.Files.createTempDirectory("ivftrained").toString
+    Similarity.buildIvfIndex(spark, Sf, idx,
+      quantizer = Similarity.TrainedQuantizer(iters = 2))
+    // the frozen quantizer is persisted inside the index, invisible to
+    // the posting-list scan
+    assert(new java.io.File(idx, "_centroids").exists())
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    val inline = Similarity.ivfTopKTrained(spark, Sf, iters = 2).collect().toSeq
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("trained-quantizer incremental append equals a from-scratch trained build") {
+    val full = java.nio.file.Files.createTempDirectory("ivftfull").toString
+    val inc = java.nio.file.Files.createTempDirectory("ivftinc").toString
+    val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val split = maxVec * 4 / 5
+    // train-once-append-forever: both indexes train on the same stable
+    // prefix, so the frozen centroids — and therefore every assignment —
+    // are identical; only the indexed row set differs until the append
+    val q = Similarity.TrainedQuantizer(iters = 2, trainMaxVecIdExclusive = split)
+    Similarity.buildIvfIndex(spark, Sf, full, quantizer = q)
+    Similarity.buildIvfIndex(spark, Sf, inc, maxVecIdExclusive = split, quantizer = q)
+    Similarity.appendToIvfIndex(spark, Sf, inc, minVecId = split)
+    val viaFull = Similarity.ivfTopKFromIndex(spark, Sf, full).collect().toSeq
+    val viaInc = Similarity.ivfTopKFromIndex(spark, Sf, inc).collect().toSeq
+    assert(viaInc == viaFull)
+    assert(viaFull.nonEmpty)
+  }
+
   test("materialized LSH band index answers identically to the inline path") {
     val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
     Dedup.buildLshBandIndex(spark, Sf, idx)

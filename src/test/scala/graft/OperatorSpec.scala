@@ -566,6 +566,40 @@ class OperatorSpec extends SparkTestBase {
     labels.groupBy(_._2).foreach { case (_, m) => assert(m.size >= 2) }
   }
 
+  test("min-label propagation is one Spark job per round on a chain graph") {
+    import spark.implicits._
+    // chain 0-1-...-8: diameter 8, so label 0 needs 8 rounds to reach the
+    // far end plus one fixed-point round — the worst case for job count
+    val n = 8
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val sc = spark.sparkContext
+    // AQE splits one action into a job per query stage and a broadcast
+    // join spawns a broadcast-exchange job, which would drown the thing
+    // under test (actions per round); with both off, every round is
+    // exactly one localCheckpoint action
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("prop-jobs", "min-label propagation job count", false)
+    val labels = try Dedup.propagateMinLabels(edges, maxIters = 50)
+      finally {
+        sc.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+      }
+    val rounds = n + 1
+    val jobs = sc.statusTracker.getJobIdsForGroup("prop-jobs").length
+    // init checkpoint + one fused checkpoint+observe job per round; the
+    // pre-Observation shape paid 2 jobs per round (checkpoint + count)
+    assert(jobs <= rounds + 2, s"$jobs jobs for $rounds rounds — convergence count no longer fused?")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 to n).map(_.toLong -> 0L).toMap)
+  }
+
   test("text cleaning never grows text and is idempotent on its output") {
     val out = TextAnalysis.cleanText(spark, Sf)
     assert(out.filter(col("removed_chars") < 0).count() == 0)

@@ -114,6 +114,31 @@ object SparkEntry {
     "q_pii_redact" -> (TextAnalysis.piiRedact(_, _)),
     "q_corpus_funnel" -> (TextAnalysis.corpusFunnel(_, _)),
     "q_corpus_report" -> (TextAnalysis.corpusReport(_, _)),
+    "q_corpus_report_incremental" -> ((s, d) => {
+      // incremental curation: per-slice report cards merged exactly —
+      // the oracle recomputes from scratch, proving merge == rescan
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      TextAnalysis.mergeCorpusReports(
+        TextAnalysis.corpusReportSlice(s, d, 0L, split),
+        TextAnalysis.corpusReportSlice(s, d, split))
+    }),
+    "q_corpus_funnel_incremental" -> ((s, d) => {
+      // the scenario IS "corpus curated and indexed, delta arrives": the
+      // prefix funnel is the past run's snapshot, the delta funnel screens
+      // only the delta against the staged band index, and the merged
+      // totals must equal the from-scratch funnel the oracle computes
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_lsh_funnel_" + Integer.toHexString(d.hashCode)).toString
+      Dedup.buildLshBandIndex(s, d, idx, maxDocIdExclusive = split)
+      TextAnalysis.mergeFunnels(
+        TextAnalysis.corpusFunnelSlice(s, d, split),
+        TextAnalysis.corpusFunnelDelta(s, d, idx, split))
+    }),
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
@@ -363,7 +388,13 @@ object SparkEntry {
     s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 8}) & 255 AS band_val FROM sims")
     .mkString(" UNION ALL ")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // the incremental-curation oracles ARE the from-scratch recomputes:
+    // merge(slice reports) must equal a full rescan, exactly
+    "q_corpus_report_incremental" -> oracleSqlBase("q_corpus_report"),
+    "q_corpus_funnel_incremental" -> oracleSqlBase("q_corpus_funnel"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_etl_transform" ->
       """SELECT event_id AS row_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS time,
          value AS traffic, '2026-01-01 00:00:00' AS created_at

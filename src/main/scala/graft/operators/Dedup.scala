@@ -166,9 +166,11 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minHashLsh(s: SparkSession, dir: String, threshold: Double = 0.5,
+                 maxDocIdExclusive: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
+      .filter(col("doc_id") < maxDocIdExclusive)
     verifyPairs(docs, candidatePairs(bandRowsInline(docs)), threshold)
   }
 

@@ -314,7 +314,34 @@ object TextAnalysis {
     * semantics into the comparison; consumers divide at display time).
     */
   def corpusReport(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, dir, "documents")
+    corpusReportOn(Tables.spread(s, dir, "documents"))
+
+  /** The report over a doc_id slice [lo, hi) — the mergeable building
+    * block of incremental curation: a batch run reports its own slice and
+    * the running total is mergeCorpusReports of the batch reports, never a
+    * corpus rescan. Exact because every output is a count or a sum.
+    */
+  def corpusReportSlice(s: SparkSession, dir: String,
+                        lo: Long, hi: Long = Long.MaxValue): DataFrame =
+    corpusReportOn(Tables.spread(s, dir, "documents")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi))
+
+  /** Merge per-slice report cards: counts and sums re-aggregate exactly,
+    * so merge(report(prefix), report(delta)) == report(all) (OperatorSpec
+    * pins it; q_corpus_report_incremental proves it against the oracle's
+    * from-scratch recompute).
+    */
+  def mergeCorpusReports(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("en_docs")).as("en_docs"),
+        sum(col("quality_sum_1e4")).as("quality_sum_1e4"))
+      .orderBy(col("source"))
+
+  private def corpusReportOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr(TokensExpr))
       .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
       .withColumn("stop_hits", expr(
@@ -343,11 +370,48 @@ object TextAnalysis {
         sum(coalesce(col("quality_1e4"), lit(0L))).as("quality_sum_1e4"))
       .orderBy(col("source"))
 
-  def corpusFunnel(s: SparkSession, dir: String): DataFrame = {
-    val drops = Dedup.minHashLsh(s, dir)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("is_dup", lit(true))
+  def corpusFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(s, dir, 0L, Long.MaxValue,
+      Dedup.minHashLsh(s, dir).select(col("doc_b").as("doc_id")))
+
+  /** The funnel a PAST curation run produced, when the corpus ended at
+    * maxDocIdExclusive: gates and near-dup pairs both restricted to the
+    * prefix. The keeper-is-smallest-doc-id drop policy makes curation
+    * append-monotone — a prefix doc can never be dropped by a later
+    * arrival — so this snapshot stays exact forever and merges with delta
+    * funnels.
+    */
+  def corpusFunnelSlice(s: SparkSession, dir: String,
+                        maxDocIdExclusive: Long): DataFrame =
+    funnelCounts(s, dir, 0L, maxDocIdExclusive,
+      Dedup.minHashLsh(s, dir, maxDocIdExclusive = maxDocIdExclusive)
+        .select(col("doc_b").as("doc_id")))
+
+  /** The funnel of a delta batch (doc_id >= minDeltaId) against an
+    * already-indexed corpus: gates run over the delta only, and the dup
+    * gate screens the delta against corpus+delta via the O(delta)
+    * incremental LSH — no full-corpus rescan anywhere.
+    * merge(corpusFunnelSlice(split), this) == corpusFunnel(all).
+    */
+  def corpusFunnelDelta(s: SparkSession, dir: String, indexDir: String,
+                        minDeltaId: Long): DataFrame =
+    funnelCounts(s, dir, minDeltaId, Long.MaxValue,
+      Dedup.minHashLshIncremental(s, dir, indexDir, minDeltaId)
+        .select(col("doc_b").as("doc_id")))
+
+  /** Merge funnel snapshots stage-by-stage (counts and char sums add). */
+  def mergeFunnels(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("stage"))
+      .agg(sum(col("docs_kept")).as("docs_kept"),
+        sum(col("chars_kept")).as("chars_kept"))
+      .orderBy(col("stage"))
+
+  private def funnelCounts(s: SparkSession, dir: String, lo: Long, hi: Long,
+                           dropIds: DataFrame): DataFrame = {
+    val drops = dropIds.distinct().withColumn("is_dup", lit(true))
     val flagged = Tables.spread(s, dir, "documents")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
       .withColumn("toks", expr(TokensExpr))
       .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
       .withColumn("stop_hits", expr(

@@ -1027,6 +1027,15 @@ object SqlFrontDoor {
          FROM c ORDER BY user_id, event_id"""
   )
 
+  /** The incremental-curation queries' SQL surface is the from-scratch
+    * recompute (exactly like their oracles): SQL consumers see the same
+    * totals; the incremental merge is a DataFrame-API execution strategy,
+    * not different semantics.
+    */
+  private val incrementalTwins: Map[String, String] = Map(
+    "q_corpus_report_incremental" -> twins("q_corpus_report"),
+    "q_corpus_funnel_incremental" -> twins("q_corpus_funnel"))
+
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).
     */
@@ -1052,7 +1061,7 @@ object SqlFrontDoor {
 
   /** The Spark SQL text for a registry query, if it has a SQL surface. */
   def sql(name: String): Option[String] =
-    twins.get(name).orElse(
+    twins.get(name).orElse(incrementalTwins.get(name)).orElse(
       if (portable(name)) SparkEntry.oracleSql.get(name) else None)
 
   /** Run a registry query through the SQL surface (registers the sf-dir

@@ -600,6 +600,32 @@ class OperatorSpec extends SparkTestBase {
     assert(got == (0 to n).map(_.toLong -> 0L).toMap)
   }
 
+  test("corpus report: merged slice reports equal the full rescan") {
+    val maxId = spark.read.parquet(s"$Sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 4 / 5
+    val merged = TextAnalysis.mergeCorpusReports(
+      TextAnalysis.corpusReportSlice(spark, Sf, 0L, split),
+      TextAnalysis.corpusReportSlice(spark, Sf, split)).collect().toSeq
+    val full = TextAnalysis.corpusReport(spark, Sf).collect().toSeq
+    assert(merged == full)
+    assert(full.nonEmpty)
+  }
+
+  test("corpus funnel: prefix snapshot + delta funnel equals the full rescan") {
+    val maxId = spark.read.parquet(s"$Sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("funnelidx").toString
+    Dedup.buildLshBandIndex(spark, Sf, idx, maxDocIdExclusive = split)
+    val merged = TextAnalysis.mergeFunnels(
+      TextAnalysis.corpusFunnelSlice(spark, Sf, split),
+      TextAnalysis.corpusFunnelDelta(spark, Sf, idx, split)).collect().toSeq
+    val full = TextAnalysis.corpusFunnel(spark, Sf).collect().toSeq
+    assert(merged == full)
+    assert(full.map(_.getString(0)) == Seq("0_all", "1_quality", "2_lang_en", "3_dedup"))
+  }
+
   test("text cleaning never grows text and is idempotent on its output") {
     val out = TextAnalysis.cleanText(spark, Sf)
     assert(out.filter(col("removed_chars") < 0).count() == 0)

@@ -1,0 +1,32 @@
+package graft
+
+import graft.plans.PlanFingerprint
+
+/** The bench guard's spec half: every headline query's static physical
+  * plan must match the checked-in fingerprint. A failure here means a
+  * code change altered a benchmark plan — if intentional, regenerate with
+  * `runMain graft.tools.BenchGuard --write` and commit the diff; if not,
+  * the fingerprint names the regression before the bench ever runs.
+  */
+class PlanFingerprintSpec extends SparkTestBase {
+
+  private lazy val pinned = PlanFingerprint.read(PlanFingerprint.DefaultFile)
+
+  test("fingerprint file covers exactly the headline queries") {
+    assert(pinned.keySet == Bench.Headline.toSet,
+      s"stale fingerprint file — rerun BenchGuard --write " +
+        s"(missing: ${Bench.Headline.filterNot(pinned.contains).mkString(",")})")
+  }
+
+  for (name <- Bench.Headline) {
+    test(s"plan fingerprint unchanged: $name") {
+      val (now, nowSummary) = PlanFingerprint.fingerprint(spark, Sf, name)
+      val (want, wantSummary) = pinned(name)
+      assert(now == want,
+        s"\nplan shape changed for $name" +
+          s"\n  pinned:  $wantSummary" +
+          s"\n  now:     $nowSummary" +
+          s"\nif intentional: runMain graft.tools.BenchGuard --write, commit the diff")
+    }
+  }
+}

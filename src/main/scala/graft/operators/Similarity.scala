@@ -270,7 +270,7 @@ object Similarity {
     * positive scaling, so dividing by the member count (and its
     * engine-dependent rounding) is never needed.
     */
-  private def scoreAgainstCentroids(codes: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def scoreAgainstCentroids(codes: DataFrame, centroids: DataFrame): DataFrame = {
     val withNorm = centroids
       .withColumn("cqn", expr(s"sqrt(${dotCodesExpr("csum", "csum")})"))
     codes.crossJoin(broadcast(withNorm))
@@ -371,6 +371,24 @@ object Similarity {
     val p = centroidsPath(indexDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Train the coarse quantizer and persist ONLY the `_centroids`
+    * artifact into indexDir — the staging step a streaming ingester
+    * (graft.streaming.IvfStream) needs before its first batch, when no
+    * posting lists exist yet. Deterministic: same corpus slice + params
+    * always yield bit-identical centroids, so a batch-built index with
+    * the same training bounds agrees with a streamed one.
+    */
+  def stageIvfQuantizer(s: SparkSession, dir: String, indexDir: String,
+                        nLists: Int = 16, iters: Int = 2,
+                        trainMaxVecIdExclusive: Long = Long.MaxValue): String = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir).filter(col("vec_id") < trainMaxVecIdExclusive)
+    trainCentroids(vectorCodes(emb), nLists, iters)
+      .write.mode("overwrite").parquet(centroidsPath(indexDir).toString)
+    indexDir
   }
 
   /** Sort-free (vec_id, centroid_id) assignment of `emb` rows: exact

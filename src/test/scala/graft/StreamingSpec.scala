@@ -229,4 +229,41 @@ class StreamingSpec extends SparkTestBase {
       assert(indexed == Set(0L, 1L, 2L, 3L, 10L))
     } finally q.stop()
   }
+
+  test("streaming IVF ingest answers identically to the batch-built trained index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sf = "/root/testdata/sf0.001"
+    val batchIdx = java.nio.file.Files.createTempDirectory("ivfbatch").toString
+    val streamIdx = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    // reference: one-shot batch build with the trained quantizer
+    graft.operators.Similarity.buildIvfIndex(spark, Sf, batchIdx,
+      quantizer = graft.operators.Similarity.TrainedQuantizer(iters = 2))
+    // streaming side: stage the SAME (deterministic) quantizer, then feed
+    // the corpus as two microbatches
+    graft.operators.Similarity.stageIvfQuantizer(spark, Sf, streamIdx, iters = 2)
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val split = rows.map(_._1).max / 2
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IvfStream.start(
+      input.toDF().toDF("vec_id", "embedding"),
+      streamIdx, s"$streamIdx-ckpt")
+    try {
+      input.addData(rows.filter(_._1 <= split): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 > split): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // two idempotent batch dirs, lists partitioned inside each
+    assert(new java.io.File(streamIdx, "batch=0").exists())
+    assert(new java.io.File(streamIdx, "batch=1").exists())
+    val viaStream = graft.operators.Similarity
+      .ivfTopKFromIndex(spark, Sf, streamIdx).collect().toSeq
+    val viaBatch = graft.operators.Similarity
+      .ivfTopKFromIndex(spark, Sf, batchIdx).collect().toSeq
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty)
+  }
 }

@@ -26,6 +26,17 @@ class SqlFrontDoorSpec extends SparkTestBase {
     assert((SqlFrontDoor.twins.keySet & SqlFrontDoor.portable).isEmpty)
   }
 
+  /** Row multiset as sorted canonical strings — array/binary cells render
+    * element-wise, so equality is structural. One execution per side
+    * (exceptAll would re-execute both plans per direction).
+    */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case a: Array[_] => a.mkString("[", ",", "]")
+      case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+      case x => String.valueOf(x)
+    }.mkString("")).toSeq.sorted
+
   for (name <- SparkEntry.queries.keys.toSeq.sorted
        if !SqlFrontDoor.exemptions.contains(name)) {
     test(s"sql twin equals operator: $name") {
@@ -35,8 +46,13 @@ class SqlFrontDoorSpec extends SparkTestBase {
       assert(viaSql.schema.map(f => (f.name, f.dataType)) ==
         viaDf.schema.map(f => (f.name, f.dataType)),
         s"schema differs:\n sql: ${viaSql.schema.treeString}\n df: ${viaDf.schema.treeString}")
-      assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty,
-        "result multisets differ")
+      val (s1, s2) = (canon(viaSql), canon(viaDf))
+      assert(s1.size == s2.size, s"row counts differ: sql=${s1.size} df=${s2.size}")
+      assert(s1 == s2, {
+        val firstDiff = s1.zip(s2).indexWhere { case (a, b) => a != b }
+        s"result multisets differ (first diff at sorted row $firstDiff):" +
+          s"\n sql: ${s1.lift(firstDiff)}\n df:  ${s2.lift(firstDiff)}"
+      })
     }
   }
 }

@@ -563,18 +563,20 @@ object Similarity {
     * Blocked pairwise: O(sum of block²), never corpus² — with two guards
     * the naive blocked self-join lacks:
     *
-    *  - **Whale-label sub-blocking.** One label holding ~1% of a 100 TB
-    *    corpus would make its block quadratically dominant (the failure
-    *    the n-gram dedup path caps with `df <= 100` stop-shingles). A
-    *    label whose member count exceeds `maxBlock` is split into
-    *    ceil(n / maxBlock) deterministic hash sub-blocks and the NN
-    *    search runs within (label, sub-block): candidate work is bounded
-    *    by O(n · maxBlock) per label instead of O(n²), at the cost of the
-    *    NN being sub-block-local for whale labels (the stop-shingle
-    *    trade: bounded work beats exhaustive pairs on degenerate blocks).
-    *    Labels at or under the cap get n_sub = 1 — bit-identical to the
-    *    exact blocked search, so the DuckDB oracle is unchanged wherever
-    *    blocks fit the cap (all driver fixtures do).
+    *  - **Whale-label sub-blocking with multi-probe.** One label holding
+    *    ~1% of a 100 TB corpus would make its block quadratically
+    *    dominant (the failure the n-gram dedup path caps with `df <= 100`
+    *    stop-shingles). A label whose member count exceeds `maxBlock` is
+    *    split into ceil(n / maxBlock) deterministic hash sub-blocks and
+    *    each vector searches its own sub-block plus the adjacent one:
+    *    candidate work is bounded by O(n · 2·maxBlock) per label instead
+    *    of O(n²), at the cost of the NN being probe-local for whale
+    *    labels (the stop-shingle trade: bounded work beats exhaustive
+    *    pairs on degenerate blocks). Labels at or under the cap get
+    *    n_sub = 1 — the probe set collapses to the single block,
+    *    bit-identical to the exact blocked search, so the DuckDB oracle
+    *    is unchanged wherever blocks fit the cap (all driver fixtures
+    *    do).
     *
     *  - **Top-1 via packed max_by, not a window.** row_number() over
     *    Window.partitionBy(vec_id) shuffles AND SORTS every scored pair;
@@ -587,13 +589,15 @@ object Similarity {
     */
   /** QUERY-LEVEL CONTRACT (q_embed_nearest_in_label): for labels with at
     * most `maxBlock` members the result is the EXACT blocked nearest
-    * neighbor. For whale labels (> maxBlock members) the neighbor is
-    * sub-block-local and therefore best-effort: a vector's true >= 0.95
-    * neighbor can hash to a different sub-block (false-negative
-    * is_near_dup), and a vector alone in its sub-block emits no row.
-    * Downstream dedup consumers must treat whale-label rows as a recall
-    * floor, not ground truth — raise maxBlock (cost O(n·maxBlock) per
-    * whale) or pre-split such labels when exactness matters.
+    * neighbor. For whale labels (> maxBlock members) each vector
+    * multi-probes its own hash sub-block plus the adjacent one, so the
+    * neighbor is best-effort: a vector's true >= 0.95 neighbor can hash
+    * outside both probed sub-blocks (false-negative is_near_dup), and a
+    * vector emits no row only when BOTH probed sub-blocks hold no other
+    * member. Downstream dedup consumers must treat whale-label rows as a
+    * recall floor, not ground truth — raise maxBlock (cost
+    * O(n·2·maxBlock) per whale) or pre-split such labels when exactness
+    * matters.
     */
   def nearestInLabel(s: SparkSession, dir: String,
                      maxBlock: Int = 1 << 16): DataFrame = {
@@ -616,7 +620,16 @@ object Similarity {
         expr(s"CAST((block_n + ${maxBlock - 1}) DIV $maxBlock AS INT)").as("n_sub"))
     val withSub = emb.join(nSub, Seq("label"))
       .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub")).cast("int"))
-    val a = withSub.select(col("vec_id"), col("label"), col("sub"),
+    // multi-probe for whale labels: each vector searches its own hash
+    // sub-block AND the adjacent one (distinct, so n_sub = 1 — every
+    // label under the cap — stays a single probe with zero extra rows).
+    // Halves the sub-block-local false-negative rate and guarantees a
+    // result row whenever either probed sub-block has another member, at
+    // a still-bounded O(n · 2·maxBlock) per whale label. A pair is seen
+    // at most once: the probe values are distinct and b carries one sub.
+    val a = withSub.select(col("vec_id"), col("label"),
+      explode(array_distinct(array(col("sub"),
+        pmod(col("sub") + 1, col("n_sub")).cast("int")))).as("sub"),
       col("embedding"), col("vnorm"))
     val b = withSub.select(col("vec_id").as("b_vec_id"), col("label"), col("sub"),
       col("embedding").as("b_embedding"), col("vnorm").as("b_vnorm"))

@@ -85,7 +85,8 @@ class SkewUtilsSpec extends SparkTestBase {
       exactSmall.exceptAll(cappedSmall).count() == 0,
       "labels under the cap must be exact (n_sub = 1)")
 
-    // whale label: every reported NN must share the vector's hash sub-block
+    // whale label: every reported NN must come from one of the vector's
+    // TWO probed sub-blocks (its own + the adjacent one)
     val nSubWhale = 4 // ceil(120 / 32)
     val subs = emb.filter(col("label") === 1)
       .select(col("vec_id"),
@@ -94,12 +95,30 @@ class SkewUtilsSpec extends SparkTestBase {
       .join(subs, "vec_id")
       .join(subs.withColumnRenamed("vec_id", "nn_vec_id")
         .withColumnRenamed("sub", "nn_sub"), "nn_vec_id")
-    assert(whale.filter(col("sub") =!= col("nn_sub")).count() == 0,
-      "whale-label candidates must stay within their sub-block")
-    // every whale vector whose sub-block has >= 2 members gets a row
-    val expectedWhaleRows = subs
-      .join(subs.groupBy("sub").count().filter(col("count") >= 2), "sub")
-      .count()
-    assert(capped.filter(col("label") === 1).count() == expectedWhaleRows)
+    assert(whale.filter(col("nn_sub") =!= col("sub") &&
+        col("nn_sub") =!= pmod(col("sub") + 1, lit(nSubWhale)).cast("int"))
+      .count() == 0,
+      "whale-label candidates must come from the vector's probed sub-blocks")
+    // every whale vector emits a row (each probes 2 of the 4 sub-blocks,
+    // and with 120 members every sub-block pair here is non-empty)
+    assert(capped.filter(col("label") === 1).count() == 120)
+    // multi-probe can only improve on single-probe: each vector's score
+    // is the best over a SUPERSET of its own sub-block's candidates, so
+    // within-own-sub pairs never score above the reported NN
+    val ownSubBest = emb.filter(col("label") === 1).as("x")
+      .join(subs.as("sx"), col("x.vec_id") === col("sx.vec_id"))
+      .join(emb.filter(col("label") === 1).as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .join(subs.as("sy"), col("y.vec_id") === col("sy.vec_id"))
+      .filter(col("sx.sub") === col("sy.sub"))
+      .withColumn("m", expr(graft.operators.Similarity.scoreMicrosFromNorms(
+        "dot_f(x.embedding, y.embedding)", "x.vnorm", "y.vnorm")))
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(max(col("m")).as("own_best"))
+    // nn_score is half-up micro4 (= m/100), so rescale with a +-50 margin
+    val joined = capped.filter(col("label") === 1)
+      .withColumn("nn_m", col("nn_score") * 100)
+      .join(ownSubBest, "vec_id")
+    assert(joined.filter(col("own_best") > col("nn_m") + 50).count() == 0,
+      "multi-probe must never score below the vector's own sub-block best")
   }
 }

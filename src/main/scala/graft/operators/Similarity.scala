@@ -480,6 +480,45 @@ object Similarity {
     indexDir
   }
 
+  /** Consolidate an IVF index back to the canonical flat
+    * centroid_id-partitioned layout with few files per list. Streamed
+    * ingestion (graft.streaming.IvfStream) leaves one file set per
+    * (batch, list) and repeated appendToIvfIndex calls stack files inside
+    * lists; every probed list opens all its files at query time, so this
+    * is the maintenance step that keeps probe I/O flat as batches
+    * accumulate — the Sinks.compact temp-dir + swap discipline, with the
+    * frozen `_centroids` carried across. Safe under the frozen-quantizer
+    * contract: rows only move between files, never between lists, so
+    * query results are identical before and after (OperatorSpec pins it).
+    */
+  def compactIvfIndex(s: SparkSession, indexDir: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact-tmp")
+    s.read.parquet(indexDir)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
+      .repartition(nFiles, col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp.toString)
+    val cents = centroidsPath(indexDir)
+    if (fs.exists(cents))
+      org.apache.hadoop.fs.FileUtil.copy(fs, cents, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_centroids"), false, conf)
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old))
+      sys.error(s"compactIvfIndex: could not move $indexDir aside; index untouched")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // never leave the index path nonexistent
+      sys.error(s"compactIvfIndex: swap failed for $indexDir; original restored")
+    }
+    fs.delete(old, true)
+    indexDir
+  }
+
   /** ANN top-k over a prebuilt IVF index: probe assignment happens only
     * for the query vectors; candidate fetch reads ONLY the probed lists'
     * partitions (partition pruning on centroid_id), then the exact re-rank

@@ -194,6 +194,35 @@ class OperatorSpec extends SparkTestBase {
     assert(viaFull.nonEmpty)
   }
 
+  test("IVF index compaction: same answers, flat layout, frozen quantizer kept") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val split = maxVec * 4 / 5
+    val q = Similarity.TrainedQuantizer(iters = 2, trainMaxVecIdExclusive = split)
+    Similarity.buildIvfIndex(spark, Sf, idx, maxVecIdExclusive = split, quantizer = q)
+    Similarity.appendToIvfIndex(spark, Sf, idx, minVecId = split)
+    val before = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    def parquetFiles(dir: java.io.File): Int =
+      Option(dir.listFiles()).getOrElse(Array.empty).map { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    val filesBefore = parquetFiles(new java.io.File(idx))
+    Similarity.compactIvfIndex(spark, idx)
+    val after = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    assert(after == before)
+    assert(after.nonEmpty)
+    assert(parquetFiles(new java.io.File(idx)) < filesBefore,
+      "compaction must reduce the index file count")
+    // layout is the canonical flat one and the quantizer survived the swap
+    val top = new java.io.File(idx).listFiles().map(_.getName)
+    assert(top.exists(_.startsWith("centroid_id=")))
+    assert(!top.exists(_.startsWith("batch=")))
+    assert(new java.io.File(idx, "_centroids").exists())
+  }
+
   test("materialized LSH band index answers identically to the inline path") {
     val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
     Dedup.buildLshBandIndex(spark, Sf, idx)

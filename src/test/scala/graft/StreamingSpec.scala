@@ -265,5 +265,14 @@ class StreamingSpec extends SparkTestBase {
       .ivfTopKFromIndex(spark, Sf, batchIdx).collect().toSeq
     assert(viaStream == viaBatch)
     assert(viaStream.nonEmpty)
+    // maintenance loop: compacting the streamed batch=N layout back to
+    // the flat per-list layout changes nothing a query can observe
+    graft.operators.Similarity.compactIvfIndex(spark, streamIdx)
+    val top = new java.io.File(streamIdx).listFiles().map(_.getName)
+    assert(!top.exists(_.startsWith("batch=")))
+    assert(top.exists(_.startsWith("centroid_id=")))
+    val viaCompacted = graft.operators.Similarity
+      .ivfTopKFromIndex(spark, Sf, streamIdx).collect().toSeq
+    assert(viaCompacted == viaBatch)
   }
 }

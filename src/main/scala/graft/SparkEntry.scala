@@ -145,6 +145,18 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
+    "q_dup_clusters_incremental" -> ((s, d) => {
+      // "corpus already clustered + indexed, delta arrives": new pairs
+      // from the staged band index fold into the prior labeling via
+      // contracted-graph propagation; the oracle recomputes from scratch
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_lsh_clusters_" + Integer.toHexString(d.hashCode)).toString
+      Dedup.buildLshBandIndex(s, d, idx, maxDocIdExclusive = split)
+      Dedup.dupClustersIncremental(s, d, idx, split)
+    }),
     "q_dedup_simhash" -> (Dedup.simHash(_, _)),
     "q_dedup_simhash_pairs" -> (Dedup.simHashPairs(_, _)),
     "q_dedup_sorted_neighborhood" -> (Dedup.sortedNeighborhoodPairs(_, _)),
@@ -392,7 +404,8 @@ object SparkEntry {
     // the incremental-curation oracles ARE the from-scratch recomputes:
     // merge(slice reports) must equal a full rescan, exactly
     "q_corpus_report_incremental" -> oracleSqlBase("q_corpus_report"),
-    "q_corpus_funnel_incremental" -> oracleSqlBase("q_corpus_funnel"))
+    "q_corpus_funnel_incremental" -> oracleSqlBase("q_corpus_funnel"),
+    "q_dup_clusters_incremental" -> oracleSqlBase("q_dup_clusters"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_etl_transform" ->

@@ -345,6 +345,67 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL near-dup clustering — the delta path that completes the
+    * dedup lifecycle (pairs, index, curation, and clusters all O(delta)):
+    * a delta batch's new pairs (minHashLshIncremental against the staged
+    * band index) fold into the PRIOR run's labeling without touching the
+    * old pair graph. Prior clusters contract to super-nodes (their
+    * cluster_id), the new edges map through that contraction, and
+    * min-label propagation runs on the contracted graph only — whose size
+    * tracks clusters ADJACENT TO THE DELTA, never the corpus. Exact, not
+    * approximate: cluster_id is the min member id, and min(union of
+    * merged clusters) == min(their mins), so the result equals a
+    * from-scratch dupClusters over all pairs (the oracle recomputes
+    * exactly that).
+    */
+  def dupClustersIncremental(s: SparkSession, dir: String, indexDir: String,
+                             minDeltaId: Long, threshold: Double = 0.5,
+                             maxIters: Int = 50): DataFrame = {
+    val priorPairs = minHashLsh(s, dir, threshold, maxDocIdExclusive = minDeltaId)
+      .select(col("doc_a"), col("doc_b"))
+    val priorEdges = priorPairs
+      .unionByName(priorPairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val prior = propagateMinLabels(priorEdges, maxIters)
+    val newEdges = minHashLshIncremental(s, dir, indexDir, minDeltaId, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = mergeClusterLabels(prior, newEdges, maxIters)
+    val wSize = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.withColumn("cluster_size", count(lit(1)).over(wSize))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fold new (src, dst) pairs into an existing (doc_id, cluster_id)
+    * labeling: docs unseen by the prior labeling enter as self-labeled
+    * singletons, prior clusters contract to one node each, and
+    * propagation runs over the CONTRACTED edges — O(clusters touched by
+    * the delta), not O(graph).
+    */
+  private[graft] def mergeClusterLabels(prior: DataFrame, newPairs: DataFrame,
+                                        maxIters: Int): DataFrame = {
+    val newDocs = newPairs.select(col("src").as("doc_id"))
+      .unionByName(newPairs.select(col("dst").as("doc_id"))).distinct()
+    val allDocs = prior
+      .unionByName(newDocs
+        .join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("cluster_id", col("doc_id")))
+      .localCheckpoint(true)
+    val cEdges = newPairs
+      .join(allDocs.select(col("doc_id").as("src"), col("cluster_id").as("ca")), Seq("src"))
+      .join(allDocs.select(col("doc_id").as("dst"), col("cluster_id").as("cb")), Seq("dst"))
+      .select(col("ca").as("src"), col("cb").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val symEdges = cEdges
+      .unionByName(cEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val contracted = propagateMinLabels(symEdges, maxIters)
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged_id"))
+    allDocs.join(contracted, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged_id"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** Min-label propagation over a symmetric (src, dst) edge list until a
     * fixed point: returns (doc_id, cluster_id). ONE Spark job per round —
     * the changed-label count rides the round's own localCheckpoint

@@ -1034,7 +1034,8 @@ object SqlFrontDoor {
     */
   private val incrementalTwins: Map[String, String] = Map(
     "q_corpus_report_incremental" -> twins("q_corpus_report"),
-    "q_corpus_funnel_incremental" -> twins("q_corpus_funnel"))
+    "q_corpus_funnel_incremental" -> twins("q_corpus_funnel"),
+    "q_dup_clusters_incremental" -> twins("q_dup_clusters"))
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

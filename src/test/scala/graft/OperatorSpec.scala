@@ -595,6 +595,30 @@ class OperatorSpec extends SparkTestBase {
     labels.groupBy(_._2).foreach { case (_, m) => assert(m.size >= 2) }
   }
 
+  test("incremental dup clustering equals the from-scratch clustering") {
+    val maxId = spark.read.parquet(s"$Sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 4 / 5
+    val idx = java.nio.file.Files.createTempDirectory("clusteridx").toString
+    Dedup.buildLshBandIndex(spark, Sf, idx, maxDocIdExclusive = split)
+    val inc = Dedup.dupClustersIncremental(spark, Sf, idx, split).collect().toSeq
+    val full = Dedup.dupClusters(spark, Sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+  }
+
+  test("mergeClusterLabels: a bridging delta edge merges two prior clusters exactly") {
+    import spark.implicits._
+    // prior: {1,2} labeled 1 and {5,9} labeled 5; doc 9 has no delta edge,
+    // so only contracted-graph propagation can relabel it
+    val prior = Seq((1L, 1L), (2L, 1L), (5L, 5L), (9L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val newPairs = Seq((2L, 5L), (11L, 12L)).toDF("src", "dst")
+    val got = Dedup.mergeClusterLabels(prior, newPairs, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 11L -> 11L, 12L -> 11L))
+  }
+
   test("min-label propagation is one Spark job per round on a chain graph") {
     import spark.implicits._
     // chain 0-1-...-8: diameter 8, so label 0 needs 8 rounds to reach the

@@ -183,6 +183,7 @@ object SparkEntry {
       nQueries = TrainedIvf.nQueries, k = TrainedIvf.k, nLists = TrainedIvf.nLists,
       nProbe = TrainedIvf.nProbe, iters = TrainedIvf.iters)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
+    "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
@@ -1335,6 +1336,31 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_embed_lsh_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         planes AS (SELECT * FROM (VALUES $planesValuesSql) AS t(plane_id, plane)),
+         dots AS (SELECT vec_id, plane_id, ${dotSql("v", "plane")} AS d
+                  FROM e CROSS JOIN planes),
+         sigs AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN d >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(plane_id AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sig
+                  FROM dots GROUP BY vec_id),
+         br AS (SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
+                UNION ALL
+                SELECT vec_id, 1, (sig >> 8) & 255 FROM sigs),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM br a JOIN br b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.vec_id < b.vec_id),
+         v AS (SELECT cand.vec_a, cand.vec_b,
+               ${cosMicrosSql("ea.v", "eb.v")} AS m
+               FROM cand
+               JOIN e ea ON ea.vec_id = cand.vec_a
+               JOIN e eb ON eb.vec_id = cand.vec_b)
+         SELECT vec_a, vec_b, $micro4Sql AS score
+         FROM v WHERE m >= 300000 ORDER BY vec_a, vec_b""",
 
     "q_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

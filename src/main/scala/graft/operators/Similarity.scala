@@ -181,6 +181,40 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** Corpus-wide embedding near-dup PAIRS without a blocking label — the
+    * embedding sibling of Dedup.minHashLsh, for corpora where no natural
+    * label/shard key exists: candidates are vectors sharing an LSH
+    * signature band (2 bands of 8 hyperplane bits — ~1/256 of the corpus
+    * per bucket), verification is the exact micro-cosine on candidates
+    * only, and pairs emit once (vec_a < vec_b). Same scale shape as the
+    * text LSH path: the band equi-join shuffles (vector, band) rows,
+    * never vector pairs; only bucket collisions reach the dot product.
+    * Recall follows the LSH collision curve — raise bands / lower bits
+    * per band for lower thresholds, exactly the MinHash bands/rows trade.
+    */
+  def embeddingLshPairs(s: SparkSession, dir: String,
+                        minScoreMicros: Long = 300000L): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val bands = lshSignatures(s, dir).selectExpr("vec_id",
+      "stack(2, 0, sig & 255, 1, (sig >> 8) & 255) AS (band_idx, band_val)")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("vnorm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("vnorm").as("nb")), "vec_b")
+      .withColumn("m", expr(scoreMicrosFromNorms("dot_f(ea, eb)", "na", "nb")))
+      .filter(col("m") >= minScoreMicros)
+      .select(col("vec_a"), col("vec_b"), expr(Micro4).as("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** IVF-flat ANN: coarse-quantize the corpus into `nLists` inverted lists
     * (deterministic quantizer: the first `nLists` vectors serve as
     * centroids), then search only the query's `nProbe` nearest lists and

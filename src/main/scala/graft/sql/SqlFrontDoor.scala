@@ -612,6 +612,31 @@ object SqlFrontDoor {
                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lab ORDER BY doc_id""",
 
+    "q_embed_lsh_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         planes AS (SELECT * FROM (VALUES $planesValuesSql) AS t(plane_id, plane)),
+         dots AS (SELECT vec_id, plane_id, ${dotSql("v", "plane")} AS d
+                  FROM e CROSS JOIN planes),
+         sigs AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN d >= 0
+                           THEN shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS sig
+                  FROM dots GROUP BY vec_id),
+         br AS (SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
+                UNION ALL
+                SELECT vec_id, 1, shiftright(sig, 8) & 255 FROM sigs),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM br a JOIN br b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.vec_id < b.vec_id),
+         v AS (SELECT cand.vec_a, cand.vec_b,
+               ${cosMicrosSql("ea.v", "eb.v")} AS m
+               FROM cand
+               JOIN e ea ON ea.vec_id = cand.vec_a
+               JOIN e eb ON eb.vec_id = cand.vec_b)
+         SELECT vec_a, vec_b, $micro4Sql AS score
+         FROM v WHERE m >= 300000 ORDER BY vec_a, vec_b""",
+
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
          pairs AS (SELECT a.vec_id, a.label, b.vec_id AS b_vec_id,

@@ -595,6 +595,31 @@ class OperatorSpec extends SparkTestBase {
     labels.groupBy(_._2).foreach { case (_, m) => assert(m.size >= 2) }
   }
 
+  test("embedding LSH pairs: exactly the band-sharing pairs at/above threshold") {
+    val got = Similarity.embeddingLshPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // reference: brute-force every pair, keep band-sharers >= threshold
+    val sigs = Similarity.lshSignatures(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bandsOf(sig: Long) = Set((0, sig & 255L), (1, (sig >> 8) & 255L))
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosMicros(a: Array[Double], b: Array[Double]): Long = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val ids = emb.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      if bandsOf(sigs(a)).intersect(bandsOf(sigs(b))).nonEmpty
+      if cosMicros(emb(a), emb(b)) >= 300000L
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("incremental dup clustering equals the from-scratch clustering") {
     val maxId = spark.read.parquet(s"$Sf/documents.parquet")
       .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)

@@ -811,20 +811,26 @@ object SqlFrontDoor {
              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS redacted_md5
          FROM a ORDER BY doc_id""",
 
+    // moment sums in DECIMAL(38,0), mirroring the operator: the oracle's
+    // bare BIGINT products silently promote to int128 in DuckDB but
+    // overflow in Spark once n grows (caught by the sf0.01 probe)
     "q_regr_slope_price_qty" ->
       """WITH b AS (SELECT l_returnflag,
            CAST(l_quantity AS BIGINT) AS q,
            CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p
            FROM lineitem),
          m AS (SELECT l_returnflag, count(*) AS n,
-           sum(q) AS sq, sum(p) AS sp, sum(q * p) AS sqp, sum(q * q) AS sqq
+           sum(CAST(q AS DECIMAL(38,0))) AS sq, sum(CAST(p AS DECIMAL(38,0))) AS sp,
+           sum(CAST(q * p AS DECIMAL(38,0))) AS sqp,
+           sum(CAST(q * q AS DECIMAL(38,0))) AS sqq
            FROM b GROUP BY l_returnflag),
          d AS (SELECT l_returnflag, n,
-           (n * sqp - sq * sp) * 1000000 AS num,
-           (n * sqq - sq * sq) AS den
+           (CAST(n AS DECIMAL(38,0)) * sqp - sq * sp)
+             * CAST(1000000 AS DECIMAL(38,0)) AS num,
+           (CAST(n AS DECIMAL(38,0)) * sqq - sq * sq) AS den
            FROM m)
          SELECT l_returnflag, n,
-                CAST((num - num % den) DIV den AS BIGINT) AS slope_cents_1e6
+                CAST((num - num % den) / den AS BIGINT) AS slope_cents_1e6
          FROM d ORDER BY l_returnflag""",
 
     "q_repetition_stats" ->

@@ -135,15 +135,20 @@ object Similarity {
     */
   def lshSignatures(s: SparkSession, dir: String): DataFrame = {
     registerFunctions(s)
-    val emb = Tables.spread(s, dir, "embeddings")
-    emb.crossJoin(broadcast(planes(s)))
+    lshSignaturesOf(Tables.spread(s, dir, "embeddings"))
+  }
+
+  /** [[lshSignatures]] over an arbitrary (vec_id, embedding) frame — the
+    * building block streaming ingestion shares with the batch path.
+    */
+  private[graft] def lshSignaturesOf(emb: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(planes(emb.sparkSession)))
       .withColumn("dot", expr(
         """aggregate(zip_with(embedding, plane, (p, q) -> CAST(p AS DOUBLE) * q),
            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
       .groupBy(col("vec_id"))
       .agg(sum(when(col("dot") >= 0, expr("CAST(1 AS BIGINT) << plane_id"))
         .otherwise(lit(0L))).as("sig"))
-  }
 
 
   /** Shared exact re-rank: score candidate (query_id, vec_id) pairs with

@@ -230,6 +230,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup: later batches screen against earlier ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("embdedup").toString
+    val rnd = new java.util.Random(4242L)
+    val dir0 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def scaled(k: Float) = dir0.map(_ * k)
+    def noisy(eps: Float) = {
+      val r2 = new java.util.Random(99L)
+      dir0.map(x => x + eps * r2.nextGaussian().toFloat)
+    }
+    val other = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbedDedupStream.start(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt")
+    try {
+      // batch 1: a same-direction pair + one unrelated vector
+      input.addData((1L, dir0), (2L, scaled(1.1f)), (3L, other))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(s"$base/pairs")
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1.contains((1L, 2L)), s"intra-batch pair missing: $afterB1")
+      assert(!afterB1.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated vector must not pair: $afterB1")
+      // batch 2: a near-dup of vector 1 — found ONLY via the persistent index
+      input.addData((10L, noisy(0.001f)))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(s"$base/pairs")
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB2.contains((1L, 10L)), s"cross-batch pair missing: $afterB2")
+      // batch 3: a SMALLER id than anything indexed — orientation must
+      // stay (least, greatest) regardless of arrival order
+      input.addData((0L, scaled(0.5f)))
+      q.processAllAvailable()
+      val afterB3 = spark.read.parquet(s"$base/pairs")
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB3.contains((0L, 1L)), s"backfill pair missing: $afterB3")
+      assert(afterB3.forall(p => p._1 < p._2),
+        s"every pair must be least/greatest-normalized: $afterB3")
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(0L, 1L, 2L, 3L, 10L))
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest answers identically to the batch-built trained index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

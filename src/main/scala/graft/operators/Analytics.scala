@@ -496,6 +496,11 @@ object Analytics {
       .filter(col("wend") <= col("mx")) // windows past the data end don't report
       .groupBy(col("wend").as("day"))
       .agg(
+        // two countDistinct in one agg plans via Expand (x2 row
+        // multiplication) — acceptable HERE because the input is already
+        // distinct user-days bounded by users x windowDays; do NOT copy
+        // this shape onto raw events, where the Expand doubles the
+        // full event stream before any reduction
         countDistinct(when(col("uday") === col("wend"), col("user_id"))).as("dau"),
         countDistinct(col("user_id")).as("wau"))
       .orderBy(col("day"))

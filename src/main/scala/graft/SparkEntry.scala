@@ -194,7 +194,12 @@ object SparkEntry {
     "q_sample_token_budget" -> (Sampling.tokenBudgetMix(_, _)),
     "q_sample_exact_n" -> (Sampling.exactNPerSource(_, _)),
     // ---- embedding quantization ----
-    "q_embed_quantize" -> (Quantize.int8Summary(_, _))
+    "q_embed_quantize" -> (Quantize.int8Summary(_, _)),
+    // ---- corpus curation / layout ----
+    "q_decontaminate" -> (Curation.decontaminate(_, _)),
+    "q_pack_sequences" -> (Curation.packSequences(_, _)),
+    "q_split_stratified" -> (Curation.stratifiedSplit(_, _)),
+    "q_zorder_layout" -> (Layout.zorderCells(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -1521,6 +1526,68 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
                CASE source $cases ELSE '${Sampling.hexThreshold(0.0)}' END
          GROUP BY source ORDER BY source"""
+    },
+
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS g
+               FROM d WHERE len(ws) >= 4),
+         ev AS (SELECT DISTINCT g, doc_id AS eval_doc FROM g WHERE doc_id % 97 = 0),
+         tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_overlap_ngrams,
+                CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+         FROM tr JOIN ev ON tr.g = ev.g
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens
+                     FROM documents),
+         st AS (SELECT doc_id, source, n_tokens,
+                COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt FROM d)
+         SELECT source, CAST(strt // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_split_stratified" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(0.9)}' THEN 'valid'
+                    ELSE 'test' END AS split FROM documents),
+         g AS (SELECT source, split, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY 1, 2),
+         t AS (SELECT *, sum(n_docs) OVER (PARTITION BY source) AS src_total FROM g)
+         SELECT source, split, n_docs, n_tokens,
+                CAST((20000 * n_docs + src_total) // (2 * src_total) AS BIGINT) AS share_1e4
+         FROM t ORDER BY source, split""",
+
+    "q_zorder_layout" -> {
+      // Morton interleave in DuckDB dialect: bit i of e is (e // 2^i) % 2
+      def bit(e: String, i: Int) = s"(($e // ${1L << i}) % 2)"
+      val morton = (0 until 16).map { i =>
+        s"${bit("xn", i)} * ${1L << (2 * i)} + ${bit("yn", i)} * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                     min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem),
+         n AS (SELECT l_partkey, l_suppkey, mnp, mxp, mns, mxs,
+               ((CAST(l_partkey AS BIGINT) - mnp) * 65535) // greatest(mxp - mnp, 1) AS xn,
+               ((CAST(l_suppkey AS BIGINT) - mns) * 65535) // greatest(mxs - mns, 1) AS yn
+               FROM lineitem CROSS JOIN b),
+         zed AS (SELECT *, ($morton) AS z FROM n),
+         cells AS (SELECT z // ${1L << 28} AS z_cell, count(*) AS n_rows,
+                   min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                   min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+                   min(mnp) AS mnp, min(mxp) AS mxp, min(mns) AS mns, min(mxs) AS mxs
+                   FROM zed GROUP BY 1)
+         SELECT CAST(z_cell AS BIGINT) AS z_cell, n_rows,
+                min_part, max_part, min_supp, max_supp,
+                CAST((20000 * (max_part - min_part) + greatest(mxp - mnp, 1))
+                     // (2 * greatest(mxp - mnp, 1)) AS BIGINT) AS part_span_1e4,
+                CAST((20000 * (max_supp - min_supp) + greatest(mxs - mns, 1))
+                     // (2 * greatest(mxs - mns, 1)) AS BIGINT) AS supp_span_1e4
+         FROM cells ORDER BY z_cell"""
     }
   )
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-corpus curation passes that sit between cleaning/dedup and the
+  * final dataset write: benchmark decontamination, sequence packing, and
+  * the train/valid/test split. The reference corpus has none of these (it
+  * is a traffic ETL — `/root/reference/src/etl/transform.py` stops at
+  * validation); they are the builder-brief "large-scale training-data
+  * pipeline" extensions, designed Spark-first.
+  */
+object Curation {
+
+  /** Word n-gram expression over a token-array column `ws`: the doc's
+    * DISTINCT space-joined n-grams (distinct because contamination is a
+    * set-overlap question, not a multiplicity one).
+    */
+  private def ngramsExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', $parts)))"
+  }
+
+  /** 1. Benchmark decontamination (the GPT-3-style n-gram overlap pass):
+    * flag every training document that shares at least one word n-gram
+    * with the held-out eval set, so it can be dropped before training.
+    *
+    * The eval set here is the deterministic `doc_id % evalMod == 0` slice
+    * (a stand-in for a benchmark suite); n = 4 on the fixtures' ~30-word
+    * vocabulary is the selectivity equivalent of the 13-gram window used
+    * on real text.
+    *
+    * 100 TB shape: benchmark suites are tiny (thousands of documents)
+    * while the corpus is the 100 TB side — so the eval n-gram set is
+    * BROADCAST and the corpus is never shuffled; the only aggregation
+    * runs over the collision rows (proportional to actual contamination,
+    * not corpus size). The dual countDistinct plans via Expand, which is
+    * safe here for the same reason: its input is the collision set.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 4,
+                    evalMod: Int = 97): DataFrame = {
+    val grams = Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TextAnalysis.TokensExpr))
+      .filter(expr(s"size(ws) >= $n"))
+      .select(col("doc_id"), explode(expr(ngramsExpr(n))).as("g"))
+    val eval = grams.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("g"), col("doc_id").as("eval_doc")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(broadcast(eval), "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("g")).as("n_overlap_ngrams"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 2. Sequence packing (concat-and-chunk): lay the corpus out as one
+    * token stream per source (documents in doc_id order) and cut it into
+    * training sequences of `budget` tokens; a document belongs to the
+    * sequence its first token falls in. This is the packing strategy GPT
+    * pretraining uses — no padding waste, documents straddle boundaries.
+    *
+    * Output is one row per (source, seq_id): how many documents start in
+    * the sequence, their token mass, and the doc_id span (the metadata a
+    * loader needs to materialize the sequence).
+    *
+    * 100 TB shape: one window cumsum PARTITIONED BY source (sources give
+    * natural parallelism; no global ordering is ever required) + one hash
+    * aggregate. Rows out = total_tokens / budget, independent of doc
+    * count skew.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)"))
+      .withColumn("strt", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"strt DIV $budget"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** 3. Deterministic stratified train/valid/test split: assignment by
+    * content-hash threshold (the [[Sampling]] mechanics — reproducible
+    * across engines, reruns, and repartitions; a doc's split never
+    * changes when the corpus grows, so incremental ingestion keeps old
+    * split assignments valid). Hash uniformity makes the split
+    * stratified-in-expectation within every (source) cell; the output
+    * reports the realized per-source counts, token mass, and the
+    * half-up 4-decimal realized fraction so drift is observable.
+    *
+    * 100 TB shape: one md5 per row, no shuffle for the assignment; one
+    * hash aggregate for the report. The split column itself is the thing
+    * a writer would partition the output by.
+    */
+  def stratifiedSplit(s: SparkSession, dir: String,
+                      trainRate: Double = 0.8, validRate: Double = 0.1): DataFrame = {
+    val tTrain = Sampling.hexThreshold(trainRate)
+    val tValid = Sampling.hexThreshold(trainRate + validRate)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)"))
+      .withColumn("split", expr(
+        s"""CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) < '$tTrain' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS STRING)), 1, 8) < '$tValid' THEN 'valid'
+                 ELSE 'test' END"""))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("src_total",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      // half-up 4-decimal realized split fraction, pure integer arithmetic
+      // (see Similarity.Micro4 for why engine round() must not be used)
+      .withColumn("share_1e4", expr("(20000 * n_docs + src_total) DIV (2 * src_total)"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"), col("share_1e4"))
+      .orderBy(col("source"), col("split"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Layout, TextAnalysis}
+
+/** Invariant checks for the curation passes (decontamination, sequence
+  * packing, stratified split) and the z-order layout audit. Cell-exact
+  * cross-engine equality is the driver's DuckDB gate + SqlFrontDoorSpec;
+  * these pin the semantic contracts.
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("decontaminate: flags only non-eval docs, every flag has a real overlap") {
+    val out = Curation.decontaminate(spark, Sf).collect()
+    assert(out.nonEmpty) // the fixture does contain planted-by-chance overlaps
+    assert(out.forall(_.getAs[Long]("doc_id") % 97 != 0),
+      "eval docs must never be flagged against themselves")
+    assert(out.forall(_.getAs[Long]("n_overlap_ngrams") >= 1))
+    assert(out.forall(r => r.getAs[Long]("n_eval_docs") >= 1 &&
+      r.getAs[Long]("n_eval_docs") <= r.getAs[Long]("n_overlap_ngrams") * 6))
+  }
+
+  test("pack sequences: token mass conserves and doc spans are disjoint per source") {
+    val out = Curation.packSequences(spark, Sf)
+    val bySource = out.groupBy("source")
+      .agg(sum("seq_tokens").as("packed"), max("seq_id").as("max_seq"),
+        count(lit(1)).as("n_seqs")).collect()
+    val totals = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("source")
+      .agg(sum(expr(s"size(${TextAnalysis.TokensExpr})")).as("total"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("total")).toMap
+    bySource.foreach { r =>
+      assert(r.getAs[Long]("packed") == totals(r.getAs[String]("source")),
+        s"token mass must conserve for ${r.getAs[String]("source")}")
+      // seq ids are dense 0..max: a doc starts in every budget-sized chunk
+      // of the stream except possibly beyond the last token
+      assert(r.getAs[Long]("max_seq") == r.getAs[Long]("n_seqs") - 1)
+    }
+    // doc id ranges of consecutive sequences never overlap (concat order)
+    val rows = out.orderBy("source", "seq_id").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getAs[String]("source") == b.getAs[String]("source") =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+  }
+
+  test("stratified split: partitions every doc, realized shares near the targets") {
+    val out = Curation.stratifiedSplit(spark, Sf).collect()
+    val splits = out.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == spark.read.parquet(s"$Sf/documents.parquet").count())
+    val train = out.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(train >= nDocs * 7 / 10 && train <= nDocs * 9 / 10,
+      s"global train share off: $train of $nDocs")
+    // per-source shares sum to exactly 1 up to the half-up rounding of
+    // each term (<= 3 splits x 1 ulp of 1e-4)
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val share = rs.map(_.getAs[Long]("share_1e4")).sum
+      assert(share >= 9998 && share <= 10002)
+    }
+  }
+
+  test("zorder cells: partition the table and bound BOTH key spans") {
+    val out = Layout.zorderCells(spark, Sf).collect()
+    assert(out.length == 16) // 4x4 grid from the top 4 z bits
+    val total = out.map(_.getAs[Long]("n_rows")).sum
+    assert(total == spark.read.parquet(s"$Sf/lineitem.parquet").count())
+    // the z-order contract: every cell is narrow in BOTH dimensions at
+    // once (a single-column sort would leave the other dim at ~10000)
+    out.foreach { r =>
+      assert(r.getAs[Long]("part_span_1e4") <= 3000,
+        s"cell ${r.getAs[Long]("z_cell")} too wide on partkey")
+      assert(r.getAs[Long]("supp_span_1e4") <= 3000,
+        s"cell ${r.getAs[Long]("z_cell")} too wide on suppkey")
+    }
+  }
+}

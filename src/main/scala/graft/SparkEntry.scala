@@ -196,6 +196,7 @@ object SparkEntry {
     // ---- embedding quantization ----
     "q_embed_quantize" -> (Quantize.int8Summary(_, _)),
     // ---- corpus curation / layout ----
+    "q_boilerplate" -> (TextAnalysis.boilerplate(_, _)),
     "q_decontaminate" -> (Curation.decontaminate(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     "q_split_stratified" -> (Curation.stratifiedSplit(_, _)),
@@ -1527,6 +1528,18 @@ object SparkEntry {
                CASE source $cases ELSE '${Sampling.hexThreshold(0.0)}' END
          GROUP BY source ORDER BY source"""
     },
+
+    "q_boilerplate" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM shd),
+         n AS (SELECT count(*) AS n_docs FROM shd),
+         df AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+         boiler AS (SELECT shingle FROM df CROSS JOIN n WHERE df * 100 >= n_docs),
+         j AS (SELECT e.doc_id, e.n_sh, CAST(count(b.shingle) AS BIGINT) AS n_boiler
+               FROM ex e LEFT JOIN boiler b ON e.shingle = b.shingle GROUP BY 1, 2)
+         SELECT doc_id, n_sh, n_boiler,
+                CAST((20000 * n_boiler + n_sh) // (2 * n_sh) AS BIGINT) AS boiler_1e4
+         FROM j ORDER BY doc_id""",
 
     "q_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),

@@ -456,4 +456,40 @@ object TextAnalysis {
            '3_dedup', c3, h3) AS (stage, docs_kept, chars_kept)""")
       .orderBy(col("stage"))
   }
+
+  /** Corpus-wide boilerplate detection (the C4/RefinedWeb "remove
+    * template text" signal): a shingle is boilerplate when it appears in
+    * at least `dfPctThreshold`% of documents; each document reports how
+    * much of its distinct-shingle mass is boilerplate. The RELATIVE
+    * threshold keeps the semantics scale-invariant — 1% means the same
+    * thing on 500 docs and 5 billion.
+    *
+    * 100 TB shape: pass 1 aggregates shingle document-frequency
+    * (map-side combined, shuffle carries doc-distinct shingles only) and
+    * keeps the over-threshold set, whose size is PROVABLY bounded by
+    * 100/dfPct x avg-shingles-per-doc regardless of corpus size (at most
+    * total_occurrences / (n_docs x dfPct/100) distinct survivors) — so
+    * it always broadcasts. Pass 2 re-streams the corpus against that
+    * broadcast set: no corpus-sized shuffle anywhere.
+    */
+  def boilerplate(s: SparkSession, dir: String, dfPctThreshold: Int = 1): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TokensExpr))
+      .filter(expr("size(ws) >= 3"))
+      .withColumn("sh", expr(Dedup.ShinglesExpr))
+    val ex = docs.select(col("doc_id"),
+      expr("CAST(size(sh) AS BIGINT)").as("n_sh"), explode(col("sh")).as("shingle"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val boiler = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(100) >= col("n_docs") * lit(dfPctThreshold))
+      .select(col("shingle"), lit(1L).as("hit"))
+    ex.join(broadcast(boiler), Seq("shingle"), "left")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+      // half-up 4-decimal boilerplate fraction, pure integer arithmetic
+      .withColumn("boiler_1e4", expr("(20000 * n_boiler + n_sh) DIV (2 * n_sh)"))
+      .select(col("doc_id"), col("n_sh"), col("n_boiler"), col("boiler_1e4"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1057,6 +1057,18 @@ object SqlFrontDoor {
                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
          FROM c ORDER BY user_id, event_id""",
 
+    "q_boilerplate" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle FROM shd),
+         n AS (SELECT count(*) AS n_docs FROM shd),
+         df AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+         boiler AS (SELECT shingle FROM df CROSS JOIN n WHERE df * 100 >= n_docs),
+         j AS (SELECT e.doc_id, e.n_sh, CAST(count(b.shingle) AS BIGINT) AS n_boiler
+               FROM ex e LEFT JOIN boiler b ON e.shingle = b.shingle GROUP BY 1, 2)
+         SELECT doc_id, n_sh, n_boiler,
+                CAST((20000 * n_boiler + n_sh) DIV (2 * n_sh) AS BIGINT) AS boiler_1e4
+         FROM j ORDER BY doc_id""",
+
     "q_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
          g AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(ws) - 3),

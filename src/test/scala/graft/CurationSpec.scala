@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Curation, Layout, TextAnalysis}
+import graft.operators.Dedup
 
 /** Invariant checks for the curation passes (decontamination, sequence
   * packing, stratified split) and the z-order layout audit. Cell-exact
@@ -62,6 +63,28 @@ class CurationSpec extends SparkTestBase {
       val share = rs.map(_.getAs[Long]("share_1e4")).sum
       assert(share >= 9998 && share <= 10002)
     }
+  }
+
+  test("boilerplate: covers every shingled doc, mass reconciles with shingle dfs") {
+    val out = TextAnalysis.boilerplate(spark, Sf)
+    val rows = out.collect()
+    val shingled = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("ws", expr(TextAnalysis.TokensExpr))
+      .filter(expr("size(ws) >= 3")).count()
+    assert(rows.length == shingled, "one row per shingled doc, zero-boiler docs included")
+    assert(rows.forall(r => r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_sh")))
+    assert(rows.forall(r => r.getAs[Long]("boiler_1e4") <= 10000))
+    // total boilerplate mass == sum of df over the boiler shingle set,
+    // recomputed independently
+    val ex = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("ws", expr(TextAnalysis.TokensExpr))
+      .filter(expr("size(ws) >= 3"))
+      .withColumn("sh", expr(Dedup.ShinglesExpr))
+      .select(explode(col("sh")).as("shingle"))
+    val dfs = ex.groupBy("shingle").count()
+    val expected = dfs.filter(col("count") * 100 >= lit(shingled))
+      .agg(sum("count")).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_boiler")).sum == expected)
   }
 
   test("zorder cells: partition the table and bound BOTH key spans") {

@@ -324,4 +324,38 @@ class StreamingSpec extends SparkTestBase {
       .ivfTopKFromIndex(spark, Sf, streamIdx).collect().toSeq
     assert(viaCompacted == viaBatch)
   }
+
+  test("streaming decontamination: batch union equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    // stage the frozen eval-gram set once, stream the corpus in two halves
+    graft.streaming.DecontaminateStream.stageEvalGrams(spark, docs, s"$base/eval")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DecontaminateStream.start(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/eval", s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_overlap_ngrams"),
+        r.getAs[Long]("n_eval_docs"))
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "n_overlap_ngrams", "n_eval_docs")
+      .collect().map(key).toSet
+    val batch = graft.operators.Curation.decontaminate(spark, Sf)
+      .collect().map(key).toSet
+    // decontamination is per-document against a frozen gram set, so the
+    // streamed screen must reproduce the batch answer exactly
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -197,6 +197,8 @@ object SparkEntry {
     "q_embed_quantize" -> (Quantize.int8Summary(_, _)),
     // ---- corpus curation / layout ----
     "q_boilerplate" -> (TextAnalysis.boilerplate(_, _)),
+    "q_dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
+    "q_mix_apportion" -> (Curation.apportionBudget(_, _)),
     "q_decontaminate" -> (Curation.decontaminate(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     "q_split_stratified" -> (Curation.stratifiedSplit(_, _)),
@@ -1540,6 +1542,33 @@ object SparkEntry {
          SELECT doc_id, n_sh, n_boiler,
                 CAST((20000 * n_boiler + n_sh) // (2 * n_sh) AS BIGINT) AS boiler_1e4
          FROM j ORDER BY doc_id""",
+
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $minhashVerifyCtes,
+         pass AS (SELECT doc_a, doc_b, jaccard_1e4 FROM verify WHERE jaccard_1e4 >= 5000),
+         gridded AS (SELECT doc_a, doc_b,
+             unnest(range(CAST(5000 AS BIGINT), jaccard_1e4 - jaccard_1e4 % 500 + 1, 500)) AS threshold_1e4
+             FROM pass)
+         SELECT threshold_1e4, count(*) AS n_pairs,
+                CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+         FROM gridded GROUP BY 1 ORDER BY 1""",
+
+    "q_mix_apportion" ->
+      s"""WITH perSrc AS (SELECT source, CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+                          FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                        CAST((sum(n_tokens) - sum(n_tokens) % 3) // 3 AS BIGINT) AS budget
+                 FROM perSrc),
+         quota AS (SELECT source, n_tokens, t, budget,
+                   CAST((budget * n_tokens - (budget * n_tokens) % t) // t AS BIGINT) AS base_tokens,
+                   CAST((budget * n_tokens) % t AS BIGINT) AS remainder
+                   FROM perSrc CROSS JOIN tot),
+         ranked AS (SELECT *, budget - sum(base_tokens) OVER () AS extra,
+                    row_number() OVER (ORDER BY remainder DESC, source) AS rk
+                    FROM quota)
+         SELECT source, n_tokens, base_tokens, remainder,
+                CAST(base_tokens + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+         FROM ranked ORDER BY source""",
 
     "q_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),

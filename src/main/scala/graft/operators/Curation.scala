@@ -121,4 +121,45 @@ object Curation {
       .select(col("source"), col("split"), col("n_docs"), col("n_tokens"), col("share_1e4"))
       .orderBy(col("source"), col("split"))
   }
+
+  /** 4. Exact token-budget apportionment across sources (Hamilton /
+    * largest-remainder): split a global training-token budget over
+    * sources proportionally to their available tokens, EXACT TO THE
+    * TOKEN — sum(alloc_tokens) == budget, always. floor quotas first,
+    * then the leftover seats go to the largest fractional remainders
+    * (ties broken by source name, so the result is deterministic).
+    *
+    * The budget here is total/3 (a fixed fraction keeps the semantics
+    * identical at every scale factor).
+    *
+    * 100 TB shape: everything after the per-source token aggregate
+    * operates on ONE ROW PER SOURCE — source counts are bounded by the
+    * catalog, not the corpus, so the rank-over-all-sources window is a
+    * few-row operation forever. Quota products are DECIMAL(38,0)
+    * (budget x tokens overflows BIGINT at ~1e14-token corpora — same
+    * guard as the regression-moments operator); the exact floor is the
+    * (q - q % T) / T identity.
+    */
+  def apportionBudget(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(expr(s"sum(CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT))").as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"))
+      .select(col("t"), expr("(t - t % 3) DIV 3").as("budget"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .orderBy(col("remainder").desc, col("source"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("q", expr("CAST(budget AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"))
+      .withColumn("td", expr("CAST(t AS DECIMAL(38,0))"))
+      .withColumn("base_tokens", expr("CAST((q - q % td) / td AS BIGINT)"))
+      .withColumn("remainder", expr("CAST(q % td AS BIGINT)"))
+      .withColumn("extra", (col("budget") - sum(col("base_tokens")).over(wAll)))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("alloc_tokens",
+        col("base_tokens") + when(col("rk") <= col("extra"), lit(1L)).otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"), col("base_tokens"),
+        col("remainder"), col("alloc_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -501,4 +501,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Dedup threshold sweep — the tuning curve an operator reads BEFORE
+    * committing a near-dup threshold on a new corpus: for each candidate
+    * threshold (5000..10000 in 500 steps of jaccard_1e4), how many
+    * verified pairs pass and how many documents the keep-first rule
+    * would drop (distinct greater-ids). One LSH+verify pass feeds the
+    * whole curve; each verified pair then expands to just the grid
+    * points at or below its jaccard (<= 11 rows per pair), so the sweep
+    * costs one tiny aggregate more than a single-threshold run.
+    */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame =
+    minHashLsh(s, dir, threshold = 0.5)
+      .withColumn("threshold_1e4",
+        explode(expr("sequence(CAST(5000 AS BIGINT), jaccard_1e4 - jaccard_1e4 % 500, 500)")))
+      .groupBy(col("threshold_1e4"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+      .orderBy(col("threshold_1e4"))
 }

@@ -1057,6 +1057,34 @@ object SqlFrontDoor {
                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
          FROM c ORDER BY user_id, event_id""",
 
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $minhashVerifyCtes,
+         pass AS (SELECT doc_a, doc_b, jaccard_1e4 FROM verify WHERE jaccard_1e4 >= 5000),
+         gridded AS (SELECT doc_a, doc_b,
+             explode(sequence(CAST(5000 AS BIGINT), jaccard_1e4 - jaccard_1e4 % 500, 500)) AS threshold_1e4
+             FROM pass)
+         SELECT threshold_1e4, count(*) AS n_pairs,
+                CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+         FROM gridded GROUP BY 1 ORDER BY 1""",
+
+    "q_mix_apportion" ->
+      s"""WITH perSrc AS (SELECT source, CAST(sum(size($toksSql)) AS BIGINT) AS n_tokens
+                          FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                        CAST((sum(n_tokens) - sum(n_tokens) % 3) DIV 3 AS BIGINT) AS budget
+                 FROM perSrc),
+         quota AS (SELECT source, n_tokens, t, budget,
+                   CAST((CAST(budget AS DECIMAL(38,0)) * n_tokens
+                         - (CAST(budget AS DECIMAL(38,0)) * n_tokens) % t) / t AS BIGINT) AS base_tokens,
+                   CAST((CAST(budget AS DECIMAL(38,0)) * n_tokens) % t AS BIGINT) AS remainder
+                   FROM perSrc CROSS JOIN tot),
+         ranked AS (SELECT *, budget - sum(base_tokens) OVER () AS extra,
+                    row_number() OVER (ORDER BY remainder DESC, source) AS rk
+                    FROM quota)
+         SELECT source, n_tokens, base_tokens, remainder,
+                CAST(base_tokens + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+         FROM ranked ORDER BY source""",
+
     "q_boilerplate" ->
       s"""WITH $shingleCtes,
          ex AS (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle FROM shd),

@@ -65,6 +65,38 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("apportionment: allocations sum EXACTLY to the budget, within 1 of proportional") {
+    val out = Curation.apportionBudget(spark, Sf).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    val budget = (total - total % 3) / 3
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum == budget,
+      "largest-remainder apportionment must hit the budget exactly")
+    out.foreach { r =>
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val base = r.getAs[Long]("base_tokens")
+      assert(alloc == base || alloc == base + 1)
+      // quota property: base = floor(budget * share)
+      val q = BigInt(budget) * BigInt(r.getAs[Long]("n_tokens"))
+      assert(BigInt(base) == q / BigInt(total))
+    }
+  }
+
+  test("threshold sweep: monotone non-increasing, endpoints match single-threshold runs") {
+    val out = Dedup.thresholdSweep(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("threshold_1e4"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_dropped")))
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1)
+        assert(a._2 >= b._2, "pair count must fall as the threshold rises")
+        assert(a._3 >= b._3, "dropped-doc count must fall as the threshold rises")
+      case _ =>
+    }
+    // the 5000 grid point is exactly the standard 0.5-threshold dedup run
+    val at5000 = out.find(_._1 == 5000L).get
+    assert(at5000._2 == Dedup.minHashLsh(spark, Sf, threshold = 0.5).count())
+  }
+
   test("boilerplate: covers every shingled doc, mass reconciles with shingle dfs") {
     val out = TextAnalysis.boilerplate(spark, Sf)
     val rows = out.collect()

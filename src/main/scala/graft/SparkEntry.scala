@@ -197,6 +197,7 @@ object SparkEntry {
     "q_embed_quantize" -> (Quantize.int8Summary(_, _)),
     // ---- corpus curation / layout ----
     "q_boilerplate" -> (TextAnalysis.boilerplate(_, _)),
+    "q_quality_calibrated" -> (TextAnalysis.calibrateQuality(_, _)),
     "q_dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
     "q_mix_apportion" -> (Curation.apportionBudget(_, _)),
     "q_decontaminate" -> (Curation.decontaminate(_, _)),
@@ -1542,6 +1543,31 @@ object SparkEntry {
          SELECT doc_id, n_sh, n_boiler,
                 CAST((20000 * n_boiler + n_sh) // (2 * n_sh) AS BIGINT) AS boiler_1e4
          FROM j ORDER BY doc_id""",
+
+    "q_quality_calibrated" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         m AS (SELECT doc_id, source, text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
+           FROM t),
+         sc AS (SELECT doc_id, source,
+           CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
+           FROM m),
+         f AS (SELECT * FROM sc WHERE quality_1e4 IS NOT NULL),
+         rk AS (SELECT doc_id, source, quality_1e4,
+                rank() OVER (PARTITION BY source ORDER BY quality_1e4) AS rk,
+                count(*) OVER (PARTITION BY source) AS n FROM f)
+         SELECT doc_id, source, quality_1e4,
+                CAST(CASE WHEN n = 1 THEN 0
+                     ELSE (20000 * (rk - 1) + (n - 1)) // (2 * (n - 1)) END AS BIGINT) AS pct_rank_1e4
+         FROM rk ORDER BY doc_id""",
 
     "q_dedup_threshold_sweep" ->
       s"""WITH $minhashVerifyCtes,

@@ -46,6 +46,15 @@ object TextAnalysis {
                div (2 * CAST(size(toks) AS BIGINT)) AS BIGINT)""").as("avg_token_len_1e4"))
       .orderBy(col("doc_id"))
 
+  /** Quality-score building blocks, shared by [[qualityScore]] and
+    * [[calibrateQuality]] so the two can never drift. Each expects the
+    * `toks` column from [[TokensExpr]] in scope.
+    */
+  val StopHitsExpr =
+    "CAST(size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it'), t))) AS BIGINT)"
+  val PunctCharsExpr =
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT)"
+
   /** Quality scoring: length/stopword/punctuation heuristics composited
     * into one [0,1] score (the standard cheap pre-filter before expensive
     * dedup/model-based scoring at 100 TB).
@@ -54,10 +63,8 @@ object TextAnalysis {
     Tables.spread(s, dir, "documents")
       .withColumn("toks", expr(TokensExpr))
       .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
-      .withColumn("stop_hits", expr(
-        "CAST(size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it'), t))) AS BIGINT)"))
-      .withColumn("punct_chars", expr(
-        "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT)"))
+      .withColumn("stop_hits", expr(StopHitsExpr))
+      .withColumn("punct_chars", expr(PunctCharsExpr))
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -72,13 +79,60 @@ object TextAnalysis {
         // NaN handling differs BETWEEN DUCKDB VERSIONS (v1.0.0: NULL;
         // newer ieee_floating_point_ops default: NaN, and CAST(NaN AS
         // BIGINT) then errors) — the guard keeps both engines at NULL
-        expr("""CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
-                CAST(floor(
-                  least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
-                  * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
-                  * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-                  * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END""").as("quality_1e4"))
+        expr(QualityExpr).as("quality_1e4"))
       .orderBy(col("doc_id"))
+
+  /** The composite score itself (see the zero-guard note above). */
+  val QualityExpr =
+    """CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+       CAST(floor(
+         least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+         * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+         * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END"""
+
+  /** Per-source quality CALIBRATION: the exact percent-rank of each doc's
+    * quality score within its source, as a half-up 4-decimal BIGINT.
+    * Sources have incomparable raw score distributions (different
+    * punctuation norms, lengths); mixing or thresholding them on the raw
+    * score over-prunes some sources — rank-normalizing first is the
+    * standard fix.
+    *
+    * 100 TB shape: a naive `percent_rank() OVER (PARTITION BY source
+    * ORDER BY score)` puts an entire source — possibly 50 TB — into ONE
+    * window task. Instead the ranks come from the score CDF: the score
+    * domain is BOUNDED (integer ten-thousandths, <= 10001 values), so
+    * per-(source, score) counts aggregate map-side, the cumulative pass
+    * runs over <= |sources| x 10001 rows (driver-trivial forever), and
+    * the result joins back as a BROADCAST — the corpus itself is never
+    * sorted or shuffled.
+    */
+  def calibrateQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.spread(s, dir, "documents")
+      .withColumn("toks", expr(TokensExpr))
+      .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("stop_hits", expr(StopHitsExpr))
+      .withColumn("punct_chars", expr(PunctCharsExpr))
+      .withColumn("quality_1e4", expr(QualityExpr))
+      .filter(col("quality_1e4").isNotNull)
+      .select(col("doc_id"), col("source"), col("quality_1e4"))
+    val wCum = Window.partitionBy("source").orderBy("quality_1e4")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("source")
+    val cdf = scored.groupBy(col("source"), col("quality_1e4"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      // min-rank percent_rank: (rank-1)/(N-1) with rank-1 == count below,
+      // half-up in integer ten-thousandths; single-doc sources pin to 0
+      .withColumn("pct_rank_1e4", expr(
+        "CASE WHEN n = 1 THEN CAST(0 AS BIGINT) ELSE (20000 * below + (n - 1)) DIV (2 * (n - 1)) END"))
+      .select(col("source"), col("quality_1e4"), col("pct_rank_1e4"))
+    scored.join(broadcast(cdf), Seq("source", "quality_1e4"))
+      .select(col("doc_id"), col("source"), col("quality_1e4"), col("pct_rank_1e4"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Text cleaning / normalization: strip markup-ish tags, drop control
     * characters, collapse whitespace, trim — the canonicalization pass

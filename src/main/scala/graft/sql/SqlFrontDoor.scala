@@ -1057,6 +1057,31 @@ object SqlFrontDoor {
                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
          FROM c ORDER BY user_id, event_id""",
 
+    "q_quality_calibrated" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         m AS (SELECT doc_id, source, text,
+           CAST(size(toks) AS BIGINT) AS n_tokens,
+           CAST(size(filter(toks, t -> array_contains(
+             array('the','a','of','and','to','in','is','it'), t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT) AS punct_chars
+           FROM t),
+         sc AS (SELECT doc_id, source,
+           CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
+           FROM m),
+         f AS (SELECT * FROM sc WHERE quality_1e4 IS NOT NULL),
+         rk AS (SELECT doc_id, source, quality_1e4,
+                rank() OVER (PARTITION BY source ORDER BY quality_1e4) AS rk,
+                count(*) OVER (PARTITION BY source) AS n FROM f)
+         SELECT doc_id, source, quality_1e4,
+                CAST(CASE WHEN n = 1 THEN 0
+                     ELSE (20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) END AS BIGINT) AS pct_rank_1e4
+         FROM rk ORDER BY doc_id""",
+
     "q_dedup_threshold_sweep" ->
       s"""WITH $minhashVerifyCtes,
          pass AS (SELECT doc_a, doc_b, jaccard_1e4 FROM verify WHERE jaccard_1e4 >= 5000),

@@ -97,6 +97,27 @@ class CurationSpec extends SparkTestBase {
     assert(at5000._2 == Dedup.minHashLsh(spark, Sf, threshold = 0.5).count())
   }
 
+  test("quality calibration: bounded-domain CDF ranks equal a direct window percent_rank") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextAnalysis.calibrateQuality(spark, Sf)
+    // independent reference: the single-partition-per-source window form
+    // the operator deliberately avoids at scale
+    val w = Window.partitionBy("source").orderBy("quality_1e4")
+    val wn = Window.partitionBy("source")
+    val ref = out.select("doc_id", "source", "quality_1e4")
+      .withColumn("rk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("expected", expr(
+        "CASE WHEN n = 1 THEN CAST(0 AS BIGINT) ELSE (20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) END"))
+      .select("doc_id", "expected")
+    val joined = out.join(ref, "doc_id")
+    assert(joined.filter(col("pct_rank_1e4") =!= col("expected")).count() == 0)
+    assert(out.count() > 0)
+    // the corpus-side probe join must be broadcast (the CDF is bounded)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "CDF join-back must broadcast")
+  }
+
   test("boilerplate: covers every shingled doc, mass reconciles with shingle dfs") {
     val out = TextAnalysis.boilerplate(spark, Sf)
     val rows = out.collect()

@@ -199,8 +199,10 @@ object SparkEntry {
     "q_boilerplate" -> (TextAnalysis.boilerplate(_, _)),
     "q_quality_calibrated" -> (TextAnalysis.calibrateQuality(_, _)),
     "q_dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
+    "q_dup_cluster_sizes" -> (Dedup.dupClusterSizes(_, _)),
     "q_mix_apportion" -> (Curation.apportionBudget(_, _)),
     "q_decontaminate" -> (Curation.decontaminate(_, _)),
+    "q_contamination_report" -> (Curation.contaminationReport(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     "q_split_stratified" -> (Curation.stratifiedSplit(_, _)),
     "q_zorder_layout" -> (Layout.zorderCells(_, _))
@@ -1607,6 +1609,37 @@ object SparkEntry {
                 CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+
+    "q_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(a, b) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.b FROM edges e JOIN reach r ON r.a = e.dst),
+         lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM sz GROUP BY 1 ORDER BY 1""",
+
+    "q_contamination_report" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS g
+               FROM d WHERE len(ws) >= 4),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT DISTINCT t.doc_id FROM g t JOIN ev ON t.g = ev.g
+                  WHERE t.doc_id % 97 <> 0),
+         docs AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+         SELECT source, count(*) AS n_docs,
+                CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+                CAST((20000 * count(h.doc_id) + count(*))
+                     // (2 * count(*)) AS BIGINT) AS contaminated_1e4
+         FROM docs LEFT JOIN hits h ON docs.doc_id = h.doc_id
+         GROUP BY source ORDER BY source""",
 
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens

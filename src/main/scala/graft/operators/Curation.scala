@@ -56,6 +56,29 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** 1b. Per-source contamination report: the rollup an operator reads
+    * after [[decontaminate]] — which sources are leaking eval content,
+    * and how badly. The flagged set is proportional to actual
+    * contamination (tiny), so it broadcasts back onto the per-source
+    * doc counts; eval docs themselves are excluded from the denominator.
+    */
+  def contaminationReport(s: SparkSession, dir: String, n: Int = 4,
+                          evalMod: Int = 97): DataFrame = {
+    val flagged = decontaminate(s, dir, n, evalMod)
+      .select(col("doc_id"), lit(1L).as("hit"))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      // half-up 4-decimal contaminated fraction, pure integer arithmetic
+      .withColumn("contaminated_1e4",
+        expr("(20000 * n_contaminated + n_docs) DIV (2 * n_docs)"))
+      .orderBy(col("source"))
+  }
+
   /** 2. Sequence packing (concat-and-chunk): lay the corpus out as one
     * token stream per source (documents in doc_id order) and cut it into
     * training sequences of `budget` tokens; a document belongs to the

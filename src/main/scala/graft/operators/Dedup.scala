@@ -511,6 +511,19 @@ object Dedup {
     * points at or below its jaccard (<= 11 rows per pair), so the sweep
     * costs one tiny aggregate more than a single-threshold run.
     */
+  /** Dup-cluster size histogram — the corpus-health metric behind "how
+    * duplicated is this crawl": for each cluster size, how many clusters.
+    * A fat tail here means template farms / mirrors; all-2s means benign
+    * pairwise near-dups. One distinct + one tiny aggregate on top of
+    * [[dupClusters]] (whose output is O(near-dup docs), not corpus).
+    */
+  def dupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   def thresholdSweep(s: SparkSession, dir: String): DataFrame =
     minHashLsh(s, dir, threshold = 0.5)
       .withColumn("threshold_1e4",

@@ -1135,6 +1135,39 @@ object SqlFrontDoor {
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
 
+    "q_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(a, b, d) AS (
+           SELECT src, src, 0 FROM edges
+           UNION ALL
+           SELECT e.src, r.b, r.d + 1 FROM edges e JOIN reach r ON r.a = e.dst
+           WHERE r.d < 8),
+         lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM sz GROUP BY 1 ORDER BY 1""",
+
+    "q_contamination_report" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         g AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(ws) - 3),
+               i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                              element_at(ws, i + 2), element_at(ws, i + 3))))) AS g
+               FROM d WHERE size(ws) >= 4),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         hits AS (SELECT DISTINCT t.doc_id FROM g t JOIN ev ON t.g = ev.g
+                  WHERE t.doc_id % 97 <> 0),
+         docs AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+         SELECT source, count(*) AS n_docs,
+                CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+                CAST((20000 * count(h.doc_id) + count(*))
+                     DIV (2 * count(*)) AS BIGINT) AS contaminated_1e4
+         FROM docs LEFT JOIN hits h ON docs.doc_id = h.doc_id
+         GROUP BY source ORDER BY source""",
+
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(size($toksSql) AS BIGINT) AS n_tokens
                      FROM documents),

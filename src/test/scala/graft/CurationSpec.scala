@@ -22,6 +22,25 @@ class CurationSpec extends SparkTestBase {
       r.getAs[Long]("n_eval_docs") <= r.getAs[Long]("n_overlap_ngrams") * 6))
   }
 
+  test("contamination report: covers every source, reconciles with the flag set") {
+    val rep = Curation.contaminationReport(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val nonEval = docs.filter(expr("doc_id % 97 <> 0")).count()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == nonEval)
+    assert(rep.map(_.getAs[Long]("n_contaminated")).sum ==
+      Curation.decontaminate(spark, Sf).count())
+    rep.foreach(r => assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_docs")))
+  }
+
+  test("dup cluster sizes: histogram mass equals clustered docs, min size 2") {
+    val hist = Dedup.dupClusterSizes(spark, Sf).collect()
+    assert(hist.forall(_.getAs[Long]("cluster_size") >= 2),
+      "a cluster needs at least one near-dup pair")
+    val docsInClusters = hist.map(r =>
+      r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")).sum
+    assert(docsInClusters == Dedup.dupClusters(spark, Sf).count())
+  }
+
   test("pack sequences: token mass conserves and doc spans are disjoint per source") {
     val out = Curation.packSequences(spark, Sf)
     val bySource = out.groupBy("source")

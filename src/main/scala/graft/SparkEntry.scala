@@ -205,6 +205,18 @@ object SparkEntry {
     "q_contamination_report" -> (Curation.contaminationReport(_, _)),
     "q_pack_sequences" -> (Curation.packSequences(_, _)),
     "q_split_stratified" -> (Curation.stratifiedSplit(_, _)),
+    "q_pack_sequences_incremental" -> ((s, d) => {
+      // "prefix already packed, delta arrives": the delta continues each
+      // source's token stream from the carried offsets; the oracle packs
+      // from scratch, proving merge == rescan
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      Curation.mergePacked(
+        Curation.packSequencesSlice(s, d, 512, 0L, split),
+        Curation.packSequencesSlice(s, d, 512, split, Long.MaxValue,
+          Some(Curation.packOffsets(s, d, split))))
+    }),
     "q_zorder_layout" -> (Layout.zorderCells(_, _))
   )
 
@@ -417,7 +429,8 @@ object SparkEntry {
     // merge(slice reports) must equal a full rescan, exactly
     "q_corpus_report_incremental" -> oracleSqlBase("q_corpus_report"),
     "q_corpus_funnel_incremental" -> oracleSqlBase("q_corpus_funnel"),
-    "q_dup_clusters_incremental" -> oracleSqlBase("q_dup_clusters"))
+    "q_dup_clusters_incremental" -> oracleSqlBase("q_dup_clusters"),
+    "q_pack_sequences_incremental" -> oracleSqlBase("q_pack_sequences"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_etl_transform" ->

@@ -111,6 +111,65 @@ object Curation {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** 2b. INCREMENTAL sequence packing — the steady-state shape for a
+    * growing corpus: doc_ids are append-monotone, so a delta batch
+    * continues each source's token stream from the carried per-source
+    * offset (total tokens packed so far) instead of re-windowing the
+    * corpus. The boundary sequence (the one the prefix left partially
+    * filled) appears in both halves and merges by summing; everything
+    * else is disjoint. merge(pack(prefix), packFrom(delta, offsets)) ==
+    * pack(all) EXACTLY — the registry query's oracle is the from-scratch
+    * recompute, proving it every round.
+    */
+  def packSequencesSlice(s: SparkSession, dir: String, budget: Int,
+                         minIdInclusive: Long, maxIdExclusive: Long,
+                         offsets: Option[DataFrame] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sliced = Tables.documents(s, dir)
+      .filter(col("doc_id") >= minIdInclusive && col("doc_id") < maxIdExclusive)
+      .withColumn("n_tokens", expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)"))
+      .withColumn("local_strt", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val based = offsets match {
+      case Some(off) => sliced
+        .join(broadcast(off), Seq("source"), "left") // a brand-new source has no offset yet
+        .withColumn("strt", col("local_strt") + coalesce(col("base_tokens"), lit(0L)))
+      case None => sliced.withColumn("strt", col("local_strt"))
+    }
+    based
+      .withColumn("seq_id", expr(s"strt DIV $budget"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Per-source packed-token totals of a prefix — the offsets a delta
+    * continues from (one tiny row per source; persist it next to the
+    * packed output and this pass never re-reads the prefix).
+    */
+  def packOffsets(s: SparkSession, dir: String, maxIdExclusive: Long): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < maxIdExclusive)
+      .groupBy(col("source"))
+      .agg(expr(s"sum(CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT))").as("base_tokens"))
+
+  /** Merge packed slices: the boundary sequence sums, disjoint rows pass
+    * through. Output contract matches [[packSequences]].
+    */
+  def mergePacked(slices: DataFrame*): DataFrame =
+    slices.reduce(_ unionByName _)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("seq_tokens")).as("seq_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+
   /** 3. Deterministic stratified train/valid/test split: assignment by
     * content-hash threshold (the [[Sampling]] mechanics — reproducible
     * across engines, reruns, and repartitions; a doc's split never

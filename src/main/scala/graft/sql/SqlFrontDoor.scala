@@ -1226,7 +1226,8 @@ object SqlFrontDoor {
   private val incrementalTwins: Map[String, String] = Map(
     "q_corpus_report_incremental" -> twins("q_corpus_report"),
     "q_corpus_funnel_incremental" -> twins("q_corpus_funnel"),
-    "q_dup_clusters_incremental" -> twins("q_dup_clusters"))
+    "q_dup_clusters_incremental" -> twins("q_dup_clusters"),
+    "q_pack_sequences_incremental" -> twins("q_pack_sequences"))
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

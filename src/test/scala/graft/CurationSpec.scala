@@ -66,6 +66,25 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("incremental packing: offset-continued delta merges to the from-scratch answer") {
+    val full = Curation.packSequences(spark, Sf).collect().toSeq
+    val maxId = spark.read.parquet(s"$Sf/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0)
+    val split = maxId * 4 / 5
+    val merged = Curation.mergePacked(
+      Curation.packSequencesSlice(spark, Sf, 512, 0L, split),
+      Curation.packSequencesSlice(spark, Sf, 512, split, Long.MaxValue,
+        Some(Curation.packOffsets(spark, Sf, split)))).collect().toSeq
+    assert(merged == full)
+    // the split genuinely lands mid-sequence somewhere, or the merge
+    // proved nothing
+    val prefix = Curation.packSequencesSlice(spark, Sf, 512, 0L, split)
+      .count()
+    val delta = Curation.packSequencesSlice(spark, Sf, 512, split, Long.MaxValue,
+      Some(Curation.packOffsets(spark, Sf, split))).count()
+    assert(prefix + delta > full.size, "no boundary sequence was shared")
+  }
+
   test("stratified split: partitions every doc, realized shares near the targets") {
     val out = Curation.stratifiedSplit(spark, Sf).collect()
     val splits = out.map(_.getAs[String]("split")).toSet

@@ -325,6 +325,34 @@ class StreamingSpec extends SparkTestBase {
     assert(viaCompacted == viaBatch)
   }
 
+  test("streaming packing: offset-continued batches merge to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val maxId = rows.map(_._1).max
+    val split = maxId * 4 / 5 // batches must be id-ordered, like ingestion
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.PackStream.start(
+      input.toDF().toDF("doc_id", "source", "text"),
+      base, s"$base/ckpt")
+    try {
+      input.addData(rows.filter(_._1 < split): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 >= split): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.operators.Curation.mergePacked(
+      spark.read.option("basePath", s"$base/packed").parquet(s"$base/packed")
+        .select("source", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"))
+      .collect().toSeq
+    val batch = graft.operators.Curation.packSequences(spark, Sf).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming decontamination: batch union equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -198,6 +198,7 @@ object SparkEntry {
     // ---- corpus curation / layout ----
     "q_boilerplate" -> (TextAnalysis.boilerplate(_, _)),
     "q_quality_calibrated" -> (TextAnalysis.calibrateQuality(_, _)),
+    "q_length_filter_impact" -> (TextAnalysis.lengthFilterImpact(_, _)),
     "q_dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
     "q_dup_cluster_sizes" -> (Dedup.dupClusterSizes(_, _)),
     "q_mix_apportion" -> (Curation.apportionBudget(_, _)),
@@ -1622,6 +1623,15 @@ object SparkEntry {
                 CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+
+    "q_length_filter_impact" ->
+      s"""WITH d AS (SELECT CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+         g AS (SELECT n_tokens,
+               unnest(list_filter([CAST(1 AS BIGINT), 5, 10, 25, 50],
+                 t -> t <= n_tokens)) AS min_tokens FROM d)
+         SELECT min_tokens, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     "q_dup_cluster_sizes" ->
       s"""WITH RECURSIVE $minhashVerifyCtes,

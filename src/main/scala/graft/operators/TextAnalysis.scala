@@ -511,6 +511,22 @@ object TextAnalysis {
       .orderBy(col("stage"))
   }
 
+  /** Length-filter impact curve: how many documents and tokens survive
+    * each candidate minimum-token cutoff — the diagnostic read before
+    * committing a length gate (too high silently deletes whole sources;
+    * too low admits fragments). Same explode-to-grid shape as the dedup
+    * threshold sweep: each doc contributes one row per cutoff it passes
+    * (<= 5), so the whole curve is one scan + one tiny aggregate.
+    */
+  def lengthFilterImpact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr(s"CAST(size($TokensExpr) AS BIGINT)"))
+      .withColumn("min_tokens", explode(expr(
+        "filter(array(CAST(1 AS BIGINT), 5, 10, 25, 50), t -> t <= n_tokens)")))
+      .groupBy(col("min_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("min_tokens"))
+
   /** Corpus-wide boilerplate detection (the C4/RefinedWeb "remove
     * template text" signal): a shingle is boilerplate when it appears in
     * at least `dfPctThreshold`% of documents; each document reports how

@@ -1135,6 +1135,15 @@ object SqlFrontDoor {
          FROM tr JOIN ev ON tr.g = ev.g
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
 
+    "q_length_filter_impact" ->
+      s"""WITH d AS (SELECT CAST(size($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         g AS (SELECT n_tokens,
+               explode(filter(array(CAST(1 AS BIGINT), 5, 10, 25, 50),
+                 t -> t <= n_tokens)) AS min_tokens FROM d)
+         SELECT min_tokens, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM g GROUP BY 1 ORDER BY 1""",
+
     "q_dup_cluster_sizes" ->
       s"""WITH RECURSIVE $minhashVerifyCtes,
          prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),

@@ -156,6 +156,22 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), "CDF join-back must broadcast")
   }
 
+  test("length-filter impact: monotone, lowest cutoff covers every non-empty doc") {
+    val out = TextAnalysis.lengthFilterImpact(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("min_tokens"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._2 >= b._2 && a._3 >= b._3)
+      case _ =>
+    }
+    val nonEmpty = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("n", expr(s"size(${TextAnalysis.TokensExpr})"))
+      .filter(col("n") >= 1)
+    assert(out.head._1 == 1L)
+    assert(out.head._2 == nonEmpty.count())
+  }
+
   test("boilerplate: covers every shingled doc, mass reconciles with shingle dfs") {
     val out = TextAnalysis.boilerplate(spark, Sf)
     val rows = out.collect()

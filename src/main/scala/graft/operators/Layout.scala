@@ -54,18 +54,7 @@ object Layout {
     * near-equal files without any global ordering bottleneck.
     */
   def zorderCells(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val bounds = li.agg(
-      min(col("l_partkey")).as("mnp"), max(col("l_partkey")).as("mxp"),
-      min(col("l_suppkey")).as("mns"), max(col("l_suppkey")).as("mxs"))
-    val maxNorm = (1L << BitsPerDim) - 1 // 65535
-    val z = mortonExpr("xn", "yn")
-    li.crossJoin(broadcast(bounds))
-      .withColumn("xn", expr(
-        s"((CAST(l_partkey AS BIGINT) - mnp) * $maxNorm) DIV greatest(mxp - mnp, 1)"))
-      .withColumn("yn", expr(
-        s"((CAST(l_suppkey AS BIGINT) - mns) * $maxNorm) DIV greatest(mxs - mns, 1)"))
-      .withColumn("z", expr(z))
+    withZorderKey(Tables.lineitem(s, dir))
       .withColumn("z_cell", expr(s"z DIV ${1L << (2 * BitsPerDim - 4)}"))
       .groupBy(col("z_cell"))
       .agg(
@@ -83,5 +72,42 @@ object Layout {
         col("min_part"), col("max_part"), col("min_supp"), col("max_supp"),
         col("part_span_1e4"), col("supp_span_1e4"))
       .orderBy(col("z_cell"))
+  }
+
+  /** lineitem + global bounds (mnp/mxp/mns/mxs) + normalized keys + the
+    * Morton `z` column — the shared core of the audit query and the
+    * layout writer.
+    */
+  def withZorderKey(li: DataFrame): DataFrame = {
+    val bounds = li.agg(
+      min(col("l_partkey")).as("mnp"), max(col("l_partkey")).as("mxp"),
+      min(col("l_suppkey")).as("mns"), max(col("l_suppkey")).as("mxs"))
+    val maxNorm = (1L << BitsPerDim) - 1 // 65535
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xn", expr(
+        s"((CAST(l_partkey AS BIGINT) - mnp) * $maxNorm) DIV greatest(mxp - mnp, 1)"))
+      .withColumn("yn", expr(
+        s"((CAST(l_suppkey AS BIGINT) - mns) * $maxNorm) DIV greatest(mxs - mns, 1)"))
+      .withColumn("z", expr(mortonExpr("xn", "yn")))
+  }
+
+  /** The layout WRITER the audit's scaladoc promises: rewrite lineitem
+    * as parquet clustered by the z key — `repartitionByRange(z)` gives
+    * near-equal files from sampled range boundaries (the distributed
+    * path; NO global rank anywhere), and the in-partition sort makes
+    * each file a contiguous z-range, so its parquet min/max stats are
+    * tight on BOTH l_partkey and l_suppkey at once. That is exactly the
+    * file-skipping property `OPTIMIZE ZORDER BY` buys; LayoutSpec
+    * measures it on the files this writes. Returns the output dir.
+    */
+  def zorderWrite(s: SparkSession, dir: String, outDir: String,
+                  numFiles: Int = 16): String = {
+    withZorderKey(Tables.lineitem(s, dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("z"))
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(outDir)
+    outDir
   }
 }

@@ -194,6 +194,36 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_boiler")).sum == expected)
   }
 
+  test("zorder write: real files carry tight min/max on BOTH keys") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorderWrite(spark, Sf, out)
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val total = li.count()
+    val gp = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (mnp, mxp, mns, mxs) =
+      (gp.getLong(0), gp.getLong(1), gp.getLong(2), gp.getLong(3))
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected a multi-file layout, got ${files.length}")
+    var written = 0L
+    val spans = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+      val r = d.agg(count(lit(1)), min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      written += r.getLong(0)
+      (1.0 * (r.getLong(2) - r.getLong(1)) / math.max(mxp - mnp, 1),
+        1.0 * (r.getLong(4) - r.getLong(3)) / math.max(mxs - mns, 1))
+    }
+    assert(written == total, "the rewrite must preserve every row")
+    // mean per-file span tight on BOTH dims at once — the property a
+    // single-column sort cannot provide (its second dim sits near 1.0)
+    val meanPart = spans.map(_._1).sum / spans.length
+    val meanSupp = spans.map(_._2).sum / spans.length
+    assert(meanPart <= 0.5, s"partkey spans too wide: $meanPart")
+    assert(meanSupp <= 0.5, s"suppkey spans too wide: $meanSupp")
+  }
+
   test("zorder cells: partition the table and bound BOTH key spans") {
     val out = Layout.zorderCells(spark, Sf).collect()
     assert(out.length == 16) // 4x4 grid from the top 4 z bits

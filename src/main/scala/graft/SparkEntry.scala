@@ -286,7 +286,7 @@ object SparkEntry {
     * oracle cannot drift (the dim is never hardcoded — the oracle derives
     * it from len(code)).
     */
-  private object TrainedIvf {
+  private[graft] object TrainedIvf {
     val iters = 2; val nLists = 16; val nQueries = 10; val nProbe = 3; val k = 5
   }
 

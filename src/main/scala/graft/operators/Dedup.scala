@@ -345,18 +345,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** INCREMENTAL near-dup clustering — the delta path that completes the
-    * dedup lifecycle (pairs, index, curation, and clusters all O(delta)):
-    * a delta batch's new pairs (minHashLshIncremental against the staged
-    * band index) fold into the PRIOR run's labeling without touching the
-    * old pair graph. Prior clusters contract to super-nodes (their
-    * cluster_id), the new edges map through that contraction, and
-    * min-label propagation runs on the contracted graph only — whose size
-    * tracks clusters ADJACENT TO THE DELTA, never the corpus. Exact, not
-    * approximate: cluster_id is the min member id, and min(union of
-    * merged clusters) == min(their mins), so the result equals a
-    * from-scratch dupClusters over all pairs (the oracle recomputes
-    * exactly that).
+  /** INCREMENTAL near-dup clustering, steady-state form: fold a delta
+    * batch's new pairs (minHashLshIncremental against the staged band
+    * index) into a PERSISTED prior labeling — (doc_id, cluster_id), as
+    * produced by a previous dupClusters run — without touching the old
+    * pair graph. This is the O(delta) path: prior clusters contract to
+    * super-nodes (their cluster_id), the new edges map through that
+    * contraction, and min-label propagation runs on the contracted graph
+    * only — whose size tracks clusters ADJACENT TO THE DELTA, never the
+    * corpus. Exact, not approximate: cluster_id is the min member id, and
+    * min(union of merged clusters) == min(their mins), so the result
+    * equals a from-scratch dupClusters over all pairs.
+    */
+  def dupClustersIncremental(s: SparkSession, dir: String, indexDir: String,
+                             minDeltaId: Long, prior: DataFrame,
+                             threshold: Double,
+                             maxIters: Int): DataFrame = {
+    val newEdges = minHashLshIncremental(s, dir, indexDir, minDeltaId, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = mergeClusterLabels(prior, newEdges, maxIters)
+    val wSize = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.withColumn("cluster_size", count(lit(1)).over(wSize))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Self-contained registry/demo wrapper for the incremental clustering:
+    * RECOMPUTES the prefix labeling from scratch (minHashLsh +
+    * propagateMinLabels over doc_id < minDeltaId) as a stand-in for a
+    * persisted prior run, then delegates to the overload above. The
+    * recompute makes each call O(prefix) — a steady-state loop should
+    * persist its labeling and call the `prior: DataFrame` overload, whose
+    * incremental work is O(delta).
     */
   def dupClustersIncremental(s: SparkSession, dir: String, indexDir: String,
                              minDeltaId: Long, threshold: Double = 0.5,
@@ -367,13 +387,7 @@ object Dedup {
       .unionByName(priorPairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint(true)
     val prior = propagateMinLabels(priorEdges, maxIters)
-    val newEdges = minHashLshIncremental(s, dir, indexDir, minDeltaId, threshold)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = mergeClusterLabels(prior, newEdges, maxIters)
-    val wSize = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.withColumn("cluster_size", count(lit(1)).over(wSize))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+    dupClustersIncremental(s, dir, indexDir, minDeltaId, prior, threshold, maxIters)
   }
 
   /** Fold new (src, dst) pairs into an existing (doc_id, cluster_id)

@@ -240,6 +240,11 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
+        // dispose on task completion (fires on success, failure, AND
+        // early-terminating consumers like limit) — appending a dispose
+        // to the iterator only runs when the partition fully drains
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
         val icm = grayPalette()
         rows.map { case (id, text) =>
           val hex = md.digest(text.getBytes("UTF-8"))
@@ -262,7 +267,7 @@ object Multimodal {
           writer.endWriteSequence()
           ios.close()
           VideoAssetRow(id, out.toByteArray, nFrames, "image/gif")
-        } ++ { writer.dispose(); Iterator.empty }
+        }
       }
       .toDF()
   }
@@ -284,6 +289,10 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
+        // dispose on task completion — covers failure and early
+        // termination paths the drained-iterator form missed
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
         rows.flatMap { case (id, payload) =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
@@ -312,7 +321,7 @@ object Multimodal {
             }
             features.iterator
           } finally iis.close()
-        } ++ { reader.dispose(); Iterator.empty }
+        }
       }
   }
 

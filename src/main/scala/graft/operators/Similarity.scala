@@ -529,12 +529,21 @@ object Similarity {
     * frozen `_centroids` carried across. Safe under the frozen-quantizer
     * contract: rows only move between files, never between lists, so
     * query results are identical before and after (OperatorSpec pins it).
+    *
+    * Concurrency contract: SINGLE WRITER, and no concurrent readers
+    * during the final swap — between rename(index, .compact-old) and
+    * rename(.compact-tmp, index) the index path briefly does not exist,
+    * so a reader racing the swap can fail. Crash safety: a JVM death
+    * inside that window strands the data at `.compact-old`;
+    * recoverIvfIndex (run automatically at the start of every compaction)
+    * restores it, so a crashed compaction self-heals on the next call.
     */
   def compactIvfIndex(s: SparkSession, indexDir: String,
                       targetFileBytes: Long = 128L * 1024 * 1024): String = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val conf = s.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
+    recoverIvfIndex(s, indexDir)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact-tmp")
@@ -556,6 +565,26 @@ object Similarity {
     }
     fs.delete(old, true)
     indexDir
+  }
+
+  /** Startup-recovery for a compaction that died mid-swap: if
+    * `.compact-old` exists while the index path does not, the crash
+    * happened between the two renames — restore the original index.
+    * A leftover `.compact-tmp` (crash before the swap started, or after
+    * a successful restore) is deleted; the next compaction rebuilds it.
+    * Idempotent and a no-op on a healthy index.
+    */
+  def recoverIvfIndex(s: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".compact-old")
+    if (fs.exists(old) && !fs.exists(p)) {
+      if (!fs.rename(old, p))
+        sys.error(s"recoverIvfIndex: found stranded $old but could not restore it to $indexDir")
+    }
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact-tmp")
+    if (fs.exists(p) && fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
   }
 
   /** ANN top-k over a prebuilt IVF index: probe assignment happens only

@@ -336,7 +336,12 @@ object SqlFrontDoor {
     "q_ann_bruteforce_topk" -> annBruteforceSql,
     "q_ann_ivf_topk" -> annIvfSql,
     "q_ann_lsh_topk" -> annLshSql,
-    "q_ann_ivf_trained_topk" -> trainedIvfSql(2, 16, 10, 3, 5),
+    // parameters come straight from SparkEntry.TrainedIvf so operator,
+    // oracle, and twin share one source and cannot drift independently
+    "q_ann_ivf_trained_topk" -> trainedIvfSql(
+      graft.SparkEntry.TrainedIvf.iters, graft.SparkEntry.TrainedIvf.nLists,
+      graft.SparkEntry.TrainedIvf.nQueries, graft.SparkEntry.TrainedIvf.nProbe,
+      graft.SparkEntry.TrainedIvf.k),
 
     // ASOF JOIN has no Spark SQL surface; same semantics via the latest
     // order at-or-before each event (dedup makes (custkey, orderdate)
@@ -1232,7 +1237,7 @@ object SqlFrontDoor {
     * totals; the incremental merge is a DataFrame-API execution strategy,
     * not different semantics.
     */
-  private val incrementalTwins: Map[String, String] = Map(
+  private[graft] val incrementalTwins: Map[String, String] = Map(
     "q_corpus_report_incremental" -> twins("q_corpus_report"),
     "q_corpus_funnel_incremental" -> twins("q_corpus_funnel"),
     "q_dup_clusters_incremental" -> twins("q_dup_clusters"),

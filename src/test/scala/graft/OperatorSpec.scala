@@ -223,6 +223,24 @@ class OperatorSpec extends SparkTestBase {
     assert(new java.io.File(idx, "_centroids").exists())
   }
 
+  test("IVF compaction crash mid-swap self-heals on the next call") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfrecover").toString
+    Similarity.buildIvfIndex(spark, Sf, idx)
+    val before = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    // simulate a JVM death between the two renames: index moved aside to
+    // .compact-old, replacement never moved in
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(idx + ".compact-old")))
+    // the next compaction recovers the stranded state, then compacts
+    Similarity.compactIvfIndex(spark, idx)
+    val after = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    assert(after == before)
+    assert(after.nonEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".compact-old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".compact-tmp")))
+  }
+
   test("materialized LSH band index answers identically to the inline path") {
     val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
     Dedup.buildLshBandIndex(spark, Sf, idx)

@@ -182,6 +182,12 @@ object SparkEntry {
     "q_ann_ivf_trained_topk" -> ((s, d) => Similarity.ivfTopKTrained(s, d,
       nQueries = TrainedIvf.nQueries, k = TrainedIvf.k, nLists = TrainedIvf.nLists,
       nProbe = TrainedIvf.nProbe, iters = TrainedIvf.iters)),
+    "q_ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d,
+      nQueries = PqAnn.nQueries, k = PqAnn.k, m = PqAnn.m,
+      subDim = PqAnn.subDim, ksub = PqAnn.ksub, iters = PqAnn.iters)),
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d,
+      nLists = SemDedup.nLists, iters = SemDedup.iters,
+      thresholdMicros = SemDedup.thresholdMicros)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
@@ -290,11 +296,20 @@ object SparkEntry {
     val iters = 2; val nLists = 16; val nQueries = 10; val nProbe = 3; val k = 5
   }
 
-  private def trainedIvfSql(iters: Int, nLists: Int, nQueries: Int,
-                            nProbe: Int, k: Int): String = {
-    def dotc(a: String, b: String): String =
-      s"list_reduce(list_transform(range(1, len($a) + 1), " +
-        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  /** DuckDB left-to-right double dot of two BIGINT lists (shared by the
+    * trained-quantizer oracles).
+    */
+  private def dotCodesDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** The shared trained-quantizer CTE chain (DuckDB dialect): codes →
+    * fixed-iteration k-means → final scoredF/assignF. Both the trained-IVF
+    * oracle and the semantic-dedup oracle build on exactly this prefix, so
+    * the quantizer is defined once.
+    */
+  private def trainedAssignCtes(iters: Int, nLists: Int): String = {
+    def dotc(a: String, b: String): String = dotCodesDuck(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
@@ -342,7 +357,16 @@ object SparkEntry {
                      SELECT vec_id, centroid_id,
                             row_number() OVER (PARTITION BY vec_id
                                                ORDER BY cm DESC, centroid_id) AS rn
-                     FROM scoredF) s WHERE rn = 1),
+                     FROM scoredF) s WHERE rn = 1)""")
+    sb.toString
+  }
+
+  private def trainedIvfSql(iters: Int, nLists: Int, nQueries: Int,
+                            nProbe: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(trainedAssignCtes(iters, nLists))
+    sb.append(
+      s""",
          probes AS (SELECT vec_id AS query_id, centroid_id FROM (
                     SELECT vec_id, centroid_id,
                            row_number() OVER (PARTITION BY vec_id
@@ -361,6 +385,147 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY m DESC, vec_id) AS rank
                     FROM rr)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
+    sb.toString
+  }
+
+  /** Single parameter source for q_semantic_dedup (operator call, oracle,
+    * and front-door twin all read these).
+    */
+  private[graft] object SemDedup {
+    // 0.40 cosine: on the driver fixture's random-ish embeddings the
+    // nearest-neighbor cosine tops out near 0.5-0.6, so this threshold
+    // exercises real drops at every SF while staying a high-similarity
+    // bar for the data's distribution (a production corpus with true
+    // near-dups would run 0.9+)
+    val iters = 2; val nLists = 16; val thresholdMicros = 400000L
+  }
+
+  /** DuckDB twin of Similarity.semanticDedup: the shared trained-quantizer
+    * chain assigns every vector to a cluster, then a vector is dropped iff
+    * some SMALLER-id vector in the same cluster clears the exact float
+    * cosine threshold.
+    */
+  private def semanticDedupSql(iters: Int, nLists: Int,
+                               thresholdMicros: Long): String =
+    trainedAssignCtes(iters, nLists) +
+      s""",
+         drops AS (SELECT DISTINCT a.vec_id
+                   FROM assignF a
+                   JOIN assignF b ON a.centroid_id = b.centroid_id
+                                 AND b.vec_id < a.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id
+                   WHERE ${cosMicrosSql("ea.v", "eb.v")} >= $thresholdMicros)
+         SELECT a.vec_id, a.centroid_id AS cluster_id,
+                d.vec_id IS NULL AS kept
+         FROM assignF a LEFT JOIN drops d ON d.vec_id = a.vec_id
+         ORDER BY a.vec_id"""
+
+  /** Single parameter source for q_ann_pq_topk. dim = m * subDim must
+    * equal the embedding dimension (64).
+    */
+  private[graft] object PqAnn {
+    val m = 8; val subDim = 8; val ksub = 16; val iters = 2
+    val nQueries = 10; val k = 5
+  }
+
+  /** DuckDB twin of Similarity.pqTopK: per-subspace k-means (the trained
+    * chain with sub_id as an extra key), PQ encoding, then ADC scoring —
+    * per (query, vector) the m lut values fold in pinned sub order, and
+    * the approximate cosine divides by |q| and the reconstruction norm
+    * exactly as the operator does.
+    */
+  private def pqSql(m: Int, subDim: Int, ksub: Int, iters: Int,
+                    nQueries: Int, k: Int): String = {
+    def dotc(a: String, b: String): String = dotCodesDuck(a, b)
+    def cmOf(a: String, b: String, na: String, nb: String): String =
+      s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
+        "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
+         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
+                     FROM codes),
+         subc AS (SELECT vec_id, s.sub_id,
+                  code[s.sub_id * $subDim + 1 : s.sub_id * $subDim + $subDim] AS scode
+                  FROM codes, (SELECT unnest(range(0, $m)) AS sub_id) s),
+         subc_n AS (SELECT vec_id, sub_id, scode, sqrt(${dotc("scode", "scode")}) AS sqn
+                    FROM subc),
+         pcent0 AS (SELECT sub_id, vec_id AS centroid_id, scode AS csum,
+                    CAST(1 AS BIGINT) AS cnt
+                    FROM subc WHERE vec_id < $ksub),""")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(
+        s"""
+         pcn$p AS (SELECT sub_id, centroid_id, csum,
+                   sqrt(${dotc("csum", "csum")}) AS cqn
+                   FROM pcent$p),
+         pscored$t AS (SELECT c.vec_id, c.sub_id, c.scode, k.centroid_id,
+                       ${cmOf("c.scode", "k.csum", "c.sqn", "k.cqn")} AS cm
+                       FROM subc_n c JOIN pcn$p k ON c.sub_id = k.sub_id),
+         passign$t AS (SELECT vec_id, sub_id, scode, centroid_id FROM (
+                       SELECT vec_id, sub_id, scode, centroid_id,
+                              row_number() OVER (PARTITION BY vec_id, sub_id
+                                                 ORDER BY cm DESC, centroid_id) AS rn
+                       FROM pscored$t) s WHERE rn = 1),
+         psums$t AS (SELECT sub_id, centroid_id, i, SUM(c) AS s, COUNT(*) AS n FROM (
+                       SELECT sub_id, centroid_id,
+                              unnest(range(1, len(scode) + 1)) AS i,
+                              unnest(scode) AS c
+                       FROM passign$t) z$t
+                     GROUP BY sub_id, centroid_id, i),
+         pcent$t AS (SELECT sub_id, centroid_id, list(s ORDER BY i) AS csum,
+                     MAX(n) AS cnt
+                     FROM psums$t GROUP BY sub_id, centroid_id),""")
+    }
+    sb.append(
+      s"""
+         pcnFn AS (SELECT sub_id, centroid_id, csum, cnt,
+                   sqrt(${dotc("csum", "csum")}) AS cqn
+                   FROM pcent$iters),
+         pscoredF AS (SELECT c.vec_id, c.sub_id, k.centroid_id,
+                      ${cmOf("c.scode", "k.csum", "c.sqn", "k.cqn")} AS cm
+                      FROM subc_n c JOIN pcnFn k ON c.sub_id = k.sub_id),
+         passignF AS (SELECT vec_id, sub_id, centroid_id FROM (
+                      SELECT vec_id, sub_id, centroid_id,
+                             row_number() OVER (PARTITION BY vec_id, sub_id
+                                                ORDER BY cm DESC, centroid_id) AS rn
+                      FROM pscoredF) s WHERE rn = 1),
+         nsq AS (SELECT sub_id, centroid_id,
+                 ${dotc("csum", "csum")} / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS nsq
+                 FROM pcnFn),
+         xs AS (SELECT a.vec_id,
+                sqrt(list_reduce(list(n.nsq ORDER BY a.sub_id), (x, y) -> x + y)) AS xn
+                FROM passignF a
+                JOIN nsq n ON n.sub_id = a.sub_id AND n.centroid_id = a.centroid_id
+                GROUP BY a.vec_id),
+         plut AS (SELECT q.vec_id AS query_id, c.sub_id, c.centroid_id,
+                  ${dotc("q.scode", "c.csum")} / CAST(c.cnt AS DOUBLE) AS lv
+                  FROM subc_n q JOIN pcnFn c ON q.sub_id = c.sub_id
+                  WHERE q.vec_id < $nQueries),
+         padc AS (SELECT p.query_id, a.vec_id,
+                  list_reduce(list(p.lv ORDER BY a.sub_id), (x, y) -> x + y) AS adc
+                  FROM passignF a
+                  JOIN plut p ON p.sub_id = a.sub_id AND p.centroid_id = a.centroid_id
+                  WHERE a.vec_id <> p.query_id
+                  GROUP BY p.query_id, a.vec_id),
+         scored AS (SELECT d.query_id, d.vec_id,
+                    CAST(floor((d.adc / (q.vqn * x.xn)) * CAST(1000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+                    FROM padc d
+                    JOIN codes_n q ON q.vec_id = d.query_id
+                    JOIN xs x ON x.vec_id = d.vec_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
          FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
@@ -1454,6 +1619,12 @@ object SparkEntry {
 
     "q_ann_ivf_trained_topk" -> trainedIvfSql(TrainedIvf.iters, TrainedIvf.nLists,
       TrainedIvf.nQueries, TrainedIvf.nProbe, TrainedIvf.k),
+
+    "q_ann_pq_topk" -> pqSql(PqAnn.m, PqAnn.subDim, PqAnn.ksub, PqAnn.iters,
+      PqAnn.nQueries, PqAnn.k),
+
+    "q_semantic_dedup" -> semanticDedupSql(SemDedup.iters, SemDedup.nLists,
+      SemDedup.thresholdMicros),
 
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -381,6 +381,200 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** Per-subspace integer sub-codes: the 64-dim code vector split into
+    * `m` contiguous `subDim`-dim subvectors — (vec_id, sub_id, scode,
+    * sqn). One posexplode, no joins; sub_id ordering is positional so
+    * every engine agrees on which dimensions belong to which subspace.
+    */
+  private[graft] def subCodes(codes: DataFrame, m: Int, subDim: Int): DataFrame =
+    codes.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(code, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub_id", "scode")))
+      .withColumn("sqn", expr(s"sqrt(${dotCodesExpr("scode", "scode")})"))
+
+  /** Code-space micro-cosine of every subvector against every centroid of
+    * ITS OWN subspace (equi-join on sub_id, centroids broadcast): the
+    * scoreAgainstCentroids shape with the subspace as an extra key.
+    */
+  private def scoreSubCentroids(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val withNorm = cents
+      .withColumn("cqn", expr(s"sqrt(${dotCodesExpr("csum", "csum")})"))
+    sub.join(broadcast(withNorm), Seq("sub_id"))
+      .withColumn("cm", expr(
+        s"""CAST(floor((${dotCodesExpr("scode", "csum")} / (sqn * cqn))
+            * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+  }
+
+  /** Per-subspace nearest centroid — the packed sort-free max_by
+    * (see nearestCentroid) grouped by (vec_id, sub_id).
+    */
+  private def nearestSubCentroid(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"), col("sub_id"))
+      .agg(max_by(col("centroid_id"),
+        expr("cm * CAST(65536 AS BIGINT) - centroid_id")).as("centroid_id"))
+
+  /** Fixed-iteration spherical k-means per SUBSPACE — all m codebooks
+    * train in the same Spark jobs (sub_id is just another grouping key,
+    * so one corpus pass per iteration covers every subspace). Centroids
+    * are exact integer component sums plus the member count (the count
+    * feeds the PQ reconstruction mean; training itself never divides —
+    * cosine is scale-invariant). Seeds: the first ksub vectors'
+    * subvectors, cnt=1. Deterministic end to end, so the DuckDB oracle
+    * recomputes every codebook bit-for-bit.
+    */
+  private[graft] def trainPqCodebooks(sub: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    require(ksub <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    require(iters >= 0, "iters must be non-negative")
+    var cents = sub.filter(col("vec_id") < ksub)
+      .select(col("sub_id"), col("vec_id").as("centroid_id"),
+        col("scode").as("csum"), lit(1L).as("cnt"))
+    for (_ <- 1 to iters) {
+      val assign = nearestSubCentroid(scoreSubCentroids(sub, cents))
+      cents = sub.join(assign, Seq("vec_id", "sub_id"))
+        .select(col("sub_id"), col("centroid_id"),
+          posexplode(col("scode")).as(Seq("pos", "c")))
+        .groupBy(col("sub_id"), col("centroid_id"), col("pos"))
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("sub_id"), col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+          .as("csum"),
+          // every pos of a centroid has the same member count; max is a
+          // deterministic way to take it along without a second job
+          max(col("n")).as("cnt"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Product-quantization ANN top-k (the FAISS PQ/ADC shape): train m
+    * per-subspace codebooks, encode every vector as m small centroid ids,
+    * then answer queries with asymmetric-distance lookup tables — the
+    * query stays in code space, each corpus vector is approximated by its
+    * per-subspace centroid means, and the approximate cosine is
+    * Σ_sub lut[sub][code] / (|q|·|x̂|), folded in pinned sub order.
+    *
+    * Scale shape — the reason PQ exists at 100 TB: the corpus is touched
+    * exactly twice (one pass to encode, one grouped pass to pack codes),
+    * and every per-query cost after that is MAP-ONLY — the packed-code
+    * table (m small ints per vector, ~64 bytes/vec instead of 256+) cross
+    * joins a broadcast (nQueries × m × ksub)-double LUT, scores with a
+    * codegen'd zip_with fold, and top-k rides the map-side-combining
+    * TopKNeighbors aggregator. No corpus shuffle per query, no float
+    * vectors read at query time: the packed-code DataFrame is exactly
+    * what a materialized PQ index would persist.
+    *
+    * Determinism: codebooks are exact-integer k-means (trainPqCodebooks);
+    * lut values and reconstruction norms divide exact integer dots by the
+    * member count once, in a pinned order, so the DuckDB oracle — which
+    * rebuilds the same codebooks and folds the same 8 doubles in the same
+    * order — matches bit for bit.
+    */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8, subDim: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val codes = vectorCodes(emb)
+    val sub = subCodes(codes, m, subDim)
+    val cents = trainPqCodebooks(sub, ksub, iters)
+    val assignF = nearestSubCentroid(scoreSubCentroids(sub, cents))
+    // reconstruction norm² of each codebook entry: |csum/cnt|²
+    val nsq = cents.withColumn("nsq", expr(
+      s"${dotCodesExpr("csum", "csum")} / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))"))
+      .select(col("sub_id"), col("centroid_id"), col("nsq"))
+    // the packed code of each vector: m centroid ids in sub order — the
+    // PQ index payload (what a 100 TB deployment would persist)
+    val pcodes = assignF.groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub_id, centroid_id))), x -> x.centroid_id)")
+        .as("pcode"))
+    // one-row (m × ksub) reconstruction-norm table, dense-indexed by
+    // centroid id (ids are seed ids 0..ksub-1; dropped ids yield nulls
+    // that no surviving code ever references)
+    val nsqArrDf = nsq.groupBy(col("sub_id"))
+      .agg(map_from_entries(collect_list(struct(col("centroid_id"), col("nsq")))).as("mp"))
+      .select(col("sub_id"), expr(
+        s"transform(sequence(0, ${ksub - 1}), i -> element_at(mp, CAST(i AS BIGINT)))")
+        .as("arr"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub_id, arr))), x -> x.arr)")
+        .as("nsq_arr"))
+    val withNorm = pcodes.crossJoin(broadcast(nsqArrDf))
+      .withColumn("xn", expr(
+        """sqrt(aggregate(zip_with(pcode, nsq_arr,
+             (c, ns) -> element_at(ns, CAST(c AS INT) + 1)),
+           CAST(0 AS DOUBLE), (a, b) -> a + b))"""))
+      .select(col("vec_id"), col("pcode"), col("xn"))
+    // per-query ADC lookup tables: dot(q_sub, csum)/cnt for every
+    // (sub, centroid) — nQueries × m × ksub doubles, broadcast
+    val lut = sub.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents), Seq("sub_id"))
+      .withColumn("lv", expr(s"${dotCodesExpr("scode", "csum")} / CAST(cnt AS DOUBLE)"))
+      .select(col("vec_id").as("query_id"), col("sub_id"), col("centroid_id"), col("lv"))
+    val lutArr = lut.groupBy(col("query_id"), col("sub_id"))
+      .agg(map_from_entries(collect_list(struct(col("centroid_id"), col("lv")))).as("mp"))
+      .select(col("query_id"), col("sub_id"), expr(
+        s"transform(sequence(0, ${ksub - 1}), i -> element_at(mp, CAST(i AS BIGINT)))")
+        .as("arr"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub_id, arr))), x -> x.arr)")
+        .as("lut"))
+      .join(codes.select(col("vec_id").as("query_id"), col("vqn").as("qn")), Seq("query_id"))
+    val scored = withNorm.crossJoin(broadcast(lutArr))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        """aggregate(zip_with(pcode, lut,
+             (c, l) -> element_at(l, CAST(c AS INT) + 1)),
+           CAST(0 AS DOUBLE), (a, b) -> a + b)"""))
+      .withColumn("m", expr(
+        """CAST(floor((adc / (qn * xn)) * CAST(1000000 AS DOUBLE)
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+    topKPerQuery(scored, k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the trained coarse
+    * quantizer, then WITHIN each cluster drop every vector that has an
+    * earlier (smaller-id) neighbor above the cosine threshold — the
+    * kept row is each near-dup group's smallest id, mirroring the exact
+    * dedup keeper rule. Output: (vec_id, cluster_id, kept) for the whole
+    * corpus.
+    *
+    * Scale shape: the O(n²) similarity search collapses to within-cluster
+    * joins — O(Σ cluster²) — and nLists is the lever that keeps clusters
+    * bounded as the corpus grows (nLists ∝ corpus size keeps the expected
+    * cluster size constant). The exact float re-check touches only
+    * same-cluster pairs. A skew-pathological whale cluster would get the
+    * nearestInLabel whale-label sub-block cap; at the default fixture
+    * scales the clusters are orders of magnitude under that bound.
+    */
+  def semanticDedup(s: SparkSession, dir: String, nLists: Int = 16,
+                    iters: Int = 2, thresholdMicros: Long = 400000L): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val codes = vectorCodes(emb)
+    val centroids = trainCentroids(codes, nLists, iters)
+    val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
+    val withCluster = emb.join(assign.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("vnorm"),
+        col("centroid_id").as("cluster_id"))
+    val later = withCluster.select(col("cluster_id"), col("vec_id"),
+      col("embedding").as("ea"), col("vnorm").as("na"))
+    val earlier = withCluster.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("vnorm").as("nb"))
+    val drops = later.join(earlier, Seq("cluster_id"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("m", expr(scoreMicrosFromNorms("dot_f(ea, eb)", "na", "nb")))
+      .filter(col("m") >= thresholdMicros)
+      .select(col("vec_id")).distinct()
+    withCluster.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        not(coalesce(col("dropped"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Coarse-quantizer choice for the materialized IVF index lifecycle.
     * FirstN is the deterministic baseline (centroids = the first nLists
     * vectors, scored in exact float space). Trained runs the fixed-

@@ -243,17 +243,22 @@ object SqlFrontDoor {
                 $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** Twin of the trained-IVF oracle: the same fixed-iteration k-means CTE
-    * chain (assign -> component-sum -> centroid list per iteration), in
-    * Spark dialect. Component positions are 0-based here (posexplode) vs
-    * the oracle's 1-based — positions only ever join/sort against
-    * themselves, so the numbering is internal.
+  /** Spark-dialect left-to-right double dot of two BIGINT arrays (shared
+    * by the trained-quantizer twins).
     */
-  private def trainedIvfSql(iters: Int, nLists: Int, nQueries: Int,
-                            nProbe: Int, k: Int): String = {
-    def dotc(a: String, b: String): String =
-      s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (x, y) -> x + y)"
+  private def dotCodesSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (x, y) -> x + y)"
+
+  /** Shared trained-quantizer CTE chain in Spark dialect (codes →
+    * fixed-iteration k-means → scoredF/assignF) — the twin-side mirror of
+    * SparkEntry.trainedAssignCtes, reused by the trained-IVF and
+    * semantic-dedup twins. Component positions are 0-based here
+    * (posexplode) vs the oracle's 1-based — positions only ever join/sort
+    * against themselves, so the numbering is internal.
+    */
+  private def trainedAssignCtes(iters: Int, nLists: Int): String = {
+    def dotc(a: String, b: String): String = dotCodesSpark(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
@@ -300,7 +305,19 @@ object SqlFrontDoor {
                      SELECT vec_id, centroid_id,
                             row_number() OVER (PARTITION BY vec_id
                                                ORDER BY cm DESC, centroid_id) AS rn
-                     FROM scoredF) s WHERE rn = 1),
+                     FROM scoredF) s WHERE rn = 1)""")
+    sb.toString
+  }
+
+  /** Twin of the trained-IVF oracle: the shared trained chain plus the
+    * probe/candidate/re-rank tail.
+    */
+  private def trainedIvfSql(iters: Int, nLists: Int, nQueries: Int,
+                            nProbe: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(trainedAssignCtes(iters, nLists))
+    sb.append(
+      s""",
          probes AS (SELECT vec_id AS query_id, centroid_id FROM (
                     SELECT vec_id, centroid_id,
                            row_number() OVER (PARTITION BY vec_id
@@ -325,6 +342,127 @@ object SqlFrontDoor {
     sb.toString
   }
 
+  /** Twin of the semantic-dedup oracle: the shared trained chain, then a
+    * vector is dropped iff a smaller-id same-cluster vector clears the
+    * exact float cosine threshold.
+    */
+  private def semanticDedupSql(iters: Int, nLists: Int,
+                               thresholdMicros: Long): String =
+    trainedAssignCtes(iters, nLists) +
+      s""",
+         drops AS (SELECT DISTINCT a.vec_id
+                   FROM assignF a
+                   JOIN assignF b ON a.centroid_id = b.centroid_id
+                                 AND b.vec_id < a.vec_id
+                   JOIN e ea ON ea.vec_id = a.vec_id
+                   JOIN e eb ON eb.vec_id = b.vec_id
+                   WHERE ${cosMicrosSql("ea.v", "eb.v")} >= $thresholdMicros)
+         SELECT a.vec_id, a.centroid_id AS cluster_id,
+                d.vec_id IS NULL AS kept
+         FROM assignF a LEFT JOIN drops d ON d.vec_id = a.vec_id
+         ORDER BY a.vec_id"""
+
+  /** Twin of the PQ oracle: per-subspace k-means (sub_id as an extra key
+    * throughout), then ADC scoring with the m lut values folded in pinned
+    * sub order (array_sort over (sub_id, lv) structs — Spark's collect_list
+    * has no ORDER BY).
+    */
+  private def pqSql(m: Int, subDim: Int, ksub: Int, iters: Int,
+                    nQueries: Int, k: Int): String = {
+    def dotc(a: String, b: String): String = dotCodesSpark(a, b)
+    def cmOf(a: String, b: String, na: String, nb: String): String =
+      s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
+        "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+           transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
+         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
+                     FROM codes),
+         subc AS (SELECT vec_id,
+                  posexplode(transform(sequence(0, ${m - 1}),
+                    s -> slice(code, s * $subDim + 1, $subDim))) AS (sub_id, scode)
+                  FROM codes),
+         subc_n AS (SELECT vec_id, sub_id, scode, sqrt(${dotc("scode", "scode")}) AS sqn
+                    FROM subc),
+         pcent0 AS (SELECT sub_id, vec_id AS centroid_id, scode AS csum,
+                    CAST(1 AS BIGINT) AS cnt
+                    FROM subc WHERE vec_id < $ksub),""")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(
+        s"""
+         pcn$p AS (SELECT sub_id, centroid_id, csum,
+                   sqrt(${dotc("csum", "csum")}) AS cqn
+                   FROM pcent$p),
+         pscored$t AS (SELECT c.vec_id, c.sub_id, c.scode, k.centroid_id,
+                       ${cmOf("c.scode", "k.csum", "c.sqn", "k.cqn")} AS cm
+                       FROM subc_n c JOIN pcn$p k ON c.sub_id = k.sub_id),
+         passign$t AS (SELECT vec_id, sub_id, scode, centroid_id FROM (
+                       SELECT vec_id, sub_id, scode, centroid_id,
+                              row_number() OVER (PARTITION BY vec_id, sub_id
+                                                 ORDER BY cm DESC, centroid_id) AS rn
+                       FROM pscored$t) s WHERE rn = 1),
+         psums$t AS (SELECT sub_id, centroid_id, i, SUM(c) AS s, COUNT(*) AS n FROM (
+                       SELECT sub_id, centroid_id, posexplode(scode) AS (i, c)
+                       FROM passign$t) z$t
+                     GROUP BY sub_id, centroid_id, i),
+         pcent$t AS (SELECT sub_id, centroid_id,
+                     transform(array_sort(collect_list(struct(i, s))), x -> x.s) AS csum,
+                     MAX(n) AS cnt
+                     FROM psums$t GROUP BY sub_id, centroid_id),""")
+    }
+    sb.append(
+      s"""
+         pcnFn AS (SELECT sub_id, centroid_id, csum, cnt,
+                   sqrt(${dotc("csum", "csum")}) AS cqn
+                   FROM pcent$iters),
+         pscoredF AS (SELECT c.vec_id, c.sub_id, k.centroid_id,
+                      ${cmOf("c.scode", "k.csum", "c.sqn", "k.cqn")} AS cm
+                      FROM subc_n c JOIN pcnFn k ON c.sub_id = k.sub_id),
+         passignF AS (SELECT vec_id, sub_id, centroid_id FROM (
+                      SELECT vec_id, sub_id, centroid_id,
+                             row_number() OVER (PARTITION BY vec_id, sub_id
+                                                ORDER BY cm DESC, centroid_id) AS rn
+                      FROM pscoredF) s WHERE rn = 1),
+         nsq AS (SELECT sub_id, centroid_id,
+                 ${dotc("csum", "csum")} / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS nsq
+                 FROM pcnFn),
+         xs AS (SELECT a.vec_id,
+                sqrt(aggregate(transform(array_sort(collect_list(struct(a.sub_id, n.nsq))),
+                  x -> x.nsq), CAST(0 AS DOUBLE), (x, y) -> x + y)) AS xn
+                FROM passignF a
+                JOIN nsq n ON n.sub_id = a.sub_id AND n.centroid_id = a.centroid_id
+                GROUP BY a.vec_id),
+         plut AS (SELECT q.vec_id AS query_id, c.sub_id, c.centroid_id,
+                  ${dotc("q.scode", "c.csum")} / CAST(c.cnt AS DOUBLE) AS lv
+                  FROM subc_n q JOIN pcnFn c ON q.sub_id = c.sub_id
+                  WHERE q.vec_id < $nQueries),
+         padc AS (SELECT p.query_id, a.vec_id,
+                  aggregate(transform(array_sort(collect_list(struct(a.sub_id, p.lv))),
+                    x -> x.lv), CAST(0 AS DOUBLE), (x, y) -> x + y) AS adc
+                  FROM passignF a
+                  JOIN plut p ON p.sub_id = a.sub_id AND p.centroid_id = a.centroid_id
+                  WHERE a.vec_id <> p.query_id
+                  GROUP BY p.query_id, a.vec_id),
+         scored AS (SELECT d.query_id, d.vec_id,
+                    CAST(floor((d.adc / (q.vqn * x.xn)) * CAST(1000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+                    FROM padc d
+                    JOIN codes_n q ON q.vec_id = d.query_id
+                    JOIN xs x ON x.vec_id = d.vec_id),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
+    sb.toString
+  }
+
   // ------------------------------------------------------------- the twins
 
   /** Hand-written Spark-dialect SQL for every query whose DuckDB oracle is
@@ -342,6 +480,13 @@ object SqlFrontDoor {
       graft.SparkEntry.TrainedIvf.iters, graft.SparkEntry.TrainedIvf.nLists,
       graft.SparkEntry.TrainedIvf.nQueries, graft.SparkEntry.TrainedIvf.nProbe,
       graft.SparkEntry.TrainedIvf.k),
+    "q_ann_pq_topk" -> pqSql(
+      graft.SparkEntry.PqAnn.m, graft.SparkEntry.PqAnn.subDim,
+      graft.SparkEntry.PqAnn.ksub, graft.SparkEntry.PqAnn.iters,
+      graft.SparkEntry.PqAnn.nQueries, graft.SparkEntry.PqAnn.k),
+    "q_semantic_dedup" -> semanticDedupSql(
+      graft.SparkEntry.SemDedup.iters, graft.SparkEntry.SemDedup.nLists,
+      graft.SparkEntry.SemDedup.thresholdMicros),
 
     // ASOF JOIN has no Spark SQL surface; same semantics via the latest
     // order at-or-before each event (dedup makes (custkey, orderdate)

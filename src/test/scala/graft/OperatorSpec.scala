@@ -839,6 +839,55 @@ class OperatorSpec extends SparkTestBase {
       assert(trained >= firstN,
         f"trained k-means quantizer ($trained%.2f) must be >= first-N ($firstN%.2f) at nProbe=$probe")
     }
+    // PQ/ADC: with 8 subspaces x 16 codewords each vector is reduced to
+    // 8 bytes, yet on tightly clustered data the codebooks recover the
+    // cluster structure and ADC ranking stays close to exact cosine
+    val pq = Similarity.pqTopK(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = recallOf(pq)
+    info(f"ANN PQ/ADC recall@5 = $pqRecall%.2f")
+    assert(pqRecall >= 0.5)
+  }
+
+  test("semantic dedup: keeper rule and drop evidence hold exactly") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.semanticDedup(spark, Sf,
+      nLists = SparkEntry.SemDedup.nLists, iters = SparkEntry.SemDedup.iters,
+      thresholdMicros = SparkEntry.SemDedup.thresholdMicros).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.length == emb.size, "one row per corpus vector")
+    // each cluster's smallest vec_id can have no smaller neighbor: kept
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val smallest = members.minBy(_._1)
+      assert(smallest._3, s"cluster $c smallest id ${smallest._1} must be kept")
+    }
+    def cosMicros(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val thr = SparkEntry.SemDedup.thresholdMicros
+    val byCluster = out.groupBy(_._2)
+    var drops = 0
+    out.filter(!_._3).foreach { case (v, c, _) =>
+      drops += 1
+      val hasWitness = byCluster(c).exists { case (b, _, _) =>
+        b < v && cosMicros(emb(v), emb(b)) >= thr
+      }
+      assert(hasWitness, s"dropped $v has no smaller same-cluster neighbor >= $thr")
+    }
+    // kept rows must have NO such witness (drop set is exact, not a superset)
+    out.filter(_._3).foreach { case (v, c, _) =>
+      val witness = byCluster(c).exists { case (b, _, _) =>
+        b < v && cosMicros(emb(v), emb(b)) >= thr
+      }
+      assert(!witness, s"kept $v actually has a qualifying smaller neighbor")
+    }
+    assert(drops > 0, "fixture must exercise the drop path")
   }
 
   test("multimodal: real PNG decode matches the generation-formula prediction") {

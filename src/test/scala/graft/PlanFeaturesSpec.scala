@@ -121,6 +121,22 @@ class PlanFeaturesSpec extends SparkTestBase {
       s"no sort (window, SortAggregate, or SMJ) is acceptable:\n$plan")
   }
 
+  test("PQ/ADC scoring cross joins are broadcast, never cartesian") {
+    // the corpus-side scoring of pqTopK is two crossJoins against one-row
+    // / nQueries-row lookup tables; both must plan as
+    // BroadcastNestedLoopJoin (map-only over the corpus) — an unhinted
+    // CartesianProduct here would shuffle the packed-code table per query
+    import graft.operators.Similarity
+    val out = Similarity.pqTopK(spark, Sf)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ scoring must broadcast its lookup tables:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast crossJoins for nsq + lut tables:\n$plan")
+  }
+
   test("dynamic partition pruning fires on the dt-partitioned warehouse") {
     val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     val orders = spark.read.parquet(s"$Sf/orders.parquet")

@@ -185,6 +185,10 @@ object SparkEntry {
     "q_ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d,
       nQueries = PqAnn.nQueries, k = PqAnn.k, m = PqAnn.m,
       subDim = PqAnn.subDim, ksub = PqAnn.ksub, iters = PqAnn.iters)),
+    "q_ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d,
+      nQueries = IvfPq.nQueries, k = IvfPq.k, nLists = IvfPq.nLists,
+      nProbe = IvfPq.nProbe, coarseIters = IvfPq.coarseIters, m = IvfPq.m,
+      subDim = IvfPq.subDim, ksub = IvfPq.ksub, pqIters = IvfPq.pqIters)),
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d,
       nLists = SemDedup.nLists, iters = SemDedup.iters,
       thresholdMicros = SemDedup.thresholdMicros)),
@@ -308,19 +312,26 @@ object SparkEntry {
     * oracle and the semantic-dedup oracle build on exactly this prefix, so
     * the quantizer is defined once.
     */
+  /** The WITH header shared by every trained-quantizer oracle: embeddings
+    * as doubles, BIGINT quantization codes, code-space norms.
+    */
+  private def codesHeaderCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
+         codes_n AS (SELECT vec_id, code, sqrt(${dotCodesDuck("code", "code")}) AS vqn
+                     FROM codes)"""
+
   private def trainedAssignCtes(iters: Int, nLists: Int): String = {
     def dotc(a: String, b: String): String = dotCodesDuck(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     val sb = new StringBuilder
+    sb.append(codesHeaderCtes)
     sb.append(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         codes AS (SELECT vec_id,
-           list_transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
-         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
-                     FROM codes),
+      s""",
          cent0 AS (SELECT vec_id AS centroid_id, code AS csum
                    FROM codes WHERE vec_id < $nLists),""")
     for (t <- 1 to iters) {
@@ -438,21 +449,21 @@ object SparkEntry {
     * the approximate cosine divides by |q| and the reconstruction norm
     * exactly as the operator does.
     */
-  private def pqSql(m: Int, subDim: Int, ksub: Int, iters: Int,
-                    nQueries: Int, k: Int): String = {
+  /** The PQ codebook CTE chain (DuckDB dialect), composable after any
+    * block that defines codes/codes_n: per-subspace k-means → final
+    * per-(vec, sub) assignment (passignF), reconstruction norms (xs), and
+    * per-query lut rows (plut). All names are p-prefixed so the chain
+    * coexists with the coarse trained chain in one WITH.
+    */
+  private def pqCodebookCtes(m: Int, subDim: Int, ksub: Int, iters: Int,
+                             nQueries: Int): String = {
     def dotc(a: String, b: String): String = dotCodesDuck(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         codes AS (SELECT vec_id,
-           list_transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
-         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
-                     FROM codes),
-         subc AS (SELECT vec_id, s.sub_id,
+      s"""subc AS (SELECT vec_id, s.sub_id,
                   code[s.sub_id * $subDim + 1 : s.sub_id * $subDim + $subDim] AS scode
                   FROM codes, (SELECT unnest(range(0, $m)) AS sub_id) s),
          subc_n AS (SELECT vec_id, sub_id, scode, sqrt(${dotc("scode", "scode")}) AS sqn
@@ -509,28 +520,72 @@ object SparkEntry {
          plut AS (SELECT q.vec_id AS query_id, c.sub_id, c.centroid_id,
                   ${dotc("q.scode", "c.csum")} / CAST(c.cnt AS DOUBLE) AS lv
                   FROM subc_n q JOIN pcnFn c ON q.sub_id = c.sub_id
-                  WHERE q.vec_id < $nQueries),
+                  WHERE q.vec_id < $nQueries)""")
+    sb.toString
+  }
+
+  /** The ADC scoring tail (DuckDB dialect) after pqCodebookCtes. With
+    * `candidateCte` set, only (query, vec) pairs in that CTE are scored —
+    * the IVF-PQ composition; empty scores the full corpus per query.
+    */
+  private def pqAdcTail(k: Int, candidateCte: String = ""): String = {
+    val candJoin =
+      if (candidateCte.isEmpty) ""
+      else s"JOIN $candidateCte c ON c.query_id = p.query_id AND c.vec_id = a.vec_id"
+    s""",
          padc AS (SELECT p.query_id, a.vec_id,
                   list_reduce(list(p.lv ORDER BY a.sub_id), (x, y) -> x + y) AS adc
                   FROM passignF a
                   JOIN plut p ON p.sub_id = a.sub_id AND p.centroid_id = a.centroid_id
+                  $candJoin
                   WHERE a.vec_id <> p.query_id
                   GROUP BY p.query_id, a.vec_id),
-         scored AS (SELECT d.query_id, d.vec_id,
+         pqscored AS (SELECT d.query_id, d.vec_id,
                     CAST(floor((d.adc / (q.vqn * x.xn)) * CAST(1000000 AS DOUBLE)
                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
                     FROM padc d
                     JOIN codes_n q ON q.vec_id = d.query_id
                     JOIN xs x ON x.vec_id = d.vec_id),
-         ranked AS (SELECT query_id, vec_id, m,
+         pqranked AS (SELECT query_id, vec_id, m,
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY m DESC, vec_id) AS rank
-                    FROM scored)
+                    FROM pqscored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
-         FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
-    sb.toString
+         FROM pqranked WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  private def pqSql(m: Int, subDim: Int, ksub: Int, iters: Int,
+                    nQueries: Int, k: Int): String =
+    codesHeaderCtes + ",\n         " +
+      pqCodebookCtes(m, subDim, ksub, iters, nQueries) + pqAdcTail(k)
+
+  /** Single parameter source for q_ann_ivfpq_topk — coarse routing params
+    * (TrainedIvf shapes) + PQ compression params (PqAnn shapes).
+    */
+  private[graft] object IvfPq {
+    val nLists = 16; val nProbe = 3; val coarseIters = 2
+    val m = 8; val subDim = 8; val ksub = 16; val pqIters = 2
+    val nQueries = 10; val k = 5
+  }
+
+  /** DuckDB twin of Similarity.ivfPqTopK: the coarse trained chain routes
+    * (probes/cand), the PQ chain compresses, and the ADC tail scores only
+    * the candidates.
+    */
+  private def ivfPqSql(p: IvfPq.type): String =
+    trainedAssignCtes(p.coarseIters, p.nLists) + ",\n         " +
+      pqCodebookCtes(p.m, p.subDim, p.ksub, p.pqIters, p.nQueries) +
+      s""",
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scoredF WHERE vec_id < ${p.nQueries}) s WHERE rn <= ${p.nProbe}),
+         cand AS (SELECT DISTINCT pr.query_id, a.vec_id
+                  FROM assignF a JOIN probes pr ON a.centroid_id = pr.centroid_id
+                  WHERE a.vec_id <> pr.query_id)""" +
+      pqAdcTail(p.k, candidateCte = "cand")
 
   /** The LSH hyperplanes as SQL literals (Double.toString round-trips
     * exactly, so the oracle computes the same signatures bit-for-bit).
@@ -1622,6 +1677,8 @@ object SparkEntry {
 
     "q_ann_pq_topk" -> pqSql(PqAnn.m, PqAnn.subDim, PqAnn.ksub, PqAnn.iters,
       PqAnn.nQueries, PqAnn.k),
+
+    "q_ann_ivfpq_topk" -> ivfPqSql(IvfPq),
 
     "q_semantic_dedup" -> semanticDedupSql(SemDedup.iters, SemDedup.nLists,
       SemDedup.thresholdMicros),

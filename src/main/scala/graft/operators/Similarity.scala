@@ -472,11 +472,22 @@ object Similarity {
     * rebuilds the same codebooks and folds the same 8 doubles in the same
     * order — matches bit for bit.
     */
-  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-             m: Int = 8, subDim: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
-    registerFunctions(s)
-    val emb = embWithNorm(s, dir)
-    val codes = vectorCodes(emb)
+  /** ADC fold over a packed-code row joined with a per-query lut — pinned
+    * left-to-right sub order, identical on both engines.
+    */
+  private val AdcExpr: String =
+    """aggregate(zip_with(pcode, lut,
+         (c, l) -> element_at(l, CAST(c AS INT) + 1)),
+       CAST(0 AS DOUBLE), (a, b) -> a + b)"""
+  private val AdcScoreExpr: String =
+    """CAST(floor((adc / (qn * xn)) * CAST(1000000 AS DOUBLE)
+       + CAST(0.5 AS DOUBLE)) AS BIGINT)"""
+
+  /** The PQ artifacts shared by pqTopK and ivfPqTopK:
+    * (corpus side: vec_id, pcode, xn) and (query side: query_id, lut, qn).
+    */
+  private def pqArtifacts(codes: DataFrame, nQueries: Int, m: Int, subDim: Int,
+                          ksub: Int, iters: Int): (DataFrame, DataFrame) = {
     val sub = subCodes(codes, m, subDim)
     val cents = trainPqCodebooks(sub, ksub, iters)
     val assignF = nearestSubCentroid(scoreSubCentroids(sub, cents))
@@ -521,15 +532,65 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(sub_id, arr))), x -> x.arr)")
         .as("lut"))
       .join(codes.select(col("vec_id").as("query_id"), col("vqn").as("qn")), Seq("query_id"))
+    (withNorm, lutArr)
+  }
+
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8, subDim: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val codes = vectorCodes(emb)
+    val (withNorm, lutArr) = pqArtifacts(codes, nQueries, m, subDim, ksub, iters)
     val scored = withNorm.crossJoin(broadcast(lutArr))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", expr(
-        """aggregate(zip_with(pcode, lut,
-             (c, l) -> element_at(l, CAST(c AS INT) + 1)),
-           CAST(0 AS DOUBLE), (a, b) -> a + b)"""))
-      .withColumn("m", expr(
-        """CAST(floor((adc / (qn * xn)) * CAST(1000000 AS DOUBLE)
-           + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+      .withColumn("adc", expr(AdcExpr))
+      .withColumn("m", expr(AdcScoreExpr))
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ ANN (the FAISS IVFPQ composition): the trained coarse
+    * quantizer routes each query to its nProbe nearest inverted lists,
+    * and ONLY the vectors in those lists are ADC-scored against the PQ
+    * codebooks. The two quantizers are independent — coarse for routing
+    * (which corpus fraction is touched), product for compression (how
+    * cheap each touched vector is).
+    *
+    * Scale shape: per query ~nProbe/nLists of the packed-code table is
+    * scored, each candidate costing m array lookups on an 8-byte code —
+    * against a materialized index (the IVF layout partitioned by list,
+    * payload = packed codes instead of float vectors) the probed lists
+    * prune at the scan and the float embeddings are never read at query
+    * time. Candidate generation reuses the sort-free packed max_by
+    * assignment; scoring joins candidates to packed codes by vec_id
+    * (shuffle-hash — no sort) and broadcasts the per-query luts.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                nLists: Int = 16, nProbe: Int = 3, coarseIters: Int = 2,
+                m: Int = 8, subDim: Int = 8, ksub: Int = 16,
+                pqIters: Int = 2): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val codes = vectorCodes(emb)
+    // coarse routing: trained centroids, probe the nProbe nearest lists
+    val centroids = trainCentroids(codes, nLists, coarseIters)
+    val scoredC = scoreAgainstCentroids(codes, centroids)
+    val assign = nearestCentroid(scoredC)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cm").desc, col("centroid_id"))
+    val probes = scoredC.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    // fine scoring: ADC over the candidates only
+    val (withNorm, lutArr) = pqArtifacts(codes, nQueries, m, subDim, ksub, pqIters)
+    val scored = candidates.join(withNorm.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(lutArr), Seq("query_id"))
+      .withColumn("adc", expr(AdcExpr))
+      .withColumn("m", expr(AdcScoreExpr))
     topKPerQuery(scored, k)
   }
 

@@ -257,19 +257,24 @@ object SqlFrontDoor {
     * (posexplode) vs the oracle's 1-based — positions only ever join/sort
     * against themselves, so the numbering is internal.
     */
+  /** The WITH header shared by every trained-quantizer twin. */
+  private def codesHeaderCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         codes AS (SELECT vec_id,
+           transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
+         codes_n AS (SELECT vec_id, code, sqrt(${dotCodesSpark("code", "code")}) AS vqn
+                     FROM codes)"""
+
   private def trainedAssignCtes(iters: Int, nLists: Int): String = {
     def dotc(a: String, b: String): String = dotCodesSpark(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     val sb = new StringBuilder
+    sb.append(codesHeaderCtes)
     sb.append(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-         codes AS (SELECT vec_id,
-           transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
-         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
-                     FROM codes),
+      s""",
          cent0 AS (SELECT vec_id AS centroid_id, code AS csum
                    FROM codes WHERE vec_id < $nLists),""")
     for (t <- 1 to iters) {
@@ -367,21 +372,18 @@ object SqlFrontDoor {
     * sub order (array_sort over (sub_id, lv) structs — Spark's collect_list
     * has no ORDER BY).
     */
-  private def pqSql(m: Int, subDim: Int, ksub: Int, iters: Int,
-                    nQueries: Int, k: Int): String = {
+  /** The PQ codebook CTE chain (Spark dialect), composable after any block
+    * defining codes/codes_n; ends at plut, names p-prefixed.
+    */
+  private def pqCodebookCtes(m: Int, subDim: Int, ksub: Int, iters: Int,
+                             nQueries: Int): String = {
     def dotc(a: String, b: String): String = dotCodesSpark(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-         codes AS (SELECT vec_id,
-           transform(v, x -> CAST(floor(x * CAST(1048576 AS DOUBLE)
-             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS code FROM e),
-         codes_n AS (SELECT vec_id, code, sqrt(${dotc("code", "code")}) AS vqn
-                     FROM codes),
-         subc AS (SELECT vec_id,
+      s"""subc AS (SELECT vec_id,
                   posexplode(transform(sequence(0, ${m - 1}),
                     s -> slice(code, s * $subDim + 1, $subDim))) AS (sub_id, scode)
                   FROM codes),
@@ -439,29 +441,62 @@ object SqlFrontDoor {
          plut AS (SELECT q.vec_id AS query_id, c.sub_id, c.centroid_id,
                   ${dotc("q.scode", "c.csum")} / CAST(c.cnt AS DOUBLE) AS lv
                   FROM subc_n q JOIN pcnFn c ON q.sub_id = c.sub_id
-                  WHERE q.vec_id < $nQueries),
+                  WHERE q.vec_id < $nQueries)""")
+    sb.toString
+  }
+
+  /** The ADC scoring tail (Spark dialect); `candidateCte` restricts
+    * scoring to the IVF-routed (query, vec) pairs.
+    */
+  private def pqAdcTail(k: Int, candidateCte: String = ""): String = {
+    val candJoin =
+      if (candidateCte.isEmpty) ""
+      else s"JOIN $candidateCte c ON c.query_id = p.query_id AND c.vec_id = a.vec_id"
+    s""",
          padc AS (SELECT p.query_id, a.vec_id,
                   aggregate(transform(array_sort(collect_list(struct(a.sub_id, p.lv))),
                     x -> x.lv), CAST(0 AS DOUBLE), (x, y) -> x + y) AS adc
                   FROM passignF a
                   JOIN plut p ON p.sub_id = a.sub_id AND p.centroid_id = a.centroid_id
+                  $candJoin
                   WHERE a.vec_id <> p.query_id
                   GROUP BY p.query_id, a.vec_id),
-         scored AS (SELECT d.query_id, d.vec_id,
+         pqscored AS (SELECT d.query_id, d.vec_id,
                     CAST(floor((d.adc / (q.vqn * x.xn)) * CAST(1000000 AS DOUBLE)
                       + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
                     FROM padc d
                     JOIN codes_n q ON q.vec_id = d.query_id
                     JOIN xs x ON x.vec_id = d.vec_id),
-         ranked AS (SELECT query_id, vec_id, m,
+         pqranked AS (SELECT query_id, vec_id, m,
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY m DESC, vec_id) AS rank
-                    FROM scored)
+                    FROM pqscored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
-         FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
-    sb.toString
+         FROM pqranked WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  private def pqSql(m: Int, subDim: Int, ksub: Int, iters: Int,
+                    nQueries: Int, k: Int): String =
+    codesHeaderCtes + ",\n         " +
+      pqCodebookCtes(m, subDim, ksub, iters, nQueries) + pqAdcTail(k)
+
+  /** Twin of the IVF-PQ oracle: coarse trained chain for routing + PQ
+    * chain for compression + candidate-restricted ADC tail.
+    */
+  private def ivfPqSql(p: graft.SparkEntry.IvfPq.type): String =
+    trainedAssignCtes(p.coarseIters, p.nLists) + ",\n         " +
+      pqCodebookCtes(p.m, p.subDim, p.ksub, p.pqIters, p.nQueries) +
+      s""",
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scoredF WHERE vec_id < ${p.nQueries}) s WHERE rn <= ${p.nProbe}),
+         cand AS (SELECT DISTINCT pr.query_id, a.vec_id
+                  FROM assignF a JOIN probes pr ON a.centroid_id = pr.centroid_id
+                  WHERE a.vec_id <> pr.query_id)""" +
+      pqAdcTail(p.k, candidateCte = "cand")
 
   // ------------------------------------------------------------- the twins
 
@@ -484,6 +519,7 @@ object SqlFrontDoor {
       graft.SparkEntry.PqAnn.m, graft.SparkEntry.PqAnn.subDim,
       graft.SparkEntry.PqAnn.ksub, graft.SparkEntry.PqAnn.iters,
       graft.SparkEntry.PqAnn.nQueries, graft.SparkEntry.PqAnn.k),
+    "q_ann_ivfpq_topk" -> ivfPqSql(graft.SparkEntry.IvfPq),
     "q_semantic_dedup" -> semanticDedupSql(
       graft.SparkEntry.SemDedup.iters, graft.SparkEntry.SemDedup.nLists,
       graft.SparkEntry.SemDedup.thresholdMicros),

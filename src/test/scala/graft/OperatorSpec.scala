@@ -848,6 +848,24 @@ class OperatorSpec extends SparkTestBase {
     val pqRecall = recallOf(pq)
     info(f"ANN PQ/ADC recall@5 = $pqRecall%.2f")
     assert(pqRecall >= 0.5)
+    // IVF-PQ: coarse routing loses at most the probe misses on top of PQ
+    val ivfpq = Similarity.ivfPqTopK(spark, dir, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = recallOf(ivfpq)
+    info(f"ANN IVF-PQ recall@5 (nProbe=8) = $ivfpqRecall%.2f")
+    assert(ivfpqRecall >= 0.5)
+  }
+
+  test("IVF-PQ with full probe width degenerates to plain PQ exactly") {
+    // nProbe = nLists routes every query to every list — the candidate set
+    // is the whole corpus, so the composition must reproduce pqTopK
+    // row-for-row (same ADC scores, same ranking, same emitted integers)
+    val pq = Similarity.pqTopK(spark, Sf).collect().toSeq
+    val full = Similarity.ivfPqTopK(spark, Sf, nProbe = 16, nLists = 16)
+      .collect().toSeq
+    assert(full == pq)
+    assert(pq.nonEmpty)
   }
 
   test("semantic dedup: keeper rule and drop evidence hold exactly") {

@@ -483,20 +483,17 @@ object Similarity {
     """CAST(floor((adc / (qn * xn)) * CAST(1000000 AS DOUBLE)
        + CAST(0.5 AS DOUBLE)) AS BIGINT)"""
 
-  /** The PQ artifacts shared by pqTopK and ivfPqTopK:
-    * (corpus side: vec_id, pcode, xn) and (query side: query_id, lut, qn).
+  /** PQ-encode subcoded vectors against a codebook table: the packed code
+    * (m centroid ids in sub order) plus the reconstruction norm — the PQ
+    * index payload (what a 100 TB deployment persists: ~8 bytes + one
+    * double per vector instead of the float array).
     */
-  private def pqArtifacts(codes: DataFrame, nQueries: Int, m: Int, subDim: Int,
-                          ksub: Int, iters: Int): (DataFrame, DataFrame) = {
-    val sub = subCodes(codes, m, subDim)
-    val cents = trainPqCodebooks(sub, ksub, iters)
+  private def pqEncode(sub: DataFrame, cents: DataFrame, ksub: Int): DataFrame = {
     val assignF = nearestSubCentroid(scoreSubCentroids(sub, cents))
     // reconstruction norm² of each codebook entry: |csum/cnt|²
     val nsq = cents.withColumn("nsq", expr(
       s"${dotCodesExpr("csum", "csum")} / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))"))
       .select(col("sub_id"), col("centroid_id"), col("nsq"))
-    // the packed code of each vector: m centroid ids in sub order — the
-    // PQ index payload (what a 100 TB deployment would persist)
     val pcodes = assignF.groupBy(col("vec_id"))
       .agg(expr(
         "transform(array_sort(collect_list(struct(sub_id, centroid_id))), x -> x.centroid_id)")
@@ -511,19 +508,25 @@ object Similarity {
         .as("arr"))
       .agg(expr("transform(array_sort(collect_list(struct(sub_id, arr))), x -> x.arr)")
         .as("nsq_arr"))
-    val withNorm = pcodes.crossJoin(broadcast(nsqArrDf))
+    pcodes.crossJoin(broadcast(nsqArrDf))
       .withColumn("xn", expr(
         """sqrt(aggregate(zip_with(pcode, nsq_arr,
              (c, ns) -> element_at(ns, CAST(c AS INT) + 1)),
            CAST(0 AS DOUBLE), (a, b) -> a + b))"""))
       .select(col("vec_id"), col("pcode"), col("xn"))
-    // per-query ADC lookup tables: dot(q_sub, csum)/cnt for every
-    // (sub, centroid) — nQueries × m × ksub doubles, broadcast
+  }
+
+  /** Per-query ADC lookup tables from query subcodes + codebooks:
+    * dot(q_sub, csum)/cnt for every (sub, centroid) — nQueries × m × ksub
+    * doubles, built to be broadcast.
+    */
+  private def pqLuts(codes: DataFrame, sub: DataFrame, cents: DataFrame,
+                     nQueries: Int, ksub: Int): DataFrame = {
     val lut = sub.filter(col("vec_id") < nQueries)
       .join(broadcast(cents), Seq("sub_id"))
       .withColumn("lv", expr(s"${dotCodesExpr("scode", "csum")} / CAST(cnt AS DOUBLE)"))
       .select(col("vec_id").as("query_id"), col("sub_id"), col("centroid_id"), col("lv"))
-    val lutArr = lut.groupBy(col("query_id"), col("sub_id"))
+    lut.groupBy(col("query_id"), col("sub_id"))
       .agg(map_from_entries(collect_list(struct(col("centroid_id"), col("lv")))).as("mp"))
       .select(col("query_id"), col("sub_id"), expr(
         s"transform(sequence(0, ${ksub - 1}), i -> element_at(mp, CAST(i AS BIGINT)))")
@@ -532,7 +535,16 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(sub_id, arr))), x -> x.arr)")
         .as("lut"))
       .join(codes.select(col("vec_id").as("query_id"), col("vqn").as("qn")), Seq("query_id"))
-    (withNorm, lutArr)
+  }
+
+  /** The PQ artifacts shared by pqTopK and ivfPqTopK:
+    * (corpus side: vec_id, pcode, xn) and (query side: query_id, lut, qn).
+    */
+  private def pqArtifacts(codes: DataFrame, nQueries: Int, m: Int, subDim: Int,
+                          ksub: Int, iters: Int): (DataFrame, DataFrame) = {
+    val sub = subCodes(codes, m, subDim)
+    val cents = trainPqCodebooks(sub, ksub, iters)
+    (pqEncode(sub, cents, ksub), pqLuts(codes, sub, cents, nQueries, ksub))
   }
 
   def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
@@ -589,6 +601,81 @@ object Similarity {
     val (withNorm, lutArr) = pqArtifacts(codes, nQueries, m, subDim, ksub, pqIters)
     val scored = candidates.join(withNorm.hint("shuffle_hash"), Seq("vec_id"))
       .join(broadcast(lutArr), Seq("query_id"))
+      .withColumn("adc", expr(AdcExpr))
+      .withColumn("m", expr(AdcScoreExpr))
+    topKPerQuery(scored, k)
+  }
+
+  // ----------------------------------------------------- materialized PQ index
+
+  private def codebooksPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_codebooks")
+
+  private def storedCodebooks(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(codebooksPath(indexDir).toString)
+
+  /** Materialized PQ index: the packed-code table persisted as parquet
+    * (vec_id, pcode — m small ints, xn — one double) with the codebooks
+    * frozen alongside as `_codebooks` (underscore-prefixed: invisible to
+    * the code scan, same convention as the IVF `_centroids`). Training is
+    * bounded by trainMaxVecIdExclusive so an index can train on a stable
+    * prefix and still index everything — the train-once-append-forever
+    * contract under which build(prefix) + append(rest) == build(all)
+    * (OperatorSpec pins it). At 100 TB this table is ~30× smaller than
+    * the float vectors, and queries never read the embeddings at all.
+    */
+  def buildPqIndex(s: SparkSession, dir: String, indexDir: String,
+                   m: Int = 8, subDim: Int = 8, ksub: Int = 16,
+                   iters: Int = 2,
+                   maxVecIdExclusive: Long = Long.MaxValue,
+                   trainMaxVecIdExclusive: Long = Long.MaxValue): String = {
+    require(ksub <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir).filter(col("vec_id") < maxVecIdExclusive)
+    val codes = vectorCodes(emb)
+    val trainSub = subCodes(
+      codes.filter(col("vec_id") < trainMaxVecIdExclusive), m, subDim)
+    val cents = trainPqCodebooks(trainSub, ksub, iters)
+    pqEncode(subCodes(codes, m, subDim), cents, ksub)
+      .write.mode("overwrite").parquet(indexDir)
+    cents.write.mode("overwrite").parquet(codebooksPath(indexDir).toString)
+    indexDir
+  }
+
+  /** Encode a vector delta (vec_id >= minVecId) with the index's FROZEN
+    * codebooks and append the packed codes — O(delta) work, symmetric
+    * with appendToIvfIndex. Re-training on append would re-code — and
+    * therefore re-rank — the existing corpus; the frozen-codebook
+    * contract is what keeps the index append-monotone.
+    */
+  def appendToPqIndex(s: SparkSession, dir: String, indexDir: String,
+                      minVecId: Long, m: Int = 8, subDim: Int = 8,
+                      ksub: Int = 16): String = {
+    registerFunctions(s)
+    val delta = embWithNorm(s, dir).filter(col("vec_id") >= minVecId)
+    val cents = storedCodebooks(s, indexDir)
+    pqEncode(subCodes(vectorCodes(delta), m, subDim), cents, ksub)
+      .write.mode("append").parquet(indexDir)
+    indexDir
+  }
+
+  /** ANN top-k over a prebuilt PQ index: only the query vectors touch the
+    * embeddings table (subcodes + luts); the corpus side is one map-only
+    * pass over the packed-code parquet — broadcast luts, codegen'd ADC
+    * fold, map-side-combining top-k. Same output contract as the inline
+    * pqTopK (OperatorSpec pins equality).
+    */
+  def pqTopKFromIndex(s: SparkSession, dir: String, indexDir: String,
+                      nQueries: Int = 10, k: Int = 5, m: Int = 8,
+                      subDim: Int = 8, ksub: Int = 16): DataFrame = {
+    registerFunctions(s)
+    val queries = embWithNorm(s, dir).filter(col("vec_id") < nQueries)
+    val qCodes = vectorCodes(queries)
+    val lutArr = pqLuts(qCodes, subCodes(qCodes, m, subDim),
+      storedCodebooks(s, indexDir), nQueries, ksub)
+    val scored = s.read.parquet(indexDir)
+      .crossJoin(broadcast(lutArr))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", expr(AdcExpr))
       .withColumn("m", expr(AdcScoreExpr))
     topKPerQuery(scored, k)

@@ -223,6 +223,37 @@ class OperatorSpec extends SparkTestBase {
     assert(new java.io.File(idx, "_centroids").exists())
   }
 
+  test("materialized PQ index answers identically to the inline path") {
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.buildPqIndex(spark, Sf, idx)
+    val fromIndex = Similarity.pqTopKFromIndex(spark, Sf, idx).collect().toSeq
+    val inline = Similarity.pqTopK(spark, Sf).collect().toSeq
+    assert(fromIndex == inline)
+    assert(inline.nonEmpty)
+    // codebooks frozen alongside the packed codes, invisible to the scan
+    assert(new java.io.File(idx, "_codebooks").exists())
+  }
+
+  test("PQ index: build(prefix) + append(rest) == build(all) with frozen codebooks") {
+    val full = java.nio.file.Files.createTempDirectory("pqfull").toString
+    val inc = java.nio.file.Files.createTempDirectory("pqinc").toString
+    val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val split = maxVec * 4 / 5
+    // both indexes train codebooks on the same stable prefix, so every
+    // code — and therefore every ADC score — is identical; only the
+    // indexed row set differs until the append catches up
+    Similarity.buildPqIndex(spark, Sf, full, trainMaxVecIdExclusive = split)
+    Similarity.buildPqIndex(spark, Sf, inc, maxVecIdExclusive = split,
+      trainMaxVecIdExclusive = split)
+    Similarity.appendToPqIndex(spark, Sf, inc, minVecId = split)
+    val viaFull = Similarity.pqTopKFromIndex(spark, Sf, full).collect().toSeq
+    val viaInc = Similarity.pqTopKFromIndex(spark, Sf, inc).collect().toSeq
+    assert(viaInc == viaFull)
+    assert(viaFull.nonEmpty)
+  }
+
   test("IVF compaction crash mid-swap self-heals on the next call") {
     val idx = java.nio.file.Files.createTempDirectory("ivfrecover").toString
     Similarity.buildIvfIndex(spark, Sf, idx)

@@ -488,7 +488,7 @@ object Similarity {
     * index payload (what a 100 TB deployment persists: ~8 bytes + one
     * double per vector instead of the float array).
     */
-  private def pqEncode(sub: DataFrame, cents: DataFrame, ksub: Int): DataFrame = {
+  private[graft] def pqEncode(sub: DataFrame, cents: DataFrame, ksub: Int): DataFrame = {
     val assignF = nearestSubCentroid(scoreSubCentroids(sub, cents))
     // reconstruction norm² of each codebook entry: |csum/cnt|²
     val nsq = cents.withColumn("nsq", expr(
@@ -611,8 +611,25 @@ object Similarity {
   private def codebooksPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(indexDir, "_codebooks")
 
-  private def storedCodebooks(s: SparkSession, indexDir: String): DataFrame =
+  private[graft] def storedCodebooks(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(codebooksPath(indexDir).toString)
+
+  /** Train the PQ codebooks and persist ONLY the `_codebooks` artifact —
+    * the staging step graft.streaming.PqStream needs before its first
+    * batch, symmetric with stageIvfQuantizer. Deterministic: the same
+    * corpus slice + params always yield bit-identical codebooks.
+    */
+  def stagePqCodebooks(s: SparkSession, dir: String, indexDir: String,
+                       m: Int = 8, subDim: Int = 8, ksub: Int = 16,
+                       iters: Int = 2,
+                       trainMaxVecIdExclusive: Long = Long.MaxValue): String = {
+    require(ksub <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir).filter(col("vec_id") < trainMaxVecIdExclusive)
+    trainPqCodebooks(subCodes(vectorCodes(emb), m, subDim), ksub, iters)
+      .write.mode("overwrite").parquet(codebooksPath(indexDir).toString)
+    indexDir
+  }
 
   /** Materialized PQ index: the packed-code table persisted as parquet
     * (vec_id, pcode — m small ints, xn — one double) with the codebooks
@@ -674,6 +691,9 @@ object Similarity {
     val lutArr = pqLuts(qCodes, subCodes(qCodes, m, subDim),
       storedCodebooks(s, indexDir), nQueries, ksub)
     val scored = s.read.parquet(indexDir)
+      // stream-built indexes carry a batch=<id> partition level; a query
+      // only ever needs the payload columns
+      .select(col("vec_id"), col("pcode"), col("xn"))
       .crossJoin(broadcast(lutArr))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", expr(AdcExpr))

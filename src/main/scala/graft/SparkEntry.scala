@@ -192,6 +192,25 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d,
       nLists = SemDedup.nLists, iters = SemDedup.iters,
       thresholdMicros = SemDedup.thresholdMicros)),
+    "q_semantic_dedup_incremental" -> ((s, d) => {
+      // "corpus already semantically deduped, delta arrives": the frozen
+      // prefix-trained quantizer is staged, the prior labeling stands in
+      // for the previous run's persisted output, and only the delta is
+      // quantized and compared (against touched clusters). The oracle
+      // recomputes from scratch with the same frozen training bound.
+      val maxId = sources.Tables.spread(s, d, "embeddings")
+        .agg(max(col("vec_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val qdir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_semdedup_q_" + Integer.toHexString(d.hashCode)).toString
+      Similarity.stageIvfQuantizer(s, d, qdir, nLists = SemDedup.nLists,
+        iters = SemDedup.iters, trainMaxVecIdExclusive = split)
+      val prior = Similarity.semanticDedup(s, d, nLists = SemDedup.nLists,
+        iters = SemDedup.iters, thresholdMicros = SemDedup.thresholdMicros,
+        maxVecIdExclusive = split, trainMaxVecIdExclusive = split)
+      Similarity.semanticDedupIncremental(s, d, qdir, split, prior,
+        thresholdMicros = SemDedup.thresholdMicros)
+    }),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
@@ -323,13 +342,23 @@ object SparkEntry {
          codes_n AS (SELECT vec_id, code, sqrt(${dotCodesDuck("code", "code")}) AS vqn
                      FROM codes)"""
 
-  private def trainedAssignCtes(iters: Int, nLists: Int): String = {
+  /** @param trainFilterSql optional predicate bounding the TRAINING rows
+    *        (the k-means iterations); the final assignment still covers
+    *        every vector — the frozen-prefix-quantizer shape the
+    *        incremental paths rely on. Empty = train on everything.
+    */
+  private def trainedAssignCtes(iters: Int, nLists: Int,
+                                trainFilterSql: String = ""): String = {
     def dotc(a: String, b: String): String = dotCodesDuck(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val trainSrc = if (trainFilterSql.isEmpty) "codes_n" else "codes_t"
     val sb = new StringBuilder
     sb.append(codesHeaderCtes)
+    if (trainFilterSql.nonEmpty) sb.append(
+      s""",
+         codes_t AS (SELECT * FROM codes_n WHERE $trainFilterSql)""")
     sb.append(
       s""",
          cent0 AS (SELECT vec_id AS centroid_id, code AS csum
@@ -342,7 +371,7 @@ object SparkEntry {
                   FROM cent$p),
          scored$t AS (SELECT c.vec_id, c.code, k.centroid_id,
                       ${cmOf("c.code", "k.csum", "c.vqn", "k.cqn")} AS cm
-                      FROM codes_n c CROSS JOIN cn$p k),
+                      FROM $trainSrc c CROSS JOIN cn$p k),
          assign$t AS (SELECT vec_id, code, centroid_id FROM (
                       SELECT vec_id, code, centroid_id,
                              row_number() OVER (PARTITION BY vec_id
@@ -420,8 +449,9 @@ object SparkEntry {
     * cosine threshold.
     */
   private def semanticDedupSql(iters: Int, nLists: Int,
-                               thresholdMicros: Long): String =
-    trainedAssignCtes(iters, nLists) +
+                               thresholdMicros: Long,
+                               trainFilterSql: String = ""): String =
+    trainedAssignCtes(iters, nLists, trainFilterSql) +
       s""",
          drops AS (SELECT DISTINCT a.vec_id
                    FROM assignF a
@@ -1682,6 +1712,13 @@ object SparkEntry {
 
     "q_semantic_dedup" -> semanticDedupSql(SemDedup.iters, SemDedup.nLists,
       SemDedup.thresholdMicros),
+
+    // from-scratch recompute with the SAME frozen training bound the
+    // incremental wrapper stages (prefix = the oldest 4/5 of vec_ids) —
+    // incremental-equals-from-scratch is exactly what the comparison pins
+    "q_semantic_dedup_incremental" -> semanticDedupSql(
+      SemDedup.iters, SemDedup.nLists, SemDedup.thresholdMicros,
+      trainFilterSql = "vec_id < (SELECT max(vec_id) * 4 // 5 FROM embeddings)"),
 
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -718,12 +718,15 @@ object Similarity {
     * scales the clusters are orders of magnitude under that bound.
     */
   def semanticDedup(s: SparkSession, dir: String, nLists: Int = 16,
-                    iters: Int = 2, thresholdMicros: Long = 400000L): DataFrame = {
+                    iters: Int = 2, thresholdMicros: Long = 400000L,
+                    maxVecIdExclusive: Long = Long.MaxValue,
+                    trainMaxVecIdExclusive: Long = Long.MaxValue): DataFrame = {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
-    val emb = embWithNorm(s, dir)
+    val emb = embWithNorm(s, dir).filter(col("vec_id") < maxVecIdExclusive)
     val codes = vectorCodes(emb)
-    val centroids = trainCentroids(codes, nLists, iters)
+    val centroids = trainCentroids(
+      codes.filter(col("vec_id") < trainMaxVecIdExclusive), nLists, iters)
     val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
     val withCluster = emb.join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("vnorm"),
@@ -740,6 +743,55 @@ object Similarity {
     withCluster.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"),
         not(coalesce(col("dropped"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** INCREMENTAL semantic dedup — O(delta · cluster) steady state: fold a
+    * delta batch (vec_id >= minDeltaId) into a PERSISTED prior labeling
+    * using the FROZEN quantizer staged at `quantizerDir` (`_centroids`
+    * from stageIvfQuantizer, trained on a stable prefix). Exact, not
+    * approximate, for the same reason the other incremental paths are:
+    * ids are append-monotone, so (1) a prior row's kept flag can never
+    * change — its smaller-id cluster neighbors all predate the delta —
+    * and (2) a delta row needs comparing only against same-cluster rows
+    * with smaller ids, all of which are in prior ∪ the delta itself.
+    * Equals semanticDedup over the full corpus with the same frozen
+    * training bound (OperatorSpec pins it). Only the delta is ever
+    * quantized; only touched clusters' members are ever re-read.
+    */
+  def semanticDedupIncremental(s: SparkSession, dir: String,
+                               quantizerDir: String, minDeltaId: Long,
+                               prior: DataFrame,
+                               thresholdMicros: Long = 400000L): DataFrame = {
+    registerFunctions(s)
+    val cents = s.read.parquet(
+      centroidsPath(quantizerDir).toString)
+    val emb = embWithNorm(s, dir)
+    val delta = emb.filter(col("vec_id") >= minDeltaId)
+    val deltaAssign = nearestCentroid(
+      scoreAgainstCentroids(vectorCodes(delta), cents))
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+    // every (vec, cluster) the delta can collide with: prior members plus
+    // the delta's own smaller ids
+    val allAssign = prior.select(col("vec_id"), col("cluster_id"))
+      .unionByName(deltaAssign)
+    val later = delta.join(deltaAssign.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("cluster_id"), col("vec_id"),
+        col("embedding").as("ea"), col("vnorm").as("na"))
+    val earlier = emb.join(allAssign.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("cluster_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("vnorm").as("nb"))
+    val drops = later.join(earlier, Seq("cluster_id"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("m", expr(scoreMicrosFromNorms("dot_f(ea, eb)", "na", "nb")))
+      .filter(col("m") >= thresholdMicros)
+      .select(col("vec_id")).distinct()
+    val deltaLabeled = deltaAssign
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        not(coalesce(col("dropped"), lit(false))).as("kept"))
+    prior.select(col("vec_id"), col("cluster_id"), col("kept"))
+      .unionByName(deltaLabeled)
       .orderBy(col("vec_id"))
   }
 

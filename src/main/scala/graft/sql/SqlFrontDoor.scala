@@ -266,13 +266,18 @@ object SqlFrontDoor {
          codes_n AS (SELECT vec_id, code, sqrt(${dotCodesSpark("code", "code")}) AS vqn
                      FROM codes)"""
 
-  private def trainedAssignCtes(iters: Int, nLists: Int): String = {
+  private def trainedAssignCtes(iters: Int, nLists: Int,
+                                trainFilterSql: String = ""): String = {
     def dotc(a: String, b: String): String = dotCodesSpark(a, b)
     def cmOf(a: String, b: String, na: String, nb: String): String =
       s"CAST(floor((${dotc(a, b)} / ($na * $nb)) " +
         "* CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val trainSrc = if (trainFilterSql.isEmpty) "codes_n" else "codes_t"
     val sb = new StringBuilder
     sb.append(codesHeaderCtes)
+    if (trainFilterSql.nonEmpty) sb.append(
+      s""",
+         codes_t AS (SELECT * FROM codes_n WHERE $trainFilterSql)""")
     sb.append(
       s""",
          cent0 AS (SELECT vec_id AS centroid_id, code AS csum
@@ -285,7 +290,7 @@ object SqlFrontDoor {
                   FROM cent$p),
          scored$t AS (SELECT c.vec_id, c.code, k.centroid_id,
                       ${cmOf("c.code", "k.csum", "c.vqn", "k.cqn")} AS cm
-                      FROM codes_n c CROSS JOIN cn$p k),
+                      FROM $trainSrc c CROSS JOIN cn$p k),
          assign$t AS (SELECT vec_id, code, centroid_id FROM (
                       SELECT vec_id, code, centroid_id,
                              row_number() OVER (PARTITION BY vec_id
@@ -352,8 +357,9 @@ object SqlFrontDoor {
     * exact float cosine threshold.
     */
   private def semanticDedupSql(iters: Int, nLists: Int,
-                               thresholdMicros: Long): String =
-    trainedAssignCtes(iters, nLists) +
+                               thresholdMicros: Long,
+                               trainFilterSql: String = ""): String =
+    trainedAssignCtes(iters, nLists, trainFilterSql) +
       s""",
          drops AS (SELECT DISTINCT a.vec_id
                    FROM assignF a
@@ -523,6 +529,10 @@ object SqlFrontDoor {
     "q_semantic_dedup" -> semanticDedupSql(
       graft.SparkEntry.SemDedup.iters, graft.SparkEntry.SemDedup.nLists,
       graft.SparkEntry.SemDedup.thresholdMicros),
+    "q_semantic_dedup_incremental" -> semanticDedupSql(
+      graft.SparkEntry.SemDedup.iters, graft.SparkEntry.SemDedup.nLists,
+      graft.SparkEntry.SemDedup.thresholdMicros,
+      trainFilterSql = "vec_id < (SELECT max(vec_id) * 4 div 5 FROM embeddings)"),
 
     // ASOF JOIN has no Spark SQL surface; same semantics via the latest
     // order at-or-before each event (dedup makes (custkey, orderdate)

@@ -254,6 +254,30 @@ class OperatorSpec extends SparkTestBase {
     assert(viaFull.nonEmpty)
   }
 
+  test("incremental semantic dedup equals the frozen-quantizer from-scratch run") {
+    val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val split = maxVec * 4 / 5
+    val qdir = java.nio.file.Files.createTempDirectory("semdedupq").toString
+    // the frozen quantizer and both from-scratch runs train on the SAME
+    // stable prefix, so cluster assignment is bit-identical everywhere
+    Similarity.stageIvfQuantizer(spark, Sf, qdir, trainMaxVecIdExclusive = split)
+    val whole = Similarity.semanticDedup(spark, Sf,
+      trainMaxVecIdExclusive = split).collect().toSeq
+    val prior = Similarity.semanticDedup(spark, Sf,
+      maxVecIdExclusive = split, trainMaxVecIdExclusive = split)
+    val inc = Similarity.semanticDedupIncremental(spark, Sf, qdir, split, prior)
+      .collect().toSeq
+    assert(inc == whole)
+    assert(whole.nonEmpty)
+    // the delta portion must be non-trivial and contain real drops
+    val deltaRows = whole.filter(_.getLong(0) >= split)
+    assert(deltaRows.nonEmpty)
+    assert(deltaRows.exists(!_.getBoolean(2)),
+      "fixture delta must exercise the incremental drop path")
+  }
+
   test("IVF compaction crash mid-swap self-heals on the next call") {
     val idx = java.nio.file.Files.createTempDirectory("ivfrecover").toString
     Similarity.buildIvfIndex(spark, Sf, idx)

@@ -420,4 +420,45 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming semantic dedup labels identically to the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sf = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("semdedupstream").toString
+    // stage the frozen (full-corpus-trained, deterministic) quantizer the
+    // batch operator trains internally, then feed the corpus as two
+    // id-ordered microbatches — the append-monotone arrival contract
+    graft.operators.Similarity.stageIvfQuantizer(spark, Sf, s"$base/labels")
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val split = rows.map(_._1).max / 2
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.SemDedupStream.start(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$base/labels", s"$base/ckpt")
+    try {
+      input.addData(rows.filter(_._1 <= split): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 > split): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(s"$base/labels", "batch=0").exists())
+    assert(new java.io.File(s"$base/labels", "batch=1").exists())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("kept"))
+    val streamed = spark.read.option("basePath", s"$base/labels")
+      .parquet(s"$base/labels")
+      .select("vec_id", "cluster_id", "kept").collect().map(key).toSet
+    val batch = graft.operators.Similarity.semanticDedup(spark, Sf)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the second batch must have seen cross-batch drop witnesses: at
+    // least one later-half row dropped against an earlier-half keeper
+    assert(streamed.exists(t => t._1 > split && !t._3),
+      "fixture delta must exercise the cross-batch drop path")
+  }
 }

@@ -701,6 +701,106 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // -------------------------------------------------- materialized IVF-PQ index
+
+  /** Materialized IVF-PQ index (the persisted FAISS IVFPQ artifact):
+    * inverted lists partitioned by coarse centroid whose payload is the
+    * PACKED PQ CODES (vec_id, pcode, xn) — never the float vectors —
+    * with both frozen quantizers alongside (`_centroids` for routing,
+    * `_codebooks` for compression). This combines the two materialized
+    * layouts' strengths: a query prunes to its probed lists at the
+    * parquet scan (IVF) AND each candidate read costs m byte-codes plus
+    * one double (PQ). At 100 TB this is the only index shape whose
+    * query-time I/O is small in BOTH dimensions — fraction of corpus
+    * touched and bytes per vector touched.
+    *
+    * Training is bounded by trainMaxVecIdExclusive (both quantizers, so
+    * a prefix-trained index covers later deltas under the
+    * train-once-append-forever contract: build(prefix) + append(rest) ==
+    * build(all), OperatorSpec pins it at the query level).
+    */
+  def buildIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
+                      nLists: Int = 16, coarseIters: Int = 2,
+                      m: Int = 8, subDim: Int = 8, ksub: Int = 16,
+                      pqIters: Int = 2,
+                      maxVecIdExclusive: Long = Long.MaxValue,
+                      trainMaxVecIdExclusive: Long = Long.MaxValue): String = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    require(ksub <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir).filter(col("vec_id") < maxVecIdExclusive)
+    val codes = vectorCodes(emb)
+    val trainCodes = codes.filter(col("vec_id") < trainMaxVecIdExclusive)
+    val coarse = trainCentroids(trainCodes, nLists, coarseIters)
+    val books = trainPqCodebooks(subCodes(trainCodes, m, subDim), ksub, pqIters)
+    val assign = nearestCentroid(scoreAgainstCentroids(codes, coarse))
+    pqEncode(subCodes(codes, m, subDim), books, ksub)
+      .join(assign.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
+    coarse.write.mode("overwrite").parquet(centroidsPath(indexDir).toString)
+    books.write.mode("overwrite").parquet(codebooksPath(indexDir).toString)
+    indexDir
+  }
+
+  /** Route + encode a vector delta (vec_id >= minVecId) with the index's
+    * FROZEN quantizers and append into the list partitions — O(delta),
+    * symmetric with appendToIvfIndex/appendToPqIndex. Re-training either
+    * quantizer on append would scatter existing vectors' neighbors
+    * across lists (coarse) or re-code the corpus (PQ).
+    */
+  def appendToIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
+                         minVecId: Long, m: Int = 8, subDim: Int = 8,
+                         ksub: Int = 16): String = {
+    registerFunctions(s)
+    val delta = embWithNorm(s, dir).filter(col("vec_id") >= minVecId)
+    val codes = vectorCodes(delta)
+    val coarse = s.read.parquet(centroidsPath(indexDir).toString)
+    val books = storedCodebooks(s, indexDir)
+    val assign = nearestCentroid(scoreAgainstCentroids(codes, coarse))
+    pqEncode(subCodes(codes, m, subDim), books, ksub)
+      .join(assign.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
+      .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
+    indexDir
+  }
+
+  /** ANN top-k over a prebuilt IVF-PQ index: only the query vectors
+    * touch the embeddings table (probe routing + luts, both bounded by
+    * the query set); the corpus side reads ONLY the probed lists'
+    * partitions, and only packed codes from them — broadcast probes,
+    * broadcast luts, codegen'd ADC fold, map-side-combining top-k. No
+    * corpus shuffle, no float vectors read, and most of the corpus not
+    * read at all. Same output contract as the inline ivfPqTopK when the
+    * index trained on the same slice (OperatorSpec pins equality).
+    */
+  def ivfPqTopKFromIndex(s: SparkSession, dir: String, indexDir: String,
+                         nQueries: Int = 10, k: Int = 5, nProbe: Int = 3,
+                         m: Int = 8, subDim: Int = 8,
+                         ksub: Int = 16): DataFrame = {
+    registerFunctions(s)
+    val queries = embWithNorm(s, dir).filter(col("vec_id") < nQueries)
+    val qCodes = vectorCodes(queries)
+    val coarse = s.read.parquet(centroidsPath(indexDir).toString)
+    val probes = scoreAgainstCentroids(qCodes, coarse)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cm").desc, col("centroid_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val lutArr = pqLuts(qCodes, subCodes(qCodes, m, subDim),
+      storedCodebooks(s, indexDir), nQueries, ksub)
+    // stream-built indexes carry a batch=<id> level; a candidate row is
+    // its list key plus the packed payload either way
+    val index = s.read.option("basePath", indexDir).parquet(indexDir)
+      .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
+    val scored = index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutArr), Seq("query_id"))
+      .withColumn("adc", expr(AdcExpr))
+      .withColumn("m", expr(AdcScoreExpr))
+    topKPerQuery(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the trained coarse
     * quantizer, then WITHIN each cluster drop every vector that has an

@@ -254,6 +254,44 @@ class OperatorSpec extends SparkTestBase {
     assert(viaFull.nonEmpty)
   }
 
+  test("materialized IVF-PQ index answers identically to the inline composition") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    Similarity.buildIvfPqIndex(spark, Sf, idx)
+    val fromIndex = Similarity.ivfPqTopKFromIndex(spark, Sf, idx).collect().toSeq
+    val inline = Similarity.ivfPqTopK(spark, Sf).collect().toSeq
+    assert(fromIndex == inline)
+    assert(inline.nonEmpty)
+    // both frozen quantizers persisted alongside, invisible to the scan
+    assert(new java.io.File(idx, "_centroids").exists())
+    assert(new java.io.File(idx, "_codebooks").exists())
+    // the payload is packed codes, never float vectors
+    val cols = spark.read.option("basePath", idx).parquet(idx).columns.toSet
+    assert(cols == Set("centroid_id", "vec_id", "pcode", "xn"))
+  }
+
+  test("IVF-PQ index: build(prefix) + append(rest) == build(all) with frozen quantizers") {
+    val full = java.nio.file.Files.createTempDirectory("ivfpqfull").toString
+    val inc = java.nio.file.Files.createTempDirectory("ivfpqinc").toString
+    val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
+    val split = maxVec * 4 / 5
+    Similarity.buildIvfPqIndex(spark, Sf, full, trainMaxVecIdExclusive = split)
+    Similarity.buildIvfPqIndex(spark, Sf, inc, maxVecIdExclusive = split,
+      trainMaxVecIdExclusive = split)
+    Similarity.appendToIvfPqIndex(spark, Sf, inc, minVecId = split)
+    val viaFull = Similarity.ivfPqTopKFromIndex(spark, Sf, full).collect().toSeq
+    val viaInc = Similarity.ivfPqTopKFromIndex(spark, Sf, inc).collect().toSeq
+    assert(viaInc == viaFull)
+    assert(viaFull.nonEmpty)
+    // the appended rows must actually land in multiple lists (routing
+    // happened against the frozen coarse quantizer, not a default list)
+    val incLists = spark.read.option("basePath", inc).parquet(inc)
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= split)
+      .select("centroid_id").distinct().count()
+    assert(incLists > 1)
+  }
+
   test("incremental semantic dedup equals the frozen-quantizer from-scratch run") {
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(

@@ -421,6 +421,41 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming IVF-PQ ingest answers identically to the batch-built index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sf = "/root/testdata/sf0.001"
+    val batchIdx = java.nio.file.Files.createTempDirectory("ivfpqbatch").toString
+    val streamIdx = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
+    graft.operators.Similarity.buildIvfPqIndex(spark, Sf, batchIdx)
+    // streaming side: stage BOTH frozen (full-corpus-trained) artifacts,
+    // then feed the corpus as two microbatches
+    graft.operators.Similarity.stageIvfQuantizer(spark, Sf, streamIdx)
+    graft.operators.Similarity.stagePqCodebooks(spark, Sf, streamIdx)
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val split = rows.map(_._1).max / 2
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IvfPqStream.start(
+      input.toDF().toDF("vec_id", "embedding"),
+      streamIdx, s"$streamIdx-ckpt")
+    try {
+      input.addData(rows.filter(_._1 <= split): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 > split): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(streamIdx, "batch=0").exists())
+    assert(new java.io.File(streamIdx, "batch=1").exists())
+    val viaStream = graft.operators.Similarity
+      .ivfPqTopKFromIndex(spark, Sf, streamIdx).collect().toSeq
+    val viaBatch = graft.operators.Similarity
+      .ivfPqTopKFromIndex(spark, Sf, batchIdx).collect().toSeq
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty)
+  }
+
   test("streaming semantic dedup labels identically to the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -217,6 +217,7 @@ object SparkEntry {
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
     "q_frame_features" -> (Multimodal.frameFeatures(_, _)),
+    "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
     // ---- deterministic sampling / dataset mixing ----
     "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
     "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _)),
@@ -1769,6 +1770,29 @@ object SparkEntry {
                 CAST(3 * (base + 8 * frame_idx) AS BIGINT) * width * height AS channel_sum,
                 CAST(base + 8 * frame_idx AS BIGINT) AS gray_level
          FROM sampled ORDER BY asset_id, frame_idx""",
+
+    // The Spark side writes a real RIFF/WAVE container per document
+    // (PCM16 mono square wave; rate/length/amplitude/half-period from
+    // md5(text) hex), then container-parses it back with javax.sound and
+    // computes signal stats from the decoded samples. The oracle predicts
+    // every decoded value from the generation formula — agreement proves
+    // the encode/parse/decode round-trip.
+    "q_audio_features" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         p AS (SELECT doc_id,
+                 8000 + (ascii(substr(hx, 1, 1)) % 8) * 1000 AS sample_rate,
+                 256 + (ascii(substr(hx, 2, 1)) % 16) * 64 AS n_samples,
+                 512 + (ascii(substr(hx, 3, 1)) % 32) * 1000 AS amp,
+                 1 + (ascii(substr(hx, 4, 1)) % 4) AS hp
+               FROM m)
+         SELECT doc_id AS asset_id,
+                CAST(sample_rate AS INTEGER) AS sample_rate,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+                CAST(amp AS BIGINT) AS peak,
+                CAST(amp AS BIGINT) * n_samples AS abs_sum,
+                CAST((n_samples - 1) // hp AS BIGINT) AS zero_crossings
+         FROM p ORDER BY asset_id""",
 
     "q_text_clean" ->
       """WITH c AS (SELECT doc_id, text,

@@ -359,4 +359,171 @@ object Multimodal {
           .as("channel_sum"),
         expr("CAST(base + 8 * frame_idx AS BIGINT)").as("gray_level"))
       .orderBy(col("asset_id"), col("frame_idx"))
+
+  /** Decoded-audio feature record (emitted by the real WAV decode).
+    * Everything comes from the parsed container + PCM frames: the rate
+    * and frame count from the header, the signal stats from the decoded
+    * 16-bit samples.
+    */
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      peak: Long,
+      abs_sum: Long,
+      zero_crossings: Long)
+
+  /** Internal generator record for audio assets (public for the same
+    * janino-accessor reason as AssetRow).
+    */
+  final case class AudioAssetRow(
+      asset_id: Long,
+      payload: Array[Byte],
+      n_samples: Long,
+      mime: String)
+
+  /** The audio generation formula, shared by the WAV generator, the
+    * predicted-features twin, and the DuckDB oracle. Hex chars 1-4 of
+    * md5(text) pick the sample rate, sample count, square-wave amplitude
+    * (512..31512 — always inside int16), and half-period (1..4 samples):
+    * sample i = amp when (i / hp) is even, else -amp.
+    */
+  private def audioDims(md5Hex: String): (Int, Int, Int, Int) = {
+    val rate = 8000 + (md5Hex.charAt(0).toInt % 8) * 1000
+    val n = 256 + (md5Hex.charAt(1).toInt % 16) * 64
+    val amp = 512 + (md5Hex.charAt(2).toInt % 32) * 1000
+    val hp = 1 + (md5Hex.charAt(3).toInt % 4)
+    (rate, n, amp, hp)
+  }
+
+  /** Audio asset table: payload = a REAL RIFF/WAVE container (PCM16
+    * mono little-endian, canonical 44-byte header) holding the
+    * content-addressed square wave. The writer emits the container
+    * byte-for-byte deterministically; `javax.sound` parses it back in
+    * decodeAudio, so generator and decoder cross-validate. Same
+    * per-partition state discipline as `assets`.
+    */
+  def audioAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"${b & 0xFF}%02x").mkString
+          val (rate, n, amp, hp) = audioDims(hex)
+          val dataSize = n * 2
+          val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)             // PCM, mono
+            .putInt(rate).putInt(rate * 2)       // sample rate, byte rate
+            .putShort(2).putShort(16)            // block align, bits/sample
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var i = 0
+          while (i < n) {
+            buf.putShort((if ((i / hp) % 2 == 0) amp else -amp).toShort)
+            i += 1
+          }
+          AudioAssetRow(id, buf.array(), n.toLong, "audio/wav")
+        }
+      }
+      .toDF()
+  }
+
+  /** Partition-batched REAL audio decode: the WAVE `AudioFileReader`
+    * SPI is resolved from the ServiceLoader registry ONCE per partition
+    * (the hidden per-call cost of the convenience
+    * `AudioSystem.getAudioInputStream`, which re-iterates providers on
+    * every invocation), then each payload is container-parsed and its
+    * PCM frames decoded into 16-bit samples for the feature pass.
+    */
+  def decodeAudio(s: SparkSession, dir: String): Dataset[AudioFeatures] = {
+    import s.implicits._
+    audioAssets(s, dir)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        import scala.jdk.CollectionConverters._
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toList
+        rows.map { case (id, payload) =>
+          val in = new java.io.ByteArrayInputStream(payload)
+          val ais = readers.view.flatMap { r =>
+            in.reset()
+            try Some(r.getAudioInputStream(in))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            }
+          }.headOption.getOrElse(
+            sys.error(s"asset $id: payload is not a decodable audio container"))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"asset $id: expected PCM16 mono, got $fmt")
+            val rate = fmt.getSampleRate.toInt
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var absSum = 0L
+            var peak = 0L
+            var crossings = 0L
+            var prev = 0
+            var i = 0
+            while (i < n) {
+              val sample = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF))
+              val a = math.abs(sample.toLong)
+              absSum += a
+              if (a > peak) peak = a
+              if (i > 0 && ((sample < 0) != (prev < 0))) crossings += 1
+              prev = sample
+              i += 1
+            }
+            AudioFeatures(id, rate, n.toLong, n.toLong * 1000L / rate,
+              peak, absSum, crossings)
+          } finally ais.close()
+        }
+      }
+  }
+
+  /** Decoded audio features as a DataFrame query surface
+    * (q_audio_features): every value comes out of the real WAV parse —
+    * rate from the header, stats from decoded PCM samples.
+    */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeAudio(s, dir).toDF()
+      .orderBy(col("asset_id"))
+
+  /** The generation-formula twin of `audioFeatures` — pure columns, no
+    * WAV round-trip — what the DuckDB oracle evaluates. OperatorSpec
+    * pins decode == prediction row for row, proving the RIFF encode /
+    * container parse / PCM decode is faithful. The square wave flips
+    * sign at every half-period boundary, so crossings = (n-1) div hp.
+    */
+  def predictedAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .withColumn("hx", expr("md5(coalesce(text, ''))"))
+      .select(
+        col("doc_id").as("asset_id"),
+        expr("CAST(8000 + (ascii(substr(hx, 1, 1)) % 8) * 1000 AS INT)")
+          .as("sample_rate"),
+        expr("CAST(256 + (ascii(substr(hx, 2, 1)) % 16) * 64 AS BIGINT)")
+          .as("n_samples"),
+        expr("""CAST((256 + (ascii(substr(hx, 2, 1)) % 16) * 64) * 1000
+                DIV (8000 + (ascii(substr(hx, 1, 1)) % 8) * 1000) AS BIGINT)""")
+          .as("duration_ms"),
+        expr("CAST(512 + (ascii(substr(hx, 3, 1)) % 32) * 1000 AS BIGINT)")
+          .as("peak"),
+        expr("""CAST(512 + (ascii(substr(hx, 3, 1)) % 32) * 1000 AS BIGINT)
+                * (256 + (ascii(substr(hx, 2, 1)) % 16) * 64)""")
+          .as("abs_sum"),
+        expr("""CAST((256 + (ascii(substr(hx, 2, 1)) % 16) * 64 - 1)
+                DIV (1 + (ascii(substr(hx, 4, 1)) % 4)) AS BIGINT)""")
+          .as("zero_crossings"))
+      .orderBy(col("asset_id"))
 }

@@ -907,6 +907,23 @@ object SqlFrontDoor {
                 CAST(max(cents) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_cents
          FROM g ORDER BY user_id, event_id""",
 
+    "q_audio_features" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         p AS (SELECT doc_id,
+                 8000 + (ascii(substr(hx, 1, 1)) % 8) * 1000 AS sample_rate,
+                 256 + (ascii(substr(hx, 2, 1)) % 16) * 64 AS n_samples,
+                 512 + (ascii(substr(hx, 3, 1)) % 32) * 1000 AS amp,
+                 1 + (ascii(substr(hx, 4, 1)) % 4) AS hp
+               FROM m)
+         SELECT doc_id AS asset_id,
+                CAST(sample_rate AS INT) AS sample_rate,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST(n_samples * 1000 DIV sample_rate AS BIGINT) AS duration_ms,
+                CAST(amp AS BIGINT) AS peak,
+                CAST(amp AS BIGINT) * n_samples AS abs_sum,
+                CAST((n_samples - 1) DIV hp AS BIGINT) AS zero_crossings
+         FROM p ORDER BY asset_id""",
+
     "q_frame_features" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
          p AS (SELECT doc_id,

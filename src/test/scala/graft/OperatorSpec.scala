@@ -1001,6 +1001,23 @@ class OperatorSpec extends SparkTestBase {
     assert(drops > 0, "fixture must exercise the drop path")
   }
 
+  test("multimodal: real WAV decode matches the generation-formula prediction") {
+    // end-to-end proof the payloads are faithful audio containers: the
+    // generator writes a real RIFF/WAVE file, javax.sound parses it, and
+    // every decoded feature equals what the md5-derived formula (and
+    // thus the DuckDB oracle) predicts
+    val decoded = Multimodal.audioFeatures(spark, Sf).collect()
+    val predicted = Multimodal.predictedAudioFeatures(spark, Sf).collect()
+    assert(decoded.length == predicted.length && decoded.nonEmpty)
+    decoded.zip(predicted).foreach { case (d, p) =>
+      assert(d.toSeq == p.toSeq, s"decoded $d != predicted $p")
+    }
+    // the fixture must span the formula's range: several rates and
+    // half-periods, so the crossings path is exercised beyond hp=1
+    val rates = decoded.map(_.getAs[Int]("sample_rate")).distinct
+    assert(rates.length > 1)
+  }
+
   test("multimodal: real PNG decode matches the generation-formula prediction") {
     // end-to-end proof the payloads are faithful images: generator writes
     // a real PNG, ImageIO decodes it, and every decoded feature equals

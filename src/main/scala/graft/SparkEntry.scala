@@ -103,6 +103,7 @@ object SparkEntry {
     "q_join_brand_revenue" -> (Analytics.brandRevenue(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
+    "q_token_estimate" -> (TextAnalysis.tokenEstimate(_, _)),
     "q_text_quality" -> (TextAnalysis.qualityScore(_, _)),
     "q_text_clean" -> (TextAnalysis.cleanText(_, _)),
     "q_lang_id" -> (TextAnalysis.langId(_, _)),
@@ -1008,6 +1009,26 @@ object SparkEntry {
                + CAST(len(toks) AS BIGINT))
               // (2 * CAST(len(toks) AS BIGINT)) AS BIGINT) AS avg_token_len_1e4
          FROM t ORDER BY doc_id""",
+
+    // The GPT-2-ish pre-tokenizer pattern runs verbatim on both engines
+    // (no lookahead — RE2 rejects lookaround); the contraction quote is
+    // ''-escaped here and lives in a double-quoted literal on the Spark
+    // side. chars_per_bpe is half-up ten-thousandths, pure integer.
+    "q_token_estimate" ->
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+           regexp_extract_all(coalesce(text, ''),
+             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+') AS bpe
+           FROM documents),
+         c AS (SELECT doc_id, t,
+           CAST(len(list_filter(bpe, x -> NOT regexp_matches(x, '^\s+$'))) AS BIGINT) AS nb
+           FROM b)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_ws_tokens,
+           nb AS n_bpe_tokens,
+           CASE WHEN nb > 0 THEN
+             CAST((20000 * CAST(length(t) AS BIGINT) + nb) // (2 * nb) AS BIGINT)
+           ELSE NULL END AS chars_per_bpe_1e4
+         FROM c ORDER BY doc_id""",
 
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),

@@ -1053,29 +1053,72 @@ object Similarity {
     * restores it, so a crashed compaction self-heals on the next call.
     */
   def compactIvfIndex(s: SparkSession, indexDir: String,
-                      targetFileBytes: Long = 128L * 1024 * 1024): String = {
+                      targetFileBytes: Long = 128L * 1024 * 1024): String =
+    compactIndexDir(s, indexDir, targetFileBytes,
+      Seq("centroid_id", "vec_id", "embedding", "vnorm"),
+      partitionCol = Some("centroid_id"), artifacts = Seq("_centroids"))
+
+  /** compactIvfIndex's sibling for the PQ index layout (flat packed-code
+    * table, `_codebooks` carried across) — the maintenance step after
+    * PqStream batches or repeated appendToPqIndex calls stack files.
+    * Same swap discipline, single-writer contract, and crash recovery.
+    */
+  def compactPqIndex(s: SparkSession, indexDir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): String =
+    compactIndexDir(s, indexDir, targetFileBytes,
+      Seq("vec_id", "pcode", "xn"),
+      partitionCol = None, artifacts = Seq("_codebooks"))
+
+  /** compactIvfIndex's sibling for the IVF-PQ layout (packed codes inside
+    * centroid_id-partitioned lists, BOTH frozen artifacts carried across).
+    */
+  def compactIvfPqIndex(s: SparkSession, indexDir: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): String =
+    compactIndexDir(s, indexDir, targetFileBytes,
+      Seq("centroid_id", "vec_id", "pcode", "xn"),
+      partitionCol = Some("centroid_id"),
+      artifacts = Seq("_centroids", "_codebooks"))
+
+  /** Shared compaction engine for every materialized index layout:
+    * rewrite the data files at ~targetFileBytes (keeping the partition
+    * layout when the index has one), carry the underscore-prefixed
+    * frozen artifacts across, then swap via the temp-dir + rename
+    * discipline. Rows only move between files, never between lists, so
+    * query results are identical before and after. Single WRITER, no
+    * concurrent readers during the final swap; a crash mid-swap strands
+    * the index at `.compact-old` and recoverIndexDir (run first on every
+    * call) restores it — self-healing on the next compaction.
+    */
+  private def compactIndexDir(s: SparkSession, indexDir: String,
+                              targetFileBytes: Long, cols: Seq[String],
+                              partitionCol: Option[String],
+                              artifacts: Seq[String]): String = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val conf = s.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    recoverIvfIndex(s, indexDir)
+    recoverIndexDir(s, indexDir)
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact-tmp")
-    s.read.parquet(indexDir)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
-      .repartition(nFiles, col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp.toString)
-    val cents = centroidsPath(indexDir)
-    if (fs.exists(cents))
-      org.apache.hadoop.fs.FileUtil.copy(fs, cents, fs,
-        new org.apache.hadoop.fs.Path(tmp, "_centroids"), false, conf)
+    val data = s.read.parquet(indexDir).select(cols.map(col): _*)
+    (partitionCol match {
+      case Some(pc) => data.repartition(nFiles, col(pc))
+        .write.mode("overwrite").partitionBy(pc)
+      case None => data.repartition(nFiles).write.mode("overwrite")
+    }).parquet(tmp.toString)
+    for (a <- artifacts) {
+      val ap = new org.apache.hadoop.fs.Path(p, a)
+      if (fs.exists(ap))
+        org.apache.hadoop.fs.FileUtil.copy(fs, ap, fs,
+          new org.apache.hadoop.fs.Path(tmp, a), false, conf)
+    }
     val old = new org.apache.hadoop.fs.Path(indexDir + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(p, old))
-      sys.error(s"compactIvfIndex: could not move $indexDir aside; index untouched")
+      sys.error(s"compactIndexDir: could not move $indexDir aside; index untouched")
     if (!fs.rename(tmp, p)) {
       fs.rename(old, p) // never leave the index path nonexistent
-      sys.error(s"compactIvfIndex: swap failed for $indexDir; original restored")
+      sys.error(s"compactIndexDir: swap failed for $indexDir; original restored")
     }
     fs.delete(old, true)
     indexDir
@@ -1088,13 +1131,20 @@ object Similarity {
     * a successful restore) is deleted; the next compaction rebuilds it.
     * Idempotent and a no-op on a healthy index.
     */
-  def recoverIvfIndex(s: SparkSession, indexDir: String): Unit = {
+  def recoverIvfIndex(s: SparkSession, indexDir: String): Unit =
+    recoverIndexDir(s, indexDir)
+
+  /** Layout-agnostic form of [[recoverIvfIndex]] (the recovery rules
+    * never look inside the data files, so one implementation serves the
+    * IVF, PQ, and IVF-PQ layouts).
+    */
+  def recoverIndexDir(s: SparkSession, indexDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(indexDir + ".compact-old")
     if (fs.exists(old) && !fs.exists(p)) {
       if (!fs.rename(old, p))
-        sys.error(s"recoverIvfIndex: found stranded $old but could not restore it to $indexDir")
+        sys.error(s"recoverIndexDir: found stranded $old but could not restore it to $indexDir")
     }
     val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact-tmp")
     if (fs.exists(p) && fs.exists(tmp)) fs.delete(tmp, true)

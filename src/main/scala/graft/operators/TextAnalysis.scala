@@ -46,6 +46,50 @@ object TextAnalysis {
                div (2 * CAST(size(toks) AS BIGINT)) AS BIGINT)""").as("avg_token_len_1e4"))
       .orderBy(col("doc_id"))
 
+  /** GPT-2-style pre-tokenizer pieces (the BPE-ish regex a token-budget
+    * estimator runs before any merge table exists): contraction
+    * suffixes, optionally space-prefixed letter / digit / punctuation
+    * runs, residual whitespace runs. The upstream pattern's trailing-
+    * space lookahead is dropped — RE2 (the oracle engine) rejects
+    * lookaround, and the count is lookahead-invariant for the piece
+    * classes kept here. Double-quoted SQL literal: the pattern itself
+    * contains a single quote.
+    */
+  val BpePiecesExpr: String =
+    """regexp_extract_all(coalesce(text, ''),
+       "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}']+|\\s+", 0)"""
+
+  /** Token-COUNT estimation for budget planning: the naive whitespace
+    * split next to the BPE-ish pre-tokenizer piece count, plus the
+    * chars-per-piece compression rate (ten-thousandths, half-up — the
+    * number a 100 TB token-budget plan divides corpus bytes by).
+    * Map-side only: one regex pass per document, no shuffle beyond the
+    * final presentation sort.
+    */
+  def tokenEstimate(s: SparkSession, dir: String): DataFrame =
+    tokenEstimateOf(Tables.spread(s, dir, "documents"))
+
+  /** [[tokenEstimate]] over an explicit (doc_id, text) frame — the form
+    * specs pin exact piece counts on (the parquet fixture is bare
+    * lowercase words, which never exercises the punctuation / digit /
+    * contraction splits).
+    */
+  private[graft] def tokenEstimateOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bpe", expr(BpePiecesExpr))
+      .withColumn("n_bpe",
+        expr("""CAST(size(filter(bpe, t -> NOT (t RLIKE '^\\s+$'))) AS BIGINT)"""))
+      .select(
+        col("doc_id"),
+        expr("""CAST(size(regexp_extract_all(coalesce(text, ''), '\\S+', 0)) AS BIGINT)""")
+          .as("n_ws_tokens"),
+        col("n_bpe").as("n_bpe_tokens"),
+        expr("""CASE WHEN n_bpe > 0 THEN
+                  CAST((20000 * CAST(length(coalesce(text, '')) AS BIGINT)
+                        + n_bpe) div (2 * n_bpe) AS BIGINT)
+                ELSE NULL END""").as("chars_per_bpe_1e4"))
+      .orderBy(col("doc_id"))
+
   /** Quality-score building blocks, shared by [[qualityScore]] and
     * [[calibrateQuality]] so the two can never drift. Each expects the
     * `toks` column from [[TokensExpr]] in scope.

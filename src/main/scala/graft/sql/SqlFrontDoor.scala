@@ -924,6 +924,22 @@ object SqlFrontDoor {
                 CAST((n_samples - 1) DIV hp AS BIGINT) AS zero_crossings
          FROM p ORDER BY asset_id""",
 
+    "q_token_estimate" ->
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS t,
+           regexp_extract_all(coalesce(text, ''),
+             "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}']+|\\s+", 0) AS bpe
+           FROM documents),
+         c AS (SELECT doc_id, t,
+           CAST(size(filter(bpe, x -> NOT (x RLIKE '^\\s+$'))) AS BIGINT) AS nb
+           FROM b)
+         SELECT doc_id,
+           CAST(size(regexp_extract_all(t, '\\S+', 0)) AS BIGINT) AS n_ws_tokens,
+           nb AS n_bpe_tokens,
+           CASE WHEN nb > 0 THEN
+             CAST((20000 * CAST(length(t) AS BIGINT) + nb) DIV (2 * nb) AS BIGINT)
+           ELSE NULL END AS chars_per_bpe_1e4
+         FROM c ORDER BY doc_id""",
+
     "q_frame_features" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
          p AS (SELECT doc_id,

@@ -1001,6 +1001,39 @@ class OperatorSpec extends SparkTestBase {
     assert(drops > 0, "fixture must exercise the drop path")
   }
 
+  test("token estimate: BPE pieces refine the whitespace split") {
+    val rows = TextAnalysis.tokenEstimate(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getAs[Long]("n_ws_tokens")
+      val bpe = r.getAs[Long]("n_bpe_tokens")
+      // every whitespace-delimited token yields at least one non-space
+      // piece, so the pre-tokenizer can only split further
+      assert(bpe >= ws, s"doc ${r.getAs[Long]("doc_id")}: bpe $bpe < ws $ws")
+      if (bpe > 0) {
+        val cpb = r.getAs[Long]("chars_per_bpe_1e4")
+        assert(cpb >= 10000L, s"a piece is at least one char, got $cpb")
+      } else assert(r.isNullAt(r.fieldIndex("chars_per_bpe_1e4")))
+    }
+    // the parquet fixture is bare lowercase words (bpe == ws there), so
+    // the refinement semantics are pinned exactly on a crafted fixture:
+    // contraction suffix, punctuation runs, and digits each split off
+    import spark.implicits._
+    val crafted = TextAnalysis.tokenEstimateOf(
+      Seq((1L, "don't stop, world! 42 times."), (2L, null: String))
+        .toDF("doc_id", "text")).collect()
+    val r1 = crafted.find(_.getLong(0) == 1L).get
+    // pieces: don | 't | _stop | , | _world | ! | _42 | _times | .
+    assert(r1.getAs[Long]("n_ws_tokens") == 5L)
+    assert(r1.getAs[Long]("n_bpe_tokens") == 9L)
+    // 28 chars / 9 pieces, half-up ten-thousandths
+    assert(r1.getAs[Long]("chars_per_bpe_1e4") == 31111L)
+    val r2 = crafted.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Long]("n_ws_tokens") == 0L &&
+      r2.getAs[Long]("n_bpe_tokens") == 0L &&
+      r2.isNullAt(r2.fieldIndex("chars_per_bpe_1e4")))
+  }
+
   test("multimodal: real WAV decode matches the generation-formula prediction") {
     // end-to-end proof the payloads are faithful audio containers: the
     // generator writes a real RIFF/WAVE file, javax.sound parses it, and

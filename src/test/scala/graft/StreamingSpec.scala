@@ -357,6 +357,15 @@ class StreamingSpec extends SparkTestBase {
       .pqTopKFromIndex(spark, Sf, batchIdx).collect().toSeq
     assert(viaStream == viaBatch)
     assert(viaStream.nonEmpty)
+    // maintenance: compacting the streamed batch=N layout to a flat
+    // packed-code table keeps the frozen codebooks and every answer
+    graft.operators.Similarity.compactPqIndex(spark, streamIdx)
+    val top = new java.io.File(streamIdx).listFiles().map(_.getName)
+    assert(!top.exists(_.startsWith("batch=")))
+    assert(top.contains("_codebooks"))
+    val viaCompacted = graft.operators.Similarity
+      .pqTopKFromIndex(spark, Sf, streamIdx).collect().toSeq
+    assert(viaCompacted == viaBatch)
   }
 
   test("streaming packing: offset-continued batches merge to the batch answer") {
@@ -454,6 +463,16 @@ class StreamingSpec extends SparkTestBase {
       .ivfPqTopKFromIndex(spark, Sf, batchIdx).collect().toSeq
     assert(viaStream == viaBatch)
     assert(viaStream.nonEmpty)
+    // maintenance: compacting the streamed batch=N layout back to flat
+    // per-list files keeps both frozen artifacts and every answer
+    graft.operators.Similarity.compactIvfPqIndex(spark, streamIdx)
+    val top = new java.io.File(streamIdx).listFiles().map(_.getName)
+    assert(!top.exists(_.startsWith("batch=")))
+    assert(top.exists(_.startsWith("centroid_id=")))
+    assert(top.contains("_centroids") && top.contains("_codebooks"))
+    val viaCompacted = graft.operators.Similarity
+      .ivfPqTopKFromIndex(spark, Sf, streamIdx).collect().toSeq
+    assert(viaCompacted == viaBatch)
   }
 
   test("streaming semantic dedup labels identically to the batch operator") {

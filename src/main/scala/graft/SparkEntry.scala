@@ -212,6 +212,9 @@ object SparkEntry {
       Similarity.semanticDedupIncremental(s, d, qdir, split, prior,
         thresholdMicros = SemDedup.thresholdMicros)
     }),
+    "q_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d,
+      nLists = SemDedup.nLists, iters = SemDedup.iters,
+      perCluster = ClusterSample.perCluster)),
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
@@ -443,6 +446,14 @@ object SparkEntry {
     // bar for the data's distribution (a production corpus with true
     // near-dups would run 0.9+)
     val iters = 2; val nLists = 16; val thresholdMicros = 400000L
+  }
+
+  /** Cluster-balanced sampling quota — shared by the operator call, the
+    * DuckDB oracle, and the SqlFrontDoor twin (one parameter source, per
+    * the round-6 advisory on the trained-IVF twin).
+    */
+  private[graft] object ClusterSample {
+    val perCluster = 12
   }
 
   /** DuckDB twin of Similarity.semanticDedup: the shared trained-quantizer
@@ -1741,6 +1752,20 @@ object SparkEntry {
     "q_semantic_dedup_incremental" -> semanticDedupSql(
       SemDedup.iters, SemDedup.nLists, SemDedup.thresholdMicros,
       trainFilterSql = "vec_id < (SELECT max(vec_id) * 4 // 5 FROM embeddings)"),
+
+    // same frozen k-means chain as q_semantic_dedup (trainedAssignCtes
+    // recomputes the clusters bit-for-bit), then an equal per-cluster
+    // quota picked in content-hash order
+    "q_cluster_sample" ->
+      (trainedAssignCtes(SemDedup.iters, SemDedup.nLists) +
+        s""",
+           ranked AS (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY centroid_id
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                      FROM assignF)
+           SELECT vec_id, centroid_id AS cluster_id, CAST(rn AS BIGINT) AS sample_rank
+           FROM ranked WHERE rn <= ${ClusterSample.perCluster}
+           ORDER BY vec_id"""),
 
     "q_embed_nearest_in_label" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

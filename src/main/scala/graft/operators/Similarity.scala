@@ -701,6 +701,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Cluster-balanced (diversity-preserving) subset selection: assign
+    * every vector to a trained k-means cluster, then keep the
+    * `perCluster` members with the smallest content hash — an equal
+    * quota per region of embedding space, so the sample preserves
+    * coverage instead of mirroring the corpus's density skew (the
+    * cluster-balanced selection shape from the SemDeDup / DoReMi line
+    * of work). The within-cluster pick is md5(vec_id)-ordered: no RNG
+    * state, reproducible across engines, reruns, and repartitionings —
+    * the Sampling-module discipline.
+    *
+    * Scale shape: one corpus pass per training iteration (broadcast
+    * centroids), one assignment pass, then a single shuffle on
+    * cluster_id for the quota window — whose per-partition sort is
+    * bounded by cluster size, with nLists ∝ corpus the same lever that
+    * bounds semanticDedup's clusters.
+    */
+  def clusterBalancedSample(s: SparkSession, dir: String, nLists: Int = 16,
+                            iters: Int = 2, perCluster: Int = 12): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val codes = vectorCodes(embWithNorm(s, dir))
+    val centroids = trainCentroids(codes, nLists, iters)
+    nearestCentroid(scoreAgainstCentroids(codes, centroids))
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))))
+      .filter(col("rn") <= perCluster)
+      .select(col("vec_id"), col("cluster_id"),
+        col("rn").cast("bigint").as("sample_rank"))
+      .orderBy(col("vec_id"))
+  }
+
   // -------------------------------------------------- materialized IVF-PQ index
 
   /** Materialized IVF-PQ index (the persisted FAISS IVFPQ artifact):

@@ -534,6 +534,18 @@ object SqlFrontDoor {
       graft.SparkEntry.SemDedup.thresholdMicros,
       trainFilterSql = "vec_id < (SELECT max(vec_id) * 4 div 5 FROM embeddings)"),
 
+    "q_cluster_sample" ->
+      (trainedAssignCtes(graft.SparkEntry.SemDedup.iters,
+        graft.SparkEntry.SemDedup.nLists) +
+        s""",
+           ranked AS (SELECT vec_id, centroid_id,
+                      row_number() OVER (PARTITION BY centroid_id
+                        ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS rn
+                      FROM assignF)
+           SELECT vec_id, centroid_id AS cluster_id, CAST(rn AS BIGINT) AS sample_rank
+           FROM ranked WHERE rn <= ${graft.SparkEntry.ClusterSample.perCluster}
+           ORDER BY vec_id"""),
+
     // ASOF JOIN has no Spark SQL surface; same semantics via the latest
     // order at-or-before each event (dedup makes (custkey, orderdate)
     // unique, so the DESC pick is deterministic).

@@ -292,6 +292,23 @@ class OperatorSpec extends SparkTestBase {
     assert(incLists > 1)
   }
 
+  test("cluster-balanced sample: per-cluster quota, content-hash determinism") {
+    val rows = Similarity.clusterBalancedSample(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    // quota respected everywhere, and the fixture is dense enough that
+    // some cluster actually hits it (otherwise nothing was balanced)
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length <= 12, s"cluster $c exceeded quota: ${rs.length}")
+      assert(rs.map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq, s"cluster $c ranks not contiguous")
+    }
+    assert(byCluster.values.exists(_.length == 12))
+    // deterministic: a rerun picks the identical subset
+    val again = Similarity.clusterBalancedSample(spark, Sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("incremental semantic dedup equals the frozen-quantizer from-scratch run") {
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(

@@ -212,6 +212,9 @@ object SparkEntry {
       Similarity.semanticDedupIncremental(s, d, qdir, split, prior,
         thresholdMicros = SemDedup.thresholdMicros)
     }),
+    "q_hybrid_search" -> ((s, d) => Retrieval.hybridTopK(s, d,
+      nQueries = Hybrid.nQueries, candK = Hybrid.candK, k = Hybrid.k,
+      rrfK = Hybrid.rrfK, maxDf = Hybrid.maxDf)),
     "q_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d,
       nLists = SemDedup.nLists, iters = SemDedup.iters,
       perCluster = ClusterSample.perCluster)),
@@ -454,6 +457,14 @@ object SparkEntry {
     */
   private[graft] object ClusterSample {
     val perCluster = 12
+  }
+
+  /** Hybrid-retrieval parameters — one source for operator, oracle, and
+    * front-door twin.
+    */
+  private[graft] object Hybrid {
+    val nQueries = 10; val candK = 20; val k = 10; val rrfK = 60
+    val maxDf = 100
   }
 
   /** DuckDB twin of Similarity.semanticDedup: the shared trained-quantizer
@@ -1752,6 +1763,52 @@ object SparkEntry {
     "q_semantic_dedup_incremental" -> semanticDedupSql(
       SemDedup.iters, SemDedup.nLists, SemDedup.thresholdMicros,
       trainFilterSql = "vec_id < (SELECT max(vec_id) * 4 // 5 FROM embeddings)"),
+
+    // two integer-exact channels — rarity-weighted (1e6 div df) shared
+    // distinct tokens through the inverted index, exact micro-cosine
+    // top-k — fused by reciprocal-rank fusion (1e6 div (60 + rank))
+    "q_hybrid_search" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+                        (SELECT doc_id, unnest($Toks) AS tok FROM documents)),
+         w AS (SELECT tok, CAST(1000000 // count(*) AS BIGINT) AS w
+               FROM toks GROUP BY tok HAVING count(*) <= ${Hybrid.maxDf}),
+         idx AS (SELECT t.doc_id, t.tok, w.w FROM toks t JOIN w USING (tok)),
+         qt AS (SELECT doc_id AS query_id, tok FROM idx
+                WHERE doc_id < ${Hybrid.nQueries}),
+         lex AS (SELECT q.query_id, i.doc_id, sum(i.w) AS lex_score
+                 FROM idx i JOIN qt q USING (tok)
+                 WHERE i.doc_id <> q.query_id
+                 GROUP BY q.query_id, i.doc_id),
+         lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+                  SELECT query_id, doc_id,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+                  FROM lex) WHERE lex_rank <= ${Hybrid.candK}),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${Hybrid.nQueries}),
+         vs AS (SELECT query_id, vec_id AS doc_id,
+                ${cosMicrosSql("qv", "v")} AS m
+                FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         vr AS (SELECT query_id, doc_id, vec_rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY m DESC, doc_id) AS BIGINT) AS vec_rank
+                FROM vs) WHERE vec_rank <= ${Hybrid.candK}),
+         f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                      coalesce(l.doc_id, v.doc_id) AS doc_id,
+                      l.lex_rank, v.vec_rank,
+                      coalesce(CAST(1000000 // (${Hybrid.rrfK} + l.lex_rank) AS BIGINT), 0)
+                        + coalesce(CAST(1000000 // (${Hybrid.rrfK} + v.vec_rank) AS BIGINT), 0)
+                        AS rrf_micro
+               FROM lexr l FULL OUTER JOIN vr v
+                 ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         SELECT query_id, rank, doc_id, rrf_micro, lex_rank, vec_rank FROM (
+           SELECT query_id, doc_id, rrf_micro, lex_rank, vec_rank,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+           FROM f) WHERE rank <= ${Hybrid.k}
+         ORDER BY query_id, rank""",
 
     // same frozen k-means chain as q_semantic_dedup (trainedAssignCtes
     // recomputes the clusters bit-for-bit), then an equal per-cluster

@@ -534,6 +534,51 @@ object SqlFrontDoor {
       graft.SparkEntry.SemDedup.thresholdMicros,
       trainFilterSql = "vec_id < (SELECT max(vec_id) * 4 div 5 FROM embeddings)"),
 
+    "q_hybrid_search" -> {
+      val H = graft.SparkEntry.Hybrid
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+                        (SELECT doc_id, explode($toksSql) AS tok FROM documents)),
+         w AS (SELECT tok, CAST(1000000 DIV count(*) AS BIGINT) AS w
+               FROM toks GROUP BY tok HAVING count(*) <= ${H.maxDf}),
+         idx AS (SELECT t.doc_id, t.tok, w.w FROM toks t JOIN w USING (tok)),
+         qt AS (SELECT doc_id AS query_id, tok FROM idx
+                WHERE doc_id < ${H.nQueries}),
+         lex AS (SELECT q.query_id, i.doc_id, sum(i.w) AS lex_score
+                 FROM idx i JOIN qt q USING (tok)
+                 WHERE i.doc_id <> q.query_id
+                 GROUP BY q.query_id, i.doc_id),
+         lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+                  SELECT query_id, doc_id,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+                  FROM lex) WHERE lex_rank <= ${H.candK}),
+         e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${H.nQueries}),
+         vs AS (SELECT query_id, vec_id AS doc_id,
+                ${cosMicrosSql("qv", "v")} AS m
+                FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         vr AS (SELECT query_id, doc_id, vec_rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY m DESC, doc_id) AS BIGINT) AS vec_rank
+                FROM vs) WHERE vec_rank <= ${H.candK}),
+         f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                      coalesce(l.doc_id, v.doc_id) AS doc_id,
+                      l.lex_rank, v.vec_rank,
+                      coalesce(CAST(1000000 DIV (${H.rrfK} + l.lex_rank) AS BIGINT), 0L)
+                        + coalesce(CAST(1000000 DIV (${H.rrfK} + v.vec_rank) AS BIGINT), 0L)
+                        AS rrf_micro
+               FROM lexr l FULL OUTER JOIN vr v
+                 ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         SELECT query_id, rank, doc_id, rrf_micro, lex_rank, vec_rank FROM (
+           SELECT query_id, doc_id, rrf_micro, lex_rank, vec_rank,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+           FROM f) WHERE rank <= ${H.k}
+         ORDER BY query_id, rank"""
+    },
+
     "q_cluster_sample" ->
       (trainedAssignCtes(graft.SparkEntry.SemDedup.iters,
         graft.SparkEntry.SemDedup.nLists) +

@@ -292,6 +292,29 @@ class OperatorSpec extends SparkTestBase {
     assert(incLists > 1)
   }
 
+  test("hybrid search: RRF fuses the lexical and vector channels") {
+    val rows = Retrieval.hybridTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.length <= 10, s"query $q returned ${rs.length} rows")
+      rs.foreach { r =>
+        val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.longValue)
+        val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.longValue)
+        assert(lex.nonEmpty || vec.nonEmpty)
+        val expected = lex.map(l => 1000000L / (60 + l)).getOrElse(0L) +
+          vec.map(v => 1000000L / (60 + v)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_micro") == expected)
+      }
+    }
+    // fusion must actually fuse: some result is endorsed by BOTH channels,
+    // and such results carry strictly higher scores than a same-rank
+    // single-channel hit could reach
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank"))))
+  }
+
   test("cluster-balanced sample: per-cluster quota, content-hash determinism") {
     val rows = Similarity.clusterBalancedSample(spark, Sf).collect()
     assert(rows.nonEmpty)

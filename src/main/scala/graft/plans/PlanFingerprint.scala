@@ -77,9 +77,22 @@ object PlanFingerprint {
     (digestOf(tree), summaryOf(tree))
   }
 
-  /** (query, digest, summary) for every Bench.Headline query. */
+  /** Plan-guarded query set: the bench headliners plus the heavyweight
+    * composite operators (iterative training, multi-channel fusion,
+    * cluster machinery) whose plans would otherwise regress silently —
+    * they are too slow-moving for the bench but exactly the ones where
+    * an accidental sort/shuffle matters most at 100 TB.
+    */
+  val Guarded: Seq[String] = Bench.Headline ++ Seq(
+    "q_dup_clusters",
+    "q_semantic_dedup",
+    "q_ann_ivfpq_topk",
+    "q_cluster_sample",
+    "q_hybrid_search")
+
+  /** (query, digest, summary) for every Guarded query. */
   def compute(spark: SparkSession, sfDir: String): Seq[(String, String, String)] =
-    Bench.Headline.map { name =>
+    Guarded.map { name =>
       val (d, s) = fingerprint(spark, sfDir, name)
       (name, d, s)
     }

@@ -2,7 +2,7 @@ package graft
 
 import graft.plans.PlanFingerprint
 
-/** The bench guard's spec half: every headline query's static physical
+/** The bench guard's spec half: every guarded query's static physical
   * plan must match the checked-in fingerprint. A failure here means a
   * code change altered a benchmark plan — if intentional, regenerate with
   * `runMain graft.tools.BenchGuard --write` and commit the diff; if not,
@@ -12,13 +12,13 @@ class PlanFingerprintSpec extends SparkTestBase {
 
   private lazy val pinned = PlanFingerprint.read(PlanFingerprint.DefaultFile)
 
-  test("fingerprint file covers exactly the headline queries") {
-    assert(pinned.keySet == Bench.Headline.toSet,
+  test("fingerprint file covers exactly the guarded queries") {
+    assert(pinned.keySet == PlanFingerprint.Guarded.toSet,
       s"stale fingerprint file — rerun BenchGuard --write " +
-        s"(missing: ${Bench.Headline.filterNot(pinned.contains).mkString(",")})")
+        s"(missing: ${PlanFingerprint.Guarded.filterNot(pinned.contains).mkString(",")})")
   }
 
-  for (name <- Bench.Headline) {
+  for (name <- PlanFingerprint.Guarded) {
     test(s"plan fingerprint unchanged: $name") {
       val (now, nowSummary) = PlanFingerprint.fingerprint(spark, Sf, name)
       val (want, wantSummary) = pinned(name)

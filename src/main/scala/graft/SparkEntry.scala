@@ -215,6 +215,9 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, d) => Retrieval.hybridTopK(s, d,
       nQueries = Hybrid.nQueries, candK = Hybrid.candK, k = Hybrid.k,
       rrfK = Hybrid.rrfK, maxDf = Hybrid.maxDf)),
+    "q_bm25_search" -> ((s, d) => Retrieval.bm25TopK(s, d,
+      nQueries = Bm25.nQueries, k = Bm25.k, maxDfPermille = Bm25.maxDfPermille,
+      k1Milli = Bm25.k1Milli, bMilli = Bm25.bMilli)),
     "q_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d,
       nLists = SemDedup.nLists, iters = SemDedup.iters,
       perCluster = ClusterSample.perCluster)),
@@ -465,6 +468,14 @@ object SparkEntry {
   private[graft] object Hybrid {
     val nQueries = 10; val candK = 20; val k = 10; val rrfK = 60
     val maxDf = 100
+  }
+
+  /** BM25 parameters — one source for operator, oracle, and front-door
+    * twin. k1/b are the Okapi defaults in milli-scale.
+    */
+  private[graft] object Bm25 {
+    val nQueries = 10; val k = 10; val maxDfPermille = 800
+    val k1Milli = 1200; val bMilli = 750
   }
 
   /** DuckDB twin of Similarity.semanticDedup: the shared trained-quantizer
@@ -1808,6 +1819,40 @@ object SparkEntry {
                   CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
            FROM f) WHERE rank <= ${Hybrid.k}
+         ORDER BY query_id, rank""",
+
+    // Okapi BM25 in exact integer micros: idf = the Robertson ratio
+    // without the log (monotone), tf saturation with milli-scaled k1/b
+    // and dl/avgdl expanded to (dl*N) // sum(dl) — every factor one
+    // integer division, identical on both engines
+    "q_bm25_search" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+                      (SELECT doc_id, unnest($Toks) AS tok FROM documents)
+                      GROUP BY doc_id, tok),
+         dl AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS dl FROM documents),
+         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         dfb AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok
+                 HAVING count(*) * 1000 <= (SELECT n_docs FROM st) * ${Bm25.maxDfPermille}),
+         idx AS (SELECT t.doc_id, t.tok, t.tf, d.df FROM tf t JOIN dfb d USING (tok)),
+         qt AS (SELECT doc_id AS query_id, tok FROM idx
+                WHERE doc_id < ${Bm25.nQueries}),
+         sc AS (SELECT q.query_id, i.doc_id,
+                CAST(sum(
+                  (((2 * (st.n_docs - i.df) + 1) * CAST(1000000 AS BIGINT) // (2 * i.df + 1))
+                   * ((i.tf * ${Bm25.k1Milli + 1000} * CAST(1000000000 AS BIGINT))
+                      // (i.tf * 1000000 + ${Bm25.k1Milli} *
+                         (1000 - ${Bm25.bMilli} + (${Bm25.bMilli} * dl.dl * st.n_docs) // st.total_tokens))))
+                  // 1000000) AS BIGINT) AS score_micro,
+                count(*) AS n_terms
+                FROM idx i JOIN qt q USING (tok)
+                JOIN dl ON dl.doc_id = i.doc_id CROSS JOIN st
+                WHERE i.doc_id <> q.query_id
+                GROUP BY q.query_id, i.doc_id)
+         SELECT query_id, rank, doc_id, score_micro, n_terms FROM (
+           SELECT query_id, doc_id, score_micro, n_terms,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+           FROM sc) WHERE rank <= ${Bm25.k}
          ORDER BY query_id, rank""",
 
     // same frozen k-means chain as q_semantic_dedup (trainedAssignCtes

@@ -579,6 +579,38 @@ object SqlFrontDoor {
          ORDER BY query_id, rank"""
     },
 
+    "q_bm25_search" -> {
+      val B = graft.SparkEntry.Bm25
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+                      (SELECT doc_id, explode($toksSql) AS tok FROM documents)
+                      GROUP BY doc_id, tok),
+         dl AS (SELECT doc_id, CAST(size($toksSql) AS BIGINT) AS dl FROM documents),
+         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         dfb AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok
+                 HAVING count(*) * 1000 <= (SELECT n_docs FROM st) * ${B.maxDfPermille}),
+         idx AS (SELECT t.doc_id, t.tok, t.tf, d.df FROM tf t JOIN dfb d USING (tok)),
+         qt AS (SELECT doc_id AS query_id, tok FROM idx
+                WHERE doc_id < ${B.nQueries}),
+         sc AS (SELECT q.query_id, i.doc_id,
+                CAST(sum(
+                  (((2 * (st.n_docs - i.df) + 1) * CAST(1000000 AS BIGINT) DIV (2 * i.df + 1))
+                   * ((i.tf * ${B.k1Milli + 1000} * CAST(1000000000 AS BIGINT))
+                      DIV (i.tf * 1000000 + ${B.k1Milli} *
+                         (1000 - ${B.bMilli} + (${B.bMilli} * dl.dl * st.n_docs) DIV st.total_tokens))))
+                  DIV 1000000) AS BIGINT) AS score_micro,
+                count(*) AS n_terms
+                FROM idx i JOIN qt q USING (tok)
+                JOIN dl ON dl.doc_id = i.doc_id CROSS JOIN st
+                WHERE i.doc_id <> q.query_id
+                GROUP BY q.query_id, i.doc_id)
+         SELECT query_id, rank, doc_id, score_micro, n_terms FROM (
+           SELECT query_id, doc_id, score_micro, n_terms,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+           FROM sc) WHERE rank <= ${B.k}
+         ORDER BY query_id, rank"""
+    },
+
     "q_cluster_sample" ->
       (trainedAssignCtes(graft.SparkEntry.SemDedup.iters,
         graft.SparkEntry.SemDedup.nLists) +

@@ -315,6 +315,40 @@ class OperatorSpec extends SparkTestBase {
       !r.isNullAt(r.fieldIndex("vec_rank"))))
   }
 
+  test("bm25: rarity and saturation rank, stop-term pruning holds") {
+    val rows = Retrieval.bm25TopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 10, s"query $q returned ${rs.length} rows")
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length).toSeq)
+      // scores decrease with rank (doc_id breaks exact ties)
+      val ordered = rs.sortBy(_.getAs[Long]("rank"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score_micro"), b.getAs[Long]("score_micro"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        case _ =>
+      }
+      rs.foreach { r =>
+        assert(r.getAs[Long]("doc_id") != q, "self-match must be excluded")
+        assert(r.getAs[Long]("score_micro") > 0L)
+        assert(r.getAs[Long]("n_terms") >= 1L)
+      }
+    }
+    // every scored term survived the relative stop-term cap (df <= 80%
+    // of the corpus), so no candidate can owe its score to a stop term.
+    // Sanity-check the cap bites on this corpus: at least one token
+    // exceeds it (otherwise the prune is untested) — the 500-doc fixture
+    // cap is df > 400.
+    import org.apache.spark.sql.functions._
+    val overCap = graft.sources.Tables.spread(spark, Sf, "documents")
+      .select(col("doc_id"), explode(expr(graft.operators.TextAnalysis.TokensExpr)).as("t"))
+      .distinct().groupBy("t").count().filter(col("count") > 400).count()
+    assert(overCap > 0, "fixture should contain at least one stop term over the df cap")
+  }
+
   test("cluster-balanced sample: per-cluster quota, content-hash determinism") {
     val rows = Similarity.clusterBalancedSample(spark, Sf).collect()
     assert(rows.nonEmpty)

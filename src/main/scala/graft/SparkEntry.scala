@@ -241,6 +241,7 @@ object SparkEntry {
     "q_length_filter_impact" -> (TextAnalysis.lengthFilterImpact(_, _)),
     "q_dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
     "q_dup_cluster_sizes" -> (Dedup.dupClusterSizes(_, _)),
+    "q_dedup_keep_best" -> (Curation.keepBestPerCluster(_, _)),
     "q_mix_apportion" -> (Curation.apportionBudget(_, _)),
     "q_decontaminate" -> (Curation.decontaminate(_, _)),
     "q_contamination_report" -> (Curation.contaminationReport(_, _)),
@@ -1555,6 +1556,45 @@ object SparkEntry {
          SELECT doc_id, cluster_id,
                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lab ORDER BY doc_id""",
+
+    // the near-dup clustering chain (same CTEs as q_dup_clusters) joined
+    // against the quality scores: every doc gets a cluster (its label or
+    // itself), and the kept flag marks the per-cluster quality argmax
+    // (ties to smallest doc_id)
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(a, b) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.b FROM edges e JOIN reach r ON r.a = e.dst),
+         lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a),
+         qm AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         qv AS (SELECT doc_id, text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
+           FROM qm),
+         qs AS (SELECT doc_id, CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
+           FROM qv),
+         fullc AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+                          q.quality_1e4
+                   FROM qs q LEFT JOIN lab l ON l.doc_id = q.doc_id)
+         SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                quality_1e4,
+                (row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_1e4 DESC NULLS LAST, doc_id) = 1) AS kept
+         FROM fullc ORDER BY doc_id""",
 
     "q_dedup_exact" ->
       s"""WITH t AS (SELECT doc_id, md5(array_to_string($Toks, ' ')) AS fp FROM documents)

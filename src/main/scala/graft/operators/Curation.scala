@@ -244,4 +244,42 @@ object Curation {
         col("remainder"), col("alloc_tokens"))
       .orderBy(col("source"))
   }
+
+  /** Canonical-document selection: the step after near-dup clustering
+    * that decides WHICH copy of each duplicate group survives into the
+    * training set. Every document gets a cluster (its [[Dedup.dupClusters]]
+    * label if it near-duplicates anything, else itself), and within each
+    * cluster exactly one doc is kept — the highest quality_1e4 score,
+    * ties to the smallest doc_id. This replaces the naive "keep the
+    * first/smallest id" retention rule with a quality-aware one (the
+    * curation practice for web corpora: among mirror copies, keep the
+    * cleanest rendering).
+    *
+    * Scale shape: the clustering dominates (see dupClusters — LSH-bucketed
+    * pairs + min-label propagation over edges); this pass adds one
+    * hash join of the corpus quality table against the (much smaller)
+    * clustered-doc labeling and one window over cluster partitions, whose
+    * sizes are dup-group sizes — bounded by data redundancy, not corpus
+    * size. A whale cluster (one doc mirrored everywhere) is exactly the
+    * whale-key case SkewUtils covers.
+    */
+  def keepBestPerCluster(s: SparkSession, dir: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val clusters = Dedup.dupClusters(s, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_1e4"))
+    val labeled = quality.join(clusters.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val wSize = w.partitionBy(col("cluster_id"))
+    val wRank = w.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_1e4").desc_nulls_last, col("doc_id"))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("kept", row_number().over(wRank) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_1e4"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

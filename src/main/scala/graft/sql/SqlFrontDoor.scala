@@ -897,6 +897,33 @@ object SqlFrontDoor {
                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lab ORDER BY doc_id""",
 
+    // near-dup clustering chain + quality scores: every doc clustered
+    // (its label or itself), kept = per-cluster quality argmax
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashVerifyCtes,
+         prs AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+         reach(a, b, d) AS (
+           SELECT src, src, 0 FROM edges
+           UNION ALL
+           SELECT e.src, r.b, r.d + 1 FROM edges e JOIN reach r ON r.a = e.dst
+           WHERE r.d < 8),
+         lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY a),
+         qm AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         qv AS (SELECT doc_id, text, ${qualityMetrics("toks")} FROM qm),
+         qs AS (SELECT doc_id, $qualityScoreSql AS quality_1e4 FROM qv),
+         fullc AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+                          q.quality_1e4
+                   FROM qs q LEFT JOIN lab l ON l.doc_id = q.doc_id)
+         SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                quality_1e4,
+                (row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_1e4 DESC NULLS LAST, doc_id) = 1) AS kept
+         FROM fullc ORDER BY doc_id""",
+
     "q_embed_lsh_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
          planes AS (SELECT * FROM (VALUES $planesValuesSql) AS t(plane_id, plane)),

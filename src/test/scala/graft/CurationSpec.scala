@@ -224,6 +224,40 @@ class CurationSpec extends SparkTestBase {
     assert(meanSupp <= 0.5, s"suppkey spans too wide: $meanSupp")
   }
 
+  test("keep-best: one survivor per cluster, quality argmax, full corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.keepBestPerCluster(spark, Sf).collect()
+    val corpus = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length.toLong == corpus, "every doc must get a retention decision")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.count(_.getAs[Boolean]("kept")) == 1,
+        s"cluster $c must keep exactly one doc")
+      assert(rs.forall(_.getAs[Long]("cluster_size") == rs.length),
+        s"cluster $c size mismatch")
+      // the keeper is the quality argmax (nulls last, doc_id tiebreak)
+      val keeper = rs.find(_.getAs[Boolean]("kept")).get
+      val key = (r: org.apache.spark.sql.Row) =>
+        (Option(r.getAs[java.lang.Long]("quality_1e4")).map(-_.longValue)
+          .getOrElse(Long.MaxValue), r.getAs[Long]("doc_id"))
+      assert(rs.minBy(key) == keeper, s"cluster $c kept a non-argmax doc")
+    }
+    // the clustering must actually group something, and singletons must
+    // self-label (cluster_id == doc_id, trivially kept)
+    assert(byCluster.values.exists(_.length > 1), "fixture should have dup clusters")
+    rows.filter(_.getAs[Long]("cluster_size") == 1L).take(5).foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("kept"))
+    }
+    // quality-aware retention differs from keep-smallest-id somewhere
+    // (otherwise the operator adds nothing over q_dup_clusters)
+    val quality = Curation.keepBestPerCluster(spark, Sf)
+      .filter(col("kept") && col("cluster_size") > 1)
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+    assert(quality.exists { case (c, d) => c != d },
+      "some multi-doc cluster should keep a doc other than the min-id label")
+  }
+
   test("zorder cells: partition the table and bound BOTH key spans") {
     val out = Layout.zorderCells(spark, Sf).collect()
     assert(out.length == 16) // 4x4 grid from the top 4 z bits

@@ -143,6 +143,7 @@ object SparkEntry {
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
@@ -1618,6 +1619,25 @@ object SparkEntry {
          FROM pairs
          WHERE (20000 * common + (na + nb - common))
                // (2 * (na + nb - common)) >= 5000
+         ORDER BY doc_a, doc_b""",
+
+    // directed containment |sh(A) ∩ sh(B)| / |sh(A)|: both directions of
+    // each candidate pair, each normalized by its own contained-side size
+    "q_dedup_containment" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM shd),
+         flt AS (SELECT * FROM (
+             SELECT doc_id, n_sh, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM ex) f
+           WHERE df <= 100),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, count(*) AS common
+           FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT doc_a, doc_b,
+                (20000 * common + na) // (2 * na) AS containment_1e4
+         FROM pairs
+         WHERE (20000 * common + na) // (2 * na) >= 7000
          ORDER BY doc_a, doc_b""",
 
     "q_dedup_minhash_lsh" ->

@@ -59,12 +59,7 @@ object Dedup {
     * jaccard = common / (|A| + |B| - common). Emits pairs >= 0.5.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = withShingles(s, dir)
-      .select(col("doc_id"), col("sh"), expr("size(sh)").as("n_sh"))
-    val exploded = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered = exploded.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= 100)
+    val filtered = invertedShingleIndex(s, dir)
     val pairs = filtered.as("a").join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -78,6 +73,50 @@ object Dedup {
         "CAST((20000 * common + (na + nb - common)) div (2 * (na + nb - common)) AS BIGINT)"))
       .filter(col("jaccard_1e4") >= math.round(threshold * 10000))
       .select(col("doc_a"), col("doc_b"), col("jaccard_1e4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The df-capped inverted shingle index shared by the pairwise n-gram
+    * similarity family: one row per (doc, distinct shingle) with the doc's
+    * shingle-set size, stop-shingles (df > 100) dropped — the skew guard
+    * that keeps every downstream equi-join bucket small.
+    */
+  private def invertedShingleIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(s, dir)
+      .select(col("doc_id"), col("sh"), expr("size(sh)").as("n_sh"))
+    docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= 100)
+  }
+
+  /** 2b. Asymmetric containment: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+    * the "is A (nearly) a subset of B" relation Jaccard misses when the
+    * container is much larger than the contained doc (boilerplate pages
+    * embedded in aggregator pages, quoted posts inside threads). Same
+    * inverted-index discipline as [[ngramJaccard]] — candidates come from
+    * the df-capped shingle equi-join, never an all-pairs product — but the
+    * pair join keeps BOTH directions (`doc_a != doc_b`): containment is
+    * directed, and each direction normalizes by its own contained-side
+    * shingle count. Emits (contained doc_a, container doc_b) rows at
+    * containment >= threshold, half-up BIGINT ten-thousandths.
+    *
+    * Scale shape: identical to ngramJaccard (2 small shuffles; shuffled
+    * volume is (doc, shingle) pairs, candidate volume O(near-dups)); the
+    * directed join doubles candidate rows but not the index.
+    */
+  def containment(s: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+    val filtered = invertedShingleIndex(s, dir)
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("containment_1e4", expr(
+        "CAST((20000 * common + na) div (2 * na) AS BIGINT)"))
+      .filter(col("containment_1e4") >= math.round(threshold * 10000))
+      .select(col("doc_a"), col("doc_b"), col("containment_1e4"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -811,6 +811,27 @@ object SqlFrontDoor {
                DIV (2 * (na + nb - common)) >= 5000
          ORDER BY doc_a, doc_b""",
 
+    // directed containment: both directions of each candidate pair, each
+    // normalized by its own contained-side shingle count
+    "q_dedup_containment" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, n_sh, shingle
+                FROM (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle
+                      FROM shd)),
+         flt AS (SELECT * FROM (
+             SELECT doc_id, n_sh, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM ex) f
+           WHERE df <= 100),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, count(*) AS common
+           FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT doc_a, doc_b,
+                (20000 * common + na) DIV (2 * na) AS containment_1e4
+         FROM pairs
+         WHERE (20000 * common + na) DIV (2 * na) >= 7000
+         ORDER BY doc_a, doc_b""",
+
     "q_dedup_simhash" ->
       s"""WITH $simhashCtes
          SELECT doc_id, simhash FROM sims ORDER BY doc_id""",

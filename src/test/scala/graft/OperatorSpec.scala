@@ -939,6 +939,28 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("containment: directed, bounded, and dominates jaccard per pair") {
+    val cont = Dedup.containment(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cont.nonEmpty, "fixture near-dups should produce containment pairs")
+    assert(cont.values.forall(c => c >= 7000 && c <= 10000))
+    // |A∩B|/|A| >= |A∩B|/|A∪B|, so any jaccard pair at or above the
+    // containment threshold must appear in BOTH directions, each scoring
+    // at least the pair's jaccard (half-up floor preserves monotonicity)
+    val jac = Dedup.ngramJaccard(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    jac.filter(_._2 >= 7000).foreach { case ((a, b), j) =>
+      assert(cont.contains((a, b)) && cont.contains((b, a)),
+        s"jaccard pair ($a,$b)@$j missing a containment direction")
+      assert(cont((a, b)) >= j && cont((b, a)) >= j)
+    }
+    // the relation is genuinely asymmetric on this fixture: some directed
+    // score differs from (or lacks) its mirror, because the two sides
+    // normalize by their own shingle-set sizes
+    assert(cont.exists { case ((a, b), c) => !cont.get((b, a)).contains(c) },
+      "expected at least one asymmetric containment pair")
+  }
+
   test("exact dedup: keeper is min doc_id and groups cover all docs") {
     val out = Dedup.exact(spark, Sf)
     val docs = spark.read.parquet(s"$Sf/documents.parquet").count()

@@ -144,6 +144,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
+    "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
@@ -1639,6 +1640,22 @@ object SparkEntry {
          FROM pairs
          WHERE (20000 * common + na) // (2 * na) >= 7000
          ORDER BY doc_a, doc_b""",
+
+    // FastSS deletion-1 neighborhood: variant equi-join for candidates,
+    // exact levenshtein verify (DuckDB range() end is exclusive, hence +1)
+    "q_fuzzy_join_names" ->
+      """WITH v AS (SELECT DISTINCT c_custkey, c_name,
+           unnest(list_transform(range(0, length(c_name) + 1),
+             i -> substr(c_name, 1, i) || substr(c_name, i + 2))) AS variant
+           FROM customer),
+         cand AS (SELECT DISTINCT a.c_custkey AS cust_a, a.c_name AS name_a,
+                  b.c_custkey AS cust_b, b.c_name AS name_b
+                  FROM v a JOIN v b
+                    ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
+         SELECT cust_a, cust_b,
+                CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+         FROM cand WHERE levenshtein(name_a, name_b) <= 1
+         ORDER BY cust_a, cust_b""",
 
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashVerifyCtes

@@ -120,6 +120,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Edit-distance fuzzy self-join (entity resolution) via the FastSS
+    * deletion neighborhood: two strings are within edit distance 1 iff
+    * their deletion-1 neighborhoods ({s} ∪ {s minus one char}) intersect
+    * (substitution deletes the differing position from both; insertion
+    * makes the shorter string itself a member of the longer one's
+    * neighborhood). The intersection test becomes an equi-join on the
+    * variant string; `levenshtein` verifies candidates exactly, so the
+    * neighborhood only needs completeness, not precision (del(a,i) ==
+    * del(b,j) with i != j can reach distance-2 pairs — the verify drops
+    * them).
+    *
+    * Scale shape: explode n × (len+1) variant rows, shuffle on variant,
+    * verify candidate pairs only — never an all-pairs product or a
+    * length-blocked whale bucket. Variant bucket sizes are bounded by the
+    * alphabet (one bucket = strings agreeing everywhere but one position).
+    * High-multiplicity EQUAL names are the one quadratic hazard, so run
+    * this on the distinct-name table (exact dedup collapses multiplicity
+    * first — here c_name is already unique per customer).
+    */
+  def fuzzyMatchNames(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.spread(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    // adjacent equal chars yield the same variant twice — distinct keeps
+    // the candidate join from double-counting
+    val variants = c.select(col("c_custkey"), col("c_name"),
+        explode(expr("""transform(sequence(0, length(c_name)),
+          i -> concat(substring(c_name, 1, i), substring(c_name, i + 2)))"""))
+          .as("variant"))
+      .distinct()
+    val cand = variants.as("a").join(variants.as("b"),
+        col("a.variant") === col("b.variant") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("cust_a"), col("a.c_name").as("name_a"),
+        col("b.c_custkey").as("cust_b"), col("b.c_name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("distance") <= 1)
+      .select(col("cust_a"), col("cust_b"), col("distance"))
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
+
   /** Number of min-hash functions and LSH banding (4 bands x 3 rows).
     * P(candidate | j) = 1 - (1 - j^3)^4: ~0.06 at j=0.25, ~0.65 at j=0.6,
     * ~0.98 at j=0.8 — tuned for a >= 0.5 dedup threshold.

@@ -832,6 +832,22 @@ object SqlFrontDoor {
          WHERE (20000 * common + na) DIV (2 * na) >= 7000
          ORDER BY doc_a, doc_b""",
 
+    // FastSS deletion-1 neighborhood candidates + exact levenshtein verify
+    "q_fuzzy_join_names" ->
+      """WITH v AS (SELECT DISTINCT c_custkey, c_name, variant
+           FROM (SELECT c_custkey, c_name,
+                 explode(transform(sequence(0, length(c_name)),
+                   i -> concat(substring(c_name, 1, i), substring(c_name, i + 2)))) AS variant
+                 FROM customer)),
+         cand AS (SELECT DISTINCT a.c_custkey AS cust_a, a.c_name AS name_a,
+                  b.c_custkey AS cust_b, b.c_name AS name_b
+                  FROM v a JOIN v b
+                    ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
+         SELECT cust_a, cust_b,
+                CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+         FROM cand WHERE levenshtein(name_a, name_b) <= 1
+         ORDER BY cust_a, cust_b""",
+
     "q_dedup_simhash" ->
       s"""WITH $simhashCtes
          SELECT doc_id, simhash FROM sims ORDER BY doc_id""",

@@ -961,6 +961,25 @@ class OperatorSpec extends SparkTestBase {
       "expected at least one asymmetric containment pair")
   }
 
+  test("fuzzy name join equals the brute-force edit-distance join") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val out = Dedup.fuzzyMatchNames(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.nonEmpty, "consecutive customer ids differ by one digit")
+    // ground truth by exhaustive cross join — feasible at spec scale only;
+    // equality proves the deletion-neighborhood candidates are COMPLETE
+    // (no ed<=1 pair escapes the blocking) and the verify is precise
+    val c = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val brute = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.c_custkey") < col("b.c_custkey"))
+      .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey"), col("b.c_custkey"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brute)
+  }
+
   test("exact dedup: keeper is min doc_id and groups cover all docs") {
     val out = Dedup.exact(spark, Sf)
     val docs = spark.read.parquet(s"$Sf/documents.parquet").count()

@@ -145,6 +145,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
+    "q_source_overlap" -> (Dedup.sourceOverlap(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
@@ -1640,6 +1641,29 @@ object SparkEntry {
          FROM pairs
          WHERE (20000 * common + na) // (2 * na) >= 7000
          ORDER BY doc_a, doc_b""",
+
+    // source×source shingle-set Jaccard, every unordered pair incl. disjoint
+    "q_source_overlap" ->
+      s"""WITH d AS (SELECT source, $Toks AS ws FROM documents),
+         shd AS (SELECT source, list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                 FROM d WHERE len(ws) >= 3),
+         ss AS (SELECT DISTINCT source, unnest(sh) AS shingle FROM shd),
+         sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+         inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS cm
+                   FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+                   GROUP BY 1, 2),
+         pairs AS (SELECT za.source AS source_a, zb.source AS source_b,
+                          za.n_sh AS na, zb.n_sh AS nb
+                   FROM sz za JOIN sz zb ON za.source < zb.source)
+         SELECT p.source_a, p.source_b,
+                coalesce(i.cm, 0) AS common,
+                p.na + p.nb - coalesce(i.cm, 0) AS union_sh,
+                (20000 * coalesce(i.cm, 0) + (p.na + p.nb - coalesce(i.cm, 0)))
+                // (2 * (p.na + p.nb - coalesce(i.cm, 0))) AS jaccard_1e4
+         FROM pairs p LEFT JOIN inter i
+           ON i.source_a = p.source_a AND i.source_b = p.source_b
+         ORDER BY p.source_a, p.source_b""",
 
     // FastSS deletion-1 neighborhood: variant equi-join for candidates,
     // exact levenshtein verify (DuckDB range() end is exclusive, hence +1)

@@ -160,6 +160,38 @@ object Dedup {
       .orderBy(col("cust_a"), col("cust_b"))
   }
 
+  /** Corpus-diversity matrix: pairwise shingle-set Jaccard BETWEEN
+    * sources (not documents) — the "how much do my crawl feeds overlap"
+    * report that decides which sources are worth keeping. Every unordered
+    * source pair appears, including disjoint ones (common = 0).
+    *
+    * Scale shape: the distinct (source, shingle) projection is the only
+    * corpus-sized shuffle (map-side combinable); the intersection
+    * self-join keys on shingle, where a shingle in k sources emits k²
+    * pairs — bounded by nSources², not corpus size. The pair frame itself
+    * is nSources² rows, driver-trivial.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = withShingles(s, dir)
+      .select(col("source"), explode(col("sh")).as("shingle")).distinct()
+    val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    val pairs = sz.as("za").join(broadcast(sz.as("zb")), col("za.source") < col("zb.source"))
+      .select(col("za.source").as("source_a"), col("zb.source").as("source_b"),
+        col("za.n_sh").as("na"), col("zb.n_sh").as("nb"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn("union_sh", col("na") + col("nb") - col("common"))
+      .withColumn("jaccard_1e4", expr(
+        "CAST((20000 * common + union_sh) div (2 * union_sh) AS BIGINT)"))
+      .select(col("source_a"), col("source_b"), col("common"),
+        col("union_sh"), col("jaccard_1e4"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Number of min-hash functions and LSH banding (4 bands x 3 rows).
     * P(candidate | j) = 1 - (1 - j^3)^4: ~0.06 at j=0.25, ~0.65 at j=0.6,
     * ~0.98 at j=0.8 — tuned for a >= 0.5 dedup threshold.

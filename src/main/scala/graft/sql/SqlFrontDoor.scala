@@ -832,6 +832,31 @@ object SqlFrontDoor {
          WHERE (20000 * common + na) DIV (2 * na) >= 7000
          ORDER BY doc_a, doc_b""",
 
+    // source×source shingle-set Jaccard, every unordered pair incl. disjoint
+    "q_source_overlap" ->
+      s"""WITH d AS (SELECT source, $toksSql AS ws FROM documents),
+         shd AS (SELECT source, array_distinct(transform(sequence(1, size(ws) - 2),
+                 i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))) AS sh
+                 FROM d WHERE size(ws) >= 3),
+         ss AS (SELECT DISTINCT source, shingle
+                FROM (SELECT source, explode(sh) AS shingle FROM shd)),
+         sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+         inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS cm
+                   FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+                   GROUP BY 1, 2),
+         pairs AS (SELECT za.source AS source_a, zb.source AS source_b,
+                          za.n_sh AS na, zb.n_sh AS nb
+                   FROM sz za JOIN sz zb ON za.source < zb.source)
+         SELECT p.source_a, p.source_b,
+                coalesce(i.cm, CAST(0 AS BIGINT)) AS common,
+                p.na + p.nb - coalesce(i.cm, CAST(0 AS BIGINT)) AS union_sh,
+                (20000 * coalesce(i.cm, CAST(0 AS BIGINT))
+                 + (p.na + p.nb - coalesce(i.cm, CAST(0 AS BIGINT))))
+                DIV (2 * (p.na + p.nb - coalesce(i.cm, CAST(0 AS BIGINT)))) AS jaccard_1e4
+         FROM pairs p LEFT JOIN inter i
+           ON i.source_a = p.source_a AND i.source_b = p.source_b
+         ORDER BY p.source_a, p.source_b""",
+
     // FastSS deletion-1 neighborhood candidates + exact levenshtein verify
     "q_fuzzy_join_names" ->
       """WITH v AS (SELECT DISTINCT c_custkey, c_name, variant

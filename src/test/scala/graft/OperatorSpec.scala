@@ -961,6 +961,24 @@ class OperatorSpec extends SparkTestBase {
       "expected at least one asymmetric containment pair")
   }
 
+  test("source overlap: complete pair matrix, consistent with per-source shingle sets") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val nSources = docs.select("source").distinct().count()
+    val out = Dedup.sourceOverlap(spark, Sf).collect()
+    // every unordered source pair appears exactly once, disjoint included
+    assert(out.length == (nSources * (nSources - 1) / 2).toInt)
+    out.foreach { r =>
+      val (common, union, jac) = (r.getAs[Long]("common"),
+        r.getAs[Long]("union_sh"), r.getAs[Long]("jaccard_1e4"))
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(common >= 0 && common <= union)
+      assert(jac == (20000 * common + union) / (2 * union)) // half-up floor
+    }
+    // the fixture's injected near-dups span sources, so at least one pair
+    // genuinely intersects — the report is not a trivially-zero matrix
+    assert(out.exists(_.getAs[Long]("common") > 0))
+  }
+
   test("fuzzy name join equals the brute-force edit-distance join") {
     import org.apache.spark.sql.functions.{col, levenshtein}
     val out = Dedup.fuzzyMatchNames(spark, Sf).collect()

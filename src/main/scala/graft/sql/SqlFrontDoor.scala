@@ -76,6 +76,15 @@ object SqlFrontDoor {
                 i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))) AS sh
                 FROM d WHERE size(ws) >= 3)"""
 
+  /** Same shingle chain carrying `source` — for the feed-level queries
+    * (source overlap, decontamination).
+    */
+  private val shingleSrcCtes =
+    s"""d AS (SELECT doc_id, source, $toksSql AS ws FROM documents),
+        shd AS (SELECT doc_id, source, array_distinct(transform(sequence(1, size(ws) - 2),
+                i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))) AS sh
+                FROM d WHERE size(ws) >= 3)"""
+
   private val minhashSigs = (0 until Dedup.NumHashes).map(j =>
     s"array_min(transform(sh, t -> substr(md5(t || ':${j / 4}'), ${(j % 4) * 8 + 1}, 8))) AS sig_$j")
     .mkString(", ")
@@ -834,10 +843,7 @@ object SqlFrontDoor {
 
     // source×source shingle-set Jaccard, every unordered pair incl. disjoint
     "q_source_overlap" ->
-      s"""WITH d AS (SELECT source, $toksSql AS ws FROM documents),
-         shd AS (SELECT source, array_distinct(transform(sequence(1, size(ws) - 2),
-                 i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))) AS sh
-                 FROM d WHERE size(ws) >= 3),
+      s"""WITH $shingleSrcCtes,
          ss AS (SELECT DISTINCT source, shingle
                 FROM (SELECT source, explode(sh) AS shingle FROM shd)),
          sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),

@@ -28,6 +28,23 @@ class DocCountsSpec extends AnyFunSuite {
     assert((twins union aliases union portable) === SparkEntry.queries.keySet)
   }
 
+  test("no duplicate registry keys in the source map literals") {
+    // A Map literal with a repeated key silently keeps the last entry —
+    // a new query accidentally reusing an existing name would override
+    // the old operator without any compile- or runtime signal. Each name
+    // must appear exactly twice in SparkEntry (queries + oracleSql) and
+    // at most once in SqlFrontDoor (twin XOR portable pass-through).
+    val key = """"(q_[a-z0-9_]+)" ->""".r
+    val entry = key.findAllMatchIn(read("src/main/scala/graft/SparkEntry.scala"))
+      .map(_.group(1)).toSeq
+    val dupEntry = entry.groupBy(identity).filter(_._2.size != 2).keys
+    assert(dupEntry.isEmpty, s"names not appearing exactly twice in SparkEntry: $dupEntry")
+    val door = key.findAllMatchIn(read("src/main/scala/graft/sql/SqlFrontDoor.scala"))
+      .map(_.group(1)).toSeq
+    val dupDoor = door.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupDoor.isEmpty, s"names appearing more than once in SqlFrontDoor: $dupDoor")
+  }
+
   test("README.md states the derived counts") {
     val readme = read("README.md")
     assert(readme.contains(s"${SparkEntry.queries.size} named queries"),

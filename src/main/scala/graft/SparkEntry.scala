@@ -79,6 +79,8 @@ object SparkEntry {
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
+    "q_collocations" ->
+      (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
     "q_join_bucketed_revenue" -> (Bucketing.bucketedOrderRevenue(_, _)),
     "q_pivot_order_status" -> (Reshape.orderStatusPivot(_, _)),
@@ -330,6 +332,11 @@ object SparkEntry {
     * oracle cannot drift (the dim is never hardcoded — the oracle derives
     * it from len(code)).
     */
+  /** Collocation-mining parameters shared by operator, oracle, and twin. */
+  private[graft] object Colloc {
+    val minCount = 5L; val topK = 25
+  }
+
   private[graft] object TrainedIvf {
     val iters = 2; val nLists = 16; val nQueries = 10; val nProbe = 3; val k = 5
   }
@@ -1023,6 +1030,24 @@ object SparkEntry {
                     FROM counts)
          SELECT source, CAST(rk AS BIGINT) AS rk, token, n
          FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
+
+    // top bigram collocations by exact integer exp(PMI) lift; // floors
+    // the positive quotient exactly like the operator's DECIMAL quotient
+    "q_collocations" ->
+      s"""WITH d AS (SELECT $Toks AS ws FROM documents),
+         uc AS (SELECT w, count(*) AS c
+                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+         tot AS (SELECT sum(c) AS n_tokens FROM uc),
+         bc AS (SELECT w1, w2, count(*) AS c_ab
+                FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                            FROM d WHERE len(ws) >= 2))
+                GROUP BY 1, 2 HAVING count(*) >= ${Colloc.minCount})
+         SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c2.c AS c_b,
+                CAST((10000 * b.c_ab * t.n_tokens) // (a.c * c2.c) AS BIGINT) AS lift_1e4
+         FROM bc b JOIN uc a ON b.w1 = a.w JOIN uc c2 ON b.w2 = c2.w
+         CROSS JOIN tot t
+         ORDER BY lift_1e4 DESC, w1, w2 LIMIT ${Colloc.topK}""",
 
     "q_asof_join_events_orders" ->
       """WITH dedup AS (

@@ -606,4 +606,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_sh"), col("n_boiler"), col("boiler_1e4"))
       .orderBy(col("doc_id"))
   }
+
+  /** Collocation mining: the corpus's top bigram collocations by PMI-style
+    * lift — P(w1 w2) / (P(w1) P(w2)) in 4-decimal fixed point, which is
+    * exp(PMI) and therefore rank-equivalent to PMI without ever touching
+    * floating-point logs (cross-engine exactness). The classic first step
+    * of phrase induction ("new york" style merges) over a training corpus.
+    *
+    * lift_1e4 = floor(1e4 * c_ab * N / (c_a * c_b)) computed as the exact
+    * truncated DECIMAL(38,0) quotient (c_ab * N overflows BIGINT at
+    * ~1e12-token corpora; same guard as the regression-moments operator).
+    *
+    * 100 TB shape: unigram and bigram counts are one map-side-combined
+    * hash aggregate each; the count-threshold prunes the bigram table
+    * BEFORE the two vocabulary joins (equi-joins on word — the vocabulary
+    * scales with the corpus, so it is never broadcast); the final top-K is
+    * TakeOrderedAndProject (per-partition heaps + one K-row reduce), never
+    * a global sort.
+    */
+  def collocations(s: SparkSession, dir: String, minCount: Long = 5,
+                   topK: Int = 25): DataFrame = {
+    val toks = Tables.spread(s, dir, "documents").withColumn("ws", expr(TokensExpr))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_tokens"))
+    val bi = toks.filter(expr("size(ws) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", expr(
+        "CAST(10000 AS DECIMAL(38,0)) * CAST(c_ab AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"))
+      .withColumn("den", expr("CAST(c_a AS DECIMAL(38,0)) * CAST(c_b AS DECIMAL(38,0))"))
+      .withColumn("lift_1e4", expr("CAST((num - num % den) / den AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("lift_1e4"))
+      .orderBy(col("lift_1e4").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -863,6 +863,30 @@ object SqlFrontDoor {
            ON i.source_a = p.source_a AND i.source_b = p.source_b
          ORDER BY p.source_a, p.source_b""",
 
+    // top bigram collocations by exact integer exp(PMI) lift; the
+    // DECIMAL(38,0) truncated quotient mirrors the operator (c_ab * N
+    // overflows BIGINT at warehouse-scale token counts)
+    "q_collocations" ->
+      s"""WITH d AS (SELECT $toksSql AS ws FROM documents),
+         uc AS (SELECT w, count(*) AS c
+                FROM (SELECT explode(ws) AS w FROM d) GROUP BY w),
+         tot AS (SELECT sum(c) AS n_tokens FROM uc),
+         bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab
+                FROM (SELECT explode(transform(sequence(0, size(ws) - 2),
+                        i -> named_struct('w1', element_at(ws, i + 1),
+                                          'w2', element_at(ws, i + 2)))) AS p
+                      FROM d WHERE size(ws) >= 2)
+                GROUP BY 1, 2 HAVING count(*) >= ${SparkEntry.Colloc.minCount}),
+         j AS (SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, c2.c AS c_b,
+                      CAST(10000 AS DECIMAL(38,0)) * CAST(b.c_ab AS DECIMAL(38,0))
+                        * CAST(t.n_tokens AS DECIMAL(38,0)) AS num,
+                      CAST(a.c AS DECIMAL(38,0)) * CAST(c2.c AS DECIMAL(38,0)) AS den
+               FROM bc b JOIN uc a ON b.w1 = a.w JOIN uc c2 ON b.w2 = c2.w
+               CROSS JOIN tot t)
+         SELECT w1, w2, c_ab, c_a, c_b,
+                CAST((num - num % den) / den AS BIGINT) AS lift_1e4
+         FROM j ORDER BY lift_1e4 DESC, w1, w2 LIMIT ${SparkEntry.Colloc.topK}""",
+
     // FastSS deletion-1 neighborhood candidates + exact levenshtein verify
     "q_fuzzy_join_names" ->
       """WITH v AS (SELECT DISTINCT c_custkey, c_name, variant

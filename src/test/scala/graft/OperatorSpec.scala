@@ -979,6 +979,31 @@ class OperatorSpec extends SparkTestBase {
     assert(out.exists(_.getAs[Long]("common") > 0))
   }
 
+  test("collocations: top-K ordered by lift, counts consistent, exact quotient") {
+    val out = TextAnalysis.collocations(spark, Sf,
+      SparkEntry.Colloc.minCount, SparkEntry.Colloc.topK).collect()
+    assert(out.nonEmpty && out.length <= SparkEntry.Colloc.topK)
+    val nTokens = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(expr(TextAnalysis.TokensExpr)).as("w")).count()
+    out.foreach { r =>
+      val (cab, ca, cb, lift) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"),
+        r.getAs[Long]("c_b"), r.getAs[Long]("lift_1e4"))
+      assert(cab >= SparkEntry.Colloc.minCount)
+      assert(cab <= ca && cab <= cb,
+        "a bigram cannot occur more often than either of its words")
+      assert(lift == (BigInt(10000) * cab * nTokens / (BigInt(ca) * cb)).toLong)
+    }
+    // ranking is total: non-increasing lift, ties by (w1, w2)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        val (la, lb) = (a.getAs[Long]("lift_1e4"), b.getAs[Long]("lift_1e4"))
+        val (w1a, w1b) = (a.getAs[String]("w1"), b.getAs[String]("w1"))
+        assert(la > lb || (la == lb && (w1a < w1b ||
+          (w1a == w1b && a.getAs[String]("w2") < b.getAs[String]("w2")))))
+      case _ => ()
+    }
+  }
+
   test("fuzzy name join equals the brute-force edit-distance join") {
     import org.apache.spark.sql.functions.{col, levenshtein}
     val out = Dedup.fuzzyMatchNames(spark, Sf).collect()

@@ -148,6 +148,7 @@ object SparkEntry {
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
     "q_source_overlap" -> (Dedup.sourceOverlap(_, _)),
+    "q_bloom_screen" -> (Dedup.bloomScreen(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
@@ -1628,6 +1629,40 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, md5(array_to_string($Toks, ' ')) AS fp FROM documents)
          SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
          FROM t GROUP BY fp ORDER BY fp""",
+
+    // relational twin of the Bloom band screen: a band "hits" iff its 4
+    // positions all join against the distinct inserted-position set; a
+    // doc is flagged iff any of its bands hits
+    "q_bloom_screen" ->
+      s"""WITH $ShinglesCte,
+         sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+         bands AS (SELECT doc_id, $minhashBands FROM sigs),
+         br AS ($minhashBandRows),
+         bk AS (SELECT doc_id, CAST(band_idx AS VARCHAR) || band_val AS bkey,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '${operators.Sampling.hexThreshold(0.8)}' AS seen
+                FROM br),
+         pos AS (SELECT doc_id, bkey, seen,
+                        unnest([${Dedup.bloomPositions("bkey").mkString(", ")}]) AS pos
+                 FROM bk),
+         setbits AS (SELECT DISTINCT pos FROM pos WHERE seen),
+         seenb AS (SELECT DISTINCT bkey FROM bk WHERE seen),
+         bandhits AS (SELECT pp.doc_id, pp.bkey, count(*) AS nhit
+                      FROM pos pp JOIN setbits sb ON pp.pos = sb.pos
+                      WHERE NOT pp.seen GROUP BY 1, 2),
+         probe AS (SELECT k.doc_id,
+                          bool_or(coalesce(h.nhit, 0) = 4) AS bloom_hit,
+                          bool_or(sb2.bkey IS NOT NULL) AS candidate
+                   FROM bk k
+                   LEFT JOIN bandhits h ON k.doc_id = h.doc_id AND k.bkey = h.bkey
+                   LEFT JOIN seenb sb2 ON k.bkey = sb2.bkey
+                   WHERE NOT k.seen GROUP BY 1)
+         SELECT doc.source AS source, count(*) AS n_probe,
+                CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+                CAST(sum(CASE WHEN p.candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+                CAST(sum(CASE WHEN p.bloom_hit AND NOT p.candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         FROM probe p JOIN documents doc ON doc.doc_id = p.doc_id
+         GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,

@@ -192,6 +192,90 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Bloom-screen hex math, shared with the DuckDB oracle and the SQL
+    * twin (instr/substr/integer arithmetic parse identically in both
+    * dialects): the value of one lowercase hex digit, and a 16-bit bit
+    * position from a 4-hex-digit window of an md5 at 1-based `off`.
+    */
+  private def hexVal(h: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+  private[graft] def bloomPosExpr(h: String, off: Int): String =
+    s"(((${hexVal(h, off)} * 16 + ${hexVal(h, off + 1)}) * 16 + " +
+      s"${hexVal(h, off + 2)}) * 16 + ${hexVal(h, off + 3)})"
+
+  /** The k=4 bloom positions of an md5 column: four non-overlapping
+    * 4-hex-digit windows, each one 16-bit position (nBits = 65536).
+    */
+  private[graft] def bloomPositions(h: String): Seq[String] =
+    Seq(1, 9, 17, 25).map(off => s"CAST(${bloomPosExpr(h, off)} AS BIGINT)")
+
+  /** Bloom-filter ingestion screen: the "might this be a near-duplicate
+    * of something already ingested" gate a crawler runs on every new
+    * arrival. The screened keys are the LSH BAND digests (band_idx
+    * prefixed onto the band md5) — the same keys the minhash bucket join
+    * uses — so a hit means "some historical document shares a full
+    * signature band", i.e. a near-dup candidate, not just an exact copy.
+    * The historical side is compressed to a fixed 65536-bit Bloom filter
+    * instead of a corpus-sized band table. A deterministic 80% id-hash
+    * slice (the [[Sampling]] hex-threshold mechanics — doc_id mod
+    * anything aligns with the fixtures' source layout) stands in for the
+    * ingested corpus; the rest plays the incoming batch. Output is the
+    * per-source calibration report: probe docs, bloom-flagged docs, true
+    * band-match candidates, and false positives.
+    *
+    * The filter is built by [[graft.functions.BloomBitset]] — a typed
+    * Aggregator whose partial aggregation compresses every upstream
+    * partition to nBits/8 bytes before a single-row exchange, and whose
+    * OR-merge makes the result partitioning- and order-independent. The
+    * built bitset then BROADCASTS to the probe side, which tests each
+    * band's 4 positions map-side with `forall` over the packed words —
+    * screening never joins against the historical corpus. The band-set
+    * join here exists only to MEASURE the false-positive rate (this is
+    * the calibration report); a production screen drops it and sends
+    * flagged docs to the full verify path.
+    *
+    * False negatives are impossible (every inserted band's bits are
+    * set), so `n_candidates <= n_bloom_hit` per source — spec-pinned.
+    */
+  def bloomScreen(s: SparkSession, dir: String, nBits: Int = 65536,
+      seenRate: Double = 0.8): DataFrame = {
+    require(nBits == 65536, "position math is fixed to 16-bit windows")
+    graft.functions.GraftFunctions.register(s)
+    val docs = withShingles(s, dir)
+    val bands = stackBands(docs.select(col("doc_id"), col("sh")), carrySigs = false)
+      .withColumn("bkey", expr("concat(CAST(band_idx AS STRING), band_val)"))
+      .withColumn("seen", expr(
+        s"substring(md5(CAST(doc_id AS STRING)), 1, 8) < '${Sampling.hexThreshold(seenRate)}'"))
+    val posArr = s"array(${bloomPositions("bkey").mkString(", ")})"
+    val bloomAgg = udaf(new graft.functions.BloomBitset(nBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bits = bands.filter(col("seen"))
+      .select(explode(expr(posArr)).as("pos"))
+      .agg(bloomAgg(col("pos")).as("bits"))
+    val seenBands = bands.filter(col("seen"))
+      .select(col("bkey")).distinct().withColumn("matched", lit(true))
+    val perDoc = bands.filter(!col("seen"))
+      .withColumn("positions", expr(posArr))
+      .crossJoin(broadcast(bits))
+      .withColumn("band_hit", expr(
+        """forall(positions, p ->
+           (element_at(bits, CAST(p DIV 64 AS INT) + 1)
+            & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) <> 0)"""))
+      .join(seenBands, Seq("bkey"), "left") // calibration-only join; unhinted
+      .groupBy(col("doc_id"))
+      .agg(max(col("band_hit")).as("bloom_hit"),
+        max(coalesce(col("matched"), lit(false))).as("candidate"))
+    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L))).as("n_bloom_hit"),
+        sum(when(col("candidate"), lit(1L)).otherwise(lit(0L))).as("n_candidates"),
+        sum(when(col("bloom_hit") && !col("candidate"), lit(1L)).otherwise(lit(0L)))
+          .as("n_false_pos"))
+      .orderBy(col("source"))
+  }
+
   /** Number of min-hash functions and LSH banding (4 bands x 3 rows).
     * P(candidate | j) = 1 - (1 - j^3)^4: ~0.06 at j=0.25, ~0.65 at j=0.6,
     * ~0.98 at j=0.8 — tuned for a >= 0.5 dedup threshold.

@@ -863,6 +863,40 @@ object SqlFrontDoor {
            ON i.source_a = p.source_a AND i.source_b = p.source_b
          ORDER BY p.source_a, p.source_b""",
 
+    // relational twin of the Bloom band screen: a band "hits" iff its 4
+    // positions all join against the distinct inserted-position set; a
+    // doc is flagged iff any of its bands hits
+    "q_bloom_screen" ->
+      s"""WITH $shingleCtes,
+         sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+         bands AS (SELECT doc_id, $minhashBands FROM sigs),
+         br AS ($minhashBandRows),
+         bk AS (SELECT doc_id, concat(CAST(band_idx AS STRING), band_val) AS bkey,
+                       substring(md5(CAST(doc_id AS STRING)), 1, 8)
+                         < '${graft.operators.Sampling.hexThreshold(0.8)}' AS seen
+                FROM br),
+         pos AS (SELECT doc_id, bkey, seen,
+                        explode(array(${Dedup.bloomPositions("bkey").mkString(", ")})) AS pos
+                 FROM bk),
+         setbits AS (SELECT DISTINCT pos FROM pos WHERE seen),
+         seenb AS (SELECT DISTINCT bkey FROM bk WHERE seen),
+         bandhits AS (SELECT pp.doc_id, pp.bkey, count(*) AS nhit
+                      FROM pos pp JOIN setbits sb ON pp.pos = sb.pos
+                      WHERE NOT pp.seen GROUP BY 1, 2),
+         probe AS (SELECT k.doc_id,
+                          bool_or(coalesce(h.nhit, 0) = 4) AS bloom_hit,
+                          bool_or(sb2.bkey IS NOT NULL) AS candidate
+                   FROM bk k
+                   LEFT JOIN bandhits h ON k.doc_id = h.doc_id AND k.bkey = h.bkey
+                   LEFT JOIN seenb sb2 ON k.bkey = sb2.bkey
+                   WHERE NOT k.seen GROUP BY 1)
+         SELECT doc.source AS source, count(*) AS n_probe,
+                CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+                CAST(sum(CASE WHEN p.candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+                CAST(sum(CASE WHEN p.bloom_hit AND NOT p.candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         FROM probe p JOIN documents doc ON doc.doc_id = p.doc_id
+         GROUP BY 1 ORDER BY 1""",
+
     // top bigram collocations by exact integer exp(PMI) lift; the
     // DECIMAL(38,0) truncated quotient mirrors the operator (c_ab * N
     // overflows BIGINT at warehouse-scale token counts)

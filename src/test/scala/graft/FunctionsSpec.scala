@@ -31,6 +31,25 @@ class FunctionsSpec extends SparkTestBase {
     assert(mismatch.isNullAt(0))
   }
 
+  test("BloomBitset: exact bits set, order- and partitioning-independent, OR merge") {
+    val agg = new graft.functions.BloomBitset(256)
+    // direct semantics: position p sets word p/64, bit p%64
+    val direct = Seq(0L, 63L, 64L, 255L, 64L).foldLeft(agg.zero)(agg.reduce)
+    assert(direct(0) == (1L | (1L << 63)) && direct(1) == 1L && direct(3) == (1L << 63))
+    assert(direct(2) == 0L)
+    // merge is bitwise OR
+    val a = agg.reduce(agg.zero, 5L)
+    val b = agg.reduce(agg.zero, 70L)
+    val m = agg.merge(a, b)
+    assert(m(0) == (1L << 5) && m(1) == (1L << 6))
+    // through the engine: any partitioning/order yields the same bitset
+    val bloom = udaf(agg, org.apache.spark.sql.Encoders.scalaLong)
+    val pos = spark.range(0, 200).select((col("id") * 37 % 256).as("p"))
+    val one = pos.repartition(1).agg(bloom(col("p"))).head.getSeq[Long](0)
+    val many = pos.repartition(13).agg(bloom(col("p"))).head.getSeq[Long](0)
+    assert(one == many)
+  }
+
   test("MinHash aggregator: signature matches column-expression minhash semantics") {
     // identical shingle multisets -> identical signatures; estimate ~ jaccard
     val a = Set("a b c", "b c d", "c d e", "d e f", "e f g", "f g h")

@@ -1004,6 +1004,30 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("bloom screen: no false negatives, FP identity, probe counts conserve") {
+    val out = Dedup.bloomScreen(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    assert(out.length <= docs.select("source").distinct().count())
+    out.foreach { r =>
+      val (np, nb, nc, nf) = (r.getAs[Long]("n_probe"), r.getAs[Long]("n_bloom_hit"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_false_pos"))
+      assert(nc <= nb, "bloom filters cannot produce false negatives")
+      assert(nf == nb - nc, "false positives are exactly the non-candidate hits")
+      assert(nb <= np)
+    }
+    val probeTotal = docs
+      .filter(expr(s"size(${TextAnalysis.TokensExpr}) >= 3"))
+      .filter(expr(
+        s"substring(md5(CAST(doc_id AS STRING)), 1, 8) >= '${Sampling.hexThreshold(0.8)}'"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_probe")).sum == probeTotal)
+    // the hash split must not align with the fixtures' source layout
+    assert(out.length >= 10, "probe docs should span most sources")
+    // the fixture's injected near-dups straddle the split, so the screen
+    // flags at least one incoming doc as a band-sharing candidate
+    assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
+  }
+
   test("fuzzy name join equals the brute-force edit-distance join") {
     import org.apache.spark.sql.functions.{col, levenshtein}
     val out = Dedup.fuzzyMatchNames(spark, Sf).collect()

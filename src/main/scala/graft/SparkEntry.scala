@@ -81,6 +81,7 @@ object SparkEntry {
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
+    "q_bpe_pair_counts" -> (TextAnalysis.bpePairCounts(_, _)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
     "q_join_bucketed_revenue" -> (Bucketing.bucketedOrderRevenue(_, _)),
     "q_pivot_order_status" -> (Reshape.orderStatusPivot(_, _)),
@@ -1031,6 +1032,18 @@ object SparkEntry {
                     FROM counts)
          SELECT source, CAST(rk AS BIGINT) AS rk, token, n
          FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
+
+    // BPE first-merge pair statistics over the word histogram
+    "q_bpe_pair_counts" ->
+      s"""WITH d AS (SELECT $Toks AS ws FROM documents),
+         wc AS (SELECT w, count(*) AS freq
+                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+         pr AS (SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, freq
+                FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+                      FROM wc WHERE length(w) >= 2))
+         SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS n_pairs
+         FROM pr GROUP BY 1, 2
+         ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 20""",
 
     // top bigram collocations by exact integer exp(PMI) lift; // floors
     // the positive quotient exactly like the operator's DECIMAL quotient

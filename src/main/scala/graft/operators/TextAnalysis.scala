@@ -607,6 +607,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge statistics: the adjacent-symbol pair counts that drive a
+    * byte-pair-encoding tokenizer's first merge choice, computed over the
+    * WORD HISTOGRAM rather than the token stream — the optimization real
+    * trainers use: the corpus collapses into (distinct word, frequency)
+    * first, then pair multiplicities inside each distinct word are
+    * weighted by its frequency. Top-K pairs by weighted count.
+    *
+    * The merge LOOP itself (apply best pair, recount, repeat) is
+    * bounded-vocabulary driver work and deliberately out of scope; this
+    * operator is the corpus-scale step that loop re-invokes.
+    *
+    * 100 TB shape: one map-side-combined word-count aggregate (shuffle
+    * carries the vocabulary, not the corpus), then pair explosion over
+    * DISTINCT WORDS only — cost is vocabulary-bounded, independent of
+    * how often each word repeats. Final top-K is TakeOrderedAndProject.
+    */
+  def bpePairCounts(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val words = Tables.spread(s, dir, "documents")
+      .select(explode(expr(TokensExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+           i -> named_struct('l', substring(w, i, 1), 'r', substring(w, i + 1, 1)))""")).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("left_sym"), col("right_sym"))
+      .limit(topK)
+  }
+
   /** Collocation mining: the corpus's top bigram collocations by PMI-style
     * lift — P(w1 w2) / (P(w1) P(w2)) in 4-decimal fixed point, which is
     * exp(PMI) and therefore rank-equivalent to PMI without ever touching

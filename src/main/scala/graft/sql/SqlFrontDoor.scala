@@ -897,6 +897,18 @@ object SqlFrontDoor {
          FROM probe p JOIN documents doc ON doc.doc_id = p.doc_id
          GROUP BY 1 ORDER BY 1""",
 
+    // BPE first-merge pair statistics over the word histogram
+    "q_bpe_pair_counts" ->
+      s"""WITH d AS (SELECT $toksSql AS ws FROM documents),
+         wc AS (SELECT w, count(*) AS freq
+                FROM (SELECT explode(ws) AS w FROM d) GROUP BY w),
+         pr AS (SELECT substring(w, i, 1) AS left_sym, substring(w, i + 1, 1) AS right_sym, freq
+                FROM (SELECT w, freq, explode(sequence(1, length(w) - 1)) AS i
+                      FROM wc WHERE length(w) >= 2))
+         SELECT left_sym, right_sym, sum(freq) AS n_pairs
+         FROM pr GROUP BY 1, 2
+         ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 20""",
+
     // top bigram collocations by exact integer exp(PMI) lift; the
     // DECIMAL(38,0) truncated quotient mirrors the operator (c_ab * N
     // overflows BIGINT at warehouse-scale token counts)

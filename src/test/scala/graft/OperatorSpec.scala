@@ -1028,6 +1028,28 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("BPE pair counts: histogram-weighted path equals naive stream recount") {
+    val out = TextAnalysis.bpePairCounts(spark, Sf).collect()
+    assert(out.length == 20)
+    // recompute from every token OCCURRENCE (no histogram collapse)
+    val naive = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(expr(TextAnalysis.TokensExpr)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val key = r.getAs[String]("left_sym") + r.getAs[String]("right_sym")
+      assert(r.getAs[Long]("n_pairs") == naive(key),
+        s"pair '$key' weighted count diverges from the stream recount")
+    }
+    assert(out.map(_.getAs[Long]("n_pairs")).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    }, "top-K must be non-increasing")
+  }
+
   test("fuzzy name join equals the brute-force edit-distance join") {
     import org.apache.spark.sql.functions.{col, levenshtein}
     val out = Dedup.fuzzyMatchNames(spark, Sf).collect()

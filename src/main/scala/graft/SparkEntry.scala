@@ -82,6 +82,8 @@ object SparkEntry {
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
     "q_bpe_pair_counts" -> (TextAnalysis.bpePairCounts(_, _)),
+    "q_domain_affinity" ->
+      (TextAnalysis.domainAffinity(_, _, Affinity.targetSource)),
     "q_asof_join_events_orders" -> (AsofJoin.eventsAsofOrders(_, _)),
     "q_join_bucketed_revenue" -> (Bucketing.bucketedOrderRevenue(_, _)),
     "q_pivot_order_status" -> (Reshape.orderStatusPivot(_, _)),
@@ -337,6 +339,11 @@ object SparkEntry {
   /** Collocation-mining parameters shared by operator, oracle, and twin. */
   private[graft] object Colloc {
     val minCount = 5L; val topK = 25
+  }
+
+  /** Domain-affinity target feed, shared by operator, oracle, and twin. */
+  private[graft] object Affinity {
+    val targetSource = "src0"
   }
 
   private[graft] object TrainedIvf {
@@ -1032,6 +1039,30 @@ object SparkEntry {
                     FROM counts)
          SELECT source, CAST(rk AS BIGINT) AS rk, token, n
          FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
+
+    // DSIR-style data selection: smoothed df-lift toward the target feed,
+    // floor-averaged over each doc's distinct shingles
+    "q_domain_affinity" ->
+      s"""WITH d AS (SELECT doc_id, source, $Toks AS ws FROM documents),
+         shd AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                 FROM d WHERE len(ws) >= 3),
+         ex AS (SELECT doc_id, source, CAST(len(sh) AS BIGINT) AS n_sh,
+                       unnest(sh) AS shingle FROM shd),
+         df AS (SELECT shingle,
+                       CAST(sum(CASE WHEN source = '${Affinity.targetSource}' THEN 1 ELSE 0 END) AS BIGINT) AS t_df,
+                       CAST(sum(CASE WHEN source <> '${Affinity.targetSource}' THEN 1 ELSE 0 END) AS BIGINT) AS c_df
+                FROM ex GROUP BY shingle),
+         tot AS (SELECT CAST(sum(CASE WHEN source = '${Affinity.targetSource}' THEN 1 ELSE 0 END) AS BIGINT) AS t_docs,
+                        CAST(sum(CASE WHEN source <> '${Affinity.targetSource}' THEN 1 ELSE 0 END) AS BIGINT) AS c_docs
+                 FROM shd),
+         w AS (SELECT e.doc_id, e.n_sh,
+                      (10000 * (f.t_df + 1) * (t.c_docs + 1))
+                      // ((f.c_df + 1) * (t.t_docs + 1)) AS w
+               FROM ex e JOIN df f ON e.shingle = f.shingle CROSS JOIN tot t
+               WHERE e.source <> '${Affinity.targetSource}')
+         SELECT doc_id, n_sh, CAST(sum(w) // n_sh AS BIGINT) AS affinity_1e4
+         FROM w GROUP BY doc_id, n_sh ORDER BY doc_id""",
 
     // BPE first-merge pair statistics over the word histogram
     "q_bpe_pair_counts" ->

@@ -607,6 +607,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-affinity scoring for data selection (the DSIR idea — rank
+    * corpus documents by how much their features lean toward a target
+    * domain — re-expressed in exact integer arithmetic): each shingle
+    * gets a Laplace-smoothed document-frequency lift
+    * `w = 1e4 * (t_df+1)(C+1) / ((c_df+1)(T+1))` (target-rate over
+    * corpus-rate), and a document scores the floor-average of its
+    * distinct shingles' weights. A ratio-of-smoothed-rates is the
+    * monotone integer-exact stand-in for the log-likelihood-ratio sum —
+    * floats never enter, so the DuckDB oracle matches bit-for-bit. The
+    * `targetSource` feed stands in for the curated target domain.
+    *
+    * 100 TB shape: one pass builds the per-shingle (t_df, c_df) table
+    * (map-side-combined; the shuffle carries doc-distinct shingles); the
+    * weight table is vocabulary-sized so it joins on shingle (never
+    * broadcast); per-doc averaging is one more hash aggregate. Products
+    * run in DECIMAL(38,0) — df x corpus-count overflows BIGINT at
+    * warehouse scale.
+    */
+  def domainAffinity(s: SparkSession, dir: String, targetSource: String): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TokensExpr))
+      .filter(expr("size(ws) >= 3"))
+      .withColumn("sh", expr(Dedup.ShinglesExpr))
+    val ex = docs.select(col("doc_id"), col("source"),
+      expr("CAST(size(sh) AS BIGINT)").as("n_sh"), explode(col("sh")).as("shingle"))
+    val isT = col("source") === targetSource
+    val df = ex.groupBy(col("shingle")).agg(
+      sum(when(isT, lit(1L)).otherwise(lit(0L))).as("t_df"),
+      sum(when(isT, lit(0L)).otherwise(lit(1L))).as("c_df"))
+    val tot = docs.agg(
+      sum(when(isT, lit(1L)).otherwise(lit(0L))).as("t_docs"),
+      sum(when(isT, lit(0L)).otherwise(lit(1L))).as("c_docs"))
+    ex.filter(!isT)
+      .join(df, Seq("shingle"))
+      .crossJoin(broadcast(tot))
+      .withColumn("wnum", expr(
+        "CAST(10000 AS DECIMAL(38,0)) * CAST(t_df + 1 AS DECIMAL(38,0)) * CAST(c_docs + 1 AS DECIMAL(38,0))"))
+      .withColumn("wden", expr(
+        "CAST(c_df + 1 AS DECIMAL(38,0)) * CAST(t_docs + 1 AS DECIMAL(38,0))"))
+      .withColumn("w", expr("CAST((wnum - wnum % wden) / wden AS BIGINT)"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(col("w")).as("w_sum"))
+      .withColumn("affinity_1e4", expr("w_sum DIV n_sh"))
+      .select(col("doc_id"), col("n_sh"), col("affinity_1e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE merge statistics: the adjacent-symbol pair counts that drive a
     * byte-pair-encoding tokenizer's first merge choice, computed over the
     * WORD HISTOGRAM rather than the token stream — the optimization real

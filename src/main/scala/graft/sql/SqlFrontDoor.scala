@@ -897,6 +897,32 @@ object SqlFrontDoor {
          FROM probe p JOIN documents doc ON doc.doc_id = p.doc_id
          GROUP BY 1 ORDER BY 1""",
 
+    // DSIR-style data selection: smoothed df-lift toward the target feed;
+    // DECIMAL(38,0) truncated quotient mirrors the operator
+    "q_domain_affinity" ->
+      s"""WITH $shingleSrcCtes,
+         ex AS (SELECT doc_id, source, CAST(size(sh) AS BIGINT) AS n_sh, shingle
+                FROM (SELECT doc_id, source, sh, explode(sh) AS shingle FROM shd)),
+         df AS (SELECT shingle,
+                       sum(CASE WHEN source = '${SparkEntry.Affinity.targetSource}' THEN 1L ELSE 0L END) AS t_df,
+                       sum(CASE WHEN source <> '${SparkEntry.Affinity.targetSource}' THEN 1L ELSE 0L END) AS c_df
+                FROM ex GROUP BY shingle),
+         tot AS (SELECT sum(CASE WHEN source = '${SparkEntry.Affinity.targetSource}' THEN 1L ELSE 0L END) AS t_docs,
+                        sum(CASE WHEN source <> '${SparkEntry.Affinity.targetSource}' THEN 1L ELSE 0L END) AS c_docs
+                 FROM shd),
+         w AS (SELECT e.doc_id, e.n_sh,
+                      CAST(10000 AS DECIMAL(38,0)) * CAST(f.t_df + 1 AS DECIMAL(38,0))
+                        * CAST(t.c_docs + 1 AS DECIMAL(38,0)) AS wnum,
+                      CAST(f.c_df + 1 AS DECIMAL(38,0))
+                        * CAST(t.t_docs + 1 AS DECIMAL(38,0)) AS wden
+               FROM ex e JOIN df f ON e.shingle = f.shingle CROSS JOIN tot t
+               WHERE e.source <> '${SparkEntry.Affinity.targetSource}'),
+         ws AS (SELECT doc_id, n_sh,
+                       sum(CAST((wnum - wnum % wden) / wden AS BIGINT)) AS w_sum
+                FROM w GROUP BY doc_id, n_sh)
+         SELECT doc_id, n_sh, w_sum DIV n_sh AS affinity_1e4
+         FROM ws ORDER BY doc_id""",
+
     // BPE first-merge pair statistics over the word histogram
     "q_bpe_pair_counts" ->
       s"""WITH d AS (SELECT $toksSql AS ws FROM documents),

@@ -1028,6 +1028,22 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("domain affinity: covers all non-target docs, positive, discriminative") {
+    val target = SparkEntry.Affinity.targetSource
+    val out = TextAnalysis.domainAffinity(spark, Sf, target).collect()
+    val expected = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("source") =!= target)
+      .filter(expr(s"size(${TextAnalysis.TokensExpr}) >= 3")).count()
+    assert(out.length == expected, "every shingled non-target doc gets a score")
+    assert(out.forall(_.getAs[Long]("affinity_1e4") > 0),
+      "Laplace smoothing keeps every weight strictly positive")
+    // the fixture's cross-source near-dups of the target feed must rank
+    // far above the unrelated bulk — the score is discriminative, not flat
+    val scores = out.map(_.getAs[Long]("affinity_1e4")).sorted
+    assert(scores.last >= 2 * scores.head && scores.last > scores(scores.length / 2),
+      "top affinity should clearly exceed the unrelated bulk")
+  }
+
   test("BPE pair counts: histogram-weighted path equals naive stream recount") {
     val out = TextAnalysis.bpePairCounts(spark, Sf).collect()
     assert(out.length == 20)

@@ -189,6 +189,9 @@ object SparkEntry {
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
+    "q_ann_recall_report" -> ((s, d) => Similarity.recallReport(s, d,
+      TrainedIvf.nQueries, TrainedIvf.k, TrainedIvf.nLists, TrainedIvf.nProbe,
+      TrainedIvf.iters)),
     "q_ann_ivf_trained_topk" -> ((s, d) => Similarity.ivfTopKTrained(s, d,
       nQueries = TrainedIvf.nQueries, k = TrainedIvf.k, nLists = TrainedIvf.nLists,
       nProbe = TrainedIvf.nProbe, iters = TrainedIvf.iters)),
@@ -461,6 +464,51 @@ object SparkEntry {
          FROM ranked WHERE rank <= $k ORDER BY query_id, rank""")
     sb.toString
   }
+
+  /** Recall@k of the trained-IVF chain against the exhaustive scan —
+    * approx and exact sides share the `e` CTE, the overlap count and the
+    * fixed-point recall are pure integers.
+    */
+  private def recallReportSql(iters: Int, nLists: Int, nQueries: Int,
+                              nProbe: Int, k: Int): String =
+    trainedAssignCtes(iters, nLists) +
+      s""",
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scoredF WHERE vec_id < $nQueries) s WHERE rn <= $nProbe),
+         cand AS (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM assignF a JOIN probes p ON a.centroid_id = p.centroid_id
+                  WHERE a.vec_id <> p.query_id),
+         rr AS (SELECT cand.query_id, cand.vec_id,
+                ${cosMicrosSql("q.qv", "e.v")} AS m
+                FROM cand
+                JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries) q
+                  ON q.qid = cand.query_id),
+         approx AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY m DESC, vec_id) AS rank
+                    FROM rr) r WHERE rank <= $k),
+         scoredX AS (SELECT q.qid AS query_id, e.vec_id,
+                     ${cosMicrosSql("q.qv", "e.v")} AS m
+                     FROM e CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e
+                                        WHERE vec_id < $nQueries) q
+                     WHERE e.vec_id <> q.qid),
+         exact AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY m DESC, vec_id) AS rank
+                   FROM scoredX) r WHERE rank <= $k),
+         mt AS (SELECT x.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_match
+                FROM exact x LEFT JOIN approx a
+                  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+                GROUP BY x.query_id)
+         SELECT query_id, n_match,
+                CAST((20000 * n_match + $k) // (2 * $k) AS BIGINT) AS recall_1e4
+         FROM mt ORDER BY query_id"""
 
   /** Single parameter source for q_semantic_dedup (operator call, oracle,
     * and front-door twin all read these).
@@ -1963,6 +2011,9 @@ object SparkEntry {
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_ann_ivf_trained_topk" -> trainedIvfSql(TrainedIvf.iters, TrainedIvf.nLists,
+      TrainedIvf.nQueries, TrainedIvf.nProbe, TrainedIvf.k),
+
+    "q_ann_recall_report" -> recallReportSql(TrainedIvf.iters, TrainedIvf.nLists,
       TrainedIvf.nQueries, TrainedIvf.nProbe, TrainedIvf.k),
 
     "q_ann_pq_topk" -> pqSql(PqAnn.m, PqAnn.subDim, PqAnn.ksub, PqAnn.iters,

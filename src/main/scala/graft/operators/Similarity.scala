@@ -381,6 +381,32 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** ANN quality evaluation: recall@k of the trained-IVF search against
+    * the exhaustive scan, per query — the readout an operator reads to
+    * tune nProbe/nLists before committing an index layout. Exact
+    * integers end-to-end: n_match is a set-overlap count, recall the
+    * half-up fixed-point fraction; probing every list makes the
+    * candidate set exhaustive, so recall is then 10000 by construction
+    * (spec-pinned).
+    *
+    * Scale shape: both inputs are the existing broadcast-query corpus
+    * scans; the comparison itself joins two (nQueries x k)-row frames —
+    * driver-trivial forever. At warehouse scale the query set is a
+    * sample; the shape is unchanged.
+    */
+  def recallReport(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                   nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopKTrained(s, dir, nQueries, k, nLists, nProbe, iters)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_match"))
+      .withColumn("recall_1e4", expr(s"(20000 * n_match + $k) DIV (2 * $k)"))
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** Per-subspace integer sub-codes: the 64-dim code vector split into

@@ -361,6 +361,50 @@ object SqlFrontDoor {
     sb.toString
   }
 
+  /** Twin of the recall-report oracle: trained-IVF top-k and exhaustive
+    * top-k from the shared chain, overlap counted per query.
+    */
+  private def recallReportSql(iters: Int, nLists: Int, nQueries: Int,
+                              nProbe: Int, k: Int): String =
+    trainedAssignCtes(iters, nLists) +
+      s""",
+         probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+                    SELECT vec_id, centroid_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cm DESC, centroid_id) AS rn
+                    FROM scoredF WHERE vec_id < $nQueries) s WHERE rn <= $nProbe),
+         cand AS (SELECT DISTINCT p.query_id, a.vec_id
+                  FROM assignF a JOIN probes p ON a.centroid_id = p.centroid_id
+                  WHERE a.vec_id <> p.query_id),
+         rr AS (SELECT cand.query_id, cand.vec_id,
+                ${cosMicrosSql("q.qv", "e.v")} AS m
+                FROM cand
+                JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries) q
+                  ON q.qid = cand.query_id),
+         approx AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY m DESC, vec_id) AS rank
+                    FROM rr) r WHERE rank <= $k),
+         scoredX AS (SELECT q.qid AS query_id, e.vec_id,
+                     ${cosMicrosSql("q.qv", "e.v")} AS m
+                     FROM e CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e
+                                        WHERE vec_id < $nQueries) q
+                     WHERE e.vec_id <> q.qid),
+         exact AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY m DESC, vec_id) AS rank
+                   FROM scoredX) r WHERE rank <= $k),
+         mt AS (SELECT x.query_id, count(a.vec_id) AS n_match
+                FROM exact x LEFT JOIN approx a
+                  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+                GROUP BY x.query_id)
+         SELECT query_id, n_match,
+                (20000 * n_match + $k) DIV (2 * $k) AS recall_1e4
+         FROM mt ORDER BY query_id"""
+
   /** Twin of the semantic-dedup oracle: the shared trained chain, then a
     * vector is dropped iff a smaller-id same-cluster vector clears the
     * exact float cosine threshold.
@@ -526,6 +570,10 @@ object SqlFrontDoor {
     "q_ann_lsh_topk" -> annLshSql,
     // parameters come straight from SparkEntry.TrainedIvf so operator,
     // oracle, and twin share one source and cannot drift independently
+    "q_ann_recall_report" -> recallReportSql(
+      graft.SparkEntry.TrainedIvf.iters, graft.SparkEntry.TrainedIvf.nLists,
+      graft.SparkEntry.TrainedIvf.nQueries, graft.SparkEntry.TrainedIvf.nProbe,
+      graft.SparkEntry.TrainedIvf.k),
     "q_ann_ivf_trained_topk" -> trainedIvfSql(
       graft.SparkEntry.TrainedIvf.iters, graft.SparkEntry.TrainedIvf.nLists,
       graft.SparkEntry.TrainedIvf.nQueries, graft.SparkEntry.TrainedIvf.nProbe,

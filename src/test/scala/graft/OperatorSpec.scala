@@ -1028,6 +1028,24 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("ANN recall report: identity, bounds, exhaustive probing scores 10000") {
+    import SparkEntry.TrainedIvf.{nQueries, k, nLists, nProbe, iters}
+    val rep = Similarity.recallReport(spark, Sf, nQueries, k, nLists, nProbe, iters)
+      .collect()
+    assert(rep.length == nQueries)
+    rep.foreach { r =>
+      val (m, rc) = (r.getAs[Long]("n_match"), r.getAs[Long]("recall_1e4"))
+      assert(m >= 0 && m <= k)
+      assert(rc == (20000 * m + k) / (2 * k))
+    }
+    // probing every list makes the candidate set exhaustive, so the
+    // reranked top-k equals brute force and recall is perfect
+    val full = Similarity.recallReport(spark, Sf, nQueries, k, nLists, nLists, iters)
+      .collect()
+    assert(full.length == nQueries)
+    assert(full.forall(_.getAs[Long]("recall_1e4") == 10000L))
+  }
+
   test("domain affinity: covers all non-target docs, positive, discriminative") {
     val target = SparkEntry.Affinity.targetSource
     val out = TextAnalysis.domainAffinity(spark, Sf, target).collect()

@@ -189,6 +189,8 @@ object SparkEntry {
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
+    "q_kmeans_cluster_report" -> ((s, d) => Similarity.clusterReport(s, d,
+      TrainedIvf.nLists, TrainedIvf.iters)),
     "q_ann_recall_report" -> ((s, d) => Similarity.recallReport(s, d,
       TrainedIvf.nQueries, TrainedIvf.k, TrainedIvf.nLists, TrainedIvf.nProbe,
       TrainedIvf.iters)),
@@ -2015,6 +2017,21 @@ object SparkEntry {
 
     "q_ann_recall_report" -> recallReportSql(TrainedIvf.iters, TrainedIvf.nLists,
       TrainedIvf.nQueries, TrainedIvf.nProbe, TrainedIvf.k),
+
+    // per-cluster population + truncated mean member-to-centroid cosine
+    "q_kmeans_cluster_report" -> (trainedAssignCtes(TrainedIvf.iters, TrainedIvf.nLists) +
+      s""",
+         best AS (SELECT vec_id, centroid_id, cm FROM (
+                  SELECT vec_id, centroid_id, cm,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cm DESC, centroid_id) AS rn
+                  FROM scoredF) s WHERE rn = 1),
+         agg AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+                        CAST(sum(cm) AS BIGINT) AS cm_sum
+                 FROM best GROUP BY 1)
+         SELECT centroid_id, n_vecs,
+                CAST((cm_sum - cm_sum % n_vecs) // n_vecs AS BIGINT) AS mean_sim_micro
+         FROM agg ORDER BY centroid_id"""),
 
     "q_ann_pq_topk" -> pqSql(PqAnn.m, PqAnn.subDim, PqAnn.ksub, PqAnn.iters,
       PqAnn.nQueries, PqAnn.k),

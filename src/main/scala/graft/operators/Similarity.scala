@@ -381,6 +381,46 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** Quantizer quality report: per-cluster population and mean cosine
+    * (micro units, truncated) of members to their assigned centroid —
+    * the balance/cohesion readout for choosing nLists/iters. IVF probe
+    * cost at scale is driven by exactly the population skew this
+    * surfaces (a whale list re-creates the skew the index exists to
+    * avoid), and falling cohesion says the quantizer needs retraining
+    * before the next compaction.
+    *
+    * The winning score rides INSIDE the same packed max the sort-free
+    * assignment uses (packed = cm*65536 - centroid_id, so
+    * cm = (packed + centroid_id) / 65536 exactly) — still one
+    * HashAggregate, zero sorts, no second scoredC pass. Truncated mean
+    * via the (x - x % n) / n identity, which both engines evaluate
+    * identically for either sign.
+    *
+    * 100 TB shape: one corpus pass vs broadcast centroids (the existing
+    * scoring join), one per-vector hash aggregate, then an nLists-row
+    * aggregate — nothing new shuffles.
+    */
+  def clusterReport(s: SparkSession, dir: String, nLists: Int = 16,
+                    iters: Int = 2): DataFrame = {
+    require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val codes = vectorCodes(emb)
+    val centroids = trainCentroids(codes, nLists, iters)
+    val scoredC = scoreAgainstCentroids(codes, centroids)
+    scoredC.groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid_id"),
+          expr("cm * CAST(65536 AS BIGINT) - centroid_id")).as("centroid_id"),
+        max(expr("cm * CAST(65536 AS BIGINT) - centroid_id")).as("packed"))
+      .withColumn("best_cm", expr("(packed + centroid_id) DIV CAST(65536 AS BIGINT)"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("best_cm")).as("cm_sum"))
+      .withColumn("mean_sim_micro", expr("(cm_sum - cm_sum % n_vecs) DIV n_vecs"))
+      .select(col("centroid_id"), col("n_vecs"), col("mean_sim_micro"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** ANN quality evaluation: recall@k of the trained-IVF search against
     * the exhaustive scan, per query — the readout an operator reads to
     * tune nProbe/nLists before committing an index layout. Exact

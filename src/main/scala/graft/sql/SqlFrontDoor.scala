@@ -570,6 +570,19 @@ object SqlFrontDoor {
     "q_ann_lsh_topk" -> annLshSql,
     // parameters come straight from SparkEntry.TrainedIvf so operator,
     // oracle, and twin share one source and cannot drift independently
+    "q_kmeans_cluster_report" -> (trainedAssignCtes(
+      graft.SparkEntry.TrainedIvf.iters, graft.SparkEntry.TrainedIvf.nLists) +
+      s""",
+         best AS (SELECT vec_id, centroid_id, cm FROM (
+                  SELECT vec_id, centroid_id, cm,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cm DESC, centroid_id) AS rn
+                  FROM scoredF) s WHERE rn = 1),
+         agg AS (SELECT centroid_id, count(*) AS n_vecs, sum(cm) AS cm_sum
+                 FROM best GROUP BY 1)
+         SELECT centroid_id, n_vecs,
+                (cm_sum - cm_sum % n_vecs) DIV n_vecs AS mean_sim_micro
+         FROM agg ORDER BY centroid_id"""),
     "q_ann_recall_report" -> recallReportSql(
       graft.SparkEntry.TrainedIvf.iters, graft.SparkEntry.TrainedIvf.nLists,
       graft.SparkEntry.TrainedIvf.nQueries, graft.SparkEntry.TrainedIvf.nProbe,

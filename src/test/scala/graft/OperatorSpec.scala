@@ -1028,6 +1028,20 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("k-means cluster report: population conserves, cohesion bounded") {
+    import SparkEntry.TrainedIvf.{nLists, iters}
+    val rep = Similarity.clusterReport(spark, Sf, nLists, iters).collect()
+    val nVecs = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(rep.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector lands in exactly one cluster")
+    assert(rep.length <= nLists && rep.nonEmpty)
+    rep.foreach { r =>
+      val m = r.getAs[Long]("mean_sim_micro")
+      assert(m >= -1000000L && m <= 1000000L, "mean cosine stays in micro bounds")
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+  }
+
   test("ANN recall report: identity, bounds, exhaustive probing scores 10000") {
     import SparkEntry.TrainedIvf.{nQueries, k, nLists, nProbe, iters}
     val rep = Similarity.recallReport(spark, Sf, nQueries, k, nLists, nProbe, iters)

@@ -88,7 +88,12 @@ object PlanFingerprint {
     "q_semantic_dedup",
     "q_ann_ivfpq_topk",
     "q_cluster_sample",
-    "q_hybrid_search")
+    "q_hybrid_search",
+    "q_source_overlap",
+    "q_bloom_screen",
+    "q_domain_affinity",
+    "q_collocations",
+    "q_ann_recall_report")
 
   /** (query, digest, summary) for every Guarded query. */
   def compute(spark: SparkSession, sfDir: String): Seq[(String, String, String)] =

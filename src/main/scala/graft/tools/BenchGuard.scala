@@ -35,7 +35,7 @@ object BenchGuard {
     val sf = PlanFingerprint.PinnedSf
     if (write) {
       PlanFingerprint.write(spark, sf, PlanFingerprint.DefaultFile)
-      println(s"wrote ${Bench.Headline.size} fingerprints to ${PlanFingerprint.DefaultFile}")
+      println(s"wrote ${PlanFingerprint.Guarded.size} fingerprints to ${PlanFingerprint.DefaultFile}")
     } else {
       val pinned = PlanFingerprint.read(PlanFingerprint.DefaultFile)
       var changed = 0

@@ -3,8 +3,10 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat}
 import org.apache.spark.sql.streaming.OutputMode
 
+import graft.operators.Dedup
 import graft.streaming.EventsStream
 import graft.streaming.EventsStream.Event
 
@@ -183,6 +185,49 @@ class StreamingSpec extends SparkTestBase {
       // 10:07 falls in [09:55,10:10), [10:00,10:15), [10:05,10:20)
       assert(windows == Set("2024-01-01 09:55:00.0",
         "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+    } finally q.stop()
+  }
+
+  test("streaming bloom screen: flags cross-batch near-dups, never misses one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bloomstream").toString
+    val input = MemoryStream[(Long, String)]
+    val body = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val q = graft.streaming.BloomScreenStream.start(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/filter", s"$base/flagged", s"$base/ckpt")
+    try {
+      // batch 0: nothing prior — nobody can be flagged
+      input.addData((1L, body),
+        (2L, "completely different words about streaming parquet indexes here"))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$base/flagged/batch=0")
+      assert(b0.isEmpty, "first batch has no history to hit")
+      // batch 1: a near-dup of doc 1 plus a fresh doc — the near-dup
+      // shares a full signature band, so the screen MUST flag it (no
+      // false negatives); the fresh doc may only appear as a (rare) FP
+      input.addData((10L, body + " again"),
+        (11L, "unrelated text speaking of benchmarks and sorted runs today"))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$base/flagged/batch=1")
+        .collect().map(_.getLong(0)).toSet
+      assert(b1.contains(10L), s"cross-batch near-dup not flagged: $b1")
+      // ground truth from the batch machinery: docs of batch 1 sharing a
+      // band key with batch 0 must ALL be flagged (bloom superset)
+      val bands = Dedup.bandSigRows(
+        Seq((1L, body), (2L, "completely different words about streaming parquet indexes here"),
+          (10L, body + " again"),
+          (11L, "unrelated text speaking of benchmarks and sorted runs today"))
+          .toDF("doc_id", "text"))
+        .select(col("doc_id"), concat(col("band_idx").cast("string"), col("band_val")).as("bkey"))
+      val trueSharers = bands.filter(col("doc_id") >= 10L).as("n")
+        .join(bands.filter(col("doc_id") < 10L).as("o"), Seq("bkey"))
+        .select(col("n.doc_id")).collect().map(_.getLong(0)).toSet
+      assert(trueSharers.subsetOf(b1), s"missed true band-sharers: $trueSharers vs $b1")
+      // the filter state stays bounded: distinct positions only
+      val posCount = spark.read.parquet(s"$base/filter").select("pos").distinct().count()
+      assert(posCount <= 65536)
     } finally q.stop()
   }
 

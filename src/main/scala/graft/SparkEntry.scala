@@ -78,6 +78,7 @@ object SparkEntry {
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
+    "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
@@ -1061,6 +1062,20 @@ object SparkEntry {
          count(*) AS n_events, round(sum(value), 4) AS sum_value,
          round(avg(value), 4) AS avg_value
          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    // first-order Markov transition matrix of per-user event flows
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events),
+         tr AS (SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+                FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         wt AS (SELECT from_type, to_type, n_transitions,
+                CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+                FROM tr)
+         SELECT from_type, to_type, n_transitions,
+                (20000 * n_transitions + from_total) // (2 * from_total) AS share_1e4
+         FROM wt ORDER BY from_type, to_type""",
 
     "q_sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us FROM events),

@@ -859,4 +859,31 @@ object Analytics {
         r4(avg(col("value"))).as("avg_value"))
       .orderBy(col("bucket"))
   }
+
+  /** Event transition matrix: for every (from, to) pair of consecutive
+    * event types within a user's timeline, the transition count and its
+    * half-up fixed-point row share — the first-order Markov view of user
+    * flows (what follows a signup? where do errors lead?). Consecutive =
+    * next event by (ts, event_id); the id tiebreak makes same-timestamp
+    * runs deterministic across engines.
+    *
+    * 100 TB shape: ONE user-partitioned window (shuffle+sort keyed on
+    * user_id — the same shape sessionization already pays, parallel
+    * across users), then a hash aggregate down to |types|² rows; the
+    * share window runs over that tiny matrix. No self-join of events.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    Tables.events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total", sum(col("n_transitions")).over(wf))
+      .withColumn("share_1e4",
+        expr("(20000 * n_transitions + from_total) DIV (2 * from_total)"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("share_1e4"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

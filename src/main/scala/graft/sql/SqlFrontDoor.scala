@@ -1483,6 +1483,20 @@ object SqlFrontDoor {
                CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '1999999a' WHEN 'src4' THEN '1999999a' WHEN 'src5' THEN '1999999a' ELSE '00000000' END
          GROUP BY source ORDER BY source""",
 
+    // first-order Markov transition matrix of per-user event flows
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events),
+         tr AS (SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+                FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         wt AS (SELECT from_type, to_type, n_transitions,
+                sum(n_transitions) OVER (PARTITION BY from_type) AS from_total
+                FROM tr)
+         SELECT from_type, to_type, n_transitions,
+                (20000 * n_transitions + from_total) DIV (2 * from_total) AS share_1e4
+         FROM wt ORDER BY from_type, to_type""",
+
     "q_sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, unix_micros(ts) AS ts_us FROM events),
          flagged AS (SELECT user_id, event_id, ts_us, value,

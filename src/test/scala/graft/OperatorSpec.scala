@@ -1028,6 +1028,21 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("event transitions: counts conserve, row shares sum to ~one") {
+    val out = Analytics.eventTransitions(spark, Sf).collect()
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+    val nUsers = events.select("user_id").distinct().count()
+    // each user's timeline of n events contributes n-1 transitions
+    assert(out.map(_.getAs[Long]("n_transitions")).sum == events.count() - nUsers)
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val shares = rows.map(_.getAs[Long]("share_1e4"))
+      // half-up rounding keeps each row's share within half a unit, so a
+      // full row of the matrix sums to 10000 ± (#cells)/2
+      assert(math.abs(shares.sum - 10000L) <= rows.length,
+        s"row shares ${shares.mkString(",")} should sum to ~10000")
+    }
+  }
+
   test("k-means cluster report: population conserves, cohesion bounded") {
     import SparkEntry.TrainedIvf.{nLists, iters}
     val rep = Similarity.clusterReport(spark, Sf, nLists, iters).collect()

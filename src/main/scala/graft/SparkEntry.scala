@@ -241,6 +241,7 @@ object SparkEntry {
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
+    "q_image_dedup" -> (Multimodal.imageDedup(_, _)),
     "q_frame_features" -> (Multimodal.frameFeatures(_, _)),
     "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
     // ---- deterministic sampling / dataset mixing ----
@@ -2175,6 +2176,20 @@ object SparkEntry {
     // javax.imageio; the oracle predicts the decoded features from the
     // same generation formula — agreement proves the encode/decode
     // round-trip is faithful, not just that two formulas match.
+    // decoded-raster identity groups predicted from the generation
+    // formula (the Spark side groups on what the real decoder produced)
+    "q_image_dedup" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         f AS (SELECT doc_id,
+               CAST(32 + (ascii(substr(hx, 1, 1)) % 16) * 8 AS INTEGER) AS width,
+               CAST(32 + (ascii(substr(hx, 2, 1)) % 16) * 8 AS INTEGER) AS height,
+               CAST((ascii(substr(hx, 3, 1)) % 64) * 4 AS BIGINT) AS gray_level
+               FROM m)
+         SELECT width, height, gray_level, count(*) AS n_assets,
+                min(doc_id) AS keeper_asset_id
+         FROM f GROUP BY 1, 2, 3 HAVING count(*) > 1
+         ORDER BY width, height, gray_level""",
+
     "q_multimodal_features" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
          SELECT doc_id AS asset_id,

@@ -163,6 +163,30 @@ object Multimodal {
         col("channel_sum"), col("gray_level"))
       .orderBy(col("asset_id"))
 
+  /** Image dedup on DECODED content: group assets whose decoded rasters
+    * are identical and keep the smallest id per group — the "same image
+    * re-hosted / re-encoded elsewhere" pass an image-corpus pipeline runs
+    * after download. Identity is decided from what the DECODER produced,
+    * never from the encoded bytes (two byte-different PNGs of the same
+    * raster still collapse). With this generator's constant fills the
+    * raster is exactly (width, height, gray_level) — channel_sum is
+    * derived — so the grouping key a production pipeline gets from a
+    * pixel-buffer digest reduces to that tuple here; the plumbing
+    * (decode once per partition, hash-group on decoded content, min-id
+    * keeper) is unchanged by the digest's width.
+    *
+    * 100 TB shape: the decode is the dominant cost and happens exactly
+    * once per asset (the existing partition-batched codec path); the
+    * grouping shuffle carries one short row per ASSET (never pixels),
+    * map-side combined.
+    */
+  def imageDedup(s: SparkSession, dir: String): DataFrame =
+    decodeAssets(s, dir).toDF()
+      .groupBy(col("width"), col("height"), col("gray_level"))
+      .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("keeper_asset_id"))
+      .filter(col("n_assets") > 1)
+      .orderBy(col("width"), col("height"), col("gray_level"))
+
   /** The generation-formula twin of `assetFeatures`, computed as pure
     * columns with NO image round-trip — what the DuckDB oracle evaluates.
     * MultimodalSpec pins decode == prediction row for row, which is the

@@ -1832,7 +1832,7 @@ object SqlFrontDoor {
     "q_grouping_sets_orders", "q_having_frequent_buyers",
     "q_histogram_order_price", "q_join_brand_revenue",
     "q_join_bucketed_revenue", "q_join_region_revenue",
-    "q_mode_order_priority", "q_multimodal_features",
+    "q_image_dedup", "q_mode_order_priority", "q_multimodal_features",
     "q_outer_join_order_counts", "q_pivot_order_status",
     "q_range_join_value_bands", "q_rollup_orders",
     "q_scalar_subquery_big_orders", "q_semi_join_urgent_customers",

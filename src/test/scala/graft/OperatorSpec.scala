@@ -1028,6 +1028,21 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("image dedup: groups are decoded-content identities, keeper is min id") {
+    val groups = Multimodal.imageDedup(spark, Sf).collect()
+    assert(groups.nonEmpty, "the content-addressed dims collide on this fixture")
+    val feats = Multimodal.assetFeatures(spark, Sf)
+      .select("asset_id", "width", "height", "gray_level").collect()
+      .groupBy(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    groups.foreach { g =>
+      val key = (g.getAs[Int]("width"), g.getAs[Int]("height"), g.getAs[Long]("gray_level"))
+      val members = feats(key)
+      assert(members.length.toLong == g.getAs[Long]("n_assets"))
+      assert(members.map(_.getLong(0)).min == g.getAs[Long]("keeper_asset_id"))
+      assert(g.getAs[Long]("n_assets") > 1)
+    }
+  }
+
   test("event transitions: counts conserve, row shares sum to ~one") {
     val out = Analytics.eventTransitions(spark, Sf).collect()
     val events = spark.read.parquet(s"$Sf/events.parquet")

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
     "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
+    "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
@@ -1063,6 +1064,28 @@ object SparkEntry {
          count(*) AS n_events, round(sum(value), 4) AS sum_value,
          round(avg(value), 4) AS avg_value
          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    // RFM quartile-score segment matrix; quantile_cont == Spark percentile
+    "q_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+              date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE)) AS rec_days,
+              count(*) AS freq,
+              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+         th AS (SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS tr,
+                       quantile_cont(freq, [0.25, 0.5, 0.75]) AS tf,
+                       quantile_cont(cents, [0.25, 0.5, 0.75]) AS tm FROM per),
+         sc AS (SELECT p.cents,
+                CAST(1 + CAST(p.rec_days > tr[1] AS INT) + CAST(p.rec_days > tr[2] AS INT)
+                       + CAST(p.rec_days > tr[3] AS INT) AS BIGINT) AS r_score,
+                CAST(1 + CAST(p.freq > tf[1] AS INT) + CAST(p.freq > tf[2] AS INT)
+                       + CAST(p.freq > tf[3] AS INT) AS BIGINT) AS f_score,
+                CAST(1 + CAST(p.cents > tm[1] AS INT) + CAST(p.cents > tm[2] AS INT)
+                       + CAST(p.cents > tm[3] AS INT) AS BIGINT) AS m_score
+                FROM per p CROSS JOIN th)
+         SELECT r_score, f_score, m_score, count(*) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS cell_cents
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     // first-order Markov transition matrix of per-user event flows
     "q_event_transitions" ->

@@ -860,6 +860,49 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** RFM segmentation: customers bucketed into quartile scores on
+    * Recency (days of last order), Frequency (order count), and Monetary
+    * (lifetime cents), reported as the 64-cell segment matrix — the
+    * classic warehouse marketing rollup. Scores are 1 + the number of
+    * quartile thresholds strictly exceeded, with thresholds from exact
+    * interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`; quartile fractions are exact binary, so the
+    * interpolation arithmetic is bit-stable across engines — the same
+    * parity argument as pricePercentiles). Threshold-compare scoring
+    * beats ntile here: no global sort, and a customer's score depends
+    * only on the broadcast thresholds, not on neighbors.
+    *
+    * 100 TB shape: one per-customer aggregate (map-side combined), one
+    * single-row threshold aggregate, then a broadcast compare + the
+    * 64-cell rollup. Exact `percentile` buffers the per-customer column
+    * on one node — at warehouse scale swap in `approx_percentile` (a
+    * mergeable sketch, same plan shape, one function name); exact is
+    * kept here for the bit-exact oracle.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("datediff(CAST(max(o_orderdate) AS DATE), DATE '1970-01-01')").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(expr(
+          "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("cents"))
+    val th = per.agg(
+      expr("percentile(rec_days, array(0.25, 0.5, 0.75))").as("tr"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("tf"),
+      expr("percentile(cents, array(0.25, 0.5, 0.75))").as("tm"))
+    def score(m: String, t: String) =
+      s"CAST(1 + CAST($m > $t[0] AS INT) + CAST($m > $t[1] AS INT) + CAST($m > $t[2] AS INT) AS BIGINT)"
+    per.crossJoin(broadcast(th))
+      .withColumn("r_score", expr(score("rec_days", "tr")))
+      .withColumn("f_score", expr(score("freq", "tf")))
+      .withColumn("m_score", expr(score("cents", "tm")))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cell_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** Event transition matrix: for every (from, to) pair of consecutive
     * event types within a user's timeline, the transition count and its
     * half-up fixed-point row share — the first-order Markov view of user

@@ -1483,6 +1483,28 @@ object SqlFrontDoor {
                CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '1999999a' WHEN 'src4' THEN '1999999a' WHEN 'src5' THEN '1999999a' ELSE '00000000' END
          GROUP BY source ORDER BY source""",
 
+    // RFM quartile-score segment matrix; Spark percentile == quantile_cont
+    "q_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+              datediff(CAST(max(o_orderdate) AS DATE), DATE '1970-01-01') AS rec_days,
+              count(*) AS freq,
+              sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1),
+         th AS (SELECT percentile(rec_days, array(0.25, 0.5, 0.75)) AS tr,
+                       percentile(freq, array(0.25, 0.5, 0.75)) AS tf,
+                       percentile(cents, array(0.25, 0.5, 0.75)) AS tm FROM per),
+         sc AS (SELECT p.cents,
+                CAST(1 + CAST(p.rec_days > tr[0] AS INT) + CAST(p.rec_days > tr[1] AS INT)
+                       + CAST(p.rec_days > tr[2] AS INT) AS BIGINT) AS r_score,
+                CAST(1 + CAST(p.freq > tf[0] AS INT) + CAST(p.freq > tf[1] AS INT)
+                       + CAST(p.freq > tf[2] AS INT) AS BIGINT) AS f_score,
+                CAST(1 + CAST(p.cents > tm[0] AS INT) + CAST(p.cents > tm[1] AS INT)
+                       + CAST(p.cents > tm[2] AS INT) AS BIGINT) AS m_score
+                FROM per p CROSS JOIN th)
+         SELECT r_score, f_score, m_score, count(*) AS n_customers,
+                sum(cents) AS cell_cents
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
     // first-order Markov transition matrix of per-user event flows
     "q_event_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,

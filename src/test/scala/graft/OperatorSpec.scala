@@ -1028,6 +1028,28 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("RFM segments: customers conserve, scores bounded, quartiles roughly even") {
+    val out = Analytics.rfmSegments(spark, Sf).collect()
+    val nCust = spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCust)
+    out.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1 && v <= 4)
+      }
+    }
+    // marginal distribution of each score is a quartile split: every
+    // score value covers between 5% and 45% of customers (exact quarters
+    // are impossible with ties, but the split must not collapse)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val marginal = out.groupBy(_.getAs[Long](c))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(marginal.keySet == Set(1L, 2L, 3L, 4L), s"$c missing a quartile: $marginal")
+      marginal.values.foreach(n =>
+        assert(n >= nCust / 20 && n <= nCust * 9 / 20, s"$c lopsided: $marginal"))
+    }
+  }
+
   test("image dedup: groups are decoded-content identities, keeper is min id") {
     val groups = Multimodal.imageDedup(spark, Sf).collect()
     assert(groups.nonEmpty, "the content-addressed dims collide on this fixture")

@@ -80,6 +80,7 @@ object SparkEntry {
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
     "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
+    "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
@@ -1064,6 +1065,24 @@ object SparkEntry {
          count(*) AS n_events, round(sum(value), 4) AS sum_value,
          round(avg(value), 4) AS avg_value
          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    // Tukey-fence outliers over integerized values; exact quarter-fraction
+    // interpolation makes the fences bit-identical across engines
+    "q_value_outliers" ->
+      """WITH ev AS (SELECT event_type,
+              CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4 FROM events),
+         th AS (SELECT event_type, quantile_cont(v4, [0.25, 0.75]) AS p
+                FROM ev GROUP BY 1),
+         j AS (SELECT e.event_type, e.v4, p[1] AS p25, p[2] AS p75
+               FROM ev e JOIN th t ON e.event_type = t.event_type),
+         f AS (SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN CAST(v4 AS DOUBLE) < p25 - 1.5 * (p75 - p25)
+                              OR CAST(v4 AS DOUBLE) > p75 + 1.5 * (p75 - p25)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+               FROM j GROUP BY 1)
+         SELECT event_type, n_events, n_outliers,
+                (20000 * n_outliers + n_events) // (2 * n_events) AS outlier_1e4
+         FROM f ORDER BY event_type""",
 
     // RFM quartile-score segment matrix; quantile_cont == Spark percentile
     "q_rfm_segments" ->

@@ -860,6 +860,39 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Tukey-fence outlier report: per event type, how many values fall
+    * outside [p25 − 1.5·IQR, p75 + 1.5·IQR] — the robust anomaly count a
+    * metrics pipeline alerts on (robust because the fences themselves
+    * ignore the outliers they catch). Values are integerized to 1e-4
+    * units FIRST, so the quartile interpolation runs over integers at
+    * exact binary fractions and the fence arithmetic (×1.5 → eighths) is
+    * bit-identical across engines — no float-boundary coin flips.
+    *
+    * 100 TB shape: per-type quartiles via one aggregate (same
+    * exact-vs-approx_percentile trade as rfmSegments, one function name
+    * to swap), broadcast fences, map-side compare, per-type rollup. The
+    * events scan is read twice (quartiles, then compare); at warehouse
+    * scale the first read reduces per-type — no corpus-sized state.
+    */
+  def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("v4"))
+    val th = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(v4, array(0.25, 0.75))").as("p"))
+      .select(col("event_type"), expr("p[0]").as("p25"), expr("p[1]").as("p75"))
+    ev.join(broadcast(th), Seq("event_type"))
+      .withColumn("is_out", expr(
+        """CAST(v4 AS DOUBLE) < p25 - 1.5 * (p75 - p25)
+           OR CAST(v4 AS DOUBLE) > p75 + 1.5 * (p75 - p25)"""))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_out"), lit(1L)).otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_1e4", expr("(20000 * n_outliers + n_events) DIV (2 * n_events)"))
+      .orderBy(col("event_type"))
+  }
+
   /** RFM segmentation: customers bucketed into quartile scores on
     * Recency (days of last order), Frequency (order count), and Monetary
     * (lifetime cents), reported as the 64-cell segment matrix — the

@@ -1483,6 +1483,24 @@ object SqlFrontDoor {
                CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '1999999a' WHEN 'src4' THEN '1999999a' WHEN 'src5' THEN '1999999a' ELSE '00000000' END
          GROUP BY source ORDER BY source""",
 
+    // Tukey-fence outliers over integerized values
+    "q_value_outliers" ->
+      """WITH ev AS (SELECT event_type,
+              CAST(floor(value * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v4
+              FROM events),
+         th AS (SELECT event_type, percentile(v4, array(0.25, 0.75)) AS p
+                FROM ev GROUP BY 1),
+         j AS (SELECT e.event_type, e.v4, p[0] AS p25, p[1] AS p75
+               FROM ev e JOIN th t ON e.event_type = t.event_type),
+         f AS (SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN CAST(v4 AS DOUBLE) < p25 - 1.5 * (p75 - p25)
+                              OR CAST(v4 AS DOUBLE) > p75 + 1.5 * (p75 - p25)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+               FROM j GROUP BY 1)
+         SELECT event_type, n_events, n_outliers,
+                (20000 * n_outliers + n_events) DIV (2 * n_events) AS outlier_1e4
+         FROM f ORDER BY event_type""",
+
     // RFM quartile-score segment matrix; Spark percentile == quantile_cont
     "q_rfm_segments" ->
       """WITH per AS (SELECT o_custkey,

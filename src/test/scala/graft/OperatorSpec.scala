@@ -1028,6 +1028,23 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("value outliers: fences are robust, counts conserve and stay minority") {
+    val out = Analytics.valueOutliers(spark, Sf).collect()
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    assert(out.length == ev.select("event_type").distinct().count())
+    assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
+    out.foreach { r =>
+      val (n, o, sh) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_outliers"),
+        r.getAs[Long]("outlier_1e4"))
+      // Tukey fences on any distribution flag at most ~25% per tail by
+      // construction; on this heavy-tailed fixture a strict minority
+      assert(o < n / 4, s"fences flagging $o of $n cannot be robust")
+      assert(sh == (20000 * o + n) / (2 * n))
+    }
+    // the fixture's value tail is genuinely heavy — some outliers exist
+    assert(out.map(_.getAs[Long]("n_outliers")).sum > 0)
+  }
+
   test("RFM segments: customers conserve, scores bounded, quartiles roughly even") {
     val out = Analytics.rfmSegments(spark, Sf).collect()
     val nCust = spark.read.parquet(s"$Sf/orders.parquet")

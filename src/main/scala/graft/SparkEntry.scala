@@ -81,6 +81,8 @@ object SparkEntry {
     "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
+    "q_key_skew_audit" -> (Analytics.keySkewAudit(_, _)),
+    "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
@@ -1065,6 +1067,30 @@ object SparkEntry {
          count(*) AS n_events, round(sum(value), 4) AS sum_value,
          round(avg(value), 4) AS avg_value
          FROM events GROUP BY bucket ORDER BY bucket""",
+
+    // top-K heaviest join keys with share and ratio-to-mean
+    "q_key_skew_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+                      CAST(count(*) AS BIGINT) AS n_keys FROM k),
+         r AS (SELECT user_id, n_events,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rank FROM k)
+         SELECT CAST(rank AS BIGINT) AS rank, r.user_id, r.n_events,
+                CAST((20000 * n_events + total) // (2 * total) AS BIGINT) AS share_1e4,
+                CAST((20000 * n_events * n_keys + total) // (2 * total) AS BIGINT) AS ratio_to_avg_1e4
+         FROM r CROSS JOIN t WHERE rank <= 5 ORDER BY rank""",
+
+    // per-source token coverage of the global top-N vocabulary
+    "q_vocab_coverage" ->
+      s"""WITH t AS (SELECT source, unnest($Toks) AS w FROM documents),
+         vc AS (SELECT w FROM (SELECT w, count(*) AS c FROM t
+                               GROUP BY 1 ORDER BY c DESC, w LIMIT 10)),
+         j AS (SELECT t.source, CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS cov
+               FROM t LEFT JOIN vc v ON t.w = v.w)
+         SELECT source, count(*) AS n_tokens, CAST(sum(cov) AS BIGINT) AS n_covered,
+                CAST((20000 * CAST(sum(cov) AS BIGINT) + count(*))
+                     // (2 * count(*)) AS BIGINT) AS coverage_1e4
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     // Tukey-fence outliers over integerized values; exact quarter-fraction
     // interpolation makes the fences bit-identical across engines

@@ -860,6 +860,36 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Join-key skew audit: the top-K heaviest keys of a fact table's join
+    * column, each with its share of all rows and its ratio to the mean
+    * key load — the dashboard an operator reads BEFORE a big join to
+    * decide whether to salt, AQE-split, or broadcast. This engine leans
+    * on skew machinery everywhere (saltedJoin, AQE skew-join, whale-label
+    * sub-blocking); this query is the measurement those decisions start
+    * from.
+    *
+    * 100 TB shape: one map-side-combined key aggregate (shuffle carries
+    * distinct keys), a TakeOrderedAndProject top-K, and a broadcast
+    * single-row totals frame — the audit never materializes more than
+    * K + distinct-key rows.
+    */
+  def keySkewAudit(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val keyed = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val tot = keyed.agg(sum(col("n_events")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n_events").desc, col("user_id"))
+    keyed.crossJoin(broadcast(tot))
+      .orderBy(col("n_events").desc, col("user_id")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_1e4", expr("(20000 * n_events + total) DIV (2 * total)"))
+      .withColumn("ratio_to_avg_1e4",
+        expr("(20000 * n_events * n_keys + total) DIV (2 * total)"))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("share_1e4"), col("ratio_to_avg_1e4"))
+      .orderBy(col("rank"))
+  }
+
   /** Tukey-fence outlier report: per event type, how many values fall
     * outside [p25 − 1.5·IQR, p75 + 1.5·IQR] — the robust anomaly count a
     * metrics pipeline alerts on (robust because the fences themselves

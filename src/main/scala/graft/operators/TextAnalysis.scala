@@ -607,6 +607,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary-coverage report: per source, the fraction of token
+    * OCCURRENCES covered by the global top-N vocabulary — the tokenizer
+    * diagnostics that decide whether a vocab size is adequate per feed
+    * (a low-coverage source will fragment into byte-level pieces and
+    * inflate its effective sequence lengths). Top-N selection is totally
+    * ordered (count desc, token) so the vocab set is deterministic.
+    *
+    * 100 TB shape: one map-side-combined (source, word) aggregate would
+    * work but is unnecessary — the global vocab aggregate shuffles the
+    * vocabulary once, the top-N is TakeOrderedAndProject, and the N-row
+    * vocab BROADCASTS back onto a second corpus scan whose per-source
+    * rollup is map-side combined. Nothing corpus-sized shuffles.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val toks = Tables.spread(s, dir, "documents")
+      .select(col("source"), explode(expr(TokensExpr)).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+      .withColumn("coverage_1e4", expr("(20000 * n_covered + n_tokens) DIV (2 * n_tokens)"))
+      .orderBy(col("source"))
+  }
+
   /** Domain-affinity scoring for data selection (the DSIR idea — rank
     * corpus documents by how much their features lean toward a target
     * domain — re-expressed in exact integer arithmetic): each shingle

@@ -1483,6 +1483,29 @@ object SqlFrontDoor {
                CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000' WHEN 'src2' THEN '40000000' WHEN 'src3' THEN '1999999a' WHEN 'src4' THEN '1999999a' WHEN 'src5' THEN '1999999a' ELSE '00000000' END
          GROUP BY source ORDER BY source""",
 
+    // top-K heaviest join keys with share and ratio-to-mean
+    "q_key_skew_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+         t AS (SELECT sum(n_events) AS total, count(*) AS n_keys FROM k),
+         r AS (SELECT user_id, n_events,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rank FROM k)
+         SELECT CAST(rank AS BIGINT) AS rank, r.user_id, r.n_events,
+                (20000 * n_events + total) DIV (2 * total) AS share_1e4,
+                (20000 * n_events * n_keys + total) DIV (2 * total) AS ratio_to_avg_1e4
+         FROM r CROSS JOIN t WHERE rank <= 5 ORDER BY rank""",
+
+    // per-source token coverage of the global top-N vocabulary
+    "q_vocab_coverage" ->
+      s"""WITH t AS (SELECT source, explode($toksSql) AS w FROM documents),
+         vc AS (SELECT w FROM (SELECT w, count(*) AS c FROM t
+                               GROUP BY 1 ORDER BY c DESC, w LIMIT 10)),
+         j AS (SELECT t.source, CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS cov
+               FROM t LEFT JOIN vc v ON t.w = v.w)
+         SELECT source, count(*) AS n_tokens, CAST(sum(cov) AS BIGINT) AS n_covered,
+                (20000 * CAST(sum(cov) AS BIGINT) + count(*))
+                DIV (2 * count(*)) AS coverage_1e4
+         FROM j GROUP BY 1 ORDER BY 1""",
+
     // Tukey-fence outliers over integerized values
     "q_value_outliers" ->
       """WITH ev AS (SELECT event_type,

@@ -1028,6 +1028,37 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_bloom_hit")).sum > 0, "expected bloom hits")
   }
 
+  test("key skew audit: ranks total-ordered, shares and ratios consistent") {
+    val out = Analytics.keySkewAudit(spark, Sf).collect()
+    assert(out.length == 5)
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val total = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(r.getAs[Long]("share_1e4") == (20000 * n + total) / (2 * total))
+      assert(r.getAs[Long]("ratio_to_avg_1e4") == (20000 * n * nKeys + total) / (2 * total))
+    }
+    val ns = out.map(_.getAs[Long]("n_events"))
+    assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // the top key is at least as heavy as the mean by construction
+    assert(out.head.getAs[Long]("ratio_to_avg_1e4") >= 10000L)
+  }
+
+  test("vocab coverage: all sources reported, shares bounded and partial") {
+    val out = TextAnalysis.vocabCoverage(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    assert(out.length == docs.select("source").distinct().count())
+    out.foreach { r =>
+      val (n, c, cov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+        r.getAs[Long]("coverage_1e4"))
+      assert(c <= n && cov == (20000 * c + n) / (2 * n))
+      // top-10 of a 31-word vocabulary covers a real but partial share
+      assert(cov > 0 && cov < 10000)
+    }
+  }
+
   test("value outliers: fences are robust, counts conserve and stay minority") {
     val out = Analytics.valueOutliers(spark, Sf).collect()
     val ev = spark.read.parquet(s"$Sf/events.parquet")

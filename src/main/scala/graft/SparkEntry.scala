@@ -192,6 +192,7 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
+    "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
     "q_kmeans_cluster_report" -> ((s, d) => Similarity.clusterReport(s, d,
@@ -1991,6 +1992,23 @@ object SparkEntry {
            FROM l1 WHERE p2 IS NOT NULL)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+
+    // nearest DIFFERENT-label neighbors — contrastive hard negatives
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+               FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, vec_id,
+                    ${cosMicrosSql("qv", "v")} AS m
+                    FROM e CROSS JOIN q
+                    WHERE vec_id <> query_id AND label <> qlabel),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_ann_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

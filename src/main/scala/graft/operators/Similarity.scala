@@ -381,6 +381,29 @@ object Similarity {
     rerankTopK(candidates, emb, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most SIMILAR vectors carrying a DIFFERENT label —
+    * the near-but-wrong examples a contrastive loss learns the most from
+    * (random negatives are trivially far; hard negatives trace the
+    * decision boundary). Identical scan shape to [[bruteForceTopK]]:
+    * broadcast queries, zero corpus shuffle, map-side TopKNeighbors
+    * aggregation; the label-mismatch filter runs inside the scan stage
+    * before anything shuffles.
+    */
+  def hardNegatives(s: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("vnorm").as("qnorm"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(qv, embedding)", "qnorm", "vnorm")))
+    topKPerQuery(scored, k)
+  }
+
   /** Quantizer quality report: per-cluster population and mean cosine
     * (micro units, truncated) of members to their assigned centroid —
     * the balance/cohesion readout for choosing nLists/iters. IVF probe

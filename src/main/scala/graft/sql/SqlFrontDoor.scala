@@ -174,6 +174,21 @@ object SqlFrontDoor {
 
   // --------------------------------------------------- the ANN twin bodies
 
+  private val hardNegativesSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+               FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, vec_id, ${cosMicrosSql("qv", "v")} AS m
+                    FROM e CROSS JOIN q
+                    WHERE vec_id <> query_id AND label <> qlabel),
+         ranked AS (SELECT query_id, vec_id, m,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY m DESC, vec_id) AS rank
+                    FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+                $micro4Sql AS score
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private val annBruteforceSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -566,6 +581,7 @@ object SqlFrontDoor {
   val twins: Map[String, String] = Map(
 
     "q_ann_bruteforce_topk" -> annBruteforceSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_ann_ivf_topk" -> annIvfSql,
     "q_ann_lsh_topk" -> annLshSql,
     // parameters come straight from SparkEntry.TrainedIvf so operator,

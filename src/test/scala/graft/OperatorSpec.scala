@@ -1128,6 +1128,24 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("hard negatives: labels always differ, scores dominated by unrestricted search") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val hard = Similarity.hardNegatives(spark, Sf).collect()
+    assert(hard.nonEmpty)
+    hard.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) != labels(r.getAs[Long]("query_id")),
+        "a hard negative must carry a different label")
+    }
+    // restricting the candidate pool can only lower the rank-1 score
+    val free = Similarity.bruteForceTopK(spark, Sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("score")).toMap
+    hard.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(r.getAs[Long]("score") <= free(r.getAs[Long]("query_id")))
+    }
+  }
+
   test("k-means cluster report: population conserves, cohesion bounded") {
     import SparkEntry.TrainedIvf.{nLists, iters}
     val rep = Similarity.clusterReport(spark, Sf, nLists, iters).collect()

@@ -157,6 +157,7 @@ object SparkEntry {
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
     "q_source_overlap" -> (Dedup.sourceOverlap(_, _)),
     "q_bloom_screen" -> (Dedup.bloomScreen(_, _)),
+    "q_lsh_band_stats" -> (Dedup.lshBandStats(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
@@ -1808,6 +1809,21 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, md5(array_to_string($Toks, ' ')) AS fp FROM documents)
          SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
          FROM t GROUP BY fp ORDER BY fp""",
+
+    // per-band bucket distribution + exact candidate-pair budget
+    "q_lsh_band_stats" ->
+      s"""WITH $ShinglesCte,
+         sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+         bands AS (SELECT doc_id, $minhashBands FROM sigs),
+         br AS ($minhashBandRows),
+         bk AS (SELECT band_idx, band_val, count(*) AS sz FROM br GROUP BY 1, 2)
+         SELECT CAST(band_idx AS BIGINT) AS band_idx,
+                CAST(sum(sz) AS BIGINT) AS n_rows,
+                count(*) AS n_buckets,
+                CAST(max(sz) AS BIGINT) AS max_bucket,
+                CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+                CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+         FROM bk GROUP BY 1 ORDER BY 1""",
 
     // relational twin of the Bloom band screen: a band "hits" iff its 4
     // positions all join against the distinct inserted-position set; a

@@ -209,6 +209,33 @@ object Dedup {
   private[graft] def bloomPositions(h: String): Seq[String] =
     Seq(1, 9, 17, 25).map(off => s"CAST(${bloomPosExpr(h, off)} AS BIGINT)")
 
+  /** LSH band-bucket statistics: per band, how the corpus distributes
+    * over band-hash buckets — bucket count, the largest bucket, how many
+    * buckets collide at all, and Σ C(size, 2): the EXACT number of
+    * candidate pairs that band feeds the verify join. This is the cost
+    * dashboard for every LSH dedup run: candidate_pairs is the join's
+    * row budget, and max_bucket is its skew ceiling (the analogue of
+    * keySkewAudit, specialized to the band key space).
+    *
+    * 100 TB shape: the banding pass the dedup already pays, one
+    * map-side-combined bucket count (shuffle carries distinct (band,
+    * value) keys), and a 4-row rollup. Strictly cheaper than the join it
+    * prices.
+    */
+  def lshBandStats(s: SparkSession, dir: String): DataFrame = {
+    val b = bandSigRows(Tables.spread(s, dir, "documents"))
+      .select(col("doc_id"), col("band_idx"), col("band_val"))
+    b.groupBy(col("band_idx"), col("band_val")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(
+        sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") > 1, lit(1L)).otherwise(lit(0L))).as("n_colliding"),
+        sum(expr("sz * (sz - 1) DIV 2")).as("candidate_pairs"))
+      .orderBy(col("band_idx"))
+  }
+
   /** Bloom-filter ingestion screen: the "might this be a near-duplicate
     * of something already ingested" gate a crawler runs on every new
     * arrival. The screened keys are the LSH BAND digests (band_idx

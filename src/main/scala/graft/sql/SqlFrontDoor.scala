@@ -940,6 +940,21 @@ object SqlFrontDoor {
            ON i.source_a = p.source_a AND i.source_b = p.source_b
          ORDER BY p.source_a, p.source_b""",
 
+    // per-band bucket distribution + exact candidate-pair budget
+    "q_lsh_band_stats" ->
+      s"""WITH $shingleCtes,
+         sigs AS (SELECT doc_id, sh, $minhashSigs FROM shd),
+         bands AS (SELECT doc_id, $minhashBands FROM sigs),
+         br AS ($minhashBandRows),
+         bk AS (SELECT band_idx, band_val, count(*) AS sz FROM br GROUP BY 1, 2)
+         SELECT CAST(band_idx AS BIGINT) AS band_idx,
+                sum(sz) AS n_rows,
+                count(*) AS n_buckets,
+                max(sz) AS max_bucket,
+                sum(CASE WHEN sz > 1 THEN 1L ELSE 0L END) AS n_colliding,
+                sum(sz * (sz - 1) DIV 2) AS candidate_pairs
+         FROM bk GROUP BY 1 ORDER BY 1""",
+
     // relational twin of the Bloom band screen: a band "hits" iff its 4
     // positions all join against the distinct inserted-position set; a
     // doc is flagged iff any of its bands hits

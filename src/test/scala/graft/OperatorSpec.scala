@@ -1004,6 +1004,24 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("LSH band stats: per-band rows conserve, pair budget covers candidates") {
+    val out = Dedup.lshBandStats(spark, Sf).collect()
+    assert(out.length == Dedup.Bands)
+    val nShingled = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(expr(s"size(${TextAnalysis.TokensExpr}) >= 3")).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nShingled,
+        "every shingled doc lands in exactly one bucket per band")
+      assert(r.getAs[Long]("max_bucket") >= 1)
+      assert(r.getAs[Long]("n_colliding") <= r.getAs[Long]("n_buckets"))
+    }
+    // the budget is an upper bound on DISTINCT candidate pairs: every
+    // LSH candidate pair shares at least one band bucket
+    val distinctCands = Dedup.minHashLsh(spark, Sf, threshold = 0.0)
+      .select("doc_a", "doc_b").distinct().count()
+    assert(out.map(_.getAs[Long]("candidate_pairs")).sum >= distinctCands)
+  }
+
   test("bloom screen: no false negatives, FP identity, probe counts conserve") {
     val out = Dedup.bloomScreen(spark, Sf).collect()
     val docs = spark.read.parquet(s"$Sf/documents.parquet")

@@ -152,6 +152,7 @@ object SparkEntry {
     }),
     // ---- deduplication ----
     "q_dedup_exact" -> (Dedup.exact(_, _)),
+    "q_substring_spans" -> (Dedup.substringSpans(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
@@ -1809,6 +1810,31 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, md5(array_to_string($Toks, ' ')) AS fp FROM documents)
          SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
          FROM t GROUP BY fp ORDER BY fp""",
+
+    // exact repeated-substring spans: every maximal token run occurring
+    // verbatim >= 2 times corpus-wide (within-doc repeats included),
+    // K-token windows fused gaps-and-islands style
+    "q_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         grams AS (
+           SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+11], ' ')) AS g
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - 11)) AS u(i)
+           WHERE len(t) >= 12),
+         dup_pos AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM grams)
+           WHERE df >= 2),
+         ids AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+                             THEN 0 ELSE 1 END AS brk
+                 FROM dup_pos))
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+                count(*) AS n_windows
+         FROM ids GROUP BY doc_id, island ORDER BY doc_id, span_start""",
 
     // per-band bucket distribution + exact candidate-pair budget
     "q_lsh_band_stats" ->

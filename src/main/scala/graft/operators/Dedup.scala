@@ -680,6 +680,55 @@ object Dedup {
     labels
   }
 
+  /** Exact repeated-substring spans (the token-level form of suffix-array
+    * training-data dedup — find every maximal run of tokens that occurs
+    * verbatim more than once anywhere in the corpus, the unit that
+    * substring-level dedup removes; cf. the reference's whole-row dedup
+    * delegation, /root/reference/src/etl/transform.py which has none).
+    *
+    * Shape: one corpus scan explodes each document into its K-token
+    * rolling windows (pos, md5-of-window); a COUNT over a window
+    * partitioned by the gram hash marks grams seen >= 2 times corpus-wide
+    * (within-doc repeats count, matching substring dedup semantics); the
+    * surviving (doc_id, pos) starts are merged gaps-and-islands style —
+    * consecutive starts <= K apart overlap or touch, so they fuse into
+    * one maximal span [min(pos), max(pos)+K-1].
+    *
+    * 100 TB: the only all-rows shuffle is the hash-partition on the gram
+    * digest. The duplicate test is a windowed COUNT rather than a
+    * groupBy+self-join, so the corpus is tokenized ONCE and no per-gram
+    * occurrence list is ever materialized — a boilerplate gram occurring
+    * 10^6 times costs its row count, not a 10^6-element array (the skew
+    * guard). The island merge shuffles only duplicated starts, grouped by
+    * doc_id.
+    */
+  def substringSpans(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.spread(s, dir, "documents")
+      .withColumn("t", expr(TextAnalysis.TokensExpr))
+      .filter(expr(s"size(t) >= $k"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(t) - ${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))"))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    val dupPos = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** 32-bit SimHash over trigram shingles: bit p votes +1/-1 by the p-th
     * hex digit of md5(shingle); the sign of the vote sum sets the bit.
     *

@@ -864,6 +864,32 @@ object SqlFrontDoor {
          SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
          FROM t GROUP BY fp ORDER BY fp""",
 
+    // LATERAL unnest(generate_series) -> posexplode over transform(sequence);
+    // t[i:i+11] -> slice(t, i, 12); len -> size; array_to_string -> array_join
+    "q_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         grams AS (
+           SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, g
+           FROM (SELECT doc_id,
+                        posexplode(transform(sequence(1, size(t) - 11),
+                                             i -> md5(array_join(slice(t, i, 12), ' ')))) AS (i, g)
+                 FROM toks WHERE size(t) >= 12)),
+         dup_pos AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM grams)
+           WHERE df >= 2),
+         ids AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM (SELECT doc_id, pos,
+                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+                             THEN 0 ELSE 1 END AS brk
+                 FROM dup_pos))
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+                count(*) AS n_windows
+         FROM ids GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+
     "q_dedup_incremental" ->
       s"""WITH $minhashVerifyCtes,
          mx AS (SELECT max(doc_id) * 4 DIV 5 AS split FROM documents)

@@ -939,6 +939,58 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("substringSpans: planted repeat recovered exactly; fixture invariants hold") {
+    import spark.implicits._
+    // planted case: docs 0 and 2 share a verbatim 15-token run; doc 1 is
+    // unique filler. Exactly one span per sharing doc, positioned on the
+    // planted run, n_windows = 15 - 12 + 1 = 4.
+    val shared = (1 to 15).map(i => s"rep$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    Seq(
+      (0L, s"alpha beta gamma $shared tail0 tail1", "en", "s0", 0L),
+      (1L, (1 to 40).map(i => s"u$i").mkString(" "), "en", "s1", 0L),
+      (2L, s"$shared omega psi", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = Dedup.substringSpans(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(planted.toSeq === Seq((0L, 4L, 18L, 4L), (2L, 1L, 15L, 4L)),
+      s"planted spans mismatch: ${planted.toSeq}")
+
+    // fixture invariants: every span is >= K tokens, spans within a doc
+    // are disjoint with a gap (islands merged maximally), and every
+    // exact-dup member doc (>= K tokens) is covered end-to-end
+    val k = 12
+    val spans = Dedup.substringSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "fixture planted dups should produce spans")
+    spans.foreach { case (_, s0, e0, nw) =>
+      assert(e0 - s0 + 1 >= k && nw >= 1 && nw <= e0 - s0 + 1 - (k - 1))
+    }
+    spans.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, "adjacent spans must have merged")
+        case _ =>
+      }
+    }
+    val nTok = graft.sources.Tables.documents(spark, Sf)
+      .selectExpr("doc_id", s"size(${graft.operators.TextAnalysis.TokensExpr}) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dupDocs = Dedup.exact(spark, Sf).filter($"n_docs" >= 2)
+    val fps = dupDocs.collect().map(_.getString(0)).toSet
+    val members = graft.sources.Tables.documents(spark, Sf)
+      .selectExpr("doc_id",
+        s"md5(array_join(${graft.operators.TextAnalysis.TokensExpr}, ' ')) AS fp")
+      .collect().filter(r => fps(r.getString(1))).map(_.getLong(0))
+    val byDoc = spans.groupBy(_._1)
+    members.filter(nTok(_) >= k).foreach { d =>
+      val s = byDoc.getOrElse(d, Array.empty)
+      assert(s.exists(x => x._2 == 1 && x._3 == nTok(d)),
+        s"exact-dup doc $d should carry a full-doc span")
+    }
+  }
+
   test("containment: directed, bounded, and dominates jaccard per pair") {
     val cont = Dedup.containment(spark, Sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -82,7 +82,13 @@ object SparkEntry {
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
     "q_key_skew_audit" -> (Analytics.keySkewAudit(_, _)),
+    "q_scd2_intervals" -> (Analytics.scd2Intervals(_, _)),
+    "q_attribution_last_touch" -> (Analytics.lastTouchAttribution(_, _)),
+    "q_ewma_user_value" -> (Analytics.ewmaUserValue(_, _)),
+    "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
+    "q_bigram_lm_score" ->
+      (TextAnalysis.bigramLmScore(_, _, BigramLm.refLang)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
@@ -246,6 +252,7 @@ object SparkEntry {
     "q_embed_nearest_in_label" -> (Similarity.nearestInLabel(_, _)),
     "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
+    "q_embed_dim_stats" -> (Similarity.dimStats(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
     "q_image_dedup" -> (Multimodal.imageDedup(_, _)),
@@ -358,6 +365,11 @@ object SparkEntry {
   /** Domain-affinity target feed, shared by operator, oracle, and twin. */
   private[graft] object Affinity {
     val targetSource = "src0"
+  }
+
+  /** Bigram-LM reference slice, shared by operator, oracle, and twin. */
+  private[graft] object BigramLm {
+    val refLang = "en"
   }
 
   private[graft] object TrainedIvf {
@@ -1149,6 +1161,104 @@ object SparkEntry {
                 (20000 * n_transitions + from_total) // (2 * from_total) AS share_1e4
          FROM wt ORDER BY from_type, to_type""",
 
+    // SCD2 build: event_type runs collapse to [valid_from, valid_to)
+    // validity intervals per user, exact micros, version + is_current
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+         runs AS (SELECT user_id, event_id, event_type, t_us,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+                  FROM e),
+         heads AS (SELECT user_id, event_id, event_type, t_us FROM runs
+                   WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type, t_us AS valid_from_us,
+                lead(t_us) OVER w AS valid_to_us,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                (lead(t_us) OVER w IS NULL) AS is_current
+         FROM heads
+         WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+         ORDER BY user_id, version""",
+
+    // last-touch attribution: the running last(ignoreNulls) carry is
+    // rewritten with the portable count-group trick (cf. q_forward_fill):
+    // the non-null channel at inclusive-count k is unique per (user, k),
+    // so a purchase with exclusive-count k joins exactly that touch row
+    "q_attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t_us,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS chan
+           FROM events),
+         g AS (SELECT *,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_incl,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp_excl
+           FROM e),
+         touches AS (SELECT user_id, grp_incl AS grp, chan FROM g WHERE chan IS NOT NULL),
+         p AS (SELECT g.user_id, g.value, t.chan
+               FROM g LEFT JOIN touches t ON g.user_id = t.user_id AND g.grp_excl = t.grp
+               WHERE g.event_type = 'purchase')
+         SELECT coalesce(chan, '(none)') AS channel,
+                count(*) AS n_purchases,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY 1 ORDER BY channel""",
+
+    // EWMA decay 1/2 over the trailing 6 events: exact power-of-two
+    // weights over half-up cents, half-up 1e-4 quotient
+    "q_ewma_user_value" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+           FROM events),
+         l AS (SELECT user_id, event_id, cents,
+             lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+             lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+             lag(cents, 5) OVER w AS c5
+           FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         t AS (SELECT user_id, event_id, cents,
+             32 * cents + coalesce(16 * c1, 0) + coalesce(8 * c2, 0)
+               + coalesce(4 * c3, 0) + coalesce(2 * c4, 0) + coalesce(c5, 0) AS num,
+             32 + CASE WHEN c1 IS NULL THEN 0 ELSE 16 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 8 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 4 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 2 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 1 END AS den
+           FROM l)
+         SELECT user_id, event_id, cents,
+                CAST((20000 * num + den) // (2 * den) AS BIGINT) AS ewma_1e4
+         FROM t ORDER BY user_id, event_id""",
+
+    // column profile over orders: per-type EXACT min/max encodings
+    // (ints/strings verbatim, money as half-up cents, timestamps as
+    // epoch micros), one UNION-ALL row per column
+    "q_profile_columns" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+                count(*) - count(o_custkey) AS n_nulls,
+                count(DISTINCT o_custkey) AS n_distinct,
+                CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+                CAST(max(o_custkey) AS VARCHAR) AS max_repr FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                count(DISTINCT o_orderdate),
+                CAST(min(epoch_us(o_orderdate)) AS VARCHAR),
+                CAST(max(epoch_us(o_orderdate)) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+                count(DISTINCT o_orderkey),
+                CAST(min(o_orderkey) AS VARCHAR),
+                CAST(max(o_orderkey) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                count(DISTINCT o_orderpriority),
+                min(o_orderpriority), max(o_orderpriority) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                count(DISTINCT o_orderstatus),
+                min(o_orderstatus), max(o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                count(DISTINCT o_totalprice),
+                CAST(min(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS VARCHAR),
+                CAST(max(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS VARCHAR) FROM orders
+         ORDER BY column_name""",
+
     "q_sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us FROM events),
          flagged AS (SELECT user_id, event_id, ts_us, value,
@@ -1230,6 +1340,28 @@ object SparkEntry {
          FROM bc b JOIN uc a ON b.w1 = a.w JOIN uc c2 ON b.w2 = c2.w
          CROSS JOIN tot t
          ORDER BY lift_1e4 DESC, w1, w2 LIMIT ${Colloc.topK}""",
+
+    // bigram-LM quality scoring: add-one-smoothed conditional frequency
+    // under the lang='en' reference slice, exact micros, per-doc average
+    "q_bigram_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, lang, $Toks AS ws FROM documents),
+         bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+                      FROM d WHERE len(ws) >= 2)),
+         model AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                   WHERE lang = '${BigramLm.refLang}' GROUP BY 1, 2),
+         heads AS (SELECT w1, count(*) AS c1 FROM bg
+                   WHERE lang = '${BigramLm.refLang}' GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM heads),
+         terms AS (SELECT bg.doc_id,
+                     ((coalesce(m.c12, 0) + 1) * 1000000) // (coalesce(h.c1, 0) + v.v) AS term
+                   FROM bg
+                   LEFT JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+                   LEFT JOIN heads h ON bg.w1 = h.w1
+                   CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(term) // count(*) AS BIGINT) AS lm_score_1e6
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
 
     "q_asof_join_events_orders" ->
       """WITH dedup AS (
@@ -1603,6 +1735,23 @@ object SparkEntry {
          FROM codes c JOIN cent t ON c.label = t.label AND c.pos = t.pos
          GROUP BY c.vec_id, c.label ORDER BY c.vec_id""",
 
+    // per-dimension embedding health: exact 2^20 integer codes, one row
+    // per coordinate position (0-based dim)
+    "q_embed_dim_stats" ->
+      """WITH codes AS (SELECT
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS code
+           FROM embeddings)
+         SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                CAST(sum(CASE WHEN code > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN code < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                CAST(min(code) AS BIGINT) AS min_code,
+                CAST(max(code) AS BIGINT) AS max_code,
+                CAST(sum(code) AS BIGINT) AS sum_code
+         FROM codes GROUP BY dim ORDER BY dim""",
+
     "q_repetition_stats" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
          g AS (SELECT doc_id,
@@ -1813,13 +1962,15 @@ object SparkEntry {
 
     // exact repeated-substring spans: every maximal token run occurring
     // verbatim >= 2 times corpus-wide (within-doc repeats included),
-    // K-token windows fused gaps-and-islands style
-    "q_substring_spans" ->
+    // K-token windows fused gaps-and-islands style; K comes from the one
+    // Dedup.SubstringK constant so oracle and operator cannot drift
+    "q_substring_spans" -> {
+      val k = Dedup.SubstringK
       s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
          grams AS (
-           SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+11], ' ')) AS g
-           FROM toks, LATERAL unnest(generate_series(1, len(t) - 11)) AS u(i)
-           WHERE len(t) >= 12),
+           SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+${k - 1}], ' ')) AS g
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - ${k - 1})) AS u(i)
+           WHERE len(t) >= $k),
          dup_pos AS (
            SELECT doc_id, pos FROM (
              SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM grams)
@@ -1829,12 +1980,13 @@ object SparkEntry {
                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                  ROWS UNBOUNDED PRECEDING) AS island
            FROM (SELECT doc_id, pos,
-                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
                              THEN 0 ELSE 1 END AS brk
                  FROM dup_pos))
-         SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+         SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end,
                 count(*) AS n_windows
-         FROM ids GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+         FROM ids GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    },
 
     // per-band bucket distribution + exact candidate-pair budget
     "q_lsh_band_stats" ->

@@ -18,6 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a query that errors gets a record in
+    // _errors.json (next to oracle_sql.json) and flips the exit code, so a
+    // regression can never render as "fewer rows, all green" in the
+    // driver's report (that is exactly how round 7's 21-query events break
+    // hid behind a 107/107).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }
       .foreach { case (name, fn) =>
@@ -27,7 +33,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +53,13 @@ object Verify {
       .filter { case (k, _) => wanted(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    // Exit 0 even on failures — the driver must still get the dump for the
+    // queries that DID run; _errors.json is the red-row channel.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
   }
 }

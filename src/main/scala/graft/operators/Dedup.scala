@@ -694,15 +694,27 @@ object Dedup {
     * consecutive starts <= K apart overlap or touch, so they fuse into
     * one maximal span [min(pos), max(pos)+K-1].
     *
+    * Detection is K-gram-granular (runs shorter than K tokens are not
+    * seen, and a merged span need not itself recur in full — both the
+    * standard approximations of suffix-array substring dedup).
+    *
     * 100 TB: the only all-rows shuffle is the hash-partition on the gram
     * digest. The duplicate test is a windowed COUNT rather than a
     * groupBy+self-join, so the corpus is tokenized ONCE and no per-gram
     * occurrence list is ever materialized — a boilerplate gram occurring
-    * 10^6 times costs its row count, not a 10^6-element array (the skew
-    * guard). The island merge shuffles only duplicated starts, grouped by
-    * doc_id.
+    * 10^6 times costs its row count, not a 10^6-element array. Note the
+    * windowed COUNT still routes all occurrences of one hot gram to a
+    * single (spill-backed) task; it removes the array blowup, not the
+    * per-key skew. The island merge shuffles only duplicated starts,
+    * grouped by doc_id.
+    *
+    * The gram width is the [[SubstringK]] constant — the oracle SQL and
+    * the SQL twin are interpolated from the same value, so the three
+    * verification surfaces cannot drift.
     */
-  def substringSpans(s: SparkSession, dir: String, k: Int = 12): DataFrame = {
+  val SubstringK: Int = 12
+
+  def substringSpans(s: SparkSession, dir: String, k: Int = SubstringK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = Tables.spread(s, dir, "documents")
       .withColumn("t", expr(TextAnalysis.TokensExpr))

@@ -74,4 +74,50 @@ object Quality {
     import s.implicits._
     checks.toDF("check_name", "n_violations").orderBy(col("check_name"))
   }
+
+  /** Column-profiling report over the orders table: one row per column
+    * with row/null/distinct counts plus engine-exact min/max encodings —
+    * the warehouse data-profiling pass run before trusting a new feed
+    * (the generalization of the reference's per-column validations,
+    * /root/reference/src/etl/transform.py:41-52, from pass/fail checks to
+    * a full profile).
+    *
+    * min/max are emitted as strings under a per-type EXACT encoding so no
+    * engine can disagree on formatting: integers and raw strings pass
+    * through, DOUBLE money becomes half-up cents, timestamps become
+    * epoch micros. All aggregates compute in ONE scan (a single
+    * hash-aggregate row, partial-agg combined map-side) and stack() to
+    * the per-column layout at zero shuffle cost; at 100 TB this is one
+    * pass over the table regardless of column count.
+    */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val cents = "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    // (name, exact comparable value-expr): min/max run on the EXACT value
+    // (numeric for numbers — string min would order "100" < "99") and only
+    // the result casts to the string report column. ASCII-only string
+    // columns order identically under Spark and DuckDB binary collation.
+    val cols = Seq(
+      ("o_orderkey", "o_orderkey"),
+      ("o_custkey", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus"),
+      ("o_totalprice", cents),
+      // CAST tolerates both fixture vintages: TIMESTAMP passes through,
+      // TIMESTAMP_NTZ maps wall-clock to the same UTC instant (session UTC)
+      ("o_orderdate", "unix_micros(CAST(o_orderdate AS TIMESTAMP))"),
+      ("o_orderpriority", "o_orderpriority"))
+    val aggs = cols.flatMap { case (c, repr) =>
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(expr(repr)).cast("string").as(s"${c}__min"),
+        max(expr(repr)).cast("string").as(s"${c}__max"))
+    }
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.length}, ${cols.map { case (c, _) =>
+          s"'$c', ${c}__rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+        }.mkString(", ")}) AS (column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)")
+      .orderBy(col("column_name"))
+  }
 }

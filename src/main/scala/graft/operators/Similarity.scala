@@ -1448,4 +1448,30 @@ object Similarity {
         expr(Micro4).as("nn_score"),
         (col("m") >= 950000).as("is_near_dup"))
   }
+
+  /** Per-dimension embedding health report: for each of the d coordinate
+    * positions, the population count, positive/negative/zero split, exact
+    * min/max code and component sum (labelCentroidAffinity's 2^20
+    * integer-code discipline, so every figure is order-free and
+    * oracle-exact). The embedding-QA readout that catches dead dimensions
+    * (all zero), scale drift (one dim's |sum| dwarfing the rest), and
+    * collapsed encoders (min == max) before an index gets built on bad
+    * vectors.
+    *
+    * 100 TB shape: one corpus scan, posexplode to d rows per vector, one
+    * map-side-combining hash aggregate down to exactly d rows — the
+    * partial aggregate means the shuffle carries d rows per input
+    * partition, never the exploded corpus.
+    */
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "embeddings")
+      .select(posexplode(expr(CodeExpr)).as(Seq("dim", "code")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("code") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("code") < 0, 1L).otherwise(0L)).as("n_neg"),
+        min(col("code")).as("min_code"),
+        max(col("code")).as("max_code"),
+        sum(col("code")).as("sum_code"))
+      .orderBy(col("dim"))
 }

@@ -751,4 +751,54 @@ object TextAnalysis {
       .orderBy(col("lift_1e4").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** N-gram language-model quality scoring (the CCNet/KenLM-style
+    * perplexity filter, exact-integer form): a bigram model is counted
+    * from a REFERENCE slice of the corpus (lang = refLang documents, the
+    * "clean" distribution), and every document scores by the average
+    * add-one-smoothed conditional frequency of its bigrams under that
+    * model — in micro units, so the whole chain is integer-exact and
+    * engine-portable (the monotone stand-in for mean log-prob; same
+    * discipline as domainAffinity's lift, applied to ADJACENT-pair
+    * conditionals rather than per-shingle df). Low scorers are the
+    * perplexity outliers a curation pipeline drops or down-weights.
+    *
+    * term = (C(w1,w2) + 1) * 1e6 // (C(w1,·) + V): C from the reference
+    * bigram table, V = the reference's distinct-head vocabulary size (the
+    * add-one denominator), unseen pairs fall back to 1e6 // V-ish mass.
+    * Products stay in BIGINT: C(w1,w2) * 1e6 overflows only past ~9e12
+    * occurrences of ONE bigram in the reference slice.
+    *
+    * 100 TB shape: the corpus-sized bigram stream equi-joins the model
+    * tables (reference-bounded: bigram table ≤ ref pair count, head table
+    * vocabulary-sized — AQE broadcasts them when they fit, plain
+    * hash-join when they don't; never a crossJoin of big sides), then one
+    * hash-aggregate back to per-doc rows. V rides along as a broadcast
+    * single-row frame.
+    */
+  def bigramLmScore(s: SparkSession, dir: String, refLang: String = "en"): DataFrame = {
+    def bigramsOf(docs: DataFrame): DataFrame = docs
+      .withColumn("ws", expr(TokensExpr))
+      .filter(expr("size(ws) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val corpus = bigramsOf(Tables.spread(s, dir, "documents"))
+    val ref = bigramsOf(Tables.documents(s, dir).filter(col("lang") === refLang))
+    val model = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val heads = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vSize = heads.agg(count(lit(1)).as("v"))
+    corpus
+      .join(model, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vSize))
+      .withColumn("term", expr(
+        """((coalesce(c12, CAST(0 AS BIGINT)) + 1) * 1000000)
+           DIV (coalesce(c1, CAST(0 AS BIGINT)) + v)"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("term_sum"))
+      .withColumn("lm_score_1e6", expr("term_sum DIV n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score_1e6"))
+      .orderBy(col("doc_id"))
+  }
 }

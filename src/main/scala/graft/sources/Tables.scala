@@ -24,17 +24,27 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long (legacy conf, set here
-    * defensively for sessions we didn't build) and floor-convert to
-    * microsecond TimestampType — the same truncation DuckDB applies, so
-    * oracle comparisons agree.
+  /** events.parquet has shipped with three physical encodings of `ts`
+    * across fixture generations: TIMESTAMP(NANOS) (surfaced as BIGINT via
+    * the nanosAsLong legacy conf, which Spark's vectorized reader needs to
+    * accept nanos at all), TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (surfaced as TIMESTAMP_NTZ), and plain session-zoned TIMESTAMP.
+    * Dispatch on the LOADED schema rather than hard-coding one encoding —
+    * all three normalize to microsecond TimestampType with identical UTC
+    * instants (sessions run with spark.sql.session.timeZone=UTC), which is
+    * exactly what DuckDB sees reading the same file, so oracle comparisons
+    * agree regardless of fixture vintage.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = load(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

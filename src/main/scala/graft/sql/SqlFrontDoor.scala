@@ -744,6 +744,21 @@ object SqlFrontDoor {
          FROM codes c JOIN cent t ON c.label = t.label AND c.pos = t.pos
          GROUP BY c.vec_id, c.label ORDER BY c.vec_id""",
 
+    // parallel unnest(range)/list_transform -> one posexplode (0-based pos)
+    "q_embed_dim_stats" ->
+      """WITH codes AS (SELECT
+           posexplode(transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS (dim, code)
+           FROM embeddings)
+         SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                CAST(sum(CASE WHEN code > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN code < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                CAST(min(code) AS BIGINT) AS min_code,
+                CAST(max(code) AS BIGINT) AS max_code,
+                CAST(sum(code) AS BIGINT) AS sum_code
+         FROM codes GROUP BY dim ORDER BY dim""",
+
     "q_chunk_docs" ->
       s"""WITH $chunkCtes
          SELECT doc_id, chunk_idx, CAST(size(chunk) AS BIGINT) AS chunk_tokens,
@@ -865,15 +880,17 @@ object SqlFrontDoor {
          FROM t GROUP BY fp ORDER BY fp""",
 
     // LATERAL unnest(generate_series) -> posexplode over transform(sequence);
-    // t[i:i+11] -> slice(t, i, 12); len -> size; array_to_string -> array_join
-    "q_substring_spans" ->
+    // t[i:i+k-1] -> slice(t, i, k); len -> size; array_to_string -> array_join;
+    // k interpolated from the one Dedup.SubstringK constant
+    "q_substring_spans" -> {
+      val k = graft.operators.Dedup.SubstringK
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          grams AS (
            SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, g
            FROM (SELECT doc_id,
-                        posexplode(transform(sequence(1, size(t) - 11),
-                                             i -> md5(array_join(slice(t, i, 12), ' ')))) AS (i, g)
-                 FROM toks WHERE size(t) >= 12)),
+                        posexplode(transform(sequence(1, size(t) - ${k - 1}),
+                                             i -> md5(array_join(slice(t, i, $k), ' ')))) AS (i, g)
+                 FROM toks WHERE size(t) >= $k)),
          dup_pos AS (
            SELECT doc_id, pos FROM (
              SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM grams)
@@ -883,12 +900,13 @@ object SqlFrontDoor {
                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                  ROWS UNBOUNDED PRECEDING) AS island
            FROM (SELECT doc_id, pos,
-                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+                        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
                              THEN 0 ELSE 1 END AS brk
                  FROM dup_pos))
-         SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+         SELECT doc_id, min(pos) AS span_start, max(pos) + ${k - 1} AS span_end,
                 count(*) AS n_windows
-         FROM ids GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+         FROM ids GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    },
 
     "q_dedup_incremental" ->
       s"""WITH $minhashVerifyCtes,
@@ -1076,6 +1094,31 @@ object SqlFrontDoor {
          SELECT w1, w2, c_ab, c_a, c_b,
                 CAST((num - num % den) / den AS BIGINT) AS lift_1e4
          FROM j ORDER BY lift_1e4 DESC, w1, w2 LIMIT ${SparkEntry.Colloc.topK}""",
+
+    // bigram-LM quality scoring: ws[i] 1-based -> element_at; // -> DIV
+    "q_bigram_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+         bg AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+                FROM (SELECT doc_id, lang,
+                        explode(transform(sequence(0, size(ws) - 2),
+                          i -> named_struct('w1', element_at(ws, i + 1),
+                                            'w2', element_at(ws, i + 2)))) AS p
+                      FROM d WHERE size(ws) >= 2)),
+         model AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                   WHERE lang = '${SparkEntry.BigramLm.refLang}' GROUP BY 1, 2),
+         heads AS (SELECT w1, count(*) AS c1 FROM bg
+                   WHERE lang = '${SparkEntry.BigramLm.refLang}' GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM heads),
+         terms AS (SELECT bg.doc_id,
+                     ((coalesce(m.c12, CAST(0 AS BIGINT)) + 1) * 1000000)
+                       DIV (coalesce(h.c1, CAST(0 AS BIGINT)) + v.v) AS term
+                   FROM bg
+                   LEFT JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+                   LEFT JOIN heads h ON bg.w1 = h.w1
+                   CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(term) DIV count(*) AS BIGINT) AS lm_score_1e6
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
 
     // FastSS deletion-1 neighborhood candidates + exact levenshtein verify
     "q_fuzzy_join_names" ->
@@ -1616,6 +1659,97 @@ object SqlFrontDoor {
          SELECT from_type, to_type, n_transitions,
                 (20000 * n_transitions + from_total) DIV (2 * from_total) AS share_1e4
          FROM wt ORDER BY from_type, to_type""",
+
+    // epoch_us -> unix_micros; WINDOW clause is shared Spark/DuckDB syntax
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM events),
+         runs AS (SELECT user_id, event_id, event_type, t_us,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+                  FROM e),
+         heads AS (SELECT user_id, event_id, event_type, t_us FROM runs
+                   WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type, t_us AS valid_from_us,
+                lead(t_us) OVER w AS valid_to_us,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                (lead(t_us) OVER w IS NULL) AS is_current
+         FROM heads
+         WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+         ORDER BY user_id, version""",
+
+    // epoch_us -> unix_micros; the count-group carry is already portable
+    "q_attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, unix_micros(ts) AS t_us,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS chan
+           FROM events),
+         g AS (SELECT *,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_incl,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp_excl
+           FROM e),
+         touches AS (SELECT user_id, grp_incl AS grp, chan FROM g WHERE chan IS NOT NULL),
+         p AS (SELECT g.user_id, g.value, t.chan
+               FROM g LEFT JOIN touches t ON g.user_id = t.user_id AND g.grp_excl = t.grp
+               WHERE g.event_type = 'purchase')
+         SELECT coalesce(chan, '(none)') AS channel,
+                count(*) AS n_purchases,
+                sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS revenue_cents
+         FROM p GROUP BY 1 ORDER BY channel""",
+
+    // epoch_us -> unix_micros; // -> DIV
+    "q_ewma_user_value" ->
+      """WITH c AS (SELECT user_id, event_id, unix_micros(ts) AS t_us,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+           FROM events),
+         l AS (SELECT user_id, event_id, cents,
+             lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+             lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+             lag(cents, 5) OVER w AS c5
+           FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         t AS (SELECT user_id, event_id, cents,
+             32 * cents + coalesce(16 * c1, 0) + coalesce(8 * c2, 0)
+               + coalesce(4 * c3, 0) + coalesce(2 * c4, 0) + coalesce(c5, 0) AS num,
+             32 + CASE WHEN c1 IS NULL THEN 0 ELSE 16 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 8 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 4 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 2 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 1 END AS den
+           FROM l)
+         SELECT user_id, event_id, cents,
+                CAST((20000 * num + den) DIV (2 * den) AS BIGINT) AS ewma_1e4
+         FROM t ORDER BY user_id, event_id""",
+
+    // epoch_us -> unix_micros; VARCHAR -> STRING
+    "q_profile_columns" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+                count(*) - count(o_custkey) AS n_nulls,
+                count(DISTINCT o_custkey) AS n_distinct,
+                CAST(min(o_custkey) AS STRING) AS min_repr,
+                CAST(max(o_custkey) AS STRING) AS max_repr FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                count(DISTINCT o_orderdate),
+                CAST(min(unix_micros(CAST(o_orderdate AS TIMESTAMP))) AS STRING),
+                CAST(max(unix_micros(CAST(o_orderdate AS TIMESTAMP))) AS STRING) FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+                count(DISTINCT o_orderkey),
+                CAST(min(o_orderkey) AS STRING),
+                CAST(max(o_orderkey) AS STRING) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                count(DISTINCT o_orderpriority),
+                min(o_orderpriority), max(o_orderpriority) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                count(DISTINCT o_orderstatus),
+                min(o_orderstatus), max(o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                count(DISTINCT o_totalprice),
+                CAST(min(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS STRING),
+                CAST(max(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS STRING) FROM orders
+         ORDER BY column_name""",
 
     "q_sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, unix_micros(ts) AS ts_us FROM events),

@@ -195,7 +195,7 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("zorder write: real files carry tight min/max on BOTH keys") {
-    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val out = tmpDir("graft-zorder")
     Layout.zorderWrite(spark, Sf, out)
     val li = spark.read.parquet(s"$Sf/lineitem.parquet")
     val total = li.count()

@@ -134,7 +134,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("materialized IVF index answers identically to the inline IVF path") {
-    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val idx = tmpDir("ivfidx")
     Similarity.buildIvfIndex(spark, Sf, idx)
     // partitioned layout on disk = list-pruned reads at query time
     val parts = new java.io.File(idx).listFiles()
@@ -146,8 +146,8 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("incremental IVF append equals a from-scratch index build") {
-    val full = java.nio.file.Files.createTempDirectory("ivffull").toString
-    val inc = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val full = tmpDir("ivffull")
+    val inc = tmpDir("ivfinc")
     Similarity.buildIvfIndex(spark, Sf, full)
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(
@@ -162,7 +162,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("trained-quantizer IVF index answers identically to the inline trained path") {
-    val idx = java.nio.file.Files.createTempDirectory("ivftrained").toString
+    val idx = tmpDir("ivftrained")
     Similarity.buildIvfIndex(spark, Sf, idx,
       quantizer = Similarity.TrainedQuantizer(iters = 2))
     // the frozen quantizer is persisted inside the index, invisible to
@@ -175,8 +175,8 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("trained-quantizer incremental append equals a from-scratch trained build") {
-    val full = java.nio.file.Files.createTempDirectory("ivftfull").toString
-    val inc = java.nio.file.Files.createTempDirectory("ivftinc").toString
+    val full = tmpDir("ivftfull")
+    val inc = tmpDir("ivftinc")
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
@@ -195,7 +195,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("IVF index compaction: same answers, flat layout, frozen quantizer kept") {
-    val idx = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    val idx = tmpDir("ivfcompact")
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
@@ -224,7 +224,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("materialized PQ index answers identically to the inline path") {
-    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val idx = tmpDir("pqidx")
     Similarity.buildPqIndex(spark, Sf, idx)
     val fromIndex = Similarity.pqTopKFromIndex(spark, Sf, idx).collect().toSeq
     val inline = Similarity.pqTopK(spark, Sf).collect().toSeq
@@ -235,8 +235,8 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("PQ index: build(prefix) + append(rest) == build(all) with frozen codebooks") {
-    val full = java.nio.file.Files.createTempDirectory("pqfull").toString
-    val inc = java.nio.file.Files.createTempDirectory("pqinc").toString
+    val full = tmpDir("pqfull")
+    val inc = tmpDir("pqinc")
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
@@ -255,7 +255,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("materialized IVF-PQ index answers identically to the inline composition") {
-    val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val idx = tmpDir("ivfpqidx")
     Similarity.buildIvfPqIndex(spark, Sf, idx)
     val fromIndex = Similarity.ivfPqTopKFromIndex(spark, Sf, idx).collect().toSeq
     val inline = Similarity.ivfPqTopK(spark, Sf).collect().toSeq
@@ -270,8 +270,8 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("IVF-PQ index: build(prefix) + append(rest) == build(all) with frozen quantizers") {
-    val full = java.nio.file.Files.createTempDirectory("ivfpqfull").toString
-    val inc = java.nio.file.Files.createTempDirectory("ivfpqinc").toString
+    val full = tmpDir("ivfpqfull")
+    val inc = tmpDir("ivfpqinc")
     val maxVec = spark.read.parquet(s"$Sf/embeddings.parquet")
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
@@ -371,7 +371,7 @@ class OperatorSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("vec_id"))).head().getLong(0)
     val split = maxVec * 4 / 5
-    val qdir = java.nio.file.Files.createTempDirectory("semdedupq").toString
+    val qdir = tmpDir("semdedupq")
     // the frozen quantizer and both from-scratch runs train on the SAME
     // stable prefix, so cluster assignment is bit-identical everywhere
     Similarity.stageIvfQuantizer(spark, Sf, qdir, trainMaxVecIdExclusive = split)
@@ -391,7 +391,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("IVF compaction crash mid-swap self-heals on the next call") {
-    val idx = java.nio.file.Files.createTempDirectory("ivfrecover").toString
+    val idx = tmpDir("ivfrecover")
     Similarity.buildIvfIndex(spark, Sf, idx)
     val before = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
     // simulate a JVM death between the two renames: index moved aside to
@@ -409,7 +409,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("materialized LSH band index answers identically to the inline path") {
-    val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val idx = tmpDir("lshidx")
     Dedup.buildLshBandIndex(spark, Sf, idx)
     // band_idx partition dirs on disk = the candidate join never touches
     // shingles or signatures again
@@ -440,10 +440,11 @@ class OperatorSpec extends SparkTestBase {
     val out = Analytics.rollingActiveUsers(spark, Sf).collect()
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau")))
-    // driver-side brute force on the middle window
-    val userDays = spark.read.parquet(s"$Sf/events.parquet")
+    // driver-side brute force on the middle window; read through
+    // Tables.events so the fixture's ts encoding vintage never matters
+    val userDays = graft.sources.Tables.events(spark, Sf)
       .select(col("user_id"),
-        expr("CAST(unix_micros(timestamp_micros(ts div 1000)) div 1000000 div 86400 AS BIGINT)").as("day"))
+        expr("CAST(unix_micros(ts) div 1000000 div 86400 AS BIGINT)").as("day"))
       .distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val mid = out(out.length / 2)
@@ -510,7 +511,7 @@ class OperatorSpec extends SparkTestBase {
     val maxId = spark.read.parquet(s"$Sf/documents.parquet")
       .agg(max(col("doc_id"))).head().getLong(0)
     val split = maxId * 4 / 5
-    val idx = java.nio.file.Files.createTempDirectory("lshinc").toString
+    val idx = tmpDir("lshinc")
     Dedup.buildLshBandIndex(spark, Sf, idx, maxDocIdExclusive = split)
     // index must hold ONLY the old corpus
     val idxMax = spark.read.parquet(idx).agg(max(col("doc_id"))).head().getLong(0)
@@ -543,7 +544,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("compaction preserves a dt= partition layout") {
-    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    val dir = tmpDir("compactp") + "/t"
     spark.read.parquet(s"$Sf/orders.parquet")
       .withColumn("dt", to_date(col("o_orderdate")))
       .write.partitionBy("dt").parquet(dir)
@@ -557,7 +558,7 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("compaction shrinks file count and preserves every row") {
-    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val dir = tmpDir("compact") + "/t"
     val orders = spark.read.parquet(s"$Sf/orders.parquet")
     orders.repartition(20).write.parquet(dir)
     def files() = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
@@ -809,7 +810,7 @@ class OperatorSpec extends SparkTestBase {
     val maxId = spark.read.parquet(s"$Sf/documents.parquet")
       .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
     val split = maxId * 4 / 5
-    val idx = java.nio.file.Files.createTempDirectory("clusteridx").toString
+    val idx = tmpDir("clusteridx")
     Dedup.buildLshBandIndex(spark, Sf, idx, maxDocIdExclusive = split)
     val inc = Dedup.dupClustersIncremental(spark, Sf, idx, split).collect().toSeq
     val full = Dedup.dupClusters(spark, Sf).collect().toSeq
@@ -879,7 +880,7 @@ class OperatorSpec extends SparkTestBase {
     val maxId = spark.read.parquet(s"$Sf/documents.parquet")
       .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
     val split = maxId * 4 / 5
-    val idx = java.nio.file.Files.createTempDirectory("funnelidx").toString
+    val idx = tmpDir("funnelidx")
     Dedup.buildLshBandIndex(spark, Sf, idx, maxDocIdExclusive = split)
     val merged = TextAnalysis.mergeFunnels(
       TextAnalysis.corpusFunnelSlice(spark, Sf, split),
@@ -945,7 +946,7 @@ class OperatorSpec extends SparkTestBase {
     // unique filler. Exactly one span per sharing doc, positioned on the
     // planted run, n_windows = 15 - 12 + 1 = 4.
     val shared = (1 to 15).map(i => s"rep$i").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    val tmp = tmpDir("spans")
     Seq(
       (0L, s"alpha beta gamma $shared tail0 tail1", "en", "s0", 0L),
       (1L, (1 to 40).map(i => s"u$i").mkString(" "), "en", "s1", 0L),
@@ -1332,7 +1333,7 @@ class OperatorSpec extends SparkTestBase {
         Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)).map { case (a, b) => a + b })
       ((c * 10 + m).toLong, v, c)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val dir = tmpDir("graft_ann")
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(spark, dir)
@@ -1525,5 +1526,112 @@ class OperatorSpec extends SparkTestBase {
     val langs = TextAnalysis.langId(spark, Sf)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es")))
+  }
+
+  test("scd2: intervals tile each user's timeline, one current row per user") {
+    val rows = Analytics.scd2Intervals(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byV = g.sortBy(_._5)
+      // versions are 1..n consecutive; exactly the last row is current
+      assert(byV.map(_._5).toSeq == (1L to byV.length).toSeq)
+      assert(byV.count(_._6) == 1 && byV.last._6 && byV.last._4.isEmpty)
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval closes exactly where the next opens; consecutive
+          // runs carry DIFFERENT types (runs were collapsed maximally)
+          assert(a._4.contains(b._3), "valid_to must equal next valid_from")
+          assert(a._2 != b._2, "adjacent runs must differ in type")
+        case _ =>
+      }
+    }
+    // run heads never outnumber events; every user appears
+    val ev = graft.sources.Tables.events(spark, Sf)
+    assert(rows.length <= ev.count())
+    assert(rows.map(_._1).toSet ==
+      ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet)
+  }
+
+  test("last-touch attribution conserves purchase count and revenue") {
+    val out = Analytics.lastTouchAttribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val purchases = graft.sources.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)),
+        sum(expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")))
+      .head()
+    assert(out.map(_._2).sum == purchases.getLong(0), "every purchase attributed once")
+    assert(out.map(_._3).sum == purchases.getLong(1), "revenue conserved across channels")
+    // purchases never credit themselves; channels come from real types
+    assert(out.map(_._1).toSet.subsetOf(
+      Set("click", "error", "signup", "view", "(none)")))
+  }
+
+  test("ewma: first event per user equals its own cents; bounded by window extremes") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val out = Analytics.ewmaUserValue(spark, Sf)
+    val firsts = out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(firsts.filter(col("ewma_1e4") =!= col("cents") * 10000).count() == 0)
+    // EWMA is a convex combination: never outside [min, max] of the
+    // trailing-6 cents (checked via the exact same lag frame)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id").rowsBetween(-5, 0)
+    val bounded = out
+      .withColumn("lo", min(col("cents")).over(wl) * 10000)
+      .withColumn("hi", max(col("cents")).over(wl) * 10000)
+      .filter(col("ewma_1e4") < col("lo") || col("ewma_1e4") > col("hi") + 10000)
+    assert(bounded.count() == 0)
+  }
+
+  test("embed dim stats: one row per dimension, counts and sums reconcile") {
+    val out = Similarity.dimStats(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val nVec = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(out.map(_._1).toSeq == (0L until 64L).toSeq, "64 dims, dense and ordered")
+    out.foreach { case (_, n, nPos, nNeg, minC, maxC, sumC) =>
+      assert(n == nVec, "every vector contributes to every dim")
+      assert(nPos + nNeg <= n && minC <= maxC)
+      assert(sumC >= minC * n && sumC <= maxC * n)
+    }
+  }
+
+  test("profile columns: PK uniqueness and exact min/max encodings surface") {
+    val out = Quality.profileOrders(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    val nOrders = spark.read.parquet(s"$Sf/orders.parquet").count()
+    assert(out.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    out.values.foreach { case (rows, nulls, _, _, _) =>
+      assert(rows == nOrders && nulls == 0)
+    }
+    // primary key: distinct == rows; status min/max span the enum
+    assert(out("o_orderkey")._3 == nOrders)
+    assert(out("o_orderstatus")._4 == "F" && out("o_orderstatus")._5 == "P")
+    // money min/max decode as exact cents, numerically ordered
+    assert(out("o_totalprice")._4.toLong <= out("o_totalprice")._5.toLong)
+  }
+
+  test("bigram LM: scores bounded, reference slice scores above foreign slices") {
+    val docs = graft.sources.Tables.documents(spark, Sf).select("doc_id", "lang")
+    val out = TextAnalysis.bigramLmScore(spark, Sf).join(docs, "doc_id")
+    assert(out.filter(col("lm_score_1e6") < 0 || col("lm_score_1e6") > 1000000).count() == 0)
+    // the model was counted from lang='en': its docs must average higher
+    // smoothed likelihood than any non-reference slice
+    val avgByLang = out.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.avg(col("lm_score_1e6")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("a")).toMap
+    assert(avgByLang("en") > avgByLang("zh") && avgByLang("en") > avgByLang("de"),
+      s"reference slice must dominate: $avgByLang")
+    // n_bigrams == token count - 1 for multi-token docs (spot-check join)
+    val nb = TextAnalysis.bigramLmScore(spark, Sf)
+      .join(graft.sources.Tables.documents(spark, Sf)
+        .selectExpr("doc_id", s"size(${TextAnalysis.TokensExpr}) AS n_toks"), "doc_id")
+      .filter(col("n_bigrams") =!= col("n_toks") - 1)
+    assert(nb.count() == 0)
   }
 }

@@ -12,7 +12,7 @@ import graft.pipeline.EtlPipeline
 class PipelineSpec extends SparkTestBase {
 
   private def freshBucket(): String = {
-    val dir = Files.createTempDirectory("graft_bucket").toString
+    val dir = tmpDir("graft_bucket")
     new java.io.File(s"$dir/raw_data").mkdirs()
     dir
   }

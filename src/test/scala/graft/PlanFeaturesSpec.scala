@@ -138,7 +138,7 @@ class PlanFeaturesSpec extends SparkTestBase {
   }
 
   test("dynamic partition pruning fires on the dt-partitioned warehouse") {
-    val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val wh = tmpDir("graft_dpp")
     val orders = spark.read.parquet(s"$Sf/orders.parquet")
       .withColumn("dt", to_date(col("o_orderdate")))
     orders.write.mode("overwrite").partitionBy("dt").parquet(wh)

@@ -19,8 +19,35 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   val Sf = "/root/testdata/sf0.001"
 
+  /** Temp dirs created through these helpers are deleted in afterAll —
+    * specs must not leak a directory per run (r7 advice).
+    */
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+
+  def tmpPath(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.synchronized { tmpDirs += p }
+    p
+  }
+
+  def tmpDir(prefix: String): String = tmpPath(prefix).toString
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      tmpDirs.foreach { root =>
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+      }
+    } finally super.afterAll()
   }
 }

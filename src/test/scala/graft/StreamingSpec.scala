@@ -115,7 +115,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("traffic stream ingests each landed CSV exactly once") {
     import java.nio.file.Files
-    val root = Files.createTempDirectory("trafficstream")
+    val root = tmpPath("trafficstream")
     val (raw, wh, ckpt) = (s"$root/raw", s"$root/wh", s"$root/ckpt")
     new java.io.File(raw).mkdirs()
     def writeCsv(name: String, rows: Int): Unit = {
@@ -141,7 +141,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming upsert applies CDC batches keyed and versioned") {
     import java.nio.file.Files
     import spark.implicits._
-    val root = Files.createTempDirectory("streamupsert")
+    val root = tmpPath("streamupsert")
     val (raw, tbl, ckpt) = (s"$root/raw", s"$root/tbl", s"$root/ckpt")
     new java.io.File(raw).mkdirs()
     def land(name: String, rows: Seq[(Long, Long, String)]): Unit =
@@ -191,7 +191,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming bloom screen: flags cross-batch near-dups, never misses one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("bloomstream").toString
+    val base = tmpDir("bloomstream")
     val input = MemoryStream[(Long, String)]
     val body = "the quick brown fox jumps over the lazy dog and runs far away home"
     val q = graft.streaming.BloomScreenStream.start(
@@ -234,7 +234,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming ingestion dedup: later batches screen against earlier ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val base = tmpDir("dedupstream")
     val input = MemoryStream[(Long, String)]
     val body = "the quick brown fox jumps over the lazy dog and runs far away home"
     val q = graft.streaming.DedupStream.start(
@@ -278,7 +278,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming embedding dedup: later batches screen against earlier ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("embdedup").toString
+    val base = tmpDir("embdedup")
     val rnd = new java.util.Random(4242L)
     val dir0 = Array.fill(64)(rnd.nextGaussian().toFloat)
     def scaled(k: Float) = dir0.map(_ * k)
@@ -328,8 +328,8 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val Sf = "/root/testdata/sf0.001"
-    val batchIdx = java.nio.file.Files.createTempDirectory("ivfbatch").toString
-    val streamIdx = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val batchIdx = tmpDir("ivfbatch")
+    val streamIdx = tmpDir("ivfstream")
     // reference: one-shot batch build with the trained quantizer
     graft.operators.Similarity.buildIvfIndex(spark, Sf, batchIdx,
       quantizer = graft.operators.Similarity.TrainedQuantizer(iters = 2))
@@ -374,8 +374,8 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val Sf = "/root/testdata/sf0.001"
-    val batchIdx = java.nio.file.Files.createTempDirectory("pqbatch").toString
-    val streamIdx = java.nio.file.Files.createTempDirectory("pqstream").toString
+    val batchIdx = tmpDir("pqbatch")
+    val streamIdx = tmpDir("pqstream")
     graft.operators.Similarity.buildPqIndex(spark, Sf, batchIdx)
     // streaming side: stage the SAME (deterministic, full-corpus-trained)
     // codebooks, then feed the corpus as two microbatches
@@ -416,7 +416,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming packing: offset-continued batches merge to the batch answer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val base = tmpDir("graft-pack")
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "source", "text")
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -444,7 +444,7 @@ class StreamingSpec extends SparkTestBase {
   test("streaming decontamination: batch union equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val base = tmpDir("graft-decon")
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text")
     // stage the frozen eval-gram set once, stream the corpus in two halves
@@ -479,8 +479,8 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val Sf = "/root/testdata/sf0.001"
-    val batchIdx = java.nio.file.Files.createTempDirectory("ivfpqbatch").toString
-    val streamIdx = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
+    val batchIdx = tmpDir("ivfpqbatch")
+    val streamIdx = tmpDir("ivfpqstream")
     graft.operators.Similarity.buildIvfPqIndex(spark, Sf, batchIdx)
     // streaming side: stage BOTH frozen (full-corpus-trained) artifacts,
     // then feed the corpus as two microbatches
@@ -524,7 +524,7 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val Sf = "/root/testdata/sf0.001"
-    val base = java.nio.file.Files.createTempDirectory("semdedupstream").toString
+    val base = tmpDir("semdedupstream")
     // stage the frozen (full-corpus-trained, deterministic) quantizer the
     // batch operator trains internally, then feed the corpus as two
     // id-ordered microbatches — the append-monotone arrival contract

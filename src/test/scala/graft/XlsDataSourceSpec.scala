@@ -24,7 +24,7 @@ class XlsDataSourceSpec extends SparkTestBase {
 
   test("a directory of files becomes one partition per file") {
     assume(new java.io.File(sample).exists())
-    val dir = Files.createTempDirectory("xlsmulti")
+    val dir = tmpPath("xlsmulti")
     Files.copy(Paths.get(sample), dir.resolve("a.xls"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get(sample), dir.resolve("b.xls"), StandardCopyOption.REPLACE_EXISTING)
     val df = spark.read.format("xls").load(dir.toString)
@@ -34,7 +34,7 @@ class XlsDataSourceSpec extends SparkTestBase {
 
   test("multi-path load() reads every named file (paths arrive as a JSON array)") {
     assume(new java.io.File(sample).exists())
-    val dir = Files.createTempDirectory("xlspaths")
+    val dir = tmpPath("xlspaths")
     Files.copy(Paths.get(sample), dir.resolve("a.xls"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get(sample), dir.resolve("b.xls"), StandardCopyOption.REPLACE_EXISTING)
     val df = spark.read.format("xls")
@@ -69,7 +69,7 @@ class XlsDataSourceSpec extends SparkTestBase {
   }
 
   test("a glob that matches only non-.xls files raises up front, not in decode") {
-    val dir = java.nio.file.Files.createTempDirectory("xlsglob").toFile
+    val dir = tmpPath("xlsglob").toFile
     val f = new java.io.File(dir, "notes.csv")
     java.nio.file.Files.write(f.toPath, "a,b\n1,2\n".getBytes)
     val e = intercept[Exception] {

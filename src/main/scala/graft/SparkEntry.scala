@@ -85,6 +85,8 @@ object SparkEntry {
     "q_scd2_intervals" -> (Analytics.scd2Intervals(_, _)),
     "q_attribution_last_touch" -> (Analytics.lastTouchAttribution(_, _)),
     "q_ewma_user_value" -> (Analytics.ewmaUserValue(_, _)),
+    "q_throttle_dedup" ->
+      ((s, d) => Analytics.throttleDedup(s, d, Throttle.windowHours)),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_bigram_lm_score" ->
@@ -370,6 +372,16 @@ object SparkEntry {
   /** Bigram-LM reference slice, shared by operator, oracle, and twin. */
   private[graft] object BigramLm {
     val refLang = "en"
+  }
+
+  /** Throttle-dedup window, shared by operator, oracle, and twin. The
+    * fixtures span 30 days, so 24h bounds the kept chain (= recursion
+    * depth in the SQL surfaces) at ~31 — safely inside Spark's default
+    * 100-level recursive-CTE limit.
+    */
+  private[graft] object Throttle {
+    val windowHours = 24
+    val windowUs: Long = windowHours * 3600L * 1000000L
   }
 
   private[graft] object TrainedIvf {
@@ -1224,6 +1236,30 @@ object SparkEntry {
          SELECT user_id, event_id, cents,
                 CAST((20000 * num + den) // (2 * den) AS BIGINT) AS ewma_1e4
          FROM t ORDER BY user_id, event_id""",
+
+    // throttle/rate-limiter dedup: kept = greedy chain per (user, type);
+    // the recursive CTE walks a precomputed next-beyond-window pointer
+    // table, so the recursive member is a plain join (Spark-shape-safe)
+    "q_throttle_dedup" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         nxt AS (SELECT a.user_id, a.event_type, a.rn, min(b.rn) AS next_rn
+                 FROM e a JOIN e b ON b.user_id = a.user_id AND b.event_type = a.event_type
+                   AND b.t_us > a.t_us + ${Throttle.windowUs}
+                 GROUP BY a.user_id, a.event_type, a.rn),
+         kept AS (
+           SELECT user_id, event_type, rn FROM e WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.event_type, n.next_rn
+           FROM kept k JOIN nxt n ON n.user_id = k.user_id
+             AND n.event_type = k.event_type AND n.rn = k.rn)
+         SELECT e.user_id, e.event_type, e.event_id, e.t_us
+         FROM e JOIN kept ON e.user_id = kept.user_id
+           AND e.event_type = kept.event_type AND e.rn = kept.rn
+         ORDER BY e.user_id, e.event_type, e.t_us, e.event_id""",
 
     // column profile over orders: per-type EXACT min/max encodings
     // (ints/strings verbatim, money as half-up cents, timestamps as

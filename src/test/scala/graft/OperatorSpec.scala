@@ -1616,6 +1616,43 @@ class OperatorSpec extends SparkTestBase {
     assert(out("o_totalprice")._4.toLong <= out("o_totalprice")._5.toLong)
   }
 
+  test("throttle dedup: greedy chain recomputed exactly; lag-gap survivors are a subset") {
+    val winUs = SparkEntry.Throttle.windowUs
+    val out = Analytics.throttleDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver-side greedy recompute from the raw timeline
+    val raw = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("t_us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val brute = raw.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      var lastKept = Long.MinValue
+      g.sortBy(e => (e._4, e._3)).filter { e =>
+        val keep = lastKept == Long.MinValue || e._4 > lastKept + winUs
+        if (keep) lastKept = e._4
+        keep
+      }
+    }.toSet
+    assert(out.toSet == brute, "operator must equal the greedy recompute")
+    // consecutive kept events per key are > window apart
+    out.groupBy(e => (e._1, e._2)).values.foreach { g =>
+      g.sortBy(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b._4 - a._4 > winUs)
+        case _ =>
+      }
+    }
+    // lag-gap survivors are provably a subset (raw gap > W implies gap
+    // from last kept > W); throttle keeps strictly more on this fixture
+    val lagKept = raw.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val s = g.sortBy(e => (e._4, e._3))
+      s.zip(None +: s.map(Some(_))).collect {
+        case (e, None) => e
+        case (e, Some(p)) if e._4 - p._4 > winUs => e
+      }
+    }.toSet
+    assert(lagKept.subsetOf(out.toSet) && lagKept.size < out.length)
+  }
+
   test("bigram LM: scores bounded, reference slice scores above foreign slices") {
     val docs = graft.sources.Tables.documents(spark, Sf).select("doc_id", "lang")
     val out = TextAnalysis.bigramLmScore(spark, Sf).join(docs, "doc_id")

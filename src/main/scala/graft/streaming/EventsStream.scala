@@ -128,4 +128,51 @@ object EventsStream {
           }
       }
   }
+
+  final case class ThrottleState(lastKeptUs: Long)
+  final case class KeptEvent(user_id: Long, event_type: String,
+                             event_id: Long, t_us: Long)
+
+  /** Streaming twin of Analytics.throttleDedup: the rate-limiter
+    * recurrence (keep only when > window after the last KEPT event per
+    * (user, type)) as flatMapGroupsWithState — per-key state is ONE long.
+    *
+    * State eviction is LOSSLESS: the event-time timeout fires only once
+    * the watermark passes lastKept + window, and any event arriving
+    * after that horizon with ts above the watermark would have been kept
+    * anyway (its gap from lastKept exceeds the window by construction) —
+    * so dropping the state cannot flip a decision for in-horizon events.
+    * Late events inside the lateness allowance share the standard
+    * streaming-dedup caveat: arrival order is decision order.
+    */
+  def throttle(events: Dataset[Event], windowHours: Int = 24): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    val winUs = windowHours * 3600L * 1000000L
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, KeptEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[ThrottleState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            var lastKept = state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue)
+            val kept = sorted.flatMap { e =>
+              val us = toUs(e.ts)
+              if (lastKept == Long.MinValue || us > lastKept + winUs) {
+                lastKept = us
+                Some(KeptEvent(key._1, key._2, e.event_id, us))
+              } else None
+            }
+            if (lastKept != Long.MinValue) {
+              state.update(ThrottleState(lastKept))
+              state.setTimeoutTimestamp(lastKept / 1000 + winUs / 1000)
+            }
+            kept.iterator
+          }
+      }
+  }
 }

@@ -71,6 +71,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming throttle: greedy chain carries across batches, matches batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val kept = EventsStream.throttle(input.toDS())
+    val q = kept.writeStream.format("memory").queryName("throttled")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      // batch 1: user 1 clicks at 10:00 (kept) and 11:00 (dropped, inside
+      // 24h); user 1 view (independent key) kept
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 12:00:00"), 1, "view", 1.0),
+      // batch 2: 20:00 still inside the 24h window of the KEPT 10:00
+      // (a lag-gap filter would keep it — gap from 11:00 is 9h... also
+      // inside; from the kept 10:00 it is 10h: dropped either way), and
+      // next-day 10:30 is 24.5h after the kept 10:00 -> kept
+      Event(4, ts("2024-01-01 20:00:00"), 1, "click", 1.0),
+      Event(5, ts("2024-01-02 10:30:00"), 1, "click", 1.0))
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val ids = spark.table("throttled").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      // driver-side greedy recompute over the full ordered feed
+      val winUs = SparkEntry.Throttle.windowUs
+      val brute = all.groupBy(e => (e.user_id, e.event_type)).values.flatMap { g =>
+        var lastKept = Long.MinValue
+        g.sortBy(_.ts.getTime).filter { e =>
+          val us = e.ts.getTime * 1000L
+          val keep = lastKept == Long.MinValue || us > lastKept + winUs
+          if (keep) lastKept = us
+          keep
+        }
+      }.map(_.event_id).toSet
+      assert(ids == brute && ids == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -87,6 +87,21 @@ object SparkEntry {
     "q_ewma_user_value" -> (Analytics.ewmaUserValue(_, _)),
     "q_throttle_dedup" ->
       ((s, d) => Analytics.throttleDedup(s, d, Throttle.windowHours)),
+    "q_scd2_incremental" -> ((s, d) => {
+      // "dimension already built, a delta of change records arrives":
+      // the prior 4/5 of event time is the snapshot, the last 1/5 the
+      // delta; merge must equal the from-scratch build the oracle runs
+      val r = sources.Tables.events(s, d)
+        .agg(min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val split = lo + (hi - lo) * 4 / 5
+      Analytics.scd2Merge(
+        Analytics.scd2Slice(s, d, Long.MinValue, split),
+        sources.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("t_us"))
+          .filter(col("t_us") >= split))
+    }),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_bigram_lm_score" ->
@@ -819,7 +834,8 @@ object SparkEntry {
     "q_corpus_report_incremental" -> oracleSqlBase("q_corpus_report"),
     "q_corpus_funnel_incremental" -> oracleSqlBase("q_corpus_funnel"),
     "q_dup_clusters_incremental" -> oracleSqlBase("q_dup_clusters"),
-    "q_pack_sequences_incremental" -> oracleSqlBase("q_pack_sequences"))
+    "q_pack_sequences_incremental" -> oracleSqlBase("q_pack_sequences"),
+    "q_scd2_incremental" -> oracleSqlBase("q_scd2_intervals"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_etl_transform" ->

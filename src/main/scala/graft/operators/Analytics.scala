@@ -1006,11 +1006,19 @@ object Analytics {
     * (same spec), then a filter keeps only change rows — output is
     * O(changes), never O(events). No self-join of the history.
     */
-  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    scd2Core(eventsForScd2(s, dir)).orderBy(col("user_id"), col("version"))
+
+  /** (user_id, event_id, event_type, t_us) projection all SCD2 paths share. */
+  private def eventsForScd2(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("t_us"))
+
+  /** Run-collapse over an events frame (unsorted output — callers order). */
+  private def scd2Core(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    ev
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       // post-filter rows are exactly the run heads; re-window over them
@@ -1020,6 +1028,59 @@ object Analytics {
       .withColumn("is_current", col("valid_to_us").isNull)
       .select(col("user_id"), col("event_type"), col("valid_from_us"),
         col("valid_to_us"), col("version"), col("is_current"))
+  }
+
+  /** SCD2 over events with t_us in [loUs, hiUs) — a prior run's snapshot. */
+  def scd2Slice(s: SparkSession, dir: String, loUs: Long, hiUs: Long): DataFrame =
+    scd2Core(eventsForScd2(s, dir)
+      .filter(col("t_us") >= loUs && col("t_us") < hiUs))
+
+  /** Incremental SCD2 merge: fold a DELTA of change records (all with
+    * t_us at or after every prior event — the append-only warehouse
+    * cadence) into a prior snapshot WITHOUT re-reading prior history.
+    * Exact because run collapse is prefix-decomposable in time: the only
+    * prior state a delta can touch is each user's current row, which the
+    * snapshot itself carries (type + version). The first delta run of a
+    * user is absorbed when it continues the carried type; otherwise the
+    * carried current row closes at the first differing head and new rows
+    * version on from the carried counter — merge == rescan, which the
+    * from-scratch oracle proves.
+    *
+    * 100 TB shape: prior rows are touched only through an O(users-in-
+    * delta) equi-join on the close-at frame (never re-sorted, never
+    * re-windowed); the delta pays the usual user-keyed window. Steady-
+    * state cost tracks the delta, not the dimension's history.
+    */
+  def scd2Merge(prior: DataFrame, deltaEv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val carried = prior.filter(col("is_current"))
+      .select(col("user_id"), col("event_type").as("carry_type"),
+        col("version").as("carry_version"))
+    val newRows = deltaEv
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .join(carried, Seq("user_id"), "left")
+      // only the FIRST delta head can continue the carried run; later
+      // heads differ from their in-delta predecessor by construction
+      .withColumn("head_idx", row_number().over(w))
+      .filter(!(col("head_idx") === 1 && col("carry_type").isNotNull &&
+        col("event_type") === col("carry_type")))
+      .withColumn("new_idx", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", col("t_us"))
+      .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+      .withColumn("version", coalesce(col("carry_version"), lit(0L)) + col("new_idx"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("version"), col("is_current"))
+    val closeAt = newRows.groupBy(col("user_id"))
+      .agg(min(col("valid_from_us")).as("close_at"))
+    prior.join(closeAt, Seq("user_id"), "left")
+      .withColumn("valid_to_us",
+        when(col("is_current") && col("close_at").isNotNull, col("close_at"))
+          .otherwise(col("valid_to_us")))
+      .withColumn("is_current", col("is_current") && col("close_at").isNull)
+      .drop("close_at")
+      .unionByName(newRows)
       .orderBy(col("user_id"), col("version"))
   }
 

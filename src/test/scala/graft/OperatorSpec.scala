@@ -1653,6 +1653,48 @@ class OperatorSpec extends SparkTestBase {
     assert(lagKept.subsetOf(out.toSet) && lagKept.size < out.length)
   }
 
+  test("scd2 incremental: merge over a time split equals the from-scratch build") {
+    val full = Analytics.scd2Intervals(spark, Sf).collect().map(_.toSeq)
+    val r = graft.sources.Tables.events(spark, Sf)
+      .agg(min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)"))).head()
+    val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+    val deltaEv = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"))
+      .filter(col("t_us") >= split)
+    assert(deltaEv.count() > 0, "split must leave a non-empty delta")
+    val prior = Analytics.scd2Slice(spark, Sf, Long.MinValue, split)
+    assert(prior.count() > 0, "split must leave a non-empty prior snapshot")
+    val merged = Analytics.scd2Merge(prior, deltaEv).collect().map(_.toSeq)
+    assert(merged.toSeq == full.toSeq, "merge must equal rescan row-for-row")
+
+    // planted micro-case pinning all three merge paths: absorb (first
+    // delta run continues the carried type), idle (user absent from the
+    // delta), close (delta opens a differing run)
+    import spark.implicits._
+    val ev = Seq(
+      (100L, 1L, "click", 1000L), (100L, 2L, "click", 2000L), // absorb user
+      (200L, 3L, "view", 1000L),                              // idle user
+      (300L, 4L, "view", 1000L)                               // close user
+    ).toDF("user_id", "event_id", "event_type", "t_us")
+    val emptyPrior = Seq.empty[(Long, String, Long, Option[Long], Long, Boolean)]
+      .toDF("user_id", "event_type", "valid_from_us", "valid_to_us", "version", "is_current")
+    val prior2 = Analytics.scd2Merge(emptyPrior, ev) // merge from empty == build
+    val delta2 = Seq(
+      (100L, 5L, "click", 5000L), (100L, 6L, "view", 6000L),
+      (300L, 7L, "click", 5500L)
+    ).toDF("user_id", "event_id", "event_type", "t_us")
+    val m2 = Analytics.scd2Merge(prior2, delta2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4), r.getBoolean(5)))
+    assert(m2.toSeq == Seq(
+      (100L, "click", 1000L, Some(6000L), 1L, false), // absorbed 5000, closed by view
+      (100L, "view", 6000L, None, 2L, true),
+      (200L, "view", 1000L, None, 1L, true),          // idle stays current
+      (300L, "view", 1000L, Some(5500L), 1L, false),  // closed by click
+      (300L, "click", 5500L, None, 2L, true)), s"planted merge mismatch: ${m2.toSeq}")
+  }
+
   test("bigram LM: scores bounded, reference slice scores above foreign slices") {
     val docs = graft.sources.Tables.documents(spark, Sf).select("doc_id", "lang")
     val out = TextAnalysis.bigramLmScore(spark, Sf).join(docs, "doc_id")

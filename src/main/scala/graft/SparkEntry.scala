@@ -270,6 +270,7 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     "q_embed_dim_stats" -> (Similarity.dimStats(_, _)),
+    "q_embed_gram" -> (Similarity.gramMatrix(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
     "q_image_dedup" -> (Multimodal.imageDedup(_, _)),
@@ -1803,6 +1804,21 @@ object SparkEntry {
                 CAST(max(code) AS BIGINT) AS max_code,
                 CAST(sum(code) AS BIGINT) AS sum_code
          FROM codes GROUP BY dim ORDER BY dim""",
+
+    // exact Gram / second-moment matrix over the 2^20 integer codes —
+    // the order-free input to covariance/PCA/whitening
+    "q_embed_gram" ->
+      """WITH c AS (SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS c
+           FROM embeddings),
+         ex AS (SELECT len(c) AS d,
+                unnest(range(0, len(c) * len(c))) AS k,
+                unnest(flatten(list_transform(c, x -> list_transform(c, y -> x * y)))) AS p
+           FROM c)
+         SELECT CAST(k // d AS BIGINT) AS dim_i, CAST(k % d AS BIGINT) AS dim_j,
+                count(*) AS n, CAST(sum(p) AS BIGINT) AS sum_ij
+         FROM ex GROUP BY 1, 2 ORDER BY dim_i, dim_j""",
 
     "q_repetition_stats" ->
       s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),

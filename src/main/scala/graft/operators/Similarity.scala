@@ -1474,4 +1474,142 @@ object Similarity {
         max(col("code")).as("max_code"),
         sum(col("code")).as("sum_code"))
       .orderBy(col("dim"))
+
+  /** Exact Gram / second-moment matrix of the embedding corpus over the
+    * 2^20 integer codes: for every dimension pair (i, j), n and
+    * Σ code_i·code_j — the order-free, engine-exact input to covariance,
+    * PCA, and whitening (covariance = (n·S_ij − S_i·S_j), with the S_i
+    * coming from [[dimStats]]). Products are ≤ 2^40, so BIGINT sums hold
+    * to ~2^23 vectors; past that the one-line swap is DECIMAL(38,0), the
+    * regr-slope discipline.
+    *
+    * 100 TB shape: one corpus pass; each row expands to its d² products
+    * inside codegen (flatten of a nested transform — no self-join of the
+    * exploded frame) and the hash aggregate is map-side combined, so the
+    * shuffle carries ≤ d² partial rows per partition. d² output rows.
+    */
+  def gramMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "embeddings")
+      .select(expr(CodeExpr).as("c"))
+      .select(size(col("c")).as("d"), posexplode(expr(
+        "flatten(transform(c, x -> transform(c, y -> x * y)))")).as(Seq("k", "p")))
+      .select(expr("CAST(k div d AS BIGINT)").as("dim_i"),
+        expr("CAST(k % d AS BIGINT)").as("dim_j"), col("p"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_ij"))
+      .orderBy(col("dim_i"), col("dim_j"))
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix —
+    * driver-side (the d×d covariance is catalog-sized, never data-sized).
+    * Returns (eigenvalues, eigenvectors as columns).
+    */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]],
+                                     sweeps: Int = 12): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sN = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sN * akq
+              a(k)(q) = sN * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sN * aqk
+              a(q)(k) = sN * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sN * vkq
+              v(k)(q) = sN * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** ZCA whitening of the embedding corpus: y = W (x − μ) with
+    * W = U Λ^{-1/2} Uᵀ from the exact-code covariance — the
+    * decorrelation step retrieval pipelines run before indexing when the
+    * encoder's dimensions are correlated (whitened cosine ≈ Mahalanobis).
+    * Eigenvalues below `eps` (degenerate/dead dimensions, cf.
+    * [[dimStats]]) contribute zero rather than exploding 1/√λ.
+    *
+    * Spark shape: covariance derives from [[gramMatrix]] + [[dimStats]]
+    * (two corpus passes, both map-side-combined aggregates to ≤ d² rows);
+    * the d×d eigendecomposition is driver-side Jacobi (catalog-sized —
+    * never distribute a 64×64 problem); the projection is one broadcast
+    * matvec per row via mapPartitions (pure map, no shuffle — the
+    * genuinely per-row imperative kernel the typed API exists for).
+    */
+  def whiten(s: SparkSession, dir: String, eps: Double = 1e-9): DataFrame = {
+    import s.implicits._
+    val scale = 1048576.0
+    val stats = dimStats(s, dir).select("dim", "n", "sum_code").collect()
+    val d = stats.length
+    val n = stats.head.getAs[Long]("n").toDouble
+    val mu = new Array[Double](d)
+    stats.foreach(r => mu(r.getAs[Long]("dim").toInt) =
+      r.getAs[Long]("sum_code") / scale / n)
+    val gram = gramMatrix(s, dir).collect()
+    val cov = Array.ofDim[Double](d, d)
+    gram.foreach { r =>
+      val i = r.getAs[Long]("dim_i").toInt; val j = r.getAs[Long]("dim_j").toInt
+      cov(i)(j) = r.getAs[Long]("sum_ij") / (scale * scale) / n - mu(i) * mu(j)
+    }
+    val (lam, u) = jacobiEigen(cov)
+    // W = U diag(λ^-1/2) Uᵀ (symmetric ZCA form)
+    val w = Array.tabulate(d, d) { (i, j) =>
+      var acc = 0.0
+      var k = 0
+      while (k < d) {
+        if (lam(k) > eps) acc += u(i)(k) * u(j)(k) / math.sqrt(lam(k))
+        k += 1
+      }
+      acc
+    }
+    val bc = s.sparkContext.broadcast((w, mu))
+    Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (wm, m) = bc.value
+        val dd = m.length
+        it.map { case (id, x) =>
+          val cx = Array.tabulate(dd)(i => x(i).toDouble - m(i))
+          val y = new Array[Double](dd)
+          var i = 0
+          while (i < dd) {
+            var acc = 0.0; var k = 0
+            while (k < dd) { acc += wm(i)(k) * cx(k); k += 1 }
+            y(i) = acc; i += 1
+          }
+          (id, y)
+        }
+      }
+      .toDF("vec_id", "whitened")
+      .orderBy("vec_id")
+  }
 }

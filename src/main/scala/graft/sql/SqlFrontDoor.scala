@@ -759,6 +759,20 @@ object SqlFrontDoor {
                 CAST(sum(code) AS BIGINT) AS sum_code
          FROM codes GROUP BY dim ORDER BY dim""",
 
+    // parallel unnests -> one posexplode over the flattened product grid
+    "q_embed_gram" ->
+      """WITH c AS (SELECT transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS c
+           FROM embeddings),
+         ex AS (SELECT d, k, p
+                FROM (SELECT size(c) AS d,
+                        posexplode(flatten(transform(c, x -> transform(c, y -> x * y)))) AS (k, p)
+                      FROM c))
+         SELECT CAST(k DIV d AS BIGINT) AS dim_i, CAST(k % d AS BIGINT) AS dim_j,
+                count(*) AS n, sum(p) AS sum_ij
+         FROM ex GROUP BY 1, 2 ORDER BY dim_i, dim_j""",
+
     "q_chunk_docs" ->
       s"""WITH $chunkCtes
          SELECT doc_id, chunk_idx, CAST(size(chunk) AS BIGINT) AS chunk_tokens,

@@ -1695,6 +1695,40 @@ class OperatorSpec extends SparkTestBase {
       (300L, "click", 5500L, None, 2L, true)), s"planted merge mismatch: ${m2.toSeq}")
   }
 
+  test("gram matrix: symmetric, complete, diagonal reconciles with a direct recompute") {
+    val g = Similarity.gramMatrix(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val nVec = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(g.size == 64 * 64, "full d x d grid")
+    g.foreach { case ((i, j), (n, s)) =>
+      assert(n == nVec)
+      assert(g((j, i))._2 == s, s"gram must be symmetric at ($i,$j)")
+    }
+    // diagonal = sum of squared codes, recomputed independently
+    val sq = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .selectExpr("""aggregate(transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+        CAST(0 AS BIGINT), (a, c) -> a + c * c) AS ss""")
+      .agg(sum("ss")).head().getLong(0)
+    assert((0 until 64).map(i => g((i.toLong, i.toLong))._2).sum == sq)
+  }
+
+  test("whitening: output covariance is the identity on non-degenerate dimensions") {
+    val rows = Similarity.whiten(spark, Sf).collect()
+      .map(r => r.getAs[scala.collection.Seq[Double]]("whitened").toArray)
+    val n = rows.length
+    val d = rows.head.length
+    assert(n > 0 && d == 64)
+    val mean = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    // spot-check a grid of pairs (full d^2 loop is slow in a spec)
+    val idx = Seq(0, 7, 13, 21, 33, 42, 55, 63)
+    for (i <- idx; j <- idx) {
+      val cov = rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      if (i == j) assert(math.abs(cov - 1.0) < 0.05, s"diag($i) = $cov")
+      else assert(math.abs(cov) < 0.05, s"offdiag($i,$j) = $cov")
+    }
+  }
+
   test("bigram LM: scores bounded, reference slice scores above foreign slices") {
     val docs = graft.sources.Tables.documents(spark, Sf).select("doc_id", "lang")
     val out = TextAnalysis.bigramLmScore(spark, Sf).join(docs, "doc_id")

@@ -129,6 +129,51 @@ object EventsStream {
       }
   }
 
+  final case class Scd2State(curType: String, curFromUs: Long, version: Long)
+  final case class ClosedInterval(user_id: Long, event_type: String,
+                                  valid_from_us: Long, valid_to_us: Long,
+                                  version: Long)
+
+  /** Streaming SCD2 maintenance: the continuous form of
+    * Analytics.scd2Intervals. Each user's state is the OPEN run (type,
+    * from, version — one small record); a change record of a differing
+    * type emits the prior run as a CLOSED validity interval and opens the
+    * next. Append output carries closed intervals only — the open run is
+    * by definition still mutable, which is exactly the batch operator's
+    * is_current row; a consumer materializing the dimension unions the
+    * closed stream with the state-of-now (or runs the batch builder over
+    * the closed feed's tail). No timeout: dimension state IS the
+    * product — bounded by live users, not by history.
+    */
+  def scd2(events: Dataset[Event]): Dataset[ClosedInterval] = {
+    import events.sparkSession.implicits._
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, ClosedInterval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedInterval]
+          sorted.foreach { e =>
+            val us = toUs(e.ts)
+            cur match {
+              case Some(st) if st.curType == e.event_type => // run continues
+              case Some(st) =>
+                closed += ClosedInterval(userId, st.curType, st.curFromUs, us, st.version)
+                cur = Some(Scd2State(e.event_type, us, st.version + 1))
+              case None =>
+                cur = Some(Scd2State(e.event_type, us, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   final case class ThrottleState(lastKeptUs: Long)
   final case class KeptEvent(user_id: Long, event_type: String,
                              event_id: Long, t_us: Long)

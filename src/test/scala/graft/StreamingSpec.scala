@@ -112,6 +112,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming scd2 emits closed intervals matching the batch builder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val closed = EventsStream.scd2(input.toDS())
+    val q = closed.writeStream.format("memory").queryName("scd2closed")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "click", 1.0), // run continues
+      Event(3, ts("2024-01-01 12:00:00"), 1, "view", 1.0),  // closes click
+      // batch 2: run spanning the batch boundary closes with version 2
+      Event(4, ts("2024-01-01 13:00:00"), 1, "purchase", 1.0),
+      Event(5, ts("2024-01-01 14:00:00"), 2, "view", 1.0))
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val out = spark.table("scd2closed").as[EventsStream.ClosedInterval]
+        .collect().sortBy(c => (c.user_id, c.version))
+      def us(s: String) = ts(s).toInstant.getEpochSecond * 1000000L
+      assert(out.toSeq == Seq(
+        EventsStream.ClosedInterval(1, "click",
+          us("2024-01-01 10:00:00"), us("2024-01-01 12:00:00"), 1),
+        EventsStream.ClosedInterval(1, "view",
+          us("2024-01-01 12:00:00"), us("2024-01-01 13:00:00"), 2)))
+      // closed stream == the batch builder's non-current rows on the
+      // same feed (same run collapse, same versions)
+      val batch = all.map(e => (e.user_id, e.event_id,
+          e.event_type, e.ts.toInstant.getEpochSecond * 1000000L))
+        .toDF("user_id", "event_id", "event_type", "t_us")
+      val emptyPrior = Seq.empty[(Long, String, Long, Option[Long], Long, Boolean)]
+        .toDF("user_id", "event_type", "valid_from_us", "valid_to_us", "version", "is_current")
+      val batchClosed = graft.operators.Analytics.scd2Merge(emptyPrior, batch)
+        .filter(!col("is_current"))
+        .collect().map(r => EventsStream.ClosedInterval(r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(c => (c.user_id, c.version))
+      assert(out.toSeq == batchClosed.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -120,6 +120,49 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaSpark == viaReduce)
   }
 
+  test("HeavyHittersSketch: MG guarantees hold under any split and partitioning") {
+    import graft.functions.{HeavyHitter, HeavyHittersSketch, MgBuffer}
+    val rnd = new scala.util.Random(7)
+    // planted: "hot" at 30% of a 2000-item stream, tail spread over a
+    // 200-item cold domain (domain >> capacity); n/k = 200 < 600 = f(hot)
+    val stream = rnd.shuffle(
+      (List.fill(600)("hot") ++ List.fill(1400)(s"cold${rnd.nextInt(200)}")))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.length
+    val k = 10
+    val agg = new HeavyHittersSketch(k)
+    def check(out: Seq[HeavyHitter], label: String): Unit = {
+      assert(out.size <= k, label)
+      assert(out.exists(_.item == "hot"), s"$label: f > n/k item must survive")
+      out.foreach { h =>
+        val f = truth(h.item)
+        assert(h.count <= f && f <= h.count + h.err,
+          s"$label: bounds violated for ${h.item}: count=${h.count} err=${h.err} f=$f")
+        assert(h.err <= n / k, s"$label: err ${h.err} exceeds n/k")
+      }
+    }
+    def run(xs: List[String]): MgBuffer = xs.foldLeft(agg.zero)(agg.reduce)
+    check(agg.finish(run(stream)), "single reduce")
+    for (cut <- Seq(13, 500, 1999)) {
+      val (l, r) = stream.splitAt(cut)
+      check(agg.finish(agg.merge(run(l), run(r))), s"merge at $cut")
+    }
+    // through Spark under different physical partitionings
+    import spark.implicits._
+    val hh = org.apache.spark.sql.functions.udaf(
+      agg, org.apache.spark.sql.Encoders.STRING)
+    for (p <- Seq(1, 7)) {
+      val out = stream.toDF("item").repartition(p)
+        .agg(hh(org.apache.spark.sql.functions.col("item")).as("hh"))
+        .selectExpr("inline(hh)").as[HeavyHitter].collect().toSeq
+      check(out, s"spark p=$p")
+    }
+    // domain <= capacity: the sketch degenerates to an exact count
+    val exact = agg.finish(run(List("a", "b", "a", "c", "a", "b")))
+    assert(exact == Seq(HeavyHitter("a", 3, 0), HeavyHitter("b", 2, 0),
+      HeavyHitter("c", 1, 0)))
+  }
+
   // LAST test in this suite on purpose: spark.sql.extensions is a static
   // conf read at CONTEXT creation, so proving the cluster-deploy path
   // (--conf spark.sql.extensions=graft.functions.GraftExtensions) needs a

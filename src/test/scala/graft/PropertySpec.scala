@@ -73,4 +73,35 @@ class PropertySpec extends SparkTestBase {
       java.nio.file.Files.delete(f)
     }
   }
+
+  test("throttle dedup equals the greedy reference on random dense timelines") {
+    import spark.implicits._
+    // dense: ~72h of minute-resolution events over 3 users x 2 types
+    // against a 24h window, so chains of drops and window hops both occur;
+    // duplicate offsets exercise the (ts, event_id) tiebreak
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 3L), Gen.oneOf("a", "b"), Gen.choose(0L, 4320L)))
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    samples(evGen, 4).foreach { raw =>
+      val evs = raw.zipWithIndex.map { case ((u, t, offMin), i) =>
+        (i.toLong, new Timestamp(base + offMin * 60000L), u, t, 1.0, "{}")
+      }
+      val dir = tmpDir("throttle-prop")
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = graft.operators.Analytics.throttleDedup(spark, dir)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val winUs = SparkEntry.Throttle.windowUs
+      val expected = evs.groupBy(e => (e._3, e._4)).values.flatMap { g =>
+        var lastKept = Long.MinValue
+        g.sortBy(e => (e._2.getTime, e._1)).filter { e =>
+          val us = e._2.getTime * 1000L
+          val keep = lastKept == Long.MinValue || us > lastKept + winUs
+          if (keep) lastKept = us
+          keep
+        }
+      }.map(_._1).toSet
+      assert(out == expected, s"greedy mismatch on ${evs.length}-event timeline")
+    }
+  }
 }

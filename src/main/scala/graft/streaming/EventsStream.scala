@@ -174,6 +174,46 @@ object EventsStream {
       }
   }
 
+  final case class EwmaState(recentCents: List[Long])
+  final case class EwmaPoint(user_id: Long, event_id: Long,
+                             cents: Long, ewma_1e4: Long)
+
+  /** Streaming twin of Analytics.ewmaUserValue: the decay-1/2 trailing-6
+    * EWMA as flatMapGroupsWithState — per-user state is the last five
+    * half-up cent values (five longs, constant), each arriving event
+    * emits its smoothed point immediately, and the arithmetic is the
+    * IDENTICAL integer form (power-of-two weights, half-up 1e-4
+    * quotient), so the stream reproduces the batch operator bit-for-bit
+    * on in-order feeds.
+    */
+  def ewma(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var recent = state.getOption.map(_.recentCents).getOrElse(Nil)
+          val out = sorted.map { e =>
+            val cents = math.floor(e.value * 100.0 + 0.5).toLong
+            // weights 32,16,8,4,2,1 over (current :: last five), absent
+            // lags contribute nothing to num or den — the batch form
+            val lags = cents :: recent
+            val (num, den) = lags.take(6).zipWithIndex.foldLeft((0L, 0L)) {
+              case ((n, d), (c, i)) => (n + c * (32L >> i), d + (32L >> i))
+            }
+            recent = (cents :: recent).take(5)
+            EwmaPoint(userId, e.event_id, cents, (20000L * num + den) / (2L * den))
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+  }
+
   final case class ThrottleState(lastKeptUs: Long)
   final case class KeptEvent(user_id: Long, event_type: String,
                              event_id: Long, t_us: Long)

@@ -155,6 +155,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ewma continues the decay chain across batches, integer-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val pts = EventsStream.ewma(input.toDS())
+    val q = pts.writeStream.format("memory").queryName("ewmapts")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.00),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 2.00),
+      Event(3, ts("2024-01-01 10:10:00"), 1, "click", 4.00),
+      // batch 2 continues the same user's chain
+      Event(4, ts("2024-01-01 10:15:00"), 1, "click", 8.00),
+      Event(5, ts("2024-01-01 10:20:00"), 2, "view", 3.00))
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val out = spark.table("ewmapts").as[EventsStream.EwmaPoint]
+        .collect().sortBy(_.event_id)
+      // hand-computed integer chain: weights 32,16,8,... half-up 1e-4
+      // e1: 100*10000 = 1000000
+      // e2: (20000*(32*200+16*100)+48)/(2*48) = floor(166666.67..) -> exact div
+      def ew(lags: Seq[Long]): Long = {
+        val (n, d) = lags.take(6).zipWithIndex.foldLeft((0L, 0L)) {
+          case ((a, b), (c, i)) => (a + c * (32L >> i), b + (32L >> i))
+        }
+        (20000L * n + d) / (2L * d)
+      }
+      assert(out.map(_.ewma_1e4).toSeq == Seq(
+        ew(Seq(100)), ew(Seq(200, 100)), ew(Seq(400, 200, 100)),
+        ew(Seq(800, 400, 200, 100)), ew(Seq(300))))
+      // and the whole stream equals the batch operator run over the same
+      // feed written as an events table
+      val dir = tmpDir("ewma-stream")
+      all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Analytics.ewmaUserValue(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(out.map(p => (p.event_id, p.cents, p.ewma_1e4)).toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1231,7 +1231,9 @@ object SparkEntry {
          FROM p GROUP BY 1 ORDER BY channel""",
 
     // EWMA decay 1/2 over the trailing 6 events: exact power-of-two
-    // weights over half-up cents, half-up 1e-4 quotient
+    // weights over half-up cents, half-up 1e-4 quotient. DuckDB's `//`
+    // on BIGINT truncates toward zero exactly like Spark DIV and Java
+    // Long division, so the quotient agrees for any sign of cents.
     "q_ewma_user_value" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
              CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents

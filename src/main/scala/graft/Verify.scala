@@ -19,10 +19,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Failures must be LOUD: a query that errors gets a record in
-    // _errors.json (next to oracle_sql.json) and flips the exit code, so a
+    // _errors.json (next to oracle_sql.json) and a stderr line, so a
     // regression can never render as "fewer rows, all green" in the
     // driver's report (that is exactly how round 7's 21-query events break
-    // hid behind a 107/107).
+    // hid behind a 107/107). The exit code deliberately stays 0 (see the
+    // note at the bottom) so the partial dump still reaches the driver.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }

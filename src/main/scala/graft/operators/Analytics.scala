@@ -1139,8 +1139,11 @@ object Analytics {
     base
       .withColumn("num", terms.map(_._1).reduce(_ + _))
       .withColumn("den", terms.map(_._2).reduce(_ + _))
-      // half-up fixed point: values are non-negative (fixture domain), so
-      // no sign split needed; den >= 1 because the current row always counts
+      // half-up fixed point; den >= 1 because the current row always counts.
+      // Sign-safe across all three surfaces: Spark DIV, Java Long `/`
+      // (streaming twin), and DuckDB `//` on BIGINT all truncate toward
+      // zero (DuckDB verified: (-7)//2 = -3), so negative cents cannot
+      // desync batch/stream/oracle.
       .withColumn("ewma_1e4", expr("(20000 * num + den) DIV (2 * den)"))
       .select(col("user_id"), col("event_id"), col("cents"), col("ewma_1e4"))
       .orderBy(col("user_id"), col("event_id"))
@@ -1158,16 +1161,17 @@ object Analytics {
     *
     * The kept set is a prefix-dependent recurrence — not expressible as
     * one window function — so this is the honest use of the typed
-    * Dataset API: groupByKey + flatMapGroups with per-group state = one
-    * (user, type) timeline held at a time. The SQL surfaces reach the
-    * same fixed point with a bounded recursive CTE over a precomputed
-    * next-beyond-window pointer table.
+    * Dataset API: groupByKey + flatMapSortedGroups, where the SHUFFLE's
+    * sort (not a per-task buffer) delivers each (user, type) timeline in
+    * (t_us, event_id) order and the recurrence streams the iterator with
+    * O(1) state per group — one Long and no materialized array, so even a
+    * whale timeline costs sort-spill, never task memory. The SQL surfaces
+    * reach the same fixed point with a bounded recursive CTE over a
+    * precomputed next-beyond-window pointer table.
     *
     * 100 TB shape: ONE shuffle on (user_id, event_type) — the same key
-    * sessionization pays — then a linear in-memory pass per group. A
-    * group must fit one task (the standard whale-timeline caveat: one
-    * (user, type) pair's events, bounded in any real feed by time
-    * retention); the sort is per-group, never global.
+    * sessionization pays — whose sort-merge delivers ordered runs; the
+    * per-group pass is linear and constant-memory.
     */
   def throttleDedup(s: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
     import s.implicits._
@@ -1177,16 +1181,15 @@ object Analytics {
         unix_micros(col("ts")).as("t_us"))
       .as[(Long, String, Long, Long)]
       .groupByKey(e => (e._1, e._2))
-      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Long, Long)]) =>
-        val evs = it.toArray.sortBy(e => (e._4, e._3))
-        val out = Seq.newBuilder[(Long, String, Long, Long)]
-        var lastKept = Long.MinValue
-        evs.foreach { e =>
-          if (lastKept == Long.MinValue || e._4 > lastKept + winUs) {
-            out += ((key._1, key._2, e._3, e._4)); lastKept = e._4
+      .flatMapSortedGroups(col("t_us"), col("event_id")) {
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long)]) =>
+          var lastKept = Long.MinValue
+          it.flatMap { e =>
+            if (lastKept == Long.MinValue || e._4 > lastKept + winUs) {
+              lastKept = e._4
+              Some((key._1, key._2, e._3, e._4))
+            } else None
           }
-        }
-        out.result()
       }
       .toDF("user_id", "event_type", "event_id", "t_us")
       .orderBy(col("user_id"), col("event_type"), col("t_us"), col("event_id"))

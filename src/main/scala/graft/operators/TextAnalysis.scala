@@ -784,7 +784,10 @@ object TextAnalysis {
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val corpus = bigramsOf(Tables.spread(s, dir, "documents"))
-    val ref = bigramsOf(Tables.documents(s, dir).filter(col("lang") === refLang))
+    // spread the ref slice too: documents is physically one file per SF, so
+    // without it the reference tokenize+explode runs in ~1 task while the
+    // corpus side fans out (identity at warehouse scale by construction)
+    val ref = bigramsOf(Tables.spread(s, dir, "documents").filter(col("lang") === refLang))
     val model = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val heads = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vSize = heads.agg(count(lit(1)).as("v"))

@@ -41,7 +41,13 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, dir, "events")
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // A bare BIGINT ts could be a nanos vintage (nanosAsLong) OR a future
+      // vintage storing plain epoch micros. Magnitude disambiguates per row:
+      // 1e17 nanos = 1973-03-03 while 1e17 micros = year 5138, so any
+      // instant in (1973, 5138) lands on the right side of the threshold —
+      // far wider than the 1990-2100 sanity band EventsSchemaSpec pins.
+      case LongType         => df.withColumn("ts", expr(
+        "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }

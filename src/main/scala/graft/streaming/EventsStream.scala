@@ -85,6 +85,15 @@ object EventsStream {
     * flatMapGroupsWithState with event-time timeout. State per user is one
     * small record; timeouts flush idle sessions so state never grows
     * unboundedly — the pattern for arbitrary stateful ops at scale.
+    *
+    * Memory note (applies to every `rows.toSeq.sortBy` below):
+    * flatMapGroupsWithState has no sorted variant in the public API
+    * (unlike batch [[graft.operators.Analytics.throttleDedup]]'s
+    * flatMapSortedGroups), so each op sorts its input slice. That slice is
+    * ONE MICRO-BATCH's events for one key — bounded by the trigger
+    * interval, never the key's full history, which lives compressed in the
+    * state store. A per-trigger sort of a trigger-bounded slice is the
+    * intended cost model for this API.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
     import events.sparkSession.implicits._

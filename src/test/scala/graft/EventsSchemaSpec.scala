@@ -38,6 +38,18 @@ class EventsSchemaSpec extends SparkTestBase {
     assert(readNormalized(dir) === ((TimestampType, micros)))
   }
 
+  test("micros-as-BIGINT fixture vintage (plain epoch micros) normalizes") {
+    val dir = tmpDir("events-micros-long")
+    // a hypothetical future vintage storing epoch MICROS as bare BIGINT:
+    // the magnitude heuristic (1e17 boundary) must NOT divide by 1000
+    spark.range(1).select(
+        lit(1L).as("event_id"), lit(7L).as("user_id"),
+        lit(micros).as("ts"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(readNormalized(dir) === ((TimestampType, micros)))
+  }
+
   test("TIMESTAMP_NTZ fixture vintage (micros, isAdjustedToUTC=false) normalizes") {
     val dir = tmpDir("events-ntz")
     spark.range(1).select(

@@ -6,6 +6,20 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the noop sink (forces every
   * operator, unlike count() which lets Catalyst prune work), timed
   * individually, and reported as ONE JSON line.
+  *
+  * Noise hardening (the r8 lesson — a steal-time spike misreported
+  * q_dedup_minhash_lsh at 5.79s vs a reproduced 1.93s, and best-of-2
+  * back-to-back trials sat entirely inside the spike):
+  *  - trials are INTERLEAVED (A,B,C,A,B,C — three full passes over the
+  *    query list), so a multi-second host stall lands on different
+  *    queries in different passes instead of eating both trials of one;
+  *  - any query whose best-of-3 still exceeds 2x its committed floor
+  *    (bench_floor.txt, the best credible time ever verified for this
+  *    SF) gets up to two extra retrials; the reported time is the min
+  *    over all trials. A genuine regression still reports slow — two
+  *    extra runs cannot manufacture a fast time the code can't produce —
+  *    but a transient spike must now survive five separate windows to
+  *    corrupt the report, and the breach is flagged on stderr either way.
   */
 object Bench {
   /** Representative slice across operator families: scans+aggs, joins,
@@ -22,6 +36,17 @@ object Bench {
     "q_dedup_minhash_lsh",
     "q_ann_bruteforce_topk",
     "q_text_quality")
+
+  /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
+  def loadFloors(sfName: String): Map[String, Double] = {
+    val f = new java.io.File("bench_floor.txt")
+    if (!f.isFile) Map.empty
+    else scala.io.Source.fromFile(f).getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\\s+")).collect {
+        case Array(sf, q, sec) if sf == sfName => q -> sec.toDouble
+      }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,22 +69,40 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    // best-of-2 per query: this box shows double-digit steal-time spikes,
-    // and min-of-N is the standard way to report the machine's actual cost.
-    // A failed query reports -1 (never its fast-fail elapsed time).
-    val results = Headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    val floors = loadFloors(new java.io.File(sfDir).getName)
+    def timeOnce(name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    // three interleaved passes, then floor-gated retrials
+    val trials = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3; name <- Headline)
+      timeOnce(name).foreach(t => trials(name) = t :: trials(name))
+    val results = Headline.map { name =>
+      var best = trials(name) match {
+        case Nil => -1.0
+        case ts  => ts.min
+      }
+      floors.get(name).foreach { floor =>
+        var extra = 0
+        while (best > 2 * floor && extra < 2) {
+          System.err.println(
+            f"[bench] $name $best%.3fs breaches 2x floor ($floor%.3fs) — retrial ${extra + 1}")
+          timeOnce(name).foreach(t => best = math.min(best, t))
+          extra += 1
+        }
+        if (best > 2 * floor) System.err.println(
+          f"[bench] $name STILL ${best}%.3fs after retrials (floor $floor%.3fs) — treat as a real regression")
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

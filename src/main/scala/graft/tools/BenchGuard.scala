@@ -20,11 +20,56 @@ import graft.plans.PlanFingerprint
   *
   * The session mirrors SparkTestBase (local[4], 4 shuffle partitions,
   * sf0.001) so the tool and PlanFingerprintSpec always agree.
+  *
+  *  - `--check-bench <bench.json>`: no Spark — parse a graft.Bench output
+  *    line and FAIL (exit 1) if any per-query time exceeds 2x its
+  *    committed bench_floor.txt entry for that SF. This is the gate that
+  *    keeps an r8-style phantom (5.79s reported for a 1.93s query) from
+  *    standing as the round's number: run it on every bench JSON before
+  *    trusting it.
   */
 object BenchGuard {
+
+  /** Exits the JVM: 0 = all within gate, 1 = breach or unparseable. */
+  def checkBench(jsonPath: String): Unit = {
+    val line = scala.io.Source.fromFile(jsonPath).getLines()
+      .find(_.contains("\"queries\"")).getOrElse {
+        println(s"[guard] no bench JSON line in $jsonPath"); sys.exit(1)
+      }
+    val sfName = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(line)
+      .map(m => new java.io.File(m.group(1)).getName).getOrElse {
+        println(s"[guard] no sf field in $jsonPath"); sys.exit(1)
+      }
+    val floors = graft.Bench.loadFloors(sfName)
+    if (floors.isEmpty) {
+      println(s"[guard] no committed floors for $sfName — nothing to gate")
+      sys.exit(0)
+    }
+    val times = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+      .findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    var breaches = 0
+    floors.toSeq.sortBy(_._1).foreach { case (q, floor) =>
+      times.get(q) match {
+        case Some(t) if t < 0 =>
+          breaches += 1; println(f"[guard] $q FAILED in the bench run (-1)")
+        case Some(t) if t > 2 * floor =>
+          breaches += 1; println(f"[guard] $q $t%.3fs BREACHES 2x floor $floor%.3fs")
+        case Some(t) => println(f"[guard] $q $t%.3fs within gate (floor $floor%.3fs)")
+        case None => breaches += 1; println(s"[guard] $q missing from bench JSON")
+      }
+    }
+    println(if (breaches == 0) "[guard] bench within the committed floor gate"
+      else s"[guard] $breaches breach(es) — rerun on a quiet box or treat as regression")
+    sys.exit(if (breaches == 0) 0 else 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val write = args.contains("--write")
     val bench = args.contains("--bench")
+    args.indexOf("--check-bench") match {
+      case i if i >= 0 && i + 1 < args.length => checkBench(args(i + 1)); return
+      case _ =>
+    }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

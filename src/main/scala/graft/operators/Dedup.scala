@@ -698,15 +698,17 @@ object Dedup {
     * seen, and a merged span need not itself recur in full — both the
     * standard approximations of suffix-array substring dedup).
     *
-    * 100 TB: the only all-rows shuffle is the hash-partition on the gram
-    * digest. The duplicate test is a windowed COUNT rather than a
-    * groupBy+self-join, so the corpus is tokenized ONCE and no per-gram
-    * occurrence list is ever materialized — a boilerplate gram occurring
-    * 10^6 times costs its row count, not a 10^6-element array. Note the
-    * windowed COUNT still routes all occurrences of one hot gram to a
-    * single (spill-backed) task; it removes the array blowup, not the
-    * per-key skew. The island merge shuffles only duplicated starts,
-    * grouped by doc_id.
+    * 100 TB: the duplicate test is a SALTED two-level count — partial
+    * count over (gram digest, salt = hash(doc_id, pos) mod S), merge to
+    * per-gram totals (each ≤ S rows per gram, skew-free by construction),
+    * then semi-join the duplicated (g, salt) keys back to the salted gram
+    * stream. All big shuffles key on (g, salt), so a boilerplate gram
+    * occurring 10^6 times costs 10^6/S rows per task instead of routing
+    * every occurrence to one task (the windowed-COUNT form this replaces
+    * had exactly that single-partition ceiling; map-side partial
+    * aggregation also collapses each task's repeats of a gram to one
+    * (g, salt, count) row before the exchange). The island merge shuffles
+    * only duplicated starts, grouped by doc_id.
     *
     * The gram width is the [[SubstringK]] constant — the oracle SQL and
     * the SQL twin are interpolated from the same value, so the three
@@ -714,9 +716,15 @@ object Dedup {
     */
   val SubstringK: Int = 12
 
+  /** Salt-bucket fan-out for the hot-gram count (power of two, fixed:
+    * determinism matters more than tuning here — S only bounds per-task
+    * rows for ONE gram, and 32 matches the local core count).
+    */
+  val SubstringSaltBuckets: Int = 32
+
   def substringSpans(s: SparkSession, dir: String, k: Int = SubstringK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.spread(s, dir, "documents")
+    val salted = Tables.spread(s, dir, "documents")
       .withColumn("t", expr(TextAnalysis.TokensExpr))
       .filter(expr(s"size(t) >= $k"))
       .select(col("doc_id"),
@@ -724,9 +732,16 @@ object Dedup {
           s"transform(sequence(1, size(t) - ${k - 1}), i -> md5(concat_ws(' ', slice(t, i, $k))))"))
           .as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
-    val dupPos = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") >= 2)
+      .withColumn("salt", pmod(hash(col("doc_id"), col("pos")), lit(SubstringSaltBuckets)))
+    // two-level exact df: (g, salt) partials, then per-gram totals
+    val partial = salted.groupBy(col("g"), col("salt")).agg(count(lit(1)).as("pc"))
+    val dupKeys = partial
+      .join(partial.groupBy(col("g")).agg(sum(col("pc")).as("df"))
+          .filter(col("df") >= 2).select(col("g")),
+        Seq("g"), "leftsemi")
+      .select(col("g"), col("salt"))
+    val dupPos = salted
+      .join(dupKeys, Seq("g", "salt"), "leftsemi")
       .select(col("doc_id"), col("pos"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos

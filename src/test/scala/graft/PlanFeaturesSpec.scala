@@ -161,4 +161,22 @@ class PlanFeaturesSpec extends SparkTestBase {
       assert(joined.count() > 0)
     }
   }
+
+  test("substringSpans counts hot grams via salted partials, not a per-gram window") {
+    // the duplicate-gram test must never route all occurrences of one hot
+    // boilerplate gram to a single window partition: the only window
+    // functions in the plan are the per-doc island merge (doc_id keys)
+    val df = graft.operators.Dedup.substringSpans(spark, Sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the island-merge windows to remain")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+      assert(!parts.contains("g"),
+        s"window partitioned on the gram digest (single-partition hot-gram ceiling): $w")
+      assert(parts.contains("doc_id"), s"unexpected window partition keys $parts")
+    }
+    assert(df.count() > 0)
+  }
 }

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_scalar_subquery_big_orders" -> (Analytics.bigTicketOrders(_, _)),
     "q_distribution_order_counts" -> (Analytics.orderCountDistribution(_, _)),
     "q_percentiles_order_price" -> (Analytics.pricePercentiles(_, _)),
+    "q_heavy_values_approx" ->
+      (Analytics.approxPercentileBounds(_, _, ApproxPct.accuracy)),
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
@@ -107,6 +109,7 @@ object SparkEntry {
     "q_bigram_lm_score" ->
       (TextAnalysis.bigramLmScore(_, _, BigramLm.refLang)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
+    "q_heavy_hitters" -> (TextAnalysis.heavyTokens(_, _, Heavy.k)),
     "q_collocations" ->
       (TextAnalysis.collocations(_, _, Colloc.minCount, Colloc.topK)),
     "q_bpe_pair_counts" -> (TextAnalysis.bpePairCounts(_, _)),
@@ -388,6 +391,24 @@ object SparkEntry {
   /** Bigram-LM reference slice, shared by operator, oracle, and twin. */
   private[graft] object BigramLm {
     val refLang = "en"
+  }
+
+  /** Heavy-hitter sketch capacity / share threshold (an item qualifies
+    * when count * k > n), shared by operator, oracle, and twin. The MG
+    * guarantee makes the sketch's candidate set a superset of exactly
+    * this threshold's answer, so one constant serves both roles.
+    */
+  private[graft] object Heavy {
+    val k = 64
+  }
+
+  /** approx_percentile sketch accuracy (rank error <= n/accuracy),
+    * shared by operator and twin (the oracle pins the exact percentiles
+    * and the expected all-within-bound flags; DuckDB never sees the
+    * sketch value, which is legitimately partitioning-dependent).
+    */
+  private[graft] object ApproxPct {
+    val accuracy = 1000
   }
 
   /** Throttle-dedup window, shared by operator, oracle, and twin. The
@@ -1089,6 +1110,21 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.99), 4) AS p99
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // the sketch value is partitioning-dependent and never compared;
+    // the oracle pins the exact percentiles plus the expected
+    // all-within-bound flags the Spark side actually computes
+    "q_heavy_values_approx" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS pct,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS exact_px,
+                CAST(1 AS INT) AS within_bound FROM orders
+         UNION ALL
+         SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(o_totalprice, 0.9), 4),
+                CAST(1 AS INT) FROM orders
+         UNION ALL
+         SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(o_totalprice, 0.99), 4),
+                CAST(1 AS INT) FROM orders
+         ORDER BY pct""",
+
     "q_correlated_above_own_avg" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
               CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
@@ -1341,6 +1377,15 @@ object SparkEntry {
                     FROM counts)
          SELECT source, CAST(rk AS BIGINT) AS rk, token, n
          FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
+
+    // heavy hitters: the sketch only PRUNES; the emitted set is the exact
+    // count*k > n answer, so the oracle is a plain GROUP BY ... HAVING
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($Toks) AS tok FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM tok, t GROUP BY tok, t.n HAVING count(*) * ${Heavy.k} > t.n
+         ORDER BY cnt DESC, tok""",
 
     // DSIR-style data selection: smoothed df-lift toward the target feed,
     // floor-averaged over each doc's distinct shingles

@@ -790,6 +790,45 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** approx_percentile end-to-end with its error bound CHECKED: for each
+    * p in {0.5, 0.9, 0.99}, compute the sketch quantile of o_totalprice
+    * at accuracy B alongside the exact interpolated percentile, then
+    * verify the sketch value's actual rank against the documented
+    * guarantee — |rank(approx) - p*n| <= n/B for Spark's
+    * ApproximatePercentile (Greenwald-Khanna) — emitting an INTEGER pass
+    * flag (tolerance 2n/B + 1 to absorb rank discretization at the small
+    * SFs). The sketch VALUE itself is partitioning-dependent and never
+    * compared across engines; only the exact percentile and the flag are,
+    * so the row hash-matches while a sketch regression flips the flag.
+    *
+    * This is the unbounded-cardinality scale path (SCALE.md): exact
+    * percentile() buffers every group value; approx_percentile holds an
+    * O(B log n) summary, map-side combined. The rank audit joins the
+    * 3-row bounds frame back broadcast — 3 extra streamed comparisons per
+    * row, no extra shuffle of orders.
+    */
+  def approxPercentileBounds(s: SparkSession, dir: String, b: Int = 1000): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val psSql = ps.mkString("array(", ", ", ")")
+    val v = Tables.orders(s, dir).select(col("o_totalprice").as("v"))
+    val agg = v.agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, $psSql, $b)").as("apx"),
+      expr(s"percentile(v, $psSql)").as("exact"))
+    val bounds = agg
+      .select(col("n"), posexplode(arrays_zip(col("apx"), col("exact"))).as(Seq("i", "z")))
+      .select(col("n"), expr(s"$psSql[i]").as("pct"),
+        col("z.apx").as("apx"), col("z.exact").as("exact"))
+    v.crossJoin(broadcast(bounds))
+      .groupBy(col("pct"), col("n"), col("apx"), col("exact"))
+      .agg(sum(when(col("v") <= col("apx"), 1L).otherwise(0L)).as("rank_le"))
+      .select(col("pct"),
+        r4(col("exact")).as("exact_px"),
+        (abs(col("rank_le") - col("pct") * col("n")) <=
+          lit(2.0) * col("n") / lit(b) + lit(1.0)).cast("int").as("within_bound"))
+      .orderBy(col("pct"))
+  }
+
   /** Double aggregation (TPC-H Q13 shape): distribution of customers by
     * order count, zero-bucket included via the outer join.
     */

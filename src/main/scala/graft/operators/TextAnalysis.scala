@@ -804,4 +804,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_score_1e6"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus heavy-hitter tokens: every token whose exact frequency
+    * exceeds n/k of the n-token corpus, found sketch-first — the
+    * BigQuery-`APPROX_TOP_COUNT`-shaped surface the reference's warehouse
+    * delegation would serve (/root/reference/src/etl/load.py:18-110 loads
+    * into BigQuery; frequency questions are answered there).
+    *
+    * Two passes, both cheap at 100 TB:
+    *  1. SCREEN: one [[graft.functions.HeavyHittersSketch]] pass (k-entry
+    *     Misra-Gries buffers, map-side combined; the exchange moves ONE
+    *     k-entry summary row per partition, never the token domain) plus
+    *     the total count riding the same aggregate. The MG guarantee —
+    *     every item with true frequency > n/k survives the sketch — makes
+    *     the candidate set a PROVEN superset of the answer.
+    *  2. EXACT REJOIN: count only tokens in the (≤ k, broadcast)
+    *     candidate set, keep count*k > n. Sketch nondeterminism (the
+    *     surviving tail depends on partitioning) is filtered out by the
+    *     exact threshold, so the result is deterministic and
+    *     oracle-exact — a plain GROUP BY ... HAVING in the SQL surfaces.
+    *
+    * vs an exact full-domain groupBy: the screen's shuffle is O(k x
+    * partitions) rows regardless of token-domain size — the point of the
+    * sketch when the domain is unbounded (URLs, n-grams, user agents).
+    */
+  def heavyTokens(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = Tables.spread(s, dir, "documents")
+      .select(explode(expr(TokensExpr)).as("tok"))
+    val sketch = udaf(new graft.functions.HeavyHittersSketch(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val screen = toks.agg(sketch(col("tok")).as("hh"), count(lit(1)).as("n"))
+    val cands = screen
+      .select(explode(col("hh")).as("h"), col("n"))
+      .select(col("h.item").as("tok"), col("n"))
+    toks
+      .join(broadcast(cands), Seq("tok"), "inner")
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
 }

@@ -1887,6 +1887,36 @@ object SqlFrontDoor {
          SELECT source, CAST(rk AS BIGINT) AS rk, token, n
          FROM ranked WHERE rk <= 5 ORDER BY source, rk""",
 
+    // the sketch quantile + its rank audit, entirely in Spark SQL
+    "q_heavy_values_approx" ->
+      s"""WITH v AS (SELECT o_totalprice AS v FROM orders),
+         a AS (SELECT count(*) AS n,
+                      approx_percentile(v, array(0.5, 0.9, 0.99), ${SparkEntry.ApproxPct.accuracy}) AS apx,
+                      percentile(v, array(0.5, 0.9, 0.99)) AS exact
+               FROM v),
+         b AS (SELECT n, array(0.5, 0.9, 0.99)[i] AS pct,
+                      z.apx AS apx, z.exact AS exact
+               FROM a LATERAL VIEW posexplode(arrays_zip(apx, exact)) t AS i, z),
+         r AS (SELECT pct, n, exact,
+                      sum(CASE WHEN v.v <= b.apx THEN 1L ELSE 0L END) AS rank_le
+               FROM v CROSS JOIN b GROUP BY pct, n, apx, exact)
+         SELECT pct, round(exact, 4) AS exact_px,
+                CAST(abs(rank_le - pct * n) <=
+                     CAST(2 AS DOUBLE) * n / ${SparkEntry.ApproxPct.accuracy}
+                     + CAST(1 AS DOUBLE) AS INT) AS within_bound
+         FROM r ORDER BY pct""",
+
+    // the sketch is a pruning screen only — the SQL surface states the
+    // exact threshold the pruned-and-recounted operator reproduces
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT explode(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)) AS tok
+                       FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM tok CROSS JOIN t GROUP BY tok, t.n
+         HAVING count(*) * ${SparkEntry.Heavy.k} > t.n
+         ORDER BY cnt DESC, tok""",
+
     "q_upsert_orders" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
          u AS (SELECT o_orderkey, o_orderpriority,

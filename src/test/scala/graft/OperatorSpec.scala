@@ -1554,6 +1554,40 @@ class OperatorSpec extends SparkTestBase {
       ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet)
   }
 
+  test("scd2 point lookup: carry equals the declarative BETWEEN interval join") {
+    val got = Analytics.scd2PointLookup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    // the declarative form the oracle states, built from the same pieces
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val heads = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val dimNp = heads
+      .withColumn("valid_from_us", col("t_us"))
+      .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+      .withColumn("state_version", row_number().over(w).cast("long"))
+      .select(col("user_id").as("d_uid"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"), col("state_version"))
+    val expected = ev.filter(col("event_type") === "purchase")
+      .join(dimNp, col("user_id") === col("d_uid") &&
+        col("t_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("state"), lit("(none)")).as("state"),
+        coalesce(col("state_version"), lit(0L)).as("state_version"))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // every purchase resolves exactly once, and some resolve to a real state
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(got.length.toLong === nPurch)
+    assert(got.exists(_._3 != "(none)"))
+  }
+
   test("last-touch attribution conserves purchase count and revenue") {
     val out = Analytics.lastTouchAttribution(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** The audited-sketch query surfaces: each must (a) reproduce the exact
+  * deterministic columns, (b) report every bound flag as 1 on the
+  * fixtures, and (c) demonstrably consult the real sketch — the audits
+  * here recompute the raw estimates and check the operator's flag logic
+  * against them, and a planted high-cardinality case exercises the
+  * regime where the sketches genuinely approximate.
+  */
+class SketchesSpec extends SparkTestBase {
+
+  test("q_distinct_users_approx: exact columns match, all bounds pass") {
+    val got = Sketches.approxDistinctUsers(spark, Sf, SparkEntry.Sketch.rsd)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val expected = Tables.events(spark, Sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(t => (t._1, t._2)) === expected)
+    assert(got.forall(_._3 == 1), s"HLL++ bound flag must pass: $got")
+    assert(got.nonEmpty)
+  }
+
+  test("q_hll_sketch_rollup: rollup equals single-pass on exact columns, bounds pass") {
+    val got = Sketches.hllSketchRollup(spark, Sf, SparkEntry.Sketch.lgK)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val expected = Tables.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(countDistinct(to_date(col("ts"))).as("d"),
+        countDistinct("user_id").as("u"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === expected)
+    assert(got.forall(_._4 == 1), s"HLL union bound flag must pass: $got")
+  }
+
+  test("hll union of daily sketches estimates like a direct whole-table sketch") {
+    // mergeability in anger: union-of-parts must agree with the one-shot
+    // sketch exactly (same registers either way — HLL unions are lossless
+    // at equal lgK), not merely land within the error bound
+    val lgK = SparkEntry.Sketch.lgK
+    val viaUnion = Tables.events(spark, Sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = Tables.events(spark, Sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est"))
+      .head().getLong(0)
+    assert(viaUnion === direct)
+  }
+
+  test("q_cms_point_queries: exact columns match, both guarantees hold") {
+    val got = Sketches.cmsPointQueries(spark, Sf,
+      SparkEntry.Sketch.cmsEps, SparkEntry.Sketch.cmsConfidence)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val expected = Tables.events(spark, Sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(t => (t._1, t._2)) === expected)
+    assert(got.forall(t => t._3 == 1 && t._4 == 1), s"CMS guarantees must hold: $got")
+  }
+
+  test("streaming distinct users: cross-trigger estimate lands on the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.Event
+    def ev(id: Long, u: Long, t: String) =
+      Event(id, java.sql.Timestamp.valueOf(s"2024-01-01 $t"), u, "click", 1.0)
+    val input = MemoryStream[Event]
+    val rsd = SparkEntry.Sketch.rsd
+    val q = EventsStream.distinctUsers(input.toDF(), rsd)
+      .writeStream.format("memory").queryName("sk_users")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      // users 1..40 across two triggers with overlap — the register-max
+      // merge must count the union, not the sum (60 adds, 40 distinct)
+      input.addData((1 to 30).map(i => ev(i, i, "10:00:00")): _*)
+      q.processAllAvailable()
+      input.addData((11 to 40).map(i => ev(100 + i, i, "11:00:00")): _*)
+      q.processAllAvailable()
+      val est = spark.table("sk_users").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val e = est("click")
+      assert(math.abs(e - 40.0) <= 3 * rsd * 40 + 8,
+        s"streaming HLL estimate $e outside bound for exact 40")
+    } finally q.stop()
+  }
+
+  test("CMS never undercounts on a planted high-cardinality domain") {
+    // 50k distinct keys against a 2/eps-wide grid forces real collisions;
+    // the one-sided guarantee (est >= exact) must survive them for every
+    // probed key, and at least the planted heavy key must estimate high
+    val eps = 0.01
+    val keys = spark.range(50000).select(
+      concat(lit("k"), col("id") % 49000).as("k")) // k0 repeats ~2x, others ~1x
+    val blob = keys.agg(
+      expr(s"count_min_sketch(k, ${eps}d, 0.99d, 7)").as("cms")).head()
+      .getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("k").isin("k0", "k1", "k777", "k48999"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, n) =>
+      assert(cms.estimateCount(k) >= n, s"CMS undercounted $k")
+    }
+    assert(cms.totalCount() === 50000L)
+  }
+}

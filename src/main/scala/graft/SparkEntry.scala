@@ -133,6 +133,7 @@ object SparkEntry {
     "q_revenue_share" -> (Analytics.nationRevenueShare(_, _)),
     "q_contract_audit" -> (Quality.contractAudit(_, _)),
     "q_histogram_order_price" -> (Analytics.orderPriceHistogram(_, _)),
+    "q_equal_freq_binning" -> (Analytics.equalFreqBins(_, _)),
     "q_setops_all_nationkeys" -> (Analytics.nationKeyMultisets(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
     "q_rolling_active_users" -> (Analytics.rollingActiveUsers(_, _)),
@@ -1668,6 +1669,26 @@ object SparkEntry {
                 CAST(min(cents) AS BIGINT) AS min_cents,
                 CAST(max(cents) AS BIGINT) AS max_cents
          FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // equal-frequency deciles over the value histogram: bin of a value is
+    // floor(10*p/n)+1 on its exclusive prefix count p — pure BIGINT, so
+    // ties land identically in both engines (the operator computes p with
+    // a de-skewed two-level sum; see Analytics.equalFreqBins)
+    "q_equal_freq_binning" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM orders),
+         h AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY cents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+         c AS (SELECT cents, cnt,
+                      coalesce(sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        CAST(0 AS BIGINT)) AS p
+               FROM h)
+         SELECT CAST((10 * p) // n + 1 AS BIGINT) AS bin,
+                CAST(sum(cnt) AS BIGINT) AS n_orders,
+                CAST(min(cents) AS BIGINT) AS lo_cents,
+                CAST(max(cents) AS BIGINT) AS hi_cents
+         FROM c, t GROUP BY bin ORDER BY bin""",
 
     "q_setops_all_nationkeys" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),

@@ -311,6 +311,59 @@ object Analytics {
         max(col("cents")).as("max_cents"))
       .orderBy(col("bucket"))
 
+  /** Equal-frequency (decile) binning of order prices — the ML
+    * feature-engineering discretizer — WITHOUT the global NTILE sort:
+    * a global `ntile(10) OVER (ORDER BY price)` funnels every row
+    * through one partition. Instead: collapse rows to the VALUE
+    * HISTOGRAM (cents, count), then build the exclusive-prefix CDF with
+    * a two-level sum — range-partition the histogram, per-partition
+    * totals (one row each) prefix-summed on the catalog-sized offsets
+    * frame, partition-LOCAL running sums add the offset back. No
+    * operator ever sees more than the value domain / P per task, and the
+    * result is independent of where the range boundaries fall.
+    *
+    * Bin of a value = floor(bins·p / n) + 1 where p is the exclusive
+    * prefix count — pure BIGINT, so ties land identically in every
+    * engine (all rows of one value share a bin by construction; a tie
+    * mass spanning thresholds leaves later bins sparse rather than
+    * splitting a value, which is what makes the output deterministic
+    * where interpolated-boundary bucketize is not).
+    */
+  def equalFreqBins(s: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val cents = Tables.orders(s, dir).select(
+      expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        .as("cents"))
+    val hist = cents.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    // order-preserving bucket id from the VALUE, not from sampling
+    // (repartitionByRange samples boundaries, and this plan reads the
+    // bucketed frame in two subtrees — ids must agree by construction,
+    // not by exchange reuse); 64 value-range buckets of the cents span
+    val bounds = hist.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val nBuckets = 64
+    val ranged = hist.crossJoin(broadcast(bounds))
+      .withColumn("pid", expr(
+        s"CAST(($nBuckets * (cents - lo)) DIV (hi - lo + 1) AS INT)"))
+      .drop("lo", "hi")
+    // per-bucket totals: 64 rows; the offsets window is catalog-sized
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("cnt")).as("ptot"))
+      .withColumn("poff", coalesce(sum(col("ptot")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("poff"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("pin", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("bin", expr(s"(($bins * (pin + poff)) DIV n) + 1"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n_orders"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .orderBy(col("bin"))
+  }
+
   /** Multiset (ALL-variant) set operations: nation keys of customers
     * minus/intersected-with suppliers WITH multiplicity — EXCEPT ALL and
     * INTERSECT ALL keep duplicate counts, where the distinct forms

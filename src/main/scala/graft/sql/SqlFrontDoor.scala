@@ -1495,6 +1495,22 @@ object SqlFrontDoor {
              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS redacted_md5
          FROM a ORDER BY doc_id""",
 
+    // // -> DIV; the twin states the one-window CDF form the operator's
+    // two-level sum reproduces exactly (boundary-independent by algebra)
+    "q_equal_freq_binning" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM orders),
+         h AS (SELECT cents, count(*) AS cnt FROM o GROUP BY cents),
+         t AS (SELECT count(*) AS n FROM o),
+         c AS (SELECT cents, cnt,
+                      coalesce(sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        CAST(0 AS BIGINT)) AS p
+               FROM h)
+         SELECT (10 * p) DIV n + 1 AS bin, sum(cnt) AS n_orders,
+                min(cents) AS lo_cents, max(cents) AS hi_cents
+         FROM c CROSS JOIN t GROUP BY (10 * p) DIV n + 1 ORDER BY bin""",
+
     // moment sums in DECIMAL(38,0), mirroring the operator: the oracle's
     // bare BIGINT products silently promote to int128 in DuckDB but
     // overflow in Spark once n grows (caught by the sf0.01 probe)

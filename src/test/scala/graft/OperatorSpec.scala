@@ -1554,6 +1554,33 @@ class OperatorSpec extends SparkTestBase {
       ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet)
   }
 
+  test("equal-frequency binning: two-level CDF equals the naive sorted-rank bins") {
+    val got = Analytics.equalFreqBins(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // naive recompute: sort every cents value, bin by exclusive rank of
+    // the value's FIRST occurrence — all rows of one value share a bin
+    val cents = graft.sources.Tables.orders(spark, Sf).select(
+      expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        .as("c")).collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val firstRank = cents.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2).min.toLong }
+    val expected = cents.groupBy(identity).toSeq
+      .map { case (v, g) => (10L * firstRank(v) / n + 1L, v, g.length.toLong) }
+      .groupBy(_._1).toSeq
+      .map { case (bin, g) =>
+        (bin, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max) }
+      .sortBy(_._1)
+    assert(got === expected)
+    // bins tile: counts conserve, ranges are disjoint and ordered
+    assert(got.map(_._2).sum === n)
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 < b._3, "bin value ranges must be disjoint")
+      case _ =>
+    }
+    assert(got.forall(b => b._1 >= 1 && b._1 <= 10))
+  }
+
   test("scd2 point lookup: carry equals the declarative BETWEEN interval join") {
     val got = Analytics.scd2PointLookup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq

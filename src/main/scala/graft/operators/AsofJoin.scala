@@ -26,16 +26,22 @@ import graft.sources.Tables
   */
 object AsofJoin {
 
-  /** @param left       left (probe) side
-    * @param right      right (build/fact) side; must carry `keyCol` and `timeCol`
-    * @param keyCol     equi-join key column name (same name both sides)
-    * @param leftTime   event-time column on the left
-    * @param rightTime  event-time column on the right
-    * @param payload    right-side columns to attach
+  /** @param left          left (probe) side
+    * @param right         right (build/fact) side; must carry `keyCol` and `timeCol`
+    * @param keyCol        equi-join key column name (same name both sides)
+    * @param leftTime      event-time column on the left
+    * @param rightTime     event-time column on the right
+    * @param payload       right-side columns to attach
+    * @param rightTiebreak payload field names that order right rows sharing
+    *                      (key, time) — the LAST one wins the match. Folding
+    *                      the tiebreak into the carry window's sort replaces
+    *                      what would otherwise be a whole extra shuffle+sort
+    *                      of the right side (dedup via row_number) with two
+    *                      sort keys on the pass the join already pays for.
     */
   def apply(left: DataFrame, right: DataFrame, keyCol: String,
             leftTime: String, rightTime: String,
-            payload: Seq[String]): DataFrame = {
+            payload: Seq[String], rightTiebreak: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns
     // Payload travels as ONE struct so the carry-forward is atomic: a right
     // row with a legitimately-NULL payload FIELD still contributes a
@@ -52,8 +58,12 @@ object AsofJoin {
       (col(keyCol).as("__key") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
         lit(null).cast(payloadStructType).as("__p") +:
         leftCols.map(col)): _*)
+    // right rows sharing (key, t) sort by the tiebreak; left rows carry a
+    // null struct there, so the extra keys cannot reorder them relative
+    // to right rows (side already separates the sides at equal times)
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy((col("__t") +: col("__side") +:
+        rightTiebreak.map(f => col(s"__p.$f"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
@@ -62,21 +72,18 @@ object AsofJoin {
   }
 
   /** Query wrapper: each event joined to the user's most recent order as of
-    * the event time. The right side is deduplicated to one row per
-    * (custkey, orderdate) — max orderkey wins — so the as-of match is
-    * unique and deterministic (and comparable to DuckDB's ASOF JOIN).
+    * the event time. Same-instant orders resolve to the max orderkey via
+    * the carry window's tiebreak — the match is unique and deterministic
+    * (comparable to DuckDB's ASOF JOIN over the deduplicated right side)
+    * without a separate dedup shuffle over orders.
     */
   def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir).select("event_id", "user_id", "ts")
-    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-      .orderBy(col("o_orderkey").desc)
     val orders = Tables.orders(s, dir)
       .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
-      .withColumn("__rn", row_number().over(dedupW))
-      .filter(col("__rn") === 1).drop("__rn")
       .withColumnRenamed("o_custkey", "user_id")
     apply(events, orders, "user_id", "ts", "o_orderdate",
-      Seq("o_orderkey", "o_totalprice"))
+      Seq("o_orderkey", "o_totalprice"), rightTiebreak = Seq("o_orderkey"))
       .filter(col("o_orderkey").isNotNull)
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         col("o_totalprice"))

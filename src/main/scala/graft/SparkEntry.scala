@@ -79,6 +79,8 @@ object SparkEntry {
     "q_distinct_users_approx" ->
       (Sketches.approxDistinctUsers(_, _, Sketch.rsd)),
     "q_hll_sketch_rollup" -> (Sketches.hllSketchRollup(_, _, Sketch.lgK)),
+    "q_hll_rollup_incremental" ->
+      (Sketches.hllSketchRollupIncremental(_, _, Sketch.lgK)),
     "q_cms_point_queries" ->
       (Sketches.cmsPointQueries(_, _, Sketch.cmsEps, Sketch.cmsConfidence)),
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
@@ -1162,6 +1164,15 @@ object SparkEntry {
     "q_cms_point_queries" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n,
                 CAST(1 AS INT) AS ge_exact, CAST(1 AS INT) AS within_eps
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // merge == rescan (lossless cell-wise HLL union), so the incremental
+    // maintenance path answers to the from-scratch oracle verbatim
+    "q_hll_rollup_incremental" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                CAST(1 AS INT) AS within_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_correlated_above_own_avg" ->

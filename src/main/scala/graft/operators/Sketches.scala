@@ -62,12 +62,43 @@ object Sketches {
     * (HLL is list-mode exact below ~0.75·2^lgK, slack covers the
     * promotion edge).
     */
-  def hllSketchRollup(s: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
-    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
-    val daily = Tables.events(s, dir)
+  def hllSketchRollup(s: SparkSession, dir: String, lgK: Int = 12): DataFrame =
+    cubeReadout(s, dir, dailyCells(Tables.events(s, dir), lgK), lgK)
+
+  /** Incremental cube maintenance: the prior cube (events before a 4/5
+    * event-time split) merged CELL-WISE with the delta's cells via
+    * `hll_union_agg`, then the identical readout. Merge == rescan because
+    * HLL union is associative, commutative, and lossless at equal lgK —
+    * even a split landing mid-day (two partial sketches for one (type,
+    * day) cell) unions to exactly the from-scratch registers, which is
+    * why the steady-state warehouse never re-reads closed days: each
+    * refresh touches the delta rows plus catalog-sized cube blobs. The
+    * oracle is the from-scratch query's own text.
+    */
+  def hllSketchRollupIncremental(s: SparkSession, dir: String,
+                                 lgK: Int = 12): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+    val prior = dailyCells(ev.filter(unix_micros(col("ts")) < split), lgK)
+    val delta = dailyCells(ev.filter(unix_micros(col("ts")) >= split), lgK)
+    val merged = prior.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+    cubeReadout(s, dir, merged, lgK)
+  }
+
+  /** One sketch per (event_type, day) cell — the cube build's raw pass. */
+  private def dailyCells(events: DataFrame, lgK: Int): DataFrame =
+    events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
-    val rolled = daily
+
+  /** Union a cell cube up to per-type totals and audit vs exact. */
+  private def cubeReadout(s: SparkSession, dir: String, cells: DataFrame,
+                          lgK: Int): DataFrame = {
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    val rolled = cells
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))

@@ -2216,7 +2216,8 @@ object SqlFrontDoor {
     "q_corpus_funnel_incremental" -> twins("q_corpus_funnel"),
     "q_dup_clusters_incremental" -> twins("q_dup_clusters"),
     "q_pack_sequences_incremental" -> twins("q_pack_sequences"),
-    "q_scd2_incremental" -> twins("q_scd2_intervals"))
+    "q_scd2_incremental" -> twins("q_scd2_intervals"),
+    "q_hll_rollup_incremental" -> twins("q_hll_sketch_rollup"))
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

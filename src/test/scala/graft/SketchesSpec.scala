@@ -39,6 +39,21 @@ class SketchesSpec extends SparkTestBase {
     assert(got.forall(_._4 == 1), s"HLL union bound flag must pass: $got")
   }
 
+  test("hll incremental cube maintenance equals the from-scratch rollup") {
+    val lgK = SparkEntry.Sketch.lgK
+    val merged = Sketches.hllSketchRollupIncremental(spark, Sf, lgK)
+      .collect().map(_.toSeq).toSeq
+    val scratch = Sketches.hllSketchRollup(spark, Sf, lgK)
+      .collect().map(_.toSeq).toSeq
+    assert(merged === scratch)
+    // the 4/5 split must exercise a real merge: both slices non-empty
+    val ev = Tables.events(spark, Sf)
+    val r = ev.agg(min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)"))).head()
+    val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+    assert(ev.filter(expr(s"unix_micros(ts) < ${split}L")).count() > 0)
+    assert(ev.filter(expr(s"unix_micros(ts) >= ${split}L")).count() > 0)
+  }
+
   test("hll union of daily sketches estimates like a direct whole-table sketch") {
     // mergeability in anger: union-of-parts must agree with the one-shot
     // sketch exactly (same registers either way — HLL unions are lossless

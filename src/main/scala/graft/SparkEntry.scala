@@ -87,6 +87,7 @@ object SparkEntry {
     "q_json_extract_props" -> (Analytics.jsonPropsAgg(_, _)),
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
+    "q_session_quality" -> (Analytics.sessionQualityByDay(_, _)),
     "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
@@ -1440,6 +1441,33 @@ object SparkEntry {
                 round(sum(value), 4) AS sum_value
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    // per-day bounce/dwell over the same session definition; make_timestamp
+    // interprets BIGINT micros exactly (no float epoch round-trip)
+    "q_session_quality" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (SELECT user_id, event_id, ts_us,
+           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800000000
+                     OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (SELECT user_id, ts_us,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         sess AS (SELECT user_id, session_id, count(*) AS n_events,
+                         min(ts_us) AS start_us, max(ts_us) AS end_us
+                  FROM sessions GROUP BY user_id, session_id),
+         byday AS (SELECT strftime(make_timestamp(start_us), '%Y-%m-%d') AS day,
+                          CAST(count(*) AS BIGINT) AS n_sessions,
+                          CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+                          CAST(sum(end_us - start_us) AS BIGINT) AS dur_sum
+                   FROM sess GROUP BY day)
+         SELECT day, n_sessions, n_bounces,
+                CAST((20000 * n_bounces + n_sessions) // (2 * n_sessions) AS BIGINT) AS bounce_1e4,
+                CAST((2 * dur_sum + n_sessions) // (2 * n_sessions) AS BIGINT) AS mean_dur_us
+         FROM byday ORDER BY day""",
 
     "q_top_tokens_per_source" ->
       """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

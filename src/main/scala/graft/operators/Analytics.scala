@@ -940,6 +940,30 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Per-day session quality — the website-analytics rollup the reference
+    * pipeline's warehouse would serve (bounce rate, mean dwell): sessions
+    * from [[sessionizeBatch]] bucketed by their START day, bounce =
+    * single-event session. Ratios in half-up 1e-4 units and mean duration
+    * in half-up micros — all BIGINT, so the oracle hash-matches.
+    * Cost on top of sessionization: one |days|-key hash aggregate.
+    */
+  def sessionQualityByDay(s: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    sessionizeBatch(s, dir, gapMinutes)
+      .withColumn("day",
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("end_us") - col("start_us")).as("dur_sum"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("(20000 * n_bounces + n_sessions) DIV (2 * n_sessions)")
+          .as("bounce_1e4"),
+        expr("(2 * dur_sum + n_sessions) DIV (2 * n_sessions)")
+          .as("mean_dur_us"))
+      .orderBy(col("day"))
+  }
+
   /** Tumbling 1-hour buckets over the event stream (batch equivalent of the
     * Structured Streaming windowed aggregation in graft.streaming).
     */

@@ -1844,6 +1844,32 @@ object SqlFrontDoor {
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
 
+    // make_timestamp -> timestamp_micros + date_format; // -> DIV
+    "q_session_quality" ->
+      """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS ts_us FROM events),
+         flagged AS (SELECT user_id, event_id, ts_us,
+           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800000000
+                     OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (SELECT user_id, ts_us,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         sess AS (SELECT user_id, session_id, count(*) AS n_events,
+                         min(ts_us) AS start_us, max(ts_us) AS end_us
+                  FROM sessions GROUP BY user_id, session_id),
+         byday AS (SELECT date_format(timestamp_micros(start_us), 'yyyy-MM-dd') AS day,
+                          count(*) AS n_sessions,
+                          sum(CASE WHEN n_events = 1 THEN 1L ELSE 0L END) AS n_bounces,
+                          sum(end_us - start_us) AS dur_sum
+                   FROM sess GROUP BY day)
+         SELECT day, n_sessions, n_bounces,
+                (20000 * n_bounces + n_sessions) DIV (2 * n_sessions) AS bounce_1e4,
+                (2 * dur_sum + n_sessions) DIV (2 * n_sessions) AS mean_dur_us
+         FROM byday ORDER BY day""",
+
     "q_string_funcs" ->
       """SELECT c_custkey,
          upper(c_mktsegment) AS seg_upper,

@@ -1554,6 +1554,26 @@ class OperatorSpec extends SparkTestBase {
       ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet)
   }
 
+  test("session quality: per-day rollup recomputes from the session table") {
+    val got = Analytics.sessionQualityByDay(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val sessions = Analytics.sessionizeBatch(spark, Sf).collect()
+      .map(r => (r.getLong(3), r.getLong(2), r.getLong(4))) // start_us, n_events, end_us
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val expected = sessions.groupBy { case (start, _, _) =>
+      fmt.format(java.time.Instant.ofEpochSecond(start / 1000000L)) }
+      .toSeq.map { case (day, g) =>
+        val n = g.length.toLong
+        val b = g.count(_._2 == 1L).toLong
+        val dur = g.map(t => t._3 - t._1).sum
+        (day, n, b, (20000L * b + n) / (2L * n), (2L * dur + n) / (2L * n))
+      }.sortBy(_._1)
+    assert(got === expected)
+    assert(got.forall(d => d._3 <= d._2 && d._4 >= 0 && d._4 <= 10000))
+    assert(got.map(_._2).sum === sessions.length.toLong)
+  }
+
   test("equal-frequency binning: two-level CDF equals the naive sorted-rank bins") {
     val got = Analytics.equalFreqBins(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_time_bucket_events" -> (Analytics.hourlyEventRollup(_, _)),
     "q_sessionize_batch" -> (Analytics.sessionizeBatch(_, _)),
     "q_session_quality" -> (Analytics.sessionQualityByDay(_, _)),
+    "q_conversion_window" -> (Analytics.conversionWindow(_, _)),
     "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
@@ -1316,6 +1317,25 @@ object SparkEntry {
            ON f.user_id = dim.user_id AND f.t_us >= dim.valid_from_us
            AND (dim.valid_to_us IS NULL OR f.t_us < dim.valid_to_us)
          ORDER BY f.event_id""",
+
+    // masked min over the FOLLOWING frame (min skips NULLs in every
+    // engine — no IGNORE NULLS vendor syntax needed)
+    "q_conversion_window" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+         n AS (SELECT user_id, event_type, t_us,
+               min(CASE WHEN event_type = 'purchase' THEN t_us END) OVER
+                 (PARTITION BY user_id ORDER BY t_us, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
+               FROM e),
+         s AS (SELECT strftime(make_timestamp(t_us), '%Y-%m-%d') AS day,
+                      CAST(count(*) AS BIGINT) AS n_signups,
+                      CAST(sum(CASE WHEN next_purchase_us IS NOT NULL
+                                     AND next_purchase_us - t_us <= 604800000000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+               FROM n WHERE event_type = 'signup' GROUP BY day)
+         SELECT day, n_signups, n_converted,
+                CAST((20000 * n_converted + n_signups) // (2 * n_signups) AS BIGINT) AS conv_1e4
+         FROM s ORDER BY day""",
 
     // last-touch attribution: the running last(ignoreNulls) carry is
     // rewritten with the portable count-group trick (cf. q_forward_fill):

@@ -964,6 +964,41 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Conversion-window funnel: of each day's signups, how many purchased
+    * within `windowDays`? The per-signup "next purchase" is a masked
+    * `min` over the FOLLOWING window frame — min ignores NULLs by
+    * definition, so the same text runs in every engine (no IGNORE NULLS
+    * vendor syntax), and one user-keyed window pass prices the whole
+    * funnel: no self-join of events against events, which is the
+    * O(n·m)-per-user trap the naive "signup JOIN later purchase" writes.
+    * Ratios in half-up 1e-4 BIGINT.
+    */
+  def conversionWindow(s: SparkSession, dir: String,
+                       windowDays: Int = 7): DataFrame = {
+    val horizonUs = windowDays * 86400L * 1000000L
+    val wFollow = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("purch_us",
+        when(col("event_type") === "purchase", col("t_us")))
+      .withColumn("next_purchase_us", min(col("purch_us")).over(wFollow))
+      .filter(col("event_type") === "signup")
+      .withColumn("day",
+        date_format(timestamp_micros(col("t_us")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("next_purchase_us").isNotNull &&
+          col("next_purchase_us") - col("t_us") <= horizonUs, 1L)
+          .otherwise(0L)).as("n_converted"))
+      .select(col("day"), col("n_signups"), col("n_converted"),
+        expr("(20000 * n_converted + n_signups) DIV (2 * n_signups)")
+          .as("conv_1e4"))
+      .orderBy(col("day"))
+  }
+
   /** Tumbling 1-hour buckets over the event stream (batch equivalent of the
     * Structured Streaming windowed aggregation in graft.streaming).
     */

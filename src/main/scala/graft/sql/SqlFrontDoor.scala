@@ -1706,6 +1706,24 @@ object SqlFrontDoor {
          WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
          ORDER BY user_id, version""",
 
+    // epoch_us -> unix_micros, make_timestamp -> timestamp_micros, // -> DIV
+    "q_conversion_window" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM events),
+         n AS (SELECT user_id, event_type, t_us,
+               min(CASE WHEN event_type = 'purchase' THEN t_us END) OVER
+                 (PARTITION BY user_id ORDER BY t_us, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
+               FROM e),
+         s AS (SELECT date_format(timestamp_micros(t_us), 'yyyy-MM-dd') AS day,
+                      count(*) AS n_signups,
+                      sum(CASE WHEN next_purchase_us IS NOT NULL
+                                AND next_purchase_us - t_us <= 604800000000L
+                          THEN 1L ELSE 0L END) AS n_converted
+               FROM n WHERE event_type = 'signup' GROUP BY day)
+         SELECT day, n_signups, n_converted,
+                (20000 * n_converted + n_signups) DIV (2 * n_signups) AS conv_1e4
+         FROM s ORDER BY day""",
+
     // epoch_us -> unix_micros; otherwise the oracle's BETWEEN form verbatim
     "q_scd2_point_lookup" ->
       """WITH e AS (SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM events),

@@ -1574,6 +1574,34 @@ class OperatorSpec extends SparkTestBase {
     assert(got.map(_._2).sum === sessions.length.toLong)
   }
 
+  test("conversion window: per-signup lookahead equals the brute-force recompute") {
+    val got = Analytics.conversionWindow(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._4, e._2))).toMap
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val horizon = 7L * 86400L * 1000000L
+    val signups = for {
+      (_, tl) <- byUser.toSeq; (i, e) <- tl.zipWithIndex.map(_.swap)
+      if e._3 == "signup"
+    } yield {
+      val converted = tl.drop(i + 1)
+        .exists(l => l._3 == "purchase" && l._4 - e._4 <= horizon)
+      (fmt.format(java.time.Instant.ofEpochSecond(e._4 / 1000000L)), converted)
+    }
+    val expected = signups.groupBy(_._1).toSeq.map { case (day, g) =>
+      val n = g.length.toLong; val c = g.count(_._2).toLong
+      (day, n, c, (20000L * c + n) / (2L * n))
+    }.sortBy(_._1)
+    assert(got === expected)
+    assert(got.map(_._2).sum === ev.count(_._3 == "signup").toLong)
+    assert(got.exists(_._3 > 0), "fixture must exercise real conversions")
+  }
+
   test("equal-frequency binning: two-level CDF equals the naive sorted-rank bins") {
     val got = Analytics.equalFreqBins(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

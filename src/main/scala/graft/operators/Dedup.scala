@@ -393,6 +393,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val docs = withShingles(s, dir).select(col("doc_id"), col("sh"))
       .filter(col("doc_id") < maxDocIdExclusive)
+    // Measured r9: pre-joining a broadcast candidate-id frame ahead of the
+    // verify-side shingling LOSES (~+0.5s at sf0.1) — the id frame
+    // re-executes the whole band pipeline as a separate broadcast subquery,
+    // which costs more than the two corpus shingle passes it saves (and
+    // the runtime bloom-filter join injects its pruning filter below the
+    // shingle projection on the verify side anyway).
     verifyPairs(docs, candidatePairs(bandRowsInline(docs)), threshold)
   }
 

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_hll_sketch_rollup" -> (Sketches.hllSketchRollup(_, _, Sketch.lgK)),
     "q_hll_rollup_incremental" ->
       (Sketches.hllSketchRollupIncremental(_, _, Sketch.lgK)),
+    "q_hll_overlap" -> (Sketches.hllOverlap(_, _, Sketch.lgK)),
     "q_cms_point_queries" ->
       (Sketches.cmsPointQueries(_, _, Sketch.cmsEps, Sketch.cmsConfidence)),
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
@@ -1167,6 +1168,17 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n,
                 CAST(1 AS INT) AS ge_exact, CAST(1 AS INT) AS within_eps
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // inclusion-exclusion overlap: only pairs with a non-empty exact
+    // intersection emit (inner join on both sides)
+    "q_hll_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS exact_overlap,
+                CAST(1 AS INT) AS within_bound
+         FROM tu a JOIN tu b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY type_a, type_b ORDER BY type_a, type_b""",
 
     // merge == rescan (lossless cell-wise HLL union), so the incremental
     // maintenance path answers to the from-scratch oracle verbatim

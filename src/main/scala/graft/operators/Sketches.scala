@@ -88,6 +88,48 @@ object Sketches {
     cubeReadout(s, dir, merged, lgK)
   }
 
+  /** Audience overlap via HLL inclusion-exclusion: distinct users doing
+    * BOTH of each event-type pair, estimated as |A| + |B| − |A∪B| from
+    * per-type sketches and ONE scalar `hll_union` per pair — no
+    * re-scan per pair, which is the point: 100 TB serves all O(types²)
+    * overlaps from |types| catalog-sized blobs built in one raw pass
+    * (intersection is not directly mergeable; inclusion-exclusion over
+    * union sketches is the standard workaround, error compounding over
+    * the three estimates — the audit bound sums them). The exact
+    * pairwise side is the audit-scale ride-along: a (type, user)
+    * distinct self-join the warehouse would drop.
+    */
+  def hllOverlap(s: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    val tu = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+        countDistinct(col("user_id")).as("card"))
+    // |types| rows per side: the pair frame is catalog-sized by design
+    val pairs = sk.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"), col("card").as("card_a"))
+      .crossJoin(broadcast(sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"), col("card").as("card_b"))))
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("card_a"), col("card_b"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_overlap"))
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.join(broadcast(pairs), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          lit(3.0 * rse) * (col("card_a") + col("card_b")) + lit(24.0))
+          .cast("int").as("within_bound"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** One sketch per (event_type, day) cell — the cube build's raw pass. */
   private def dailyCells(events: DataFrame, lgK: Int): DataFrame =
     events

@@ -1987,6 +1987,31 @@ object SqlFrontDoor {
                      + CAST(1 AS DOUBLE) AS INT) AS within_bound
          FROM r ORDER BY pct""",
 
+    // inclusion-exclusion over real sketches — |types|-row frames, the
+    // non-equi pair join is catalog-sized by construction
+    "q_hll_overlap" ->
+      s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         sk AS (SELECT event_type, hll_sketch_agg(user_id, ${SparkEntry.Sketch.lgK}) AS sk,
+                       count(DISTINCT user_id) AS card
+                FROM events GROUP BY event_type),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          a.card AS card_a, b.card AS card_b,
+                          hll_sketch_estimate(a.sk) + hll_sketch_estimate(b.sk)
+                          - hll_sketch_estimate(hll_union(a.sk, b.sk)) AS est_overlap
+                   FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         exact AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          count(*) AS exact_overlap
+                   FROM tu a JOIN tu b
+                     ON a.user_id = b.user_id AND a.event_type < b.event_type
+                   GROUP BY a.event_type, b.event_type)
+         SELECT e.type_a, e.type_b, e.exact_overlap,
+                CAST(abs(p.est_overlap - e.exact_overlap) <=
+                     ${3.0 * 1.04 / math.sqrt((1L << SparkEntry.Sketch.lgK).toDouble)}
+                     * (p.card_a + p.card_b) + CAST(24 AS DOUBLE) AS INT) AS within_bound
+         FROM exact e JOIN pairs p
+           ON e.type_a = p.type_a AND e.type_b = p.type_b
+         ORDER BY e.type_a, e.type_b""",
+
     // real HLL++ aggregate + its 3-sigma audit, entirely in Spark SQL
     "q_distinct_users_approx" ->
       s"""SELECT event_type,

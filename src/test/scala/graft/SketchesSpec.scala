@@ -54,6 +54,23 @@ class SketchesSpec extends SparkTestBase {
     assert(ev.filter(expr(s"unix_micros(ts) >= ${split}L")).count() > 0)
   }
 
+  test("hll overlap: exact intersections match, inclusion-exclusion bounds pass") {
+    val got = Sketches.hllOverlap(spark, Sf, SparkEntry.Sketch.lgK)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    val tu = Tables.events(spark, Sf)
+      .select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      n = (byType(a) intersect byType(b)).size.toLong if n > 0
+    } yield (a, b, n)).sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3)) === expected)
+    assert(got.forall(_._4 == 1), s"inclusion-exclusion bound must pass: $got")
+    assert(got.nonEmpty)
+  }
+
   test("hll union of daily sketches estimates like a direct whole-table sketch") {
     // mergeability in anger: union-of-parts must agree with the one-shot
     // sketch exactly (same registers either way — HLL unions are lossless

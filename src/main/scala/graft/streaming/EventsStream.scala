@@ -253,6 +253,76 @@ object EventsStream {
     * Late events inside the lateness allowance share the standard
     * streaming-dedup caveat: arrival order is decision order.
     */
+  final case class PendingSignup(event_id: Long, t_us: Long)
+  final case class FunnelState(pending: List[PendingSignup])
+  final case class ConversionOutcome(user_id: Long, signup_event_id: Long,
+                                     signup_us: Long, converted: Boolean)
+
+  /** Streaming twin of Analytics.conversionWindow: each signup resolves
+    * to converted=true the moment a qualifying purchase (strictly after
+    * it in (t, event_id) order, within the horizon) arrives, or to
+    * converted=false once the event-time watermark passes its deadline —
+    * so the funnel dashboard updates per event instead of per nightly
+    * rebuild. Per-user state is the list of UNRESOLVED signups only
+    * (resolved ones leave immediately; expiry is both timeout-driven and
+    * inline for keys that keep receiving data), so state tracks in-flight
+    * conversions, not history. Eviction is lossless for in-allowance
+    * events: a purchase that could still convert a signup has ts below
+    * the deadline, and the timeout only fires once the watermark —
+    * which trails every deliverable event — passes that deadline.
+    */
+  def conversions(events: Dataset[Event],
+                  windowDays: Int = 7): Dataset[ConversionOutcome] = {
+    import events.sparkSession.implicits._
+    val horizonUs = windowDays * 86400L * 1000000L
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, ConversionOutcome](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val out = scala.collection.mutable.ListBuffer[ConversionOutcome]()
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          def expire(): Unit = if (state.getCurrentWatermarkMs() > 0) {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (expired, live) = pending.partition(p => p.t_us + horizonUs < wmUs)
+            expired.foreach(p =>
+              out += ConversionOutcome(user, p.event_id, p.t_us, converted = false))
+            pending = live
+          }
+          if (state.hasTimedOut) expire()
+          else {
+            rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+              val us = toUs(e.ts)
+              e.event_type match {
+                case "signup" => pending = pending :+ PendingSignup(e.event_id, us)
+                case "purchase" =>
+                  // strictly-preceding signups only — the batch operator's
+                  // 1-FOLLOWING frame; same-instant ties break on event_id
+                  val (conv, live) = pending.partition(p =>
+                    (p.t_us < us || (p.t_us == us && p.event_id < e.event_id)) &&
+                      us - p.t_us <= horizonUs)
+                  conv.foreach(p =>
+                    out += ConversionOutcome(user, p.event_id, p.t_us, converted = true))
+                  pending = live
+                case _ => ()
+              }
+            }
+            expire() // keys that keep receiving data never see their timeout
+          }
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(pending))
+            // earliest unresolved deadline, +1ms so the timeout strictly passes it
+            state.setTimeoutTimestamp(
+              pending.map(p => (p.t_us + horizonUs) / 1000L).min + 1L)
+          }
+          out.iterator
+      }
+  }
+
   def throttle(events: Dataset[Event], windowHours: Int = 24): Dataset[KeptEvent] = {
     import events.sparkSession.implicits._
     val winUs = windowHours * 3600L * 1000000L

@@ -71,6 +71,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming conversions: purchases resolve signups across batches, watermark expires the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val conv = EventsStream.conversions(input.toDS(), windowDays = 7)
+    val q = conv.writeStream.format("memory").queryName("conversions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 signs up; user 2 signs up; user 2 purchases BEFORE
+      // signing up (must not convert the later signup)
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+        Event(2, ts("2024-01-02 09:00:00"), 2, "purchase", 5.0),
+        Event(3, ts("2024-01-02 10:00:00"), 2, "signup", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases inside the 7d horizon -> converted NOW,
+      // before any watermark reaches user 1's deadline
+      input.addData(Event(4, ts("2024-01-03 10:00:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val mid = spark.table("conversions")
+        .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+      assert(mid === Map(1L -> true), s"only user 1's signup is resolved: $mid")
+      // batch 3: a far-future event drives the watermark (1h allowance)
+      // past user 2's Jan 9 deadline -> expired unconverted
+      input.addData(Event(9, ts("2024-02-01 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts("2024-02-01 01:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("conversions")
+        .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+      assert(fin === Map(1L -> true, 3L -> false), s"user 2 expires unconverted: $fin")
+    } finally q.stop()
+  }
+
   test("streaming throttle: greedy chain carries across batches, matches batch recompute") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -105,6 +105,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming conversions on the fixture equal the batch funnel day rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay ALL sf0.001 events through the stream in two batches, flush
+    // every pending signup with a far-future watermark driver, then the
+    // day-rolled outcomes must equal the batch operator's counts exactly
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.conversions(input.toDS(), windowDays = 7)
+      .writeStream.format("memory").queryName("conv_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(Event(999999, ts("2030-01-01 00:00:00"), 999999, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(999998, ts("2030-01-01 01:00:00"), 999999, "view", 0.0))
+      q.processAllAvailable()
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        .withZone(java.time.ZoneOffset.UTC)
+      val got = spark.table("conv_parity")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .groupBy(t => fmt.format(java.time.Instant.ofEpochSecond(t._2 / 1000000L)))
+        .view.mapValues(g => (g.length.toLong, g.count(_._3).toLong)).toMap
+      val expected = graft.operators.Analytics.conversionWindow(spark, Sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expected)
+      assert(expected.values.map(_._1).sum > 0)
+    } finally q.stop()
+  }
+
   test("streaming throttle: greedy chain carries across batches, matches batch recompute") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

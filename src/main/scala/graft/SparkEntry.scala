@@ -116,6 +116,7 @@ object SparkEntry {
           .filter(col("t_us") >= split))
     }),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
+    "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_bigram_lm_score" ->
       (TextAnalysis.bigramLmScore(_, _, BigramLm.refLang)),
@@ -1421,6 +1422,29 @@ object SparkEntry {
          FROM e JOIN kept ON e.user_id = kept.user_id
            AND e.event_type = kept.event_type AND e.rn = kept.rn
          ORDER BY e.user_id, e.event_type, e.t_us, e.event_id""",
+
+    // bucketed checksum reconciliation: Spark conv(h,16,10) == DuckDB
+    // ('0x'||h)::BIGINT on the 15-hex-char digest (verified identical)
+    "q_load_reconciliation" ->
+      """WITH rows_h AS (SELECT o_orderkey % 16 AS bucket, o_orderkey,
+             ('0x' || substr(md5(concat_ws('|',
+                CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                CAST(o_orderdate AS VARCHAR))), 1, 15))::BIGINT AS h
+           FROM orders),
+         a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_src,
+                      bit_xor(h) AS x_src
+               FROM rows_h GROUP BY bucket),
+         b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_dst,
+                      bit_xor(h) AS x_dst
+               FROM rows_h WHERE o_orderkey % 997 <> 0 GROUP BY bucket)
+         SELECT a.bucket, n_src, coalesce(n_dst, CAST(0 AS BIGINT)) AS n_dst,
+                n_src - coalesce(n_dst, CAST(0 AS BIGINT)) AS rows_missing,
+                CAST(CASE WHEN n_dst IS NOT NULL AND n_src = n_dst
+                           AND x_src = x_dst THEN 1 ELSE 0 END AS INT)
+                  AS checksum_match
+         FROM a LEFT JOIN b ON a.bucket = b.bucket
+         ORDER BY a.bucket""",
 
     // column profile over orders: per-type EXACT min/max encodings
     // (ints/strings verbatim, money as half-up cents, timestamps as

@@ -120,4 +120,41 @@ object Quality {
         }.mkString(", ")}) AS (column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)")
       .orderBy(col("column_name"))
   }
+
+  /** Load reconciliation by bucketed checksums — "did the warehouse copy
+    * lose or corrupt rows, and WHERE": both sides collapse to `buckets`
+    * rows of (count, bit_xor of a 60-bit row digest), so the comparison
+    * moves O(buckets) bytes however big the tables are, and a mismatched
+    * bucket localizes the repair to keys ≡ bucket (mod buckets) — re-copy
+    * 1/16th, not the table. XOR makes the checksum order- and
+    * partitioning-free; the 15-hex-char digest keeps the value inside
+    * BIGINT in both engines (Spark `conv(..,16,10)` == DuckDB
+    * `('0x'||h)::BIGINT`, verified). The destination side simulates a
+    * partial load (every 997th key dropped) so the fixture exercises both
+    * clean and dirty buckets.
+    */
+  def loadReconciliation(s: SparkSession, dir: String,
+                         buckets: Int = 16): DataFrame = {
+    val rowDigest = expr(
+      """CAST(conv(substr(md5(concat_ws('|',
+           CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+           CAST(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS STRING),
+           CAST(o_orderdate AS STRING))), 1, 15), 16, 10) AS BIGINT)""")
+    def summarize(df: DataFrame, side: String): DataFrame =
+      df.select(pmod(col("o_orderkey"), lit(buckets.toLong)).as("bucket"),
+          rowDigest.as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$side"), expr("bit_xor(h)").as(s"x_$side"))
+    val src = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dst = src.filter(col("o_orderkey") % 997 =!= 0)
+    summarize(src, "src").join(summarize(dst, "dst"), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_src"),
+        coalesce(col("n_dst"), lit(0L)).as("n_dst"),
+        (col("n_src") - coalesce(col("n_dst"), lit(0L))).as("rows_missing"),
+        (col("n_dst").isNotNull && col("n_src") === col("n_dst") &&
+          col("x_src") === col("x_dst")).cast("int").as("checksum_match"))
+      .orderBy(col("bucket"))
+  }
 }

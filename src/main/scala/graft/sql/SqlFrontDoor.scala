@@ -1495,6 +1495,27 @@ object SqlFrontDoor {
              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS redacted_md5
          FROM a ORDER BY doc_id""",
 
+    // ('0x'||h)::BIGINT -> conv(h,16,10); % -> pmod on the bucket key
+    "q_load_reconciliation" ->
+      """WITH rows_h AS (SELECT pmod(o_orderkey, 16) AS bucket, o_orderkey,
+             CAST(conv(substr(md5(concat_ws('|',
+                CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+                CAST(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS STRING),
+                CAST(o_orderdate AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h
+           FROM orders),
+         a AS (SELECT bucket, count(*) AS n_src, bit_xor(h) AS x_src
+               FROM rows_h GROUP BY bucket),
+         b AS (SELECT bucket, count(*) AS n_dst, bit_xor(h) AS x_dst
+               FROM rows_h WHERE o_orderkey % 997 <> 0 GROUP BY bucket)
+         SELECT a.bucket, n_src, coalesce(n_dst, CAST(0 AS BIGINT)) AS n_dst,
+                n_src - coalesce(n_dst, CAST(0 AS BIGINT)) AS rows_missing,
+                CAST(CASE WHEN n_dst IS NOT NULL AND n_src = n_dst
+                           AND x_src = x_dst THEN 1 ELSE 0 END AS INT)
+                  AS checksum_match
+         FROM a LEFT JOIN b ON a.bucket = b.bucket
+         ORDER BY a.bucket""",
+
     // // -> DIV; the twin states the one-window CDF form the operator's
     // two-level sum reproduces exactly (boundary-independent by algebra)
     "q_equal_freq_binning" ->

@@ -1554,6 +1554,25 @@ class OperatorSpec extends SparkTestBase {
       ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet)
   }
 
+  test("load reconciliation: dirty buckets are exactly the dropped keys' buckets") {
+    val got = Quality.loadReconciliation(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    val keys = graft.sources.Tables.orders(spark, Sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val droppedBuckets = keys.filter(_ % 997 == 0).map(k => ((k % 16) + 16) % 16).toSet
+    val perBucketDrops = keys.filter(_ % 997 == 0).groupBy(k => ((k % 16) + 16) % 16)
+      .view.mapValues(_.length.toLong).toMap
+    got.foreach { case (bucket, nSrc, nDst, missing, flag) =>
+      assert(missing === perBucketDrops.getOrElse(bucket, 0L))
+      assert(nSrc - nDst === missing)
+      assert((flag == 1) === !droppedBuckets.contains(bucket),
+        s"bucket $bucket flag $flag vs dropped=$droppedBuckets")
+    }
+    assert(got.map(_._2).sum === keys.length.toLong)
+    assert(got.exists(_._5 == 0) && got.exists(_._5 == 1),
+      "fixture must exercise both clean and dirty buckets")
+  }
+
   test("session quality: per-day rollup recomputes from the session table") {
     val got = Analytics.sessionQualityByDay(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq

@@ -117,6 +117,7 @@ object SparkEntry {
     }),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
+    "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_bigram_lm_score" ->
       (TextAnalysis.bigramLmScore(_, _, BigramLm.refLang)),
@@ -1422,6 +1423,15 @@ object SparkEntry {
          FROM e JOIN kept ON e.user_id = kept.user_id
            AND e.event_type = kept.event_type AND e.rn = kept.rn
          ORDER BY e.user_id, e.event_type, e.t_us, e.event_id""",
+
+    // the oracle states the PLAIN join — salting must be invisible
+    "q_salted_join_revenue" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE e.event_type = 'purchase'
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // bucketed checksum reconciliation: Spark conv(h,16,10) == DuckDB
     // ('0x'||h)::BIGINT on the 15-hex-char digest (verified identical)

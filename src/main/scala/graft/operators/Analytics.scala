@@ -964,6 +964,26 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Purchase revenue per market segment THROUGH the salted join — the
+    * explicit whale-key mitigation ([[SkewUtils.saltedJoin]]: hot user
+    * spread over 8 shuffle partitions, dimension replicated 8x) wired to
+    * a driver-checked surface. The oracle states the PLAIN join: salting
+    * must be invisible in the result — no duplicated or dropped rows —
+    * which is exactly what the query proves on every run.
+    */
+  def saltedPurchaseRevenue(s: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("c_custkey"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    SkewUtils.saltedJoin(purchases, cust, "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Conversion-window funnel: of each day's signups, how many purchased
     * within `windowDays`? The per-signup "next purchase" is a masked
     * `min` over the FOLLOWING window frame — min ignores NULLs by

@@ -1495,6 +1495,15 @@ object SqlFrontDoor {
              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>')) AS redacted_md5
          FROM a ORDER BY doc_id""",
 
+    // the declarative plain-join form the salted operator reproduces
+    "q_salted_join_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_purchases,
+                sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS revenue_cents
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE e.event_type = 'purchase'
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // ('0x'||h)::BIGINT -> conv(h,16,10); % -> pmod on the bucket key
     "q_load_reconciliation" ->
       """WITH rows_h AS (SELECT pmod(o_orderkey, 16) AS bucket, o_orderkey,

@@ -1554,6 +1554,24 @@ class OperatorSpec extends SparkTestBase {
       ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet)
   }
 
+  test("salted join equals the plain join exactly (salting is invisible)") {
+    val salted = Analytics.saltedPurchaseRevenue(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = graft.sources.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("c_custkey"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .join(graft.sources.Tables.customer(spark, Sf)
+        .select("c_custkey", "c_mktsegment"), "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted === plain)
+    assert(salted.map(_._2).sum > 0)
+  }
+
   test("load reconciliation: dirty buckets are exactly the dropped keys' buckets") {
     val got = Quality.loadReconciliation(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq

@@ -91,6 +91,9 @@ object SparkEntry {
     "q_session_quality" -> (Analytics.sessionQualityByDay(_, _)),
     "q_conversion_window" -> (Analytics.conversionWindow(_, _)),
     "q_event_transitions" -> (Analytics.eventTransitions(_, _)),
+    "q_session_paths" -> (Analytics.sessionPaths(_, _)),
+    "q_interval_union_time" -> (Analytics.intervalUnionTime(_, _)),
+    "q_dow_profile" -> (Analytics.dowProfile(_, _)),
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
     "q_key_skew_audit" -> (Analytics.keySkewAudit(_, _)),
@@ -280,6 +283,9 @@ object SparkEntry {
     "q_bm25_search" -> ((s, d) => Retrieval.bm25TopK(s, d,
       nQueries = Bm25.nQueries, k = Bm25.k, maxDfPermille = Bm25.maxDfPermille,
       k1Milli = Bm25.k1Milli, bMilli = Bm25.bMilli)),
+    "q_phrase_search" -> ((s, d) => Retrieval.phraseSearch(s, d, Phrase.tokens)),
+    "q_ann_dim_ablation" -> ((s, d) => Similarity.dimAblation(s, d,
+      dims = Ablation.dims, nQueries = Ablation.nQueries, k = Ablation.k)),
     "q_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d,
       nLists = SemDedup.nLists, iters = SemDedup.iters,
       perCluster = ClusterSample.perCluster)),
@@ -414,6 +420,21 @@ object SparkEntry {
     */
   private[graft] object Heavy {
     val k = 64
+  }
+
+  /** Phrase-search query phrase, shared by operator, oracle, and twin.
+    * Chosen to occur at every fixture SF (46/46/293 matches at
+    * sf0.001/0.01/0.1) so the query never degenerates to empty.
+    */
+  private[graft] object Phrase {
+    val tokens = Seq("part", "filter")
+  }
+
+  /** Matryoshka dim-ablation parameters (prefix dims / query set / k),
+    * shared by operator, oracle, and twin.
+    */
+  private[graft] object Ablation {
+    val dims = Seq(8, 16, 32); val nQueries = 10; val k = 5
   }
 
   /** approx_percentile sketch accuracy (rank error <= n/accuracy),
@@ -1291,6 +1312,83 @@ object SparkEntry {
          SELECT from_type, to_type, n_transitions,
                 (20000 * n_transitions + from_total) // (2 * from_total) AS share_1e4
          FROM wt ORDER BY from_type, to_type""",
+
+    // session path mining: 30-min-gap sessions truncated to their first 5
+    // event types, top 20 paths by session count with fixed-point share
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         flagged AS (SELECT user_id, event_id, event_type, ts_us,
+           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800000000
+                     OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (SELECT user_id, event_id, event_type, ts_us,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         numbered AS (SELECT user_id, session_id, event_type, ts_us, event_id,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts_us, event_id) AS rn
+           FROM sessions),
+         paths AS (SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM numbered WHERE rn <= 5 GROUP BY user_id, session_id),
+         counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path),
+         tot AS (SELECT sum(n_sessions) AS t FROM counts),
+         ranked AS (SELECT path, n_sessions,
+           (20000 * n_sessions + t) // (2 * t) AS share_1e4,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+           FROM counts CROSS JOIN tot)
+         SELECT CAST(rk AS BIGINT) AS rk, path,
+                CAST(n_sessions AS BIGINT) AS n_sessions,
+                CAST(share_1e4 AS BIGINT) AS share_1e4
+         FROM ranked WHERE rk <= 20 ORDER BY rk""",
+
+    // sweep-line interval union: 5-min activity intervals merged per user;
+    // covered micros, merged-block count, covered/span density
+    "q_interval_union_time" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                    epoch_us(ts) + 300000000 AS end_us FROM events),
+         flagged AS (SELECT user_id, event_id, ts_us, end_us,
+           CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR ts_us > max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_block
+           FROM e),
+         blocks AS (SELECT user_id, ts_us, end_us,
+           CAST(sum(new_block) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS block_id
+           FROM flagged),
+         merged AS (SELECT user_id, block_id, min(ts_us) AS b_start, max(end_us) AS b_end
+                    FROM blocks GROUP BY user_id, block_id),
+         per_user AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                      CAST(sum(b_end - b_start) AS BIGINT) AS covered_us,
+                      CAST(max(b_end) - min(b_start) AS BIGINT) AS span_us
+                      FROM merged GROUP BY user_id)
+         SELECT user_id, n_blocks, covered_us, span_us,
+                CAST((20000 * covered_us + span_us) // (2 * span_us) AS BIGINT) AS density_1e4
+         FROM per_user ORDER BY user_id""",
+
+    // day-of-week traffic/value profile: dow 0 = Sunday in BOTH engines
+    // (DuckDB dayofweek is already 0-based; Spark subtracts 1)
+    "q_dow_profile" ->
+      """WITH e AS (SELECT event_type, dayofweek(ts) AS dow,
+                    CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM events),
+         cell AS (SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum
+                  FROM e GROUP BY event_type, dow),
+         wt AS (SELECT event_type, dow, n_events, cents_sum,
+                CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS type_n,
+                CAST(sum(cents_sum) OVER (PARTITION BY event_type) AS BIGINT) AS type_cents
+                FROM cell)
+         SELECT event_type, dow, n_events, cents_sum,
+                CAST((20000 * n_events + type_n) // (2 * type_n) AS BIGINT) AS traffic_share_1e4,
+                CAST((20000 * cents_sum + type_cents) // (2 * type_cents) AS BIGINT) AS value_share_1e4
+         FROM wt ORDER BY event_type, dow""",
 
     // SCD2 build: event_type runs collapse to [valid_from, valid_to)
     // validity intervals per user, exact micros, version + is_current
@@ -2725,6 +2823,59 @@ object SparkEntry {
                     ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
            FROM sc) WHERE rank <= ${Bm25.k}
          ORDER BY query_id, rank""",
+
+    // positional phrase match: each term's postings shift left by its
+    // phrase offset; a start position surviving the n-way join is a
+    // contiguous occurrence
+    "q_phrase_search" -> {
+      val anchorCtes = Phrase.tokens.zipWithIndex.map { case (t, i) =>
+        s"a$i AS (SELECT doc_id, pos - $i AS start_pos FROM p WHERE tok = '$t')"
+      }.mkString(",\n         ")
+      val joinChain = Phrase.tokens.indices.tail
+        .map(i => s"JOIN a$i USING (doc_id, start_pos)").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         p AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM d)),
+         $anchorCtes,
+         m AS (SELECT a0.doc_id, a0.start_pos FROM a0 $joinChain)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(start_pos) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    // Matryoshka dim ablation: per prefix dim, brute-force top-k on the
+    // sliced DOUBLE[] prefix (prefix norms recomputed) vs full-dim truth
+    "q_ann_dim_ablation" -> {
+      def rankedSql(d: Int): String =
+        s"""ab$d AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY ${cosMicrosSql(s"list_slice(q.qv, 1, $d)", s"list_slice(e.v, 1, $d)")} DESC, e.vec_id) AS rank
+             FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+           WHERE rank <= ${Ablation.k})"""
+      val dimBlocks = Ablation.dims.map(rankedSql).mkString(",\n         ")
+      val unioned = Ablation.dims.map(d =>
+        s"SELECT $d AS dim, query_id, vec_id FROM ab$d").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${Ablation.nQueries}),
+         truth AS (SELECT query_id, vec_id FROM (
+           SELECT q.query_id, e.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY ${cosMicrosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+           WHERE rank <= ${Ablation.k}),
+         $dimBlocks,
+         ab AS ($unioned)
+         SELECT CAST(ab.dim AS BIGINT) AS dim,
+                CAST(count(*) AS BIGINT) AS n_retrieved,
+                CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                CAST((20000 * sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) + count(*))
+                     // (2 * count(*)) AS BIGINT) AS recall_1e4
+         FROM ab LEFT JOIN truth t
+           ON t.query_id = ab.query_id AND t.vec_id = ab.vec_id
+         GROUP BY ab.dim ORDER BY dim"""
+    },
 
     // same frozen k-means chain as q_semantic_dedup (trainedAssignCtes
     // recomputes the clusters bit-for-bit), then an equal per-cluster

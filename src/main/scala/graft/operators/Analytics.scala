@@ -1407,4 +1407,130 @@ object Analytics {
       .toDF("user_id", "event_type", "event_id", "t_us")
       .orderBy(col("user_id"), col("event_type"), col("t_us"), col("event_id"))
   }
+
+  /** Sweep-line interval union: each event opens an activity interval
+    * [ts, ts + holdMinutes]; per user, overlapping-or-touching intervals
+    * merge into blocks and the report is the user's merged-block count,
+    * total covered micros, and covered/span density — "how much wall
+    * clock was this user actually active", the billing/engagement metric
+    * a raw sum of interval lengths double-counts (the reference's
+    * BigQuery users express this as the classic gaps-and-islands SQL).
+    *
+    * Sweep-line via ONE window: a new block starts where the interval's
+    * start exceeds the running max of all previous ends (running max is
+    * O(1) window state, not a buffer); block ids are the running sum of
+    * those flags over the same sorted pass. Two more hash aggregates
+    * collapse blocks and users.
+    *
+    * 100 TB shape: a single shuffle+sort on user_id (the shape
+    * sessionization pays) feeds both windows; everything after is
+    * map-side-combined aggregation. No self-join of intervals — the
+    * O(n²) formulation this replaces — and no per-group memory beyond
+    * the two running scalars.
+    */
+  def intervalUnionTime(s: SparkSession, dir: String,
+                        holdMinutes: Int = 5): DataFrame = {
+    val holdUs = holdMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prevMaxEnd =
+      max(col("end_us")).over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("end_us", col("ts_us") + holdUs)
+      .withColumn("new_block",
+        when(prevMaxEnd.isNull || col("ts_us") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("block_id", sum(col("new_block")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("block_id"))
+      .agg(min(col("ts_us")).as("b_start"), max(col("end_us")).as("b_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("b_end") - col("b_start")).as("covered_us"),
+        (max(col("b_end")) - min(col("b_start"))).as("span_us"))
+      // half-up fixed point; span_us >= covered_us >= holdUs > 0
+      .withColumn("density_1e4",
+        expr("(20000 * covered_us + span_us) DIV (2 * span_us)"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Session path mining: sessionize (same 30-minute-gap definition as
+    * sessionizeBatch), truncate each session to its first maxLen event
+    * types, and rank the topK most common paths with their half-up
+    * fixed-point share of all sessions — the "what do users actually do"
+    * path report behind funnel design (transitions are its first-order
+    * marginal; this keeps the full prefix).
+    *
+    * 100 TB shape: the user-keyed shuffle+sort sessionization already
+    * pays, then row_number TRUNCATES each session to maxLen rows BEFORE
+    * collect_list — per-group state is bounded at maxLen structs, so a
+    * whale session costs its window sort, never task memory. Path counts
+    * are one hash aggregate on a domain bounded by |types|^maxLen; the
+    * global topK goes through orderBy+limit (TakeOrderedAndProject:
+    * per-partition top-k, merge of k-row heads) and only the surviving
+    * topK rows enter the single-partition rank window.
+    */
+  def sessionPaths(s: SparkSession, dir: String, gapMinutes: Int = 30,
+                   maxLen: Int = 5, topK: Int = 20): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs
+          || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"), col("session_id"))
+      // rn is unique within the group, so the struct sort is a total order
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+      .select(expr("array_join(transform(steps, x -> x.event_type), '>')").as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    val total = counts.agg(sum(col("n_sessions")).as("t"))
+    val top = counts.crossJoin(broadcast(total))
+      .withColumn("share_1e4", expr("(20000 * n_sessions + t) DIV (2 * t)"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topK)
+    top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .select(col("rk").cast("long").as("rk"), col("path"),
+        col("n_sessions"), col("share_1e4"))
+      .orderBy(col("rk"))
+  }
+
+  /** Day-of-week traffic/value profile per event type: event share and
+    * half-up-cents value share landing on each weekday (0 = Sunday,
+    * matching DuckDB's dayofweek so the oracle needs no remap) — the
+    * seasonality view behind capacity planning and anomaly baselines
+    * ("is Tuesday low, or is Tuesday always low?").
+    *
+    * 100 TB shape: one map-side-combined hash aggregate down to
+    * |types| x 7 rows; the per-type totals come from a window over that
+    * tiny frame, not a second scan. Shares stay in BIGINT: the largest
+    * product is 20000 * sum(cents), which fits until sum(cents) exceeds
+    * ~4.6e14 per (type, dow) cell — beyond that, lift the share math to
+    * DECIMAL(38,0) (both engines agree on decimal integer division).
+    */
+  def dowProfile(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+      .withColumn("type_n", sum(col("n_events")).over(byType))
+      .withColumn("type_cents", sum(col("cents_sum")).over(byType))
+      .withColumn("traffic_share_1e4",
+        expr("(20000 * n_events + type_n) DIV (2 * type_n)"))
+      .withColumn("value_share_1e4",
+        expr("(20000 * cents_sum + type_cents) DIV (2 * type_cents)"))
+      .select(col("event_type"), col("dow"), col("n_events"), col("cents_sum"),
+        col("traffic_share_1e4"), col("value_share_1e4"))
+      .orderBy(col("event_type"), col("dow"))
+  }
 }

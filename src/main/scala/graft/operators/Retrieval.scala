@@ -144,4 +144,38 @@ object Retrieval {
         col("lex_rank"), col("vec_rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Exact phrase search through a positional inverted index: documents
+    * containing the token sequence `phrase` contiguously, with occurrence
+    * count and first match position — the IR primitive BM25's bag-of-words
+    * scoring cannot express ("new york" is not "york new"). Matching is
+    * the classic positional-postings alignment: each phrase term's
+    * postings shift left by its offset, and a start position surviving
+    * the n-way (doc_id, start_pos) equi-join is a contiguous match.
+    *
+    * 100 TB shape: per-term postings are filtered to the phrase's tokens
+    * BEFORE any join, so join volume is bounded by the rarest term's df
+    * (the join chain intersects monotonically — each step can only
+    * shrink). All joins are equi-joins on (doc_id, start_pos); no window
+    * or self-join ever sees the full token stream, and the final
+    * aggregate is map-side combined. A production index would persist
+    * the (tok, doc_id, pos) table bucketed by tok to skip the tokenize
+    * pass per query; the alignment plan is unchanged.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val tok = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(TextAnalysis.TokensExpr)).as(Seq("pos", "tok")))
+    val anchors = phrase.zipWithIndex.map { case (t, i) =>
+      tok.filter(col("tok") === lit(t))
+        .select(col("doc_id"), (col("pos") - i).as("start_pos"))
+    }
+    anchors.reduce((a, b) => a.join(b, Seq("doc_id", "start_pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start_pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -470,6 +470,56 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Matryoshka-style dimension ablation: brute-force top-k retrieval
+    * using only the first `d` embedding dimensions, for each d in `dims`,
+    * scored by recall against the full-dimension top-k — the measurement
+    * behind "can we search on a 8/16/32-dim prefix and re-rank with the
+    * full vector", which cuts ANN index bytes (and shuffle bytes) by
+    * 8-2x when the embedding model front-loads information (Kusupati et
+    * al., Matryoshka Representation Learning, NeurIPS 2022).
+    *
+    * All scoring is the pinned micro-cosine over DOUBLE math on the
+    * PREFIX (slice keeps element bits; prefix norms are recomputed, not
+    * sliced from the full norm), so the DuckDB oracle reproduces every
+    * candidate set bit-for-bit; recall is exact integer fixed point.
+    *
+    * Scale shape: one broadcast-query corpus scan per ablated dimension
+    * (corpus never shuffles; top-k via the map-side-combining
+    * aggregator), and the truth join compares (|dims| x nQueries x k)-row
+    * frames — driver-trivial. The prefix scan reads the SAME parquet
+    * column; a production layout would store the prefix as its own
+    * column (or PARQUET-2161 float-split encoding) so the 8-dim pass
+    * reads 1/8th the bytes.
+    */
+  def dimAblation(s: SparkSession, dir: String, dims: Seq[Int] = Seq(8, 16, 32),
+                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    registerFunctions(s)
+    val truth = bruteForceTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val perDim = dims.map { d =>
+      val emb = Tables.spread(s, dir, "embeddings")
+        .withColumn("pv", expr(s"slice(embedding, 1, $d)"))
+        .withColumn("vnorm", expr("sqrt(dot_f(pv, pv))"))
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv"),
+          col("vnorm").as("qnorm"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("m",
+          expr(scoreMicrosFromNorms("dot_f(qv, pv)", "qnorm", "vnorm")))
+      topKPerQuery(scored, k)
+        .select(lit(d.toLong).as("dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    perDim
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_1e4",
+        expr("(20000 * n_hits + n_retrieved) DIV (2 * n_retrieved)"))
+      .orderBy(col("dim"))
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** Per-subspace integer sub-codes: the 64-dim code vector split into

@@ -697,6 +697,59 @@ object SqlFrontDoor {
          ORDER BY query_id, rank"""
     },
 
+    // unnest(range(...)) -> explode(sequence(...)); ws[i] -> element_at
+    "q_phrase_search" -> {
+      val toks = graft.SparkEntry.Phrase.tokens
+      val anchorCtes = toks.zipWithIndex.map { case (t, i) =>
+        s"a$i AS (SELECT doc_id, pos - $i AS start_pos FROM p WHERE tok = '$t')"
+      }.mkString(",\n         ")
+      val joinChain = toks.indices.tail
+        .map(i => s"JOIN a$i USING (doc_id, start_pos)").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         p AS (SELECT doc_id, i - 1 AS pos, element_at(ws, i) AS tok
+               FROM (SELECT doc_id, ws, explode(sequence(1, size(ws))) AS i
+                     FROM d WHERE size(ws) >= 1)),
+         $anchorCtes,
+         m AS (SELECT a0.doc_id, a0.start_pos FROM a0 $joinChain)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(start_pos) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    // list_slice -> slice; // -> DIV; prefix norms recomputed per dim
+    "q_ann_dim_ablation" -> {
+      val A = graft.SparkEntry.Ablation
+      def rankedSql(d: Int): String =
+        s"""ab$d AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY ${cosMicrosSql(s"slice(q.qv, 1, $d)", s"slice(e.v, 1, $d)")} DESC, e.vec_id) AS rank
+             FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+           WHERE rank <= ${A.k})"""
+      val dimBlocks = A.dims.map(rankedSql).mkString(",\n         ")
+      val unioned = A.dims.map(d =>
+        s"SELECT $d AS dim, query_id, vec_id FROM ab$d").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < ${A.nQueries}),
+         truth AS (SELECT query_id, vec_id FROM (
+           SELECT q.query_id, e.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY ${cosMicrosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+           WHERE rank <= ${A.k}),
+         $dimBlocks,
+         ab AS ($unioned)
+         SELECT CAST(ab.dim AS BIGINT) AS dim,
+                CAST(count(*) AS BIGINT) AS n_retrieved,
+                CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                CAST((20000 * sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) + count(*))
+                     DIV (2 * count(*)) AS BIGINT) AS recall_1e4
+         FROM ab LEFT JOIN truth t
+           ON t.query_id = ab.query_id AND t.vec_id = ab.vec_id
+         GROUP BY ab.dim ORDER BY dim"""
+    },
+
     "q_cluster_sample" ->
       (trainedAssignCtes(graft.SparkEntry.SemDedup.iters,
         graft.SparkEntry.SemDedup.nLists) +
@@ -1719,6 +1772,79 @@ object SqlFrontDoor {
          SELECT from_type, to_type, n_transitions,
                 (20000 * n_transitions + from_total) DIV (2 * from_total) AS share_1e4
          FROM wt ORDER BY from_type, to_type""",
+
+    // string_agg(... ORDER BY) -> array_join over a struct-sorted
+    // collect_list (rn is unique in the group, so the sort is total)
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, unix_micros(ts) AS ts_us FROM events),
+         flagged AS (SELECT user_id, event_id, event_type, ts_us,
+           CASE WHEN ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 1800000000
+                     OR lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         sessions AS (SELECT user_id, event_id, event_type, ts_us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         numbered AS (SELECT user_id, session_id, event_type, ts_us, event_id,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts_us, event_id) AS rn
+           FROM sessions),
+         paths AS (SELECT user_id, session_id,
+           array_join(transform(array_sort(collect_list(struct(rn, event_type))),
+                                x -> x.event_type), '>') AS path
+           FROM numbered WHERE rn <= 5 GROUP BY user_id, session_id),
+         counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path),
+         tot AS (SELECT sum(n_sessions) AS t FROM counts),
+         ranked AS (SELECT path, n_sessions,
+           (20000 * n_sessions + t) DIV (2 * t) AS share_1e4,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+           FROM counts CROSS JOIN tot)
+         SELECT CAST(rk AS BIGINT) AS rk, path, n_sessions, share_1e4
+         FROM ranked WHERE rk <= 20 ORDER BY rk""",
+
+    // epoch_us -> unix_micros; // -> DIV; window frames are shared syntax
+    "q_interval_union_time" ->
+      """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+                    unix_micros(ts) + 300000000 AS end_us FROM events),
+         flagged AS (SELECT user_id, event_id, ts_us, end_us,
+           CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR ts_us > max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_block
+           FROM e),
+         blocks AS (SELECT user_id, ts_us, end_us,
+           sum(new_block) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+           FROM flagged),
+         merged AS (SELECT user_id, block_id, min(ts_us) AS b_start, max(end_us) AS b_end
+                    FROM blocks GROUP BY user_id, block_id),
+         per_user AS (SELECT user_id, count(*) AS n_blocks,
+                      sum(b_end - b_start) AS covered_us,
+                      max(b_end) - min(b_start) AS span_us
+                      FROM merged GROUP BY user_id)
+         SELECT user_id, n_blocks, covered_us, span_us,
+                (20000 * covered_us + span_us) DIV (2 * span_us) AS density_1e4
+         FROM per_user ORDER BY user_id""",
+
+    // dayofweek: Spark is 1-based (Sun=1), DuckDB 0-based -> subtract 1
+    "q_dow_profile" ->
+      """WITH e AS (SELECT event_type, CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
+                    CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                    FROM events),
+         cell AS (SELECT event_type, dow, count(*) AS n_events,
+                  sum(cents) AS cents_sum
+                  FROM e GROUP BY event_type, dow),
+         wt AS (SELECT event_type, dow, n_events, cents_sum,
+                sum(n_events) OVER (PARTITION BY event_type) AS type_n,
+                sum(cents_sum) OVER (PARTITION BY event_type) AS type_cents
+                FROM cell)
+         SELECT event_type, dow, n_events, cents_sum,
+                (20000 * n_events + type_n) DIV (2 * type_n) AS traffic_share_1e4,
+                (20000 * cents_sum + type_cents) DIV (2 * type_cents) AS value_share_1e4
+         FROM wt ORDER BY event_type, dow""",
 
     // epoch_us -> unix_micros; WINDOW clause is shared Spark/DuckDB syntax
     "q_scd2_intervals" ->

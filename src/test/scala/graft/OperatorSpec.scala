@@ -1893,4 +1893,90 @@ class OperatorSpec extends SparkTestBase {
       .filter(col("n_bigrams") =!= col("n_toks") - 1)
     assert(nb.count() == 0)
   }
+
+  test("session paths: ranks dense, shares bounded, counts within session total") {
+    val out = Analytics.sessionPaths(spark, Sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to out.length).toSeq)
+    val counts = out.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "path counts must be non-increasing in rank")
+    assert(out.forall(r => r.getAs[Long]("share_1e4") <= 10000L))
+    val nSessions = Analytics.sessionizeBatch(spark, Sf).count()
+    assert(counts.sum <= nSessions)
+    // every path is a '>'-joined sequence of at most 5 event types
+    assert(out.forall(_.getAs[String]("path").split(">").length <= 5))
+  }
+
+  test("interval union: covered bounded by span and by n_events * hold") {
+    val hold = 5
+    val out = Analytics.intervalUnionTime(spark, Sf, hold)
+    val perUser = graft.sources.Tables.events(spark, Sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val joined = out.join(perUser, "user_id").collect()
+    assert(joined.nonEmpty)
+    val holdUs = hold * 60L * 1000000L
+    joined.foreach { r =>
+      val covered = r.getAs[Long]("covered_us")
+      val span = r.getAs[Long]("span_us")
+      val nEv = r.getAs[Long]("n_ev")
+      val blocks = r.getAs[Long]("n_blocks")
+      assert(covered >= holdUs && covered <= span, s"covered $covered vs span $span")
+      assert(covered <= nEv * holdUs, "union cannot exceed sum of interval lengths")
+      assert(blocks >= 1 && blocks <= nEv)
+      assert(r.getAs[Long]("density_1e4") <= 10000L)
+    }
+    // distinct users conserve
+    assert(joined.length ==
+      graft.sources.Tables.events(spark, Sf).select("user_id").distinct().count())
+  }
+
+  test("dow profile: per-type shares sum to ~1e4, counts conserve") {
+    val out = Analytics.dowProfile(spark, Sf)
+    val total = out.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == graft.sources.Tables.events(spark, Sf).count())
+    val perType = out.groupBy("event_type")
+      .agg(sum(col("traffic_share_1e4")).as("ts"), sum(col("value_share_1e4")).as("vs"),
+        count(lit(1)).as("n_dows")).collect()
+    perType.foreach { r =>
+      val slack = r.getAs[Long]("n_dows") // half-up rounding: ±1 per cell
+      assert(math.abs(r.getAs[Long]("ts") - 10000L) <= slack)
+      assert(math.abs(r.getAs[Long]("vs") - 10000L) <= slack)
+    }
+    assert(out.filter(col("dow") < 0 || col("dow") > 6).count() == 0)
+  }
+
+  test("phrase search: every match is a contiguous occurrence, counts exact") {
+    val phrase = Seq("part", "filter")
+    val out = Retrieval.phraseSearch(spark, Sf, phrase).collect()
+    assert(out.nonEmpty, "fixture phrase must occur at sf0.001")
+    // recompute occurrences by scanning the token string per doc
+    val needle = " " + phrase.mkString(" ") + " "
+    val expected = graft.sources.Tables.documents(spark, Sf)
+      .selectExpr("doc_id",
+        s"concat(' ', array_join(${TextAnalysis.TokensExpr}, ' '), ' ') AS ts")
+      .collect().map { r =>
+        val ts = r.getAs[String]("ts")
+        var n = 0L; var i = ts.indexOf(needle)
+        while (i >= 0) { n += 1; i = ts.indexOf(needle, i + 1) }
+        r.getAs[Long]("doc_id") -> n
+      }.toMap
+    val got = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(got == expected.filter(_._2 > 0),
+      "operator matches must equal the brute-force text scan")
+  }
+
+  test("dim ablation: full-dim prefix recalls everything, counts fixed") {
+    val out = Similarity.dimAblation(spark, Sf).collect()
+    assert(out.map(_.getAs[Long]("dim")).toSeq == Seq(8L, 16L, 32L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_retrieved") == 50L) // 10 queries x k=5
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_retrieved"))
+      assert(r.getAs[Long]("recall_1e4") <= 10000L)
+    }
+    // the 64-dim "prefix" is the full vector: recall must be exactly 1
+    val full = Similarity.dimAblation(spark, Sf, dims = Seq(64)).collect()
+    assert(full.length == 1 && full.head.getAs[Long]("recall_1e4") == 10000L)
+    assert(full.head.getAs[Long]("n_hits") == full.head.getAs[Long]("n_retrieved"))
+  }
 }

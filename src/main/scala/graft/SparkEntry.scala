@@ -96,6 +96,9 @@ object SparkEntry {
     "q_dow_profile" -> (Analytics.dowProfile(_, _)),
     "q_rfm_segments" -> (Analytics.rfmSegments(_, _)),
     "q_value_outliers" -> (Analytics.valueOutliers(_, _)),
+    "q_mad_outliers" -> (Analytics.madOutliers(_, _)),
+    "q_behavior_overlap" -> (Analytics.behaviorOverlap(_, _)),
+    "q_new_vs_returning" -> (Analytics.newVsReturning(_, _)),
     "q_key_skew_audit" -> (Analytics.keySkewAudit(_, _)),
     "q_scd2_intervals" -> (Analytics.scd2Intervals(_, _)),
     "q_scd2_point_lookup" -> (Analytics.scd2PointLookup(_, _)),
@@ -1370,6 +1373,63 @@ object SparkEntry {
          SELECT user_id, n_blocks, covered_us, span_us,
                 CAST((20000 * covered_us + span_us) // (2 * span_us) AS BIGINT) AS density_1e4
          FROM per_user ORDER BY user_id""",
+
+    // MAD robust outliers: doubled medians keep every threshold integer
+    // (interpolating adjacent even integers lands on an integer), so the
+    // flag rule 2*|2c - med_x2| > 3*mad_x4 is BIGINT-exact on both engines
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             FROM events),
+         med AS (SELECT event_type,
+                 CAST(quantile_cont(2 * cents, 0.5) AS BIGINT) AS med_x2
+                 FROM ev GROUP BY event_type),
+         dev AS (SELECT ev.event_type, cents, med_x2,
+                 abs(2 * cents - med_x2) AS d2
+                 FROM ev JOIN med USING (event_type)),
+         mad AS (SELECT event_type,
+                 CAST(quantile_cont(2 * d2, 0.5) AS BIGINT) AS mad_x4
+                 FROM dev GROUP BY event_type),
+         agg AS (SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(max(med_x2) AS BIGINT) AS med_x2,
+                 CAST(max(mad_x4) AS BIGINT) AS mad_x4,
+                 CAST(sum(CASE WHEN 2 * d2 > 3 * mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                 FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type)
+         SELECT event_type, n_events, med_x2, mad_x4, n_outliers,
+                CAST((20000 * n_outliers + n_events) // (2 * n_events) AS BIGINT) AS outlier_1e4
+         FROM agg ORDER BY event_type""",
+
+    // audience-overlap Jaccard between event-type user sets (the exact
+    // answer q_hll_overlap's sketch approximates)
+    "q_behavior_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+                 FROM ut GROUP BY event_type),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   WHERE a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_both,
+                pa.n_users AS n_a, pb.n_users AS n_b,
+                CAST((20000 * p.n_both + (pa.n_users + pb.n_users - p.n_both))
+                     // (2 * (pa.n_users + pb.n_users - p.n_both)) AS BIGINT) AS jaccard_1e4
+         FROM pairs p
+         JOIN per pa ON pa.event_type = p.type_a
+         JOIN per pb ON pb.event_type = p.type_b
+         ORDER BY type_a, type_b""",
+
+    // daily new-vs-returning user split over the (user, day) active matrix
+    "q_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+         f AS (SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day FROM ud),
+         agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+                 FROM f GROUP BY day)
+         SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+                CAST((20000 * n_new + n_active) // (2 * n_active) AS BIGINT) AS new_share_1e4
+         FROM agg ORDER BY day""",
 
     // day-of-week traffic/value profile: dow 0 = Sunday in BOTH engines
     // (DuckDB dayofweek is already 0-based; Spark subtracts 1)

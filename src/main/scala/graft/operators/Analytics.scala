@@ -1533,4 +1533,101 @@ object Analytics {
         col("traffic_share_1e4"), col("value_share_1e4"))
       .orderBy(col("event_type"), col("dow"))
   }
+
+  /** MAD (median-absolute-deviation) robust outlier report per event
+    * type — the heavy-tail-safe sibling of the Tukey fences
+    * (valueOutliers): both quartiles AND the IQR inflate under
+    * contamination, while the MAD's 50% breakdown point survives it.
+    * Flag rule |x - median| > 3 * MAD, all in exact integers: medians are
+    * carried DOUBLED (med_x2 = percentile(2*cents, 0.5) is always
+    * integer — interpolating adjacent even integers lands on an integer;
+    * mad_x4 likewise), so the comparison 2*|2c - med_x2| > 3*mad_x4 is
+    * BIGINT-exact and the oracle (quantile_cont) agrees bit-for-bit —
+    * the same interpolation-parity argument as rfmSegments.
+    *
+    * 100 TB shape: two broadcast-threshold passes (median, then MAD of
+    * deviations) + one counting aggregate — thresholds are |types|-row
+    * frames, the corpus is never sorted globally. Exact `percentile`
+    * buffers per-group values on the agg task; at warehouse scale swap
+    * `approx_percentile` (same plan shape), exact kept for the oracle.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("CAST(percentile(2 * cents, CAST(0.5 AS DOUBLE)) AS BIGINT)").as("med_x2"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("d2", abs(expr("2 * cents - med_x2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(percentile(2 * d2, CAST(0.5 AS DOUBLE)) AS BIGINT)").as("mad_x4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med_x2")).as("med_x2"), // constant within the group
+        max(col("mad_x4")).as("mad_x4"),
+        sum(when(expr("2 * d2 > 3 * mad_x4"), lit(1L)).otherwise(lit(0L)))
+          .as("n_outliers"))
+      .withColumn("outlier_1e4", expr("(20000 * n_outliers + n_events) DIV (2 * n_events)"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Behavior-overlap matrix: Jaccard similarity of the USER SETS of
+    * every pair of event types ("do the people who share also purchase")
+    * — the audience-overlap readout behind funnel and recommendation
+    * design, and the exact twin of the HLL overlap sketch (hllOverlap):
+    * this is the precise answer the sketch approximates.
+    *
+    * 100 TB shape: one distinct on (user, type) — cardinality bounded by
+    * users x |types| — then a self-equi-join on user_id where each user
+    * contributes at most |types|² ≈ 49 pairs (never a cross join of
+    * events), collapsing immediately to the |types|²-row matrix; the
+    * per-type set sizes broadcast back onto it.
+    */
+  def behaviorOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val per = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val a = ut.toDF("user_id", "type_a")
+    val b = ut.toDF("user_id", "type_b")
+    a.join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(per.toDF("type_a", "n_a")), Seq("type_a"))
+      .join(broadcast(per.toDF("type_b", "n_b")), Seq("type_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_both"))
+      .withColumn("jaccard_1e4", expr("(20000 * n_both + n_union) DIV (2 * n_union)"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("jaccard_1e4"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** New-vs-returning daily split — the canonical web-analytics readout
+    * for a traffic warehouse (the reference's dashboard consumers read
+    * exactly this off BigQuery): per active day, how many distinct users
+    * were seen for the first time ever vs returning, with the half-up
+    * fixed-point new-user share.
+    *
+    * 100 TB shape: one distinct to (user, day) — the active-matrix
+    * cardinality, far below raw events — then a user-keyed window min
+    * for the first-seen day (O(1) state) and a hash aggregate to |days|
+    * rows. No events self-join, no per-day scans. The yyyy-MM-dd string
+    * orders lexicographically == chronologically, so min() needs no
+    * date round-trip.
+    */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    ud.withColumn("first_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), lit(1L)).otherwise(lit(0L)))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("new_share_1e4", expr("(20000 * n_new + n_active) DIV (2 * n_active)"))
+      .orderBy(col("day"))
+  }
 }

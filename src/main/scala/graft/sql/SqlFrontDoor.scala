@@ -1829,6 +1829,60 @@ object SqlFrontDoor {
                 (20000 * covered_us + span_us) DIV (2 * span_us) AS density_1e4
          FROM per_user ORDER BY user_id""",
 
+    // quantile_cont -> percentile; // -> DIV
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             FROM events),
+         med AS (SELECT event_type,
+                 CAST(percentile(2 * cents, CAST(0.5 AS DOUBLE)) AS BIGINT) AS med_x2
+                 FROM ev GROUP BY event_type),
+         dev AS (SELECT ev.event_type, cents, med_x2,
+                 abs(2 * cents - med_x2) AS d2
+                 FROM ev JOIN med USING (event_type)),
+         mad AS (SELECT event_type,
+                 CAST(percentile(2 * d2, CAST(0.5 AS DOUBLE)) AS BIGINT) AS mad_x4
+                 FROM dev GROUP BY event_type),
+         agg AS (SELECT dev.event_type, count(*) AS n_events,
+                 max(med_x2) AS med_x2,
+                 max(mad_x4) AS mad_x4,
+                 sum(CASE WHEN 2 * d2 > 3 * mad_x4 THEN 1L ELSE 0L END) AS n_outliers
+                 FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type)
+         SELECT event_type, n_events, med_x2, mad_x4, n_outliers,
+                (20000 * n_outliers + n_events) DIV (2 * n_events) AS outlier_1e4
+         FROM agg ORDER BY event_type""",
+
+    // // -> DIV; the join chain itself is shared syntax
+    "q_behavior_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         per AS (SELECT event_type, count(*) AS n_users
+                 FROM ut GROUP BY event_type),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_both
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   WHERE a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_both,
+                pa.n_users AS n_a, pb.n_users AS n_b,
+                (20000 * p.n_both + (pa.n_users + pb.n_users - p.n_both))
+                     DIV (2 * (pa.n_users + pb.n_users - p.n_both)) AS jaccard_1e4
+         FROM pairs p
+         JOIN per pa ON pa.event_type = p.type_a
+         JOIN per pb ON pb.event_type = p.type_b
+         ORDER BY type_a, type_b""",
+
+    // strftime -> date_format; // -> DIV
+    "q_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_format(ts, 'yyyy-MM-dd') AS day FROM events),
+         f AS (SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day FROM ud),
+         agg AS (SELECT day, count(*) AS n_active,
+                 sum(CASE WHEN day = first_day THEN 1L ELSE 0L END) AS n_new
+                 FROM f GROUP BY day)
+         SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+                (20000 * n_new + n_active) DIV (2 * n_active) AS new_share_1e4
+         FROM agg ORDER BY day""",
+
     // dayofweek: Spark is 1-based (Sun=1), DuckDB 0-based -> subtract 1
     "q_dow_profile" ->
       """WITH e AS (SELECT event_type, CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,

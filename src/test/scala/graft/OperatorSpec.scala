@@ -1979,4 +1979,77 @@ class OperatorSpec extends SparkTestBase {
     assert(full.length == 1 && full.head.getAs[Long]("recall_1e4") == 10000L)
     assert(full.head.getAs[Long]("n_hits") == full.head.getAs[Long]("n_retrieved"))
   }
+
+  test("MAD outliers: integer thresholds, flags match a driver recompute") {
+    val out = Analytics.madOutliers(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.sources.Tables.events(spark, Sf).count())
+    // recompute one group brute-force on the driver
+    val g = out.head.getAs[String]("event_type")
+    val cents = graft.sources.Tables.events(spark, Sf)
+      .filter(col("event_type") === g)
+      .selectExpr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c")
+      .collect().map(_.getLong(0)).sorted
+    def med2(xs: Array[Long]): Long = { // 2x the interpolated median
+      val n = xs.length
+      if (n % 2 == 1) 2 * xs(n / 2) else xs(n / 2 - 1) + xs(n / 2)
+    }
+    val m2 = med2(cents)
+    assert(out.head.getAs[Long]("med_x2") == m2)
+    val d2 = cents.map(c => math.abs(2 * c - m2)).sorted
+    val m4 = med2(d2)
+    assert(out.head.getAs[Long]("mad_x4") == m4)
+    val nOut = cents.count(c => 2 * math.abs(2 * c - m2) > 3 * m4)
+    assert(out.head.getAs[Long]("n_outliers") == nOut)
+    // MAD flags a minority by construction (3 MADs > 50th percentile)
+    out.foreach(r => assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n_events")))
+  }
+
+  test("behavior overlap: jaccard bounds, symmetric pair coverage, exact spot-check") {
+    val out = Analytics.behaviorOverlap(spark, Sf).collect()
+    val types = graft.sources.Tables.events(spark, Sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    // every unordered pair appears exactly once, in sorted order
+    assert(out.length == types.length * (types.length - 1) / 2)
+    out.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      val (both, na, nb) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(both <= math.min(na, nb))
+      assert(r.getAs[Long]("jaccard_1e4") <= 10000L)
+    }
+    // exact recompute of one pair from the raw table
+    val r0 = out.head
+    val ut = graft.sources.Tables.events(spark, Sf)
+      .select("user_id", "event_type").distinct()
+    val sa = ut.filter(col("event_type") === r0.getAs[String]("type_a"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val sb = ut.filter(col("event_type") === r0.getAs[String]("type_b"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(r0.getAs[Long]("n_both") == (sa intersect sb).size.toLong)
+    assert(r0.getAs[Long]("n_a") == sa.size.toLong && r0.getAs[Long]("n_b") == sb.size.toLong)
+  }
+
+  test("new vs returning: day-one all new, user first-days count once, conservation") {
+    val out = Analytics.newVsReturning(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // the first active day has only new users
+    val first = out.head
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_active"))
+    assert(first.getAs[Long]("n_returning") == 0L)
+    // every user is new on exactly one day: sum(n_new) == distinct users
+    val users = graft.sources.Tables.events(spark, Sf)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_new")).sum == users)
+    // active = new + returning, shares bounded
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+      assert(r.getAs[Long]("new_share_1e4") <= 10000L)
+    }
+    // sum(n_active) == distinct (user, day) pairs
+    val ud = graft.sources.Tables.events(spark, Sf)
+      .selectExpr("user_id", "date_format(ts, 'yyyy-MM-dd') AS day").distinct().count()
+    assert(out.map(_.getAs[Long]("n_active")).sum == ud)
+  }
 }

@@ -353,4 +353,65 @@ object EventsStream {
           }
       }
   }
+
+  final case class UserDayFlag(user_id: Long, day: String, is_new: Boolean)
+  final case class FirstSeenState(firstDay: String, openDays: Seq[String])
+
+  /** Streaming new-vs-returning classification: one flag per (user,
+    * active day) — is_new marks the user's first-ever active day — the
+    * streaming feed behind [[graft.operators.Analytics.newVsReturning]]'s
+    * daily rollup (sum the flags by day and the batch readout falls out;
+    * StreamingSpec pins that equality on the fixture).
+    *
+    * State per user is the first-seen day plus the set of OPEN emitted
+    * days; a day is pruned once the watermark passes its end + the 1-hour
+    * allowance, because an event for it would then be dropped upstream
+    * anyway — so openDays is bounded by the watermark horizon (≤ 2 days
+    * here), never the user's lifetime. The firstDay scalar itself must
+    * live forever (a user returning after a year is returning, not new):
+    * first-seen-ever is inherently per-user state — bytes per user; the
+    * documented approximate alternative at extreme cardinality is a
+    * Bloom filter of seen users (false positives = new users misread as
+    * returning, at the sketch's rate).
+    *
+    * NoTimeout: eviction would FORGET users and re-mark them new. The
+    * within-batch sort makes replay deterministic; emitted (user, day)
+    * flags are append-once because openDays dedups within the horizon.
+    */
+  def newVsReturning(events: Dataset[Event]): Dataset[UserDayFlag] = {
+    import events.sparkSession.implicits._
+    val dayFmt = "yyyy-MM-dd"
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def dayOf(t: Timestamp): String =
+      java.time.format.DateTimeFormatter.ofPattern(dayFmt)
+        .withZone(java.time.ZoneOffset.UTC).format(t.toInstant)
+    def dayEndMs(d: String): Long =
+      java.time.LocalDate.parse(d).plusDays(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstSeenState, UserDayFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FirstSeenState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FirstSeenState("", Nil))
+          val out = scala.collection.mutable.ArrayBuffer[UserDayFlag]()
+          sorted.foreach { e =>
+            val d = dayOf(e.ts)
+            if (st.firstDay.isEmpty) st = st.copy(firstDay = d)
+            if (!st.openDays.contains(d)) {
+              out += UserDayFlag(user, d, d == st.firstDay)
+              st = st.copy(openDays = st.openDays :+ d)
+            }
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          if (wmMs > 0)
+            st = st.copy(openDays =
+              st.openDays.filter(d => dayEndMs(d) + 3600000L >= wmMs))
+          state.update(st)
+          out.iterator
+      }
+  }
 }

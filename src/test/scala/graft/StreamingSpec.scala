@@ -139,6 +139,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming new-vs-returning: first day flags new, later days returning, no re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.newVsReturning(input.toDS())
+      .writeStream.format("memory").queryName("nvr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        Event(2, ts("2024-01-01 11:00:00"), 1, "click", 0.0)) // same day: one flag
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts("2024-01-02 10:00:00"), 1, "view", 0.0),  // next day: returning
+        Event(4, ts("2024-01-02 10:30:00"), 2, "view", 0.0))  // user 2: new
+      q.processAllAvailable()
+      val got = spark.table("nvr").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(got === Set(
+        (1L, "2024-01-01", true),
+        (1L, "2024-01-02", false),
+        (2L, "2024-01-02", true)))
+    } finally q.stop()
+  }
+
+  test("streaming new-vs-returning on the fixture equals the batch daily split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.newVsReturning(input.toDS())
+      .writeStream.format("memory").queryName("nvr_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("nvr_parity").collect()
+        .map(r => (r.getString(1), r.getBoolean(2)))
+        .groupBy(_._1)
+        .view.mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toMap
+      val expected = graft.operators.Analytics.newVsReturning(spark, Sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expected)
+      assert(expected.values.map(_._2).sum > 0)
+    } finally q.stop()
+  }
+
   test("streaming throttle: greedy chain carries across batches, matches batch recompute") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

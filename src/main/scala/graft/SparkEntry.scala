@@ -123,6 +123,13 @@ object SparkEntry {
     }),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
+    "q_chi2_source_lang" -> (Quality.chi2SourceLang(_, _)),
+    "q_market_basket" ->
+      (Mining.marketBasket(_, _, Basket.maxItems, Basket.topK)),
+    "q_pareto_frontier" ->
+      (Mining.paretoFrontier(_, _, Basket.paretoBandCents)),
+    "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
+    "q_token_log2_hist" -> (TextAnalysis.tokenLog2Histogram(_, _)),
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_bigram_lm_score" ->
@@ -447,6 +454,18 @@ object SparkEntry {
     */
   private[graft] object ApproxPct {
     val accuracy = 1000
+  }
+
+  /** Market-basket / skyline parameters shared by operator, oracle, and
+    * spec. maxItems = 8 comfortably clears every TPC-H-style order (<= 7
+    * lineitems) while making the whale-basket guard a real, exercised
+    * code path; the Pareto band is $50 of price per bucket so every SF
+    * produces a multi-bucket frontier.
+    */
+  private[graft] object Basket {
+    val maxItems = 8
+    val topK = 25
+    val paretoBandCents = 5000L
   }
 
   /** Sketch parameters shared by operators, twins, and specs. The oracles
@@ -1613,6 +1632,92 @@ object SparkEntry {
                   AS checksum_match
          FROM a LEFT JOIN b ON a.bucket = b.bucket
          ORDER BY a.bucket""",
+
+    // chi-squared source x lang drift audit: exact-integer fixed point,
+    // identical truncated division on both engines
+    "q_chi2_source_lang" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+                        FROM documents GROUP BY source, lang),
+         rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS row_tot
+                FROM cells GROUP BY source),
+         ct AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS col_tot
+                FROM cells GROUP BY lang),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         e AS (SELECT c.source, c.lang, c.obs, rt.row_tot, ct.col_tot,
+                      (rt.row_tot * ct.col_tot * 10000) // t.n AS expected_1e4
+               FROM cells c JOIN rt USING (source) JOIN ct USING (lang)
+               CROSS JOIN t)
+         SELECT source, lang, obs, row_tot, col_tot, expected_1e4,
+                (abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
+                // (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
+         FROM e ORDER BY source, lang""",
+
+    // market-basket pair mining: distinct incidence, whale-basket guard,
+    // then the pair self-join — identical semantics to the operator
+    "q_market_basket" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS (SELECT basket FROM inc GROUP BY basket HAVING count(*) <= 8),
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok USING (basket)),
+         pairs AS (SELECT a.item AS part_a, b.item AS part_b,
+                          CAST(count(*) AS BIGINT) AS n_orders
+                   FROM kept a JOIN kept b
+                     ON a.basket = b.basket AND a.item < b.item
+                   GROUP BY 1, 2)
+         SELECT part_a, part_b, n_orders FROM pairs
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 25""",
+
+    // 2D Pareto frontier: the NOT EXISTS dominance definition IS the
+    // spec; the operator's bucketed two-level plan must reproduce it
+    "q_pareto_frontier" ->
+      """WITH pts AS (SELECT p_partkey,
+                CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                CAST(p_size AS BIGINT) AS p_size FROM part)
+         SELECT p_partkey, price_cents, p_size FROM pts p
+         WHERE NOT EXISTS (SELECT 1 FROM pts q
+                WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+                  AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+         ORDER BY price_cents, p_partkey""",
+
+    // month-over-month revenue momentum; // and DIV both truncate toward
+    // zero on BIGINT, deltas may be negative, first month NULLs through
+    "q_mom_revenue" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS rev_cents
+           FROM orders GROUP BY 1),
+         l AS (SELECT month, rev_cents,
+                      lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+               FROM m)
+         SELECT month, rev_cents, prev_cents,
+                rev_cents - prev_cents AS delta_cents,
+                ((rev_cents - prev_cents) * 10000) // prev_cents AS pct_1e4
+         FROM l ORDER BY month""",
+
+    // power-of-two token-length histogram: bit-length bucket (bin() in
+    // both engines), windowed cumulative fixed-point shares
+    "q_token_log2_hist" ->
+      s"""WITH d AS (SELECT CAST(len($Toks) AS BIGINT) AS nt FROM documents),
+         b AS (SELECT CASE WHEN nt = 0 THEN CAST(-1 AS BIGINT)
+                           ELSE CAST(length(bin(nt)) - 1 AS BIGINT) END AS bucket,
+                      nt FROM d),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(nt) AS BIGINT) AS n_tokens
+               FROM b GROUP BY bucket),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+                      CAST(coalesce(sum(nt), 0) AS BIGINT) AS tot_tokens FROM d)
+         SELECT bucket,
+                CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) << bucket END AS lo,
+                n_docs, n_tokens,
+                (CAST(sum(n_docs) OVER w AS BIGINT) * 10000) // tot_docs
+                  AS cum_docs_1e4,
+                (CAST(sum(n_tokens) OVER w AS BIGINT) * 10000)
+                  // greatest(tot_tokens, 1) AS cum_tokens_1e4
+         FROM g CROSS JOIN t
+         WINDOW w AS (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bucket""",
 
     // column profile over orders: per-type EXACT min/max encodings
     // (ints/strings verbatim, money as half-up cents, timestamps as

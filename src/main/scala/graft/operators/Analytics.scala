@@ -1630,4 +1630,32 @@ object Analytics {
       .withColumn("new_share_1e4", expr("(20000 * n_new + n_active) DIV (2 * n_active)"))
       .orderBy(col("day"))
   }
+
+  /** Month-over-month revenue momentum: monthly order revenue in exact
+    * half-up cents, the absolute delta vs the prior month, and the
+    * percentage change in fixed-point 1e-4 units (truncated toward zero —
+    * Spark DIV and DuckDB `//` on BIGINT agree, and deltas CAN be
+    * negative here, unlike the all-positive EWMA path). First month emits
+    * NULL delta/pct, as a reporting surface should.
+    *
+    * Shape: the heavy part is one map-side-combined aggregate keyed on
+    * month; the lag window then runs over one row per month — a
+    * catalog-sized single-partition frame regardless of fact volume
+    * (100 TB of orders still yields tens of rows per decade). This is the
+    * standard "aggregate first, window over the aggregate" shape that
+    * keeps ordered analytics off the fact table.
+    */
+  def momRevenue(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.spread(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(expr(
+        "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("rev_cents"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("pct_1e4", expr("(delta_cents * 10000) DIV prev_cents"))
+      .orderBy(col("month"))
+  }
 }

@@ -157,4 +157,48 @@ object Quality {
           col("x_src") === col("x_dst")).cast("int").as("checksum_match"))
       .orderBy(col("bucket"))
   }
+
+  /** Chi-squared independence audit between two categorical columns —
+    * here corpus `source` x `lang` over documents: is language
+    * distribution independent of which feed a document came from? The
+    * curation reading: a cell with a large contribution is a feed whose
+    * language mix drifted from the corpus-wide mix (the standard
+    * ingest-drift alarm before any of it reaches training).
+    *
+    * Exact-integer fixed point so Spark, the oracle, and any future
+    * engine agree bit-for-bit:
+    *   expected_1e4 = (row_total * col_total * 10000) DIV n
+    *   chi2c_1e4    = absdiff_1e4^2 DIV (expected_1e4 * 10000)
+    * where absdiff_1e4 = |obs*10000 - expected_1e4|. Both engines
+    * truncate integer division toward zero, and every intermediate fits
+    * BIGINT for any corpus up to ~10^9 docs per marginal (absdiff^2 <=
+    * (10^9 * 10^4)^2 would overflow — the marginals here are per
+    * source/lang, bounded far below that; documented contract).
+    *
+    * One pass shape: cell counts via a single map-side-combined
+    * aggregate; marginals are two tiny rollups of the CELL table (never a
+    * second scan of the facts), broadcast back. Only observed cells are
+    * emitted (zero cells carry no contribution under this fixed-point
+    * form and keep the output catalog-sized).
+    */
+  def chi2SourceLang(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.spread(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+    val bySource = cells.groupBy(col("source")).agg(sum(col("obs")).as("row_tot"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("obs")).as("col_tot"))
+    val total = cells.agg(sum(col("obs")).as("n"))
+    cells
+      .join(broadcast(bySource), Seq("source"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("expected_1e4",
+        expr("(row_tot * col_tot * 10000) DIV n"))
+      .withColumn("chi2c_1e4",
+        expr("""(abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
+                DIV (greatest(expected_1e4, 1) * 10000)"""))
+      .select(col("source"), col("lang"), col("obs"), col("row_tot"),
+        col("col_tot"), col("expected_1e4"), col("chi2c_1e4"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

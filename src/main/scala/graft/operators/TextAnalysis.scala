@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -844,5 +845,49 @@ object TextAnalysis {
       .filter(col("cnt") * lit(k.toLong) > col("n"))
       .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** Power-of-two document-length histogram — the packing planner's input:
+    * how many docs (and how much token mass) sit in each
+    * [2^b, 2^(b+1)) token-count bucket, with a running cumulative share.
+    * Sequence packing, chunking, and truncation policies are all tuned off
+    * exactly this table (what fraction of the corpus fits a 2^k context
+    * untouched?).
+    *
+    * Exact-integer throughout: the bucket is floor(log2(n_tokens)) taken
+    * as `length(bin(n)) - 1` — bit-length, not floating log2, so a
+    * boundary count like 4096 can never land one bucket off to FP noise
+    * (Spark `bin` == DuckDB `bin`, both minimal binary strings). Zero-token
+    * docs get bucket -1 (their own row, lo = 0).
+    *
+    * Shape: one map-side-combined aggregate over docs, then a prefix
+    * window across the ~60 possible buckets — catalog-sized by
+    * construction (token counts are < 2^63), so the single-partition
+    * window is free. Cumulative shares are fixed-point DIV: both engines
+    * truncate toward zero.
+    */
+  def tokenLog2Histogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .select(size(expr(TokensExpr)).cast("long").as("nt"))
+      .withColumn("bucket",
+        expr("CASE WHEN nt = 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(length(bin(nt)) - 1 AS BIGINT) END"))
+    val byBucket = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("lo", expr("CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) END"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("tot_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("tot_tokens"))))
+      .withColumn("cum_docs_1e4", expr("(cum_docs * 10000) DIV tot_docs"))
+      .withColumn("cum_tokens_1e4",
+        expr("(cum_tokens * 10000) DIV greatest(tot_tokens, 1)"))
+      .select(col("bucket"), col("lo"), col("n_docs"), col("n_tokens"),
+        col("cum_docs_1e4"), col("cum_tokens_1e4"))
+      .orderBy(col("bucket"))
   }
 }

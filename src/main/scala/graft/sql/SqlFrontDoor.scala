@@ -2482,7 +2482,64 @@ object SqlFrontDoor {
                 CAST((20000 * (max_supp - min_supp) + greatest(mxs - mns, 1))
                      DIV (2 * greatest(mxs - mns, 1)) AS BIGINT) AS supp_span_1e4
          FROM cells ORDER BY z_cell"""
-    }
+    },
+
+    // oracle's // -> DIV; otherwise structurally identical
+    "q_chi2_source_lang" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+                        FROM documents GROUP BY source, lang),
+         rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS row_tot
+                FROM cells GROUP BY source),
+         ct AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS col_tot
+                FROM cells GROUP BY lang),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         e AS (SELECT c.source, c.lang, c.obs, rt.row_tot, ct.col_tot,
+                      (rt.row_tot * ct.col_tot * 10000) DIV t.n AS expected_1e4
+               FROM cells c JOIN rt USING (source) JOIN ct USING (lang)
+               CROSS JOIN t)
+         SELECT source, lang, obs, row_tot, col_tot, expected_1e4,
+                (abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
+                DIV (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
+         FROM e ORDER BY source, lang""",
+
+    // oracle's strftime -> date_format, // -> DIV
+    "q_mom_revenue" ->
+      """WITH m AS (SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS rev_cents
+           FROM orders GROUP BY 1),
+         l AS (SELECT month, rev_cents,
+                      lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+               FROM m)
+         SELECT month, rev_cents, prev_cents,
+                rev_cents - prev_cents AS delta_cents,
+                ((rev_cents - prev_cents) * 10000) DIV prev_cents AS pct_1e4
+         FROM l ORDER BY month""",
+
+    // oracle's len -> size, << -> shiftleft, // -> DIV; bin() exists in
+    // both dialects (bit-length bucket, no floating log2)
+    "q_token_log2_hist" ->
+      s"""WITH d AS (SELECT CAST(size($toksSql) AS BIGINT) AS nt FROM documents),
+         b AS (SELECT CASE WHEN nt = 0 THEN CAST(-1 AS BIGINT)
+                           ELSE CAST(length(bin(nt)) - 1 AS BIGINT) END AS bucket,
+                      nt FROM d),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(nt) AS BIGINT) AS n_tokens
+               FROM b GROUP BY bucket),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+                      CAST(coalesce(sum(nt), 0) AS BIGINT) AS tot_tokens FROM d)
+         SELECT bucket,
+                CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+                     ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) END AS lo,
+                n_docs, n_tokens,
+                (CAST(sum(n_docs) OVER w AS BIGINT) * 10000) DIV tot_docs
+                  AS cum_docs_1e4,
+                (CAST(sum(n_tokens) OVER w AS BIGINT) * 10000)
+                  DIV greatest(tot_tokens, 1) AS cum_tokens_1e4
+         FROM g CROSS JOIN t
+         WINDOW w AS (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bucket"""
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch
@@ -2514,7 +2571,8 @@ object SqlFrontDoor {
     "q_scalar_subquery_big_orders", "q_semi_join_urgent_customers",
     "q_setops_all_nationkeys", "q_setops_nations", "q_topk_orders",
     "q_unpivot_order_status", "q_window_first_last",
-    "q_window_rank_family", "q_window_top_customers")
+    "q_window_rank_family", "q_window_top_customers",
+    "q_market_basket", "q_pareto_frontier")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

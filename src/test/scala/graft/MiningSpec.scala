@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Mining, Quality, TextAnalysis}
+import graft.sources.Tables
+
+/** Invariants for the mining / audit family beyond the oracle equality the
+  * driver checks: brute-force cross-checks at sf0.001 (where O(n^2) in a
+  * test is fine) and structural invariants the fixed-point arithmetic must
+  * respect.
+  */
+class MiningSpec extends SparkTestBase {
+
+  test("market basket matches the in-memory brute force") {
+    val got = Mining.marketBasket(spark, Sf, maxItems = 8, topK = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force over the collected incidence list
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byBasket = inc.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      .filter(_._2.size <= 8)
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+    byBasket.foreach { case (_, items) =>
+      for (i <- items.indices; j <- (i + 1) until items.size)
+        counts((items(i), items(j))) = counts.getOrElse((items(i), items(j)), 0L) + 1
+    }
+    val want = counts.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(25)
+    assert(got == want)
+  }
+
+  test("market basket pairs are ordered and positive") {
+    val rows = Mining.marketBasket(spark, Sf, maxItems = 8, topK = 25).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair must be canonical part_a < part_b")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("pareto frontier equals the O(n^2) dominance definition") {
+    val pts = Tables.load(spark, Sf, "part")
+      .select(col("p_partkey"),
+        expr("CAST(floor(p_retailprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pts.filter { case (_, pc, sz) =>
+      !pts.exists { case (_, qc, qs) =>
+        qc <= pc && qs >= sz && (qc < pc || qs > sz)
+      }
+    }.map { case (k, pc, sz) => (k, pc, sz) }.sortBy(t => (t._2, t._1)).toSeq
+    val got = Mining.paretoFrontier(spark, Sf, bandWidth = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("pareto frontier is antichain under dominance") {
+    val f = Mining.paretoFrontier(spark, Sf, bandWidth = 5000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    for (a <- f; b <- f if a != b)
+      assert(!(a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)),
+        s"$a dominates $b inside the frontier")
+  }
+
+  test("pareto frontier is band-width invariant") {
+    val a = Mining.paretoFrontier(spark, Sf, bandWidth = 5000L).collect().toSeq
+    val b = Mining.paretoFrontier(spark, Sf, bandWidth = 137L).collect().toSeq
+    val c = Mining.paretoFrontier(spark, Sf, bandWidth = 1000000000L).collect().toSeq
+    assert(a == b && a == c)
+  }
+
+  test("chi2 audit marginals are consistent") {
+    val rows = Quality.chi2SourceLang(spark, Sf).collect()
+    val totalDocs = Tables.load(spark, Sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == totalDocs, "cell obs must sum to n")
+    // each source's cells sum to its row_tot, each lang's to its col_tot
+    rows.groupBy(_.getString(1)).foreach { case (_, cs) =>
+      assert(cs.map(_.getLong(2)).sum == cs.head.getLong(4))
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, cs) =>
+      assert(cs.map(_.getLong(2)).sum == cs.head.getLong(3))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(6) >= 0)
+    }
+  }
+
+  test("token log2 histogram partitions the corpus exactly") {
+    val rows = TextAnalysis.tokenLog2Histogram(spark, Sf).collect()
+    val nDocs = Tables.load(spark, Sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    // bucket bounds: lo = 2^bucket and every bucket's tokens fit [lo, 2*lo)
+    rows.filter(_.getLong(0) >= 0).foreach { r =>
+      val (bucket, lo) = (r.getLong(0), r.getLong(1))
+      assert(lo == (1L << bucket))
+      val nTokens = r.getLong(3)
+      val nDocsB = r.getLong(2)
+      assert(nTokens >= nDocsB * lo && nTokens < nDocsB * lo * 2,
+        s"bucket $bucket token mass outside [n*2^b, n*2^(b+1))")
+    }
+    // cumulative share is monotone and ends at exactly 10000
+    val cum = rows.sortBy(_.getLong(0)).map(_.getLong(4))
+    assert(cum.sameElements(cum.sorted))
+    assert(cum.last == 10000L)
+  }
+
+  test("mom revenue conserves total revenue and links deltas") {
+    val rows = Analytics.momRevenue(spark, Sf).collect()
+    assert(rows.length > 1, "fixture must span multiple months")
+    val total = Tables.load(spark, Sf, "orders")
+      .agg(sum(expr(
+        "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3) && rows.head.isNullAt(4))
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(2) == prev.getLong(1), "prev_cents must chain")
+      assert(cur.getLong(3) == cur.getLong(1) - prev.getLong(1))
+    }
+  }
+}

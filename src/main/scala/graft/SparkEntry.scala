@@ -128,6 +128,10 @@ object SparkEntry {
       (Mining.marketBasket(_, _, Basket.maxItems, Basket.topK)),
     "q_pareto_frontier" ->
       (Mining.paretoFrontier(_, _, Basket.paretoBandCents)),
+    "q_pagerank_copurchase" ->
+      (Mining.pagerankCopurchase(_, _, Basket.maxItems, Basket.pagerankIters)),
+    "q_join_size_estimate" ->
+      (Quality.joinSizeEstimate(_, _, Basket.joinEstBuckets)),
     "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
     "q_token_log2_hist" -> (TextAnalysis.tokenLog2Histogram(_, _)),
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
@@ -466,6 +470,8 @@ object SparkEntry {
     val maxItems = 8
     val topK = 25
     val paretoBandCents = 5000L
+    val pagerankIters = 10
+    val joinEstBuckets = 32
   }
 
   /** Sketch parameters shared by operators, twins, and specs. The oracles
@@ -1717,6 +1723,43 @@ object SparkEntry {
          FROM g CROSS JOIN t
          WINDOW w AS (ORDER BY bucket
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bucket""",
+
+    // weighted PageRank over the co-purchase graph: the ten iterations
+    // unrolled as chained CTEs, generated from the same template as the
+    // Spark twin (// vs DIV is the only difference)
+    "q_pagerank_copurchase" ->
+      operators.Mining.pagerankSql("//", Basket.maxItems, Basket.pagerankIters),
+
+    // bucketed-histogram join-size estimator next to the exact per-bucket
+    // join count; est >= exact is a mathematical guarantee the oracle pins
+    "q_join_size_estimate" ->
+      """WITH l AS (SELECT o_orderkey % 32 AS bucket, o_orderkey AS key
+                    FROM orders),
+         r AS (SELECT l_orderkey % 32 AS bucket, l_orderkey AS key
+               FROM lineitem),
+         nl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_left
+                FROM l GROUP BY bucket),
+         nr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_right
+                FROM r GROUP BY bucket),
+         lk AS (SELECT bucket, key, CAST(count(*) AS BIGINT) AS cl
+                FROM l GROUP BY 1, 2),
+         rk AS (SELECT bucket, key, CAST(count(*) AS BIGINT) AS cr
+                FROM r GROUP BY 1, 2),
+         ex AS (SELECT lk.bucket, CAST(sum(cl * cr) AS BIGINT) AS exact_rows
+                FROM lk JOIN rk ON lk.bucket = rk.bucket AND lk.key = rk.key
+                GROUP BY 1)
+         SELECT bucket,
+                coalesce(n_left, CAST(0 AS BIGINT)) AS n_left,
+                coalesce(n_right, CAST(0 AS BIGINT)) AS n_right,
+                coalesce(n_left, CAST(0 AS BIGINT))
+                  * coalesce(n_right, CAST(0 AS BIGINT)) AS est_rows,
+                coalesce(exact_rows, CAST(0 AS BIGINT)) AS exact_rows,
+                CAST(CASE WHEN coalesce(n_left, CAST(0 AS BIGINT))
+                               * coalesce(n_right, CAST(0 AS BIGINT))
+                               >= coalesce(exact_rows, CAST(0 AS BIGINT))
+                          THEN 1 ELSE 0 END AS INT) AS est_ge_exact
+         FROM nl FULL JOIN nr USING (bucket) LEFT JOIN ex USING (bucket)
          ORDER BY bucket""",
 
     // column profile over orders: per-type EXACT min/max encodings

@@ -127,4 +127,111 @@ object Mining {
       .select(col("p_partkey"), col("price_cents"), col("size").as("p_size"))
       .orderBy(col("price_cents"), col("p_partkey"))
   }
+
+  /** Directed co-purchase edges with weights: (src, dst, w) where w is the
+    * number of (whale-guarded) baskets containing both parts; both
+    * directions emitted, so every node has out-degree >= 1 and the random
+    * walk has no dangling mass. Shared by [[pagerankCopurchase]] and its
+    * SQL surfaces.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String,
+                              maxItems: Int): DataFrame = {
+    val incidence = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val sized = incidence.groupBy(col("basket"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxItems)
+      .select("basket")
+    val kept = incidence.join(sized, Seq("basket"))
+    kept.as("a").join(kept.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over the co-purchase graph — the "which items
+    * anchor the catalog" / "which documents anchor the link graph"
+    * primitive, as a genuinely iterative distributed dataflow (the same
+    * join-aggregate-per-round shape as the dup-cluster label propagation,
+    * but with numeric diffusion instead of min-label gossip).
+    *
+    * Exact-integer fixed point so ten iterations are bit-reproducible on
+    * any engine and any partitioning: ranks live in 1e-9 units,
+    * per-edge contributions are `(rank * w) DIV wout`, damping is
+    * `base + (85 * sum) DIV 100` with base = 150000000 DIV N. Total mass
+    * leaks a few units per round to the floors — deterministic leakage,
+    * not drift.
+    *
+    * 100 TB shape: each round is ONE equi-join (edges x ranks on src,
+    * broadcast when rank fits, shuffled hash otherwise — AQE decides) +
+    * one map-side-combined aggregate on dst. Edge weights and out-degree
+    * totals are computed once and cached; ranks are localCheckpointed per
+    * round so the 10-round plan never accumulates lineage. Rounds are
+    * fixed (10), not convergence-polled — no driver-side collect in the
+    * loop.
+    */
+  def pagerankCopurchase(s: SparkSession, dir: String,
+                         maxItems: Int, iters: Int): DataFrame = {
+    val raw = copurchaseEdges(s, dir, maxItems)
+    val edges = raw
+      .join(raw.groupBy(col("src")).agg(sum(col("w")).as("wsum")), Seq("src"))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("pr", lit(1000000000L / n))
+    val base = 150000000L / n
+    (1 to iters).foreach { _ =>
+      ranks = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("(pr * w) DIV wsum").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr("(85 * sum(contrib)) DIV 100")).as("pr"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint(true)
+    }
+    val out = ranks
+      .select(col("node").as("p_partkey"), col("pr").as("rank_1e9"))
+      .orderBy(col("rank_1e9").desc, col("p_partkey"))
+    edges.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** The PageRank computation as one SQL statement with the iteration
+    * unrolled (10 chained CTEs) — the oracle (`div` = "//") and the Spark
+    * front-door twin (`div` = "DIV") are the same text modulo the integer
+    * division spelling, so the three surfaces can never drift.
+    */
+  private[graft] def pagerankSql(div: String, maxItems: Int,
+                                 iters: Int): String = {
+    val header =
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS (SELECT basket FROM inc GROUP BY basket
+                HAVING count(*) <= $maxItems),
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok USING (basket)),
+         e AS (SELECT a.item AS src, b.item AS dst,
+                      CAST(count(*) AS BIGINT) AS w
+               FROM kept a JOIN kept b
+                 ON a.basket = b.basket AND a.item <> b.item
+               GROUP BY 1, 2),
+         wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+                  FROM e GROUP BY src),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         it0 AS (SELECT node, 1000000000 $div n AS pr
+                 FROM nodes CROSS JOIN nn)"""
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (SELECT e.dst AS node,
+               (150000000 $div t.n)
+               + (85 * sum((r.pr * e.w) $div w2.wsum)) $div 100 AS pr
+             FROM e JOIN it${i - 1} r ON e.src = r.node
+             JOIN wout w2 ON e.src = w2.src CROSS JOIN nn t
+             GROUP BY e.dst, t.n)"""
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         SELECT node AS p_partkey, pr AS rank_1e9 FROM it$iters
+         ORDER BY rank_1e9 DESC, p_partkey"""
+  }
 }

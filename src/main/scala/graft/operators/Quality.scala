@@ -201,4 +201,50 @@ object Quality {
         col("col_tot"), col("expected_1e4"), col("chi2c_1e4"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** Join-cardinality estimation by bucketed key histograms (the AGMS /
+    * sketched-inner-product idea with a deterministic bucket function):
+    * BEFORE paying for `orders JOIN lineitem`, each side collapses to B
+    * per-bucket row counts (one map-side-combined aggregate each — B rows
+    * per side total), and `est = Σ_b n_left[b]·n_right[b]` upper-bounds
+    * the true join size (per bucket, Σ_k nl(k)·nr(k) <= (Σnl)(Σnr) —
+    * cross-key products are the only overcount). At 100 TB this is THE
+    * pre-flight check that tells you the shuffle volume — and which
+    * bucket holds the hot keys — for two aggregate passes instead of an
+    * exploratory join.
+    *
+    * The demo emits the per-bucket estimate NEXT TO the exact per-bucket
+    * join count (so the oracle pins both the estimator's math and its
+    * upper-bound guarantee as an always-1 flag); production use computes
+    * only the estimate side. Bucket = key mod B — deterministic and
+    * identical across engines (a real deployment can swap any hash).
+    */
+  def joinSizeEstimate(s: SparkSession, dir: String, buckets: Int): DataFrame = {
+    val b = buckets.toLong
+    val left = Tables.spread(s, dir, "orders")
+      .select(pmod(col("o_orderkey"), lit(b)).as("bucket"),
+        col("o_orderkey").as("key"))
+    val right = Tables.spread(s, dir, "lineitem")
+      .select(pmod(col("l_orderkey"), lit(b)).as("bucket"),
+        col("l_orderkey").as("key"))
+    val nl = left.groupBy(col("bucket")).agg(count(lit(1)).as("n_left"))
+    val nr = right.groupBy(col("bucket")).agg(count(lit(1)).as("n_right"))
+    // exact side (audit only): per-key counts then the product-sum per bucket
+    val lk = left.groupBy(col("bucket"), col("key")).agg(count(lit(1)).as("cl"))
+    val rk = right.groupBy(col("bucket"), col("key")).agg(count(lit(1)).as("cr"))
+    val exact = lk.join(rk, Seq("bucket", "key"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cl") * col("cr")).as("exact_rows"))
+    nl.join(nr, Seq("bucket"), "full")
+      .join(exact, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        (coalesce(col("n_left"), lit(0L)) * coalesce(col("n_right"), lit(0L)))
+          .as("est_rows"),
+        coalesce(col("exact_rows"), lit(0L)).as("exact_rows"))
+      .withColumn("est_ge_exact",
+        (col("est_rows") >= col("exact_rows")).cast("int"))
+      .orderBy(col("bucket"))
+  }
 }

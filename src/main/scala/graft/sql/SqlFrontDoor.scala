@@ -2539,7 +2539,12 @@ object SqlFrontDoor {
          FROM g CROSS JOIN t
          WINDOW w AS (ORDER BY bucket
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         ORDER BY bucket"""
+         ORDER BY bucket""",
+
+    // same generated text as the oracle with DIV for //
+    "q_pagerank_copurchase" ->
+      graft.operators.Mining.pagerankSql("DIV",
+        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.pagerankIters)
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch
@@ -2572,7 +2577,7 @@ object SqlFrontDoor {
     "q_setops_all_nationkeys", "q_setops_nations", "q_topk_orders",
     "q_unpivot_order_status", "q_window_first_last",
     "q_window_rank_family", "q_window_top_customers",
-    "q_market_basket", "q_pareto_frontier")
+    "q_market_basket", "q_pareto_frontier", "q_join_size_estimate")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -106,6 +106,59 @@ class MiningSpec extends SparkTestBase {
     assert(cum.last == 10000L)
   }
 
+  test("pagerank matches the in-memory integer power iteration") {
+    val got = Mining.pagerankCopurchase(spark, Sf, maxItems = 8, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute force with the identical integer fixed-point arithmetic
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = inc.groupBy(_._1).view.mapValues(_.map(_._2)).filter(_._2.size <= 8)
+    val w = scala.collection.mutable.Map[(Long, Long), Long]()
+    baskets.foreach { case (_, items) =>
+      for (a <- items; b <- items if a != b)
+        w((a, b)) = w.getOrElse((a, b), 0L) + 1
+    }
+    val nodes = w.keys.map(_._1).toSet
+    val n = nodes.size.toLong
+    val wout = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var pr = nodes.map(v => v -> 1000000000L / n).toMap
+    val base = 150000000L / n
+    (1 to 10).foreach { _ =>
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      w.foreach { case ((u, v), wt) => in(v) += (pr(u) * wt) / wout(u) }
+      pr = nodes.map(v => v -> (base + (85L * in(v)) / 100L)).toMap
+    }
+    val want = pr.toSeq.map { case (v, r) => (v, r) }
+      .sortBy { case (v, r) => (-r, v) }
+    assert(got == want)
+  }
+
+  test("pagerank mass stays near 1e9 and every node survives") {
+    val rows = Mining.pagerankCopurchase(spark, Sf, maxItems = 8, iters = 10)
+      .collect()
+    val mass = rows.map(_.getLong(1)).sum
+    // floors only ever LEAK mass; ten rounds over this graph must stay
+    // within a few thousand 1e-9 units of the full walk mass
+    assert(mass <= 1000000000L && mass > 990000000L, s"mass=$mass")
+    assert(rows.map(_.getLong(1)).forall(_ > 0))
+  }
+
+  test("join size estimate upper-bounds and localizes the exact join") {
+    val rows = Quality.joinSizeEstimate(spark, Sf, buckets = 32).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(4), "est must upper-bound exact")
+      assert(r.getInt(5) == 1)
+    }
+    val exactTotal = rows.map(_.getLong(4)).sum
+    val trueJoin = Tables.load(spark, Sf, "orders").select(col("o_orderkey"))
+      .join(Tables.load(spark, Sf, "lineitem").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(exactTotal == trueJoin, "bucketed exact counts must sum to the true join size")
+  }
+
   test("mom revenue conserves total revenue and links deltas") {
     val rows = Analytics.momRevenue(spark, Sf).collect()
     assert(rows.length > 1, "fixture must span multiple months")

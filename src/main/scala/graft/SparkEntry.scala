@@ -124,6 +124,7 @@ object SparkEntry {
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
     "q_chi2_source_lang" -> (Quality.chi2SourceLang(_, _)),
+    "q_type_drift_hourly" -> (Quality.typeDriftHourly(_, _)),
     "q_market_basket" ->
       (Mining.marketBasket(_, _, Basket.maxItems, Basket.topK)),
     "q_pareto_frontier" ->
@@ -1657,6 +1658,25 @@ object SparkEntry {
                 (abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
                 // (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
          FROM e ORDER BY source, lang""",
+
+    // hour x type drift: the chi2 audit with time as the row axis
+    "q_type_drift_hourly" ->
+      """WITH cells AS (SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
+                               event_type, CAST(count(*) AS BIGINT) AS obs
+                        FROM events GROUP BY 1, 2),
+         rt AS (SELECT hour, CAST(sum(obs) AS BIGINT) AS row_tot
+                FROM cells GROUP BY hour),
+         ct AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS col_tot
+                FROM cells GROUP BY event_type),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         e AS (SELECT c.hour, c.event_type, c.obs, rt.row_tot, ct.col_tot,
+                      (rt.row_tot * ct.col_tot * 10000) // t.n AS expected_1e4
+               FROM cells c JOIN rt USING (hour) JOIN ct USING (event_type)
+               CROSS JOIN t)
+         SELECT hour, event_type, obs, row_tot, col_tot, expected_1e4,
+                (abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
+                // (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
+         FROM e ORDER BY hour, event_type""",
 
     // market-basket pair mining: distinct incidence, whale-basket guard,
     // then the pair self-join — identical semantics to the operator

@@ -181,25 +181,55 @@ object Quality {
     * emitted (zero cells carry no contribution under this fixed-point
     * form and keep the output catalog-sized).
     */
-  def chi2SourceLang(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.spread(s, dir, "documents")
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("obs"))
-    val bySource = cells.groupBy(col("source")).agg(sum(col("obs")).as("row_tot"))
-    val byLang = cells.groupBy(col("lang")).agg(sum(col("obs")).as("col_tot"))
+  /** Shared chi2 core: given observed-cell counts (rowCol, colCol, obs),
+    * attach marginals (rollups of the catalog-sized CELL table, broadcast
+    * back — the facts are never re-scanned) and the exact-integer
+    * fixed-point expected count and contribution. Truncated integer
+    * division on both engines makes the math bit-portable.
+    */
+  private[graft] def chi2Of(cells: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    val byRow = cells.groupBy(col(rowCol)).agg(sum(col("obs")).as("row_tot"))
+    val byCol = cells.groupBy(col(colCol)).agg(sum(col("obs")).as("col_tot"))
     val total = cells.agg(sum(col("obs")).as("n"))
     cells
-      .join(broadcast(bySource), Seq("source"))
-      .join(broadcast(byLang), Seq("lang"))
+      .join(broadcast(byRow), Seq(rowCol))
+      .join(broadcast(byCol), Seq(colCol))
       .crossJoin(broadcast(total))
       .withColumn("expected_1e4",
         expr("(row_tot * col_tot * 10000) DIV n"))
       .withColumn("chi2c_1e4",
         expr("""(abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
                 DIV (greatest(expected_1e4, 1) * 10000)"""))
+  }
+
+  def chi2SourceLang(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.spread(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("obs"))
+    chi2Of(cells, "source", "lang")
       .select(col("source"), col("lang"), col("obs"), col("row_tot"),
         col("col_tot"), col("expected_1e4"), col("chi2c_1e4"))
       .orderBy(col("source"), col("lang"))
+  }
+
+  /** The same audit with TIME as the row axis: per hour, is the event-type
+    * mix drifting from the feed's overall mix? A spiking `chi2c_1e4` cell
+    * names the hour AND the event type that moved — the monitoring
+    * readout an ingest pipeline alarms on. Streaming face:
+    * [[graft.streaming.EventsStream.typeDrift]] (same integer math per
+    * finalized window against a staged baseline; StreamingSpec pins
+    * batch == stream on the fixture).
+    */
+  def typeDriftHourly(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("obs"))
+    chi2Of(cells, "hour", "event_type")
+      .select(col("hour"), col("event_type"), col("obs"), col("row_tot"),
+        col("col_tot"), col("expected_1e4"), col("chi2c_1e4"))
+      .orderBy(col("hour"), col("event_type"))
   }
 
   /** Join-cardinality estimation by bucketed key histograms (the AGMS /

@@ -2541,6 +2541,25 @@ object SqlFrontDoor {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY bucket""",
 
+    // oracle's strftime -> date_format, // -> DIV
+    "q_type_drift_hourly" ->
+      """WITH cells AS (SELECT date_format(ts, 'yyyy-MM-dd HH:00') AS hour,
+                               event_type, CAST(count(*) AS BIGINT) AS obs
+                        FROM events GROUP BY 1, 2),
+         rt AS (SELECT hour, CAST(sum(obs) AS BIGINT) AS row_tot
+                FROM cells GROUP BY hour),
+         ct AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS col_tot
+                FROM cells GROUP BY event_type),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         e AS (SELECT c.hour, c.event_type, c.obs, rt.row_tot, ct.col_tot,
+                      (rt.row_tot * ct.col_tot * 10000) DIV t.n AS expected_1e4
+               FROM cells c JOIN rt USING (hour) JOIN ct USING (event_type)
+               CROSS JOIN t)
+         SELECT hour, event_type, obs, row_tot, col_tot, expected_1e4,
+                (abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
+                DIV (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
+         FROM e ORDER BY hour, event_type""",
+
     // same generated text as the oracle with DIV for //
     "q_pagerank_copurchase" ->
       graft.operators.Mining.pagerankSql("DIV",

@@ -414,4 +414,58 @@ object EventsStream {
           out.iterator
       }
   }
+
+  /** The event-type domain this feed carries — pinned, like the pivot's
+    * pinned status values, so the streaming drift aggregate has a fixed
+    * schema (a data-dependent column set is not streamable).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Streaming distribution-drift monitor: the streaming face of
+    * [[graft.operators.Quality.typeDriftHourly]]. Each finalized 1-hour
+    * window emits one row per observed event type with the SAME
+    * exact-integer chi2 fixed point as the batch audit, computed against
+    * a STAGED baseline (the frozen overall type mix — col_tot and n per
+    * type). The baseline must be frozen for the same reason the streaming
+    * dedup indexes freeze their quantizers: a moving reference would
+    * re-score history every trigger.
+    *
+    * Shape: ONE watermarked aggregation per window (append mode allows no
+    * second aggregation downstream), with the per-type counts as pinned
+    * conditional sums in the same pass; the per-window total and the five
+    * type counts come out of one state row, then unpivot via stack() and
+    * the broadcast baseline join are stateless projections. State is
+    * bounded by the watermark horizon.
+    */
+  def typeDrift(events: Dataset[Event], baseline: DataFrame): DataFrame = {
+    val typeCounts = EventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val stackExpr = EventTypes.map(t => s"'$t', n_$t").mkString(", ")
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("row_tot"), typeCounts: _*)
+      .select(col("window.start").as("hour_start"), col("row_tot"),
+        expr(s"stack(${EventTypes.size}, $stackExpr) AS (event_type, obs)"))
+      .filter(col("obs") > 0)
+      .join(broadcast(baseline), Seq("event_type"))
+      .withColumn("expected_1e4",
+        expr("(row_tot * col_tot * 10000) DIV n"))
+      .withColumn("chi2c_1e4",
+        expr("""(abs(obs * 10000 - expected_1e4) * abs(obs * 10000 - expected_1e4))
+                DIV (greatest(expected_1e4, 1) * 10000)"""))
+      .select(col("hour_start"), col("event_type"), col("obs"),
+        col("row_tot"), col("col_tot"), col("expected_1e4"), col("chi2c_1e4"))
+  }
+
+  /** Staged baseline for [[typeDrift]]: the frozen overall type mix
+    * (col_tot per type, n total) from a batch snapshot of the feed.
+    */
+  def typeBaseline(events: DataFrame): DataFrame = {
+    val byType = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("col_tot"))
+    byType.crossJoin(
+      org.apache.spark.sql.functions.broadcast(
+        byType.agg(sum(col("col_tot")).as("n"))))
+  }
 }

@@ -42,6 +42,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming type drift on the fixture equals the batch chi2 audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val baseline = EventsStream.typeBaseline(
+      graft.sources.Tables.events(spark, Sf))
+    val input = MemoryStream[Event]
+    val q = EventsStream.typeDrift(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // sentinel far in the future finalizes every fixture window
+      input.addData(Event(999999, ts("2030-01-01 00:00:00"), 999999, "view", 0.0))
+      q.processAllAvailable()
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:00").withZone(java.time.ZoneOffset.UTC)
+      val got = spark.table("drift").collect()
+        .map(r => (fmt.format(r.getTimestamp(0).toInstant), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .filter(_._1 < "2030").toSet
+      val expected = graft.operators.Quality.typeDriftHourly(spark, Sf)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(got === expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionization: 30-min gap splits sessions, state emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -179,4 +179,35 @@ class PlanFeaturesSpec extends SparkTestBase {
     }
     assert(df.count() > 0)
   }
+
+  test("pareto frontier: the per-point window is bucket-partitioned, never global") {
+    // the textbook skyline formulation is max(size) OVER (ORDER BY price)
+    // with no partition — one task sees every row. The two-level plan may
+    // only run an UNpartitioned window over the per-bucket maxima (one row
+    // per non-empty price band, catalog-sized by construction).
+    val df = graft.operators.Mining.paretoFrontier(spark, Sf, 5000L)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size >= 2, "expected local-skyline + prefix-max windows")
+    val globalWindows = windows.filter(_.partitionSpec.isEmpty)
+    globalWindows.foreach { w =>
+      val inputs = w.child.output.map(_.name)
+      assert(inputs.contains("bkt_max") && !inputs.contains("p_partkey"),
+        s"global window must only see per-bucket rows, saw $inputs")
+    }
+    assert(df.count() > 0)
+  }
+
+  test("market basket and pagerank plans contain no cartesian product") {
+    Seq(
+      graft.operators.Mining.marketBasket(spark, Sf, 8, 25),
+      graft.operators.Mining.pagerankCopurchase(spark, Sf, 8, 2)
+    ).foreach { df =>
+      assert(df.collect().nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"pair generation must stay an equi join:\n$plan")
+    }
+  }
 }

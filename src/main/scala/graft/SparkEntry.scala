@@ -134,6 +134,7 @@ object SparkEntry {
     "q_join_size_estimate" ->
       (Quality.joinSizeEstimate(_, _, Basket.joinEstBuckets)),
     "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
+    "q_survival_signup_purchase" -> (Analytics.survivalSignupPurchase(_, _)),
     "q_token_log2_hist" -> (TextAnalysis.tokenLog2Histogram(_, _)),
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
@@ -1719,6 +1720,12 @@ object SparkEntry {
                 rev_cents - prev_cents AS delta_cents,
                 ((rev_cents - prev_cents) * 10000) // prev_cents AS pct_1e4
          FROM l ORDER BY month""",
+
+    // Kaplan-Meier signup->purchase survival with right-censoring: the
+    // recursive product-limit recurrence, generated from the same
+    // template as the Spark twin
+    "q_survival_signup_purchase" ->
+      operators.Analytics.survivalSql("//", "epoch_us"),
 
     // power-of-two token-length histogram: bit-length bucket (bin() in
     // both engines), windowed cumulative fixed-point shares

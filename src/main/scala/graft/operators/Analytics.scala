@@ -1645,6 +1645,129 @@ object Analytics {
     * standard "aggregate first, window over the aggregate" shape that
     * keeps ordered analytics off the fact table.
     */
+  /** Public (not private) so Catalyst's codegen'd encoders can reach them. */
+  final case class KmStep(t_day: Long, n_risk: Long,
+                          d_events: Long, c_censored: Long)
+  final case class KmRow(t_day: Long, n_risk: Long, d_events: Long,
+                         c_censored: Long, surv_1e9: Long)
+
+  /** Kaplan-Meier survival curve for signup -> first purchase, with
+    * right-censoring at the feed horizon — the time-to-event/retention
+    * readout ("what fraction of signups have NOT converted by day t")
+    * that a plain conversion rate understates whenever the feed is still
+    * ingesting (recent signups haven't had time to convert; censoring
+    * accounts for them instead of counting them as failures; cf.
+    * conversionWindow for the fixed-window variant).
+    *
+    * Exact-integer product-limit: durations in floor days, survival in
+    * 1e-9 units via the recurrence S <- (S * (n_t - d_t)) DIV n_t over
+    * event days. One step per day with at least one conversion.
+    *
+    * 100 TB shape: the per-user reduction (first signup, first qualifying
+    * purchase) is two user-keyed aggregates; everything after runs on ONE
+    * ROW PER DISTINCT DURATION DAY — catalog-sized (a decade is ~3.6k
+    * rows) — so the at-risk prefix window and the sequential product
+    * recurrence (flatMapSortedGroups over the singleton group, the
+    * throttle-dedup pattern: the shuffle's sort delivers rows in order,
+    * O(1) memory) are a few-row epilogue regardless of fact volume. The
+    * oracle and the Spark twin state the same recurrence as a recursive
+    * CTE.
+    */
+  def survivalSignupPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t0"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("t_us") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("tp"))
+    val bounds = ev.agg(max(col("t_us")).as("h_us"))
+    val durs = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(
+        expr("""CASE WHEN tp IS NOT NULL THEN (tp - t0) DIV 86400000000
+                     ELSE (h_us - t0) DIV 86400000000 END""").as("t_day"),
+        expr("CASE WHEN tp IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .as("ev"))
+    val days = durs.groupBy(col("t_day"))
+      .agg(sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("c_censored"))
+    val tot = durs.agg(count(lit(1)).as("n"))
+    // exclusive prefix over one row per distinct day: catalog-sized window
+    val w = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = days.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n") -
+        coalesce(sum(col("d_events") + col("c_censored")).over(w), lit(0L)))
+      .filter(col("d_events") > 0)
+      .select(col("t_day"), col("n_risk"), col("d_events"), col("c_censored"))
+      .as[KmStep]
+    steps.groupByKey(_ => true)
+      .flatMapSortedGroups(col("t_day")) { (_, it) =>
+        var surv = 1000000000L
+        it.map { st =>
+          surv = surv * (st.n_risk - st.d_events) / st.n_risk
+          KmRow(st.t_day, st.n_risk, st.d_events, st.c_censored, surv)
+        }
+      }
+      .toDF()
+      .orderBy(col("t_day"))
+  }
+
+  /** The KM computation as one SQL statement — oracle (`div` = "//",
+    * `epochUs` = "epoch_us") and Spark twin (`div` = "DIV", `epochUs` =
+    * "unix_micros") are the same text modulo dialect spellings, recursion
+    * included (both engines support WITH RECURSIVE).
+    */
+  private[graft] def survivalSql(div: String, epochUs: String): String =
+    s"""WITH RECURSIVE su AS (
+           SELECT user_id, min($epochUs(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         pu AS (
+           SELECT e.user_id, min($epochUs(e.ts)) AS tp
+           FROM events e JOIN su ON su.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND $epochUs(e.ts) >= su.t0
+           GROUP BY e.user_id),
+         bounds AS (SELECT max($epochUs(ts)) AS h_us FROM events),
+         durs AS (
+           SELECT CASE WHEN pu.tp IS NOT NULL
+                       THEN (pu.tp - su.t0) $div 86400000000
+                       ELSE (b.h_us - su.t0) $div 86400000000 END AS t_day,
+                  CASE WHEN pu.tp IS NOT NULL THEN CAST(1 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS ev
+           FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+           CROSS JOIN bounds b),
+         days AS (SELECT t_day, CAST(sum(ev) AS BIGINT) AS d_events,
+                         CAST(sum(1 - ev) AS BIGINT) AS c_censored
+                  FROM durs GROUP BY t_day),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs),
+         risk AS (
+           -- the at-risk prefix runs over EVERY day (censor-only days
+           -- still shrink later risk sets); the event-day filter comes
+           -- after, in steps
+           SELECT t_day, d_events, c_censored,
+                  t.n - CAST(coalesce(sum(d_events + c_censored)
+                    OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+           FROM days CROSS JOIN tot t),
+         steps AS (
+           SELECT t_day, d_events, c_censored, n_risk,
+                  CAST(row_number() OVER (ORDER BY t_day) AS BIGINT) AS rk
+           FROM risk WHERE d_events > 0),
+         km AS (
+           SELECT t_day, n_risk, d_events, c_censored, rk,
+                  (1000000000 * (n_risk - d_events)) $div n_risk AS surv_1e9
+           FROM steps WHERE rk = 1
+           UNION ALL
+           SELECT s.t_day, s.n_risk, s.d_events, s.c_censored, s.rk,
+                  (km.surv_1e9 * (s.n_risk - s.d_events)) $div s.n_risk
+           FROM km JOIN steps s ON s.rk = km.rk + 1)
+         SELECT t_day, n_risk, d_events, c_censored, surv_1e9
+         FROM km ORDER BY t_day"""
+
   def momRevenue(s: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.spread(s, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))

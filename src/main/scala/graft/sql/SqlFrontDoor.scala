@@ -2560,6 +2560,10 @@ object SqlFrontDoor {
                 DIV (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
          FROM e ORDER BY hour, event_type""",
 
+    // same generated text as the oracle: // -> DIV, epoch_us -> unix_micros
+    "q_survival_signup_purchase" ->
+      graft.operators.Analytics.survivalSql("DIV", "unix_micros"),
+
     // same generated text as the oracle with DIV for //
     "q_pagerank_copurchase" ->
       graft.operators.Mining.pagerankSql("DIV",

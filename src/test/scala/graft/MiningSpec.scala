@@ -159,6 +159,46 @@ class MiningSpec extends SparkTestBase {
     assert(exactTotal == trueJoin, "bucketed exact counts must sum to the true join size")
   }
 
+  test("kaplan-meier survival matches the in-memory product-limit recompute") {
+    val got = Analytics.survivalSignupPurchase(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // brute force with the identical integer arithmetic
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val horizon = ev.map(_._3).max
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val tp = ev.filter(_._2 == "purchase")
+      .filter(e => t0.get(e._1).exists(e._3 >= _))
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val durs = t0.toSeq.map { case (u, s0) =>
+      tp.get(u) match {
+        case Some(p) => ((p - s0) / 86400000000L, 1L)
+        case None    => ((horizon - s0) / 86400000000L, 0L)
+      }
+    }
+    val days = durs.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2).sum, g.size.toLong - g.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    var atRisk = durs.size.toLong
+    var surv = 1000000000L
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    days.foreach { case (day, (d, c)) =>
+      if (d > 0) {
+        surv = surv * (atRisk - d) / atRisk
+        want += ((day, atRisk, d, c, surv))
+      }
+      atRisk -= (d + c)
+    }
+    assert(got == want.toSeq)
+    // structural invariants: survival non-increasing within [0, 1e9]
+    assert(got.map(_._5).sameElements(got.map(_._5).sorted.reverse))
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 1000000000L))
+    assert(got.nonEmpty)
+  }
+
   test("mom revenue conserves total revenue and links deltas") {
     val rows = Analytics.momRevenue(spark, Sf).collect()
     assert(rows.length > 1, "fixture must span multiple months")

@@ -82,6 +82,8 @@ object SparkEntry {
     "q_hll_rollup_incremental" ->
       (Sketches.hllSketchRollupIncremental(_, _, Sketch.lgK)),
     "q_hll_overlap" -> (Sketches.hllOverlap(_, _, Sketch.lgK)),
+    "q_bitmap_distinct_users" -> (Sketches.bitmapDistinctUsers(_, _)),
+    "q_bitmap_overlap" -> (Sketches.bitmapOverlap(_, _)),
     "q_cms_point_queries" ->
       (Sketches.cmsPointQueries(_, _, Sketch.cmsEps, Sketch.cmsConfidence)),
     "q_correlated_above_own_avg" -> (Analytics.aboveOwnAverage(_, _)),
@@ -1720,6 +1722,21 @@ object SparkEntry {
                 rev_cents - prev_cents AS delta_cents,
                 ((rev_cents - prev_cents) * 10000) // prev_cents AS pct_1e4
          FROM l ORDER BY month""",
+
+    // exact bitmap distinct: the oracle is plain COUNT(DISTINCT) —
+    // equality proves the bit_or/bit_count path exact, not nearly-right
+    "q_bitmap_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // exact bitmap audience overlap: oracle is the user-level pair join
+    "q_bitmap_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS n_common
+         FROM tu a JOIN tu b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY type_a, type_b""",
 
     // Kaplan-Meier signup->purchase survival with right-censoring: the
     // recursive product-limit recurrence, generated from the same

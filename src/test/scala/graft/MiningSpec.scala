@@ -199,6 +199,29 @@ class MiningSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("bitmap distinct and overlap equal the set-based brute force") {
+    import graft.operators.Sketches
+    val pairs = Tables.events(spark, Sf)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotDistinct = Sketches.bitmapDistinctUsers(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDistinct == sets.view.mapValues(_.size.toLong).toMap)
+    val gotOverlap = Sketches.bitmapOverlap(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = sets.keys.toSeq.sorted
+    val wantOverlap = (for {
+      a <- types; b <- types if a < b
+      n = (sets(a) intersect sets(b)).size.toLong if n > 0
+    } yield (a, b) -> n).toMap
+    assert(gotOverlap == wantOverlap)
+    // overlap can never exceed either side's cardinality
+    gotOverlap.foreach { case ((a, b), n) =>
+      assert(n <= gotDistinct(a) && n <= gotDistinct(b))
+    }
+  }
+
   test("mom revenue conserves total revenue and links deltas") {
     val rows = Analytics.momRevenue(spark, Sf).collect()
     assert(rows.length > 1, "fixture must span multiple months")

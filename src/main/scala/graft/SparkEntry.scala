@@ -171,6 +171,7 @@ object SparkEntry {
     "q_regr_slope_price_qty" -> (Analytics.priceQuantitySlope(_, _)),
     "q_mode_order_priority" -> (Analytics.orderPriorityMode(_, _)),
     "q_string_funcs" -> (Analytics.customerStringShapes(_, _)),
+    "q_array_funcs" -> (Analytics.embeddingArrayShapes(_, _)),
     "q_join_brand_revenue" -> (Analytics.brandRevenue(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -1722,6 +1723,37 @@ object SparkEntry {
                 rev_cents - prev_cents AS delta_cents,
                 ((rev_cents - prev_cents) * 10000) // prev_cents AS pct_1e4
          FROM l ORDER BY month""",
+
+    // higher-order array-function suite: doubles only inside pinned-order
+    // folds, emitted as half-up 1e-4 fixed point (the dot_f convention)
+    "q_array_funcs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)
+         SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CAST(len(list_filter(v, x -> x > CAST(0 AS DOUBLE))) AS BIGINT)
+             AS n_pos,
+           CAST(floor((CASE WHEN len(v) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE list_reduce(list_transform(v, x -> abs(x)),
+                       (a, b) -> a + b) END)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS l1_1e4,
+           CAST(floor(list_aggregate(v, 'max') * CAST(10000 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS max_1e4,
+           CASE WHEN len(v) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor(list_sort(v)[len(v) // 2 + 1]
+                     * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END AS med_1e4,
+           CAST(floor((CASE WHEN len(v) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE list_reduce(list_transform(range(1, len(v) + 1),
+                       i -> v[i] * list_reverse(v)[i]), (a, b) -> a + b) END)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS revdot_1e4,
+           CAST(floor((CASE WHEN len(v) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE list_reduce(list_slice(v, 1, 3), (a, b) -> a + b) END)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS head3_sum_1e4
+         FROM e ORDER BY vec_id""",
 
     // exact bitmap distinct: the oracle is plain COUNT(DISTINCT) —
     // equality proves the bit_or/bit_count path exact, not nearly-right

@@ -1717,6 +1717,45 @@ object Analytics {
       .orderBy(col("t_day"))
   }
 
+  /** Higher-order array-function surface in one pass over embeddings —
+    * the ARRAY sibling of [[customerStringShapes]]: size / filter /
+    * transform / aggregate(fold) / zip_with / reverse / slice /
+    * array_max / array_sort / element_at, restricted to forms with
+    * identical cross-engine semantics. Doubles appear only inside
+    * pinned-order folds ((0 + v1) + v2 + ... — bitwise equal to DuckDB's
+    * list_reduce) and leave the query as half-up 1e-4 fixed point, the
+    * dot_f convention. Pure projection: zero shuffles beyond the result
+    * sort, and every lambda is codegen'd by Catalyst (no UDFs).
+    */
+  def embeddingArrayShapes(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .select(
+        col("vec_id"),
+        expr("CAST(size(v) AS BIGINT)").as("n_dims"),
+        expr("CAST(size(filter(v, x -> x > CAST(0 AS DOUBLE))) AS BIGINT)")
+          .as("n_pos"),
+        expr("""CAST(floor(aggregate(transform(v, x -> abs(x)),
+                  CAST(0 AS DOUBLE), (a, b) -> a + b)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)""")
+          .as("l1_1e4"),
+        expr("""CAST(floor(array_max(v) * CAST(10000 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT)""").as("max_1e4"),
+        expr("""CASE WHEN size(v) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor(element_at(array_sort(v),
+                       CAST(size(v) DIV 2 + 1 AS INT))
+                     * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("med_1e4"),
+        expr("""CAST(floor(aggregate(zip_with(v, reverse(v), (p, q) -> p * q),
+                  CAST(0 AS DOUBLE), (a, b) -> a + b)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)""")
+          .as("revdot_1e4"),
+        expr("""CAST(floor(aggregate(slice(v, 1, 3),
+                  CAST(0 AS DOUBLE), (a, b) -> a + b)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)""")
+          .as("head3_sum_1e4"))
+      .orderBy(col("vec_id"))
+
   /** The KM computation as one SQL statement — oracle (`div` = "//",
     * `epochUs` = "epoch_us") and Spark twin (`div` = "DIV", `epochUs` =
     * "unix_micros") are the same text modulo dialect spellings, recursion

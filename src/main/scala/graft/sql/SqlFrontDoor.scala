@@ -2541,6 +2541,36 @@ object SqlFrontDoor {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY bucket""",
 
+    // oracle's len -> size, list_* -> higher-order built-ins, 1-based
+    // v[i] -> element_at, // -> DIV; same pinned-order folds
+    "q_array_funcs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                    FROM embeddings)
+         SELECT vec_id,
+           CAST(size(v) AS BIGINT) AS n_dims,
+           CAST(size(filter(v, x -> x > CAST(0 AS DOUBLE))) AS BIGINT)
+             AS n_pos,
+           CAST(floor(aggregate(transform(v, x -> abs(x)),
+                  CAST(0 AS DOUBLE), (a, b) -> a + b)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS l1_1e4,
+           CAST(floor(array_max(v) * CAST(10000 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS max_1e4,
+           CASE WHEN size(v) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor(element_at(array_sort(v),
+                       CAST(size(v) DIV 2 + 1 AS INT))
+                     * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END AS med_1e4,
+           CAST(floor(aggregate(zip_with(v, reverse(v), (p, q) -> p * q),
+                  CAST(0 AS DOUBLE), (a, b) -> a + b)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS revdot_1e4,
+           CAST(floor(aggregate(slice(v, 1, 3),
+                  CAST(0 AS DOUBLE), (a, b) -> a + b)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             AS head3_sum_1e4
+         FROM e ORDER BY vec_id""",
+
     // oracle's strftime -> date_format, // -> DIV
     "q_type_drift_hourly" ->
       """WITH cells AS (SELECT date_format(ts, 'yyyy-MM-dd HH:00') AS hour,

@@ -458,6 +458,28 @@ object EventsStream {
         col("row_tot"), col("col_tot"), col("expected_1e4"), col("chi2c_1e4"))
   }
 
+  /** Continuously maintained exact bitmap index: the streaming face of
+    * [[graft.operators.Sketches.bitmapDistinctUsers]]/[[graft.operators.Sketches.bitmapOverlap]].
+    * One complete-mode aggregation holds the per-(type, block, word)
+    * `bit_or` fragments as state — the SAME relational bitmap the batch
+    * operators build, refreshed per trigger. Streaming forbids a chained
+    * second aggregation, so the popcount readout (distinct counts,
+    * pairwise AND-overlap) runs downstream of the sink — which is where a
+    * dashboard consumes the index anyway.
+    *
+    * State is bounded by touched-domain/64 words per type (exact, unlike
+    * the HLL variant's constant-size-but-approximate registers; the
+    * documented dense-integer-id trade). bit_or partials merge in the
+    * state store exactly like sums — idempotent across triggers.
+    */
+  def bitmapIndex(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("user_id DIV 4096").as("block"),
+        expr("(user_id % 4096) DIV 64").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))")
+        .as("bits"))
+
   /** Staged baseline for [[typeDrift]]: the frozen overall type mix
     * (col_tot per type, n total) from a batch snapshot of the feed.
     */

@@ -75,6 +75,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming bitmap index readouts equal the batch bitmap operators") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.bitmapIndex(input.toDF())
+      .writeStream.format("memory").queryName("bmidx")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val distinct = spark.sql(
+        """SELECT event_type, sum(bit_count(bits)) AS n_users
+           FROM bmidx GROUP BY event_type""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantDistinct = graft.operators.Sketches.bitmapDistinctUsers(spark, Sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(distinct === wantDistinct)
+      val frags = spark.table("bmidx").collect()
+        .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      val byType = frags.groupBy(_._1._1)
+      val types = byType.keys.toSeq.sorted
+      val overlap = (for {
+        ta <- types; tb <- types if ta < tb
+        wa = byType(ta).map { case ((_, bl, w), bits) => (bl, w) -> bits }.toMap
+        n = byType(tb).map { case ((_, bl, w), bits) =>
+          java.lang.Long.bitCount(wa.getOrElse((bl, w), 0L) & bits).toLong
+        }.sum if n > 0
+      } yield (ta, tb) -> n).toMap
+      val wantOverlap = graft.operators.Sketches.bitmapOverlap(spark, Sf)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(overlap === wantOverlap)
+    } finally q.stop()
+  }
+
   test("sessionization: 30-min gap splits sessions, state emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

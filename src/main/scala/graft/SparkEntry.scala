@@ -316,6 +316,7 @@ object SparkEntry {
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
     "q_image_dedup" -> (Multimodal.imageDedup(_, _)),
+    "q_image_near_dup" -> (Multimodal.imageNearDup(_, _, ImageTol.tol)),
     "q_frame_features" -> (Multimodal.frameFeatures(_, _)),
     "q_audio_features" -> (Multimodal.audioFeatures(_, _)),
     // ---- deterministic sampling / dataset mixing ----
@@ -463,6 +464,13 @@ object SparkEntry {
     */
   private[graft] object ApproxPct {
     val accuracy = 1000
+  }
+
+  /** Image near-dup gray tolerance (generator gray levels are multiples
+    * of 4 in [0, 252], so tol=8 groups up to two steps of brightness).
+    */
+  private[graft] object ImageTol {
+    val tol = 8
   }
 
   /** Market-basket / skyline parameters shared by operator, oracle, and
@@ -3206,6 +3214,24 @@ object SparkEntry {
                 min(doc_id) AS keeper_asset_id
          FROM f GROUP BY 1, 2, 3 HAVING count(*) > 1
          ORDER BY width, height, gray_level""",
+
+    // near-dup ORACLE predicts from the generation formula (as
+    // q_image_dedup does); Spark equality proves the decoded-raster path
+    "q_image_near_dup" ->
+      s"""WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         f AS (SELECT doc_id,
+               CAST(32 + (ascii(substr(hx, 1, 1)) % 16) * 8 AS INTEGER) AS width,
+               CAST(32 + (ascii(substr(hx, 2, 1)) % 16) * 8 AS INTEGER) AS height,
+               CAST((ascii(substr(hx, 3, 1)) % 64) * 4 AS BIGINT) AS gray_level
+               FROM m)
+         SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+                a.width AS width, a.height AS height,
+                abs(a.gray_level - b.gray_level) AS gray_delta
+         FROM f a JOIN f b
+           ON a.width = b.width AND a.height = b.height
+              AND abs(a.gray_level - b.gray_level) <= ${ImageTol.tol}
+              AND a.doc_id < b.doc_id
+         ORDER BY asset_a, asset_b""",
 
     "q_multimodal_features" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)

@@ -187,6 +187,39 @@ object Multimodal {
       .filter(col("n_assets") > 1)
       .orderBy(col("width"), col("height"), col("gray_level"))
 
+  /** Perceptual NEAR-dup on decoded rasters: same canvas, gray levels
+    * within `tol` — the tolerance pass an image pipeline runs after
+    * exact dedup ("same screenshot, slightly different brightness").
+    * Like [[imageDedup]], similarity is judged on what the DECODER
+    * produced, never encoded bytes.
+    *
+    * Never all-pairs: each decoded asset lands in overlapping gray bands
+    * (g DIV tol and g DIV tol + 1 — any pair within tol provably shares
+    * a band), candidates equi-join on (width, height, band), and the
+    * exact |Δgray| <= tol predicate re-checks survivors; `distinct`
+    * collapses pairs that met in both bands. The same LSH-shaped
+    * candidate/verify split as the text near-dup family, on a scalar
+    * perceptual feature. Decode remains once per asset, partition-batched.
+    */
+  def imageNearDup(s: SparkSession, dir: String, tol: Int = 8): DataFrame = {
+    val f = decodeAssets(s, dir).toDF()
+      .select(col("asset_id"), col("width"), col("height"), col("gray_level"))
+    val banded = f.withColumn("band",
+      explode(array(expr(s"gray_level DIV $tol"),
+        expr(s"gray_level DIV $tol + 1"))))
+    banded.as("a").join(banded.as("b"),
+        col("a.width") === col("b.width") &&
+          col("a.height") === col("b.height") &&
+          col("a.band") === col("b.band") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .filter(abs(col("a.gray_level") - col("b.gray_level")) <= tol)
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        col("a.width").as("width"), col("a.height").as("height"),
+        abs(col("a.gray_level") - col("b.gray_level")).as("gray_delta"))
+      .distinct()
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
   /** The generation-formula twin of `assetFeatures`, computed as pure
     * columns with NO image round-trip — what the DuckDB oracle evaluates.
     * MultimodalSpec pins decode == prediction row for row, which is the

@@ -2631,7 +2631,7 @@ object SqlFrontDoor {
     "q_unpivot_order_status", "q_window_first_last",
     "q_window_rank_family", "q_window_top_customers",
     "q_market_basket", "q_pareto_frontier", "q_join_size_estimate",
-    "q_bitmap_distinct_users", "q_bitmap_overlap")
+    "q_bitmap_distinct_users", "q_bitmap_overlap", "q_image_near_dup")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

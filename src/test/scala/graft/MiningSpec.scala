@@ -222,6 +222,25 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("image near-dup pairs equal the predicted-feature brute force") {
+    import graft.operators.Multimodal
+    val got = Multimodal.imageNearDup(spark, Sf, tol = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSeq
+    val feats = Multimodal.predictedFeatures(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    val want = (for {
+      a <- feats; b <- feats
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3 &&
+        math.abs(a._4 - b._4) <= 8
+    } yield (a._1, b._1, a._2, a._3, math.abs(a._4 - b._4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // banded candidates must be exact: no pair beyond tolerance survives
+    assert(got.forall(_._5 <= 8))
+  }
+
   test("mom revenue conserves total revenue and links deltas") {
     val rows = Analytics.momRevenue(spark, Sf).collect()
     assert(rows.length > 1, "fixture must span multiple months")

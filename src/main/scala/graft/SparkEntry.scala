@@ -137,6 +137,7 @@ object SparkEntry {
       (Quality.joinSizeEstimate(_, _, Basket.joinEstBuckets)),
     "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
     "q_survival_signup_purchase" -> (Analytics.survivalSignupPurchase(_, _)),
+    "q_funnel_ordered" -> (Analytics.funnelOrdered(_, _)),
     "q_token_log2_hist" -> (TextAnalysis.tokenLog2Histogram(_, _)),
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
@@ -1783,6 +1784,12 @@ object SparkEntry {
     // template as the Spark twin
     "q_survival_signup_purchase" ->
       operators.Analytics.survivalSql("//", "epoch_us"),
+
+    // strictly-ordered funnel: the oracle is the min-after JOIN-CHAIN,
+    // a deliberately different algorithm than the operator's one-pass
+    // sorted-group tracker — equality is an algorithmic cross-check
+    "q_funnel_ordered" ->
+      operators.Analytics.funnelSql("//", "epoch_us"),
 
     // power-of-two token-length histogram: bit-length bucket (bin() in
     // both engines), windowed cumulative fixed-point shares

@@ -1756,6 +1756,88 @@ object Analytics {
           .as("head3_sum_1e4"))
       .orderBy(col("vec_id"))
 
+  /** Public for Catalyst's codegen'd encoders. */
+  final case class FunnelUser(user_id: Long, stage: Long)
+
+  /** Strictly-ordered multi-step funnel (signup -> click -> purchase):
+    * how many users completed each prefix IN ORDER, where each step must
+    * happen strictly after the previous step's FIRST qualifying instant
+    * (the standard product-analytics funnel; eventFunnel counts unordered
+    * presence, conversionWindow a single windowed step).
+    *
+    * One shuffle, not three: the relational formulation is a chain of
+    * min-after aggregates with a join back per stage (the oracle states
+    * exactly that chain); this operator instead makes ONE pass per user
+    * timeline via flatMapSortedGroups — the shuffle's sort delivers
+    * events in time order and the greedy stage tracker is O(1) memory.
+    * At K funnel stages the join chain costs K user-keyed shuffles; the
+    * sorted-group pass stays at one, which is why warehouses grow a
+    * dedicated WINDOW_FUNNEL. Ties: a later step at the exact same
+    * microsecond does NOT count (strict >), pinned by both surfaces.
+    */
+  def funnelOrdered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stages = Seq("signup", "click", "purchase")
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"), col("event_id"))
+      .groupByKey(r => r.getLong(0))
+      .flatMapSortedGroups(col("t_us"), col("event_id")) { (uid, it) =>
+        var stage = 0
+        var lastT = Long.MinValue
+        it.foreach { r =>
+          if (stage < stages.length && r.getString(1) == stages(stage) &&
+              (stage == 0 || r.getLong(2) > lastT)) {
+            lastT = r.getLong(2)
+            stage += 1
+          }
+        }
+        if (stage > 0) Iterator.single(FunnelUser(uid, stage.toLong))
+        else Iterator.empty
+      }
+    // stage s counts every user whose deepest stage is >= s; the stage-1
+    // row doubles as the denominator (everyone who entered the funnel)
+    val counts = perUser.toDF()
+      .select(explode(expr("sequence(CAST(1 AS BIGINT), stage)")).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+    counts
+      .crossJoin(broadcast(counts.filter(col("stage") === 1)
+        .select(col("n_users").as("n_entered"))))
+      .withColumn("share_1e4",
+        expr("(20000 * n_users + n_entered) DIV (2 * n_entered)"))
+      .select(col("stage"), col("n_users"), col("share_1e4"))
+      .orderBy(col("stage"))
+  }
+
+  /** The funnel's SQL surface: the min-after JOIN-CHAIN formulation —
+    * deliberately a different algorithm than the operator's sorted-group
+    * pass, so equality is an algorithmic cross-check, not an echo.
+    * `div` = "//" (oracle) or "DIV" (Spark twin); `epochUs` likewise.
+    */
+  private[graft] def funnelSql(div: String, epochUs: String): String =
+    s"""WITH s1 AS (SELECT user_id, min($epochUs(ts)) AS t1
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min($epochUs(e.ts)) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND $epochUs(e.ts) > s1.t1
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min($epochUs(e.ts)) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND $epochUs(e.ts) > s2.t2
+           GROUP BY e.user_id),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_entered FROM s1),
+         c AS (SELECT CAST(1 AS BIGINT) AS stage,
+                      CAST(count(*) AS BIGINT) AS n_users FROM s1
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
+               UNION ALL
+               SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3)
+         SELECT stage, n_users,
+                (20000 * n_users + n_entered) $div (2 * n_entered) AS share_1e4
+         FROM c CROSS JOIN n WHERE n_users > 0 ORDER BY stage"""
+
   /** The KM computation as one SQL statement — oracle (`div` = "//",
     * `epochUs` = "epoch_us") and Spark twin (`div` = "DIV", `epochUs` =
     * "unix_micros") are the same text modulo dialect spellings, recursion

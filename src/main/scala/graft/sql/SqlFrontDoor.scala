@@ -2594,6 +2594,9 @@ object SqlFrontDoor {
     "q_survival_signup_purchase" ->
       graft.operators.Analytics.survivalSql("DIV", "unix_micros"),
 
+    "q_funnel_ordered" ->
+      graft.operators.Analytics.funnelSql("DIV", "unix_micros"),
+
     // same generated text as the oracle with DIV for //
     "q_pagerank_copurchase" ->
       graft.operators.Mining.pagerankSql("DIV",

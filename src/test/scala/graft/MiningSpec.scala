@@ -241,6 +241,36 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(_._5 <= 8))
   }
 
+  test("ordered funnel matches the in-memory greedy tracker and is monotone") {
+    val got = Analytics.funnelOrdered(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent recompute: min-after chain over collected events
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val deepest = byUser.view.mapValues { es =>
+      def minAfter(tpe: String, after: Long): Option[Long] =
+        es.filter(e => e._2 == tpe && e._3 > after).map(_._3)
+          .reduceOption(_ min _)
+      es.filter(_._2 == "signup").map(_._3).reduceOption(_ min _) match {
+        case None => 0
+        case Some(t1) => minAfter("click", t1) match {
+          case None => 1
+          case Some(t2) => if (minAfter("purchase", t2).isDefined) 3 else 2
+        }
+      }
+    }.toMap
+    val n1 = deepest.values.count(_ >= 1).toLong
+    val want = (1 to 3).map { s =>
+      val n = deepest.values.count(_ >= s).toLong
+      (s.toLong, n, (20000 * n + n1) / (2 * n1))
+    }.filter(_._2 > 0)
+    assert(got == want)
+    // funnel counts are monotone non-increasing by construction
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted.reverse))
+  }
+
   test("mom revenue conserves total revenue and links deltas") {
     val rows = Analytics.momRevenue(spark, Sf).collect()
     assert(rows.length > 1, "fixture must span multiple months")

@@ -135,6 +135,13 @@ object SparkEntry {
       (Mining.pagerankCopurchase(_, _, Basket.maxItems, Basket.pagerankIters)),
     "q_join_size_estimate" ->
       (Quality.joinSizeEstimate(_, _, Basket.joinEstBuckets)),
+    "q_triangle_count" ->
+      (Mining.triangleCount(_, _, Basket.maxItems, Basket.topK)),
+    "q_seasonal_anomaly" -> (Quality.seasonalAnomaly(_, _)),
+    "q_fd_discovery" -> (Quality.fdDiscovery(_, _)),
+    "q_cusum_changepoint" -> (Analytics.cusumChangepoint(_, _)),
+    "q_interleave_mix" -> (Curation.interleaveMix(_, _)),
+    "q_bloom_semi_join" -> (Analytics.bloomSemiOrderMix(_, _)),
     "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
     "q_survival_signup_purchase" -> (Analytics.survivalSignupPurchase(_, _)),
     "q_funnel_ordered" -> (Analytics.funnelOrdered(_, _)),
@@ -1821,6 +1828,44 @@ object SparkEntry {
     // Spark twin (// vs DIV is the only difference)
     "q_pagerank_copurchase" ->
       operators.Mining.pagerankSql("//", Basket.maxItems, Basket.pagerankIters),
+
+    // exact triangle count: the oracle is the NAIVE id-ordered three-way
+    // join; the operator runs degree-ordered orientation — equality is an
+    // algorithmic cross-check (portable SQL, shared verbatim)
+    "q_triangle_count" ->
+      operators.Mining.triangleSql(Basket.maxItems, Basket.topK),
+
+    // hour-of-week seasonal anomaly: dense grid + cross-multiplied
+    // baseline comparison; dialect points are strftime/dayofweek/range
+    "q_seasonal_anomaly" ->
+      operators.Quality.seasonalSql("strftime(ts, '%Y-%m-%d')",
+        "dayofweek(ts)",
+        "(SELECT CAST(range AS BIGINT) AS hour FROM range(0, 24))"),
+
+    // functional-dependency audit: five two-level distinct blocks (the
+    // operator runs ONE stacked scan with multi-distinct — different
+    // algorithm, equality is the cross-check)
+    "q_fd_discovery" -> operators.Quality.fdDiscoverySql,
+
+    // two-sided CUSUM: the prefix recurrence as a recursive CTE from the
+    // shared template (strftime is the only dialect point)
+    "q_cusum_changepoint" ->
+      operators.Analytics.cusumSql("strftime(ts, '%Y-%m-%d')"),
+
+    // proportional interleave audit: stride-keyed schedule deciles
+    "q_interleave_mix" -> operators.Curation.interleaveSql("//"),
+
+    // Bloom-screened semi join: the oracle is the PLAIN IN-subquery semi
+    // join (portable), so equality proves the screen result-invisible
+    "q_bloom_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'AUTOMOBILE')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     // bucketed-histogram join-size estimator next to the exact per-bucket
     // join count; est >= exact is a mathematical guarantee the oracle pins

@@ -984,6 +984,34 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Order mix of one customer segment THROUGH the Bloom-screened semi
+    * join ([[SkewUtils.bloomSemiJoin]]): orders placed by AUTOMOBILE
+    * customers, counted per priority. The ORACLE states the plain
+    * `o_custkey IN (SELECT ...)` semi join, so every run proves the
+    * Bloom screen is result-invisible — false positives die in the exact
+    * rejoin, false negatives are impossible by construction. The query
+    * surface of the same contract saltedPurchaseRevenue pins for salting:
+    * an execution strategy must never change an answer.
+    *
+    * 100 TB shape: the 16 KiB bitset broadcasts no matter how large the
+    * dimension grows, so the fact-side shuffle feeding the exact semi
+    * join carries only screen survivors (matching fraction + bounded
+    * false-positive rate) instead of every order.
+    */
+  def bloomSemiOrderMix(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.spread(s, dir, "orders")
+    val autoCust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    SkewUtils.bloomSemiJoin(orders, autoCust, "o_custkey", "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr(
+          "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Conversion-window funnel: of each day's signups, how many purchased
     * within `windowDays`? The per-signup "next purchase" is a masked
     * `min` over the FOLLOWING window frame — min ignores NULLs by
@@ -1902,4 +1930,94 @@ object Analytics {
       .withColumn("pct_1e4", expr("(delta_cents * 10000) DIV prev_cents"))
       .orderBy(col("month"))
   }
+
+  /** Public (not private) so Catalyst's codegen'd encoders can reach them. */
+  final case class CusumDay(day: String, cents: Long, n: Long, total: Long)
+  final case class CusumRow(day: String, cents: Long, s_hi: Long, s_lo: Long,
+                            flag_hi: Long, flag_lo: Long)
+
+  /** Two-sided CUSUM changepoint detector over daily event revenue (Page
+    * 1954) — the level-shift monitor that a per-day threshold misses: a
+    * persistent +30% drift never trips a 2x-outlier rule, but its
+    * cumulative excess grows linearly and crosses the CUSUM decision
+    * band within days.
+    *
+    * Exact-integer recurrence with mean subtraction by CROSS-MULTIPLICATION
+    * (no division anywhere, so every engine agrees bit-for-bit): with n
+    * days and total = sum(cents), the doubled deviation of day t is
+    * 2·n·x_t - 2·total; allowance (the classic k, here half the daily
+    * mean) makes the high/low steps
+    *   s_hi <- max(0, s_hi + 2·n·x_t - 3·total)
+    *   s_lo <- max(0, s_lo + total - 2·n·x_t)
+    * and the decision band h (two mean-days) is 4·total in the same
+    * units. BIGINT holds while n·cents_day < 4.6e18 — beyond that, the
+    * documented DECIMAL(38,0) escape hatch.
+    *
+    * 100 TB shape: one map-side-combined aggregate collapses the feed to
+    * |days| rows; the prefix-dependent recurrence then runs as ONE
+    * flatMapSortedGroups pass over that catalog-sized frame (the
+    * throttle/survival pattern: the shuffle's sort delivers days in
+    * order, O(1) state). The oracle and the Spark twin state the same
+    * recurrence as a recursive CTE.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    daily.crossJoin(broadcast(tot)).as[CusumDay]
+      .groupByKey(_ => true)
+      .flatMapSortedGroups(col("day")) { (_, it) =>
+        var sHi = 0L
+        var sLo = 0L
+        it.map { d =>
+          sHi = math.max(0L, sHi + 2L * d.n * d.cents - 3L * d.total)
+          sLo = math.max(0L, sLo + d.total - 2L * d.n * d.cents)
+          CusumRow(d.day, d.cents, sHi, sLo,
+            if (sHi > 4L * d.total) 1L else 0L,
+            if (sLo > 4L * d.total) 1L else 0L)
+        }
+      }
+      .toDF()
+      .orderBy(col("day"))
+  }
+
+  /** The CUSUM recurrence as one recursive-CTE statement; `dayE` is the
+    * only dialect point (strftime vs date_format). Same text feeds the
+    * DuckDB oracle and the Spark front-door twin.
+    */
+  private[graft] def cusumSql(dayE: String): String =
+    s"""WITH RECURSIVE d AS (
+           SELECT $dayE AS day,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS total FROM d),
+         s AS (SELECT day, cents,
+                      CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+               FROM d),
+         c AS (
+           SELECT s.day, s.cents, s.rk,
+                  CAST(greatest(0, 2 * t.n * s.cents - 3 * t.total) AS BIGINT)
+                    AS s_hi,
+                  CAST(greatest(0, t.total - 2 * t.n * s.cents) AS BIGINT)
+                    AS s_lo
+           FROM s CROSS JOIN t WHERE s.rk = 1
+           UNION ALL
+           SELECT s.day, s.cents, s.rk,
+                  CAST(greatest(0, c.s_hi + 2 * t.n * s.cents - 3 * t.total)
+                    AS BIGINT),
+                  CAST(greatest(0, c.s_lo + t.total - 2 * t.n * s.cents)
+                    AS BIGINT)
+           FROM c JOIN s ON s.rk = c.rk + 1 CROSS JOIN t)
+         SELECT c.day, c.cents, c.s_hi, c.s_lo,
+                CAST(CASE WHEN c.s_hi > 4 * t.total THEN 1 ELSE 0 END
+                  AS BIGINT) AS flag_hi,
+                CAST(CASE WHEN c.s_lo > 4 * t.total THEN 1 ELSE 0 END
+                  AS BIGINT) AS flag_lo
+         FROM c CROSS JOIN t ORDER BY c.day"""
 }

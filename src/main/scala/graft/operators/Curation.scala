@@ -282,4 +282,88 @@ object Curation {
         col("quality_1e4"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic proportional interleave (curriculum schedule) audit:
+    * assign every document a SCHEDULE KEY such that reading the corpus in
+    * key order interleaves the sources proportionally — every prefix of
+    * the training stream sees (approximately) the global source mix, the
+    * property that keeps a run's early loss curve representative (a
+    * source-sorted corpus front-loads one distribution; a random shuffle
+    * loses rerun determinism).
+    *
+    * The key is the classic stride schedule: the r-th document of a
+    * source holding n_s documents lands at phase (2r-1)/(2·n_s) of the
+    * stream — evenly spread, first item at half a stride. Keys are
+    * realized as exact integers via a PRECOMPUTED per-source stride,
+    * stride_s = 2^40 DIV (2·n_s), skey = (2r-1)·stride_s — truncation
+    * identical in every engine, and the product stays under 2^40 for any
+    * r (the naive ((2r-1)·2^40) DIV (2·n_s) form overflows BIGINT once
+    * n_s exceeds ~4·10^8; the stride form holds to n_s = 2^39 docs per
+    * source, beyond which widen the phase space from 2^40).
+    *
+    * The emitted AUDIT proves the mix property without materializing the
+    * global order: bucketing keys into deciles of [0, 2^40) needs no
+    * sort, and per (decile, source) counts vs the source's global share
+    * show every tenth of the schedule carrying the corpus mix. A full
+    * writer would range-partition on the key (the zorderWrite pattern:
+    * sampled boundaries, in-partition sort, NO global rank window).
+    *
+    * 100 TB shape: one per-source window rank (the only shuffle,
+    * unavoidable — ranks ARE per-source sequence numbers), broadcast
+    * per-source counts, then a hash aggregate to 10·|sources| rows.
+    */
+  def interleaveMix(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("n_total"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .withColumn("stride",
+        expr("CAST(1099511627776 AS BIGINT) DIV (2 * n_s)"))
+      .withColumn("skey", expr("(2 * r - 1) * stride"))
+      .withColumn("decile", expr("(skey * 10) DIV 1099511627776"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("share_1e4",
+        expr("(20000 * n_docs * 10 + n_total) DIV (2 * n_total)"))
+      .withColumn("source_share_1e4",
+        expr("(20000 * n_s + n_total) DIV (2 * n_total)"))
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("share_1e4"), col("source_share_1e4"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** The interleave audit as one statement; `div` is the only dialect
+    * point ("//" in DuckDB, "DIV" in Spark). share_1e4 is the decile-
+    * local share ((n_docs·10)/n_total, half-up 1e-4): a perfect schedule
+    * makes it equal source_share_1e4 in every decile.
+    */
+  private[graft] def interleaveSql(div: String): String =
+    s"""WITH r AS (SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                 AS BIGINT) AS r
+           FROM documents),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+               FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM c),
+         k AS (SELECT r.source,
+                      (2 * r.r - 1) *
+                        (CAST(1099511627776 AS BIGINT) $div (2 * c.n_s))
+                        AS skey
+               FROM r JOIN c ON c.source = r.source),
+         d AS (SELECT source, (skey * 10) $div 1099511627776 AS decile,
+                      CAST(count(*) AS BIGINT) AS n_docs
+               FROM k GROUP BY source, (skey * 10) $div 1099511627776)
+         SELECT d.source, d.decile, d.n_docs,
+                (20000 * d.n_docs * 10 + t.n_total) $div (2 * t.n_total)
+                  AS share_1e4,
+                (20000 * c.n_s + t.n_total) $div (2 * t.n_total)
+                  AS source_share_1e4
+         FROM d CROSS JOIN t JOIN c ON c.source = d.source
+         ORDER BY d.source, d.decile"""
 }

@@ -234,4 +234,102 @@ object Mining {
          SELECT node AS p_partkey, pr AS rank_1e9 FROM it$iters
          ORDER BY rank_1e9 DESC, p_partkey"""
   }
+
+  /** Exact triangle counting over the co-purchase graph via DEGREE-ORDERED
+    * edge orientation (Cohen 2009 / the Schank-Wagner node-iterator
+    * refinement) — the clustering/community-density primitive ("how
+    * tightly do items that sell together ALSO sell with each other").
+    *
+    * Each undirected edge is directed from its (degree, id)-smaller
+    * endpoint to the larger; every triangle then has exactly ONE vertex
+    * whose two incident edges both point away from it (the triangle's
+    * minimum in the total order), so one wedge self-join on that apex +
+    * one closing-edge equi-join counts each triangle exactly once. The
+    * orientation is the whole scale story: wedge fan-out per node is
+    * bounded by its OUT-degree, which degree-ordering caps at O(sqrt(m))
+    * even for celebrity nodes — the naive a<b<c id-ordered join puts a
+    * hub's full degree^2 on one task whenever the hub has a small id.
+    *
+    * 100 TB shape: whale-basket guard before anything quadratic (the
+    * marketBasket guard), distinct canonical edges, one map-side-combined
+    * degree aggregate joined back (degree frame is node-sized, broadcast
+    * when it fits — AQE decides), wedge join + closing-edge join both
+    * plain equi-joins on key columns, then three cheap projections union
+    * into the per-node participation count and TakeOrderedAndProject cuts
+    * the top K. No global sort, no driver collect.
+    *
+    * The oracle states the NAIVE id-ordered formulation (e1 join e2 join
+    * e3 on a<b<c) — a deliberately different algorithm, so equality is an
+    * algorithmic cross-check, not a restatement.
+    */
+  def triangleCount(s: SparkSession, dir: String,
+                    maxItems: Int = 40, k: Int = 20): DataFrame = {
+    val incidence = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val ok = incidence.groupBy(col("basket"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxItems)
+      .select("basket")
+    val kept = incidence.join(ok, Seq("basket"))
+    // canonical undirected edges, u < v by id
+    val edges = kept.as("a").join(kept.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint
+    val oriented = edges
+      .join(deg.toDF("u", "deg_u"), Seq("u"))
+      .join(deg.toDF("v", "deg_v"), Seq("v"))
+      .select(
+        when(col("deg_u") < col("deg_v") ||
+             (col("deg_u") === col("deg_v") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("deg_u") < col("deg_v") ||
+             (col("deg_u") === col("deg_v") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    // wedges from each apex; the closing edge is looked up in CANONICAL
+    // (id-ordered) form, which the oriented pair maps onto via least/greatest
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"),
+        col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(edges,
+        edges("u") === least(col("b"), col("c")) &&
+        edges("v") === greatest(col("b"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("p_partkey"))
+      .union(tri.select(col("b").as("p_partkey")))
+      .union(tri.select(col("c").as("p_partkey")))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey"))
+      .limit(k)
+  }
+
+  /** The naive id-ordered triangle count as one portable SQL statement —
+    * valid verbatim in DuckDB (the oracle) and Spark (the front door).
+    */
+  private[graft] def triangleSql(maxItems: Int = 40, k: Int = 20): String =
+    s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                     FROM lineitem),
+        ok AS (SELECT basket FROM inc GROUP BY basket
+               HAVING count(*) <= $maxItems),
+        kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok USING (basket)),
+        e AS (SELECT DISTINCT a.item AS u, b.item AS v
+              FROM kept a JOIN kept b
+                ON a.basket = b.basket AND a.item < b.item),
+        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        p AS (SELECT a AS p_partkey FROM t
+              UNION ALL SELECT b FROM t
+              UNION ALL SELECT c FROM t)
+        SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM p GROUP BY p_partkey
+        ORDER BY n_triangles DESC, p_partkey LIMIT $k"""
 }

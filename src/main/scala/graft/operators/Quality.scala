@@ -277,4 +277,153 @@ object Quality {
         (col("est_rows") >= col("exact_rows")).cast("int"))
       .orderBy(col("bucket"))
   }
+
+  /** Seasonal (hour-of-week) anomaly report: every (day, hour) traffic
+    * cell against its own weekday-hour baseline — "is Tuesday 3am low,
+    * or is Tuesday 3am ALWAYS low?" — the seasonality-aware sibling of
+    * the global outlier reports (valueOutliers/madOutliers flag values;
+    * this flags TIME CELLS, with the weekly rhythm factored out).
+    *
+    * Baseline per (dow, hour) is the average cell count over the days of
+    * that weekday in the feed, kept as an exact fraction
+    * (dh_total / n_days) and compared by integer cross-multiplication —
+    * no division anywhere, so every engine agrees bit-for-bit:
+    * flag_hi ⇔ n·n_days > 2·dh_total (above twice baseline),
+    * flag_lo ⇔ 2·n·n_days < dh_total (below half baseline).
+    * The grid is DENSE — a silent dead hour is exactly what the monitor
+    * exists to catch, so missing cells materialize as zeros (and a
+    * never-active (dow, hour) has dh_total = 0: dead-by-design hours
+    * don't flag).
+    *
+    * 100 TB shape: one map-side-combined hash aggregate collapses the
+    * feed to |days|·24 cells; everything after (dense grid explode,
+    * weekday-day counts, baseline join) runs on catalog-sized frames and
+    * broadcasts. The fact table is scanned exactly once.
+    */
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+      hour(col("ts")).cast("long").as("hour"))
+    val cells = ev.groupBy(col("day"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val days = ev.select(col("day"), col("dow")).distinct()
+    val grid = days
+      .select(col("day"), col("dow"),
+        explode(sequence(lit(0L), lit(23L))).as("hour"))
+      .join(cells, Seq("day", "dow", "hour"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val nDays = days.groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    val dh = grid.groupBy(col("dow"), col("hour"))
+      .agg(sum(col("n_events")).as("dh_total"))
+    grid.join(broadcast(dh), Seq("dow", "hour"))
+      .join(broadcast(nDays), Seq("dow"))
+      .withColumn("flag_hi",
+        when(col("n_events") * col("n_days") > lit(2L) * col("dh_total"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("flag_lo",
+        when(lit(2L) * col("n_events") * col("n_days") < col("dh_total"), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("day"), col("hour"), col("dow"), col("n_events"),
+        col("dh_total"), col("n_days"), col("flag_hi"), col("flag_lo"))
+      .orderBy(col("day"), col("hour"))
+  }
+
+  /** The seasonal-anomaly statement, parameterized on the two dialect
+    * points: `dayE`/`dowE` (strftime + native Sun=0 dayofweek in DuckDB,
+    * date_format + dayofweek-1 in Spark) and `hourGrid` (a one-column
+    * derived table producing hours 0..23: range() vs explode(sequence)).
+    */
+  private[graft] def seasonalSql(dayE: String, dowE: String,
+                                 hourGrid: String): String =
+    s"""WITH ev AS (SELECT $dayE AS day, CAST($dowE AS BIGINT) AS dow,
+                     CAST(hour(ts) AS BIGINT) AS hour FROM events),
+        cells AS (SELECT day, dow, hour, CAST(count(*) AS BIGINT) AS n
+                  FROM ev GROUP BY day, dow, hour),
+        days AS (SELECT DISTINCT day, dow FROM ev),
+        grid AS (SELECT d.day, d.dow, h.hour,
+                        CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+                 FROM days d CROSS JOIN $hourGrid h
+                 LEFT JOIN cells c
+                   ON c.day = d.day AND c.dow = d.dow AND c.hour = h.hour),
+        nd AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days
+               FROM days GROUP BY dow),
+        dh AS (SELECT dow, hour, CAST(sum(n_events) AS BIGINT) AS dh_total
+               FROM grid GROUP BY dow, hour)
+        SELECT g.day, g.hour, g.dow, g.n_events, dh.dh_total, nd.n_days,
+               CAST(CASE WHEN g.n_events * nd.n_days > 2 * dh.dh_total
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_hi,
+               CAST(CASE WHEN 2 * g.n_events * nd.n_days < dh.dh_total
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_lo
+        FROM grid g
+        JOIN dh ON dh.dow = g.dow AND dh.hour = g.hour
+        JOIN nd ON nd.dow = g.dow
+        ORDER BY g.day, g.hour"""
+
+  /** Functional-dependency audit: for a fixed slate of candidate
+    * determinations A -> B over the orders feed, does each A value map to
+    * exactly one B value — the key/denormalization discovery a warehouse
+    * runs before declaring merge keys or collapsing columns into
+    * dimensions (profileOrders describes columns in isolation; this is
+    * the BETWEEN-column profile).
+    *
+    * Evidence, not booleans: n_lhs (distinct A), n_pairs (distinct
+    * (A, B)), n_violations = n_pairs - n_lhs (the number of EXTRA B
+    * values that break the dependency), holds as a 0/1 flag.
+    *
+    * 100 TB shape: ONE scan — the candidate slate unpivots via stack (a
+    * 5x row expansion of two small string columns, far cheaper than five
+    * full scans), then a single hash aggregate with two exact distinct
+    * counts (Catalyst plans multi-distinct via Expand). At unbounded
+    * cardinality swap the exact distincts for approx_count_distinct —
+    * a dependency VIOLATION check tolerates sketch error badly, so the
+    * exact form stays the default and the sketch is the triage pass.
+    */
+  def fdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val deps = Seq(
+      ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+      ("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"),
+      ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
+      ("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
+      ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+    val stackArgs = deps.map { case (name, lhs, rhs) =>
+      s"'$name', CAST($lhs AS STRING), CAST($rhs AS STRING)"
+    }.mkString(", ")
+    Tables.spread(s, dir, "orders")
+      .select(expr(s"stack(${deps.size}, $stackArgs) AS (dependency, lhs, rhs)"))
+      .groupBy(col("dependency"))
+      .agg(countDistinct(col("lhs")).as("n_lhs"),
+        countDistinct(col("lhs"), col("rhs")).as("n_pairs"))
+      .withColumn("n_violations", col("n_pairs") - col("n_lhs"))
+      .withColumn("holds",
+        when(col("n_pairs") === col("n_lhs"), lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("dependency"))
+  }
+
+  /** The FD audit as portable SQL (valid verbatim in DuckDB and Spark):
+    * five two-level distinct blocks unioned — a deliberately different
+    * formulation (five scans, no stack/Expand), so oracle equality is an
+    * algorithmic cross-check of the multi-distinct path.
+    */
+  private[graft] def fdDiscoverySql: String = {
+    val blocks = Seq(
+      ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+      ("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"),
+      ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
+      ("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
+      ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+      .map { case (name, lhs, rhs) =>
+        s"""SELECT '$name' AS dependency,
+               CAST(count(DISTINCT lhs) AS BIGINT) AS n_lhs,
+               CAST(count(*) AS BIGINT) AS n_pairs
+            FROM (SELECT DISTINCT CAST($lhs AS STRING) AS lhs,
+                         CAST($rhs AS STRING) AS rhs FROM orders) p"""
+      }
+    s"""WITH u AS (${blocks.mkString("\nUNION ALL\n")})
+        SELECT dependency, n_lhs, n_pairs,
+               n_pairs - n_lhs AS n_violations,
+               CAST(CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS BIGINT)
+                 AS holds
+        FROM u ORDER BY dependency"""
+  }
 }

@@ -42,4 +42,53 @@ object SkewUtils {
         joinType)
       .drop("__salt").drop(replicated(key))
   }
+
+  /** Bloom-screened semi join: `left` rows whose `leftKey` appears in
+    * `right.rightKey` — same result as a plain left-semi join, reached by
+    * first dropping the left rows a broadcast Bloom filter of the right
+    * keys PROVABLY cannot match. The screen is result-invisible: false
+    * negatives are impossible (every inserted key's bits are set), and
+    * the false positives the filter lets through are removed by the exact
+    * semi join that follows.
+    *
+    * This is the explicit form of Spark's runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for when the
+    * planner can't inject it (non-equi pre-transforms, reused builds) or
+    * the build side needs to be pinned. The 100 TB story is shuffle
+    * avoidance on the FACT side: when `right` is too big to broadcast,
+    * the plain semi join shuffles every left row; the bitset (nBits/8
+    * bytes, fixed) always broadcasts, and only screen survivors — the
+    * matching fraction plus the quantified false-positive rate
+    * (~(1 - e^(-k·n/m))^k) — enter the exchange.
+    *
+    * Probe tests are pure codegen'd expressions (element_at + shiftleft
+    * over the packed words — no UDF in the hot path); the build is the
+    * map-side-combining [[graft.functions.BloomBitset]] aggregate, one
+    * nBits/8-byte partial per upstream partition.
+    */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    nBits: Int = 1 << 17, hashes: Int = 3): DataFrame = {
+    require(hashes > 0, "need at least one hash function")
+    val nb = nBits.toLong
+    val buildPos = (0 until hashes).map(i =>
+      pmod(xxhash64(col(rightKey), lit(i)), lit(nb)))
+    val bloomAgg = udaf(new graft.functions.BloomBitset(nBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bits = right
+      .select(explode(array(buildPos: _*)).as("pos"))
+      .agg(bloomAgg(col("pos")).as("__bits"))
+    // identical (value, seed-literal) hash inputs on both sides: xxhash64
+    // over (key, i) with i an INT literal in both the Column and SQL form
+    val mightContain = (0 until hashes).map { i =>
+      val p = s"pmod(xxhash64($leftKey, $i), $nb)"
+      expr(s"""(element_at(__bits, CAST($p DIV 64 AS INT) + 1)
+               & shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) <> 0""")
+    }.reduce(_ && _)
+    left.crossJoin(broadcast(bits))
+      .filter(mightContain)
+      .drop("__bits")
+      .join(right.select(col(rightKey).as("__rk")),
+        col(leftKey) === col("__rk"), "left_semi")
+  }
 }

@@ -2600,7 +2600,21 @@ object SqlFrontDoor {
     // same generated text as the oracle with DIV for //
     "q_pagerank_copurchase" ->
       graft.operators.Mining.pagerankSql("DIV",
-        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.pagerankIters)
+        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.pagerankIters),
+
+    // same generated text as the oracle; dialect points are
+    // date_format/dayofweek-1 and the hour grid (explode(sequence))
+    "q_seasonal_anomaly" ->
+      graft.operators.Quality.seasonalSql("date_format(ts, 'yyyy-MM-dd')",
+        "dayofweek(ts) - 1",
+        "(SELECT CAST(h0 AS BIGINT) AS hour FROM (SELECT explode(sequence(0, 23)) AS h0))"),
+
+    // same generated recursive-CTE text as the oracle (date_format only)
+    "q_cusum_changepoint" ->
+      graft.operators.Analytics.cusumSql("date_format(ts, 'yyyy-MM-dd')"),
+
+    // same generated text as the oracle with DIV for //
+    "q_interleave_mix" -> graft.operators.Curation.interleaveSql("DIV")
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch
@@ -2634,7 +2648,8 @@ object SqlFrontDoor {
     "q_unpivot_order_status", "q_window_first_last",
     "q_window_rank_family", "q_window_top_customers",
     "q_market_basket", "q_pareto_frontier", "q_join_size_estimate",
-    "q_bitmap_distinct_users", "q_bitmap_overlap", "q_image_near_dup")
+    "q_bitmap_distinct_users", "q_bitmap_overlap", "q_image_near_dup",
+    "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

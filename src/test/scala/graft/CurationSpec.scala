@@ -272,4 +272,44 @@ class CurationSpec extends SparkTestBase {
         s"cell ${r.getAs[Long]("z_cell")} too wide on suppkey")
     }
   }
+
+  test("interleave mix: matches the stride recompute, deciles carry the corpus mix") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // in-memory stride-schedule recompute
+    val bySource = docs.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val counts = scala.collection.mutable.Map[(String, Long), Long]()
+      .withDefaultValue(0L)
+    bySource.foreach { case (src, ids) =>
+      val nS = ids.length.toLong
+      val stride = 1099511627776L / (2L * nS)
+      ids.indices.foreach { i =>
+        val skey = (2L * (i + 1) - 1L) * stride
+        counts((src, (skey * 10L) / 1099511627776L)) += 1L
+      }
+    }
+    val nTotal = docs.length.toLong
+    val got = Curation.interleaveMix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val want = counts.toSeq.map { case ((src, dec), n) =>
+      val nS = bySource(src).length.toLong
+      (src, dec, n,
+        (20000L * n * 10L + nTotal) / (2L * nTotal),
+        (20000L * nS + nTotal) / (2L * nTotal))
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+    // the mix property: every decile's per-source count is within one doc
+    // of the source's proportional slice (the stride schedule guarantee)
+    got.foreach { case (src, _, n, _, _) =>
+      val nS = bySource(src).length.toLong
+      assert(math.abs(n * 10L - nS) <= 10L,
+        s"decile count $n for $src strays from ${nS}/10")
+    }
+    // every source with >= 10 docs appears in all 10 deciles
+    bySource.filter(_._2.length >= 10).keys.foreach { src =>
+      assert(got.count(_._1 == src) == 10, s"$src must hit all deciles")
+    }
+  }
 }

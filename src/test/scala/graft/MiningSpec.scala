@@ -285,4 +285,113 @@ class MiningSpec extends SparkTestBase {
       assert(cur.getLong(3) == cur.getLong(1) - prev.getLong(1))
     }
   }
+
+  test("triangle count matches the in-memory adjacency enumeration") {
+    // brute force: build the whale-guarded undirected edge set, then count
+    // common neighbors per canonical edge — a deliberately different
+    // algorithm than BOTH the degree-ordered operator and the naive-join
+    // oracle
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = inc.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .filter(_._2.size <= 8)
+      .flatMap { case (_, items) =>
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          yield (items(i), items(j))
+      }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val perNode = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      (adj(u) intersect adj(v)).filter(_ > v).foreach { w =>
+        perNode(u) += 1; perNode(v) += 1; perNode(w) += 1
+      }
+    }
+    val want = perNode.toSeq.map { case (n, c) => (n, c) }
+      .sortBy { case (n, c) => (-c, n) }.take(25)
+    val got = Mining.triangleCount(spark, Sf, maxItems = 8, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("cusum matches the in-memory recurrence and clamps at zero") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var sHi = 0L; var sLo = 0L
+    val want = daily.map { case (day, cents) =>
+      sHi = math.max(0L, sHi + 2L * n * cents - 3L * total)
+      sLo = math.max(0L, sLo + total - 2L * n * cents)
+      (day, cents, sHi, sLo,
+        if (sHi > 4L * total) 1L else 0L, if (sLo > 4L * total) 1L else 0L)
+    }.toSeq
+    val got = Analytics.cusumChangepoint(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(got.forall(r => r._3 >= 0L && r._4 >= 0L))
+  }
+
+  test("seasonal anomaly: dense grid, reconciled baselines, exact flags") {
+    val rows = Quality.seasonalAnomaly(spark, Sf).collect()
+    val nDays = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == nDays * 24, "grid must be dense: every day x 24 hours")
+    // per-(dow, hour) totals must reconcile with the cells they cover
+    val byDowHour = rows.groupBy(r => (r.getLong(2), r.getLong(1)))
+    byDowHour.foreach { case ((_, _), cells) =>
+      assert(cells.map(_.getLong(3)).sum == cells.head.getLong(4),
+        "dh_total must equal the sum of its cells")
+      assert(cells.length == cells.head.getLong(5),
+        "n_days must equal the number of grid cells for that (dow, hour)")
+    }
+    rows.foreach { r =>
+      val (n, dh, nd, hi, lo) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(hi == (if (n * nd > 2 * dh) 1L else 0L))
+      assert(lo == (if (2 * n * nd < dh) 1L else 0L))
+      if (dh == 0) assert(hi == 0 && lo == 0, "dead-by-design hours don't flag")
+    }
+  }
+
+  test("fd discovery matches the set-based recompute") {
+    val orders = Tables.load(spark, Sf, "orders")
+      .select(col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), col("o_orderdate").cast("string"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    def check(lhs: Array[String], rhs: Array[String]): (Long, Long) = {
+      val pairs = lhs.zip(rhs).distinct
+      (pairs.map(_._1).distinct.length.toLong, pairs.length.toLong)
+    }
+    val want = Seq(
+      ("o_custkey->o_orderstatus",
+        check(orders.map(_._2), orders.map(_._3))),
+      ("o_orderdate->o_orderpriority",
+        check(orders.map(_._4), orders.map(_._5))),
+      ("o_orderkey->o_custkey", check(orders.map(_._1), orders.map(_._2))),
+      ("o_orderkey->o_orderstatus", check(orders.map(_._1), orders.map(_._3))),
+      ("o_orderstatus->o_orderpriority",
+        check(orders.map(_._3), orders.map(_._5))))
+      .map { case (name, (nl, np)) =>
+        (name, nl, np, np - nl, if (np == nl) 1L else 0L)
+      }
+    val got = Quality.fdDiscovery(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // the PK dependencies must hold; the status->priority one must not
+    assert(got.find(_._1 == "o_orderkey->o_custkey").get._5 == 1L)
+    assert(got.find(_._1 == "o_orderstatus->o_orderpriority").get._5 == 0L)
+  }
 }

@@ -35,6 +35,33 @@ class SkewUtilsSpec extends SparkTestBase {
     assert(distinctSalts >= 4)
   }
 
+  test("bloomSemiJoin equals the plain left-semi join") {
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    val dim = spark.read.parquet(s"$Sf/customer.parquet")
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey")
+    val plain = orders.join(dim, orders("o_custkey") === dim("c_custkey"),
+      "left_semi")
+    val bloomed = SkewUtils.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey")
+    assert(plain.exceptAll(bloomed).count() == 0)
+    assert(bloomed.exceptAll(plain).count() == 0)
+  }
+
+  test("bloomSemiJoin screen is a superset of the true matches (no false negatives)") {
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    val dim = spark.read.parquet(s"$Sf/customer.parquet")
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey")
+    // tiny filter (64 bits, 1 hash) -> false positives all but guaranteed,
+    // yet the result must STILL be exact: the rejoin removes them
+    val tiny = SkewUtils.bloomSemiJoin(orders, dim, "o_custkey", "c_custkey",
+      nBits = 64, hashes = 1)
+    val plain = orders.join(dim, orders("o_custkey") === dim("c_custkey"),
+      "left_semi")
+    assert(tiny.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(tiny).count() == 0)
+  }
+
   /** Deterministic synthetic embeddings: 4-dim, label-controlled, with the
     * same (vec_id, label, embedding, vnorm) shape nearestInLabelCore reads.
     */

@@ -301,22 +301,30 @@ object Quality {
     * broadcasts. The fact table is scanned exactly once.
     */
   def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(
-      date_format(col("ts"), "yyyy-MM-dd").as("day"),
-      (dayofweek(col("ts")) - 1).cast("long").as("dow"),
-      hour(col("ts")).cast("long").as("hour"))
-    val cells = ev.groupBy(col("day"), col("dow"), col("hour"))
+    // ONE scan: everything below `cells` is catalog-sized and derives
+    // from the aggregate, never from the fact table again (days, the
+    // dense grid, and both baselines are all views over cells; the pinned
+    // plan test counts the scans). A (dow, hour) absent from cells has no
+    // events at all — its grid rows left-join to dh_total = 0.
+    val cells = Tables.events(s, dir).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .groupBy(col("day"), col("dow"), col("hour"))
       .agg(count(lit(1)).as("n_events"))
-    val days = ev.select(col("day"), col("dow")).distinct()
+      .localCheckpoint(true) // cells is |days|·24 rows max: pin it so the
+                             // four downstream uses never re-aggregate
+    val days = cells.select(col("day"), col("dow")).distinct()
     val grid = days
       .select(col("day"), col("dow"),
         explode(sequence(lit(0L), lit(23L))).as("hour"))
       .join(cells, Seq("day", "dow", "hour"), "left")
       .na.fill(0L, Seq("n_events"))
     val nDays = days.groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
-    val dh = grid.groupBy(col("dow"), col("hour"))
+    val dh = cells.groupBy(col("dow"), col("hour"))
       .agg(sum(col("n_events")).as("dh_total"))
-    grid.join(broadcast(dh), Seq("dow", "hour"))
+    grid.join(broadcast(dh), Seq("dow", "hour"), "left")
+      .na.fill(0L, Seq("dh_total"))
       .join(broadcast(nDays), Seq("dow"))
       .withColumn("flag_hi",
         when(col("n_events") * col("n_days") > lit(2L) * col("dh_total"), lit(1L))
@@ -340,7 +348,7 @@ object Quality {
                      CAST(hour(ts) AS BIGINT) AS hour FROM events),
         cells AS (SELECT day, dow, hour, CAST(count(*) AS BIGINT) AS n
                   FROM ev GROUP BY day, dow, hour),
-        days AS (SELECT DISTINCT day, dow FROM ev),
+        days AS (SELECT DISTINCT day, dow FROM cells),
         grid AS (SELECT d.day, d.dow, h.hour,
                         CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
                  FROM days d CROSS JOIN $hourGrid h
@@ -348,15 +356,19 @@ object Quality {
                    ON c.day = d.day AND c.dow = d.dow AND c.hour = h.hour),
         nd AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days
                FROM days GROUP BY dow),
-        dh AS (SELECT dow, hour, CAST(sum(n_events) AS BIGINT) AS dh_total
-               FROM grid GROUP BY dow, hour)
-        SELECT g.day, g.hour, g.dow, g.n_events, dh.dh_total, nd.n_days,
-               CAST(CASE WHEN g.n_events * nd.n_days > 2 * dh.dh_total
+        dh AS (SELECT dow, hour, CAST(sum(n) AS BIGINT) AS dh_total
+               FROM cells GROUP BY dow, hour)
+        SELECT g.day, g.hour, g.dow, g.n_events,
+               CAST(coalesce(dh.dh_total, 0) AS BIGINT) AS dh_total,
+               nd.n_days,
+               CAST(CASE WHEN g.n_events * nd.n_days >
+                         2 * coalesce(dh.dh_total, 0)
                     THEN 1 ELSE 0 END AS BIGINT) AS flag_hi,
-               CAST(CASE WHEN 2 * g.n_events * nd.n_days < dh.dh_total
+               CAST(CASE WHEN 2 * g.n_events * nd.n_days <
+                         coalesce(dh.dh_total, 0)
                     THEN 1 ELSE 0 END AS BIGINT) AS flag_lo
         FROM grid g
-        JOIN dh ON dh.dow = g.dow AND dh.hour = g.hour
+        LEFT JOIN dh ON dh.dow = g.dow AND dh.hour = g.hour
         JOIN nd ON nd.dow = g.dow
         ORDER BY g.day, g.hour"""
 

@@ -210,4 +210,34 @@ class PlanFeaturesSpec extends SparkTestBase {
         s"pair generation must stay an equi join:\n$plan")
     }
   }
+
+  test("triangle count: wedge and closing-edge joins stay equi, never cartesian") {
+    val df = graft.operators.Mining.triangleCount(spark, Sf, 8, 25)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"degree-ordered triangle join must stay an equi join:\n$plan")
+  }
+
+  test("bloom semi join: the only non-equi join is the broadcast of the one-row bitset") {
+    val df = graft.operators.Analytics.bloomSemiOrderMix(spark, Sf)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the bitset must broadcast (BroadcastNestedLoopJoin), not cartesian:\n$plan")
+    // the screen itself: no UDF anywhere in the probe path
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"probe tests must be codegen'd expressions:\n$plan")
+  }
+
+  test("seasonal anomaly: one scan of the fact table, baselines broadcast back") {
+    val df = graft.operators.Quality.seasonalAnomaly(spark, Sf)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, // cells + the distinct-days frame share one source
+      s"seasonal grid must not rescan the fact table per join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"catalog-sized baselines must broadcast:\n$plan")
+  }
 }

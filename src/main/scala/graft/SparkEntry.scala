@@ -224,6 +224,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_substring_spans" -> (Dedup.substringSpans(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "q_dedup_prefix_filter" -> (Dedup.prefixFilterJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
     "q_source_overlap" -> (Dedup.sourceOverlap(_, _)),
@@ -2791,6 +2792,25 @@ object SparkEntry {
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.n_sh AS na, b.n_sh AS nb, count(*) AS common
            FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b,
+                (20000 * common + (na + nb - common))
+                // (2 * (na + nb - common)) AS jaccard_1e4
+         FROM pairs
+         WHERE (20000 * common + (na + nb - common))
+               // (2 * (na + nb - common)) >= 5000
+         ORDER BY doc_a, doc_b""",
+
+    // prefix-filtered exact Jaccard: the oracle is the NAIVE
+    // any-shared-shingle join with NO prefix and NO df cap — a different
+    // algorithm whose equality proves the prefix lemma and the verify step
+    "q_dedup_prefix_filter" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM shd),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2, 3, 4)
          SELECT doc_a, doc_b,
                 (20000 * common + (na + nb - common))

@@ -76,6 +76,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 2a-bis. EXACT threshold Jaccard join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08) — the candidate-generation alternative to MinHash-LSH and to
+    * the df-capped inverted index: no sketch error, no stop-shingle
+    * approximation, yet never an all-pairs product.
+    *
+    * Sort each doc's shingles by GLOBAL (df, shingle) order and index
+    * only the doc's first n - alpha(n) + 1 rarest shingles, where
+    * alpha(n) = ceil((2t·1e4 - 1)·n / 2e4) is the minimum intersection
+    * any pair this query can emit must have with an n-shingle doc
+    * (derived from the HALF-UP emit rule (20000c + u) DIV 2u >= t·1e4,
+    * so the boundary-rounded pair is still caught — a plain ceil(t·n)
+    * prefix would false-negative a pair that rounds up to the
+    * threshold). Prefix-filter lemma: two docs meeting the threshold
+    * share at least one PREFIX shingle, so the candidate join on prefix
+    * shingles misses nothing; verification computes the TRUE intersection
+    * with a codegen'd array_intersect on the full shingle arrays.
+    *
+    * 100 TB shape: prefixes are each doc's RAREST shingles, so candidate
+    * join buckets are small by construction (the PPJoin insight — the
+    * df-sort sends boilerplate shingles to the suffix, where they are
+    * never joined on); df ranking is one aggregate + one doc-keyed
+    * window; verify cost is O(candidates), and candidates are near-dups
+    * plus prefix collisions, not pairs. The oracle runs the NAIVE
+    * any-shared-shingle join with no prefix (a different algorithm) —
+    * equality proves both the lemma and the verify step.
+    */
+  def prefixFilterJaccard(s: SparkSession, dir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val t1e4 = math.round(threshold * 10000)
+    val docs = withShingles(s, dir)
+      .select(col("doc_id"), col("sh"), expr("CAST(size(sh) AS BIGINT)").as("n"))
+    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = ex.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("alpha", expr(s"((2 * $t1e4 - 1) * n + 19999) DIV 20000"))
+      .filter(col("rk") <= col("n") - col("alpha") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("common",
+        expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)"))
+      .withColumn("jaccard_1e4", expr(
+        "(20000 * common + (na + nb - common)) DIV (2 * (na + nb - common))"))
+      .filter(col("jaccard_1e4") >= t1e4)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_1e4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The df-capped inverted shingle index shared by the pairwise n-gram
     * similarity family: one row per (doc, distinct shingle) with the doc's
     * shingle-set size, stop-shingles (df > 100) dropped — the skew guard

@@ -987,6 +987,27 @@ object SqlFrontDoor {
          SELECT doc_a, doc_b, jaccard_1e4 FROM verify
          WHERE jaccard_1e4 >= 5000 ORDER BY doc_a, doc_b""",
 
+    // naive any-shared-shingle exact join (same algorithm as the oracle,
+    // Spark dialect) — the operator's prefix filter is an execution
+    // strategy, not different semantics
+    "q_dedup_prefix_filter" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, n_sh, shingle
+                FROM (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle
+                      FROM shd)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+         SELECT doc_a, doc_b,
+                (20000 * common + (na + nb - common))
+                DIV (2 * (na + nb - common)) AS jaccard_1e4
+         FROM pairs
+         WHERE (20000 * common + (na + nb - common))
+               DIV (2 * (na + nb - common)) >= 5000
+         ORDER BY doc_a, doc_b""",
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          ex AS (SELECT doc_id, n_sh, shingle

@@ -940,6 +940,30 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("prefix-filter jaccard equals the in-memory exact threshold join") {
+    import graft.operators.TextAnalysis
+    // third algorithm: collect full shingle sets and do the O(n^2) exact
+    // jaccard in memory (fine at sf0.001) — cross-checks BOTH the
+    // operator's prefix filter and the oracle's naive join
+    val sets = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS ws")
+      .where("size(ws) >= 3")
+      .selectExpr("doc_id", s"${Dedup.ShinglesExpr} AS sh")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (da, sa) = if (sets(i)._1 < sets(j)._1) sets(i) else sets(j)
+      (db, sb) = if (sets(i)._1 < sets(j)._1) sets(j) else sets(i)
+      c = (sa intersect sb).size.toLong
+      u = sa.size + sb.size - c
+      jac = (20000L * c + u) / (2L * u) if jac >= 5000L
+    } yield (da, db, jac)).sortBy(t => (t._1, t._2))
+    val got = Dedup.prefixFilterJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want.toSeq)
+    assert(got.nonEmpty, "fixture must contain threshold-passing near-dups")
+  }
+
   test("substringSpans: planted repeat recovered exactly; fixture invariants hold") {
     import spark.implicits._
     // planted case: docs 0 and 2 share a verbatim 15-token run; doc 1 is

@@ -1960,13 +1960,23 @@ object Analytics {
     * order, O(1) state). The oracle and the Spark twin state the same
     * recurrence as a recursive CTE.
     */
-  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame =
+    cusumFromDaily(
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr(
+          "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("cents")))
+
+  /** The CUSUM epilogue over an already-reduced (day, cents) frame —
+    * shared by the batch operator and the streaming face (the daily cells
+    * are complete-mode streaming state; the recurrence runs downstream of
+    * the sink, where the monitor reads it anyway — the bitmapIndex
+    * readout pattern).
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
     import s.implicits._
-    val daily = Tables.events(s, dir)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(sum(expr(
-        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
-        .as("cents"))
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
     daily.crossJoin(broadcast(tot)).as[CusumDay]
       .groupByKey(_ => true)

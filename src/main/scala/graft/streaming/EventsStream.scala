@@ -480,6 +480,31 @@ object EventsStream {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))")
         .as("bits"))
 
+  /** Daily revenue cells for the streaming CUSUM monitor: one state row
+    * per event-time day holding the running half-up-cents sum —
+    * complete-mode streaming state, maintained exactly like a batch
+    * groupBy (sum partials merge in the state store; idempotent across
+    * triggers). The CUSUM recurrence itself
+    * ([[graft.operators.Analytics.cusumFromDaily]]) runs DOWNSTREAM of
+    * the sink over the |days|-row readout — the same split as
+    * [[bitmapIndex]]: inherently-global epilogues consume the state
+    * table where the monitor reads it anyway, instead of contorting the
+    * prefix recurrence into per-trigger incremental state (a mean shift
+    * re-prices EVERY day's deviation, so the recurrence is not
+    * incrementally maintainable — recompute-over-catalog-sized-readout
+    * is the honest shape).
+    *
+    * State is bounded by distinct event-time days (a decade ≈ 3.6k
+    * rows); at true unbounded horizons, age out closed days into a
+    * compacted store and run the monitor over recent windows.
+    */
+  def cusumCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+
   /** Staged baseline for [[typeDrift]]: the frozen overall type mix
     * (col_tot per type, n total) from a batch snapshot of the feed.
     */

@@ -113,6 +113,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming cusum cells + batch epilogue equal the batch detector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.cusumCells(input.toDF())
+      .writeStream.format("memory").queryName("cusumcells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // split MID-DAY so at least one day's cents accumulate across
+      // triggers (the state-merge path, not just fresh rows)
+      val (b1, b2) = all.splitAt(all.length / 2 + 7)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = graft.operators.Analytics
+        .cusumFromDaily(spark.table("cusumcells")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      val want = graft.operators.Analytics.cusumChangepoint(spark, Sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("sessionization: 30-min gap splits sessions, state emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

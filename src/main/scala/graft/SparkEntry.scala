@@ -148,6 +148,7 @@ object SparkEntry {
     "q_token_log2_hist" -> (TextAnalysis.tokenLog2Histogram(_, _)),
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
+    "q_encode_docs" -> (TextAnalysis.encodeDocs(_, _)),
     "q_bigram_lm_score" ->
       (TextAnalysis.bigramLmScore(_, _, BigramLm.refLang)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
@@ -1308,6 +1309,26 @@ object SparkEntry {
                 CAST((20000 * CAST(sum(cov) AS BIGINT) + count(*))
                      // (2 * count(*)) AS BIGINT) AS coverage_1e4
          FROM j GROUP BY 1 ORDER BY 1""",
+
+    // token-ID encoding: vocab rank + ordered id sequence per doc; the
+    // sequence crosses the compare as an md5 digest (engine-portable)
+    "q_encode_docs" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM d),
+         tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                        ws[CAST(pos AS INT)] AS w FROM tk),
+         cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+         vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w)
+                      AS BIGINT) AS vid
+                   FROM (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16) t),
+         enc AS (SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS id
+                 FROM tok t LEFT JOIN vocab v ON v.w = t.w)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                md5(string_agg(CAST(id AS STRING), ',' ORDER BY pos))
+                  AS ids_md5
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
 
     // Tukey-fence outliers over integerized values; exact quarter-fraction
     // interpolation makes the fences bit-identical across engines

@@ -635,6 +635,52 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Token-ID ENCODING — the step that turns the curated corpus into
+    * training-ready integer sequences: a frequency-ranked vocabulary
+    * (top [[vocabSize]] tokens, id 1..V by (count desc, token); 0 is the
+    * reserved OOV id — V defaults to 16 because the synthetic corpus has
+    * ~31 distinct tokens, so both the covered and the OOV path carry
+    * real traffic; production V is whatever the tokenizer contract
+    * says), each document re-emitted as its id sequence IN
+    * TOKEN ORDER, with token/OOV counts and an md5 of the sequence (the
+    * digest makes the full ordered encoding oracle-comparable without
+    * shipping engine-specific array types through the compare).
+    *
+    * Order discipline: collect_list gives NO ordering guarantee under
+    * partitioned aggregation, so the sequence is reassembled as
+    * sort_array(collect_list(struct(pos, id))) — deterministic on every
+    * partitioning — and only then projected to ids.
+    *
+    * 100 TB shape: one token-count aggregate; top-V exits via
+    * TakeOrderedAndProject and the V-row vocab (with ranks from a window
+    * over V rows, never the full vocabulary) BROADCASTS onto the
+    * posexploded corpus; reassembly is one doc-keyed aggregate whose
+    * per-group payload is the doc's own token count — the same bound as
+    * reading the document. Nothing vocabulary- or corpus-sized sorts
+    * globally.
+    */
+  def encodeDocs(s: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val toks = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), posexplode(expr(TokensExpr)).as(Seq("pos", "w")))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .withColumn("vid", row_number().over(w).cast("long"))
+      .select(col("w"), col("vid"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vid"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        expr("""md5(array_join(transform(
+                 sort_array(collect_list(struct(pos, id))),
+                 x -> CAST(x.id AS STRING)), ','))""")
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-affinity scoring for data selection (the DSIR idea — rank
     * corpus documents by how much their features lean toward a target
     * domain — re-expressed in exact integer arithmetic): each shingle

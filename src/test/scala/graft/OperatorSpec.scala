@@ -940,6 +940,26 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("token-id encoding matches the in-memory vocab + sequence recompute") {
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS ws")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(16)
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val ids = ws.map(w => vocab.getOrElse(w, 0L))
+      (id, ws.size.toLong, ids.count(_ == 0L).toLong, md5(ids.mkString(",")))
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.encodeDocs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == want)
+    assert(got.exists(_._3 > 0), "OOV id must carry real traffic (V < |vocab|)")
+    assert(got.exists(r => r._3 < r._2), "covered ids must carry real traffic")
+  }
+
   test("prefix-filter jaccard equals the in-memory exact threshold join") {
     import graft.operators.TextAnalysis
     // third algorithm: collect full shingle sets and do the O(n^2) exact

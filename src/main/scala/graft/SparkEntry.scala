@@ -137,6 +137,8 @@ object SparkEntry {
       (Quality.joinSizeEstimate(_, _, Basket.joinEstBuckets)),
     "q_triangle_count" ->
       (Mining.triangleCount(_, _, Basket.maxItems, Basket.topK)),
+    "q_assoc_rules" ->
+      (Mining.assocRules(_, _, Basket.maxItems, 5, Basket.topK)),
     "q_seasonal_anomaly" -> (Quality.seasonalAnomaly(_, _)),
     "q_fd_discovery" -> (Quality.fdDiscovery(_, _)),
     "q_cusum_changepoint" -> (Analytics.cusumChangepoint(_, _)),
@@ -1856,6 +1858,11 @@ object SparkEntry {
     // algorithmic cross-check (portable SQL, shared verbatim)
     "q_triangle_count" ->
       operators.Mining.triangleSql(Basket.maxItems, Basket.topK),
+
+    // association-rule pricing (support/confidence/lift) from the shared
+    // template; // vs DIV is the only dialect point
+    "q_assoc_rules" ->
+      operators.Mining.assocRulesSql("//", Basket.maxItems, 5, Basket.topK),
 
     // hour-of-week seasonal anomaly: dense grid + cross-multiplied
     // baseline comparison; dialect points are strftime/dayofweek/range

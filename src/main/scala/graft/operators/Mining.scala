@@ -235,6 +235,89 @@ object Mining {
          ORDER BY rank_1e9 DESC, p_partkey"""
   }
 
+  /** Association rules over the basket incidence — [[marketBasket]] emits
+    * raw pair support; this prices each DIRECTED rule a -> b with the
+    * classic triple (support, confidence, lift), exact half-up 1e-4
+    * fixed point:
+    *   confidence(a -> b) = P(b | a) = n_pair / n_a
+    *   lift(a, b)         = P(a, b) / (P(a)·P(b))
+    *                      = n_pair · n_baskets / (n_a · n_b)
+    * Lift > 1e4 means the pair co-occurs more than independence predicts
+    * — the actual recommendation signal (confidence alone just rediscovers
+    * popular items). minCount floors support so one-off coincidences
+    * can't post infinite-looking lifts.
+    *
+    * 100 TB shape: everything derives from the SAME whale-guarded
+    * distinct incidence as marketBasket — per-item basket counts are one
+    * map-side-combined aggregate (item-count frame broadcasts back), pair
+    * counts come from the bounded equi self-join, and the top-K exits via
+    * TakeOrderedAndProject on (lift, a, b). n_pair·n_baskets stays in
+    * BIGINT to ~9e18 (1e6-basket fixture: fine; at 1e12 baskets lift the
+    * product to DECIMAL(38,0) — documented hatch).
+    */
+  def assocRules(s: SparkSession, dir: String, maxItems: Int = 8,
+                 minCount: Long = 5, topK: Int = 25): DataFrame = {
+    val incidence = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val ok = incidence.groupBy(col("basket"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxItems)
+      .select("basket")
+    val kept = incidence.join(ok, Seq("basket"))
+    val nBaskets = kept.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = kept.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(broadcast(itemCnt.toDF("item_a", "n_a")), Seq("item_a"))
+      .join(broadcast(itemCnt.toDF("item_b", "n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("conf_1e4", expr("(20000 * n_pair + n_a) DIV (2 * n_a)"))
+      .withColumn("lift_1e4",
+        expr("(20000 * n_pair * n_baskets + n_a * n_b) DIV (2 * n_a * n_b)"))
+      .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+        col("n_b"), col("conf_1e4"), col("lift_1e4"))
+      .orderBy(col("lift_1e4").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** The rule pricing as one portable SQL statement (valid verbatim in
+    * DuckDB and Spark except the integer-division spelling, `div`).
+    */
+  private[graft] def assocRulesSql(div: String, maxItems: Int = 8,
+                                   minCount: Long = 5, topK: Int = 25): String =
+    s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                     FROM lineitem),
+        ok AS (SELECT basket FROM inc GROUP BY basket
+               HAVING count(*) <= $maxItems),
+        kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok USING (basket)),
+        nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+               FROM kept),
+        ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+               FROM kept GROUP BY item),
+        p AS (SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_pair
+              FROM kept a JOIN kept b
+                ON a.basket = b.basket AND a.item <> b.item
+              GROUP BY a.item, b.item
+              HAVING count(*) >= $minCount)
+        SELECT p.item_a, p.item_b, p.n_pair,
+               ia.n_item AS n_a, ib.n_item AS n_b,
+               (20000 * p.n_pair + ia.n_item) $div (2 * ia.n_item)
+                 AS conf_1e4,
+               (20000 * p.n_pair * nb.n_baskets + ia.n_item * ib.n_item)
+                 $div (2 * ia.n_item * ib.n_item) AS lift_1e4
+        FROM p
+        JOIN ic ia ON ia.item = p.item_a
+        JOIN ic ib ON ib.item = p.item_b
+        CROSS JOIN nb
+        ORDER BY lift_1e4 DESC, p.item_a, p.item_b LIMIT $topK"""
+
   /** Exact triangle counting over the co-purchase graph via DEGREE-ORDERED
     * edge orientation (Cohen 2009 / the Schank-Wagner node-iterator
     * refinement) — the clustering/community-density primitive ("how

@@ -300,18 +300,27 @@ object Quality {
     * weekday-day counts, baseline join) runs on catalog-sized frames and
     * broadcasts. The fact table is scanned exactly once.
     */
-  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
-    // ONE scan: everything below `cells` is catalog-sized and derives
-    // from the aggregate, never from the fact table again (days, the
-    // dense grid, and both baselines are all views over cells; the pinned
-    // plan test counts the scans). A (dow, hour) absent from cells has no
-    // events at all — its grid rows left-join to dh_total = 0.
-    val cells = Tables.events(s, dir).select(
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
-        hour(col("ts")).cast("long").as("hour"))
-      .groupBy(col("day"), col("dow"), col("hour"))
-      .agg(count(lit(1)).as("n_events"))
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    // ONE scan: everything downstream is catalog-sized and derives from
+    // the cell aggregate, never from the fact table again (the pinned
+    // plan test counts the scans).
+    seasonalFromCells(
+      Tables.events(s, dir).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hour"))
+        .groupBy(col("day"), col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events")))
+
+  /** The seasonal epilogue over an already-reduced (day, dow, hour,
+    * n_events) cell frame — shared by the batch operator and the
+    * streaming face (cells are complete-mode streaming state; the grid +
+    * baseline readout runs downstream of the sink, the
+    * bitmapIndex/cusumCells split). A (dow, hour) absent from cells has
+    * no events at all — its grid rows left-join to dh_total = 0.
+    */
+  def seasonalFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
       .localCheckpoint(true) // cells is |days|·24 rows max: pin it so the
                              // four downstream uses never re-aggregate
     val days = cells.select(col("day"), col("dow")).distinct()

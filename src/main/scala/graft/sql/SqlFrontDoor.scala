@@ -2654,7 +2654,11 @@ object SqlFrontDoor {
       graft.operators.Analytics.cusumSql("date_format(ts, 'yyyy-MM-dd')"),
 
     // same generated text as the oracle with DIV for //
-    "q_interleave_mix" -> graft.operators.Curation.interleaveSql("DIV")
+    "q_interleave_mix" -> graft.operators.Curation.interleaveSql("DIV"),
+
+    // same generated text as the oracle with DIV for //
+    "q_assoc_rules" -> graft.operators.Mining.assocRulesSql("DIV",
+      graft.SparkEntry.Basket.maxItems, 5, graft.SparkEntry.Basket.topK)
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch

@@ -505,6 +505,21 @@ object EventsStream {
         "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
         .as("cents"))
 
+  /** Hour-of-week traffic cells for the streaming seasonal monitor: one
+    * state row per (day, dow, hour) — complete-mode count state, the same
+    * split as [[cusumCells]]: the dense-grid + baseline readout
+    * ([[graft.operators.Quality.seasonalFromCells]], shared with the
+    * batch operator) runs downstream of the sink, because a new day
+    * shifts every (dow, hour) baseline denominator — not incrementally
+    * maintainable per trigger, and catalog-sized to recompute.
+    */
+  def seasonalCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Staged baseline for [[typeDrift]]: the frozen overall type mix
     * (col_tot per type, n total) from a batch snapshot of the feed.
     */

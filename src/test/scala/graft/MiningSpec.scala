@@ -286,6 +286,33 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("assoc rules match the in-memory support/confidence/lift recompute") {
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = inc.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+      .filter(_._2.size <= 8).toMap
+    val nB = baskets.size.toLong
+    val itemCnt = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    baskets.values.foreach { items =>
+      for (a <- items; b <- items if a != b) pairCnt((a, b)) += 1L
+    }
+    val want = pairCnt.toSeq.filter(_._2 >= 5L).map { case ((a, b), np) =>
+      val (na, nb2) = (itemCnt(a), itemCnt(b))
+      (a, b, np, na, nb2,
+        (20000L * np + na) / (2L * na),
+        (20000L * np * nB + na * nb2) / (2L * na * nb2))
+    }.sortBy(t => (-t._7, t._1, t._2)).take(25)
+    val got = Mining.assocRules(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._7 > 0L))
+  }
+
   test("triangle count matches the in-memory adjacency enumeration") {
     // brute force: build the whale-guarded undirected edge set, then count
     // common neighbors per canonical edge — a deliberately different

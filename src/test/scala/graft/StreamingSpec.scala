@@ -141,6 +141,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming seasonal cells + batch epilogue equal the batch monitor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.seasonalCells(input.toDF())
+      .writeStream.format("memory").queryName("seasonalcells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = graft.operators.Quality
+        .seasonalFromCells(spark.table("seasonalcells")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+      val want = graft.operators.Quality.seasonalAnomaly(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("sessionization: 30-min gap splits sessions, state emits on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

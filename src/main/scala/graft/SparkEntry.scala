@@ -268,6 +268,7 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
+    "q_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
@@ -3009,6 +3010,12 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
                 $micro4Sql AS score
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // MMR diversified re-rank: the greedy unrolled as k argmax steps from
+    // the shared template (cos fold + // are the dialect points)
+    "q_mmr_rerank" ->
+      operators.Similarity.mmrSql(cosMicrosSql,
+        "CAST(embedding AS DOUBLE[])", "//"),
 
     "q_embed_lsh_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

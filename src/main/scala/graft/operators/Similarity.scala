@@ -1662,4 +1662,158 @@ object Similarity {
       .toDF("vec_id", "whitened")
       .orderBy("vec_id")
   }
+
+  /** Public for Catalyst's codegen'd encoders. */
+  final case class MmrCand(vec_id: Long, m: Long)
+  final case class MmrSim(ca: Long, cb: Long, sim: Long)
+  final case class MmrRow(query_id: Long, sel_rank: Long, vec_id: Long,
+                          rel_1e4: Long, mmr_1e4: Long)
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified top-k: re-rank each query's candidate pool so the
+    * selected set trades relevance against redundancy — greedy
+    * argmax of (relevance - max-similarity-to-already-selected), the
+    * λ=0.5 form (order-equivalent to the classic λ·rel - (1-λ)·maxsim).
+    * Pure relevance ranking returns near-duplicates of the top hit;
+    * retrieval FOR TRAINING DATA (and any RAG surface) wants coverage —
+    * this is the SemDeDup idea applied at query time.
+    *
+    * Everything ranks on integer micro-unit scores (the Micro4
+    * discipline) with vec_id tiebreaks, so the greedy trajectory is
+    * deterministic on every engine and partitioning; mmr can be negative
+    * (a candidate more similar to the selected set than relevant to the
+    * query), which the sign-aware micro4 handles.
+    *
+    * 100 TB shape: the pool is the brute-force top-C per query (broadcast
+    * queries, map-side-combining TopK aggregator — the bruteForceTopK
+    * plan); pairwise sims are computed only WITHIN each query's C-row
+    * pool (C² = 100 pairs per query, never corpus-sized); the greedy
+    * pass runs per query over collect_list'd pool+sims — O(C²) bounded
+    * state per group, the throttle memory contract. The SQL surfaces
+    * state the same greedy as k unrolled argmax steps (pagerank-style
+    * template, shared by oracle and twin).
+    */
+  def mmrRerank(s: SparkSession, dir: String, nQueries: Int = 5,
+                pool: Int = 10, k: Int = 5): DataFrame = {
+    registerFunctions(s)
+    import s.implicits._
+    val emb = embWithNorm(s, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vnorm").as("qnorm"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(qv, embedding)", "qnorm", "vnorm")))
+    val topk = udaf(new graft.functions.TopKNeighbors(pool),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor])
+    val poolDf = scored.filter(col("m").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(topk(col("m"), col("vec_id")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("sn"))
+      .select(col("query_id"), col("sn.vecId").as("vec_id"), col("sn.m").as("m"))
+    val poolEmb = poolDf.join(
+      emb.select(col("vec_id"), col("embedding"), col("vnorm")), Seq("vec_id"))
+    val sims = poolEmb.as("a").join(poolEmb.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("ca"), col("b.vec_id").as("cb"),
+        expr(scoreMicrosFromNorms("dot_f(a.embedding, b.embedding)",
+          "a.vnorm", "b.vnorm")).as("sim"))
+    val cands = poolDf.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("vec_id"), col("m"))).as("cands"))
+    val simAgg = sims.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("ca"), col("cb"), col("sim"))).as("sims"))
+    def micro4Of(v: Long): Long =
+      if (v >= 0) (v + 50) / 100 else -((-v + 50) / 100)
+    cands.join(simAgg, Seq("query_id"))
+      .as[(Long, Seq[MmrCand], Seq[MmrSim])]
+      .flatMap { case (q, pool0, simRows) =>
+        val sim = simRows.map(r => (r.ca, r.cb) -> r.sim).toMap
+        val avail = scala.collection.mutable.Set(pool0.map(_.vec_id): _*)
+        val rel = pool0.map(c => c.vec_id -> c.m).toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to k).iterator.takeWhile(_ => avail.nonEmpty).map { rank =>
+          val (best, mmr) = avail.iterator.map { c =>
+            val penalty =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(sl => sim((c, sl))).max
+            (c, rel(c) - penalty)
+          }.minBy { case (c, v) => (-v, c) } // mmr DESC, vec_id ASC
+          avail -= best
+          selected += best
+          MmrRow(q, rank.toLong, best, micro4Of(rel(best)), micro4Of(mmr))
+        }.toSeq
+      }
+      .toDF()
+      .orderBy(col("query_id"), col("sel_rank"))
+  }
+
+  /** The MMR greedy as one SQL statement with the k selection steps
+    * UNROLLED (the pagerank template pattern): each step anti-joins the
+    * pool against the selected set, prices mmr = m - max(sim to
+    * selected), and takes the per-query argmax via row_number. The same
+    * text feeds the DuckDB oracle and the Spark twin — `cosMicros` and
+    * the array cast / integer-division spelling are the dialect points.
+    */
+  private[graft] def mmrSql(cosMicros: (String, String) => String,
+                            embCast: String, div: String,
+                            nQueries: Int = 5, pool: Int = 10,
+                            k: Int = 5): String = {
+    def micro4(c: String) =
+      s"CAST(CASE WHEN $c >= 0 THEN ($c + 50) $div 100 " +
+        s"ELSE -((-$c + 50) $div 100) END AS BIGINT)"
+    val header =
+      s"""WITH e AS (SELECT vec_id, $embCast AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < $nQueries),
+         scored AS (SELECT query_id, vec_id, ${cosMicros("qv", "v")} AS m
+                    FROM e CROSS JOIN q WHERE vec_id <> query_id),
+         pool AS (SELECT query_id, vec_id, m FROM (
+                  SELECT query_id, vec_id, m,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY m DESC, vec_id) AS rk
+                  FROM scored) p WHERE rk <= $pool),
+         pe AS (SELECT p.query_id, p.vec_id, e.v
+                FROM pool p JOIN e ON e.vec_id = p.vec_id),
+         sims AS (SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+                         ${cosMicros("a.v", "b.v")} AS sim
+                  FROM pe a JOIN pe b
+                    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         s1 AS (SELECT query_id, vec_id, m, m AS mmr FROM (
+                SELECT query_id, vec_id, m,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY m DESC, vec_id) AS rk
+                FROM pool) p WHERE rk = 1),
+         sel1 AS (SELECT query_id, vec_id FROM s1)"""
+    val steps = (2 to k).map { i =>
+      s"""cand$i AS (
+           SELECT p.query_id, p.vec_id, p.m, p.m - max(s.sim) AS mmr
+           FROM pool p
+           LEFT JOIN sel${i - 1} x
+             ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+           JOIN sims s ON s.query_id = p.query_id AND s.ca = p.vec_id
+           JOIN sel${i - 1} sl
+             ON sl.query_id = s.query_id AND sl.vec_id = s.cb
+           WHERE x.vec_id IS NULL
+           GROUP BY p.query_id, p.vec_id, p.m),
+         s$i AS (SELECT query_id, vec_id, m, mmr FROM (
+                 SELECT c.query_id, c.vec_id, c.m, c.mmr,
+                        row_number() OVER (PARTITION BY c.query_id
+                                           ORDER BY c.mmr DESC, c.vec_id) AS rn
+                 FROM cand$i c) r WHERE rn = 1),
+         sel$i AS (SELECT query_id, vec_id FROM sel${i - 1}
+                   UNION ALL SELECT query_id, vec_id FROM s$i)"""
+    }
+    val unionAll = (1 to k).map(i =>
+      s"""SELECT query_id, CAST($i AS BIGINT) AS sel_rank, vec_id, m, mmr
+          FROM s$i""").mkString("\nUNION ALL\n")
+    (header +: steps).mkString(",\n") +
+      s""",
+         sel_out AS ($unionAll)
+         SELECT query_id, sel_rank, vec_id,
+                ${micro4("m")} AS rel_1e4, ${micro4("mmr")} AS mmr_1e4
+         FROM sel_out ORDER BY query_id, sel_rank"""
+  }
 }

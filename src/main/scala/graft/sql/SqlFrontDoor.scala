@@ -2658,7 +2658,11 @@ object SqlFrontDoor {
 
     // same generated text as the oracle with DIV for //
     "q_assoc_rules" -> graft.operators.Mining.assocRulesSql("DIV",
-      graft.SparkEntry.Basket.maxItems, 5, graft.SparkEntry.Basket.topK)
+      graft.SparkEntry.Basket.maxItems, 5, graft.SparkEntry.Basket.topK),
+
+    // same generated MMR text as the oracle (cos fold + DIV dialect)
+    "q_mmr_rerank" -> graft.operators.Similarity.mmrSql(cosMicrosSql,
+      "CAST(embedding AS ARRAY<DOUBLE>)", "DIV")
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch

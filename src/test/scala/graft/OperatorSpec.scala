@@ -940,6 +940,57 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("mmr rerank equals the in-memory greedy recompute; selection invariants hold") {
+    val emb = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // dot_f parity: left-to-right double accumulation of float products
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val vecs = emb.toMap
+    val norm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    def micro(a: Long, b: Long): Long =
+      math.floor(dot(vecs(a), vecs(b)) / (norm(a) * norm(b)) * 1e6 + 0.5).toLong
+    def micro4(v: Long): Long = if (v >= 0) (v + 50) / 100 else -((-v + 50) / 100)
+    val ids = emb.map(_._1)
+    val want = ids.filter(_ < 5).sorted.flatMap { q =>
+      val pool = ids.filter(_ != q).map(c => (c, micro(q, c)))
+        .sortBy { case (c, m) => (-m, c) }.take(10)
+      val rel = pool.toMap
+      var avail = pool.map(_._1).toSet
+      val sel = scala.collection.mutable.ArrayBuffer[Long]()
+      (1 to 5).flatMap { rank =>
+        if (avail.isEmpty) None
+        else {
+          val (best, mmr) = avail.toSeq.map { c =>
+            val pen = if (sel.isEmpty) 0L else sel.map(s0 => micro(c, s0)).max
+            (c, rel(c) - pen)
+          }.minBy { case (c, v) => (-v, c) }
+          avail -= best; sel += best
+          Some((q, rank.toLong, best, micro4(rel(best)), micro4(mmr)))
+        }
+      }
+    }.toSeq
+    val got = Similarity.mmrRerank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // NOTE: mmr is NOT monotone down the ranks — cosine penalties can be
+    // NEGATIVE (an anti-similar candidate gains from the diversity term),
+    // so only these invariants hold unconditionally:
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      // rank 1 is pure relevance: its mmr IS its relevance
+      assert(sorted.head._4 == sorted.head._5)
+      // k distinct selections, ranks dense from 1
+      assert(sorted.map(_._3).distinct.length == sorted.length)
+      assert(sorted.map(_._2) == (1L to sorted.length))
+    }
+  }
+
   test("token-id encoding matches the in-memory vocab + sequence recompute") {
     val docs = graft.sources.Tables.load(spark, Sf, "documents")
       .selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS ws")

@@ -141,6 +141,7 @@ object SparkEntry {
       (Mining.assocRules(_, _, Basket.maxItems, 5, Basket.topK)),
     "q_seasonal_anomaly" -> (Quality.seasonalAnomaly(_, _)),
     "q_fd_discovery" -> (Quality.fdDiscovery(_, _)),
+    "q_ab_test_readout" -> (Quality.abTestReadout(_, _)),
     "q_cusum_changepoint" -> (Analytics.cusumChangepoint(_, _)),
     "q_interleave_mix" -> (Curation.interleaveMix(_, _)),
     "q_bloom_semi_join" -> (Analytics.bloomSemiOrderMix(_, _)),
@@ -1876,6 +1877,9 @@ object SparkEntry {
     // operator runs ONE stacked scan with multi-distinct — different
     // algorithm, equality is the cross-check)
     "q_fd_discovery" -> operators.Quality.fdDiscoverySql,
+
+    // A/B readout from the shared template (// vs DIV only)
+    "q_ab_test_readout" -> operators.Quality.abTestSql("//"),
 
     // two-sided CUSUM: the prefix recurrence as a recursive CTE from the
     // shared template (strftime is the only dialect point)

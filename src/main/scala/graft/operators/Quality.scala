@@ -232,6 +232,68 @@ object Quality {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** A/B experiment readout: users split into two arms by a DETERMINISTIC
+    * portable hash (first md5 hex nibble of the user id — the
+    * stratifiedSplit mechanics, stable under feed growth and identical
+    * in every engine, unlike engine-native hash()), conversion = the
+    * user ever purchased; per (arm, converted) cell the exact-integer
+    * chi2 machinery ([[chi2Of]]) prices how far the 2x2 table sits from
+    * independence — the significance triage an experimentation platform
+    * runs before anyone trusts a lift number. A large chi2c_1e4 on the
+    * (treatment, converted) cell is the "the split moved conversion"
+    * alarm; near-zero cells mean the difference is noise at this volume.
+    *
+    * 100 TB shape: one distinct to (user, arm, converted) — user-matrix
+    * cardinality, not events — then a 4-cell aggregate; marginals are
+    * rollups of the CELL table (broadcast). The arm hash is a pure
+    * projection; no experiment-assignment table needs joining (that IS
+    * the hash-split discipline: assignment is recomputable everywhere).
+    */
+  def abTestReadout(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", lit(1L))
+        .otherwise(lit(0L))).as("converted"))
+      .withColumn("arm", expr(
+        "CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1) < '8' " +
+          "THEN 'control' ELSE 'treatment' END"))
+    val cells = users.groupBy(col("arm"), col("converted"))
+      .agg(count(lit(1)).as("obs"))
+    chi2Of(cells, "arm", "converted")
+      .select(col("arm"), col("converted"), col("obs"), col("row_tot"),
+        col("col_tot"), col("expected_1e4"), col("chi2c_1e4"),
+        expr("(20000 * obs + row_tot) DIV (2 * row_tot)").as("cell_share_1e4"))
+      .orderBy(col("arm"), col("converted"))
+  }
+
+  /** The A/B readout as one statement; `div` ("//" vs "DIV") is the only
+    * dialect point — md5/substring/CASE agree verbatim across engines.
+    */
+  private[graft] def abTestSql(div: String): String =
+    s"""WITH u AS (SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS converted,
+             CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1) < '8'
+                  THEN 'control' ELSE 'treatment' END AS arm
+           FROM events GROUP BY user_id),
+         c AS (SELECT arm, converted, CAST(count(*) AS BIGINT) AS obs
+               FROM u GROUP BY arm, converted),
+         r AS (SELECT arm, CAST(sum(obs) AS BIGINT) AS row_tot
+               FROM c GROUP BY arm),
+         cl AS (SELECT converted, CAST(sum(obs) AS BIGINT) AS col_tot
+                FROM c GROUP BY converted),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+         e AS (SELECT c.arm, c.converted, c.obs, r.row_tot, cl.col_tot,
+                      (r.row_tot * cl.col_tot * 10000) $div t.n AS expected_1e4
+               FROM c JOIN r ON r.arm = c.arm
+               JOIN cl ON cl.converted = c.converted CROSS JOIN t)
+         SELECT arm, converted, obs, row_tot, col_tot, expected_1e4,
+                (abs(obs * 10000 - expected_1e4)
+                 * abs(obs * 10000 - expected_1e4))
+                $div (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4,
+                (20000 * obs + row_tot) $div (2 * row_tot) AS cell_share_1e4
+         FROM e ORDER BY arm, converted"""
+
   /** Join-cardinality estimation by bucketed key histograms (the AGMS /
     * sketched-inner-product idea with a deterministic bucket function):
     * BEFORE paying for `orders JOIN lineitem`, each side collapses to B

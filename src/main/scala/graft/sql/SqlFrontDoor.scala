@@ -2662,7 +2662,10 @@ object SqlFrontDoor {
 
     // same generated MMR text as the oracle (cos fold + DIV dialect)
     "q_mmr_rerank" -> graft.operators.Similarity.mmrSql(cosMicrosSql,
-      "CAST(embedding AS ARRAY<DOUBLE>)", "DIV")
+      "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
+
+    // same generated text as the oracle with DIV for //
+    "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV")
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch

@@ -389,6 +389,37 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("ab test readout: 2x2 cells reconcile, arms partition users, chi2 exact") {
+    val rows = Quality.abTestReadout(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("control", "treatment"))
+    val nUsers = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == nUsers, "cells must partition the user set")
+    // arm assignment recomputed from md5 semantics
+    val want = Tables.events(spark, Sf)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .collect().map { r =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (if (md5.charAt(0) < '8') "control" else "treatment", r.getLong(1))
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (arm, conv, obs, rowTot, colTot, exp, chi2c, share) =>
+      assert(obs == want((arm, conv)))
+      assert(rowTot == rows.filter(_._1 == arm).map(_._3).sum)
+      assert(colTot == rows.filter(_._2 == conv).map(_._3).sum)
+      val n = rows.map(_._3).sum
+      assert(exp == rowTot * colTot * 10000L / n)
+      val d = math.abs(obs * 10000L - exp)
+      assert(chi2c == d * d / (math.max(exp, 1L) * 10000L))
+      assert(share == (20000L * obs + rowTot) / (2L * rowTot))
+    }
+  }
+
   test("fd discovery matches the set-based recompute") {
     val orders = Tables.load(spark, Sf, "orders")
       .select(col("o_orderkey").cast("string"), col("o_custkey").cast("string"),

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_fd_discovery" -> (Quality.fdDiscovery(_, _)),
     "q_ab_test_readout" -> (Quality.abTestReadout(_, _)),
     "q_cusum_changepoint" -> (Analytics.cusumChangepoint(_, _)),
+    "q_daily_value_bands" -> (Analytics.dailyValueBands(_, _)),
     "q_interleave_mix" -> (Curation.interleaveMix(_, _)),
     "q_bloom_semi_join" -> (Analytics.bloomSemiOrderMix(_, _)),
     "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
@@ -1885,6 +1886,11 @@ object SparkEntry {
     // shared template (strftime is the only dialect point)
     "q_cusum_changepoint" ->
       operators.Analytics.cusumSql("strftime(ts, '%Y-%m-%d')"),
+
+    // daily P50/P90 bands (doubled-median + discrete rank quantile)
+    "q_daily_value_bands" ->
+      operators.Analytics.dailyBandsSql("strftime(ts, '%Y-%m-%d')",
+        "quantile_cont(2 * cents, 0.5)", "//"),
 
     // proportional interleave audit: stride-keyed schedule deciles
     "q_interleave_mix" -> operators.Curation.interleaveSql("//"),

@@ -1931,6 +1931,65 @@ object Analytics {
       .orderBy(col("month"))
   }
 
+  /** Daily value bands — the P50/P90 operational readout ("is today's
+    * traffic value distribution shaped like yesterday's") behind
+    * latency/value SLO dashboards. Both bands are ENGINE-EXACT integers:
+    * the median rides the doubled-value trick (percentile(2·cents, 0.5)
+    * interpolates adjacent even integers — always an integer, the
+    * madOutliers argument), and P90 is the DISCRETE quantile — the cents
+    * value at rank ceil(0.9·n) in (cents, event_id) order — because
+    * continuous interpolation at 0.9 lands on arbitrary fractions no
+    * integer encoding survives; rank-based selection is exact everywhere.
+    *
+    * 100 TB shape: the P90 rank window partitions by day (parallel across
+    * days; within a day the sort is the cost — at whale-day scale swap
+    * the two-level histogram CDF equalFreqBinning already uses); the
+    * median is one aggregate. Output is |days| rows.
+    */
+  def dailyValueBands(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"),
+        col("event_id"))
+    val byDay = Window.partitionBy(col("day"))
+    val ranked = ev
+      .withColumn("rk", row_number().over(byDay.orderBy(col("cents"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byDay))
+    val p90 = ranked.filter(col("rk") === expr("(9 * n + 9) DIV 10"))
+      .select(col("day"), col("cents").as("p90_cents"))
+    ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(percentile(2 * cents, CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("p50_x2"))
+      .join(p90, Seq("day"))
+      .orderBy(col("day"))
+  }
+
+  /** The bands statement; dialect points are the day formatter and the
+    * median spelling (quantile_cont in DuckDB, percentile in Spark —
+    * identical linear interpolation, verified across the percentile
+    * family).
+    */
+  private[graft] def dailyBandsSql(dayE: String, median: String,
+                                   div: String): String =
+    s"""WITH ev AS (SELECT $dayE AS day,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+            FROM events),
+         r AS (SELECT day, cents,
+                      CAST(row_number() OVER (PARTITION BY day
+                           ORDER BY cents, event_id) AS BIGINT) AS rk,
+                      CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS n
+               FROM ev),
+         p90 AS (SELECT day, cents AS p90_cents FROM r
+                 WHERE rk = (9 * n + 9) $div 10),
+         ag AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+                       CAST($median AS BIGINT) AS p50_x2
+                FROM ev GROUP BY day)
+         SELECT ag.day, ag.n_events, ag.p50_x2, p90.p90_cents
+         FROM ag JOIN p90 ON p90.day = ag.day
+         ORDER BY ag.day"""
+
   /** Public (not private) so Catalyst's codegen'd encoders can reach them. */
   final case class CusumDay(day: String, cents: Long, n: Long, total: Long)
   final case class CusumRow(day: String, cents: Long, s_hi: Long, s_lo: Long,

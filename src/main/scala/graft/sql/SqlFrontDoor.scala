@@ -2665,7 +2665,12 @@ object SqlFrontDoor {
       "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
 
     // same generated text as the oracle with DIV for //
-    "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV")
+    "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV"),
+
+    // same generated bands text (date_format + percentile + DIV dialect)
+    "q_daily_value_bands" ->
+      graft.operators.Analytics.dailyBandsSql("date_format(ts, 'yyyy-MM-dd')",
+        "percentile(2 * cents, CAST(0.5 AS DOUBLE))", "DIV")
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch

@@ -389,6 +389,26 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("daily value bands match the in-memory sorted recompute") {
+    val ev = Tables.events(spark, Sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq
+      .map { case (day, cs) =>
+        val n = cs.length
+        // percentile(2c, 0.5): linear interpolation over doubled values
+        val p50x2 =
+          if (n % 2 == 1) 2L * cs(n / 2) else cs(n / 2 - 1) + cs(n / 2)
+        val p90 = cs((9 * n + 9) / 10 - 1)
+        (day, n.toLong, p50x2, p90)
+      }.sortBy(_._1)
+    val got = Analytics.dailyValueBands(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("ab test readout: 2x2 cells reconcile, arms partition users, chi2 exact") {
     val rows = Quality.abTestReadout(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -144,6 +144,7 @@ object SparkEntry {
     "q_ab_test_readout" -> (Quality.abTestReadout(_, _)),
     "q_cusum_changepoint" -> (Analytics.cusumChangepoint(_, _)),
     "q_daily_value_bands" -> (Analytics.dailyValueBands(_, _)),
+    "q_revenue_lorenz" -> (Analytics.revenueLorenz(_, _)),
     "q_interleave_mix" -> (Curation.interleaveMix(_, _)),
     "q_bloom_semi_join" -> (Analytics.bloomSemiOrderMix(_, _)),
     "q_mom_revenue" -> (Analytics.momRevenue(_, _)),
@@ -1891,6 +1892,11 @@ object SparkEntry {
     "q_daily_value_bands" ->
       operators.Analytics.dailyBandsSql("strftime(ts, '%Y-%m-%d')",
         "quantile_cont(2 * cents, 0.5)", "//"),
+
+    // Lorenz/Gini: the oracle's naive global row_number vs the operator's
+    // range-partitioned distributed rank — equality proves the execution
+    // strategy result-invisible
+    "q_revenue_lorenz" -> operators.Analytics.lorenzSql("//"),
 
     // proportional interleave audit: stride-keyed schedule deciles
     "q_interleave_mix" -> operators.Curation.interleaveSql("//"),

@@ -1990,6 +1990,108 @@ object Analytics {
          FROM ag JOIN p90 ON p90.day = ag.day
          ORDER BY ag.day"""
 
+  /** Revenue concentration: the Lorenz decile table + exact Gini over
+    * per-customer purchase revenue — "what share of revenue do the
+    * bottom-k% of customers carry" (the whale-dependence readout behind
+    * pricing and risk decisions).
+    *
+    * The interesting part is the EXACT GLOBAL RANK at scale: a bare
+    * `row_number() OVER (ORDER BY cents)` serializes the corpus through
+    * one task (WindowExec warns exactly this), so ranks come from the
+    * zorderWrite discipline instead — repartitionByRange on the sort key
+    * (sampled boundaries, parallel), per-PARTITION rank windows, and a
+    * broadcast prefix-count offset per partition: global_rank = local
+    * rank + offset. Sampled boundaries move WHERE partitions split, but
+    * never the total (cents, custkey) order, so the ranks — and
+    * everything derived — are deterministic and engine-exact.
+    *
+    * Gini rides the rank identity G = (2·Σ(rank·x) - (n+1)·Σx) / (n·Σx)
+    * in half-up 1e-4 fixed point. BIGINT holds Σ(rank·cents) to ~10^18 —
+    * beyond (1e9 customers × warehouse cents) lift the sums to
+    * DECIMAL(38,0), same plan.
+    *
+    * 100 TB shape: one customer-keyed aggregate collapses the feed; the
+    * range exchange + per-partition windows are the only ordered work,
+    * all parallel; the decile rollup is a 10-row aggregate with a window
+    * over 10 rows.
+    */
+  def revenueLorenz(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+    val parted = perCust.repartitionByRange(32, col("cents"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    val ranked = parted
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("cents"), col("user_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", col("lrk") + col("offset"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+      sum(col("rank") * col("cents")).as("rank_cents"))
+    val deciles = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * (rank - 1)) DIV n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents_sum"),
+        max(col("n")).as("n"), max(col("total")).as("total"),
+        max(col("rank_cents")).as("rank_cents"))
+    deciles
+      .withColumn("cum_cents", sum(col("cents_sum")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_share_1e4",
+        expr("(20000 * cum_cents + total) DIV (2 * total)"))
+      .withColumn("gini_1e4", expr(
+        "((2 * rank_cents - (n + 1) * total) * 10000 + (n * total) DIV 2) DIV (n * total)"))
+      .select(col("decile"), col("n_customers"), col("cents_sum"),
+        col("cum_cents"), col("cum_share_1e4"), col("gini_1e4"))
+      .orderBy(col("decile"))
+  }
+
+  /** The Lorenz/Gini statement: the oracle states the NAIVE global
+    * row_number formulation (fine single-node; the operator's
+    * range-partitioned rank is the distributed execution strategy —
+    * equality proves strategy-invisibility, the salted-join contract).
+    * `div` is the only dialect point.
+    */
+  private[graft] def lorenzSql(div: String): String =
+    s"""WITH pc AS (SELECT user_id,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         r AS (SELECT user_id, cents,
+                      CAST(row_number() OVER (ORDER BY cents, user_id)
+                        AS BIGINT) AS rank
+               FROM pc),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS total,
+                      CAST(sum(rank * cents) AS BIGINT) AS rank_cents
+               FROM r),
+         d AS (SELECT (10 * (rank - 1)) $div t.n AS decile,
+                      CAST(count(*) AS BIGINT) AS n_customers,
+                      CAST(sum(cents) AS BIGINT) AS cents_sum,
+                      max(t.n) AS n, max(t.total) AS total,
+                      max(t.rank_cents) AS rank_cents
+               FROM r CROSS JOIN t GROUP BY (10 * (rank - 1)) $div t.n)
+         SELECT decile, n_customers, cents_sum,
+                CAST(sum(cents_sum) OVER w AS BIGINT) AS cum_cents,
+                (20000 * CAST(sum(cents_sum) OVER w AS BIGINT) + total)
+                  $div (2 * total) AS cum_share_1e4,
+                ((2 * rank_cents - (n + 1) * total) * 10000
+                 + (n * total) $div 2) $div (n * total) AS gini_1e4
+         FROM d
+         WINDOW w AS (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY decile"""
+
   /** Public (not private) so Catalyst's codegen'd encoders can reach them. */
   final case class CusumDay(day: String, cents: Long, n: Long, total: Long)
   final case class CusumRow(day: String, cents: Long, s_hi: Long, s_lo: Long,

@@ -2670,7 +2670,10 @@ object SqlFrontDoor {
     // same generated bands text (date_format + percentile + DIV dialect)
     "q_daily_value_bands" ->
       graft.operators.Analytics.dailyBandsSql("date_format(ts, 'yyyy-MM-dd')",
-        "percentile(2 * cents, CAST(0.5 AS DOUBLE))", "DIV")
+        "percentile(2 * cents, CAST(0.5 AS DOUBLE))", "DIV"),
+
+    // same generated Lorenz text as the oracle with DIV for //
+    "q_revenue_lorenz" -> graft.operators.Analytics.lorenzSql("DIV")
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch

@@ -389,6 +389,37 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("revenue lorenz matches the in-memory rank recompute; gini in bounds") {
+    val pc = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (u, c) => (c, u) }
+    val n = pc.length.toLong
+    val total = pc.map(_._2).sum
+    val rankCents = pc.zipWithIndex.map { case ((_, c), i) => (i + 1L) * c }.sum
+    val gini = ((2L * rankCents - (n + 1L) * total) * 10000L +
+      (n * total) / 2L) / (n * total)
+    val byDecile = pc.zipWithIndex
+      .groupBy { case (_, i) => (10L * i) / n }
+    var cum = 0L
+    val want = byDecile.toSeq.sortBy(_._1).map { case (d, rows) =>
+      val cs = rows.map(_._1._2).sum
+      cum += cs
+      (d, rows.length.toLong, cs, cum, (20000L * cum + total) / (2L * total), gini)
+    }
+    val got = Analytics.revenueLorenz(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(gini >= 0L && gini <= 10000L)
+    // Lorenz curve is convex-ish: cumulative shares strictly increase
+    assert(got.map(_._5) == got.map(_._5).sorted)
+  }
+
   test("daily value bands match the in-memory sorted recompute") {
     val ev = Tables.events(spark, Sf)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),

@@ -1272,7 +1272,11 @@ object Similarity {
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(indexDir + ".compact-tmp")
-    val data = s.read.parquet(indexDir).select(cols.map(col): _*)
+    // compaction APPLIES pending tombstones (and, by not listing
+    // `_tombstones` in `artifacts`, clears them) — deletes become
+    // physical here, so query-time screening never accumulates cost
+    val data = screenTombstones(s, indexDir,
+      s.read.parquet(indexDir).select(cols.map(col): _*))
     (partitionCol match {
       case Some(pc) => data.repartition(nFiles, col(pc))
         .write.mode("overwrite").partitionBy(pc)
@@ -1323,10 +1327,51 @@ object Similarity {
     if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
   }
 
+  private def tombstonesPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_tombstones")
+
+  /** Logical DELETE from a materialized IVF index — the GDPR/right-to-be-
+    * forgotten maintenance path a production vector store cannot skip:
+    * deleted ids append to the `_tombstones` artifact (underscore prefix
+    * keeps it invisible to data reads, the `_centroids` trick), queries
+    * screen them with a broadcast anti-join (deletes-sized, tiny between
+    * compactions), and the next [[compactIvfIndex]] applies them
+    * PHYSICALLY — rewrites the lists without the dead rows and clears
+    * the artifact, so the screening cost never accumulates.
+    *
+    * Append-only tombstones make the delete itself O(deletes) with no
+    * index rewrite, idempotent (re-deleting an id is a no-op at screen
+    * time — the anti-join is a set operation), and crash-safe under the
+    * same single-writer contract as compaction.
+    */
+  def tombstoneIvfIndex(s: SparkSession, indexDir: String,
+                        ids: Seq[Long]): String = {
+    import s.implicits._
+    ids.toDF("vec_id").write.mode("append")
+      .parquet(tombstonesPath(indexDir).toString)
+    indexDir
+  }
+
+  /** Drop tombstoned rows from an index-data frame (no-op when the index
+    * carries no `_tombstones`). Broadcast anti-join: the tombstone set is
+    * bounded by deletes since the last compaction.
+    */
+  private def screenTombstones(s: SparkSession, indexDir: String,
+                               df: DataFrame): DataFrame = {
+    val tp = tombstonesPath(indexDir)
+    val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) df
+    else df.join(
+      broadcast(s.read.parquet(tp.toString)
+        .select(col("vec_id").as("__dead")).distinct()),
+      df("vec_id") === col("__dead"), "left_anti")
+  }
+
   /** ANN top-k over a prebuilt IVF index: probe assignment happens only
     * for the query vectors; candidate fetch reads ONLY the probed lists'
     * partitions (partition pruning on centroid_id), then the exact re-rank
-    * runs on candidates. Same output contract as the inline ivfTopK.
+    * runs on candidates (tombstoned rows screened out — see
+    * [[tombstoneIvfIndex]]). Same output contract as the inline ivfTopK.
     */
   def ivfTopKFromIndex(s: SparkSession, dir: String, indexDir: String,
                        nQueries: Int = 10, k: Int = 5,
@@ -1353,7 +1398,7 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("cm").desc, col("centroid_id"))))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val index = s.read.parquet(indexDir)
+    val index = screenTombstones(s, indexDir, s.read.parquet(indexDir))
     val candidates = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()

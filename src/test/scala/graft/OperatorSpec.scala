@@ -145,6 +145,34 @@ class OperatorSpec extends SparkTestBase {
     assert(fromIndex == inline)
   }
 
+  test("IVF tombstones: screened at query time, applied physically by compaction") {
+    val idx = tmpDir("ivftomb")
+    Similarity.buildIvfIndex(spark, Sf, idx)
+    val before = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    // delete two ids that actually appear in the current results (and are
+    // not centroid vectors, so the FirstN quantizer is untouched)
+    val victims = before.map(_.getLong(2)).filter(_ >= 16).distinct.take(2)
+    assert(victims.length == 2, "fixture must surface deletable neighbors")
+    Similarity.tombstoneIvfIndex(spark, idx, victims)
+    val after = Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq
+    assert(after != before)
+    assert(!after.exists(r => victims.contains(r.getLong(2))),
+      "tombstoned ids must never be returned")
+    // idempotent: deleting again changes nothing
+    Similarity.tombstoneIvfIndex(spark, idx, victims.take(1))
+    assert(Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq == after)
+    // compaction applies the tombstones physically and clears the artifact
+    val rowsBefore = spark.read.parquet(idx).count()
+    Similarity.compactIvfIndex(spark, idx)
+    assert(!new java.io.File(idx, "_tombstones").exists(),
+      "compaction must clear applied tombstones")
+    assert(spark.read.parquet(idx).count() == rowsBefore - victims.length)
+    assert(!spark.read.parquet(idx).collect()
+      .exists(r => victims.contains(r.getAs[Long]("vec_id"))))
+    assert(Similarity.ivfTopKFromIndex(spark, Sf, idx).collect().toSeq == after,
+      "query results must be identical before and after physical deletion")
+  }
+
   test("incremental IVF append equals a from-scratch index build") {
     val full = tmpDir("ivffull")
     val inc = tmpDir("ivfinc")

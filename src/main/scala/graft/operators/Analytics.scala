@@ -2024,6 +2024,9 @@ object Analytics {
         .as("cents"))
     val parted = perCust.repartitionByRange(32, col("cents"), col("user_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // offsets + ranks both read this frame; the
+                             // pin also freezes the sampled boundaries so
+                             // pid/offset come from ONE partitioning
     val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(
@@ -2035,6 +2038,7 @@ object Analytics {
         Window.partitionBy(col("pid")).orderBy(col("cents"), col("user_id"))).cast("long"))
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("rank", col("lrk") + col("offset"))
+      .localCheckpoint(true) // totals + decile rollup both read the ranks
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
       sum(col("rank") * col("cents")).as("rank_cents"))
     val deciles = ranked.crossJoin(broadcast(tot))
@@ -2135,9 +2139,10 @@ object Analytics {
     * the sink, where the monitor reads it anyway — the bitmapIndex
     * readout pattern).
     */
-  def cusumFromDaily(daily: DataFrame): DataFrame = {
-    val s = daily.sparkSession
+  def cusumFromDaily(dailyIn: DataFrame): DataFrame = {
+    val s = dailyIn.sparkSession
     import s.implicits._
+    val daily = dailyIn.localCheckpoint(true) // |days| rows, two consumers
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
     daily.crossJoin(broadcast(tot)).as[CusumDay]
       .groupByKey(_ => true)

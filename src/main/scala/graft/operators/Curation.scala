@@ -318,7 +318,10 @@ object Curation {
     val ranked = Tables.spread(s, dir, "documents")
       .select(col("doc_id"), col("source"))
       .withColumn("r", row_number().over(w).cast("long"))
-    val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // counts from the bare projection, not from `ranked` — deriving them
+    // downstream of the window would pay the rank shuffle twice
+    val counts = Tables.spread(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     val tot = counts.agg(sum(col("n_s")).as("n_total"))
     ranked.join(broadcast(counts), Seq("source"))
       .withColumn("stride",

@@ -117,6 +117,8 @@ object Dedup {
       .withColumn("alpha", expr(s"((2 * $t1e4 - 1) * n + 19999) DIV 20000"))
       .filter(col("rk") <= col("n") - col("alpha") + 1)
       .select(col("doc_id"), col("shingle"))
+      .localCheckpoint(true) // both self-join sides read this frame; the
+                             // df-rank derivation must not run twice
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

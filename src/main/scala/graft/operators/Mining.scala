@@ -264,7 +264,10 @@ object Mining {
       .agg(count(lit(1)).as("n_items"))
       .filter(col("n_items") <= maxItems)
       .select("basket")
-    val kept = incidence.join(ok, Seq("basket"))
+    // three consumers (basket total, item counts, pair join x2) — pin the
+    // guarded incidence once instead of re-scanning the fact table per
+    // branch (same materialization discipline as triangleCount's edges)
+    val kept = incidence.join(ok, Seq("basket")).localCheckpoint(true)
     val nBaskets = kept.select(col("basket")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCnt = kept.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
@@ -355,11 +358,16 @@ object Mining {
       .filter(col("n_items") <= maxItems)
       .select("basket")
     val kept = incidence.join(ok, Seq("basket"))
-    // canonical undirected edges, u < v by id
+    // canonical undirected edges, u < v by id — MATERIALIZED (eager
+    // localCheckpoint): edges feed the degree aggregate, the orientation
+    // join, both wedge sides, and the closing-edge probe; without the
+    // pin each consumer re-derives the whole incidence subtree and the
+    // fact table is re-scanned per branch (the audit measured 134 scans)
     val edges = kept.as("a").join(kept.as("b"),
         col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
       .select(col("a.item").as("u"), col("b.item").as("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -374,6 +382,7 @@ object Mining {
         when(col("deg_u") < col("deg_v") ||
              (col("deg_u") === col("deg_v") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(true) // both wedge sides read this frame
     // wedges from each apex; the closing edge is looked up in CANONICAL
     // (id-ordered) form, which the oriented pair maps onto via least/greatest
     val tri = oriented.as("e1").join(oriented.as("e2"),

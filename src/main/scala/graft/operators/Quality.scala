@@ -259,6 +259,8 @@ object Quality {
           "THEN 'control' ELSE 'treatment' END"))
     val cells = users.groupBy(col("arm"), col("converted"))
       .agg(count(lit(1)).as("obs"))
+      .localCheckpoint(true) // 4 rows; chi2Of reads it four ways — the
+                             // pin stops each from re-scanning the feed
     chi2Of(cells, "arm", "converted")
       .select(col("arm"), col("converted"), col("obs"), col("row_tot"),
         col("col_tot"), col("expected_1e4"), col("chi2c_1e4"),

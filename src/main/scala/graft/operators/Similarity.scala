@@ -1757,8 +1757,11 @@ object Similarity {
       .agg(topk(col("m"), col("vec_id")).as("nn"))
       .select(col("query_id"), explode(col("nn")).as("sn"))
       .select(col("query_id"), col("sn.vecId").as("vec_id"), col("sn.m").as("m"))
+      .localCheckpoint(true) // nQueries×C rows; two consumers — the pin
+                             // stops each from re-running the corpus scan
     val poolEmb = poolDf.join(
       emb.select(col("vec_id"), col("embedding"), col("vnorm")), Seq("vec_id"))
+      .localCheckpoint(true) // both sim-join sides read this tiny frame
     val sims = poolEmb.as("a").join(poolEmb.as("b"),
         col("a.query_id") === col("b.query_id") &&
         col("a.vec_id") =!= col("b.vec_id"))

@@ -104,4 +104,64 @@ class PropertySpec extends SparkTestBase {
       assert(out == expected, s"greedy mismatch on ${evs.length}-event timeline")
     }
   }
+
+  test("cusum recurrence equals the naive reference on random daily series") {
+    import spark.implicits._
+    val serGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)).map(_.take(60))
+    samples(serGen, 6).filter(_.nonEmpty).foreach { cents =>
+      val daily = cents.zipWithIndex
+        .map { case (c, i) => (f"2024-01-${i % 28 + 1}%02dT${i / 28}%02d", c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .map { case (d, c) => (d, c) }
+      val df = daily.toDF("day", "cents")
+      val got = graft.operators.Analytics.cusumFromDaily(df).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+      val sorted = daily.sortBy(_._1)
+      val n = sorted.length.toLong
+      val total = sorted.map(_._2).sum
+      var hi = 0L; var lo = 0L
+      val want = sorted.map { case (d, c) =>
+        hi = math.max(0L, hi + 2L * n * c - 3L * total)
+        lo = math.max(0L, lo + total - 2L * n * c)
+        (d, hi, lo)
+      }
+      assert(got == want)
+      assert(got.forall(r => r._2 >= 0 && r._3 >= 0))
+    }
+  }
+
+  test("bloom semi join equals plain semi on random key sets at any filter size") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0L, 500L)), // left keys (with dups)
+      Gen.nonEmptyListOf(Gen.choose(0L, 500L)), // right keys
+      Gen.oneOf(64, 256, 1 << 12))              // deliberately tiny filters
+    samples(gen, 5).foreach { case (lk, rk, nBits) =>
+      val left = lk.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "payload")
+      val right = rk.distinct.toDF("rk")
+      val plain = left.join(right, left("k") === right("rk"), "left_semi")
+      val bloomed = graft.operators.SkewUtils
+        .bloomSemiJoin(left, right, "k", "rk", nBits = nBits, hashes = 2)
+      assert(plain.exceptAll(bloomed).count() == 0)
+      assert(bloomed.exceptAll(plain).count() == 0)
+    }
+  }
+
+  test("interleave stride keys respect the per-source phase bound on random sizes") {
+    // pure-math property of the schedule: with stride = 2^40 DIV (2 n),
+    // the r-th key sits within one stride of the ideal phase
+    // (2r-1)/(2n) * 2^40 — the drift bound that keeps deciles proportional
+    val gen = Gen.choose(1L, 100000L)
+    samples(gen, 40).foreach { n =>
+      val stride = 1099511627776L / (2L * n)
+      Seq(1L, n / 2 + 1, n).distinct.filter(_ >= 1).foreach { r =>
+        val key = (2L * r - 1L) * stride
+        val ideal = (2.0 * r - 1.0) / (2.0 * n) * 1099511627776.0
+        assert(key <= ideal + 1)
+        assert(key >= ideal - (2.0 * n) * 1.0 - stride,
+          s"key $key drifted below ideal $ideal for n=$n r=$r")
+      }
+    }
+  }
 }

@@ -272,6 +272,7 @@ object SparkEntry {
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
+    "q_embed_drift" -> (Similarity.embedDrift(_, _)),
     "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     "q_ann_lsh_topk" -> (Similarity.annLshTopK(_, _)),
     "q_ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
@@ -3032,6 +3033,17 @@ object SparkEntry {
     "q_mmr_rerank" ->
       operators.Similarity.mmrSql(cosMicrosSql,
         "CAST(embedding AS DOUBLE[])", "//"),
+
+    // embedding drift monitor: cross-multiplied mean shifts over 2^20
+    // integer codes (template; list dialect + // are the only points)
+    "q_embed_drift" ->
+      operators.Similarity.embedDriftSql(
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT))",
+        """SELECT label, is_ref, CAST(i AS BIGINT) AS dim,
+                  code[CAST(i AS INT)] AS c
+           FROM (SELECT label, is_ref, code,
+                        unnest(range(1, len(code) + 1)) AS i FROM e) t""",
+        "//", operators.Sampling.hexThreshold(0.8)),
 
     "q_embed_lsh_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

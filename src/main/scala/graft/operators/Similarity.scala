@@ -1708,6 +1708,91 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding DRIFT monitor: per label, how far has the mean embedding
+    * of the "current" slice moved from the "reference" slice — the
+    * encoder-rot / distribution-shift alarm that catches a retrained or
+    * corrupted embedder before it poisons the index (the numeric sibling
+    * of the categorical chi2 drift audits). Slices come from the
+    * stratifiedSplit md5-threshold mechanics (rerun-stable, engine-
+    * portable); the drift statistic is the per-dimension mean shift,
+    * L1-averaged over dims, in EXACT integers: components quantize to
+    * 2^20 codes (one IEEE op), per-(label, half, dim) code SUMS are
+    * order-free BIGINTs, and the mean difference is compared by cross-
+    * multiplication — |s_ref·n_cur - s_cur·n_ref| — so division never
+    * happens until the final half-up 1e-4 readout. BIGINT holds to
+    * ~2^22 vectors per label-half at 64 dims; beyond, lift the sums to
+    * DECIMAL(38,0).
+    *
+    * 100 TB shape: ONE corpus pass posexplodes to (label, half, dim)
+    * cells — a map-side-combined aggregate to |labels|·2·d rows; the
+    * per-label counts broadcast back; everything after runs on the
+    * catalog-sized cell table.
+    */
+  def embedDrift(s: SparkSession, dir: String, refFrac: Double = 0.8): DataFrame = {
+    val thr = Sampling.hexThreshold(refFrac)
+    val emb = Tables.spread(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(CodeExpr).as("code"))
+      .withColumn("is_ref",
+        expr(s"substring(md5(CAST(vec_id AS STRING)), 1, 4) < '$thr'"))
+    val cnts = emb.groupBy(col("label"))
+      .agg(sum(when(col("is_ref"), lit(1L)).otherwise(lit(0L))).as("n_ref"),
+        sum(when(!col("is_ref"), lit(1L)).otherwise(lit(0L))).as("n_cur"))
+    val cells = emb
+      .select(col("label"), col("is_ref"), posexplode(col("code")).as(Seq("dim", "c")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("is_ref"), col("c")).otherwise(lit(0L))).as("s_ref"),
+        sum(when(!col("is_ref"), col("c")).otherwise(lit(0L))).as("s_cur"))
+    cells.join(broadcast(cnts), Seq("label"))
+      .groupBy(col("label"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(abs(col("s_ref") * col("n_cur") - col("s_cur") * col("n_ref")))
+          .as("l1_cross"),
+        count(lit(1)).as("d"))
+      .withColumn("drift_1e4", expr(
+        """(20000 * l1_cross + greatest(1048576 * n_ref * n_cur * d, 1))
+           DIV (2 * greatest(1048576 * n_ref * n_cur * d, 1))"""))
+      .select(col("label"), col("n_ref"), col("n_cur"), col("l1_cross"),
+        col("drift_1e4"))
+      .orderBy(col("label"))
+  }
+
+  /** The drift statement; dialect points are the array cast/transform
+    * spelling, the positional-explode form, and integer division.
+    */
+  private[graft] def embedDriftSql(codeList: String, dimsFrom: String,
+                                   div: String, thr: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              $codeList AS code,
+              substring(md5(CAST(vec_id AS STRING)), 1, 4) < '$thr' AS is_ref
+            FROM embeddings),
+         cnt AS (SELECT label,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ref,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_cur
+                 FROM e GROUP BY label),
+         d AS ($dimsFrom),
+         cell AS (SELECT label, dim,
+                    CAST(sum(CASE WHEN is_ref THEN c ELSE 0 END) AS BIGINT)
+                      AS s_ref,
+                    CAST(sum(CASE WHEN is_ref THEN 0 ELSE c END) AS BIGINT)
+                      AS s_cur
+                  FROM d GROUP BY label, dim),
+         agg AS (SELECT cell.label,
+                   max(cnt.n_ref) AS n_ref, max(cnt.n_cur) AS n_cur,
+                   CAST(sum(abs(cell.s_ref * cnt.n_cur
+                                - cell.s_cur * cnt.n_ref)) AS BIGINT)
+                     AS l1_cross,
+                   CAST(count(*) AS BIGINT) AS d
+                 FROM cell JOIN cnt ON cnt.label = cell.label
+                 GROUP BY cell.label)
+         SELECT label, n_ref, n_cur, l1_cross,
+                (20000 * l1_cross + greatest(1048576 * n_ref * n_cur * d, 1))
+                  $div (2 * greatest(1048576 * n_ref * n_cur * d, 1))
+                  AS drift_1e4
+         FROM agg ORDER BY label"""
+
   /** Public for Catalyst's codegen'd encoders. */
   final case class MmrCand(vec_id: Long, m: Long)
   final case class MmrSim(ca: Long, cb: Long, sim: Long)

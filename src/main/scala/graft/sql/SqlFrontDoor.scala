@@ -2673,7 +2673,15 @@ object SqlFrontDoor {
         "percentile(2 * cents, CAST(0.5 AS DOUBLE))", "DIV"),
 
     // same generated Lorenz text as the oracle with DIV for //
-    "q_revenue_lorenz" -> graft.operators.Analytics.lorenzSql("DIV")
+    "q_revenue_lorenz" -> graft.operators.Analytics.lorenzSql("DIV"),
+
+    // same generated drift text (transform/posexplode + DIV dialect)
+    "q_embed_drift" ->
+      graft.operators.Similarity.embedDriftSql(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))",
+        """SELECT label, is_ref, CAST(pos + 1 AS BIGINT) AS dim, c
+           FROM e LATERAL VIEW posexplode(code) t AS pos, c""",
+        "DIV", graft.operators.Sampling.hexThreshold(0.8))
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch

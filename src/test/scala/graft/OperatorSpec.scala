@@ -968,6 +968,35 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("embed drift matches the in-memory cross-multiplied recompute") {
+    val thr = graft.operators.Sampling.hexThreshold(0.8)
+    val rows = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    def code(x: Float): Long = math.floor(x.toDouble * 1048576.0 + 0.5).toLong
+    def md5hex4(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    val want = rows.groupBy(_._2).toSeq.map { case (label, vs) =>
+      val (ref, cur) = vs.partition(v => md5hex4(v._1) < thr)
+      val d = vs.head._3.length
+      def sums(half: Array[(Long, Long, Array[Float])]) =
+        Array.tabulate(d)(i => half.map(v => code(v._3(i))).sum)
+      val (sr, sc) = (sums(ref), sums(cur))
+      val (nr, nc) = (ref.length.toLong, cur.length.toLong)
+      val l1 = (0 until d).map(i => math.abs(sr(i) * nc - sc(i) * nr)).sum
+      val den = math.max(1048576L * nr * nc * d, 1L)
+      (label, nr, nc, l1, (20000L * l1 + den) / (2L * den))
+    }.sortBy(_._1)
+    val got = Similarity.embedDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.forall(r => r._2 > 0 && r._3 > 0),
+      "every label must populate both halves on the fixture")
+  }
+
   test("mmr rerank equals the in-memory greedy recompute; selection invariants hold") {
     val emb = graft.sources.Tables.load(spark, Sf, "embeddings")
       .select("vec_id", "embedding")

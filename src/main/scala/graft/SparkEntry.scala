@@ -237,6 +237,7 @@ object SparkEntry {
     "q_bloom_screen" -> (Dedup.bloomScreen(_, _)),
     "q_lsh_band_stats" -> (Dedup.lshBandStats(_, _)),
     "q_dedup_minhash_lsh" -> (Dedup.minHashLsh(_, _)),
+    "q_dedup_recall_report" -> (Dedup.dedupRecallReport(_, _)),
     "q_dedup_apply" -> (Dedup.dedupCorpus(_, _)),
     "q_dup_clusters" -> (Dedup.dupClusters(_, _)),
     "q_dup_clusters_incremental" -> ((s, d) => {
@@ -2928,6 +2929,36 @@ object SparkEntry {
       s"""WITH $minhashVerifyCtes
          SELECT doc_a, doc_b, jaccard_1e4 FROM verify
          WHERE jaccard_1e4 >= 5000 ORDER BY doc_a, doc_b""",
+
+    // LSH recall per true-Jaccard bucket: exact pairs from the naive
+    // any-shared-shingle join, found pairs from the banded pipeline
+    "q_dedup_recall_report" ->
+      s"""WITH $minhashVerifyCtes,
+         ex2 AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+                        unnest(sh) AS shingle FROM shd),
+         ep AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+                FROM ex2 a JOIN ex2 b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+         exact AS (SELECT doc_a, doc_b,
+                          (20000 * common + (na + nb - common))
+                          // (2 * (na + nb - common)) AS j
+                   FROM ep
+                   WHERE (20000 * common + (na + nb - common))
+                         // (2 * (na + nb - common)) >= 5000),
+         f AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         jj AS (SELECT e.j,
+                       CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM exact e
+                LEFT JOIN f ON f.doc_a = e.doc_a AND f.doc_b = e.doc_b),
+         b AS (SELECT least((j - 5000) // 1000, 4) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(hit) AS BIGINT) AS n_found
+               FROM jj GROUP BY 1)
+         SELECT bucket, 5000 + 1000 * bucket AS lo_1e4, n_pairs, n_found,
+                (20000 * n_found + n_pairs) // (2 * n_pairs) AS recall_1e4
+         FROM b ORDER BY bucket""",
 
     // Full-corpus pairs restricted to those whose greater member is in the
     // delta (doc_id >= 80% of max): band rows agree between the index and

@@ -137,6 +137,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH recall evaluation — the dedup-side sibling of the ANN recall
+    * report: per TRUE-Jaccard bucket, what fraction of the threshold-
+    * passing pairs did the MinHash-band pipeline actually surface? Ground
+    * truth is [[prefixFilterJaccard]] (exact threshold join, no sketch,
+    * no df cap); the candidate system under test is [[minHashLsh]]
+    * (signatures -> bands -> verify). Recall rises with the bucket —
+    * band collision probability grows with similarity — and the report
+    * quantifies exactly where the 0.5-0.6 tail gets lossy, which is the
+    * number that justifies (or retires) a band-count change. All counts
+    * exact; recall in half-up 1e-4.
+    *
+    * 100 TB shape: both inputs are the already-scale-shaped operators;
+    * the report itself is a pair-keyed left join of two O(near-dup)
+    * frames + a 5-row aggregate.
+    */
+  def dedupRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = prefixFilterJaccard(s, dir)
+    val found = minHashLsh(s, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket",
+        expr("least((jaccard_1e4 - 5000) DIV 1000, CAST(4 AS BIGINT))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("lo_1e4", expr("5000 + 1000 * bucket"))
+      .withColumn("recall_1e4",
+        expr("(20000 * n_found + n_pairs) DIV (2 * n_pairs)"))
+      .select(col("bucket"), col("lo_1e4"), col("n_pairs"), col("n_found"),
+        col("recall_1e4"))
+      .orderBy(col("bucket"))
+  }
+
   /** The df-capped inverted shingle index shared by the pairwise n-gram
     * similarity family: one row per (doc, distinct shingle) with the doc's
     * shingle-set size, stop-shingles (df > 100) dropped — the skew guard

@@ -990,6 +990,36 @@ object SqlFrontDoor {
     // naive any-shared-shingle exact join (same algorithm as the oracle,
     // Spark dialect) — the operator's prefix filter is an execution
     // strategy, not different semantics
+    // LSH recall per true-Jaccard bucket (mirror of the oracle text)
+    "q_dedup_recall_report" ->
+      s"""WITH $minhashVerifyCtes,
+         ex2 AS (SELECT doc_id, n_sh, shingle
+                 FROM (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh,
+                              explode(sh) AS shingle FROM shd)),
+         ep AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+                FROM ex2 a JOIN ex2 b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+         exact AS (SELECT doc_a, doc_b,
+                          (20000 * common + (na + nb - common))
+                          DIV (2 * (na + nb - common)) AS j
+                   FROM ep
+                   WHERE (20000 * common + (na + nb - common))
+                         DIV (2 * (na + nb - common)) >= 5000),
+         f AS (SELECT doc_a, doc_b FROM verify WHERE jaccard_1e4 >= 5000),
+         jj AS (SELECT e.j,
+                       CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM exact e
+                LEFT JOIN f ON f.doc_a = e.doc_a AND f.doc_b = e.doc_b),
+         b AS (SELECT least((j - 5000) DIV 1000, CAST(4 AS BIGINT)) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(hit) AS BIGINT) AS n_found
+               FROM jj GROUP BY least((j - 5000) DIV 1000, CAST(4 AS BIGINT)))
+         SELECT bucket, 5000 + 1000 * bucket AS lo_1e4, n_pairs, n_found,
+                (20000 * n_found + n_pairs) DIV (2 * n_pairs) AS recall_1e4
+         FROM b ORDER BY bucket""",
+
     "q_dedup_prefix_filter" ->
       s"""WITH $shingleCtes,
          ex AS (SELECT doc_id, n_sh, shingle

@@ -1068,6 +1068,26 @@ class OperatorSpec extends SparkTestBase {
     assert(got.exists(r => r._3 < r._2), "covered ids must carry real traffic")
   }
 
+  test("dedup recall report: buckets reconcile with the two pair sets") {
+    val exact = Dedup.prefixFilterJaccard(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val found = Dedup.minHashLsh(spark, Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.groupBy { case (_, j) => math.min((j - 5000) / 1000, 4L) }
+      .toSeq.map { case (b, rows) =>
+        val nf = rows.count { case (p, _) => found(p) }.toLong
+        val np = rows.length.toLong
+        (b, 5000L + 1000L * b, np, nf, (20000L * nf + np) / (2L * np))
+      }.sortBy(_._1)
+    val got = Dedup.dedupRecallReport(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == exact.length.toLong)
+    assert(got.forall(r => r._4 <= r._3))
+  }
+
   test("prefix-filter jaccard equals the in-memory exact threshold join") {
     import graft.operators.TextAnalysis
     // third algorithm: collect full shingle sets and do the O(n^2) exact

@@ -154,6 +154,17 @@ object SparkEntry {
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_encode_docs" -> (TextAnalysis.encodeDocs(_, _)),
+    "q_encode_docs_incremental" -> ((s, d) => {
+      // frozen-tokenizer contract: vocab staged from the first 80% of the
+      // corpus, ONLY delta docs (doc_id >= split) tokenized and encoded
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val vdir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_vocab_" + Integer.toHexString(d.hashCode)).toString
+      TextAnalysis.buildVocabIndex(s, d, vdir, maxDocIdExclusive = split)
+      TextAnalysis.encodeDocsIncremental(s, d, vdir, split)
+    }),
     "q_bigram_lm_score" ->
       (TextAnalysis.bigramLmScore(_, _, BigramLm.refLang)),
     "q_top_tokens_per_source" -> (TextAnalysis.topTokensPerSource(_, _)),
@@ -1331,6 +1342,30 @@ object SparkEntry {
                    FROM (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16) t),
          enc AS (SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS id
                  FROM tok t LEFT JOIN vocab v ON v.w = t.w)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                md5(string_agg(CAST(id AS STRING), ',' ORDER BY pos))
+                  AS ids_md5
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
+
+    // incremental encode: vocab from the reference slice (doc_id < split),
+    // encoded rows restricted to the delta — the frozen-tokenizer contract
+    "q_encode_docs_incremental" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         mx AS (SELECT max(doc_id) * 4 // 5 AS split FROM documents),
+         tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM d),
+         tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                        ws[CAST(pos AS INT)] AS w FROM tk),
+         cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                 FROM tok, mx WHERE tok.doc_id < mx.split GROUP BY w),
+         vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w)
+                      AS BIGINT) AS vid
+                   FROM (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16) t),
+         enc AS (SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS id
+                 FROM tok t CROSS JOIN mx
+                 LEFT JOIN vocab v ON v.w = t.w
+                 WHERE t.doc_id >= mx.split)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                 CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_oov,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -660,14 +660,31 @@ object TextAnalysis {
     * globally.
     */
   def encodeDocs(s: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val toks = tokenPositions(s, dir)
+    encodeWithVocab(toks, vocabOf(toks, vocabSize))
+  }
+
+  /** (doc_id, pos, w) token stream in document order; `pred` prunes the
+    * scan BEFORE tokenization (a doc_id range predicate pushes down).
+    */
+  private def tokenPositions(s: SparkSession, dir: String,
+                             pred: Column = lit(true)): DataFrame =
+    Tables.spread(s, dir, "documents").filter(pred)
+      .select(col("doc_id"), posexplode(expr(TokensExpr)).as(Seq("pos", "w")))
+
+  /** Frequency-ranked top-V vocabulary of a token stream: (w, vid) with
+    * vid 1..V by (count desc, token); 0 stays reserved for OOV.
+    */
+  private def vocabOf(toks: DataFrame, vocabSize: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("w"))
-    val toks = Tables.spread(s, dir, "documents")
-      .select(col("doc_id"), posexplode(expr(TokensExpr)).as(Seq("pos", "w")))
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabSize)
       .withColumn("vid", row_number().over(w).cast("long"))
       .select(col("w"), col("vid"))
+  }
+
+  private def encodeWithVocab(toks: DataFrame, vocab: DataFrame): DataFrame =
     toks.join(broadcast(vocab), Seq("w"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("vid"), lit(0L)).as("id"))
@@ -679,7 +696,35 @@ object TextAnalysis {
                  x -> CAST(x.id AS STRING)), ','))""")
           .as("ids_md5"))
       .orderBy(col("doc_id"))
+
+  /** Stage the frequency-ranked vocabulary of the REFERENCE corpus slice
+    * (doc_id < maxDocIdExclusive) as a parquet artifact — the frozen
+    * tokenizer of the incremental encode path. In production the
+    * tokenizer NEVER retrains per batch (retraining would re-id every
+    * historical sequence); this is that contract as a staged index, the
+    * `_centroids` discipline applied to text.
+    */
+  def buildVocabIndex(s: SparkSession, dir: String, vocabDir: String,
+                      vocabSize: Int = 16,
+                      maxDocIdExclusive: Long = Long.MaxValue): String = {
+    vocabOf(tokenPositions(s, dir, col("doc_id") < maxDocIdExclusive),
+      vocabSize)
+      .write.mode("overwrite").parquet(vocabDir)
+    vocabDir
   }
+
+  /** Incremental token-ID encoding: ONLY delta documents
+    * (doc_id >= minDeltaId) are tokenized and encoded, against the
+    * staged FROZEN vocabulary — O(delta) work per batch, and every
+    * previously-emitted sequence stays valid (ids never re-map). OOV
+    * drift is visible in the output's n_oov, which is exactly the signal
+    * that schedules a tokenizer refresh.
+    */
+  def encodeDocsIncremental(s: SparkSession, dir: String, vocabDir: String,
+                            minDeltaId: Long): DataFrame =
+    encodeWithVocab(
+      tokenPositions(s, dir, col("doc_id") >= minDeltaId),
+      s.read.parquet(vocabDir))
 
   /** Domain-affinity scoring for data selection (the DSIR idea — rank
     * corpus documents by how much their features lean toward a target

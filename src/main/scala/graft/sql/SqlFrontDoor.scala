@@ -1789,6 +1789,29 @@ object SqlFrontDoor {
                   x -> CAST(x.id AS STRING)), ',')) AS ids_md5
          FROM enc GROUP BY doc_id ORDER BY doc_id""",
 
+    // incremental encode (frozen vocab from the reference slice)
+    "q_encode_docs_incremental" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         mx AS (SELECT max(doc_id) * 4 DIV 5 AS split FROM documents),
+         tok AS (SELECT doc_id, CAST(pos + 1 AS BIGINT) AS pos, w
+                 FROM d LATERAL VIEW posexplode(ws) t AS pos, w),
+         cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                 FROM tok, mx WHERE tok.doc_id < mx.split GROUP BY w),
+         vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w)
+                      AS BIGINT) AS vid
+                   FROM (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16) t),
+         enc AS (SELECT t.doc_id, t.pos, coalesce(v.vid, CAST(0 AS BIGINT)) AS id
+                 FROM tok t CROSS JOIN mx
+                 LEFT JOIN vocab v ON v.w = t.w
+                 WHERE t.doc_id >= mx.split)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                md5(array_join(transform(
+                  sort_array(collect_list(struct(pos, id))),
+                  x -> CAST(x.id AS STRING)), ',')) AS ids_md5
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
+
     // Tukey-fence outliers over integerized values
     "q_value_outliers" ->
       """WITH ev AS (SELECT event_type,

@@ -1048,6 +1048,36 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("incremental encode: staged frozen vocab equals the inline recompute") {
+    val maxId = graft.sources.Tables.documents(spark, Sf)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 4 / 5
+    val vdir = tmpDir("vocabidx")
+    TextAnalysis.buildVocabIndex(spark, Sf, vdir, maxDocIdExclusive = split)
+    val staged = TextAnalysis.encodeDocsIncremental(spark, Sf, vdir, split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // every encoded row is a delta doc, and the full-corpus encode over
+    // the SAME split-restricted vocab gives identical rows (frozen vocab
+    // means the delta's ids cannot depend on delta token frequencies)
+    assert(staged.nonEmpty && staged.forall(_._1 >= split))
+    // delta docs see REAL OOV from post-split vocabulary drift or at
+    // least yield the same ids as a by-hand vocab join
+    val vocab = spark.read.parquet(vdir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .filter(col("doc_id") >= split)
+      .selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS ws")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def md5(sx: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val ids = ws.map(w => vocab.getOrElse(w, 0L))
+      (id, ws.size.toLong, ids.count(_ == 0L).toLong, md5(ids.mkString(",")))
+    }.sortBy(_._1).toSeq
+    assert(staged == want)
+  }
+
   test("token-id encoding matches the in-memory vocab + sequence recompute") {
     val docs = graft.sources.Tables.load(spark, Sf, "documents")
       .selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS ws")

@@ -379,6 +379,7 @@ object SparkEntry {
         Curation.packSequencesSlice(s, d, 512, split, Long.MaxValue,
           Some(Curation.packOffsets(s, d, split))))
     }),
+    "q_pack_efficiency" -> (Curation.packEfficiency(_, _)),
     "q_zorder_layout" -> (Layout.zorderCells(_, _))
   )
 
@@ -3658,6 +3659,10 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // packing-efficiency rollup from the same derivation (shared template)
+    "q_pack_efficiency" ->
+      operators.Curation.packEfficiencySql(s"len($Toks)", "//"),
 
     "q_split_stratified" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($Toks) AS BIGINT) AS n_tokens,

@@ -283,6 +283,77 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing-efficiency report — the quality readout over
+    * [[packSequences]]' output that tells a training run what its padding
+    * bill will be: per source, sequence counts, overfull sequences (a
+    * boundary-spanning doc pushes seq_tokens past the budget — truncation
+    * candidates), underfull NON-FINAL sequences (real fragmentation; the
+    * final partial sequence is legitimate), the exact pad-token bill
+    * (budget - seq_tokens over non-final sequences), and the half-up
+    * fill rate vs nominal capacity.
+    *
+    * 100 TB shape: runs entirely on the packed-sequence table (one row
+    * per sequence — corpus/budget-sized, far below docs); the per-source
+    * final-sequence ids broadcast back; one aggregate to |sources| rows.
+    */
+  def packEfficiency(s: SparkSession, dir: String,
+                     budget: Int = 512): DataFrame = {
+    val b = budget.toLong
+    val seqs = packSequences(s, dir, budget)
+    val finals = seqs.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("final_seq"))
+    seqs.join(broadcast(finals), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        sum(when(col("seq_tokens") > b, lit(1L)).otherwise(lit(0L)))
+          .as("n_overfull"),
+        sum(when(col("seq_tokens") < b && col("seq_id") =!= col("final_seq"),
+          lit(1L)).otherwise(lit(0L))).as("n_underfull_nonfinal"),
+        sum(when(col("seq_id") =!= col("final_seq"),
+          greatest(lit(0L), lit(b) - col("seq_tokens"))).otherwise(lit(0L)))
+          .as("pad_tokens"))
+      .withColumn("fill_1e4",
+        expr(s"(20000 * total_tokens + n_seqs * $b) DIV (2 * n_seqs * $b)"))
+      .orderBy(col("source"))
+  }
+
+  /** The efficiency statement from the same packed-sequence derivation as
+    * the q_pack_sequences oracle; dialect points are the token-count
+    * expression (len/list vs size/array regex forms) and integer
+    * division.
+    */
+  private[graft] def packEfficiencySql(nTokensExpr: String, div: String,
+                                       budget: Int = 512): String =
+    s"""WITH d AS (SELECT doc_id, source, CAST($nTokensExpr AS BIGINT)
+              AS n_tokens
+            FROM documents),
+         st AS (SELECT doc_id, source, n_tokens,
+                COALESCE(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS strt FROM d),
+         seqs AS (SELECT source, CAST(strt $div $budget AS BIGINT) AS seq_id,
+                         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+                  FROM st GROUP BY source, CAST(strt $div $budget AS BIGINT)),
+         fin AS (SELECT source, max(seq_id) AS final_seq
+                 FROM seqs GROUP BY source)
+         SELECT seqs.source, CAST(count(*) AS BIGINT) AS n_seqs,
+                CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(CASE WHEN seq_tokens > $budget THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overfull,
+                CAST(sum(CASE WHEN seq_tokens < $budget
+                          AND seq_id <> fin.final_seq THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_underfull_nonfinal,
+                CAST(sum(CASE WHEN seq_id <> fin.final_seq
+                          THEN greatest(0, $budget - seq_tokens)
+                          ELSE 0 END) AS BIGINT) AS pad_tokens,
+                (20000 * CAST(sum(seq_tokens) AS BIGINT)
+                 + CAST(count(*) AS BIGINT) * $budget)
+                  $div (2 * CAST(count(*) AS BIGINT) * $budget) AS fill_1e4
+         FROM seqs JOIN fin ON fin.source = seqs.source
+         GROUP BY seqs.source ORDER BY seqs.source"""
+
   /** Deterministic proportional interleave (curriculum schedule) audit:
     * assign every document a SCHEDULE KEY such that reading the corpus in
     * key order interleaves the sources proportionally — every prefix of

@@ -2728,6 +2728,10 @@ object SqlFrontDoor {
     // same generated Lorenz text as the oracle with DIV for //
     "q_revenue_lorenz" -> graft.operators.Analytics.lorenzSql("DIV"),
 
+    // same generated packing-efficiency text (size() + DIV dialect)
+    "q_pack_efficiency" ->
+      graft.operators.Curation.packEfficiencySql(s"size($toksSql)", "DIV"),
+
     // same generated drift text (transform/posexplode + DIV dialect)
     "q_embed_drift" ->
       graft.operators.Similarity.embedDriftSql(

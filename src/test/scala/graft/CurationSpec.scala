@@ -273,6 +273,31 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("pack efficiency reconciles with the packed-sequence table") {
+    val seqs = Curation.packSequences(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val finals = seqs.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = seqs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val fin = finals(src)
+      val n = rows.length.toLong
+      val tot = rows.map(_._3).sum
+      (src, n, tot,
+        rows.count(_._3 > 512L).toLong,
+        rows.count(r => r._3 < 512L && r._2 != fin).toLong,
+        rows.filter(_._2 != fin).map(r => math.max(0L, 512L - r._3)).sum,
+        (20000L * tot + n * 512L) / (2L * n * 512L))
+    }.sortBy(_._1)
+    val got = Curation.packEfficiency(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+    // token mass conservation against the corpus
+    val corpusTokens = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT) AS n")
+      .collect().map(_.getLong(0)).sum
+    assert(got.map(_._3).sum == corpusTokens)
+  }
+
   test("interleave mix: matches the stride recompute, deciles carry the corpus mix") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select(col("doc_id"), col("source"))

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_scd2_intervals" -> (Analytics.scd2Intervals(_, _)),
     "q_scd2_point_lookup" -> (Analytics.scd2PointLookup(_, _)),
     "q_attribution_last_touch" -> (Analytics.lastTouchAttribution(_, _)),
+    "q_attribution_first_touch" -> (Analytics.firstTouchAttribution(_, _)),
     "q_ewma_user_value" -> (Analytics.ewmaUserValue(_, _)),
     "q_throttle_dedup" ->
       ((s, d) => Analytics.throttleDedup(s, d, Throttle.windowHours)),
@@ -1638,6 +1639,28 @@ object SparkEntry {
          touches AS (SELECT user_id, grp_incl AS grp, chan FROM g WHERE chan IS NOT NULL),
          p AS (SELECT g.user_id, g.value, t.chan
                FROM g LEFT JOIN touches t ON g.user_id = t.user_id AND g.grp_excl = t.grp
+               WHERE g.event_type = 'purchase')
+         SELECT coalesce(chan, '(none)') AS channel,
+                count(*) AS n_purchases,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY 1 ORDER BY channel""",
+
+    // first-touch: same portable carry rewrite; the credited touch is the
+    // user's FIRST channel event (running count 1) when any precedes
+    "q_attribution_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t_us,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS chan
+           FROM events),
+         g AS (SELECT *,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_incl,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp_excl
+           FROM e),
+         touches AS (SELECT user_id, grp_incl AS grp, chan FROM g WHERE chan IS NOT NULL),
+         p AS (SELECT g.user_id, g.value,
+                      CASE WHEN g.grp_excl >= 1 THEN t.chan END AS chan
+               FROM g LEFT JOIN touches t ON g.user_id = t.user_id AND t.grp = 1
                WHERE g.event_type = 'purchase')
          SELECT coalesce(chan, '(none)') AS channel,
                 count(*) AS n_purchases,

@@ -1352,6 +1352,32 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** First-touch attribution — the complementary marketing model to
+    * [[lastTouchAttribution]]: every purchase credits the user's FIRST
+    * channel event ever (acquisition credit), rather than the most recent
+    * one (conversion credit); running both and comparing the two revenue
+    * splits is precisely how a marketing team brackets a channel's true
+    * contribution. Purchases before any channel touch credit '(none)',
+    * conserving revenue. Same single user-partitioned window as the
+    * last-touch pass (first(ignoreNulls) instead of last), then a hash
+    * aggregate to |types| rows; the oracle rewrites the carry with the
+    * portable first-touch join (touch with running count 1).
+    */
+  def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("chan",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("touch", first(col("chan"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
+
   /** Exponentially-weighted moving average of event value per user:
     * decay 1/2 per step over the trailing 6 events (current + 5 lags),
     * entirely in integers — weights are the exact powers 32,16,8,4,2,1

@@ -2068,6 +2068,27 @@ object SqlFrontDoor {
                 sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS revenue_cents
          FROM p GROUP BY 1 ORDER BY channel""",
 
+    // first-touch mirror (epoch_us -> unix_micros)
+    "q_attribution_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, unix_micros(ts) AS t_us,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS chan
+           FROM events),
+         g AS (SELECT *,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_incl,
+             count(chan) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp_excl
+           FROM e),
+         touches AS (SELECT user_id, grp_incl AS grp, chan FROM g WHERE chan IS NOT NULL),
+         p AS (SELECT g.user_id, g.value,
+                      CASE WHEN g.grp_excl >= 1 THEN t.chan END AS chan
+               FROM g LEFT JOIN touches t ON g.user_id = t.user_id AND t.grp = 1
+               WHERE g.event_type = 'purchase')
+         SELECT coalesce(chan, '(none)') AS channel,
+                count(*) AS n_purchases,
+                sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS revenue_cents
+         FROM p GROUP BY 1 ORDER BY channel""",
+
     // epoch_us -> unix_micros; // -> DIV
     "q_ewma_user_value" ->
       """WITH c AS (SELECT user_id, event_id, unix_micros(ts) AS t_us,

@@ -968,6 +968,38 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("first-touch attribution: in-memory recompute + conservation vs last-touch") {
+    val evs = graft.sources.Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS t_us",
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val want = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._4, e._2))
+      val firstChan = sorted.collectFirst {
+        case e if e._3 != "purchase" => (e._4, e._2, e._3)
+      }
+      sorted.filter(_._3 == "purchase").map { p =>
+        val chan = firstChan match {
+          case Some((t, id, c)) if t < p._4 || (t == p._4 && id < p._2) => c
+          case _ => "(none)"
+        }
+        (chan, p._5)
+      }
+    }.toSeq.groupBy(_._1).view
+      .mapValues(rows => (rows.length.toLong, rows.map(_._2).sum)).toSeq
+      .map { case (ch, (n, rev)) => (ch, n, rev) }.sortBy(_._1)
+    val got = Analytics.firstTouchAttribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // both models conserve the same purchase count and revenue
+    val lastT = Analytics.lastTouchAttribution(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum == lastT.map(_._1).sum)
+    assert(got.map(_._3).sum == lastT.map(_._2).sum)
+  }
+
   test("embed drift matches the in-memory cross-multiplied recompute") {
     val thr = graft.operators.Sampling.hexThreshold(0.8)
     val rows = graft.sources.Tables.load(spark, Sf, "embeddings")

@@ -120,15 +120,20 @@ object GraftFunctions {
     * minhash_sig in SQL.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", build, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => {
-        if (exprs.length != 1)
-          throw new IllegalArgumentException(
-            s"minhash_sig requires exactly 1 argument, got ${exprs.length}")
-        MinHashSignature(exprs.head)
-      }, "built-in")
+    // createOrReplaceTempFunction logs a WARN per replacement; call sites
+    // register eagerly, so skip when both names already resolve to keep
+    // bench/test logs readable.
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("dot_f")))
+      reg.createOrReplaceTempFunction("dot_f", build, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("minhash_sig")))
+      reg.createOrReplaceTempFunction(
+        "minhash_sig", exprs => {
+          if (exprs.length != 1)
+            throw new IllegalArgumentException(
+              s"minhash_sig requires exactly 1 argument, got ${exprs.length}")
+          MinHashSignature(exprs.head)
+        }, "built-in")
   }
 }
 

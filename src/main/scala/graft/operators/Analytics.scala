@@ -870,7 +870,7 @@ object Analytics {
       expr(s"percentile(v, $psSql)").as("exact"))
     val bounds = agg
       .select(col("n"), posexplode(arrays_zip(col("apx"), col("exact"))).as(Seq("i", "z")))
-      .select(col("n"), expr(s"$psSql[i]").as("pct"),
+      .select(col("n"), expr(s"CAST($psSql[i] AS DOUBLE)").as("pct"),
         col("z.apx").as("apx"), col("z.exact").as("exact"))
     v.crossJoin(broadcast(bounds))
       .groupBy(col("pct"), col("n"), col("apx"), col("exact"))

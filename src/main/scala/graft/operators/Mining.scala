@@ -231,7 +231,7 @@ object Mining {
     }
     (header +: steps).mkString(",\n") +
       s"""
-         SELECT node AS p_partkey, pr AS rank_1e9 FROM it$iters
+         SELECT node AS p_partkey, CAST(pr AS BIGINT) AS rank_1e9 FROM it$iters
          ORDER BY rank_1e9 DESC, p_partkey"""
   }
 

@@ -471,8 +471,12 @@ object Quality {
       ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
       ("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
       ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+    // NULLs coalesce to a sentinel on both surfaces: countDistinct skips
+    // tuples containing NULL while SELECT DISTINCT keeps them, so a
+    // nullable candidate column would otherwise silently diverge.
     val stackArgs = deps.map { case (name, lhs, rhs) =>
-      s"'$name', CAST($lhs AS STRING), CAST($rhs AS STRING)"
+      s"'$name', coalesce(CAST($lhs AS STRING), '<null>'), " +
+        s"coalesce(CAST($rhs AS STRING), '<null>')"
     }.mkString(", ")
     Tables.spread(s, dir, "orders")
       .select(expr(s"stack(${deps.size}, $stackArgs) AS (dependency, lhs, rhs)"))
@@ -501,8 +505,10 @@ object Quality {
         s"""SELECT '$name' AS dependency,
                CAST(count(DISTINCT lhs) AS BIGINT) AS n_lhs,
                CAST(count(*) AS BIGINT) AS n_pairs
-            FROM (SELECT DISTINCT CAST($lhs AS STRING) AS lhs,
-                         CAST($rhs AS STRING) AS rhs FROM orders) p"""
+            FROM (SELECT DISTINCT
+                         coalesce(CAST($lhs AS STRING), '<null>') AS lhs,
+                         coalesce(CAST($rhs AS STRING), '<null>') AS rhs
+                  FROM orders) p"""
       }
     s"""WITH u AS (${blocks.mkString("\nUNION ALL\n")})
         SELECT dependency, n_lhs, n_pairs,

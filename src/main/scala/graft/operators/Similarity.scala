@@ -829,7 +829,7 @@ object Similarity {
     val qCodes = vectorCodes(queries)
     val lutArr = pqLuts(qCodes, subCodes(qCodes, m, subDim),
       storedCodebooks(s, indexDir), nQueries, ksub)
-    val scored = s.read.parquet(indexDir)
+    val scored = screenTombstones(s, indexDir, s.read.parquet(indexDir))
       // stream-built indexes carry a batch=<id> partition level; a query
       // only ever needs the payload columns
       .select(col("vec_id"), col("pcode"), col("xn"))
@@ -963,7 +963,8 @@ object Similarity {
       storedCodebooks(s, indexDir), nQueries, ksub)
     // stream-built indexes carry a batch=<id> level; a candidate row is
     // its list key plus the packed payload either way
-    val index = s.read.option("basePath", indexDir).parquet(indexDir)
+    val index = screenTombstones(s, indexDir,
+      s.read.option("basePath", indexDir).parquet(indexDir))
       .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
     val scored = index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1734,7 +1735,7 @@ object Similarity {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         expr(CodeExpr).as("code"))
       .withColumn("is_ref",
-        expr(s"substring(md5(CAST(vec_id AS STRING)), 1, 4) < '$thr'"))
+        expr(s"substring(md5(CAST(vec_id AS STRING)), 1, 8) < '$thr'"))
     val cnts = emb.groupBy(col("label"))
       .agg(sum(when(col("is_ref"), lit(1L)).otherwise(lit(0L))).as("n_ref"),
         sum(when(!col("is_ref"), lit(1L)).otherwise(lit(0L))).as("n_cur"))
@@ -1764,7 +1765,7 @@ object Similarity {
                                    div: String, thr: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
               $codeList AS code,
-              substring(md5(CAST(vec_id AS STRING)), 1, 4) < '$thr' AS is_ref
+              substring(md5(CAST(vec_id AS STRING)), 1, 8) < '$thr' AS is_ref
             FROM embeddings),
          cnt AS (SELECT label,
                    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)

@@ -70,6 +70,10 @@ object SkewUtils {
                     leftKey: String, rightKey: String,
                     nBits: Int = 1 << 17, hashes: Int = 3): DataFrame = {
     require(hashes > 0, "need at least one hash function")
+    // `__bits` / `__rk` are reserved helper names injected mid-plan; a
+    // colliding input column would corrupt the probe or the final join.
+    require(!left.columns.contains("__bits") && !left.columns.contains("__rk"),
+      "bloomSemiJoin reserves column names __bits and __rk on the left frame")
     val nb = nBits.toLong
     val buildPos = (0 until hashes).map(i =>
       pmod(xxhash64(col(rightKey), lit(i)), lit(nb)))
@@ -79,11 +83,17 @@ object SkewUtils {
       .select(explode(array(buildPos: _*)).as("pos"))
       .agg(bloomAgg(col("pos")).as("__bits"))
     // identical (value, seed-literal) hash inputs on both sides: xxhash64
-    // over (key, i) with i an INT literal in both the Column and SQL form
+    // over (key, i) with the same INT seed literal. Column API throughout
+    // (no SQL-string interpolation), so arbitrary key names are safe;
+    // pmod is non-negative, so >>6 and &63 are exact div/mod by 64.
     val mightContain = (0 until hashes).map { i =>
-      val p = s"pmod(xxhash64($leftKey, $i), $nb)"
-      expr(s"""(element_at(__bits, CAST($p DIV 64 AS INT) + 1)
-               & shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) <> 0""")
+      val p = pmod(xxhash64(col(leftKey), lit(i)), lit(nb))
+      val word = element_at(col("__bits"), shiftright(p, 6).cast("int") + lit(1))
+      // functions.shiftleft only accepts an Int amount; call_function
+      // reaches the (col, col) builtin form
+      val mask = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
     }.reduce(_ && _)
     left.crossJoin(broadcast(bits))
       .filter(mightContain)

@@ -35,7 +35,16 @@ object Bench {
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_ann_bruteforce_topk",
-    "q_text_quality")
+    "q_text_quality",
+    // the costliest plans in the registry (r9 verdict task 4): iterative
+    // graph, wedge-join graph, exact similarity join, clustered semantic
+    // dedup, and the lexical+vector fusion — a regression in any of these
+    // was invisible while the bench saw only the 10 classics above
+    "q_pagerank_copurchase",
+    "q_triangle_count",
+    "q_dedup_prefix_filter",
+    "q_semantic_dedup",
+    "q_hybrid_search")
 
   /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
   def loadFloors(sfName: String): Map[String, Double] = {

@@ -36,7 +36,7 @@ object Dedup {
     """array_distinct(transform(sequence(0, size(ws) - 3),
        i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"""
 
-  private def withShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def withShingles(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, dir, "documents") // shingling+hashing is compute-bound
       .withColumn("ws", expr(TextAnalysis.TokensExpr))
       .filter(expr("size(ws) >= 3"))
@@ -106,8 +106,14 @@ object Dedup {
   def prefixFilterJaccard(s: SparkSession, dir: String,
                           threshold: Double = 0.5): DataFrame = {
     val t1e4 = math.round(threshold * 10000)
+    // MATERIALIZED (eager localCheckpoint): shingling is the compute-bound
+    // step and five consumers read this frame (the explode feeding both
+    // the df counts and the prefix join, plus both sides of the exact
+    // verify) — without the pin each re-tokenizes the corpus (the probe
+    // measured 4.2s/pass at sf0.1, 5 passes = the old 23s bench time)
     val docs = withShingles(s, dir)
       .select(col("doc_id"), col("sh"), expr("CAST(size(sh) AS BIGINT)").as("n"))
+      .localCheckpoint(true)
     val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -116,23 +122,43 @@ object Dedup {
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("alpha", expr(s"((2 * $t1e4 - 1) * n + 19999) DIV 20000"))
       .filter(col("rk") <= col("n") - col("alpha") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("n"))
       .localCheckpoint(true) // both self-join sides read this frame; the
                              // df-rank derivation must not run twice
+    // AllPairs length filter: jaccard >= t (half-up 1e4 fixed point)
+    // forces 20000*common >= (2*t1e4-1)*(na+nb-common); with
+    // common <= min(na,nb) and na+nb-common >= max(na,nb) that gives the
+    // necessary min(na,nb) >= alpha(max(na,nb)) — the SAME half-up bound
+    // as the prefix size, so no true pair is dropped and ~25% of
+    // candidates skip the exact verify (probed at sf0.1: 409k -> 310k)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"""least(a.n, b.n) >=
+        ((2 * $t1e4 - 1) * greatest(a.n, b.n) + 19999) DIV 20000"""))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
+    // explicit-width repartition before the verify: the candidate frame is
+    // small in BYTES (~3 MB at sf0.1) so AQE's size-based coalescing packs
+    // it into 1-2 tasks — blind to the per-row intersect CPU behind it
+    // (the stage probe measured 13.7s of evaluation wall-clocked on 2
+    // cores). A user-specified partition count is exempt from AQE
+    // coalescing, so the intersect spreads over every core.
+    cands.repartition(s.sparkContext.defaultParallelism, col("doc_a"))
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("n").as("nb")), Seq("doc_b"))
       .withColumn("common",
         expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)"))
+      // threshold test in the single-occurrence form: jaccard_1e4 >= t
+      // ⟺ 20000c + u >= 2u·t ⟺ c·(19999 + 2t) >= (2t - 1)(na + nb)
+      // (u = na + nb - c). Catalyst inlines `common` into whatever
+      // predicate it pushes into the join condition — with the division
+      // form the intersect was evaluated three times per candidate; here
+      // exactly once, and once more for the few survivors' output column.
+      .filter(expr(s"common * (19999 + 2 * $t1e4) >= (2 * $t1e4 - 1) * (na + nb)"))
       .withColumn("jaccard_1e4", expr(
         "(20000 * common + (na + nb - common)) DIV (2 * (na + nb - common))"))
-      .filter(col("jaccard_1e4") >= t1e4)
       .select(col("doc_a"), col("doc_b"), col("jaccard_1e4"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

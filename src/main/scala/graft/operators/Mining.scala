@@ -350,22 +350,25 @@ object Mining {
     */
   def triangleCount(s: SparkSession, dir: String,
                     maxItems: Int = 40, k: Int = 20): DataFrame = {
-    val incidence = Tables.spread(s, dir, "lineitem")
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    val ok = incidence.groupBy(col("basket"))
-      .agg(count(lit(1)).as("n_items"))
-      .filter(col("n_items") <= maxItems)
-      .select("basket")
-    val kept = incidence.join(ok, Seq("basket"))
-    // canonical undirected edges, u < v by id — MATERIALIZED (eager
+    // canonical undirected edges, u < v by id, built from per-basket
+    // sorted item arrays: ONE shuffle (groupBy basket, with collect_set
+    // absorbing the line-level duplicates) + a map-side ordered-pair
+    // explode — replaces the old distinct + whale-filter join + basket
+    // self-join (three shuffles over the incidence). MATERIALIZED (eager
     // localCheckpoint): edges feed the degree aggregate, the orientation
-    // join, both wedge sides, and the closing-edge probe; without the
-    // pin each consumer re-derives the whole incidence subtree and the
-    // fact table is re-scanned per branch (the audit measured 134 scans)
-    val edges = kept.as("a").join(kept.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("u"), col("b.item").as("v"))
+    // join, and the adjacency intersect; without the pin each consumer
+    // re-derives the whole incidence subtree and the fact table is
+    // re-scanned per branch (the audit measured 134 scans)
+    val edges = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .filter(size(col("its")) <= maxItems) // whale-basket guard
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+             transform(slice(its, i + 2, size(its) - i - 1),
+                       y -> struct(x AS u, y AS v))))""")).as("e"))
+      .select(col("e.u"), col("e.v"))
       .distinct()
       .localCheckpoint(true)
     val deg = edges.select(col("u").as("node"))
@@ -382,17 +385,23 @@ object Mining {
         when(col("deg_u") < col("deg_v") ||
              (col("deg_u") === col("deg_v") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint(true) // both wedge sides read this frame
-    // wedges from each apex; the closing edge is looked up in CANONICAL
-    // (id-ordered) form, which the oriented pair maps onto via least/greatest
-    val tri = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("a"),
-        col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(edges,
-        edges("u") === least(col("b"), col("c")) &&
-        edges("v") === greatest(col("b"), col("c")))
-      .select(col("a"), col("b"), col("c"))
+      .localCheckpoint(true) // the edge stream and both adjacency sides
+    // edge-iterator enumeration over oriented adjacency lists: for each
+    // oriented edge (u -> v) the triangles through it are N+(u) ∩ N+(v)
+    // (each triangle's unique 3-node-DAG source finds it exactly once).
+    // This replaces the wedge materialization — at sf0.1 the wedge join
+    // emitted 41M rows into the closing-edge shuffle (9s); here the
+    // intersection runs in-task on two arrays whose size the degree
+    // orientation bounds (~sqrt of edge count), and only the actual
+    // triangles (1.9M) are ever rows. Inner joins drop dst nodes with no
+    // out-list — an empty intersection closes nothing.
+    val nbrs = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+    val tri = oriented
+      .join(nbrs.toDF("src", "nu"), Seq("src"))
+      .join(nbrs.toDF("dst", "nv"), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
     tri.select(col("a").as("p_partkey"))
       .union(tri.select(col("b").as("p_partkey")))
       .union(tri.select(col("c").as("p_partkey")))

@@ -83,7 +83,7 @@ object PlanFingerprint {
     * they are too slow-moving for the bench but exactly the ones where
     * an accidental sort/shuffle matters most at 100 TB.
     */
-  val Guarded: Seq[String] = Bench.Headline ++ Seq(
+  val Guarded: Seq[String] = (Bench.Headline ++ Seq(
     "q_dup_clusters",
     "q_semantic_dedup",
     "q_ann_ivfpq_topk",
@@ -93,7 +93,7 @@ object PlanFingerprint {
     "q_bloom_screen",
     "q_domain_affinity",
     "q_collocations",
-    "q_ann_recall_report")
+    "q_ann_recall_report")).distinct
 
   /** (query, digest, summary) for every Guarded query. */
   def compute(spark: SparkSession, sfDir: String): Seq[(String, String, String)] =

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: per-stage wall/CPU time for one registry query. */
+object StageMetricsProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name = if (args.length > 1) args(1) else "q_dedup_prefix_filter"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm pass
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Int)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(80), wall,
+          si.taskMetrics.executorRunTime, si.numTasks))
+      }
+    })
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[probe] total: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    Thread.sleep(1000)
+    stages.sortBy(-_._3).foreach { case (id, n, wall, run, tasks) =>
+      println(f"[probe] stage $id%4d wall=${wall / 1e3}%6.2fs taskRunSum=${run / 1e3}%7.2fs tasks=$tasks%3d  $n")
+    }
+    spark.stop()
+  }
+}

@@ -211,12 +211,12 @@ class PlanFeaturesSpec extends SparkTestBase {
     }
   }
 
-  test("triangle count: wedge and closing-edge joins stay equi, never cartesian") {
+  test("triangle count: adjacency joins stay equi, never cartesian") {
     val df = graft.operators.Mining.triangleCount(spark, Sf, 8, 25)
     assert(df.collect().nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
-      s"degree-ordered triangle join must stay an equi join:\n$plan")
+      s"oriented-adjacency joins must stay equi joins:\n$plan")
   }
 
   test("bloom semi join: the only non-equi join is the broadcast of the one-row bitset") {

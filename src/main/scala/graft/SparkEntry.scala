@@ -81,6 +81,9 @@ object SparkEntry {
     "q_hll_sketch_rollup" -> (Sketches.hllSketchRollup(_, _, Sketch.lgK)),
     "q_hll_rollup_incremental" ->
       (Sketches.hllSketchRollupIncremental(_, _, Sketch.lgK)),
+    "q_quantile_rollup" -> (Sketches.quantileRollup(_, _, Sketch.kllK)),
+    "q_quantile_rollup_incremental" ->
+      (Sketches.quantileRollupIncremental(_, _, Sketch.kllK)),
     "q_hll_overlap" -> (Sketches.hllOverlap(_, _, Sketch.lgK)),
     "q_bitmap_distinct_users" -> (Sketches.bitmapDistinctUsers(_, _)),
     "q_bitmap_overlap" -> (Sketches.bitmapOverlap(_, _)),
@@ -528,6 +531,7 @@ object SparkEntry {
     val lgK = 12              // DataSketches HLL log2(registers)
     val cmsEps = 0.001        // CMS overcount bound: est <= exact + eps*N
     val cmsConfidence = 0.999 // probability the eps bound holds
+    val kllK = 200            // KLL quantile-sketch size parameter
   }
 
   /** Throttle-dedup window, shared by operator, oracle, and twin. The
@@ -969,6 +973,20 @@ object SparkEntry {
     s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 8}) & 255 AS band_val FROM sims")
     .mkString(" UNION ALL ")
 
+  /** KLL rollup surfaces: both paths answer to the same exact-column
+    * text (DuckDB runs no sketch; flags are all-pass by the audited
+    * bound).
+    */
+  private val quantileRollupOracle: String =
+    """WITH e AS (SELECT event_type,
+              CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+              CAST(count(value) AS BIGINT) AS n
+            FROM events GROUP BY event_type)
+       SELECT event_type, CAST(p AS DOUBLE) AS pct, n_days, n,
+              CAST(1 AS INT) AS within_bound
+       FROM e CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pv(p)
+       ORDER BY event_type, pct"""
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // the incremental-curation oracles ARE the from-scratch recomputes:
     // merge(slice reports) must equal a full rescan, exactly
@@ -1263,6 +1281,14 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n,
                 CAST(1 AS INT) AS ge_exact, CAST(1 AS INT) AS within_eps
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // KLL quantile cube: exact deterministic columns + all-pass rank-
+    // audit flags (DuckDB runs no sketch; the flag bound lives in
+    // Sketches.quantileReadout)
+    "q_quantile_rollup" -> quantileRollupOracle,
+    // merge keeps the rank bound under any merge tree, so the
+    // incremental path answers to the from-scratch oracle verbatim
+    "q_quantile_rollup_incremental" -> quantileRollupOracle,
 
     // inclusion-exclusion overlap: only pairs with a non-empty exact
     // intersection emit (inner join on both sides)

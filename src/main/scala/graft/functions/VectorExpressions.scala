@@ -134,6 +134,12 @@ object GraftFunctions {
               s"minhash_sig requires exactly 1 argument, got ${exprs.length}")
           MinHashSignature(exprs.head)
         }, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("kll_agg")))
+      reg.createOrReplaceTempFunction(
+        "kll_agg", KllFunctions.buildAgg, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("kll_merge_agg")))
+      reg.createOrReplaceTempFunction(
+        "kll_merge_agg", KllFunctions.buildMerge, "built-in")
   }
 }
 

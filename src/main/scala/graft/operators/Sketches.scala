@@ -156,6 +156,94 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable KLL quantile-sketch cube rollup — the quantile analog of
+    * [[hllSketchRollup]], closing the value-monitoring gap: per-(type,
+    * day) KLL sketches of `value` built in ONE raw pass, unioned up to
+    * per-type totals via `kll_merge_agg` with NO second scan, then read
+    * out at P50/P90/P99. At 100 TB every coarser rollup (weekly, monthly,
+    * any type subset) is a merge of catalog-sized ~O(k log n)-byte blobs
+    * — exact percentile() would buffer every group value and
+    * approx_percentile summaries don't persist/merge across queries.
+    *
+    * Output discipline (KLL compaction is RANDOMIZED, estimates are not
+    * bit-stable): only exact deterministic columns leave the query —
+    * n_days, n — plus a rank-audit flag per percentile: the estimate's
+    * true rank (count of values ≤ est, one broadcast-join audit pass)
+    * must sit within 3·ε(k)·n + 16 of p·n, ε from the library's own
+    * published normalized rank error (~1.65% at k=200). A sketch
+    * regression flips the flag; the DuckDB oracle (which runs no
+    * sketch) pins everything else.
+    */
+  def quantileRollup(s: SparkSession, dir: String, k: Int = 200): DataFrame =
+    quantileReadout(s, dir, kllDailyCells(s, Tables.events(s, dir), k), k)
+
+  /** Incremental cube maintenance for quantiles: prior (events before a
+    * 4/5 event-time split) and delta cells merged CELL-WISE via
+    * `kll_merge_agg`, then the identical readout. KLL merge keeps the
+    * rank-error bound under any merge tree (the mergeable-summaries
+    * guarantee — Agarwal et al., PODS 2012, and the KLL paper), so the
+    * steady-state warehouse refresh touches the delta rows plus
+    * catalog-sized blobs, never closed days; unlike HLL the merged
+    * registers are not BIT-identical to from-scratch, which is exactly
+    * why the surface emits audit flags instead of raw estimates. The
+    * oracle is the from-scratch query's own text.
+    */
+  def quantileRollupIncremental(s: SparkSession, dir: String,
+                                k: Int = 200): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+    val prior = kllDailyCells(s, ev.filter(unix_micros(col("ts")) < split), k)
+    val delta = kllDailyCells(s, ev.filter(unix_micros(col("ts")) >= split), k)
+    val merged = prior.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"kll_merge_agg(sk, $k)").as("sk"))
+    quantileReadout(s, dir, merged, k)
+  }
+
+  /** One KLL sketch per (event_type, day) cell — the cube's raw pass. */
+  private def kllDailyCells(s: SparkSession, events: DataFrame,
+                            k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"kll_agg(value, $k)").as("sk"))
+  }
+
+  /** Merge a cell cube to per-type sketches, estimate P50/P90/P99, and
+    * audit each estimate's true rank against the KLL bound.
+    */
+  private def quantileReadout(s: SparkSession, dir: String, cells: DataFrame,
+                              k: Int): DataFrame = {
+    val eps = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
+    val kllQ = udf { (blob: Array[Byte], q: Double) =>
+      org.apache.datasketches.kll.KllDoublesSketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(blob)).getQuantile(q)
+    }
+    val ps = Seq(0.5, 0.9, 0.99)
+    val rolled = cells
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), expr(s"kll_merge_agg(sk, $k)").as("sk"))
+      .select(col("event_type"), col("n_days"),
+        explode(array(ps.map(p =>
+          struct(lit(p).as("pct"), kllQ(col("sk"), lit(p)).as("est"))): _*))
+          .as("z"))
+      .select(col("event_type"), col("n_days"),
+        col("z.pct").as("pct"), col("z.est").as("est"))
+    // audit pass: the estimates frame is |types|·3 rows — broadcast back
+    // onto the feed; n counts non-null values (the sketch's own domain)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(rolled), Seq("event_type"))
+      .groupBy(col("event_type"), col("pct"), col("n_days"), col("est"))
+      .agg(sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+      .select(col("event_type"), col("pct"), col("n_days"), col("n"),
+        (abs(col("rank_le") - col("pct") * col("n")) <=
+          lit(3.0 * eps) * col("n") + lit(16.0)).cast("int").as("within_bound"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
   /** Count-min-sketch point queries, audited against exact counts. One
     * `count_min_sketch` aggregate compresses the full event stream into a
     * (depth × width) counter grid — constant bytes per partition, one

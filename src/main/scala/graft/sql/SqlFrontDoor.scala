@@ -2364,6 +2364,20 @@ object SqlFrontDoor {
          FROM exact JOIN rolled ON exact.event_type = rolled.event_type
          ORDER BY exact.event_type""",
 
+    // the KLL build/merge aggregates are registered SQL functions, but
+    // the quantile reader is a Scala closure (no SQL-side KLL reader
+    // ships with Spark) — like CMS, the surface states the deterministic
+    // contract the rank audit reproduces
+    "q_quantile_rollup" ->
+      """WITH e AS (SELECT event_type,
+              CAST(count(DISTINCT date_format(ts, 'yyyy-MM-dd')) AS BIGINT)
+                AS n_days,
+              CAST(count(value) AS BIGINT) AS n
+            FROM events GROUP BY event_type)
+         SELECT event_type, pct, n_days, n, CAST(1 AS INT) AS within_bound
+         FROM e LATERAL VIEW explode(array(0.5D, 0.9D, 0.99D)) t AS pct
+         ORDER BY event_type, pct""",
+
     // count_min_sketch builds in SQL, but Spark ships no SQL-side reader
     // for the grid — the surface states the deterministic contract the
     // probe audit reproduces (CMS never undercounts; overcount <= eps*N)
@@ -2773,7 +2787,8 @@ object SqlFrontDoor {
     "q_dup_clusters_incremental" -> twins("q_dup_clusters"),
     "q_pack_sequences_incremental" -> twins("q_pack_sequences"),
     "q_scd2_incremental" -> twins("q_scd2_intervals"),
-    "q_hll_rollup_incremental" -> twins("q_hll_sketch_rollup"))
+    "q_hll_rollup_incremental" -> twins("q_hll_sketch_rollup"),
+    "q_quantile_rollup_incremental" -> twins("q_quantile_rollup"))
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

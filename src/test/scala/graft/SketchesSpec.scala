@@ -145,4 +145,72 @@ class SketchesSpec extends SparkTestBase {
     }
     assert(cms.totalCount() === 50000L)
   }
+
+  test("q_quantile_rollup: exact columns match, every rank-audit flag passes") {
+    val got = Sketches.quantileRollup(spark, Sf, SparkEntry.Sketch.kllK)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val expected = Tables.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(countDistinct(to_date(col("ts"))).as("d"),
+        count(col("value")).as("n"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._3, t._4)).distinct === expected)
+    assert(got.map(_._2).distinct.sorted === Seq(0.5, 0.9, 0.99).flatMap(
+      p => if (got.map(_._2).contains(p)) Some(p) else None))
+    assert(got.forall(_._5 == 1), s"KLL rank-audit flag must pass: $got")
+  }
+
+  test("kll incremental cube maintenance equals the from-scratch rollup") {
+    val k = SparkEntry.Sketch.kllK
+    val merged = Sketches.quantileRollupIncremental(spark, Sf, k)
+      .collect().map(_.toSeq).toSeq
+    val scratch = Sketches.quantileRollup(spark, Sf, k)
+      .collect().map(_.toSeq).toSeq
+    assert(merged === scratch)
+    // the 4/5 split must exercise a real merge: both slices non-empty
+    val ev = Tables.events(spark, Sf)
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 4 / 5
+    assert(ev.filter(unix_micros(col("ts")) < split).count() > 0)
+    assert(ev.filter(unix_micros(col("ts")) >= split).count() > 0)
+  }
+
+  test("kll_agg rank accuracy on a known distribution; merge keeps the bound") {
+    import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+    import org.apache.datasketches.memory.Memory
+    graft.functions.GraftFunctions.register(spark)
+    val k = SparkEntry.Sketch.kllK
+    val n = 20000
+    val eps = KllSketch.getNormalizedRankError(k, false)
+    // values 0..n-1 uniform: true rank of value v is (v+1)/n (inclusive)
+    val df = spark.range(n).selectExpr("CAST(id AS DOUBLE) AS v",
+      "CAST(id % 7 AS INT) AS part")
+    def checkBlob(blob: Array[Byte]): Unit = {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(blob))
+      assert(sk.getN === n.toLong)
+      for (p <- Seq(0.5, 0.9, 0.99)) {
+        val est = sk.getQuantile(p)
+        val trueRank = (est + 1.0) / n
+        assert(math.abs(trueRank - p) <= 3 * eps + 1e-3,
+          s"estimate $est for p=$p has true rank $trueRank (eps=$eps)")
+      }
+    }
+    val oneShot = df.selectExpr(s"kll_agg(v, $k) AS sk")
+      .head().getAs[Array[Byte]](0)
+    checkBlob(oneShot)
+    // per-part sketches merged must satisfy the same bound (mergeability)
+    val mergedBlob = df.groupBy(col("part"))
+      .agg(expr(s"kll_agg(v, $k)").as("sk"))
+      .selectExpr(s"kll_merge_agg(sk, $k) AS sk")
+      .head().getAs[Array[Byte]](0)
+    checkBlob(mergedBlob)
+    // NULL inputs are skipped, not counted
+    val withNulls = spark.range(100)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN CAST(id AS DOUBLE) END AS v")
+      .selectExpr(s"kll_agg(v, $k) AS sk").head().getAs[Array[Byte]](0)
+    assert(KllDoublesSketch.heapify(Memory.wrap(withNulls)).getN === 50L)
+  }
 }

@@ -237,6 +237,57 @@ object EventsStream {
       }
   }
 
+  final case class TouchState(first: String, last: String)
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+                                      first_channel: String,
+                                      last_channel: String, cents: Long)
+
+  /** Streaming twin of Analytics.firstTouchAttribution AND
+    * lastTouchAttribution in one pass: per-user state is the first
+    * channel touch ever plus the most recent one (two strings, constant
+    * — the compressed sufficient statistic both models share), and each
+    * purchase resolves against that state the moment it arrives, so the
+    * acquisition/conversion revenue split updates per event instead of
+    * per nightly window rebuild. Purchases before any touch credit
+    * '(none)' exactly like the batch carry's null coalesce; revenue is
+    * the same half-up cents. The per-channel rollup happens downstream
+    * of the sink (a catalog-sized aggregate); StreamingSpec pins the
+    * aggregated replay equal to BOTH batch operators over the same feed.
+    *
+    * State never expires (NoTimeout): a user's next purchase may come
+    * months later and must still credit the original first touch —
+    * attribution state IS the user's marketing history summary, two
+    * strings per ever-active user, the same cardinality any identity
+    * table already carries at warehouse scale.
+    */
+  def attribution(events: Dataset[Event]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(TouchState("(none)", "(none)"))
+          val out = Seq.newBuilder[AttributedPurchase]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              out += AttributedPurchase(userId, e.event_id, st.first, st.last,
+                math.floor(e.value * 100.0 + 0.5).toLong)
+            } else {
+              st = TouchState(
+                if (st.first == "(none)") e.event_type else st.first,
+                e.event_type)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class ThrottleState(lastKeptUs: Long)
   final case class KeptEvent(user_id: Long, event_type: String,
                              event_id: Long, t_us: Long)

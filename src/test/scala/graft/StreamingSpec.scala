@@ -931,4 +931,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(t => t._1 > split && !t._3),
       "fixture delta must exercise the cross-batch drop path")
   }
+
+  test("streaming attribution replay equals BOTH batch models on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay ALL sf0.001 events in two batches (split mid-feed so users'
+    // touch chains straddle the boundary and state continuity is
+    // exercised); the per-purchase credits rolled up by channel must
+    // equal the first-touch AND last-touch batch operators exactly
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.attribution(input.toDS())
+      .writeStream.format("memory").queryName("attr_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val out = spark.table("attr_parity")
+        .as[EventsStream.AttributedPurchase].collect()
+      def rollup(chan: EventsStream.AttributedPurchase => String) =
+        out.groupBy(chan).view
+          .mapValues(g => (g.length.toLong, g.map(_.cents).sum)).toMap
+      val batchFirst = graft.operators.Analytics
+        .firstTouchAttribution(spark, Sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batchLast = graft.operators.Analytics
+        .lastTouchAttribution(spark, Sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rollup(_.first_channel) === batchFirst)
+      assert(rollup(_.last_channel) === batchLast)
+      // the replay must exercise state continuity and the (none) channel
+      val b1Users = b1.filter(_.event_type != "purchase").map(_.user_id).toSet
+      assert(b2.exists(e => e.event_type == "purchase" && b1Users(e.user_id)),
+        "fixture must have a batch-2 purchase resolving batch-1 touches")
+      assert(out.nonEmpty)
+    } finally q.stop()
+  }
 }

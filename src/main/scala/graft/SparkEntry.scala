@@ -85,6 +85,7 @@ object SparkEntry {
     "q_quantile_rollup_incremental" ->
       (Sketches.quantileRollupIncremental(_, _, Sketch.kllK)),
     "q_hll_overlap" -> (Sketches.hllOverlap(_, _, Sketch.lgK)),
+    "q_theta_set_ops" -> (Sketches.thetaSetOps(_, _)),
     "q_bitmap_distinct_users" -> (Sketches.bitmapDistinctUsers(_, _)),
     "q_bitmap_overlap" -> (Sketches.bitmapOverlap(_, _)),
     "q_cms_point_queries" ->
@@ -158,6 +159,9 @@ object SparkEntry {
     "q_salted_join_revenue" -> (Analytics.saltedPurchaseRevenue(_, _)),
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_encode_docs" -> (TextAnalysis.encodeDocs(_, _)),
+    "q_bpe_train" -> (TextAnalysis.bpeTrain(_, _, Bpe.merges)),
+    "q_importance_weights" ->
+      (TextAnalysis.importanceWeights(_, _, Dsir.target, Dsir.k)),
     "q_encode_docs_incremental" -> ((s, d) => {
       // frozen-tokenizer contract: vocab staged from the first 80% of the
       // corpus, ONLY delta docs (doc_id >= split) tokenized and encoded
@@ -513,6 +517,23 @@ object SparkEntry {
     * code path; the Pareto band is $50 of price per bucket so every SF
     * produces a multi-bucket frontier.
     */
+  /** BPE training depth, shared by operator, oracle, and twin — each
+    * merge is one unrolled CTE round in the SQL surfaces (the pagerank
+    * pattern), so the count stays modest there while the operator loop
+    * scales to any depth.
+    */
+  private[graft] object Bpe {
+    val merges = 8
+  }
+
+  /** DSIR-style importance selection: target domain + kept-pool size,
+    * shared by operator, oracle, and twin.
+    */
+  private[graft] object Dsir {
+    val target = "src0"
+    val k = 50
+  }
+
   private[graft] object Basket {
     val maxItems = 8
     val topK = 25
@@ -1301,6 +1322,24 @@ object SparkEntry {
            ON a.user_id = b.user_id AND a.event_type < b.event_type
          GROUP BY type_a, type_b ORDER BY type_a, type_b""",
 
+    // theta set algebra: exact intersections/differences + all-pass
+    // 3σ-interval flags (DuckDB runs no sketch); portable text
+    "q_theta_set_ops" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS card
+                  FROM tu GROUP BY event_type),
+         x AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      CAST(count(*) AS BIGINT) AS exact_and
+               FROM tu a JOIN tu b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY a.event_type, b.event_type)
+         SELECT x.type_a, x.type_b, exact_and,
+                c.card - exact_and AS exact_anotb,
+                CAST(1 AS INT) AS within_bound_and,
+                CAST(1 AS INT) AS within_bound_anotb
+         FROM x JOIN card c ON c.event_type = x.type_a
+         ORDER BY type_a, type_b""",
+
     // merge == rescan (lossless cell-wise HLL union), so the incremental
     // maintenance path answers to the from-scratch oracle verbatim
     "q_hll_rollup_incremental" ->
@@ -1356,6 +1395,16 @@ object SparkEntry {
                 CAST((20000 * CAST(sum(cov) AS BIGINT) + count(*))
                      // (2 * count(*)) AS BIGINT) AS coverage_1e4
          FROM j GROUP BY 1 ORDER BY 1""",
+
+    // BPE merge learning: the unrolled-iteration template (pagerank
+    // pattern), DuckDB list dialect
+    "q_bpe_train" ->
+      operators.TextAnalysis.bpeTrainSql(duck = true, Bpe.merges),
+
+    // DSIR-style importance selection: integer-exact LM-ratio scoring
+    "q_importance_weights" ->
+      operators.TextAnalysis.importanceWeightsSql(duck = true,
+        Dsir.target, Dsir.k),
 
     // token-ID encoding: vocab rank + ordered id sequence per doc; the
     // sequence crosses the compare as an md5 digest (engine-portable)

@@ -140,6 +140,13 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("kll_merge_agg")))
       reg.createOrReplaceTempFunction(
         "kll_merge_agg", KllFunctions.buildMerge, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("theta_agg")))
+      reg.createOrReplaceTempFunction(
+        "theta_agg", exprs => {
+          require(exprs.length == 1,
+            s"theta_agg(id) takes 1 argument, got ${exprs.length}")
+          ThetaAgg(exprs.head)
+        }, "built-in")
   }
 }
 

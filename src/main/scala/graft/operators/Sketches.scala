@@ -213,8 +213,8 @@ object Sketches {
   /** Merge a cell cube to per-type sketches, estimate P50/P90/P99, and
     * audit each estimate's true rank against the KLL bound.
     */
-  private def quantileReadout(s: SparkSession, dir: String, cells: DataFrame,
-                              k: Int): DataFrame = {
+  private[graft] def quantileReadout(s: SparkSession, dir: String,
+                                     cells: DataFrame, k: Int): DataFrame = {
     val eps = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
     val kllQ = udf { (blob: Array[Byte], q: Double) =>
       org.apache.datasketches.kll.KllDoublesSketch
@@ -276,6 +276,65 @@ object Sketches {
         (col("est") <= col("exact_n") + ceil(lit(eps) * col("n")))
           .cast("int").as("within_eps"))
       .orderBy(col("event_type"))
+  }
+
+  /** Theta-sketch SET ALGEBRA per event-type pair: estimated |A∩B| and
+    * |A\B| from per-type sketches via the native Intersection and AnotB
+    * operations — the operations HLL structurally lacks ([[hllOverlap]]
+    * routes intersection through inclusion-exclusion with compounding
+    * error and cannot express difference at all; theta sketches keep a
+    * uniform hash-sample and intersect/subtract the samples directly).
+    * One raw pass builds |types| blobs; all O(types²) pair readouts run
+    * on catalog-sized blobs with no re-scan.
+    *
+    * Audit discipline: the sketch's own 3σ confidence interval
+    * (getLowerBound/getUpperBound(3)) must bracket the exact answer —
+    * flags, not estimates, leave the query (at fixture scale the
+    * sketches are in exact mode, θ = 1, so the flags are deterministic;
+    * at warehouse scale the same readout is probabilistic). Exact sides
+    * ride along from the (user, type) distinct self-join, audit-only.
+    */
+  def thetaSetOps(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    val andBounds = udf { (a: Array[Byte], b: Array[Byte], exact: Long) =>
+      val i = SetOperation.builder().buildIntersection()
+      i.intersect(CompactSketch.heapify(Memory.wrap(a)))
+      i.intersect(CompactSketch.heapify(Memory.wrap(b)))
+      val r = i.getResult
+      if (r.getLowerBound(3) <= exact && exact <= r.getUpperBound(3)) 1 else 0
+    }
+    val anotbBounds = udf { (a: Array[Byte], b: Array[Byte], exact: Long) =>
+      val r = SetOperation.builder().buildANotB().aNotB(
+        CompactSketch.heapify(Memory.wrap(a)),
+        CompactSketch.heapify(Memory.wrap(b)))
+      if (r.getLowerBound(3) <= exact && exact <= r.getUpperBound(3)) 1 else 0
+    }
+    val tu = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("theta_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("card"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("card").as("card_a"))
+      .crossJoin(broadcast(sk.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"), col("card").as("card_b"))))
+      .filter(col("type_a") < col("type_b"))
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_and"))
+    exact.join(broadcast(pairs), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("exact_and"),
+        (col("card_a") - col("exact_and")).as("exact_anotb"),
+        andBounds(col("sk_a"), col("sk_b"), col("exact_and"))
+          .as("within_bound_and"),
+        anotbBounds(col("sk_a"), col("sk_b"),
+          col("card_a") - col("exact_and")).as("within_bound_anotb"))
+      .orderBy(col("type_a"), col("type_b"))
   }
 
   /** Per-(group, block, word) bitmap fragments of an integer id column —

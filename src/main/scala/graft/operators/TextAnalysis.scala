@@ -981,4 +981,220 @@ object TextAnalysis {
         col("cum_docs_1e4"), col("cum_tokens_1e4"))
       .orderBy(col("bucket"))
   }
+
+  /** Importance-weighted data selection (the DSIR shape — Xie et al.
+    * 2023, arXiv:2302.03169): score every RAW-pool document by how much
+    * more likely its tokens are under the TARGET domain's unigram LM
+    * than under the raw pool's own, then keep the top-k — the standard
+    * recipe for tilting a crawl toward a high-quality reference corpus.
+    *
+    * Integer-exact formulation (the house discipline — DSIR's
+    * log-likelihood ratio is transcendental and libm-divergent across
+    * engines): per token, the Laplace-smoothed probability ratio in
+    * half-up 1e4 fixed point,
+    *   ratio_1e4(w) = ((ct(w)+1)·(R+V)) / ((cr(w)+1)·(T+V)),
+    * and per document the half-up mean of its token ratios. T/R are
+    * target/raw token totals, V the union vocabulary (one shared
+    * smoothing denominator for both LMs). The (score DESC, doc_id)
+    * tie-break makes the selection a total order — deterministic across
+    * engines and partitionings, where DSIR's sampled acceptance would
+    * not be. At 100 TB the integer products overflow BIGINT
+    * (ct·(R+V) ~ 1e23); the documented swap is the same arithmetic in
+    * DECIMAL(38,0) — plan shape unchanged.
+    *
+    * Scale shape: the two unigram tables are VOCAB-sized (map-side
+    * combined; broadcastable in practice), the scoring pass is one
+    * token-keyed join over the exploded raw pool + one per-doc
+    * aggregate, and the corpus is scanned twice (once per LM build is
+    * shared — a single pass with conditional sums). Selection exits
+    * through TakeOrderedAndProject.
+    */
+  def importanceWeights(s: SparkSession, dir: String,
+                        target: String = "src0", k: Int = 50): DataFrame = {
+    val tok = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(expr(TokensExpr)).as("w"))
+      .localCheckpoint(true) // LM build + scoring pass share the explode
+    val lm = tok.groupBy(col("w")).agg(
+      sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+    val tot = lm.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"),
+      count(lit(1)).as("v"))
+    tok.filter(col("source") =!= target)
+      .join(lm.hint("broadcast"), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio_1e4", expr(
+        """(20000 * (ct + 1) * (r + v) + (cr + 1) * (t + v))
+           DIV (2 * (cr + 1) * (t + v))"""))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_1e4")).as("sr"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("(2 * sr + n_tokens) DIV (2 * n_tokens)").as("score_1e4"))
+      .orderBy(col("score_1e4").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The DSIR scoring as a SQL template — dialect point is only the
+    * token explode; all arithmetic is shared text.
+    */
+  private[graft] def importanceWeightsSql(duck: Boolean, target: String,
+                                          k: Int): String = {
+    val div = if (duck) "//" else "DIV"
+    val tokFrom =
+      if (duck)
+        """SELECT doc_id, source,
+                  unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z0-9]+')) AS w
+           FROM documents"""
+      else
+        """SELECT doc_id, source,
+                  explode(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z0-9]+', 0)) AS w
+           FROM documents"""
+    s"""WITH tok AS ($tokFrom),
+       lm AS (SELECT w,
+                CAST(sum(CASE WHEN source = '$target' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct,
+                CAST(sum(CASE WHEN source <> '$target' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cr
+              FROM tok GROUP BY w),
+       tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+                      CAST(sum(cr) AS BIGINT) AS r,
+                      CAST(count(*) AS BIGINT) AS v FROM lm),
+       scored AS (SELECT tok.doc_id, tok.source,
+                    CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(sum((20000 * (ct + 1) * (r + v) + (cr + 1) * (t + v))
+                             $div (2 * (cr + 1) * (t + v))) AS BIGINT) AS sr
+                  FROM tok JOIN lm ON lm.w = tok.w CROSS JOIN tot
+                  WHERE tok.source <> '$target'
+                  GROUP BY tok.doc_id, tok.source)
+       SELECT doc_id, source, n_tokens,
+              (2 * sr + n_tokens) $div (2 * n_tokens) AS score_1e4
+       FROM scored
+       ORDER BY score_1e4 DESC, doc_id LIMIT $k"""
+  }
+
+  /** Unit separator: bounds every symbol in the BPE work encoding; never
+    * appears in `[a-z0-9]+` corpus words, so symbol boundaries are
+    * unambiguous.
+    */
+  private val Us = "\u001F"
+
+  /** DISTRIBUTED BPE merge learning (Sennrich et al. 2016; the algorithm
+    * behind GPT-2/LLaMA-style tokenizers): learn the top-`nMerges` merge
+    * rules over the corpus. Training runs on the WORD-FREQUENCY
+    * DICTIONARY — the corpus is scanned exactly once to count words, and
+    * every iteration after that touches only the |distinct words|-sized
+    * dictionary (the classic formulation, and the whole scale story: at
+    * 100 TB the dictionary is ~10^8 rows while the corpus is 10^12).
+    *
+    * Per iteration: adjacent symbol pairs (weighted by word count)
+    * aggregate in one dictionary shuffle; the argmax pair — tie-broken
+    * (count DESC, left, right), a total order, so the learned table is
+    * deterministic across engines and partitionings — comes back via
+    * TakeOrderedAndProject; the merge applies map-side. Words are
+    * encoded as US-separated symbol strings (`␟a␟b␟c␟`), so applying a
+    * merge is one `replace(seq, '␟l␟r␟', '␟lr␟')` — non-overlapping
+    * left-to-right replace IS the leftmost-greedy BPE merge order. The
+    * per-iteration localCheckpoint truncates lineage (the pagerank
+    * discipline); the one driver action per round is the 1-row argmax.
+    *
+    * No end-of-word marker (each dictionary word merges independently;
+    * documented simplification). Output: the merge table, rank-ordered.
+    */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    var dict = Tables.spread(s, dir, "documents")
+      .select(explode(expr(TokensExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit(Us), regexp_replace(col("w"), "(.)", "$1" + Us)).as("seq"),
+        col("c"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = dict
+        .select(col("c"),
+          expr(s"filter(split(seq, '$Us'), x -> x <> '')").as("ls"))
+        .filter(size(col("ls")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(ls) - 1),
+               i -> struct(element_at(ls, i) AS l, element_at(ls, i + 1) AS r))"""))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i + 1L, l, r, cnt))
+        dict = dict
+          .select(call_function("replace", col("seq"),
+            lit(s"$Us$l$Us$r$Us"), lit(s"$Us$l$r$Us")).as("seq"), col("c"))
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The BPE training loop as one SQL statement with the iteration
+    * unrolled (the pagerank pattern) — per round: dictionary → weighted
+    * pair counts → 1-row argmax CTE → replace-applied dictionary. The
+    * oracle (DuckDB) and the Spark front-door twin differ only in list
+    * mechanics, generated from the same template so the three surfaces
+    * cannot drift.
+    */
+  private[graft] def bpeTrainSql(duck: Boolean, nMerges: Int): String = {
+    val sep = "chr(31)"
+    // dialect points: symbol-list split/filter, pair enumeration, and the
+    // regexp_replace global flag (Spark replaces all matches by default)
+    def pairs(d: String): String =
+      if (duck)
+        s"""SELECT c, ls[i] AS l, ls[i + 1] AS r
+            FROM (SELECT c, list_filter(string_split(seq, $sep),
+                    x -> x <> '') AS ls FROM $d) dx,
+                 UNNEST(range(1, len(ls))) AS t(i)"""
+      else
+        s"""SELECT c, element_at(ls, i) AS l, element_at(ls, i + 1) AS r
+            FROM (SELECT c, ls, explode(sequence(1, size(ls) - 1)) AS i
+                  FROM (SELECT c, filter(split(seq, $sep), x -> x <> '') AS ls
+                        FROM $d) dx0
+                  WHERE size(ls) >= 2) dx"""
+    val charSplit =
+      if (duck) s"regexp_replace(w, '(.)', '\\1' || $sep, 'g')"
+      else s"regexp_replace(w, '(.)', concat('$$1', $sep))"
+    val wordsFrom =
+      if (duck)
+        """SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z0-9]+')) AS w
+           FROM documents"""
+      else
+        """SELECT explode(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z0-9]+', 0)) AS w
+           FROM documents"""
+    val header =
+      s"""WITH words AS ($wordsFrom),
+         wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM words GROUP BY w),
+         d0 AS (SELECT $sep || $charSplit AS seq, c FROM wc)"""
+    val steps = (1 to nMerges).flatMap { i =>
+      Seq(
+        s"""t$i AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt
+                    FROM (${pairs(s"d${i - 1}")}) p$i
+                    GROUP BY l, r
+                    ORDER BY cnt DESC, l, r LIMIT 1)""",
+        s"""d$i AS (SELECT replace(seq, $sep || l || $sep || r || $sep,
+                                   $sep || l || r || $sep) AS seq, c
+                    FROM d${i - 1} CROSS JOIN t$i)""")
+    }
+    val readout = (1 to nMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+                 cnt AS pair_count FROM t$i"""
+    }.mkString("\nUNION ALL\n")
+    (header +: steps).mkString(",\n") + s"\n$readout\nORDER BY rank"
+  }
 }

@@ -1771,6 +1771,17 @@ object SqlFrontDoor {
          FROM j GROUP BY 1 ORDER BY 1""",
 
     // token-ID encoding: posexplode + ordered struct-sort reassembly
+    // BPE merge learning: same unrolled template as the oracle, Spark
+    // list dialect
+    "q_bpe_train" ->
+      graft.operators.TextAnalysis.bpeTrainSql(duck = false,
+        SparkEntry.Bpe.merges),
+
+    // DSIR scoring from the shared template, Spark dialect
+    "q_importance_weights" ->
+      graft.operators.TextAnalysis.importanceWeightsSql(duck = false,
+        SparkEntry.Dsir.target, SparkEntry.Dsir.k),
+
     "q_encode_docs" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
          tok AS (SELECT doc_id, CAST(pos + 1 AS BIGINT) AS pos, w
@@ -2299,7 +2310,7 @@ object SqlFrontDoor {
                       approx_percentile(v, array(0.5, 0.9, 0.99), ${SparkEntry.ApproxPct.accuracy}) AS apx,
                       percentile(v, array(0.5, 0.9, 0.99)) AS exact
                FROM v),
-         b AS (SELECT n, array(0.5, 0.9, 0.99)[i] AS pct,
+         b AS (SELECT n, CAST(array(0.5, 0.9, 0.99)[i] AS DOUBLE) AS pct,
                       z.apx AS apx, z.exact AS exact
                FROM a LATERAL VIEW posexplode(arrays_zip(apx, exact)) t AS i, z),
          r AS (SELECT pct, n, exact,
@@ -2808,7 +2819,8 @@ object SqlFrontDoor {
     "q_unpivot_order_status", "q_window_first_last",
     "q_window_rank_family", "q_window_top_customers",
     "q_market_basket", "q_pareto_frontier", "q_join_size_estimate",
-    "q_bitmap_distinct_users", "q_bitmap_overlap", "q_image_near_dup",
+    "q_bitmap_distinct_users", "q_bitmap_overlap", "q_theta_set_ops",
+    "q_image_near_dup",
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join")
 
   /** Queries with no SQL surface (API-only). Currently none — every

@@ -1130,6 +1130,89 @@ class OperatorSpec extends SparkTestBase {
     assert(got.exists(r => r._3 < r._2), "covered ids must carry real traffic")
   }
 
+  test("importance weights match the in-memory DSIR recompute") {
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", "source", s"${TextAnalysis.TokensExpr} AS ws")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val target = SparkEntry.Dsir.target
+    val ct = scala.collection.mutable.Map.empty[String, Long]
+    val cr = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, src, ws) =>
+      val m = if (src == target) ct else cr
+      ws.foreach(w => m(w) = m.getOrElse(w, 0L) + 1)
+    }
+    val (t, r) = (ct.values.sum, cr.values.sum)
+    val v = (ct.keySet ++ cr.keySet).size.toLong
+    def ratio(w: String): Long = {
+      val num = 20000L * (ct.getOrElse(w, 0L) + 1) * (r + v)
+      val den = (cr.getOrElse(w, 0L) + 1) * (t + v)
+      (num + den) / (2 * den)
+    }
+    val want = docs.filter(d => d._2 != target && d._3.nonEmpty).map {
+      case (id, src, ws) =>
+        val sr = ws.map(ratio).sum
+        (id, src, ws.size.toLong, (2 * sr + ws.size) / (2L * ws.size))
+    }.sortBy(d => (-d._4, d._1)).take(SparkEntry.Dsir.k).toSeq
+    val got = TextAnalysis
+      .importanceWeights(spark, Sf, target, SparkEntry.Dsir.k)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // target-domain docs never select themselves; scores must spread
+    assert(got.forall(_._2 != target))
+    assert(got.map(_._4).distinct.size > 1,
+      s"fixture must produce a non-degenerate score distribution: $got")
+  }
+
+  test("bpe training matches the in-memory merge learner") {
+    // third algorithm: classic in-memory BPE over the word-frequency
+    // dictionary — symbol vectors, pair counts, (count DESC, l, r)
+    // argmax, leftmost-greedy merge — cross-checks both the distributed
+    // replace-on-separated-strings loop and the unrolled SQL surfaces
+    val words = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr(s"explode(${TextAnalysis.TokensExpr}) AS w")
+      .collect().map(_.getString(0))
+    val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var dict: Map[Vector[String], Long] =
+      wc.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to SparkEntry.Bpe.merges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank.toLong, l, r, cnt))
+        dict = dict.groupBy { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }.view.mapValues(_.values.sum).toMap
+      }
+    }
+    val want = merges.result()
+    val got = TextAnalysis.bpeTrain(spark, Sf, SparkEntry.Bpe.merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.size == SparkEntry.Bpe.merges)
+    // the fixture must exercise a second-order merge (a learned symbol
+    // longer than 2 chars proves merges compose, not just pair counts)
+    assert(got.exists(t => (t._2 + t._3).length > 2),
+      s"expected a composed merge in $got")
+  }
+
   test("dedup recall report: buckets reconcile with the two pair sets") {
     val exact = Dedup.prefixFilterJaccard(spark, Sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))

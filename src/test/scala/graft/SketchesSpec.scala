@@ -146,6 +146,41 @@ class SketchesSpec extends SparkTestBase {
     assert(cms.totalCount() === 50000L)
   }
 
+  test("q_theta_set_ops: exact columns match, 3σ intervals bracket, exact-mode exactness") {
+    val got = Sketches.thetaSetOps(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5))).toSeq
+    // exact sides from an independent set-wise recompute
+    val tu = Tables.events(spark, Sf)
+      .select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val want = for {
+      a <- types; b <- types if a < b
+      inter = (byType(a) & byType(b)).size.toLong if inter > 0
+    } yield (a, b, inter, byType(a).size.toLong - inter)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === want)
+    assert(got.forall(t => t._5 == 1 && t._6 == 1),
+      s"theta 3σ intervals must bracket the exact answers: $got")
+    // planted case: exact-mode sketches (< 4096 entries) intersect and
+    // subtract EXACTLY — |[0,1000) ∩ [500,1500)| = 500, A\B = 500
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    graft.functions.GraftFunctions.register(spark)
+    def blob(lo: Int, hi: Int): Array[Byte] =
+      spark.range(lo, hi).selectExpr("theta_agg(id) AS sk")
+        .head().getAs[Array[Byte]](0)
+    val (a, b) = (blob(0, 1000), blob(500, 1500))
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(CompactSketch.heapify(Memory.wrap(a)))
+    i.intersect(CompactSketch.heapify(Memory.wrap(b)))
+    assert(i.getResult.getEstimate === 500.0)
+    assert(SetOperation.builder().buildANotB().aNotB(
+      CompactSketch.heapify(Memory.wrap(a)),
+      CompactSketch.heapify(Memory.wrap(b))).getEstimate === 500.0)
+  }
+
   test("q_quantile_rollup: exact columns match, every rank-audit flag passes") {
     val got = Sketches.quantileRollup(spark, Sf, SparkEntry.Sketch.kllK)
       .collect()

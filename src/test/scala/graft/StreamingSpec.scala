@@ -932,6 +932,38 @@ class StreamingSpec extends SparkTestBase {
       "fixture delta must exercise the cross-batch drop path")
   }
 
+  test("streaming quantile cells + shared readout equal the batch rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ingest the fixture in two batches with a MID-DAY split (a cell's
+    // values straddle triggers, so the complete-mode state must merge
+    // partial sketches); the shared readout over the final cells must
+    // equal the batch cube on every deterministic column, flags green
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val k = SparkEntry.Sketch.kllK
+    val q = EventsStream.quantileCells(input.toDF(), k)
+      .writeStream.format("memory").queryName("kll_cells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      assert(b1.last.ts.toInstant.toString.take(10) ==
+        b2.head.ts.toInstant.toString.take(10),
+        "fixture split must land mid-day to exercise partial-cell merge")
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val cells = spark.table("kll_cells")
+      val got = graft.operators.Sketches
+        .quantileReadout(spark, Sf, cells, k).collect().map(_.toSeq).toSeq
+      val batch = graft.operators.Sketches
+        .quantileRollup(spark, Sf, k).collect().map(_.toSeq).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming attribution replay equals BOTH batch models on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

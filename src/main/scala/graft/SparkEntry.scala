@@ -160,6 +160,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (TextAnalysis.vocabCoverage(_, _)),
     "q_encode_docs" -> (TextAnalysis.encodeDocs(_, _)),
     "q_bpe_train" -> (TextAnalysis.bpeTrain(_, _, Bpe.merges)),
+    "q_bpe_encode" -> (TextAnalysis.bpeEncode(_, _, Bpe.merges)),
     "q_importance_weights" ->
       (TextAnalysis.importanceWeights(_, _, Dsir.target, Dsir.k)),
     "q_encode_docs_incremental" -> ((s, d) => {
@@ -1400,6 +1401,8 @@ object SparkEntry {
     // pattern), DuckDB list dialect
     "q_bpe_train" ->
       operators.TextAnalysis.bpeTrainSql(duck = true, Bpe.merges),
+    "q_bpe_encode" ->
+      operators.TextAnalysis.bpeEncodeSql(duck = true, Bpe.merges),
 
     // DSIR-style importance selection: integer-exact LM-ratio scoring
     "q_importance_weights" ->

@@ -1103,10 +1103,29 @@ object TextAnalysis {
     */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     import s.implicits._
+    bpeLoop(s, dir, nMerges)._1
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The shared training loop: returns (learned merges, the word
+    * dictionary with its post-merge symbol encoding) — bpeTrain reads
+    * the table, [[bpeEncode]] reads the dictionary.
+    */
+  private def bpeLoop(s: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    // each symbol carries its OWN sep wrapper (`␟a␟␟b␟`, not `␟a␟b␟`):
+    // with a shared boundary separator, replace would consume it and
+    // resume the scan mid-symbol, silently skipping one symbol after
+    // every match on repeated runs ("aaaaa" → [aa,a,aa] instead of the
+    // greedy [aa,aa,a]); with wrapped symbols a pair match consumes
+    // exactly both wrappers and non-overlapping left-to-right replace IS
+    // leftmost-greedy BPE
     var dict = Tables.spread(s, dir, "documents")
       .select(explode(expr(TokensExpr)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(concat(lit(Us), regexp_replace(col("w"), "(.)", "$1" + Us)).as("seq"),
+      .select(col("w"),
+        regexp_replace(col("w"), "(.)", Us + "$1" + Us).as("seq"),
         col("c"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -1131,14 +1150,42 @@ object TextAnalysis {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((i + 1L, l, r, cnt))
         dict = dict
-          .select(call_function("replace", col("seq"),
-            lit(s"$Us$l$Us$r$Us"), lit(s"$Us$l$r$Us")).as("seq"), col("c"))
+          .select(col("w"), call_function("replace", col("seq"),
+            lit(s"$Us$l$Us$Us$r$Us"), lit(s"$Us$l$r$Us")).as("seq"), col("c"))
           .localCheckpoint(true)
         i += 1
       }
     }
-    merges.result().toDF("rank", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("rank"))
+    (merges.result(), dict)
+  }
+
+  /** BPE ENCODING with the learned merges — the apply face of
+    * [[bpeTrain]], closing the tokenizer loop (train → encode): per
+    * document, the token count under the learned segmentation plus the
+    * tokens-per-word inflation in half-up 1e4 fixed point (1e4 = every
+    * word became one token; higher = the vocab still splits words).
+    *
+    * The merges apply ONCE PER DISTINCT WORD (the training dictionary
+    * already holds each word's post-merge encoding — symbol counting is
+    * a projection of it), and documents join their words against that
+    * vocab-sized table: per-occurrence work is one token-keyed join row,
+    * never a re-segmentation. This dictionary-join shape is exactly how
+    * a production tokenizer service encodes at corpus scale.
+    */
+  def bpeEncode(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val dict = bpeLoop(s, dir, nMerges)._2
+      .select(col("w"),
+        expr(s"CAST(size(filter(split(seq, '$Us'), x -> x <> '')) AS BIGINT)")
+          .as("nsym"))
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(TokensExpr)).as("w"))
+      .join(dict.hint("broadcast"), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        expr("(20000 * n_bpe_tokens + n_words) DIV (2 * n_words)")
+          .as("bpe_per_word_1e4"))
+      .orderBy(col("doc_id"))
   }
 
   /** The BPE training loop as one SQL statement with the iteration
@@ -1149,6 +1196,50 @@ object TextAnalysis {
     * cannot drift.
     */
   private[graft] def bpeTrainSql(duck: Boolean, nMerges: Int): String = {
+    val readout = (1 to nMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+                 cnt AS pair_count FROM t$i"""
+    }.mkString("\nUNION ALL\n")
+    bpeCtes(duck, nMerges) + s"\n$readout\nORDER BY rank"
+  }
+
+  /** The encode readout over the same unrolled chain: post-merge symbol
+    * counts from the final dictionary, joined onto each document's
+    * words.
+    */
+  private[graft] def bpeEncodeSql(duck: Boolean, nMerges: Int): String = {
+    val sep = "chr(31)"
+    val div = if (duck) "//" else "DIV"
+    val nsym =
+      if (duck) s"len(list_filter(string_split(seq, $sep), x -> x <> ''))"
+      else s"size(filter(split(seq, $sep), x -> x <> ''))"
+    val tokFrom =
+      if (duck)
+        """SELECT doc_id,
+                  unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z0-9]+')) AS w
+           FROM documents"""
+      else
+        """SELECT doc_id,
+                  explode(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z0-9]+', 0)) AS w
+           FROM documents"""
+    bpeCtes(duck, nMerges) +
+      s""",
+       dict AS (SELECT w, CAST($nsym AS BIGINT) AS nsym FROM d$nMerges),
+       tok AS ($tokFrom)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens,
+              (20000 * CAST(sum(nsym) AS BIGINT) + CAST(count(*) AS BIGINT))
+                $div (2 * CAST(count(*) AS BIGINT)) AS bpe_per_word_1e4
+       FROM tok JOIN dict ON dict.w = tok.w
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Shared unrolled-iteration CTE chain (words → dictionary → K rounds
+    * of argmax t_i + merged dictionary d_i), dialect-parameterized.
+    */
+  private def bpeCtes(duck: Boolean, nMerges: Int): String = {
     val sep = "chr(31)"
     // dialect points: symbol-list split/filter, pair enumeration, and the
     // regexp_replace global flag (Spark replaces all matches by default)
@@ -1164,9 +1255,12 @@ object TextAnalysis {
                   FROM (SELECT c, filter(split(seq, $sep), x -> x <> '') AS ls
                         FROM $d) dx0
                   WHERE size(ls) >= 2) dx"""
+    // wrapped-symbol encoding (`␟a␟␟b␟`): see bpeTrain — a shared
+    // boundary separator would make replace skip a symbol after every
+    // match on repeated runs
     val charSplit =
-      if (duck) s"regexp_replace(w, '(.)', '\\1' || $sep, 'g')"
-      else s"regexp_replace(w, '(.)', concat('$$1', $sep))"
+      if (duck) s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')"
+      else s"regexp_replace(w, '(.)', concat($sep, '$$1', $sep))"
     val wordsFrom =
       if (duck)
         """SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
@@ -1180,21 +1274,18 @@ object TextAnalysis {
       s"""WITH words AS ($wordsFrom),
          wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
                 FROM words GROUP BY w),
-         d0 AS (SELECT $sep || $charSplit AS seq, c FROM wc)"""
+         d0 AS (SELECT w, $charSplit AS seq, c FROM wc)"""
     val steps = (1 to nMerges).flatMap { i =>
       Seq(
         s"""t$i AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt
                     FROM (${pairs(s"d${i - 1}")}) p$i
                     GROUP BY l, r
                     ORDER BY cnt DESC, l, r LIMIT 1)""",
-        s"""d$i AS (SELECT replace(seq, $sep || l || $sep || r || $sep,
-                                   $sep || l || r || $sep) AS seq, c
+        s"""d$i AS (SELECT w,
+                      replace(seq, $sep || l || $sep || $sep || r || $sep,
+                              $sep || l || r || $sep) AS seq, c
                     FROM d${i - 1} CROSS JOIN t$i)""")
     }
-    val readout = (1 to nMerges).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
-                 cnt AS pair_count FROM t$i"""
-    }.mkString("\nUNION ALL\n")
-    (header +: steps).mkString(",\n") + s"\n$readout\nORDER BY rank"
+    (header +: steps).mkString(",\n")
   }
 }

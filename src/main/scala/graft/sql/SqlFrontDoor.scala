@@ -1777,6 +1777,10 @@ object SqlFrontDoor {
       graft.operators.TextAnalysis.bpeTrainSql(duck = false,
         SparkEntry.Bpe.merges),
 
+    "q_bpe_encode" ->
+      graft.operators.TextAnalysis.bpeEncodeSql(duck = false,
+        SparkEntry.Bpe.merges),
+
     // DSIR scoring from the shared template, Spark dialect
     "q_importance_weights" ->
       graft.operators.TextAnalysis.importanceWeightsSql(duck = false,

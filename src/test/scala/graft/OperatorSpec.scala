@@ -1211,6 +1211,53 @@ class OperatorSpec extends SparkTestBase {
     // longer than 2 chars proves merges compose, not just pair counts)
     assert(got.exists(t => (t._2 + t._3).length > 2),
       s"expected a composed merge in $got")
+    // wrapped-symbol replace == leftmost-greedy on repeated runs (the
+    // case the corpus fixture never exercises): "aaaaa" under merge
+    // (a,a) must segment [aa,aa,a], not the boundary-consuming [aa,a,aa]
+    val us = "\u001F"
+    val run = "aaaaa".map(c => s"$us$c$us").mkString
+    val merged = spark.sql(
+      s"SELECT replace('$run', '${us}a$us${us}a$us', '${us}aa$us') AS x")
+      .head().getString(0)
+    assert(merged.split(us).filter(_.nonEmpty).toSeq == Seq("aa", "aa", "a"),
+      s"replace must be leftmost-greedy over wrapped symbols: $merged")
+  }
+
+  test("bpe encoding applies the learned merges word-by-word") {
+    // recompute: learn merges with the operator (already pinned above),
+    // apply them in rank order leftmost-greedy per distinct word in
+    // memory, and re-derive every document's token count
+    val merges = TextAnalysis.bpeTrain(spark, Sf, SparkEntry.Bpe.merges)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", s"${TextAnalysis.TokensExpr} AS ws")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val want = docs.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val nb = ws.map(encode).sum
+      (id, ws.size.toLong, nb, (20000 * nb + ws.size) / (2L * ws.size))
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.bpeEncode(spark, Sf, SparkEntry.Bpe.merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // merges must actually compress: some word ends below its char count
+    assert(got.exists(d => d._3 < docs.toMap.apply(d._1).map(_.length).sum),
+      "learned merges must shorten at least one document")
   }
 
   test("dedup recall report: buckets reconcile with the two pair sets") {

@@ -163,6 +163,7 @@ object SparkEntry {
     "q_bpe_encode" -> (TextAnalysis.bpeEncode(_, _, Bpe.merges)),
     "q_importance_weights" ->
       (TextAnalysis.importanceWeights(_, _, Dsir.target, Dsir.k)),
+    "q_snapshot_diff" -> (Curation.snapshotDiff(_, _)),
     "q_encode_docs_incremental" -> ((s, d) => {
       // frozen-tokenizer contract: vocab staged from the first 80% of the
       // corpus, ONLY delta docs (doc_id >= split) tokenized and encoded
@@ -1408,6 +1409,9 @@ object SparkEntry {
     "q_importance_weights" ->
       operators.TextAnalysis.importanceWeightsSql(duck = true,
         Dsir.target, Dsir.k),
+
+    // corpus snapshot diff: portable text (fabricated-prior discipline)
+    "q_snapshot_diff" -> operators.Curation.snapshotDiffSql,
 
     // token-ID encoding: vocab rank + ordered id sequence per doc; the
     // sequence crosses the compare as an md5 digest (engine-portable)

@@ -183,6 +183,80 @@ object Curation {
     * hash aggregate for the report. The split column itself is the thing
     * a writer would partition the output by.
     */
+  /** Corpus snapshot diff — the data-versioning audit a managed corpus
+    * runs between releases: which documents were ADDED, REMOVED, or
+    * CHANGED (by content hash), and how many characters each source
+    * gained or lost. The fixtures carry one corpus state, so the prior
+    * snapshot is FABRICATED deterministically (the piiRedact discipline
+    * — the oracle rebuilds the identical prior, making the diff logic
+    * itself hash-verified, not a no-op pass): prior = doc_id < 80% of
+    * the id ceiling with every doc_id % 5 == 0 text carrying a ' draft'
+    * suffix (a simulated edit); current = doc_id >= 10%. All four
+    * statuses are therefore populated: removed (< 10%), added (>= 80%),
+    * changed (%5 edits in the overlap), unchanged (the rest).
+    *
+    * Scale shape: ONE full outer join co-partitioned on doc_id, content
+    * equality by md5 (never the text itself crossing the compare), then
+    * a hash aggregate to |sources|×4 rows. Character deltas stay exact
+    * BIGINT.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), coalesce(col("text"), lit("")).as("text"))
+    val ceil = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val (lo, hi) = (ceil / 10, ceil * 4 / 5)
+    val prior = docs.filter(col("doc_id") < hi)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" draft")))
+          .otherwise(col("text")).as("p_text"))
+    val current = docs.filter(col("doc_id") >= lo)
+    current.select(col("doc_id"), col("source").as("c_source"),
+        md5(col("text")).as("c_md5"), length(col("text")).cast("long").as("c_len"))
+      .join(prior.select(col("doc_id"), col("source").as("p_source"),
+        md5(col("p_text")).as("p_md5"),
+        length(col("p_text")).cast("long").as("p_len")),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce(col("c_source"), col("p_source")).as("source"),
+        when(col("p_md5").isNull, lit("added"))
+          .when(col("c_md5").isNull, lit("removed"))
+          .when(col("c_md5") === col("p_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("c_len"), lit(0L)) - coalesce(col("p_len"), lit(0L)))
+          .as("delta"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("delta")).as("chars_delta"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** The diff as portable SQL (valid verbatim in DuckDB and Spark) —
+    * `$ceil` is the id ceiling the operator reads from the data; the
+    * registry wires it per-SF via a scalar subquery.
+    */
+  private[graft] val snapshotDiffSql: String =
+    """WITH b AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS ceil
+                  FROM documents),
+       docs AS (SELECT doc_id, source, coalesce(text, '') AS text
+                FROM documents),
+       prior AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' draft'
+                        ELSE text END AS p_text
+                 FROM docs CROSS JOIN b
+                 WHERE doc_id < CAST(b.ceil * 4 / 5 AS BIGINT)),
+       cur AS (SELECT doc_id, source, text
+               FROM docs CROSS JOIN b
+               WHERE doc_id >= CAST(b.ceil / 10 AS BIGINT)),
+       j AS (SELECT coalesce(c.source, p.source) AS source,
+                    CASE WHEN p.doc_id IS NULL THEN 'added'
+                         WHEN c.doc_id IS NULL THEN 'removed'
+                         WHEN md5(c.text) = md5(p.p_text) THEN 'unchanged'
+                         ELSE 'changed' END AS status,
+                    CAST(coalesce(length(c.text), 0) AS BIGINT)
+                      - CAST(coalesce(length(p.p_text), 0) AS BIGINT) AS delta
+             FROM cur c FULL OUTER JOIN prior p ON p.doc_id = c.doc_id)
+       SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(delta) AS BIGINT) AS chars_delta
+       FROM j GROUP BY source, status ORDER BY source, status"""
+
   def stratifiedSplit(s: SparkSession, dir: String,
                       trainRate: Double = 0.8, validRate: Double = 0.1): DataFrame = {
     val tTrain = Sampling.hexThreshold(trainRate)

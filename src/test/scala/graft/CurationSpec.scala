@@ -337,4 +337,41 @@ class CurationSpec extends SparkTestBase {
       assert(got.count(_._1 == src) == 10, s"$src must hit all deciles")
     }
   }
+
+  test("snapshot diff matches the in-memory recompute, all four statuses live") {
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", "source", "coalesce(text, '') AS text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ceil = docs.map(_._1).max + 1
+    val (lo, hi) = (ceil / 10, ceil * 4 / 5)
+    val prior = docs.filter(_._1 < hi).map { case (id, src, t) =>
+      (id, src, if (id % 5 == 0) t + " draft" else t)
+    }.map(d => d._1 -> d).toMap
+    val cur = docs.filter(_._1 >= lo).map(d => d._1 -> d).toMap
+    val rows = (prior.keySet ++ cur.keySet).toSeq.map { id =>
+      (cur.get(id), prior.get(id)) match {
+        case (Some((_, src, t)), None) => (src, "added", t.length.toLong)
+        case (None, Some((_, src, p))) => (src, "removed", -p.length.toLong)
+        case (Some((_, src, t)), Some((_, _, p))) =>
+          (src, if (t == p) "unchanged" else "changed",
+            t.length.toLong - p.length.toLong)
+        case _ => sys.error("unreachable")
+      }
+    }
+    val want = rows.groupBy(r => (r._1, r._2)).toSeq.map {
+      case ((src, st), g) => (src, st, g.length.toLong, g.map(_._3).sum)
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.operators.Curation.snapshotDiff(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the fabricated prior must exercise every branch of the diff
+    val statuses = got.map(_._2).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"),
+      s"all four statuses must be populated: $statuses")
+    // changed rows gained exactly ' draft' (6 chars) per doc
+    got.filter(_._2 == "changed").foreach { r =>
+      assert(r._4 == -6 * r._3, s"changed delta must be -6/doc: $r")
+    }
+  }
 }

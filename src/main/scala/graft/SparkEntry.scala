@@ -164,6 +164,8 @@ object SparkEntry {
     "q_importance_weights" ->
       (TextAnalysis.importanceWeights(_, _, Dsir.target, Dsir.k)),
     "q_snapshot_diff" -> (Curation.snapshotDiff(_, _)),
+    "q_bfs_levels" ->
+      (Mining.bfsLevels(_, _, Basket.maxItems, Basket.bfsHops)),
     "q_encode_docs_incremental" -> ((s, d) => {
       // frozen-tokenizer contract: vocab staged from the first 80% of the
       // corpus, ONLY delta docs (doc_id >= split) tokenized and encoded
@@ -542,6 +544,7 @@ object SparkEntry {
     val paretoBandCents = 5000L
     val pagerankIters = 10
     val joinEstBuckets = 32
+    val bfsHops = 4
   }
 
   /** Sketch parameters shared by operators, twins, and specs. The oracles
@@ -1412,6 +1415,10 @@ object SparkEntry {
 
     // corpus snapshot diff: portable text (fabricated-prior discipline)
     "q_snapshot_diff" -> operators.Curation.snapshotDiffSql,
+
+    // BFS level histogram: unrolled reach sets, portable text
+    "q_bfs_levels" ->
+      operators.Mining.bfsLevelsSql(Basket.maxItems, Basket.bfsHops),
 
     // token-ID encoding: vocab rank + ordered id sequence per doc; the
     // sequence crosses the compare as an md5 digest (engine-portable)

@@ -348,18 +348,19 @@ object Mining {
     * e3 on a<b<c) — a deliberately different algorithm, so equality is an
     * algorithmic cross-check, not a restatement.
     */
-  def triangleCount(s: SparkSession, dir: String,
-                    maxItems: Int = 40, k: Int = 20): DataFrame = {
-    // canonical undirected edges, u < v by id, built from per-basket
-    // sorted item arrays: ONE shuffle (groupBy basket, with collect_set
-    // absorbing the line-level duplicates) + a map-side ordered-pair
-    // explode — replaces the old distinct + whale-filter join + basket
-    // self-join (three shuffles over the incidence). MATERIALIZED (eager
-    // localCheckpoint): edges feed the degree aggregate, the orientation
-    // join, and the adjacency intersect; without the pin each consumer
-    // re-derives the whole incidence subtree and the fact table is
-    // re-scanned per branch (the audit measured 134 scans)
-    val edges = Tables.spread(s, dir, "lineitem")
+  /** Canonical undirected co-purchase edges (u < v by id) from
+    * per-basket sorted item arrays: ONE shuffle (groupBy basket, with
+    * collect_set absorbing line-level duplicates) + a map-side
+    * ordered-pair explode — no incidence distinct, no whale-filter
+    * join, no basket self-join. MATERIALIZED (eager localCheckpoint):
+    * every graph operator's consumers would otherwise re-derive the
+    * whole incidence subtree per branch (the audit measured 134 fact
+    * scans before the pin). Shared by [[triangleCount]] and
+    * [[bfsLevels]].
+    */
+  private def basketEdges(s: SparkSession, dir: String,
+                          maxItems: Int): DataFrame =
+    Tables.spread(s, dir, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
@@ -371,6 +372,10 @@ object Mining {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .localCheckpoint(true)
+
+  def triangleCount(s: SparkSession, dir: String,
+                    maxItems: Int = 40, k: Int = 20): DataFrame = {
+    val edges = basketEdges(s, dir, maxItems)
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -433,4 +438,95 @@ object Mining {
         SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
         FROM p GROUP BY p_partkey
         ORDER BY n_triangles DESC, p_partkey LIMIT $k"""
+
+  /** Multi-hop reachability (BFS level distribution) over the
+    * co-purchase graph: how many items sit 0, 1, 2, … hops from the
+    * minimum-id item (the deterministic source), plus the count still
+    * unreached inside the horizon — the connectivity profile a graph
+    * recommendation or link-analysis pipeline reads before trusting
+    * random-walk features.
+    *
+    * Per round the frontier joins the (checkpointed) edge list in BOTH
+    * directions and anti-joins everything already levelled — frontier
+    * and visited frames are node-sized (never path-sized, which is what
+    * kills naive recursive-CTE BFS on cyclic graphs: without per-round
+    * dedup the row count follows path multiplicity). The loop's only
+    * driver action is the per-round frontier emptiness check — a count
+    * on a node-bounded frame. Output is the catalog-sized level
+    * histogram; `-1` rows are the unreached remainder.
+    */
+  def bfsLevels(s: SparkSession, dir: String, maxItems: Int = 40,
+                maxHops: Int = 4): DataFrame = {
+    val edges = basketEdges(s, dir, maxItems)
+    // undirected adjacency: each edge probes both ways
+    val adj = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val src = edges.agg(least(min(col("u")), min(col("v")))).head().getLong(0)
+    var levels = adj.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    var frontier = levels
+    var hop = 0L
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      frontier = frontier
+        .join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("lvl"))
+        .localCheckpoint(true)
+      levels = levels.unionByName(frontier).localCheckpoint(true)
+    }
+    val allNodes = adj.select(col("u").as("node")).distinct()
+    allNodes.join(levels, Seq("node"), "left")
+      .select(coalesce(col("lvl"), lit(-1L)).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("level"))
+  }
+
+  /** The BFS as one SQL statement with the hops unrolled (the pagerank
+    * pattern): reach sets r0 ⊆ r1 ⊆ … as DISTINCT CTEs (set-sized, the
+    * same dedup-per-round discipline as the operator), node level = the
+    * first containing reach set via chained left joins. Valid verbatim
+    * in DuckDB and Spark (portable).
+    */
+  private[graft] def bfsLevelsSql(maxItems: Int, maxHops: Int): String = {
+    val header =
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS (SELECT basket FROM inc GROUP BY basket
+                HAVING count(*) <= $maxItems),
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
+                  ON ok.basket = inc.basket),
+         e AS (SELECT DISTINCT a.item AS u, b.item AS v
+               FROM kept a JOIN kept b
+                 ON a.basket = b.basket AND a.item <> b.item),
+         r0 AS (SELECT min(u) AS node FROM e)"""
+    val steps = (1 to maxHops).map { i =>
+      s"""r$i AS (SELECT node FROM r${i - 1}
+                  UNION
+                  SELECT e.v AS node FROM e
+                  JOIN r${i - 1} f ON f.node = e.u)"""
+    }
+    // level = first containing reach set, resolved via chained LEFT
+    // JOINs (the r_i are DISTINCT sets, so no fan-out; IN-subqueries
+    // inside a projection are not portable to Spark)
+    val lvlJoins = (0 to maxHops).map { i =>
+      s"LEFT JOIN r$i x$i ON x$i.node = n.node"
+    }.mkString("\n                ")
+    val lvlCase = (0 to maxHops).map { i =>
+      s"WHEN x$i.node IS NOT NULL THEN CAST($i AS BIGINT)"
+    }.mkString("\n                 ")
+    (header +: steps).mkString(",\n") +
+      s""",
+         nodes AS (SELECT DISTINCT u AS node FROM e),
+         lv AS (SELECT CASE $lvlCase
+                       ELSE CAST(-1 AS BIGINT) END AS level
+                FROM nodes n
+                $lvlJoins)
+         SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM lv GROUP BY level ORDER BY level"""
+  }
 }

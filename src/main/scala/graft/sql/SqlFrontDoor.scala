@@ -2824,7 +2824,7 @@ object SqlFrontDoor {
     "q_window_rank_family", "q_window_top_customers",
     "q_market_basket", "q_pareto_frontier", "q_join_size_estimate",
     "q_bitmap_distinct_users", "q_bitmap_overlap", "q_theta_set_ops",
-    "q_snapshot_diff", "q_image_near_dup",
+    "q_snapshot_diff", "q_bfs_levels", "q_image_near_dup",
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join")
 
   /** Queries with no SQL surface (API-only). Currently none — every

@@ -345,6 +345,40 @@ class MiningSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("bfs levels match the in-memory breadth-first search") {
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = inc.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .filter(_._2.size <= 8)
+      .flatMap { case (_, items) =>
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          yield (items(i), items(j))
+      }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val nodes = adj.keySet.toSet
+    val src = nodes.min
+    val lvl = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    for (hop <- 1 to 4) {
+      frontier = frontier.flatMap(adj).filterNot(lvl.contains)
+      frontier.foreach(n => lvl(n) = hop.toLong)
+    }
+    val want = nodes.toSeq.map(n => lvl.getOrElse(n, -1L))
+      .groupBy(identity).toSeq
+      .map { case (l, g) => (l, g.size.toLong) }.sortBy(_._1)
+    val got = Mining.bfsLevels(spark, Sf, maxItems = 8, maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // a useful fixture reaches past hop 1 and leaves something unreached
+    assert(got.exists(_._1 >= 2), s"graph must have multi-hop structure: $got")
+    assert(got.map(_._2).sum == nodes.size.toLong)
+  }
+
   test("cusum matches the in-memory recurrence and clamps at zero") {
     val daily = Tables.events(spark, Sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

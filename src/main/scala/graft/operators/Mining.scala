@@ -136,18 +136,24 @@ object Mining {
     */
   private def copurchaseEdges(s: SparkSession, dir: String,
                               maxItems: Int): DataFrame = {
-    val incidence = Tables.spread(s, dir, "lineitem")
+    // per-basket sorted arrays + map-side canonical-pair explode (the
+    // basketEdges shape — one shuffle instead of the old incidence
+    // distinct + whale join + basket self-join); co-purchase weight is
+    // symmetric (# baskets containing both), so count canonical pairs
+    // and mirror
+    val canon = Tables.spread(s, dir, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    val sized = incidence.groupBy(col("basket"))
-      .agg(count(lit(1)).as("n_items"))
-      .filter(col("n_items") <= maxItems)
-      .select("basket")
-    val kept = incidence.join(sized, Seq("basket"))
-    kept.as("a").join(kept.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") =!= col("b.item"))
-      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .filter(size(col("its")) <= maxItems) // whale-basket guard
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+             transform(slice(its, i + 2, size(its) - i - 1),
+                       y -> struct(x AS u, y AS v))))""")).as("e"))
+      .groupBy(col("e.u").as("src"), col("e.v").as("dst"))
       .agg(count(lit(1)).as("w"))
+    canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
   }
 
   /** Weighted PageRank over the co-purchase graph — the "which items
@@ -181,13 +187,17 @@ object Mining {
     val n = nodes.count()
     var ranks = nodes.withColumn("pr", lit(1000000000L / n))
     val base = 150000000L / n
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       ranks = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), expr("(pr * w) DIV wsum").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(base) + expr("(85 * sum(contrib)) DIV 100")).as("pr"))
         .withColumnRenamed("dst", "node")
-        .localCheckpoint(true)
+      // lineage pin every SECOND round (and on the last): the eager
+      // checkpoint's per-round driver sync serialized 10 jobs; two
+      // rounds per job do the same shuffle work with half the job
+      // overhead, while the plan depth stays bounded at 2 rounds
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     val out = ranks
       .select(col("node").as("p_partkey"), col("pr").as("rank_1e9"))

@@ -166,6 +166,12 @@ object SparkEntry {
     "q_snapshot_diff" -> (Curation.snapshotDiff(_, _)),
     "q_bfs_levels" ->
       (Mining.bfsLevels(_, _, Basket.maxItems, Basket.bfsHops)),
+    "q_item_neighbor_jaccard" ->
+      (Mining.itemNeighborJaccard(_, _, Basket.maxItems,
+        Basket.jaccardMinCo, Basket.jaccardTopN)),
+    "q_k_anonymity" -> (Quality.kAnonymity(_, _)),
+    "q_vocab_growth" -> (TextAnalysis.vocabGrowth(_, _)),
+    "q_novelty_scores" -> (TextAnalysis.noveltyScores(_, _)),
     "q_encode_docs_incremental" -> ((s, d) => {
       // frozen-tokenizer contract: vocab staged from the first 80% of the
       // corpus, ONLY delta docs (doc_id >= split) tokenized and encoded
@@ -545,6 +551,8 @@ object SparkEntry {
     val pagerankIters = 10
     val joinEstBuckets = 32
     val bfsHops = 4
+    val jaccardMinCo = 2
+    val jaccardTopN = 100
   }
 
   /** Sketch parameters shared by operators, twins, and specs. The oracles
@@ -1419,6 +1427,50 @@ object SparkEntry {
     // BFS level histogram: unrolled reach sets, portable text
     "q_bfs_levels" ->
       operators.Mining.bfsLevelsSql(Basket.maxItems, Basket.bfsHops),
+
+    // item-item neighbor Jaccard: portable text modulo // vs DIV
+    "q_item_neighbor_jaccard" ->
+      operators.Mining.itemNeighborJaccardSql("//", Basket.maxItems,
+        Basket.jaccardMinCo, Basket.jaccardTopN),
+
+    // k-anonymity generalization ladder: portable text modulo // vs DIV
+    "q_k_anonymity" -> operators.Quality.kAnonymitySql("//"),
+
+    // vocabulary growth curve via the (token -> min doc_id)
+    // first-occurrence aggregate — distinct vocab at checkpoint c is the
+    // count of tokens first seen at doc_id <= c, so one corpus shuffle
+    // serves every checkpoint
+    "q_vocab_growth" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS ws FROM documents),
+         mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         cp AS (SELECT unnest([13, 25, 50, 100]) AS pct),
+         cpt AS (SELECT pct, (max_id * pct) // 100 AS thr
+                 FROM cp CROSS JOIN mx),
+         tok AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+         fo AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+         dv AS (SELECT pct, CAST(count(*) AS BIGINT) AS distinct_tokens
+                FROM fo JOIN cpt ON first_doc <= thr GROUP BY pct),
+         dc AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(ws)) AS BIGINT) AS total_tokens
+                FROM d JOIN cpt ON doc_id <= thr GROUP BY pct)
+         SELECT pct, n_docs, total_tokens, distinct_tokens
+         FROM dc JOIN dv USING (pct) ORDER BY pct""",
+
+    // per-doc novelty: shingles first seen in this doc / doc's shingles,
+    // same first-occurrence trick (min doc_id per shingle)
+    "q_novelty_scores" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+                       unnest(sh) AS shingle FROM shd),
+         fo AS (SELECT shingle, min(doc_id) AS first_doc
+                FROM ex GROUP BY shingle),
+         j AS (SELECT e.doc_id, e.n_sh,
+                      CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END AS nv
+               FROM ex e JOIN fo f ON f.shingle = e.shingle)
+         SELECT doc_id, n_sh, CAST(sum(nv) AS BIGINT) AS n_novel,
+                CAST((20000 * sum(nv) + n_sh) // (2 * n_sh) AS BIGINT)
+                  AS novelty_1e4
+         FROM j GROUP BY doc_id, n_sh ORDER BY doc_id""",
 
     // token-ID encoding: vocab rank + ordered id sequence per doc; the
     // sequence crosses the compare as an md5 digest (engine-portable)

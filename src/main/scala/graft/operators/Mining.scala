@@ -539,4 +539,81 @@ object Mining {
          SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
          FROM lv GROUP BY level ORDER BY level"""
   }
+
+  /** Item-item NEIGHBOR SIMILARITY on the co-purchase graph: for every
+    * canonical item pair sharing at least [[minCo]] baskets, the Jaccard
+    * of their basket sets — |baskets with both| / |baskets with either| —
+    * the classic "customers who bought X also bought Y" co-occurrence
+    * score (item-based collaborative filtering, Sarwar et al. WWW'01),
+    * normalized so whale items don't dominate raw co-counts. Top-[[topN]]
+    * pairs by score.
+    *
+    * Shape, built for 100 TB: co-counts come from the same per-basket
+    * sorted-array canonical-pair explode as [[pagerankCopurchase]]'s edge
+    * build (one shuffle, whale-basket guard BEFORE the quadratic step);
+    * per-item basket degrees are one map-side-combined count on the
+    * incidence frame; the pair frame joins degrees twice on its own keys
+    * (pair-sized, i.e. O(co-occurring pairs), never all-pairs); top-K is
+    * TakeOrderedAndProject. jaccard_1e6 = co/(du+dv-co) as half-up
+    * integer fixed-point so the oracle compare stays exact.
+    */
+  def itemNeighborJaccard(s: SparkSession, dir: String, maxItems: Int = 40,
+                          minCo: Int = 2, topN: Int = 100): DataFrame = {
+    val inc = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val ok = inc.groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxItems)
+      .select("basket")
+    val kept = inc.join(ok, Seq("basket"))
+    val co = kept
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+             transform(slice(its, i + 2, size(its) - i - 1),
+                       y -> struct(x AS u, y AS v))))""")).as("e"))
+      .groupBy(col("e.u").as("item_a"), col("e.v").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val deg = kept.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+    co.join(deg.select(col("item").as("item_a"), col("deg").as("deg_a")),
+        Seq("item_a"))
+      .join(deg.select(col("item").as("item_b"), col("deg").as("deg_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"),
+        col("deg_a"), col("deg_b"),
+        expr("""(2000000 * co + (deg_a + deg_b - co))
+                DIV (2 * (deg_a + deg_b - co))""").as("jaccard_1e6"))
+      .orderBy(col("jaccard_1e6").desc, col("item_a"), col("item_b"))
+      .limit(topN)
+  }
+
+  /** The neighbor-similarity query as portable SQL (valid verbatim in
+    * DuckDB and Spark modulo the integer-division spelling).
+    */
+  private[graft] def itemNeighborJaccardSql(div: String, maxItems: Int,
+                                            minCo: Int, topN: Int): String =
+    s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+       ok AS (SELECT basket FROM inc GROUP BY basket
+              HAVING count(*) <= $maxItems),
+       kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
+                ON ok.basket = inc.basket),
+       co AS (SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS co
+              FROM kept a JOIN kept b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2
+              HAVING count(*) >= $minCo),
+       deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
+               FROM kept GROUP BY item)
+       SELECT item_a, item_b, co, da.deg AS deg_a, db.deg AS deg_b,
+              CAST((2000000 * co + (da.deg + db.deg - co))
+                   $div (2 * (da.deg + db.deg - co)) AS BIGINT) AS jaccard_1e6
+       FROM co
+       JOIN deg da ON da.item = co.item_a
+       JOIN deg db ON db.item = co.item_b
+       ORDER BY jaccard_1e6 DESC, item_a, item_b
+       LIMIT $topN"""
 }

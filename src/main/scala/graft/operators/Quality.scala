@@ -517,4 +517,71 @@ object Quality {
                  AS holds
         FROM u ORDER BY dependency"""
   }
+
+  /** k-anonymity audit over a generalization ladder: for each successive
+    * coarsening of the quasi-identifier tuple (nation + segment + balance
+    * bucketed at 100, then at 1000, then balance dropped), report the
+    * equivalence-class census and how many rows sit in classes smaller
+    * than k — the rows a release at that generalization level would
+    * expose. The privacy counterpart of [[Quality.duplicateKeys]]: there
+    * small classes are the GOAL (unique keys), here they are the risk.
+    *
+    * No reference analog (the reference releases its CSV wholesale,
+    * `/root/reference/src/etl/load.py:18-110`); this is the audit a
+    * training-data pipeline runs before shipping user-derived tables.
+    *
+    * Shape, built for 100 TB: each ladder level is a two-level hash
+    * aggregate over ONLY the projected quasi-columns — per-class counts
+    * (map-side combined on the quasi tuple), then a 5-number census of
+    * the class-size frame, which is classes-sized, not rows-sized. The
+    * three levels union; nothing row-sized ever shuffles twice. risk_1e4
+    * is half-up integer fixed-point so the oracle compare stays exact.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cust = Tables.spread(s, dir, "customer")
+    def level(lvl: Int, quasi: Seq[Column]): DataFrame =
+      cust.groupBy(quasi: _*)
+        .agg(count(lit(1)).as("class_size"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min(col("class_size")).as("min_class_size"),
+          sum(col("class_size")).as("n_rows"),
+          sum(when(col("class_size") < k, col("class_size"))
+            .otherwise(0L)).as("rows_at_risk"))
+        .select(lit(lvl).as("level"), col("n_classes"),
+          col("min_class_size"), col("rows_at_risk"),
+          expr("(20000 * rows_at_risk + n_rows) DIV (2 * n_rows)")
+            .as("risk_1e4"))
+    val bal100 = expr("CAST(floor(c_acctbal / 100) AS BIGINT)").as("bal_b")
+    val bal1000 = expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_b")
+    level(0, Seq(col("c_nationkey"), col("c_mktsegment"), bal100))
+      .unionByName(level(1, Seq(col("c_nationkey"), col("c_mktsegment"), bal1000)))
+      .unionByName(level(2, Seq(col("c_nationkey"), col("c_mktsegment"))))
+      .orderBy(col("level"))
+  }
+
+  /** The k-anonymity ladder as portable SQL (DuckDB oracle / Spark twin).
+    * `div` is the integer-division spelling ("//" or "DIV").
+    */
+  private[graft] def kAnonymitySql(div: String, k: Int = 5): String = {
+    val levels = Seq(
+      (0, "c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 100) AS BIGINT)"),
+      (1, "c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+      (2, "c_nationkey, c_mktsegment"))
+      .map { case (lvl, quasi) =>
+        s"""SELECT $lvl AS level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(class_size) AS BIGINT) AS min_class_size,
+               CAST(coalesce(sum(CASE WHEN class_size < $k
+                                      THEN class_size ELSE 0 END), 0)
+                    AS BIGINT) AS rows_at_risk,
+               CAST((20000 * coalesce(sum(CASE WHEN class_size < $k
+                                               THEN class_size ELSE 0 END), 0)
+                     + sum(class_size)) $div (2 * sum(class_size))
+                    AS BIGINT) AS risk_1e4
+            FROM (SELECT CAST(count(*) AS BIGINT) AS class_size
+                  FROM customer GROUP BY $quasi) c"""
+      }
+    levels.mkString("\nUNION ALL\n") + "\nORDER BY level"
+  }
 }

@@ -1288,4 +1288,79 @@ object TextAnalysis {
     }
     (header +: steps).mkString(",\n")
   }
+
+  /** Vocabulary growth curve (Heaps' law): at each ingest checkpoint
+    * (13/25/50/100% of the max doc_id), how many docs and token
+    * occurrences have arrived and how many DISTINCT tokens the corpus has
+    * seen — the curve that decides whether a tokenizer's vocab budget
+    * saturates or keeps fragmenting as the corpus grows.
+    *
+    * The naive form re-scans the corpus once per checkpoint (distinct
+    * tokens among docs with doc_id <= c). This is the one-pass form via
+    * the FIRST-OCCURRENCE trick: the distinct-vocab count at checkpoint c
+    * equals the number of tokens whose earliest doc_id is <= c, so one
+    * (token -> min(doc_id)) aggregate serves every checkpoint. At 100 TB:
+    * the corpus shuffles ONCE (by token, map-side combined to the
+    * vocabulary size); checkpoints broadcast (4 rows) onto the vocab-sized
+    * first-occurrence frame and the doc-level length frame, both rollups
+    * map-side combined to 4 rows. Adding checkpoints costs fan-out in the
+    * partial aggregate, never another corpus scan.
+    */
+  def vocabGrowth(s: SparkSession, dir: String,
+                  pcts: Seq[Int] = Seq(13, 25, 50, 100)): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TokensExpr))
+      .select(col("doc_id"), col("ws"),
+        expr("CAST(size(ws) AS BIGINT)").as("ntok"))
+    val maxima = docs.agg(max(col("doc_id")).as("max_id"))
+    val cps = pcts.toDF("pct").crossJoin(broadcast(maxima))
+      .select(col("pct"), expr("(max_id * pct) DIV 100").as("thr"))
+    val firstOcc = docs
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabAt = firstOcc.crossJoin(broadcast(cps))
+      .filter(col("first_doc") <= col("thr"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("distinct_tokens"))
+    val volumeAt = docs.crossJoin(broadcast(cps))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+    volumeAt.join(vocabAt, Seq("pct"))
+      .select(col("pct"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"))
+      .orderBy(col("pct"))
+  }
+
+  /** Per-document NOVELTY: the fraction of a doc's distinct shingles
+    * never seen in any earlier doc (smaller doc_id) — the marginal-value
+    * signal of ingest-ordered curation ("how much of this crawl batch is
+    * new text?"), and the per-doc complement of [[boilerplate]] (which
+    * scores corpus-frequent shingles regardless of order). A freshly
+    * duplicated doc scores 0; the first copy keeps its full score.
+    *
+    * Same first-occurrence trick as [[vocabGrowth]]: one (shingle ->
+    * min(doc_id)) aggregate, joined back to the doc-shingle incidence on
+    * the shingle key it is already shuffled by, then a per-doc rollup.
+    * Two corpus-incidence shuffles total, both on keys the data is
+    * already clustered by; nothing quadratic, no window over the corpus.
+    * novelty_1e4 is half-up integer fixed-point (oracle-exact).
+    */
+  def noveltyScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+      .withColumn("ws", expr(TokensExpr))
+      .filter(expr("size(ws) >= 3"))
+      .withColumn("sh", expr(Dedup.ShinglesExpr))
+    val ex = docs.select(col("doc_id"),
+      expr("CAST(size(sh) AS BIGINT)").as("n_sh"), explode(col("sh")).as("shingle"))
+    val firstOcc = ex.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firstOcc, Seq("shingle"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+        .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        expr("(20000 * n_novel + n_sh) DIV (2 * n_sh)").as("novelty_1e4"))
+      .orderBy(col("doc_id"))
+  }
 }

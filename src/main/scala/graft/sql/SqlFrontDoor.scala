@@ -2741,6 +2741,48 @@ object SqlFrontDoor {
       graft.operators.Analytics.funnelSql("DIV", "unix_micros"),
 
     // same generated text as the oracle with DIV for //
+    "q_item_neighbor_jaccard" ->
+      graft.operators.Mining.itemNeighborJaccardSql("DIV",
+        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.jaccardMinCo,
+        graft.SparkEntry.Basket.jaccardTopN),
+
+    // same generated text as the oracle with DIV for //
+    "q_k_anonymity" -> graft.operators.Quality.kAnonymitySql("DIV"),
+
+    // vocab growth: dialect points are explode(array(...)) for
+    // unnest([...]), size for len, DIV for //
+    "q_vocab_growth" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         cp AS (SELECT explode(array(13, 25, 50, 100)) AS pct),
+         cpt AS (SELECT pct, (max_id * pct) DIV 100 AS thr
+                 FROM cp CROSS JOIN mx),
+         tok AS (SELECT doc_id, explode(ws) AS tok FROM d),
+         fo AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+         dv AS (SELECT pct, CAST(count(*) AS BIGINT) AS distinct_tokens
+                FROM fo JOIN cpt ON first_doc <= thr GROUP BY pct),
+         dc AS (SELECT pct, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(size(ws)) AS BIGINT) AS total_tokens
+                FROM d JOIN cpt ON doc_id <= thr GROUP BY pct)
+         SELECT pct, n_docs, total_tokens, distinct_tokens
+         FROM dc JOIN dv USING (pct) ORDER BY pct""",
+
+    // per-doc novelty via the same first-occurrence aggregate
+    "q_novelty_scores" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh,
+                       explode(sh) AS shingle FROM shd),
+         fo AS (SELECT shingle, min(doc_id) AS first_doc
+                FROM ex GROUP BY shingle),
+         j AS (SELECT e.doc_id, e.n_sh,
+                      CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END AS nv
+               FROM ex e JOIN fo f ON f.shingle = e.shingle)
+         SELECT doc_id, n_sh, CAST(sum(nv) AS BIGINT) AS n_novel,
+                CAST((20000 * sum(nv) + n_sh) DIV (2 * n_sh) AS BIGINT)
+                  AS novelty_1e4
+         FROM j GROUP BY doc_id, n_sh ORDER BY doc_id""",
+
+    // same generated text as the oracle with DIV for //
     "q_pagerank_copurchase" ->
       graft.operators.Mining.pagerankSql("DIV",
         graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.pagerankIters),

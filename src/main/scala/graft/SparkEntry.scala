@@ -398,7 +398,23 @@ object SparkEntry {
           Some(Curation.packOffsets(s, d, split))))
     }),
     "q_pack_efficiency" -> (Curation.packEfficiency(_, _)),
-    "q_zorder_layout" -> (Layout.zorderCells(_, _))
+    "q_zorder_layout" -> (Layout.zorderCells(_, _)),
+    "q_ks_drift" -> (Quality.ksDrift(_, _)),
+    "q_benford_audit" -> (Quality.benfordAudit(_, _)),
+    "q_column_hhi" -> (Quality.columnHhi(_, _)),
+    "q_balanced_downsample" -> (Sampling.balancedDownsample(_, _)),
+    "q_attribution_position" -> (Analytics.positionAttribution(_, _)),
+    "q_readability" -> (TextAnalysis.readability(_, _)),
+    "q_decode_roundtrip" -> (TextAnalysis.decodeRoundtrip(_, _)),
+    "q_connected_components" ->
+      (Mining.connectedComponents(_, _, Basket.maxItems, Basket.ccMinCo,
+        Basket.ccRounds, Basket.topK)),
+    "q_clustering_coeff" ->
+      (Mining.clusteringCoeff(_, _, Basket.maxItems, Basket.coeffMinDeg,
+        Basket.topK)),
+    "q_zipf_profile" -> (TextAnalysis.zipfProfile(_, _)),
+    "q_winsorized_stats" -> (Analytics.winsorizedStats(_, _)),
+    "q_retrieval_eval" -> (Retrieval.retrievalEval(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -553,6 +569,9 @@ object SparkEntry {
     val bfsHops = 4
     val jaccardMinCo = 2
     val jaccardTopN = 100
+    val ccRounds = 12 // comfortably past the observed radius at sf0.01/0.1
+    val ccMinCo = 2 // repeat-support edges only; the raw graph is one blob
+    val coeffMinDeg = 2
   }
 
   /** Sketch parameters shared by operators, twins, and specs. The oracles
@@ -3865,6 +3884,51 @@ object SparkEntry {
                 CAST((20000 * (max_supp - min_supp) + greatest(mxs - mns, 1))
                      // (2 * greatest(mxs - mns, 1)) AS BIGINT) AS supp_span_1e4
          FROM cells ORDER BY z_cell"""
-    }
+    },
+
+    // two-sample KS over exact-integer CDFs; one // vs DIV dialect knob
+    "q_ks_drift" -> operators.Quality.ksDriftSql("//"),
+
+    // Benford first-digit audit: expected shares are pinned literals
+    "q_benford_audit" -> operators.Quality.benfordAuditSql("//"),
+
+    // categorical concentration (HHI over half-up 1e-3 shares)
+    "q_column_hhi" -> operators.Quality.columnHhiSql("//"),
+
+    // class-balanced downsample: portable md5-ordered rank + derived quota
+    "q_balanced_downsample" -> operators.Sampling.balancedDownsampleSql,
+
+    // U-shaped attribution: oracle spells the quadratic pair join, the
+    // operator the window form — parity proves them equivalent
+    "q_attribution_position" -> operators.Analytics.positionAttributionSql("//"),
+
+    // Flesch-shape readability in portable integer fixed point
+    "q_readability" -> operators.TextAnalysis.readabilitySql(duck = true),
+
+    // tokenizer round-trip: encode, decode through the vocab, compare
+    "q_decode_roundtrip" -> operators.TextAnalysis.decodeRoundtripSql(duck = true),
+
+    // bounded min-label propagation, rounds unrolled; fully portable text
+    "q_connected_components" ->
+      operators.Mining.connectedComponentsSql(Basket.maxItems, Basket.ccMinCo,
+        Basket.ccRounds, Basket.topK),
+
+    // naive id-ordered triangles per node; // vs DIV is the only knob
+    "q_clustering_coeff" ->
+      operators.Mining.clusteringCoeffSql("//", Basket.maxItems,
+        Basket.coeffMinDeg, Basket.topK),
+
+    // rank*freq/f1 Zipf curve in exact integers (no libm log)
+    "q_zipf_profile" ->
+      operators.TextAnalysis.zipfProfileSql(duck = true,
+        Seq(1, 2, 4, 8, 16, 32, 64)),
+
+    // exact P5/P95 clamp + half-up mean over the value-domain CDF frame
+    "q_winsorized_stats" -> operators.Analytics.winsorizedStatsSql("//"),
+
+    // BM25 recall/MRR against the exact PPJoin near-dup ground truth
+    "q_retrieval_eval" ->
+      operators.Retrieval.retrievalEvalSql(duck = true, Seq(1, 5, 10),
+        Bm25.maxDfPermille, Bm25.k1Milli, Bm25.bMilli)
   )
 }

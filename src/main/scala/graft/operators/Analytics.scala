@@ -1378,6 +1378,132 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
+    * model between [[firstTouchAttribution]] and [[lastTouchAttribution]]:
+    * each purchase splits its revenue 40% to the user's first touch, 40%
+    * to the most recent touch, and 20% evenly across the middle touches
+    * (one touch takes all; two split half-half). All credit is exact
+    * integer cents — the first touch absorbs every truncation remainder,
+    * so per-purchase credit sums to the purchase EXACTLY and the three
+    * attribution models are revenue-conserving against each other
+    * (OperatorSpec pins that equality).
+    *
+    * 100 TB shape: NO touches-x-purchases join (the naive model is
+    * quadratic in per-user activity). One user-partitioned window pass
+    * carries first/last channel and a running count PER CHANNEL (the
+    * channel slate is catalog-sized — |event types| columns over the one
+    * sorted pass), so each purchase prices every channel's middle count
+    * from projections alone; an |channels|-wide explode then one hash
+    * aggregate. The oracle spells the same semantics with the quadratic
+    * pair join — fine at oracle scale, and the parity check proves the
+    * window form equivalent.
+    */
+  def positionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+    // catalog-sized channel slate (|event types|), deterministic order
+    val channels = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chan = when(col("event_type") =!= "purchase", col("event_type"))
+    val carried = channels.zipWithIndex.foldLeft(
+      ev.withColumn("first_chan", first(chan, ignoreNulls = true).over(w))
+        .withColumn("last_chan", last(chan, ignoreNulls = true).over(w))
+        .withColumn("n", sum(when(chan.isNotNull, lit(1L)).otherwise(lit(0L))).over(w))) {
+      case (df, (c, i)) => df.withColumn(s"cnt_$i",
+        sum(when(col("event_type") === c, lit(1L)).otherwise(lit(0L))).over(w))
+    }
+    val priced = carried.filter(col("event_type") === "purchase")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("last_credit",
+        when(col("n") >= 3, expr("(cents * 4) DIV 10"))
+          .when(col("n") === 2, expr("cents DIV 2"))
+          .otherwise(lit(0L)))
+      .withColumn("mid_each",
+        when(col("n") >= 3, expr("(cents * 2) DIV (10 * (n - 2))"))
+          .otherwise(lit(0L)))
+      .withColumn("first_credit",
+        col("cents") - col("last_credit")
+          - col("mid_each") * greatest(col("n") - 2, lit(0L)))
+    val slates = channels.zipWithIndex.map { case (c, i) =>
+      val isFirst = when(col("first_chan") === c, lit(1L)).otherwise(lit(0L))
+      val isLast = when(col("n") >= 2 && col("last_chan") === c, lit(1L))
+        .otherwise(lit(0L))
+      val mids = coalesce(col(s"cnt_$i"), lit(0L)) - isFirst - isLast
+      struct(lit(c).as("channel"),
+        (isFirst * col("first_credit") + isLast * col("last_credit")
+          + col("mid_each") * mids).as("credit"),
+        isFirst.as("is_first"), isLast.as("is_last"),
+        (mids + isFirst + isLast).as("part"))
+    } :+ {
+      val isNone = when(col("n") === 0, lit(1L)).otherwise(lit(0L))
+      struct(lit("(none)").as("channel"),
+        (isNone * col("cents")).as("credit"),
+        isNone.as("is_first"), isNone.as("is_last"), isNone.as("part"))
+    }
+    priced.select(explode(array(slates: _*)).as("x"))
+      .groupBy(col("x.channel").as("channel"))
+      .agg(sum(col("x.is_first")).as("n_first"),
+        sum(col("x.is_last")).as("n_last"),
+        sum(col("x.credit")).as("credit_cents"),
+        sum(col("x.part")).as("parts"))
+      .filter(col("parts") > 0)
+      .drop("parts")
+      .orderBy(col("channel"))
+  }
+
+  /** [[positionAttribution]] as portable SQL — the quadratic
+    * touches-join-purchases spelling (oracle scale only; the operator's
+    * window form is the one that survives 100 TB).
+    */
+  private[graft] def positionAttributionSql(div: String): String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+       p AS (SELECT user_id, ts, event_id, cents FROM ev
+             WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, ts, event_id, event_type FROM ev
+             WHERE event_type <> 'purchase'),
+       pt AS (SELECT p.user_id, p.event_id AS pid, p.cents,
+                     t.event_type AS chan, t.ts AS tts, t.event_id AS tid
+              FROM p JOIN t ON p.user_id = t.user_id
+               AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))),
+       rk AS (SELECT pid, cents, chan,
+                     row_number() OVER (PARTITION BY pid
+                       ORDER BY tts, tid) AS i,
+                     count(*) OVER (PARTITION BY pid) AS n
+              FROM pt),
+       cr AS (SELECT chan AS channel,
+                     CASE WHEN i = 1 THEN 1 ELSE 0 END AS is_first,
+                     CASE WHEN n >= 2 AND i = n THEN 1 ELSE 0 END AS is_last,
+                     CASE WHEN n = 1 THEN cents
+                          WHEN i = n THEN
+                            CASE WHEN n = 2 THEN cents $div 2
+                                 ELSE (cents * 4) $div 10 END
+                          WHEN i = 1 THEN cents
+                            - (CASE WHEN n = 2 THEN cents $div 2
+                                    ELSE (cents * 4) $div 10 END)
+                            - (CASE WHEN n >= 3 THEN
+                                 (n - 2) * ((cents * 2) $div (10 * (n - 2)))
+                               ELSE 0 END)
+                          ELSE (cents * 2) $div (10 * (n - 2)) END AS credit
+              FROM rk),
+       np AS (SELECT '(none)' AS channel, 1 AS is_first, 1 AS is_last,
+                     cents AS credit
+              FROM p WHERE NOT EXISTS
+                (SELECT 1 FROM t WHERE t.user_id = p.user_id
+                  AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))))
+       SELECT channel,
+              CAST(sum(is_first) AS BIGINT) AS n_first,
+              CAST(sum(is_last) AS BIGINT) AS n_last,
+              CAST(sum(credit) AS BIGINT) AS credit_cents
+       FROM (SELECT * FROM cr UNION ALL SELECT * FROM np) u
+       GROUP BY channel ORDER BY channel"""
+
   /** Exponentially-weighted moving average of event value per user:
     * decay 1/2 per step over the trailing 6 events (current + 5 lags),
     * entirely in integers — weights are the exact powers 32,16,8,4,2,1
@@ -2222,4 +2348,89 @@ object Analytics {
                 CAST(CASE WHEN c.s_lo > 4 * t.total THEN 1 ELSE 0 END
                   AS BIGINT) AS flag_lo
          FROM c CROSS JOIN t ORDER BY c.day"""
+
+  /** Winsorized robust mean of order value per priority: exact integer
+    * P5/P95 order statistics clamp the tails, then the mean runs over
+    * the clamped values — the outlier-robust location estimate a value
+    * monitor trusts when whale orders would drag a plain mean
+    * ([[madOutliers]] flags the whales; this prices the distribution
+    * with them neutralized). All cents-integer arithmetic, half-up at
+    * the single final division, so the oracle compare is bit-stable.
+    *
+    * 100 TB shape: rows collapse once to per-(priority, cents) counts
+    * (map-side combinable, value-domain-sized output — the same CDF
+    * frame as [[Quality.ksDrift]]); the rank thresholds come from a
+    * running-sum window over that cell frame (never a row-level global
+    * sort), and the clamped re-aggregate joins the 5-row bounds frame
+    * back broadcast. Orders is scanned exactly once.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.spread(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("priority"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // bounds pass + clamp pass share one scan
+    val byP = Window.partitionBy(col("priority"))
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(byP.orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(byP))
+    val bounds = cum.groupBy(col("priority"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 19) DIV 20"), col("cents")))
+          .as("p05_cents"),
+        min(when(col("cum") >= expr("(19 * n + 19) DIV 20"), col("cents")))
+          .as("p95_cents"))
+    val clamped = cells.join(broadcast(bounds), Seq("priority"))
+      .groupBy(col("priority"))
+      .agg(
+        sum(col("cnt") * least(greatest(col("cents"), col("p05_cents")),
+          col("p95_cents"))).as("sumw"),
+        sum(when(col("cents") < col("p05_cents") ||
+                 col("cents") > col("p95_cents"), col("cnt"))
+          .otherwise(lit(0L))).as("n_clamped"))
+    bounds.join(clamped, Seq("priority"))
+      .select(col("priority"), col("n"), col("p05_cents"), col("p95_cents"),
+        col("n_clamped"),
+        expr("CAST((2 * sumw + n) DIV (2 * n) AS BIGINT)")
+          .as("win_mean_cents"))
+      .orderBy(col("priority"))
+  }
+
+  /** The winsorized mean as portable SQL (only the integer-division
+    * spelling differs between engines).
+    */
+  private[graft] def winsorizedStatsSql(div: String): String =
+    s"""WITH o AS (SELECT o_orderpriority AS priority,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+       cells AS (SELECT priority, cents, CAST(count(*) AS BIGINT) AS cnt
+                 FROM o GROUP BY priority, cents),
+       cum AS (SELECT priority, cents, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY priority
+                           ORDER BY cents) AS BIGINT) AS cum,
+                      CAST(sum(cnt) OVER (PARTITION BY priority)
+                           AS BIGINT) AS n
+               FROM cells),
+       b AS (SELECT priority, n,
+                    min(CASE WHEN cum >= (n + 19) $div 20
+                             THEN cents END) AS p05_cents,
+                    min(CASE WHEN cum >= (19 * n + 19) $div 20
+                             THEN cents END) AS p95_cents
+             FROM cum GROUP BY priority, n),
+       m AS (SELECT c.priority,
+                    CAST(sum(c.cnt * least(greatest(c.cents, b.p05_cents),
+                                           b.p95_cents)) AS BIGINT) AS sumw,
+                    CAST(sum(CASE WHEN c.cents < b.p05_cents
+                                    OR c.cents > b.p95_cents
+                                  THEN c.cnt ELSE 0 END) AS BIGINT)
+                      AS n_clamped
+             FROM cells c JOIN b ON b.priority = c.priority
+             GROUP BY c.priority)
+       SELECT b.priority, b.n, b.p05_cents, b.p95_cents, m.n_clamped,
+              CAST((2 * m.sumw + b.n) $div (2 * b.n) AS BIGINT)
+                AS win_mean_cents
+       FROM b JOIN m ON m.priority = b.priority
+       ORDER BY b.priority"""
 }

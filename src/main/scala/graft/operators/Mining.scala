@@ -616,4 +616,198 @@ object Mining {
        JOIN deg db ON db.item = co.item_b
        ORDER BY jaccard_1e6 DESC, item_a, item_b
        LIMIT $topN"""
+
+  /** Connected components of the co-purchase graph by synchronous
+    * min-label propagation: every node starts labelled with its own id,
+    * and each round takes the minimum label over itself and its
+    * neighbors (the self-loop makes the min monotone non-increasing).
+    * After [[rounds]] rounds a component's label has flooded [[rounds]]
+    * hops from its minimum-id node, so components whose radius from that
+    * node is <= rounds are exact; the bounded-round semantics is the
+    * CONTRACT (both engines run the identical rounds, so parity holds
+    * converged or not), and the q_bfs_levels histogram is the tool that
+    * sizes `rounds` against the graph's actual radius. Output is the
+    * component-size census — the "is my item graph one giant blob or
+    * many islands" readout a graph-feature pipeline checks before
+    * trusting random-walk or neighbor statistics.
+    *
+    * No reference analog (the reference has no graph surface at all).
+    *
+    * 100 TB shape: per round one equi-join of the adjacency list (edge
+    * partitioning, both directions + self-loops, checkpointed once) with
+    * the node-sized label frame, then a map-side-combinable min — the
+    * same join-per-superstep shape Pregel/GraphX use, with no
+    * path-multiplicity blowup because the state is one row per node.
+    * `localCheckpoint` every second round bounds lineage depth exactly
+    * like [[pagerankCopurchase]]. The census itself is
+    * component-count-sized; top-K via TakeOrderedAndProject.
+    */
+  def connectedComponents(s: SparkSession, dir: String, maxItems: Int = 40,
+                          minCo: Int = 2, rounds: Int = 12,
+                          topN: Int = 25): DataFrame = {
+    // minCo >= 2 keeps only REPEATED co-purchases as edges — single
+    // co-occurrences wire the whole catalog into one blob (verified: the
+    // raw graph is a single giant component at every SF), while the
+    // repeat-support graph fragments into the actual product communities
+    // this census exists to count.
+    val inc = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val ok = inc.groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxItems)
+      .select("basket")
+    val edges = inc.join(ok, Seq("basket")).as("a")
+      .join(inc.join(ok, Seq("basket")).as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("u"), col("b.item").as("v"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .distinct()
+    val adj = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .union(nodes.select(col("node").as("u"), col("node").as("v")))
+      .localCheckpoint(true)
+    var lab = nodes.withColumn("lab", col("node"))
+    for (i <- 1 to rounds) {
+      lab = adj.join(lab, adj("v") === lab("node"))
+        .groupBy(adj("u").as("node"))
+        .agg(min(col("lab")).as("lab"))
+      if (i % 2 == 0 || i == rounds) lab = lab.localCheckpoint(true)
+    }
+    lab.groupBy(col("lab").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("component"))
+      .limit(topN)
+  }
+
+  /** The same bounded min-label propagation as one portable SQL
+    * statement with the rounds unrolled — identical text runs in DuckDB
+    * (oracle) and Spark (front door), so the three surfaces cannot
+    * drift.
+    */
+  private[graft] def connectedComponentsSql(maxItems: Int, minCo: Int,
+                                            rounds: Int, topN: Int): String = {
+    val header =
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS (SELECT basket FROM inc GROUP BY basket
+                HAVING count(*) <= $maxItems),
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
+                  ON ok.basket = inc.basket),
+         e AS (SELECT a.item AS u, b.item AS v
+               FROM kept a JOIN kept b
+                 ON a.basket = b.basket AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= $minCo),
+         nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         adj AS (SELECT u, v FROM e
+                 UNION ALL SELECT v AS u, u AS v FROM e
+                 UNION ALL SELECT node AS u, node AS v FROM nodes),
+         lab0 AS (SELECT node, node AS lab FROM nodes)"""
+    val steps = (1 to rounds).map { i =>
+      s"""lab$i AS (SELECT adj.u AS node, min(l.lab) AS lab
+             FROM adj JOIN lab${i - 1} l ON adj.v = l.node
+             GROUP BY adj.u)"""
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         SELECT lab AS component, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM lab$rounds GROUP BY lab
+         ORDER BY n_nodes DESC, component LIMIT $topN"""
+  }
+
+  /** Per-node local clustering coefficient over the co-purchase graph:
+    * how many of a node's neighbor pairs are themselves connected —
+    * coeff = 2*triangles(v) / (deg(v) * (deg(v)-1)), the standard
+    * "is this node's neighborhood a clique or a star" signal that
+    * separates catalog hub items from genuine bundles. Emitted as
+    * half-up 1e-6 BIGINT fixed-point so the oracle compare is exact;
+    * top-[[topN]] by (coeff desc, node) with a minimum-degree floor so
+    * the degenerate deg-1 nodes (coefficient undefined) never rank.
+    *
+    * 100 TB shape: reuses the degree-oriented edge-iterator from
+    * [[triangleCount]] — per-node triangle counts come from the SAME
+    * array-intersection stream (each triangle credits its three
+    * corners), so the work is O(triangles) past the oriented adjacency
+    * build, never wedge-materialized. Degree is a map-side-combined
+    * count on the undirected edge list. The join of the two per-node
+    * frames is node-sized.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String, maxItems: Int = 40,
+                      minDeg: Int = 2, topN: Int = 25): DataFrame = {
+    val edges = basketEdges(s, dir, maxItems)
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.toDF("u", "deg_u"), Seq("u"))
+      .join(deg.toDF("v", "deg_v"), Seq("v"))
+      .select(
+        when(col("deg_u") < col("deg_v") ||
+             (col("deg_u") === col("deg_v") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("deg_u") < col("deg_v") ||
+             (col("deg_u") === col("deg_v") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val nbrs = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+    val tri = oriented
+      .join(nbrs.toDF("src", "nu"), Seq("src"))
+      .join(nbrs.toDF("dst", "nv"), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
+    val triPerNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= minDeg)
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("node").as("p_partkey"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_1e6", expr(
+        """CAST((4000000 * n_tri + deg * (deg - 1))
+                DIV (2 * deg * (deg - 1)) AS BIGINT)"""))
+      .orderBy(col("coeff_1e6").desc, col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** The clustering coefficient as portable SQL (naive id-ordered
+    * triangle enumeration — the oracle pays the wedge cost the Spark
+    * side's degree orientation avoids; identical output).
+    */
+  private[graft] def clusteringCoeffSql(div: String, maxItems: Int,
+                                        minDeg: Int, topN: Int): String =
+    s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                     FROM lineitem),
+        ok AS (SELECT basket FROM inc GROUP BY basket
+               HAVING count(*) <= $maxItems),
+        kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
+                 ON ok.basket = inc.basket),
+        e AS (SELECT DISTINCT a.item AS u, b.item AS v
+              FROM kept a JOIN kept b
+                ON a.basket = b.basket AND a.item < b.item),
+        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+               FROM (SELECT a AS node FROM t
+                     UNION ALL SELECT b FROM t
+                     UNION ALL SELECT c FROM t) p
+               GROUP BY node),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS node FROM e
+                      UNION ALL SELECT v FROM e) d
+                GROUP BY node)
+        SELECT deg.node AS p_partkey, deg.deg,
+               CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST((4000000 * coalesce(tn.n_tri, 0) + deg.deg * (deg.deg - 1))
+                    $div (2 * deg.deg * (deg.deg - 1)) AS BIGINT) AS coeff_1e6
+        FROM deg LEFT JOIN tn ON tn.node = deg.node
+        WHERE deg.deg >= $minDeg
+        ORDER BY coeff_1e6 DESC, p_partkey LIMIT $topN"""
 }

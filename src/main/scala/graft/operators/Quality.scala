@@ -584,4 +584,218 @@ object Quality {
       }
     levels.mkString("\nUNION ALL\n") + "\nORDER BY level"
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the order-value
+    * distributions of urgent ('1-URGENT') and non-urgent orders — the
+    * distribution-shift alarm a curation pipeline runs between a candidate
+    * slice and the corpus it is about to join ([[chi2Of]] prices drift of
+    * CATEGORICAL mixes; this is the numeric-distribution counterpart).
+    * D = max_v |F_urgent(v) − F_rest(v)| over order value in half-up
+    * cents, emitted half-up in 1e-6 units together with the value at
+    * which the gap peaks (smallest such cents on ties) — exact integer
+    * arithmetic end to end, so the oracle compare is bit-stable.
+    *
+    * No reference analog (the reference validates dtypes, not
+    * distributions; `/root/reference/src/etl/transform.py:40-50`).
+    *
+    * 100 TB shape: rows collapse to per-distinct-cents (a, b) counts with
+    * one map-side-combined aggregate — the CDF frame is value-domain-
+    * sized, not row-sized. The running sums are TWO-LEVEL: $1k-bucket
+    * subtotals take a catalog-sized global window, then within-bucket
+    * cumulatives run under partitionBy(bucket), so no single task ever
+    * sorts the whole value domain (the same pattern as
+    * [[Dedup.substringSpans]]' salted hot-gram count). Counts stay under
+    * the 2e6-scale overflow line until ~4.6e12 rows per side.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cells = Tables.spread(s, dir, "orders")
+      .select(
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("urgent"), lit(1L)).otherwise(lit(0L))).as("a"),
+        sum(when(col("urgent"), lit(0L)).otherwise(lit(1L))).as("b"))
+      .withColumn("bkt", expr("v DIV 100000"))
+    val bktPre = cells.groupBy(col("bkt"))
+      .agg(sum(col("a")).as("ba"), sum(col("b")).as("bb"))
+      .select(col("bkt"),
+        coalesce(sum(col("ba")).over(wB), lit(0L)).as("pa"),
+        coalesce(sum(col("bb")).over(wB), lit(0L)).as("pb"))
+    val totals = cells.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val gaps = cells
+      .join(broadcast(bktPre), Seq("bkt"))
+      .withColumn("ca", col("pa") + sum(col("a")).over(wV))
+      .withColumn("cb", col("pb") + sum(col("b")).over(wV))
+      .crossJoin(broadcast(totals))
+      .withColumn("gap", abs(
+        expr("(2000000 * ca + n1) DIV (2 * n1)") -
+          expr("(2000000 * cb + n2) DIV (2 * n2)")))
+    val peak = gaps.agg(max(col("gap")).as("d_1e6"),
+      count(lit(1)).as("n_values"))
+    gaps.crossJoin(broadcast(peak))
+      .filter(col("gap") === col("d_1e6"))
+      .groupBy(col("n1"), col("n2"), col("n_values"), col("d_1e6"))
+      .agg(min(col("v")).as("v_at_max_cents"))
+      .select(col("n1").as("n_urgent"), col("n2").as("n_rest"),
+        col("n_values"), col("d_1e6"), col("v_at_max_cents"))
+  }
+
+  /** [[ksDrift]] as portable SQL (DuckDB oracle / Spark twin); `div` is
+    * the integer-division spelling. Every output casts to BIGINT because
+    * DuckDB promotes sum() and its window form to HUGEINT.
+    */
+  private[graft] def ksDriftSql(div: String): String =
+    s"""WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS b
+            FROM orders GROUP BY 1),
+       t AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM c),
+       g AS (SELECT v,
+               abs((2000000 * sum(a) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n1)
+                     $div (2 * n1)
+                 - (2000000 * sum(b) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n2)
+                     $div (2 * n2)) AS gap
+             FROM c CROSS JOIN t),
+       m AS (SELECT max(gap) AS d_1e6, count(*) AS n_values FROM g)
+       SELECT CAST(t.n1 AS BIGINT) AS n_urgent,
+              CAST(t.n2 AS BIGINT) AS n_rest,
+              CAST(m.n_values AS BIGINT) AS n_values,
+              CAST(m.d_1e6 AS BIGINT) AS d_1e6,
+              CAST(min(g.v) AS BIGINT) AS v_at_max_cents
+       FROM g CROSS JOIN m CROSS JOIN t WHERE g.gap = m.d_1e6
+       GROUP BY t.n1, t.n2, m.n_values, m.d_1e6"""
+
+  /** Benford first-significant-digit audit over order values — the
+    * classic fabricated-data screen: naturally-occurring multi-scale
+    * amounts follow P(d) = log10(1 + 1/d), and a synthetic or truncated
+    * feed shows up as a large per-digit deviation. Expected shares are
+    * pinned as exact 1e-6 literals (identical constants on both engines,
+    * so no transcendental function ever reaches the compare); observed
+    * shares and deviations are half-up integer fixed point.
+    *
+    * 100 TB shape: the first digit is a projection (exact integer cents
+    * -> decimal string -> first char, deterministic on every engine,
+    * no float log10), then ONE map-side-combined aggregate to <= 9 cells;
+    * the expected-share join is a 9-row literal table.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expected = BenfordExpected1e6.toSeq
+      .map { case (d, e) => (d.toLong, e) }
+      .toDF("digit", "exp_1e6")
+    val obs = Tables.spread(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(expr(
+        """CAST(substring(CAST(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+          | + CAST(0.5 AS DOUBLE)) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val total = obs.agg(sum(col("obs")).as("n"))
+    obs.join(broadcast(expected), Seq("digit"))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_1e6", expr("(2000000 * obs + n) DIV (2 * n)"))
+      .select(col("digit"), col("obs"), col("exp_1e6"), col("obs_1e6"),
+        abs(col("obs_1e6") - col("exp_1e6")).as("dev_1e6"))
+      .orderBy(col("digit"))
+  }
+
+  /** log10(1 + 1/d) in 1e-6 fixed point, d = 1..9; sums to exactly 1e6. */
+  private val BenfordExpected1e6: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** [[benfordAudit]] as portable SQL. The expected table is a UNION ALL
+    * of literal SELECTs (portable where VALUES table syntax differs).
+    */
+  private[graft] def benfordAuditSql(div: String): String = {
+    val lits = BenfordExpected1e6.toSeq.sorted
+      .map { case (d, e) => s"SELECT $d AS digit, CAST($e AS BIGINT) AS exp_1e6" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS ($lits),
+       o AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit,
+                    count(*) AS obs
+             FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+       t AS (SELECT sum(obs) AS n FROM o)
+       SELECT o.digit,
+              CAST(o.obs AS BIGINT) AS obs,
+              e.exp_1e6,
+              CAST((2000000 * o.obs + t.n) $div (2 * t.n) AS BIGINT) AS obs_1e6,
+              CAST(abs((2000000 * o.obs + t.n) $div (2 * t.n) - e.exp_1e6)
+                   AS BIGINT) AS dev_1e6
+       FROM o JOIN e USING (digit) CROSS JOIN t
+       ORDER BY digit"""
+  }
+
+  /** Value-concentration profile of the catalog's categorical columns:
+    * per column, the Herfindahl–Hirschman concentration index over value
+    * shares (1e6 = one value owns the column, 1e6/k = k equal values)
+    * plus the top value's share — the profiling readout that flags a
+    * column as near-constant (useless as a feature / partition key) or
+    * near-uniform, without any transcendental entropy. Shares round
+    * half-up to 1e-3 FIRST and the index squares those integers, so the
+    * number is identical on every engine by construction.
+    *
+    * 100 TB shape: per column ONE map-side-combined count aggregate to a
+    * value-cardinality cell frame, a broadcast total, and a cell-sized
+    * fold; the five audited columns union at catalog size. The columns
+    * are a fixed slate for the registry face; the operator shape accepts
+    * any (table, column) list.
+    */
+  def columnHhi(s: SparkSession, dir: String): DataFrame = {
+    val slates = Seq(
+      ("orders.o_orderstatus", "orders", "o_orderstatus"),
+      ("orders.o_orderpriority", "orders", "o_orderpriority"),
+      ("documents.lang", "documents", "lang"),
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type"))
+    slates.map { case (name, tbl, c) =>
+      val cells = Tables.spread(s, dir, tbl)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val total = cells.agg(sum(col("cnt")).as("n"))
+      cells.crossJoin(broadcast(total))
+        .withColumn("share_1e3", expr("(2000 * cnt + n) DIV (2 * n)"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_distinct"),
+          max(col("share_1e3")).as("top_share_1e3"),
+          sum(col("share_1e3") * col("share_1e3")).as("hhi_1e6"))
+        .select(lit(name).as("column_name"), col("n"), col("n_distinct"),
+          col("top_share_1e3"), col("hhi_1e6"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  /** [[columnHhi]] as portable SQL. */
+  private[graft] def columnHhiSql(div: String): String = {
+    val blocks = Seq(
+      ("orders.o_orderstatus", "orders", "o_orderstatus"),
+      ("orders.o_orderpriority", "orders", "o_orderpriority"),
+      ("documents.lang", "documents", "lang"),
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type"))
+      .map { case (name, tbl, c) =>
+        s"""SELECT '$name' AS column_name,
+               CAST(t.n AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max((2000 * cnt + t.n) $div (2 * t.n)) AS BIGINT)
+                 AS top_share_1e3,
+               CAST(sum(((2000 * cnt + t.n) $div (2 * t.n))
+                        * ((2000 * cnt + t.n) $div (2 * t.n))) AS BIGINT)
+                 AS hhi_1e6
+            FROM (SELECT count(*) AS cnt FROM $tbl GROUP BY $c) v
+            CROSS JOIN (SELECT sum(cnt) AS n
+                        FROM (SELECT count(*) AS cnt FROM $tbl GROUP BY $c) i) t
+            GROUP BY t.n"""
+      }
+    blocks.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+  }
 }

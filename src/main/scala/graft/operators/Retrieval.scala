@@ -178,4 +178,216 @@ object Retrieval {
         min(col("start_pos")).cast("long").as("first_pos"))
       .orderBy(col("doc_id"))
   }
+
+  /** Retrieval-quality evaluation: recall@k, hit-rate@k, and MRR of the
+    * BM25 ranker against EXACT near-duplicate ground truth. Every doc
+    * with a threshold-Jaccard partner ([[Dedup.prefixFilterJaccard]],
+    * the exact PPJoin — no sketch error in the truth set) becomes a
+    * query; its partners are the relevant set; the ranker must surface
+    * them. This is the eval harness a retrieval-backed curation pipeline
+    * runs before trusting a ranker for eval-set mining or RAG corpus
+    * construction — and the lexical sibling of [[Dedup.dedupRecallReport]]
+    * (there the system under test is the LSH pipeline; here it is BM25).
+    *
+    * All metrics exact-integer: recall/hit-rate half-up 1e-4; MRR sums
+    * per-query half-up reciprocal ranks (1e6) then one half-up mean —
+    * the oracle replicates the identical two-stage rounding.
+    *
+    * Scale shape: the truth derivation and the BM25 index each pay their
+    * documented shuffles (see prefixFilterJaccard / bm25TopK); past
+    * those, the eval itself is query-count-sized — hits are a rank-frame
+    * join against the relevance pairs, and the @k fan-out is a
+    * constant-width non-equi join over catalog-sized frames.
+    */
+  def retrievalEval(s: SparkSession, dir: String,
+                    ks: Seq[Int] = Seq(1, 5, 10),
+                    maxDfPermille: Int = 800, k1Milli: Int = 1200,
+                    bMilli: Int = 750): DataFrame = {
+    import s.implicits._
+    val kMax = ks.max
+    val truth = Dedup.prefixFilterJaccard(s, dir)
+    val rel = truth.select(col("doc_a").as("query_id"), col("doc_b").as("rel_id"))
+      .union(truth.select(col("doc_b").as("query_id"), col("doc_a").as("rel_id")))
+      .localCheckpoint(true) // O(near-dup pairs); three consumers
+    val qids = rel.select("query_id").distinct()
+    val ranked = rankedForQueries(s, dir, qids, kMax, maxDfPermille,
+      k1Milli, bMilli)
+
+    val hits = ranked.join(rel,
+        ranked("query_id") === rel("query_id") &&
+        ranked("doc_id") === rel("rel_id"))
+      .select(ranked("query_id"), col("rank"))
+      .localCheckpoint(true) // tiny; read once per k band + first-rank
+    val first = hits.groupBy(col("query_id")).agg(min(col("rank")).as("first_rank"))
+    val totals = qids.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(rel.agg(count(lit(1)).as("n_relevant")))
+    val kFrame = ks.map(_.toLong).toDF("k")
+    val hitsK = kFrame.join(broadcast(hits), col("rank") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+    val rrK = kFrame.join(broadcast(first), col("first_rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_q_hit"),
+        sum(expr("(2000000 + first_rank) DIV (2 * first_rank)")).as("sum_rr"))
+    kFrame
+      .join(hitsK, Seq("k"), "left")
+      .join(rrK, Seq("k"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n_queries"), col("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST((20000 * coalesce(n_hits, 0) + n_relevant) DIV (2 * n_relevant) AS BIGINT)")
+          .as("recall_1e4"),
+        expr("CAST((20000 * coalesce(n_q_hit, 0) + n_queries) DIV (2 * n_queries) AS BIGINT)")
+          .as("hit_rate_1e4"),
+        expr("CAST((2 * coalesce(sum_rr, 0) + n_queries) DIV (2 * n_queries) AS BIGINT)")
+          .as("mrr_1e6"))
+      .orderBy(col("k"))
+  }
+
+  /** The eval's ranking frame (query_id, rank, doc_id) for the spec's
+    * in-memory metric recompute — ground-truth queries, BM25 top-kMax.
+    */
+  private[graft] def retrievalRankedForTest(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val truth = Dedup.prefixFilterJaccard(s, dir)
+    val qids = truth.select(col("doc_a").as("query_id"))
+      .union(truth.select(col("doc_b").as("query_id"))).distinct()
+    rankedForQueries(s, dir, qids, 10, 800, 1200, 750)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
+  /** The bm25TopK scoring chain with the query set joined in rather than
+    * id-range-filtered (an eval's queries are wherever its truth pairs
+    * landed). Same scale shape as [[bm25TopK]].
+    */
+  private def rankedForQueries(s: SparkSession, dir: String, qids: DataFrame,
+                               kMax: Int, maxDfPermille: Int, k1Milli: Int,
+                               bMilli: Int): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(expr(TextAnalysis.TokensExpr)).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .filter(expr(s"df * 1000 <= n_docs * $maxDfPermille"))
+      .select(col("tok"), col("df"))
+    val idx = tf.join(dfTab.hint("shuffle_hash"), Seq("tok"))
+    val qterms = idx.join(broadcast(qids), idx("doc_id") === qids("query_id"))
+      .select(col("query_id"), col("tok"))
+    val ranked = idx.join(broadcast(qterms), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl.hint("shuffle_hash"), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", expr(
+        "CAST((2 * (n_docs - df) + 1) * CAST(1000000 AS BIGINT) div (2 * df + 1) AS BIGINT)"))
+      .withColumn("norm_milli", expr(
+        s"CAST(1000 - $bMilli + ($bMilli * dl * n_docs) div total_tokens AS BIGINT)"))
+      .withColumn("tf_micro", expr(
+        s"""CAST((tf * (${k1Milli + 1000}) * CAST(1000000000 AS BIGINT))
+             div (tf * 1000000 + $k1Milli * norm_milli) AS BIGINT)"""))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("(idf_micro * tf_micro) div 1000000")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= kMax)
+    ranked
+  }
+
+  /** [[retrievalEval]] as SQL for either engine — the exact-truth CTEs,
+    * the BM25 chain, and the @k readout in one statement (`duck` toggles
+    * unnest/explode, len/size, list/array shingling, and // vs DIV).
+    */
+  private[graft] def retrievalEvalSql(duck: Boolean, ks: Seq[Int],
+                                      maxDfPermille: Int, k1Milli: Int,
+                                      bMilli: Int): String = {
+    val div = if (duck) "//" else "DIV"
+    val toks =
+      if (duck) "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+      else "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
+    val shd =
+      if (duck)
+        """shd AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                FROM d WHERE len(ws) >= 3)"""
+      else
+        """shd AS (SELECT doc_id, array_distinct(transform(sequence(1, size(ws) - 2),
+                i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))) AS sh
+                FROM d WHERE size(ws) >= 3)"""
+    val sz = if (duck) "len" else "size"
+    val un = if (duck) "unnest" else "explode"
+    val kList =
+      if (duck) s"SELECT unnest([${ks.mkString(", ")}]) AS k"
+      else s"SELECT explode(array(${ks.mkString(", ")})) AS k"
+    val kMax = ks.max
+    s"""WITH d AS (SELECT doc_id, $toks AS ws FROM documents),
+       $shd,
+       ex AS (SELECT doc_id, CAST($sz(sh) AS BIGINT) AS n_sh, $un(sh) AS shingle FROM shd),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+                 FROM ex a JOIN ex b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+       tp AS (SELECT doc_a, doc_b FROM pairs
+              WHERE (20000 * common + (na + nb - common))
+                    $div (2 * (na + nb - common)) >= 5000),
+       rel AS (SELECT doc_a AS query_id, doc_b AS rel_id FROM tp
+               UNION ALL SELECT doc_b AS query_id, doc_a AS rel_id FROM tp),
+       q AS (SELECT DISTINCT query_id FROM rel),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+              (SELECT doc_id, $un(ws) AS tok FROM d)
+              GROUP BY doc_id, tok),
+       dlt AS (SELECT doc_id, CAST($sz(ws) AS BIGINT) AS dl FROM d),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dlt),
+       dfb AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok
+               HAVING count(*) * 1000 <= (SELECT n_docs FROM st) * $maxDfPermille),
+       idx AS (SELECT t.doc_id, t.tok, t.tf, f.df FROM tf t JOIN dfb f USING (tok)),
+       qt AS (SELECT i.doc_id AS query_id, i.tok FROM idx i
+              JOIN q ON q.query_id = i.doc_id),
+       sc AS (SELECT qq.query_id, i.doc_id,
+              CAST(sum(
+                (((2 * (st.n_docs - i.df) + 1) * CAST(1000000 AS BIGINT) $div (2 * i.df + 1))
+                 * ((i.tf * ${k1Milli + 1000} * CAST(1000000000 AS BIGINT))
+                    $div (i.tf * 1000000 + $k1Milli *
+                       (1000 - $bMilli + ($bMilli * dlt.dl * st.n_docs) $div st.total_tokens))))
+                $div 1000000) AS BIGINT) AS score_micro
+              FROM idx i JOIN qt qq USING (tok)
+              JOIN dlt ON dlt.doc_id = i.doc_id CROSS JOIN st
+              WHERE i.doc_id <> qq.query_id
+              GROUP BY qq.query_id, i.doc_id),
+       rk AS (SELECT query_id, doc_id, rank FROM (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+              FROM sc) r WHERE rank <= $kMax),
+       hits AS (SELECT rk.query_id, rk.rank FROM rk
+                JOIN rel ON rel.query_id = rk.query_id
+                        AND rel.rel_id = rk.doc_id),
+       fh AS (SELECT query_id, min(rank) AS first_rank FROM hits GROUP BY query_id),
+       tot AS (SELECT (SELECT count(*) FROM q) AS n_queries,
+                      (SELECT count(*) FROM rel) AS n_relevant),
+       kv AS ($kList),
+       hk AS (SELECT kv.k, count(*) AS n_hits FROM kv
+              JOIN hits ON hits.rank <= kv.k GROUP BY kv.k),
+       rr AS (SELECT kv.k, count(*) AS n_q_hit,
+                     sum((2000000 + first_rank) $div (2 * first_rank)) AS sum_rr
+              FROM kv JOIN fh ON fh.first_rank <= kv.k GROUP BY kv.k)
+       SELECT CAST(kv.k AS BIGINT) AS k,
+              CAST(t.n_queries AS BIGINT) AS n_queries,
+              CAST(t.n_relevant AS BIGINT) AS n_relevant,
+              CAST(coalesce(hk.n_hits, 0) AS BIGINT) AS n_hits,
+              CAST((20000 * coalesce(hk.n_hits, 0) + t.n_relevant)
+                   $div (2 * t.n_relevant) AS BIGINT) AS recall_1e4,
+              CAST((20000 * coalesce(rr.n_q_hit, 0) + t.n_queries)
+                   $div (2 * t.n_queries) AS BIGINT) AS hit_rate_1e4,
+              CAST((2 * coalesce(rr.sum_rr, 0) + t.n_queries)
+                   $div (2 * t.n_queries) AS BIGINT) AS mrr_1e6
+       FROM kv CROSS JOIN tot t
+       LEFT JOIN hk ON hk.k = kv.k
+       LEFT JOIN rr ON rr.k = kv.k
+       ORDER BY k"""
+  }
 }

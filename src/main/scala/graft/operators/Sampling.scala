@@ -119,4 +119,60 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("mixed_tokens"))
       .orderBy(col("source"))
   }
+
+  /** Class-balanced downsample: every language keeps exactly
+    * min-class-count documents, chosen in deterministic md5(doc_id)
+    * order — the rebalancing pass a classifier-training pipeline runs so
+    * the majority language cannot drown the tail (the per-CLASS
+    * counterpart of [[exactNPerSource]]'s fixed quota: here the quota is
+    * DERIVED from the rarest class, so the output is balanced by
+    * construction under feed growth). Emits the per-language census plus
+    * the kept-id checksum, so the selection itself — not just its size —
+    * is oracle-pinned.
+    *
+    * 100 TB shape: the quota is a two-level aggregate (per-lang counts,
+    * catalog-sized, then one min — broadcast back); the rank is one
+    * per-lang window. Language partitions are skewed by nature — at
+    * scale, when the quota is small relative to the majority class, the
+    * rank pass should swap to the map-side-combining TopK aggregator
+    * ([[graft.functions.TopKAggregator]]) keyed by lang, which bounds
+    * per-task state at quota size instead of sorting whole classes; the
+    * window form here keeps the registry face declarative.
+    */
+  def balancedDownsample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+    val docs = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("md5(CAST(doc_id AS STRING))").as("hkey"))
+    val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("n_keep"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(quota))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= col("n_keep"), lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"),
+        sum(when(col("rk") <= col("n_keep"), col("doc_id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** [[balancedDownsample]] as portable SQL (CAST AS STRING and md5 agree
+    * on both engines; sums cast BIGINT against DuckDB HUGEINT promotion).
+    */
+  private[graft] def balancedDownsampleSql: String =
+    """WITH r AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+             FROM documents),
+       q AS (SELECT min(cnt) AS n_keep
+             FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang) c)
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN rk <= n_keep THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN rk <= n_keep THEN doc_id ELSE 0 END)
+                   AS BIGINT) AS kept_id_sum
+       FROM r CROSS JOIN q GROUP BY lang ORDER BY lang"""
 }

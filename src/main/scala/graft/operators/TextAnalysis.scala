@@ -1363,4 +1363,222 @@ object TextAnalysis {
         expr("(20000 * n_novel + n_sh) DIV (2 * n_sh)").as("novelty_1e4"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source readability profile — Flesch-reading-ease shape over
+    * corpus-level word/sentence/syllable tallies, entirely in portable
+    * integer fixed point: syllables are vowel-run counts ([aeiouy]+
+    * groups, the standard cheap estimator), sentences are terminal-
+    * punctuation runs (min 1 per doc so headline-style docs do not
+    * divide by zero), and the score is 206.835 - 1.015*(words/sentence)
+    * - 84.6*(syllables/word) priced half-up at 1e-3 from half-up 1e-4
+    * ratios. The readability gate sits next to [[textQuality]] in a
+    * curation funnel: quality flags boilerplate and junk, readability
+    * flags audience mismatch.
+    *
+    * 100 TB shape: all three tallies are codegen'd regexp projections
+    * folded by ONE map-side-combined aggregate to |sources| cells; the
+    * fixed-point division happens on the cell frame.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select(col("source"),
+        expr(s"CAST(size($TokensExpr) AS BIGINT)").as("w"),
+        expr("""CAST(greatest(size(regexp_extract_all(coalesce(text, ''),
+               '[.!?]+', 0)), 1) AS BIGINT)""").as("sent"),
+        expr("""CAST(size(regexp_extract_all(lower(coalesce(text, '')),
+               '[aeiouy]+', 0)) AS BIGINT)""").as("syl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("sent")).as("sentences"), sum(col("syl")).as("syllables"))
+      .withColumn("wps_1e4",
+        expr("(20000 * words + sentences) DIV (2 * sentences)"))
+      .withColumn("spw_1e4",
+        expr("(20000 * syllables + greatest(words, 1)) DIV (2 * greatest(words, 1))"))
+      .withColumn("flesch_1e3",
+        expr("""206835 - (1015 * wps_1e4 + 5000) DIV 10000
+               - (84600 * spw_1e4 + 5000) DIV 10000"""))
+      .orderBy(col("source"))
+
+  /** [[readability]] as SQL for either engine (`duck` toggles the
+    * regexp_extract_all arity, len/size, and // vs DIV).
+    */
+  private[graft] def readabilitySql(duck: Boolean): String = {
+    val div = if (duck) "//" else "DIV"
+    val sz = if (duck) "len" else "size"
+    val rex = if (duck) "" else ", 0"
+    s"""WITH d AS (SELECT source,
+             CAST($sz(regexp_extract_all(lower(coalesce(text, '')),
+                  '[a-z0-9]+'$rex)) AS BIGINT) AS w,
+             CAST(greatest($sz(regexp_extract_all(coalesce(text, ''),
+                  '[.!?]+'$rex)), 1) AS BIGINT) AS sent,
+             CAST($sz(regexp_extract_all(lower(coalesce(text, '')),
+                  '[aeiouy]+'$rex)) AS BIGINT) AS syl
+           FROM documents),
+       c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(w) AS BIGINT) AS words,
+                    CAST(sum(sent) AS BIGINT) AS sentences,
+                    CAST(sum(syl) AS BIGINT) AS syllables
+             FROM d GROUP BY source)
+       SELECT source, n_docs, words, sentences, syllables,
+              CAST((20000 * words + sentences) $div (2 * sentences)
+                   AS BIGINT) AS wps_1e4,
+              CAST((20000 * syllables + greatest(words, 1))
+                   $div (2 * greatest(words, 1)) AS BIGINT) AS spw_1e4,
+              CAST(206835
+                - (1015 * ((20000 * words + sentences) $div (2 * sentences))
+                   + 5000) $div 10000
+                - (84600 * ((20000 * syllables + greatest(words, 1))
+                            $div (2 * greatest(words, 1)))
+                   + 5000) $div 10000 AS BIGINT) AS flesch_1e3
+       FROM c ORDER BY source"""
+  }
+
+  /** Tokenizer round-trip integrity: encode every document against the
+    * frequency-ranked top-V vocabulary ([[encodeDocs]]'s contract), then
+    * DECODE the id stream back through the vocabulary (OOV id 0 ->
+    * '<unk>') and compare the reassembly against the document's own token
+    * string — the lossless-iff-no-OOV guarantee, checked end to end
+    * rather than assumed. A mismatch on a zero-OOV doc means the id
+    * mapping itself is broken (the failure mode this audit exists to
+    * catch in a tokenizer rollout); OOV docs are tallied separately
+    * because their loss is by design.
+    *
+    * 100 TB shape: encode and decode are both broadcast joins against the
+    * V-row vocabulary; reassembly is the same per-doc sort_array
+    * aggregate as [[encodeDocs]] (payload bounded by the doc's own token
+    * count); the original string never leaves the row it came from. The
+    * verdict aggregates to |sources| cells.
+    */
+  def decodeRoundtrip(s: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val toks = tokenPositions(s, dir)
+    val vocab = vocabOf(toks, vocabSize)
+    val enc = toks.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vid"), lit(0L)).as("id"))
+    val dec = enc
+      .join(broadcast(vocab.select(col("vid").as("id"), col("w").as("tok"))),
+        Seq("id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("id") === 0L, lit(1L)).otherwise(lit(0L))).as("n_oov"),
+        expr("""array_join(transform(sort_array(collect_list(struct(pos, tok))),
+               x -> coalesce(x.tok, '<unk>')), ' ')""").as("decoded"))
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"array_join($TokensExpr, ' ')").as("orig"))
+      .join(dec, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("n_oov"), lit(0L)) > 0, lit(1L))
+          .otherwise(lit(0L))).as("n_oov_docs"),
+        sum(when(coalesce(col("decoded"), lit("")) === col("orig"), lit(1L))
+          .otherwise(lit(0L))).as("n_roundtrip_ok"))
+      .orderBy(col("source"))
+  }
+
+  /** [[decodeRoundtrip]] as SQL for either engine. The encode CTEs mirror
+    * the q_encode_docs oracle; decode re-joins the vocabulary on vid.
+    */
+  private[graft] def decodeRoundtripSql(duck: Boolean): String = {
+    val toks = if (duck)
+      "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+    else TokensExpr
+    val tokCte = if (duck)
+      """tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM d),
+         tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                        ws[CAST(pos AS INT)] AS w FROM tk)"""
+    else
+      """tok AS (SELECT doc_id, CAST(pos + 1 AS BIGINT) AS pos, w
+                 FROM d LATERAL VIEW posexplode(ws) t AS pos, w)"""
+    val agg = if (duck)
+      "string_agg(coalesce(v.w, '<unk>'), ' ' ORDER BY e.pos)"
+    else
+      """array_join(transform(sort_array(collect_list(struct(e.pos, coalesce(v.w, '<unk>') AS tk))),
+         x -> x.tk), ' ')"""
+    val orig = if (duck) "array_to_string(ws, ' ')" else "array_join(ws, ' ')"
+    s"""WITH d AS (SELECT doc_id, source, $toks AS ws FROM documents),
+       $tokCte,
+       cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+       vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w)
+                    AS BIGINT) AS vid
+                 FROM (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16) t),
+       enc AS (SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS id
+               FROM tok t LEFT JOIN vocab v ON v.w = t.w),
+       dec AS (SELECT e.doc_id,
+                      CAST(sum(CASE WHEN e.id = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_oov,
+                      $agg AS decoded
+               FROM enc e LEFT JOIN vocab v ON v.vid = e.id
+               GROUP BY e.doc_id),
+       o AS (SELECT doc_id, source, $orig AS orig FROM d)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN coalesce(n_oov, 0) > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov_docs,
+              CAST(sum(CASE WHEN coalesce(decoded, '') = orig THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_roundtrip_ok
+       FROM o LEFT JOIN dec USING (doc_id)
+       GROUP BY source ORDER BY source"""
+  }
+
+  /** Zipf-shape audit of the per-source token distribution: at rank r
+    * (1, 2, 4, ..., 64 by frequency, token-lexicographic tiebreak) the
+    * normalized product rf_ratio_1e4 = 1e4 * r * freq(r) / freq(1) —
+    * exactly 1e4 at every rank iff the source is perfectly Zipfian
+    * (freq proportional to 1/rank). Synthetic, templated, or spam-heavy
+    * sources bend this curve far from 1e4, which makes it the cheap
+    * "does this feed look like natural language" screen a corpus intake
+    * runs per source. Half-up integer fixed-point end to end — no libm
+    * log, so the cross-engine compare is bit-stable (the same reasoning
+    * as the TF-IDF integer surrogate above).
+    *
+    * 100 TB shape: the token explode collapses to per-(source, token)
+    * counts with map-side combine — the only corpus-sized shuffle. The
+    * rank window partitions BY SOURCE over that vocabulary frame
+    * (bounded by per-source distinct tokens, not corpus rows); freq(1)
+    * rides the same window as a max, no second pass.
+    */
+  def zipfProfile(s: SparkSession, dir: String,
+                  ranks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("n").desc, col("token"))
+    Tables.spread(s, dir, "documents")
+      .select(col("source"), explode(expr(TokensExpr)).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("f1", max(col("n")).over(bySrc))
+      .filter(col("rk").isin(ranks.map(_.toLong): _*))
+      .select(col("source"), col("rk"), col("token"), col("n"),
+        expr("CAST((20000 * rk * n + f1) DIV (2 * f1) AS BIGINT)")
+          .as("rf_ratio_1e4"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** [[zipfProfile]] as SQL for either engine (`duck` toggles the
+    * regexp_extract_all arity, unnest-vs-explode, and // vs DIV).
+    */
+  private[graft] def zipfProfileSql(duck: Boolean,
+                                    ranks: Seq[Int]): String = {
+    val div = if (duck) "//" else "DIV"
+    val rex = if (duck) "" else ", 0"
+    val tok =
+      if (duck)
+        s"""SELECT source, unnest(regexp_extract_all(lower(coalesce(text, '')),
+              '[a-z0-9]+')) AS token FROM documents"""
+      else
+        s"""SELECT source, explode(regexp_extract_all(lower(coalesce(text, '')),
+              '[a-z0-9]+', 0)) AS token FROM documents"""
+    s"""WITH tok AS ($tok),
+       tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY source, token),
+       r AS (SELECT source, token, n,
+                    CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY n DESC, token) AS BIGINT) AS rk,
+                    CAST(max(n) OVER (PARTITION BY source) AS BIGINT) AS f1
+             FROM tf)
+       SELECT source, rk, token, n,
+              CAST((20000 * rk * n + f1) $div (2 * f1) AS BIGINT)
+                AS rf_ratio_1e4
+       FROM r WHERE rk IN (${ranks.mkString(", ")})
+       ORDER BY source, rk"""
+  }
 }

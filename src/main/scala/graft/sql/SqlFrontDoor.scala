@@ -2787,6 +2787,28 @@ object SqlFrontDoor {
       graft.operators.Mining.pagerankSql("DIV",
         graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.pagerankIters),
 
+    // same generated text as the oracle with DIV for //
+    "q_clustering_coeff" ->
+      graft.operators.Mining.clusteringCoeffSql("DIV",
+        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.coeffMinDeg,
+        graft.SparkEntry.Basket.topK),
+
+    // explode-vs-unnest tokenizer + DIV are the only dialect points
+    "q_zipf_profile" ->
+      graft.operators.TextAnalysis.zipfProfileSql(duck = false,
+        Seq(1, 2, 4, 8, 16, 32, 64)),
+
+    // same generated text as the oracle with DIV for //
+    "q_winsorized_stats" ->
+      graft.operators.Analytics.winsorizedStatsSql("DIV"),
+
+    // shared template; dialect points are unnest/explode, len/size,
+    // list/array shingling, and // vs DIV
+    "q_retrieval_eval" ->
+      graft.operators.Retrieval.retrievalEvalSql(duck = false, Seq(1, 5, 10),
+        graft.SparkEntry.Bm25.maxDfPermille, graft.SparkEntry.Bm25.k1Milli,
+        graft.SparkEntry.Bm25.bMilli),
+
     // same generated text as the oracle; dialect points are
     // date_format/dayofweek-1 and the hour grid (explode(sequence))
     "q_seasonal_anomaly" ->
@@ -2830,7 +2852,27 @@ object SqlFrontDoor {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))",
         """SELECT label, is_ref, CAST(pos + 1 AS BIGINT) AS dim, c
            FROM e LATERAL VIEW posexplode(code) t AS pos, c""",
-        "DIV", graft.operators.Sampling.hexThreshold(0.8))
+        "DIV", graft.operators.Sampling.hexThreshold(0.8)),
+
+    // same generated KS text as the oracle with DIV for //
+    "q_ks_drift" -> graft.operators.Quality.ksDriftSql("DIV"),
+
+    // same generated Benford text as the oracle with DIV for //
+    "q_benford_audit" -> graft.operators.Quality.benfordAuditSql("DIV"),
+
+    // same generated HHI text as the oracle with DIV for //
+    "q_column_hhi" -> graft.operators.Quality.columnHhiSql("DIV"),
+
+    // same generated attribution text as the oracle with DIV for //
+    "q_attribution_position" ->
+      graft.operators.Analytics.positionAttributionSql("DIV"),
+
+    // same generated readability text, Spark dialect knobs
+    "q_readability" -> graft.operators.TextAnalysis.readabilitySql(duck = false),
+
+    // same generated round-trip text, Spark dialect knobs
+    "q_decode_roundtrip" ->
+      graft.operators.TextAnalysis.decodeRoundtripSql(duck = false)
   )
 
   /** The incremental-curation queries' SQL surface is the from-scratch
@@ -2867,7 +2909,8 @@ object SqlFrontDoor {
     "q_market_basket", "q_pareto_frontier", "q_join_size_estimate",
     "q_bitmap_distinct_users", "q_bitmap_overlap", "q_theta_set_ops",
     "q_snapshot_diff", "q_bfs_levels", "q_image_near_dup",
-    "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join")
+    "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
+    "q_balanced_downsample", "q_connected_components")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

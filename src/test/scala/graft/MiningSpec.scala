@@ -379,6 +379,110 @@ class MiningSpec extends SparkTestBase {
     assert(got.map(_._2).sum == nodes.size.toLong)
   }
 
+  test("connected components match the in-memory bounded label propagation") {
+    // faithful independent recompute of the CONTRACT: synchronous min-label
+    // propagation for exactly ccRounds rounds (bounded-round semantics is
+    // the spec — parity must hold whether or not the flood converged)
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Int]()
+      .withDefaultValue(0)
+    inc.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .filter(_._2.size <= 8)
+      .foreach { case (_, items) =>
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          pairCounts((items(i), items(j))) += 1
+      }
+    // iterator first: collect on a Map whose output is itself a Tuple2
+    // would rebuild a MAP keyed by the pair's first element, silently
+    // collapsing every edge that shares a left endpoint
+    val edges = pairCounts.iterator.collect { case (e, c) if c >= 2 => e }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val nodes = adj.keySet.toSet
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 12)
+      lab = nodes.map(n => n -> (adj(n) + n).map(lab).min).toMap
+    val want = lab.values.groupBy(identity).toSeq
+      .map { case (c, g) => (c, g.size.toLong) }
+      .sortBy { case (c, n) => (-n, c) }.take(25)
+    val got = Mining.connectedComponents(spark, Sf, maxItems = 8,
+        minCo = 2, rounds = 12, topN = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // census conserves nodes when the census is smaller than topN
+    if (got.size < 25) assert(got.map(_._2).sum == nodes.size.toLong)
+    // every component label is a real node id (labels only move DOWN the
+    // id order, so a label that is not a node would mean invented mass)
+    got.foreach { case (c, _) => assert(nodes.contains(c)) }
+  }
+
+  test("clustering coefficient matches the in-memory per-node recompute") {
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = inc.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .filter(_._2.size <= 8)
+      .flatMap { case (_, items) =>
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          yield (items(i), items(j))
+      }.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val perNode = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      (adj(u) intersect adj(v)).filter(_ > v).foreach { w =>
+        perNode(u) += 1; perNode(v) += 1; perNode(w) += 1
+      }
+    }
+    val want = adj.toSeq.collect { case (n, nb) if nb.size >= 2 =>
+      val deg = nb.size.toLong
+      val tri = perNode(n)
+      val denom = deg * (deg - 1)
+      (n, deg, tri, (4000000L * tri + denom) / (2 * denom))
+    }.sortBy { case (n, _, _, c) => (-c, n) }.take(25)
+    val got = Mining.clusteringCoeff(spark, Sf, maxItems = 8,
+        minDeg = 2, topN = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // a coefficient is a ratio of realized to possible neighbor links
+    got.foreach { case (_, _, _, c) => assert(c >= 0L && c <= 1000000L) }
+  }
+
+  test("winsorized mean sits between the raw mean and the median side") {
+    val rows = Analytics.winsorizedStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val p05 = r.getLong(2); val p95 = r.getLong(3)
+      val clamped = r.getLong(4); val wm = r.getLong(5)
+      assert(p05 <= p95)
+      assert(wm >= p05 && wm <= p95) // clamped values span [p05, p95]
+      assert(clamped >= 0L && clamped <= n)
+    }
+    // independent recompute of one priority's winsorized mean
+    val cents = Tables.load(spark, Sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_totalprice")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong).sorted
+    val n = cents.length.toLong
+    val p05 = cents(((n + 19) / 20 - 1).toInt)
+    val p95 = cents(((19 * n + 19) / 20 - 1).toInt)
+    val s = cents.map(c => math.min(math.max(c, p05), p95)).sum
+    val want = (2 * s + n) / (2 * n)
+    val got = rows.find(_.getString(0) == "1-URGENT").get
+    assert(got.getLong(2) == p05 && got.getLong(3) == p95)
+    assert(got.getLong(5) == want)
+  }
+
   test("cusum matches the in-memory recurrence and clamps at zero") {
     val daily = Tables.events(spark, Sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

@@ -2416,4 +2416,69 @@ class OperatorSpec extends SparkTestBase {
       .selectExpr("user_id", "date_format(ts, 'yyyy-MM-dd') AS day").distinct().count()
     assert(out.map(_.getAs[Long]("n_active")).sum == ud)
   }
+
+  test("zipf profile matches the in-memory rank recompute and anchors at 1e4") {
+    val out = graft.operators.TextAnalysis.zipfProfile(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // rank 1 is its own anchor: 1e4 * 1 * f1 / f1 == 1e4 exactly
+    out.filter(_.getAs[Long]("rk") == 1L)
+      .foreach(r => assert(r.getAs[Long]("rf_ratio_1e4") == 10000L))
+    // independent recompute for one source
+    val src = out.head.getAs[String]("source")
+    val toks = graft.sources.Tables.load(spark, Sf, "documents")
+      .filter(col("source") === src)
+      .selectExpr(s"explode(${graft.operators.TextAnalysis.TokensExpr}) AS t")
+      .collect().map(_.getString(0))
+    val byFreq = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val f1 = byFreq.head._2
+    val want = Seq(1, 2, 4, 8, 16, 32, 64).filter(_ <= byFreq.size).map { r =>
+      val (t, n) = byFreq(r - 1)
+      (r.toLong, t, n, (20000L * r * n + f1) / (2 * f1))
+    }
+    val got = out.filter(_.getAs[String]("source") == src)
+      .map(r => (r.getAs[Long]("rk"), r.getAs[String]("token"),
+        r.getAs[Long]("n"), r.getAs[Long]("rf_ratio_1e4"))).toSeq
+    assert(got == want)
+    // frequencies are non-increasing down the ranks
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 >= b._3)
+      case _ =>
+    }
+  }
+
+  test("retrieval eval metrics recompute from the truth and rank frames") {
+    val out = graft.operators.Retrieval.retrievalEval(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out.map(_._1) == Seq(1L, 5L, 10L))
+    // recompute the metrics in memory from the two green constituents:
+    // the exact truth pairs and a BM25 ranking restricted to truth queries
+    val truth = graft.operators.Dedup.prefixFilterJaccard(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rel = (truth.map { case (a, b) => (a, b) } ++
+      truth.map { case (a, b) => (b, a) }).toSeq
+    val relByQ = rel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nQ = relByQ.size.toLong
+    val nRel = rel.size.toLong
+    val ranked = graft.operators.Retrieval.retrievalRankedForTest(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (k, nq, nr, nh, rec, hit, mrr) =>
+      assert(nq == nQ && nr == nRel)
+      val hits = ranked.filter { case (q, rank, d) =>
+        rank <= k && relByQ.getOrElse(q, Set.empty).contains(d) }
+      assert(nh == hits.length.toLong)
+      assert(rec == (20000L * nh + nRel) / (2 * nRel))
+      val firsts = hits.groupBy(_._1).view.mapValues(_.map(_._2).min).values.toSeq
+      assert(hit == (20000L * firsts.size + nQ) / (2 * nQ))
+      val sumRr = firsts.map(r => (2000000L + r) / (2 * r)).sum
+      assert(mrr == (2 * sumRr + nQ) / (2 * nQ))
+    }
+    // metrics are monotone non-decreasing in k
+    out.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._4 <= b._4 && a._5 <= b._5 && a._6 <= b._6 && a._7 <= b._7)
+      case _ =>
+    }
+  }
 }

@@ -414,7 +414,14 @@ object SparkEntry {
         Basket.topK)),
     "q_zipf_profile" -> (TextAnalysis.zipfProfile(_, _)),
     "q_winsorized_stats" -> (Analytics.winsorizedStats(_, _)),
-    "q_retrieval_eval" -> (Retrieval.retrievalEval(_, _))
+    "q_retrieval_eval" -> (Retrieval.retrievalEval(_, _)),
+    "q_dup_flow" -> (Dedup.dupFlow(_, _)),
+    "q_split_leakage" -> (Curation.splitLeakage(_, _)),
+    "q_selection_gain" -> (Curation.selectionGain(_, _)),
+    "q_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
+    "q_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
+    "q_journey_trigrams" -> (Analytics.journeyTrigrams(_, _)),
+    "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -3929,6 +3936,137 @@ object SparkEntry {
     // BM25 recall/MRR against the exact PPJoin near-dup ground truth
     "q_retrieval_eval" ->
       operators.Retrieval.retrievalEvalSql(duck = true, Seq(1, 5, 10),
-        Bm25.maxDfPermille, Bm25.k1Milli, Bm25.bMilli)
+        Bm25.maxDfPermille, Bm25.k1Milli, Bm25.bMilli),
+
+    // which feed copies which: exact near-dup pairs per source pair
+    "q_dup_flow" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM shd),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         tp AS (SELECT doc_a, doc_b FROM pairs
+                WHERE (20000 * common + (na + nb - common))
+                      // (2 * (na + nb - common)) >= 5000)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM tp JOIN documents da ON da.doc_id = tp.doc_a
+                 JOIN documents db ON db.doc_id = tp.doc_b
+         GROUP BY 1, 2 ORDER BY source_a, source_b""",
+
+    // near-dup pairs classified by the md5 train/valid/test split of
+    // their endpoints; off-diagonal rows are evaluation contamination
+    "q_split_leakage" ->
+      s"""WITH $ShinglesCte,
+         ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS shingle FROM shd),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         tp AS (SELECT doc_a, doc_b FROM pairs
+                WHERE (20000 * common + (na + nb - common))
+                      // (2 * (na + nb - common)) >= 5000),
+         lab AS (SELECT
+           CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)
+                     < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)
+                     < '${Sampling.hexThreshold(0.9)}' THEN 'valid'
+                ELSE 'test' END AS sa,
+           CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)
+                     < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)
+                     < '${Sampling.hexThreshold(0.9)}' THEN 'valid'
+                ELSE 'test' END AS sb
+           FROM tp)
+         SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb)
+                          THEN 1 ELSE 0 END AS INTEGER) AS leak
+         FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b""",
+
+    // quality-selection gain curve: the oracle states the NAIVE global
+    // row_number; the operator's range-partitioned distributed rank must
+    // be result-invisible (the revenueLorenz contract)
+    "q_selection_gain" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+         m AS (SELECT doc_id, text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
+           FROM t),
+         d AS (SELECT doc_id, n_tokens,
+           coalesce(CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+             CAST(floor(
+               least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+               * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+               * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END,
+             CAST(-1 AS BIGINT)) AS q
+           FROM m),
+         r AS (SELECT doc_id, n_tokens, q,
+                      CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rank,
+                      CAST(count(*) OVER () AS BIGINT) AS n,
+                      CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+               FROM d),
+         g AS (SELECT (10 * (n - rank)) // n AS decile,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
+                      CAST(min(q) AS BIGINT) AS min_quality_1e4,
+                      CAST(max(total_tokens) AS BIGINT) AS total_tokens
+               FROM r GROUP BY 1)
+         SELECT CAST(decile AS BIGINT) AS decile, n_docs, tokens_sum,
+                min_quality_1e4,
+                CAST(sum(tokens_sum) OVER (ORDER BY decile) AS BIGINT)
+                  AS cum_tokens,
+                CAST((20000 * sum(tokens_sum) OVER (ORDER BY decile)
+                      + total_tokens) // (2 * total_tokens) AS BIGINT)
+                  AS cum_share_1e4
+         FROM g ORDER BY decile""",
+
+    // declared-vs-detected language confusion matrix
+    "q_lang_confusion" -> operators.TextAnalysis.langConfusionSql(duck = true),
+
+    // token-share drift between the first 80% and trailing 20% by doc_id
+    "q_vocab_drift" ->
+      operators.TextAnalysis.vocabDriftSql(duck = true, 20, 25),
+
+    // three-step journey mining; fully portable text
+    "q_journey_trigrams" -> operators.Analytics.journeyTrigramsSql(25),
+
+    // scene cuts predicted from the GIF generation formula; the Spark
+    // side detects them on the REAL decoded frames (the q_frame_features
+    // decode-vs-prediction contract, extended to the lag structure)
+    "q_shot_boundaries" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         p AS (SELECT doc_id,
+                 CAST((ascii(substr(hx, 3, 1)) % 50) * 4 AS BIGINT) AS base,
+                 CAST(2 + (ascii(substr(hx, 4, 1)) % 3) AS INTEGER) AS n_frames
+               FROM m),
+         sampled AS (SELECT DISTINCT doc_id, base, n_frames,
+                       CAST((n_frames * t.i) // 3 AS INTEGER) AS frame_idx
+                     FROM p, range(0, 3) t(i)),
+         f AS (SELECT doc_id, frame_idx,
+                      CAST(base + 8 * frame_idx AS BIGINT) AS gray_level
+               FROM sampled),
+         lagged AS (SELECT doc_id, frame_idx, gray_level,
+                      lag(gray_level) OVER (PARTITION BY doc_id
+                        ORDER BY frame_idx) AS prev
+                    FROM f),
+         cuts AS (SELECT doc_id, frame_idx,
+                    CASE WHEN prev IS NOT NULL
+                              AND abs(gray_level - prev) * 16 >= prev
+                         THEN 1 ELSE 0 END AS cut
+                  FROM lagged)
+         SELECT doc_id AS asset_id,
+                CAST(count(*) AS BIGINT) AS n_sampled,
+                CAST(sum(cut) AS BIGINT) AS n_boundaries,
+                CAST(coalesce(min(CASE WHEN cut = 1 THEN frame_idx END), -1)
+                     AS BIGINT) AS first_cut_idx
+         FROM cuts GROUP BY doc_id ORDER BY asset_id"""
   )
 }

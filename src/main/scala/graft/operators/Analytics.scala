@@ -2433,4 +2433,45 @@ object Analytics {
                 AS win_mean_cents
        FROM b JOIN m ON m.priority = b.priority
        ORDER BY b.priority"""
+
+  /** Top user-journey trigrams: the most common three-step event-type
+    * sequences over each user's time-ordered stream — one step up from
+    * [[eventTransitions]]' bigram matrix, and the shape session-path
+    * mining uses to find the routes worth optimizing. Deterministic
+    * ordering: (ts, event_id) within user, count desc / lexicographic
+    * tiebreak on the trigram.
+    *
+    * 100 TB shape: the lead windows ride ONE user-keyed shuffle+sort
+    * (both leads share the window spec, so Catalyst plans one exchange +
+    * one sort); the trigram count is map-side combinable; top-K is
+    * TakeOrderedAndProject. A whale user bounds the sort task, not the
+    * count.
+    */
+  def journeyTrigrams(s: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topN)
+  }
+
+  /** The trigram statement — fully portable text (lead + window are
+    * spelled identically in DuckDB and Spark).
+    */
+  private[graft] def journeyTrigramsSql(topN: Int): String =
+    s"""WITH t AS (SELECT user_id, event_type,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS e2,
+              lead(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS e3
+            FROM events)
+       SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+       FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       GROUP BY event_type, e2, e3
+       ORDER BY n DESC, e1, e2, e3 LIMIT $topN"""
 }

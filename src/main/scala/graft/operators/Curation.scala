@@ -514,4 +514,90 @@ object Curation {
                   AS source_share_1e4
          FROM d CROSS JOIN t JOIN c ON c.source = d.source
          ORDER BY d.source, d.decile"""
+
+  /** Near-duplicate leakage across the deterministic train/valid/test
+    * split: every exact threshold-Jaccard pair
+    * ([[Dedup.prefixFilterJaccard]] ground truth) classified by the
+    * splits its two docs land in under the SAME md5 rule as
+    * [[stratifiedSplit]]. Off-diagonal rows (split_a != split_b,
+    * leak = 1) are evaluation contamination — a test doc whose near-twin
+    * sits in train scores as memorization, not generalization. This is
+    * the pair-level audit [[decontaminate]] acts on (there: drop the
+    * offenders; here: measure the exposure before deciding).
+    *
+    * 100 TB shape: the truth derivation pays the documented PPJoin
+    * shuffles; the split labels are a pure projection (md5 on the id —
+    * no join against any split table), so the census is one hash
+    * aggregate over the O(near-dup) pair frame to at most 6 rows.
+    */
+  def splitLeakage(s: SparkSession, dir: String, trainRate: Double = 0.8,
+                   validRate: Double = 0.1): DataFrame = {
+    val tTrain = Sampling.hexThreshold(trainRate)
+    val tValid = Sampling.hexThreshold(trainRate + validRate)
+    def splitOf(c: String) = expr(
+      s"""CASE WHEN substring(md5(CAST($c AS STRING)), 1, 8) < '$tTrain' THEN 'train'
+               WHEN substring(md5(CAST($c AS STRING)), 1, 8) < '$tValid' THEN 'valid'
+               ELSE 'test' END""")
+    Dedup.prefixFilterJaccard(s, dir)
+      .withColumn("sa", splitOf("doc_a"))
+      .withColumn("sb", splitOf("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leak", (col("split_a") =!= col("split_b")).cast("int"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Quality-selection gain curve: rank every document by the composite
+    * quality score ([[TextAnalysis.qualityScore]], score-less docs rank
+    * last), cut into score deciles (decile 0 = best), and report the
+    * cumulative token mass each cut captures — the curve that prices a
+    * "train on the top X% by quality" decision in actual training
+    * tokens, and the data-selection sibling of the revenue Lorenz curve.
+    *
+    * 100 TB shape: the exact global rank is DISTRIBUTED — the
+    * repartitionByRange + per-partition row_number + broadcast
+    * prefix-count offsets build (the revenueLorenz strategy; sampled
+    * range boundaries move partition splits, never the total order), so
+    * no single task ever sorts the corpus. The decile rollup is a hash
+    * aggregate to 10 rows; the oracle states the naive global
+    * row_number, proving the distributed strategy result-invisible.
+    */
+  def selectionGain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("quality_1e4"), lit(-1L)).as("q"))
+    val parted = docs.repartitionByRange(32, col("q"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // offsets + ranks read ONE frozen partitioning
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    val ranked = parted
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("q"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", col("lrk") + col("offset"))
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      sum(col("n_tokens")).as("total_tokens"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * (n - rank)) DIV n")) // 0 = best
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_sum"),
+        min(col("q")).as("min_quality_1e4"),
+        max(col("total_tokens")).as("total_tokens"))
+      .withColumn("cum_tokens", sum(col("tokens_sum")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_share_1e4",
+        expr("(20000 * cum_tokens + total_tokens) DIV (2 * total_tokens)"))
+      .select(col("decile"), col("n_docs"), col("tokens_sum"),
+        col("min_quality_1e4"), col("cum_tokens"), col("cum_share_1e4"))
+      .orderBy(col("decile"))
+  }
 }

@@ -970,4 +970,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_b")).as("n_docs_dropped"))
       .orderBy(col("threshold_1e4"))
+
+  /** Cross-source duplicate-flow matrix: how many exact near-duplicate
+    * pairs ([[prefixFilterJaccard]] ground truth — no sketch error)
+    * connect each unordered source pair, including within-source pairs —
+    * the "which feed copies which" census that decides whether a new
+    * crawl source adds content or re-serves an existing one (the
+    * PAIR-level sibling of [[sourceOverlap]], which compares vocabulary;
+    * this counts actual duplicated documents).
+    *
+    * 100 TB shape: the truth derivation pays the documented PPJoin
+    * shuffles; past it the flow matrix is two broadcast-joinable lookups
+    * of the catalog-sized (doc_id, source) projection against the
+    * O(near-dup) pair frame, then a hash aggregate to at most
+    * |sources|^2 rows.
+    */
+  def dupFlow(s: SparkSession, dir: String): DataFrame = {
+    val truth = prefixFilterJaccard(s, dir)
+    val src = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    truth
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -583,4 +583,42 @@ object Multimodal {
                 DIV (1 + (ascii(substr(hx, 4, 1)) % 4)) AS BIGINT)""")
           .as("zero_crossings"))
       .orderBy(col("asset_id"))
+
+  /** Shot-boundary detection over the REAL decoded frame stream: a
+    * sampled frame opens a new shot when its decoded mean gray level
+    * jumps by at least 1/[[invFrac]] of the PREVIOUS frame's level — the
+    * adaptive relative-change rule (a fixed jump reads as a cut in a
+    * dark scene and as noise in a bright one), and the scene-cut
+    * primitive a video curation pipeline runs to pick representative
+    * keyframes. Per asset: sampled frames, boundaries
+    * (first frame never counts), and the first boundary's frame index
+    * (-1 when the clip is one shot end to end). Every gray level comes
+    * out of the actual GIF decode; the oracle predicts the same stream
+    * from the generation formula, so decode-vs-prediction equality rides
+    * the same contract as q_frame_features.
+    *
+    * 100 TB shape: decode runs in [[sampleFrames]]' mapPartitions (one
+    * reader per partition, no driver hop); the lag window rides one
+    * asset-keyed shuffle whose rows are the k SAMPLED frames per asset,
+    * never the raw video bytes; the per-asset rollup is map-side
+    * combinable.
+    */
+  def shotBoundaries(s: SparkSession, dir: String, k: Int = 3,
+                     invFrac: Long = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+    sampleFrames(s, dir, k).toDF()
+      .select(col("asset_id"), col("frame_idx"), col("gray_level"))
+      .withColumn("prev", lag(col("gray_level"), 1).over(w))
+      .withColumn("cut",
+        (col("prev").isNotNull &&
+          abs(col("gray_level") - col("prev")) * invFrac >= col("prev"))
+          .cast("int"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("cut")).cast("bigint").as("n_boundaries"),
+        coalesce(min(when(col("cut") === 1, col("frame_idx"))), lit(-1))
+          .cast("bigint").as("first_cut_idx"))
+      .orderBy(col("asset_id"))
+  }
 }

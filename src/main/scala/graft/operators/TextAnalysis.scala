@@ -1581,4 +1581,150 @@ object TextAnalysis {
        FROM r WHERE rk IN (${ranks.mkString(", ")})
        ORDER BY source, rk"""
   }
+
+  /** Language-label confusion matrix: the declared `lang` column against
+    * the marker-word detector ([[langId]]) — the metadata-quality audit a
+    * curation pipeline runs before trusting a feed's self-reported
+    * language for routing or balanced sampling (a feed whose declared
+    * labels disagree with detection is either mislabelled or
+    * code-mixed). share_1e4 is the half-up row share within each
+    * declared label.
+    *
+    * 100 TB shape: one pass scores the marker counts (vectorized filter
+    * expressions, no UDFs), then a hash aggregate to <= |langs|^2 cells;
+    * the within-declared share window runs over that catalog-sized cell
+    * frame.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+      "es" -> Seq("el", "los", "que", "una", "por", "como"))
+    val scored = markers.foldLeft(
+      Tables.spread(s, dir, "documents").withColumn("toks", expr(TokensExpr))) {
+      case (df, (lang, words)) =>
+        val arr = words.map(w => s"'$w'").mkString(",")
+        df.withColumn(s"s_$lang", expr(
+          s"CAST(size(filter(toks, t -> array_contains(array($arr), t))) AS BIGINT)"))
+    }
+    val byDeclared = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    scored
+      .select(col("lang"),
+        expr("""CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END""").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum(col("n_docs")).over(byDeclared))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("(20000 * n_docs + lang_total) DIV (2 * lang_total)")
+          .as("share_1e4"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Token-share drift between the first 80% and the trailing 20% of the
+    * corpus by doc_id (ingestion order, the snapshot-diff convention):
+    * the top tokens by absolute per-billion share shift — the
+    * vocabulary-drift alarm that catches a feed changing register,
+    * language mix, or template before it skews a frozen tokenizer
+    * ([[vocabCoverage]] prices the tokenizer against ONE corpus; this
+    * watches the corpus move). The 80% split point is max(doc_id)*4/5
+    * computed IN the dataflow (a broadcast scalar, no driver action).
+    * df floor: only tokens with >= minCount total occurrences rank
+    * (share noise on rare tokens is not drift).
+    *
+    * 100 TB shape: one map-side-combined (token, slice) count is the
+    * only corpus-sized shuffle; shares and shifts are integer
+    * cross-multiplications on the vocab-sized frame; top-K via
+    * TakeOrderedAndProject.
+    */
+  def vocabDrift(s: SparkSession, dir: String, minCount: Long = 20,
+                 topN: Int = 25): DataFrame = {
+    val mx = Tables.spread(s, dir, "documents")
+      .agg(max(col("doc_id")).as("max_id"))
+    val tok = Tables.spread(s, dir, "documents")
+      .crossJoin(broadcast(mx))
+      .select((col("doc_id") * 5 <= col("max_id") * 4).as("is_old"),
+        explode(expr(TokensExpr)).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_old"), 0L).otherwise(1L)).as("n_new"))
+      .localCheckpoint(true) // totals + shares read one counted frame
+    val tot = tok.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    tok.filter(col("n_old") + col("n_new") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("share_old_1e9",
+        expr("(2000000000 * n_old + t_old) DIV (2 * t_old)"))
+      .withColumn("share_new_1e9",
+        expr("(2000000000 * n_new + t_new) DIV (2 * t_new)"))
+      .select(col("token"), col("n_old"), col("n_new"),
+        col("share_old_1e9"), col("share_new_1e9"),
+        abs(col("share_new_1e9") - col("share_old_1e9")).as("shift_1e9"))
+      .orderBy(col("shift_1e9").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** [[langConfusion]] as SQL for either engine. */
+  private[graft] def langConfusionSql(duck: Boolean): String = {
+    val div = if (duck) "//" else "DIV"
+    val toks =
+      if (duck) "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+      else "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
+    def cnt(words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString(",")
+      if (duck) s"CAST(len(list_filter(toks, t -> list_contains([$lst], t))) AS BIGINT)"
+      else s"CAST(size(filter(toks, t -> array_contains(array($lst), t))) AS BIGINT)"
+    }
+    s"""WITH t AS (SELECT lang, $toks AS toks FROM documents),
+       sc AS (SELECT lang,
+         ${cnt(Seq("the", "and", "of", "to", "in", "is"))} AS s_en,
+         ${cnt(Seq("der", "die", "und", "ist", "nicht", "das"))} AS s_de,
+         ${cnt(Seq("le", "la", "et", "les", "des", "est"))} AS s_fr,
+         ${cnt(Seq("el", "los", "que", "una", "por", "como"))} AS s_es
+         FROM t),
+       p AS (SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS pred_lang
+         FROM sc),
+       g AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM p GROUP BY lang, pred_lang)
+       SELECT lang, pred_lang, n_docs,
+              CAST((20000 * n_docs + sum(n_docs) OVER (PARTITION BY lang))
+                   $div (2 * sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+                AS share_1e4
+       FROM g ORDER BY lang, pred_lang"""
+  }
+
+  /** [[vocabDrift]] as SQL for either engine. */
+  private[graft] def vocabDriftSql(duck: Boolean, minCount: Long,
+                                   topN: Int): String = {
+    val div = if (duck) "//" else "DIV"
+    val un = if (duck) "unnest" else "explode"
+    val toks =
+      if (duck) "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+      else "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
+    s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       tok AS (SELECT doc_id * 5 <= max_id * 4 AS is_old, $un($toks) AS token
+               FROM documents CROSS JOIN mx),
+       c AS (SELECT token,
+                    CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                    CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+             FROM tok GROUP BY token),
+       tt AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+                     CAST(sum(n_new) AS BIGINT) AS t_new FROM c),
+       sh AS (SELECT token, n_old, n_new,
+                     CAST((2000000000 * n_old + t_old) $div (2 * t_old) AS BIGINT)
+                       AS share_old_1e9,
+                     CAST((2000000000 * n_new + t_new) $div (2 * t_new) AS BIGINT)
+                       AS share_new_1e9
+              FROM c CROSS JOIN tt
+              WHERE n_old + n_new >= $minCount)
+       SELECT token, n_old, n_new, share_old_1e9, share_new_1e9,
+              abs(share_new_1e9 - share_old_1e9) AS shift_1e9
+       FROM sh ORDER BY shift_1e9 DESC, token LIMIT $topN"""
+  }
 }

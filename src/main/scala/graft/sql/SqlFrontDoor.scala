@@ -2809,6 +2809,127 @@ object SqlFrontDoor {
         graft.SparkEntry.Bm25.maxDfPermille, graft.SparkEntry.Bm25.k1Milli,
         graft.SparkEntry.Bm25.bMilli),
 
+    // exact near-dup pairs per unordered source pair
+    "q_dup_flow" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, n_sh, shingle
+                FROM (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle
+                      FROM shd)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+         tp AS (SELECT doc_a, doc_b FROM pairs
+                WHERE (20000 * common + (na + nb - common))
+                      DIV (2 * (na + nb - common)) >= 5000)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM tp JOIN documents da ON da.doc_id = tp.doc_a
+                 JOIN documents db ON db.doc_id = tp.doc_b
+         GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+         ORDER BY source_a, source_b""",
+
+    // near-dup pairs by the md5 split of their endpoints
+    "q_split_leakage" ->
+      s"""WITH $shingleCtes,
+         ex AS (SELECT doc_id, n_sh, shingle
+                FROM (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh, explode(sh) AS shingle
+                      FROM shd)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+         tp AS (SELECT doc_a, doc_b FROM pairs
+                WHERE (20000 * common + (na + nb - common))
+                      DIV (2 * (na + nb - common)) >= 5000),
+         lab AS (SELECT
+           CASE WHEN substring(md5(CAST(doc_a AS STRING)), 1, 8)
+                     < '${graft.operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+                WHEN substring(md5(CAST(doc_a AS STRING)), 1, 8)
+                     < '${graft.operators.Sampling.hexThreshold(0.9)}' THEN 'valid'
+                ELSE 'test' END AS sa,
+           CASE WHEN substring(md5(CAST(doc_b AS STRING)), 1, 8)
+                     < '${graft.operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+                WHEN substring(md5(CAST(doc_b AS STRING)), 1, 8)
+                     < '${graft.operators.Sampling.hexThreshold(0.9)}' THEN 'valid'
+                ELSE 'test' END AS sb
+           FROM tp)
+         SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb)
+                          THEN 1 ELSE 0 END AS INT) AS leak
+         FROM lab GROUP BY least(sa, sb), greatest(sa, sb)
+         ORDER BY split_a, split_b""",
+
+    // dialect points: list/array filter + // vs DIV
+    "q_lang_confusion" ->
+      graft.operators.TextAnalysis.langConfusionSql(duck = false),
+
+    // dialect points: unnest/explode + // vs DIV
+    "q_vocab_drift" ->
+      graft.operators.TextAnalysis.vocabDriftSql(duck = false, 20, 25),
+
+    // same generation-formula prediction as the oracle; range -> sequence
+    "q_shot_boundaries" ->
+      """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         p AS (SELECT doc_id,
+                 CAST((ascii(substr(hx, 3, 1)) % 50) * 4 AS BIGINT) AS base,
+                 CAST(2 + (ascii(substr(hx, 4, 1)) % 3) AS INTEGER) AS n_frames
+               FROM m),
+         sampled AS (SELECT DISTINCT doc_id, base, n_frames,
+                       CAST((n_frames * t.i) DIV 3 AS INTEGER) AS frame_idx
+                     FROM p CROSS JOIN (SELECT explode(sequence(0, 2)) AS i) t),
+         f AS (SELECT doc_id, frame_idx,
+                      CAST(base + 8 * frame_idx AS BIGINT) AS gray_level
+               FROM sampled),
+         lagged AS (SELECT doc_id, frame_idx, gray_level,
+                      lag(gray_level) OVER (PARTITION BY doc_id
+                        ORDER BY frame_idx) AS prev
+                    FROM f),
+         cuts AS (SELECT doc_id, frame_idx,
+                    CASE WHEN prev IS NOT NULL
+                              AND abs(gray_level - prev) * 16 >= prev
+                         THEN 1 ELSE 0 END AS cut
+                  FROM lagged)
+         SELECT doc_id AS asset_id,
+                CAST(count(*) AS BIGINT) AS n_sampled,
+                CAST(sum(cut) AS BIGINT) AS n_boundaries,
+                CAST(coalesce(min(CASE WHEN cut = 1 THEN frame_idx END), -1)
+                     AS BIGINT) AS first_cut_idx
+         FROM cuts GROUP BY doc_id ORDER BY asset_id""",
+
+    // naive global rank form (the operator's distributed rank must be
+    // result-invisible — the revenueLorenz contract)
+    "q_selection_gain" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         m AS (SELECT doc_id, text, ${qualityMetrics("toks")}
+           FROM t),
+         d AS (SELECT doc_id, n_tokens,
+           coalesce($qualityScoreSql, CAST(-1 AS BIGINT)) AS q
+           FROM m),
+         r AS (SELECT doc_id, n_tokens, q,
+                      CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rank,
+                      CAST(count(*) OVER () AS BIGINT) AS n,
+                      CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+               FROM d),
+         g AS (SELECT (10 * (n - rank)) DIV n AS decile,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
+                      CAST(min(q) AS BIGINT) AS min_quality_1e4,
+                      CAST(max(total_tokens) AS BIGINT) AS total_tokens
+               FROM r GROUP BY (10 * (n - rank)) DIV n)
+         SELECT CAST(decile AS BIGINT) AS decile, n_docs, tokens_sum,
+                min_quality_1e4,
+                CAST(sum(tokens_sum) OVER (ORDER BY decile) AS BIGINT)
+                  AS cum_tokens,
+                CAST((20000 * sum(tokens_sum) OVER (ORDER BY decile)
+                      + total_tokens) DIV (2 * total_tokens) AS BIGINT)
+                  AS cum_share_1e4
+         FROM g ORDER BY decile""",
+
     // same generated text as the oracle; dialect points are
     // date_format/dayofweek-1 and the hour grid (explode(sequence))
     "q_seasonal_anomaly" ->
@@ -2910,7 +3031,7 @@ object SqlFrontDoor {
     "q_bitmap_distinct_users", "q_bitmap_overlap", "q_theta_set_ops",
     "q_snapshot_diff", "q_bfs_levels", "q_image_near_dup",
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
-    "q_balanced_downsample", "q_connected_components")
+    "q_balanced_downsample", "q_connected_components", "q_journey_trigrams")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

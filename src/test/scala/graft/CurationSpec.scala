@@ -374,4 +374,60 @@ class CurationSpec extends SparkTestBase {
       assert(r._4 == -6 * r._3, s"changed delta must be -6/doc: $r")
     }
   }
+
+  test("dup flow matrix recomputes from the truth pairs and conserves them") {
+    val truth = Dedup.prefixFilterJaccard(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = truth.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).toSeq
+      .map { case (k, g) => (k._1, k._2, g.length.toLong) }
+      .sortBy { case (a, b, _) => (a, b) }
+    val got = Dedup.dupFlow(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == truth.length.toLong) // every pair lands once
+  }
+
+  test("split leakage census conserves pairs and flags exactly the off-diagonal") {
+    val out = Curation.splitLeakage(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val truthN = Dedup.prefixFilterJaccard(spark, Sf).count()
+    assert(out.map(_._3).sum == truthN)
+    out.foreach { case (a, b, _, leak) =>
+      assert(leak == (if (a != b) 1 else 0))
+      assert(a <= b) // unordered pair is canonically ordered
+    }
+  }
+
+  test("selection gain equals the naive in-memory sorted recompute") {
+    val docs = TextAnalysis.qualityScore(spark, Sf).collect()
+      .map { r =>
+        val q = if (r.isNullAt(4)) -1L else r.getLong(4)
+        (r.getLong(0), r.getLong(1), q) // doc_id, n_tokens, quality_1e4
+      }
+    val n = docs.length.toLong
+    val total = docs.map(_._2).sum
+    val ranked = docs.sortBy { case (id, _, q) => (q, id) }.zipWithIndex
+      .map { case ((id, tks, q), i) => (id, tks, q, i + 1L) }
+    val byDecile = ranked.groupBy { case (_, _, _, rk) => (10 * (n - rk)) / n }
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val want = byDecile.map { case (d, g) =>
+      cum += g.map(_._2).sum
+      (d, g.length.toLong, g.map(_._2).sum, g.map(_._3).min, cum,
+        (20000L * cum + total) / (2 * total))
+    }
+    val got = Curation.selectionGain(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // decile 0 (best) has the highest minimum quality; cumulative shares rise
+    assert(got.map(_._4).zip(got.tail.map(_._4)).forall { case (a, b) => a >= b })
+    assert(got.last._6 == 10000L) // all deciles together carry all tokens
+  }
 }

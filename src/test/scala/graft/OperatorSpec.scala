@@ -2481,4 +2481,89 @@ class OperatorSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("lang confusion recomputes from langId and conserves row shares") {
+    val declared = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pred = graft.operators.TextAnalysis.langId(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val want = declared.toSeq.map { case (id, l) => (l, pred(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((l, p), n) => (l, p, n) }
+      .sortBy { case (l, p, _) => (l, p) }
+    val got = graft.operators.TextAnalysis.langConfusion(spark, Sf).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq == want)
+    // shares within each declared label sum to ~1 (half-up rounding)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(math.abs(s - 10000L) <= rows.length)
+    }
+  }
+
+  test("vocab drift equals the in-memory two-slice recompute") {
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", s"${graft.operators.TextAnalysis.TokensExpr} AS toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val maxId = docs.map(_._1).max
+    val counts = scala.collection.mutable.Map[(String, Boolean), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { case (id, toks) =>
+      val old = id * 5 <= maxId * 4
+      toks.foreach(t => counts((t, old)) += 1)
+    }
+    val tOld = counts.collect { case ((_, true), n) => n }.sum
+    val tNew = counts.collect { case ((_, false), n) => n }.sum
+    val byTok = counts.groupBy(_._1._1).view.mapValues { m =>
+      (m.collect { case ((_, true), n) => n }.sum,
+       m.collect { case ((_, false), n) => n }.sum)
+    }
+    val want = byTok.toSeq.collect { case (t, (o, nw)) if o + nw >= 20 =>
+      val so = (2000000000L * o + tOld) / (2 * tOld)
+      val sn = (2000000000L * nw + tNew) / (2 * tNew)
+      (t, o, nw, so, sn, math.abs(sn - so))
+    }.sortBy { case (t, _, _, _, _, sh) => (-sh, t) }.take(25)
+    val got = graft.operators.TextAnalysis.vocabDrift(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
+
+  test("journey trigrams equal the in-memory per-user sequence recompute") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .selectExpr("user_id", "CAST(ts AS STRING) AS ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val counts = scala.collection.mutable.Map[(String, String, String), Long]()
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4).toIndexedSeq
+      seq.sliding(3).filter(_.size == 3)
+        .foreach(g => counts((g(0), g(1), g(2))) += 1)
+    }
+    val want = counts.toSeq.map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(25)
+    val got = graft.operators.Analytics.journeyTrigrams(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("shot boundaries recompute from the decoded frame stream") {
+    val frames = graft.operators.Multimodal.frameFeatures(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(6))) // asset, idx, gray
+    val want = frames.groupBy(_._1).toSeq.map { case (a, fs) =>
+      val ordered = fs.sortBy(_._2)
+      val cuts = ordered.zip(ordered.tail).collect {
+        case ((_, _, p), (_, idx, g)) if math.abs(g - p) * 16 >= p => idx
+      }
+      (a, ordered.length.toLong, cuts.length.toLong,
+        if (cuts.isEmpty) -1L else cuts.min.toLong)
+    }.sortBy(_._1)
+    val got = graft.operators.Multimodal.shotBoundaries(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // a cut needs a predecessor: boundaries are bounded by n_sampled - 1
+    got.foreach { case (_, n, b, _) => assert(b <= n - 1) }
+  }
 }

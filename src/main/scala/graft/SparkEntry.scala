@@ -421,7 +421,8 @@ object SparkEntry {
     "q_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
     "q_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
     "q_journey_trigrams" -> (Analytics.journeyTrigrams(_, _)),
-    "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _))
+    "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _)),
+    "q_token_burstiness" -> (TextAnalysis.tokenBurstiness(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -4067,6 +4068,10 @@ object SparkEntry {
                 CAST(sum(cut) AS BIGINT) AS n_boundaries,
                 CAST(coalesce(min(CASE WHEN cut = 1 THEN frame_idx END), -1)
                      AS BIGINT) AS first_cut_idx
-         FROM cuts GROUP BY doc_id ORDER BY asset_id"""
+         FROM cuts GROUP BY doc_id ORDER BY asset_id""",
+
+    // variance-to-mean dispersion per token (boilerplate statistics)
+    "q_token_burstiness" ->
+      operators.TextAnalysis.tokenBurstinessSql(duck = true, 50, 25)
   )
 }

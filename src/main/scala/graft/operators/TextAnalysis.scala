@@ -1727,4 +1727,69 @@ object TextAnalysis {
               abs(share_new_1e9 - share_old_1e9) AS shift_1e9
        FROM sh ORDER BY shift_1e9 DESC, token LIMIT $topN"""
   }
+
+  /** Token burstiness: the variance-to-mean ratio (index of dispersion)
+    * of each token's per-document count, zeros included — a Poisson
+    * token scores ~1e4, while a token that arrives in bursts (template
+    * boilerplate, navigation chrome, code blocks) scores far above it,
+    * making this the statistical cousin of [[boilerplate]]'s rule-based
+    * screen. VMR = (N·Σc² − (Σc)²) / ((N−1)·Σc) in half-up 1e4 — one
+    * division at the readout, everything else integer cross-products.
+    * Only tokens with at least [[minTotal]] occurrences rank (dispersion
+    * of a rare token is noise).
+    *
+    * 100 TB shape: per-(doc, token) counts are one map-side-combined
+    * shuffle of the token stream; the per-token moment aggregate (Σc,
+    * Σc², df) map-side combines again onto the vocab frame; N broadcasts.
+    * int64 holds to ~1e14 corpus tokens (1e4·N·Σc² is the binding
+    * product); the DECIMAL(38,0) hatch applies beyond, same as the
+    * regression-moments operator.
+    */
+  def tokenBurstiness(s: SparkSession, dir: String, minTotal: Long = 50,
+                      topN: Int = 25): DataFrame = {
+    val nDocs = Tables.spread(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(TokensExpr)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .filter(col("total") >= minTotal)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df"), col("total"),
+        expr("""CAST((20000 * (n_docs * sumsq - total * total)
+                      + (n_docs - 1) * total)
+                     DIV (2 * (n_docs - 1) * total) AS BIGINT)""")
+          .as("burstiness_1e4"))
+      .orderBy(col("burstiness_1e4").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** [[tokenBurstiness]] as SQL for either engine. */
+  private[graft] def tokenBurstinessSql(duck: Boolean, minTotal: Long,
+                                        topN: Int): String = {
+    val div = if (duck) "//" else "DIV"
+    val un = if (duck) "unnest" else "explode"
+    val toks =
+      if (duck) "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+      else "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)"
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM
+              (SELECT doc_id, $un($toks) AS token FROM documents)
+              GROUP BY doc_id, token),
+       m AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                    CAST(sum(c) AS BIGINT) AS total,
+                    CAST(sum(c * c) AS BIGINT) AS sumsq
+             FROM pd GROUP BY token
+             HAVING sum(c) >= $minTotal)
+       SELECT token, df, total,
+              CAST((20000 * (n_docs * sumsq - total * total)
+                    + (n_docs - 1) * total)
+                   $div (2 * (n_docs - 1) * total) AS BIGINT)
+                AS burstiness_1e4
+       FROM m CROSS JOIN nd
+       ORDER BY burstiness_1e4 DESC, token LIMIT $topN"""
+  }
 }

@@ -2872,6 +2872,10 @@ object SqlFrontDoor {
     "q_vocab_drift" ->
       graft.operators.TextAnalysis.vocabDriftSql(duck = false, 20, 25),
 
+    // dialect points: unnest/explode + // vs DIV
+    "q_token_burstiness" ->
+      graft.operators.TextAnalysis.tokenBurstinessSql(duck = false, 50, 25),
+
     // same generation-formula prediction as the oracle; range -> sequence
     "q_shot_boundaries" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),

@@ -2566,4 +2566,26 @@ class OperatorSpec extends SparkTestBase {
     // a cut needs a predecessor: boundaries are bounded by n_sampled - 1
     got.foreach { case (_, n, b, _) => assert(b <= n - 1) }
   }
+
+  test("token burstiness equals the in-memory moments recompute") {
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id", s"${graft.operators.TextAnalysis.TokensExpr} AS toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val n = docs.length.toLong
+    val per = scala.collection.mutable.Map[(Long, String), Long]().withDefaultValue(0L)
+    docs.foreach { case (id, toks) => toks.foreach(t => per((id, t)) += 1) }
+    val byTok = per.groupBy(_._1._2).view.mapValues { m =>
+      val cs = m.values.toSeq
+      (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+    }
+    val want = byTok.toSeq.collect { case (t, (df, tot, sq)) if tot >= 50 =>
+      (t, df, tot,
+        (20000L * (n * sq - tot * tot) + (n - 1) * tot) / (2 * (n - 1) * tot))
+    }.sortBy { case (t, _, _, b) => (-b, t) }.take(25)
+    val got = graft.operators.TextAnalysis.tokenBurstiness(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // dispersion of a counting process is non-negative
+    got.foreach { case (_, _, _, b) => assert(b >= 0L) }
+  }
 }

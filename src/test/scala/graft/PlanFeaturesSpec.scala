@@ -240,4 +240,37 @@ class PlanFeaturesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"catalog-sized baselines must broadcast:\n$plan")
   }
+
+  test("connected components: every superstep join stays equi, never cartesian") {
+    val df = graft.operators.Mining.connectedComponents(spark, Sf,
+      maxItems = 8, minCo = 2, rounds = 4, topN = 25)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"label-propagation supersteps must stay equi joins:\n$plan")
+  }
+
+  test("selection gain: no single-partition window over the corpus") {
+    val df = graft.operators.Curation.selectionGain(spark, Sf)
+    assert(df.collect().nonEmpty)
+    // the doc-level rank must come from per-range-partition windows; the
+    // only unpartitioned windows allowed are the catalog-sized offset
+    // (32 pids) and decile (10 rows) frames — so every Window node's
+    // child must NOT be the document scan itself
+    val plan = df.queryExecution.executedPlan.toString
+    val winSpecs = "windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(plan.toLowerCase).toSeq
+    val unpartitioned = winSpecs.count(!_.contains ("pid#"))
+    // offsets window (orderBy pid) + decile cum window = at most 2
+    assert(unpartitioned <= 2,
+      s"expected the doc rank to ride partition-local windows:\n$plan")
+  }
+
+  test("retrieval eval: truth and index joins never go cartesian; @k fan-out broadcasts") {
+    val df = graft.operators.Retrieval.retrievalEval(spark, Sf)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the candidate and hit joins must stay equi; the k frame broadcasts:\n$plan")
+  }
 }

@@ -422,7 +422,8 @@ object SparkEntry {
     "q_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
     "q_journey_trigrams" -> (Analytics.journeyTrigrams(_, _)),
     "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _)),
-    "q_token_burstiness" -> (TextAnalysis.tokenBurstiness(_, _))
+    "q_token_burstiness" -> (TextAnalysis.tokenBurstiness(_, _)),
+    "q_dup_rate_trend" -> (Dedup.dupRateTrend(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -4072,6 +4073,10 @@ object SparkEntry {
 
     // variance-to-mean dispersion per token (boilerplate statistics)
     "q_token_burstiness" ->
-      operators.TextAnalysis.tokenBurstinessSql(duck = true, 50, 25)
+      operators.TextAnalysis.tokenBurstinessSql(duck = true, 50, 25),
+
+    // dup density per ingestion decile (newer endpoint charged)
+    "q_dup_rate_trend" ->
+      operators.Dedup.dupRateTrendSql("//", ShinglesCte, "len", "unnest")
   )
 }

@@ -998,4 +998,69 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Duplicate-rate trend across ingestion time: exact near-dup pairs
+    * ([[prefixFilterJaccard]]) bucketed by the ingestion decile of their
+    * NEWER endpoint (doc_id order is ingestion order — the snapshot-diff
+    * convention), against the doc count of that decile — the "is my dup
+    * rate rising" monitor that catches a feed starting to re-serve
+    * content. A pair charges the decile of its newer doc because that is
+    * when the duplication HAPPENED (the older doc was original when it
+    * arrived). Dense: all ten deciles appear, zero-pair ones included.
+    *
+    * 100 TB shape: decile labels are projections off a broadcast max;
+    * the pair census is a 10-row aggregate over the O(near-dup) frame,
+    * the doc census a map-side-combined count; the final join is
+    * 10-row × 10-row.
+    */
+  def dupRateTrend(s: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.spread(s, dir, "documents")
+      .agg(max(col("doc_id")).as("max_id"))
+    val docs = Tables.spread(s, dir, "documents")
+      .crossJoin(broadcast(mx))
+      .select(expr("(10 * doc_id) DIV (max_id + 1)").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    val pairs = prefixFilterJaccard(s, dir)
+      .crossJoin(broadcast(mx))
+      .select(expr("(10 * greatest(doc_a, doc_b)) DIV (max_id + 1)").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+    docs.join(pairs, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        expr("""CAST((2000000 * coalesce(n_pairs, 0) + n_docs)
+                     DIV (2 * n_docs) AS BIGINT)""").as("pairs_per_1e6_docs"))
+      .orderBy(col("decile"))
+  }
+
+  /** [[dupRateTrend]] as SQL for either engine (`div` knob only; the
+    * exact-pairs CTE is the naive any-shared-shingle form the other
+    * truth-composed oracles use).
+    */
+  private[graft] def dupRateTrendSql(div: String, shingles: String,
+                                     sz: String, un: String): String =
+    s"""WITH $shingles,
+       ex AS (SELECT doc_id, CAST($sz(sh) AS BIGINT) AS n_sh, $un(sh) AS shingle FROM shd),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh),
+       tp AS (SELECT doc_a, doc_b FROM pairs
+              WHERE (20000 * common + (na + nb - common))
+                    $div (2 * (na + nb - common)) >= 5000),
+       mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       dd AS (SELECT (10 * doc_id) $div (max_id + 1) AS decile
+              FROM documents CROSS JOIN mx),
+       dc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+              FROM dd GROUP BY decile),
+       pd AS (SELECT (10 * greatest(doc_a, doc_b)) $div (max_id + 1) AS decile
+              FROM tp CROSS JOIN mx),
+       pc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM pd GROUP BY decile)
+       SELECT CAST(dc.decile AS BIGINT) AS decile, dc.n_docs,
+              CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+              CAST((2000000 * coalesce(pc.n_pairs, 0) + dc.n_docs)
+                   $div (2 * dc.n_docs) AS BIGINT) AS pairs_per_1e6_docs
+       FROM dc LEFT JOIN pc ON pc.decile = dc.decile
+       ORDER BY decile"""
 }

@@ -2876,6 +2876,11 @@ object SqlFrontDoor {
     "q_token_burstiness" ->
       graft.operators.TextAnalysis.tokenBurstinessSql(duck = false, 50, 25),
 
+    // same generated text as the oracle with the Spark dialect knobs
+    "q_dup_rate_trend" ->
+      graft.operators.Dedup.dupRateTrendSql("DIV", shingleCtes, "size",
+        "explode"),
+
     // same generation-formula prediction as the oracle; range -> sequence
     "q_shot_boundaries" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),

@@ -523,6 +523,51 @@ object EventsStream {
     * documented dense-integer-id trade). bit_or partials merge in the
     * state store exactly like sums — idempotent across triggers.
     */
+  final case class TrigramState(last2: List[String])
+  final case class TrigramHit(user_id: Long, event_id: Long,
+                              e1: String, e2: String, e3: String)
+
+  /** Streaming twin of Analytics.journeyTrigrams' sequence derivation:
+    * per-user state is the last TWO event types (two short strings,
+    * constant — the minimal sufficient statistic for trigram emission),
+    * and every arriving event that has two predecessors emits its
+    * completed trigram immediately. The top-K count rollup happens
+    * downstream of the sink (map-side-combinable, exactly the batch
+    * aggregate); StreamingSpec pins the aggregated replay equal to the
+    * batch operator over the same feed, continuation across triggers
+    * included (a trigram spanning a batch boundary must still emit —
+    * that is precisely what the state carries).
+    *
+    * State never expires (NoTimeout): a user's journey resumes whenever
+    * they return, and two strings per ever-active user is the same
+    * cardinality as the attribution state above.
+    */
+  def journeyTrigrams(events: Dataset[Event]): Dataset[TrigramHit] = {
+    import events.sparkSession.implicits._
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrigramState, TrigramHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TrigramState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var last2 = state.getOption.map(_.last2).getOrElse(Nil) // newest first
+          val out = sorted.flatMap { e =>
+            val hit = last2 match {
+              case b :: a :: _ =>
+                Some(TrigramHit(userId, e.event_id, a, b, e.event_type))
+              case _ => None
+            }
+            last2 = (e.event_type :: last2).take(2)
+            hit
+          }
+          state.update(TrigramState(last2))
+          out.iterator
+      }
+  }
+
   def bitmapIndex(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"),

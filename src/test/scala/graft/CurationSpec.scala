@@ -430,4 +430,21 @@ class CurationSpec extends SparkTestBase {
     assert(got.map(_._4).zip(got.tail.map(_._4)).forall { case (a, b) => a >= b })
     assert(got.last._6 == 10000L) // all deciles together carry all tokens
   }
+
+  test("dup rate trend conserves pairs and recomputes densities") {
+    val rows = Dedup.dupRateTrend(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val truth = Dedup.prefixFilterJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._3).sum == truth.length.toLong)
+    val maxId = graft.sources.Tables.load(spark, Sf, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val wantPairs = truth.map { case (a, b) => (10 * math.max(a, b)) / (maxId + 1) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (d, nd, np, dens) =>
+      assert(np == wantPairs.getOrElse(d, 0L))
+      assert(dens == (2000000L * np + nd) / (2 * nd))
+    }
+  }
 }

@@ -442,6 +442,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming journey trigrams span batch boundaries and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val hits = EventsStream.journeyTrigrams(input.toDS())
+    val q = hits.writeStream.format("memory").queryName("trihits")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 10:10:00"), 1, "cart", 1.0),
+      // batch 2: the next trigram SPANS the trigger boundary
+      Event(4, ts("2024-01-01 10:15:00"), 1, "purchase", 1.0),
+      Event(5, ts("2024-01-01 10:20:00"), 2, "view", 1.0))
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val out = spark.table("trihits").as[EventsStream.TrigramHit]
+        .collect().sortBy(_.event_id)
+      assert(out.map(h => (h.e1, h.e2, h.e3)).toSeq ==
+        Seq(("view", "click", "cart"), ("click", "cart", "purchase")))
+      // aggregated replay equals the batch operator over the same feed
+      val dir = tmpDir("trigram-stream")
+      all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Analytics.journeyTrigrams(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      val streamAgg = out.map(h => (h.e1, h.e2, h.e3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case ((a, b, c), n) => (a, b, c, n) }
+        .sortBy { case (a, b, c, n) => (-n, a, b, c) }
+      assert(streamAgg == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

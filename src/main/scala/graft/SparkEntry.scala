@@ -423,7 +423,9 @@ object SparkEntry {
     "q_journey_trigrams" -> (Analytics.journeyTrigrams(_, _)),
     "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _)),
     "q_token_burstiness" -> (TextAnalysis.tokenBurstiness(_, _)),
-    "q_dup_rate_trend" -> (Dedup.dupRateTrend(_, _))
+    "q_dup_rate_trend" -> (Dedup.dupRateTrend(_, _)),
+    "q_sample_pps" -> (Sampling.ppsSample(_, _)),
+    "q_degree_histogram" -> (Mining.degreeHistogram(_, _, Basket.maxItems))
   )
 
   // ------------------------------------------------------------------
@@ -4077,6 +4079,15 @@ object SparkEntry {
 
     // dup density per ingestion decile (newer endpoint charged)
     "q_dup_rate_trend" ->
-      operators.Dedup.dupRateTrendSql("//", ShinglesCte, "len", "unnest")
+      operators.Dedup.dupRateTrendSql("//", ShinglesCte, "len", "unnest"),
+
+    // systematic PPS draw over the cumulative token line; the oracle's
+    // cumsum is the naive global window (the Lorenz contract)
+    "q_sample_pps" -> operators.Sampling.ppsSampleSql("//", "len", "", 100),
+
+    // log2-bucketed degree census of the co-purchase graph
+    "q_degree_histogram" ->
+      operators.Mining.degreeHistogramSql(Basket.maxItems,
+        "CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)")
   )
 }

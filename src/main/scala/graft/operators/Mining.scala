@@ -810,4 +810,51 @@ object Mining {
         FROM deg LEFT JOIN tn ON tn.node = deg.node
         WHERE deg.deg >= $minDeg
         ORDER BY coeff_1e6 DESC, p_partkey LIMIT $topN"""
+
+  /** Degree distribution of the co-purchase graph in log2 buckets — the
+    * one-page readout that says whether the graph is hub-dominated
+    * (heavy tail) before any algorithm that is quadratic in degree runs
+    * on it, and the graph-side sibling of the token-length histogram.
+    * Bucket b covers degrees [2^b, 2^(b+1)); bit-length (length(bin(d))
+    * − 1) stands in for floor(log2 d), so no floating log enters the
+    * compare.
+    *
+    * 100 TB shape: degree is one map-side-combined count over the
+    * checkpointed edge list; the histogram is a ≤64-row aggregate.
+    */
+  def degreeHistogram(s: SparkSession, dir: String,
+                      maxItems: Int = 8): DataFrame = {
+    val edges = basketEdges(s, dir, maxItems)
+    edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .select(expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("lo"),
+        col("n_nodes"))
+      .orderBy(col("bucket"))
+  }
+
+  /** [[degreeHistogram]] as SQL for either engine (`shl` spells the
+    * power-of-two lower bound; everything else is shared text).
+    */
+  private[graft] def degreeHistogramSql(maxItems: Int, shl: String): String =
+    s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                     FROM lineitem),
+        ok AS (SELECT basket FROM inc GROUP BY basket
+               HAVING count(*) <= $maxItems),
+        kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
+                 ON ok.basket = inc.basket),
+        e AS (SELECT DISTINCT a.item AS u, b.item AS v
+              FROM kept a JOIN kept b
+                ON a.basket = b.basket AND a.item < b.item),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS node FROM e
+                      UNION ALL SELECT v FROM e) d
+                GROUP BY node),
+        b AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket FROM deg)
+        SELECT bucket, $shl AS lo, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM b GROUP BY bucket ORDER BY bucket"""
 }

@@ -175,4 +175,82 @@ object Sampling {
               CAST(sum(CASE WHEN rk <= n_keep THEN doc_id ELSE 0 END)
                    AS BIGINT) AS kept_id_sum
        FROM r CROSS JOIN q GROUP BY lang ORDER BY lang"""
+
+  /** Systematic probability-proportional-to-size (PPS) sampling: lay the
+    * corpus out on its cumulative token line (doc_id order) and take one
+    * sampling point every `total/m` tokens — a document is drawn with
+    * probability proportional to its token mass, heavy docs can be drawn
+    * multiple times (n_points is the multiplicity), and the draw count
+    * is EXACTLY m by construction (Σ n_points == m, pinned in the spec).
+    * This is the classic survey-sampling PPS scheme, deterministic here
+    * (fixed grid offset) so reruns and the oracle agree bit-for-bit —
+    * the token-mass-weighted complement of [[sampledDocs]]' uniform
+    * hash-rate draw.
+    *
+    * Arithmetic note: point positions are the 1-based multiples of the
+    * stride, and both interval endpoints stay non-negative, so the
+    * integer divisions never touch the trunc-vs-floor divergence between
+    * engines on negative operands (the EWMA lesson).
+    *
+    * 100 TB shape: the cumulative line is the DISTRIBUTED prefix sum —
+    * repartitionByRange on doc_id, per-partition running sums, broadcast
+    * per-partition offsets (the revenueLorenz build, summing weights
+    * instead of counting rows) — so no single task ever windows the
+    * corpus; the oracle states the naive global cumsum, proving the
+    * strategy result-invisible.
+    */
+  def ppsSample(s: SparkSession, dir: String, m: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)").as("w"))
+      .filter(col("w") > 0)
+    val parted = docs.repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // offsets + cumsums read one frozen partitioning
+    val offsets = parted.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
+      .withColumn("offset",
+        coalesce(sum(col("pw")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    val cum = parted
+      .withColumn("lcum",
+        sum(col("w")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_hi", col("lcum") + col("offset"))
+    val tot = cum.agg(sum(col("w")).as("total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("stride", expr(s"greatest(total DIV $m, 1)"))
+      .withColumn("n_points", expr(s"""least(cum_hi DIV stride, $m)
+                                       - least((cum_hi - w) DIV stride, $m)"""))
+      .filter(col("n_points") >= 1)
+      .select(col("doc_id"), col("w"), col("cum_hi"), col("n_points"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[ppsSample]] as SQL for either engine (`div` knob; the oracle's
+    * cumsum is the naive global window).
+    */
+  private[graft] def ppsSampleSql(div: String, sz: String, rex: String,
+                                  m: Long): String =
+    s"""WITH d AS (SELECT doc_id, w FROM (
+           SELECT doc_id,
+                  CAST($sz(regexp_extract_all(lower(coalesce(text, '')),
+                       '[a-z0-9]+'$rex)) AS BIGINT) AS w
+           FROM documents) x WHERE w > 0),
+       c AS (SELECT doc_id, w,
+                    CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum_hi
+             FROM d),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM d),
+       p AS (SELECT doc_id, w, cum_hi,
+                    greatest(total $div $m, 1) AS stride
+             FROM c CROSS JOIN t)
+       SELECT doc_id, w, cum_hi,
+              CAST(least(cum_hi $div stride, $m)
+                   - least((cum_hi - w) $div stride, $m) AS BIGINT) AS n_points
+       FROM p
+       WHERE least(cum_hi $div stride, $m)
+             - least((cum_hi - w) $div stride, $m) >= 1
+       ORDER BY doc_id"""
 }

@@ -2881,6 +2881,15 @@ object SqlFrontDoor {
       graft.operators.Dedup.dupRateTrendSql("DIV", shingleCtes, "size",
         "explode"),
 
+    // same generated text as the oracle with the Spark dialect knobs
+    "q_sample_pps" ->
+      graft.operators.Sampling.ppsSampleSql("DIV", "size", ", 0", 100),
+
+    // shiftleft spelling is the only dialect point
+    "q_degree_histogram" ->
+      graft.operators.Mining.degreeHistogramSql(graft.SparkEntry.Basket.maxItems,
+        "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"),
+
     // same generation-formula prediction as the oracle; range -> sequence
     "q_shot_boundaries" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),

@@ -447,4 +447,25 @@ class CurationSpec extends SparkTestBase {
       assert(dens == (2000000L * np + nd) / (2 * nd))
     }
   }
+
+  test("pps sample draws exactly m points, proportional to token mass") {
+    val rows = graft.operators.Sampling.ppsSample(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == 100L) // the draw count is exact
+    // in-memory recompute of the systematic grid
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("doc_id",
+        s"CAST(size(${graft.operators.TextAnalysis.TokensExpr}) AS BIGINT) AS w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val stride = math.max(total / 100, 1L)
+    var cum = 0L
+    val want = docs.flatMap { case (id, w) =>
+      cum += w
+      val np = math.min(cum / stride, 100L) - math.min((cum - w) / stride, 100L)
+      if (np >= 1) Some((id, w, cum, np)) else None
+    }.toSeq
+    assert(rows.toSeq == want)
+  }
 }

@@ -483,6 +483,27 @@ class MiningSpec extends SparkTestBase {
     assert(got.getLong(5) == want)
   }
 
+  test("degree histogram equals the in-memory bucket recompute") {
+    val inc = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = inc.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+      .filter(_._2.size <= 8)
+      .flatMap { case (_, items) =>
+        for (i <- items.indices; j <- (i + 1) until items.size)
+          yield (items(i), items(j))
+      }.toSet
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val want = deg.values.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .toSeq.map { case (b, g) => (b.toLong, 1L << b, g.size.toLong) }
+      .sortBy(_._1)
+    val got = Mining.degreeHistogram(spark, Sf, maxItems = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum == deg.size.toLong)
+  }
+
   test("cusum matches the in-memory recurrence and clamps at zero") {
     val daily = Tables.events(spark, Sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

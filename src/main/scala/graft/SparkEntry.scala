@@ -425,7 +425,8 @@ object SparkEntry {
     "q_token_burstiness" -> (TextAnalysis.tokenBurstiness(_, _)),
     "q_dup_rate_trend" -> (Dedup.dupRateTrend(_, _)),
     "q_sample_pps" -> (Sampling.ppsSample(_, _)),
-    "q_degree_histogram" -> (Mining.degreeHistogram(_, _, Basket.maxItems))
+    "q_degree_histogram" -> (Mining.degreeHistogram(_, _, Basket.maxItems)),
+    "q_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility(_, _))
   )
 
   // ------------------------------------------------------------------
@@ -4088,6 +4089,26 @@ object SparkEntry {
     // log2-bucketed degree census of the co-purchase graph
     "q_degree_histogram" ->
       operators.Mining.degreeHistogramSql(Basket.maxItems,
-        "CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)")
+        "CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)"),
+
+    // BPE-ish pieces per whitespace word, by language (the q_token_estimate
+    // piece regex, aggregated)
+    "q_tokenizer_fertility" ->
+      """WITH b AS (SELECT lang, coalesce(text, '') AS t,
+           regexp_extract_all(coalesce(text, ''),
+             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+') AS bpe
+           FROM documents),
+         c AS (SELECT lang,
+                 CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS words,
+                 CAST(len(list_filter(bpe, p -> NOT regexp_matches(p, '^\s+$'))) AS BIGINT) AS pieces
+               FROM b),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(words) AS BIGINT) AS n_words,
+                      CAST(sum(pieces) AS BIGINT) AS n_pieces
+               FROM c GROUP BY lang)
+         SELECT lang, n_docs, n_words, n_pieces,
+                CAST((20000 * n_pieces + n_words) // (2 * n_words) AS BIGINT)
+                  AS fertility_1e4
+         FROM g ORDER BY lang"""
   )
 }

@@ -1792,4 +1792,31 @@ object TextAnalysis {
        FROM m CROSS JOIN nd
        ORDER BY burstiness_1e4 DESC, token LIMIT $topN"""
   }
+
+  /** Tokenizer fertility by language: BPE-ish pieces per whitespace word
+    * — THE number multilingual tokenizer evals report per language (a
+    * tokenizer trained on English typically shows fertility near 1.2-1.4
+    * there and 2+ on scripts it fragments, which directly inflates that
+    * language's training cost per word). Half-up 1e-4 over exact summed
+    * counts; the doc-level regexes are the q_token_estimate pair, so the
+    * two surfaces can never disagree about what a piece is.
+    *
+    * 100 TB shape: one regex pass per document map-side, then a
+    * |langs|-row aggregate — no shuffle beyond the partial-agg exchange.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .withColumn("bpe", expr(BpePiecesExpr))
+      .select(col("lang"),
+        expr("""CAST(size(regexp_extract_all(coalesce(text, ''), '\\S+', 0)) AS BIGINT)""")
+          .as("words"),
+        expr("""CAST(size(filter(bpe, t -> NOT (t RLIKE '^\\s+$'))) AS BIGINT)""")
+          .as("pieces"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("n_words"),
+        sum(col("pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        expr("CAST((20000 * n_pieces + n_words) DIV (2 * n_words) AS BIGINT)")
+          .as("fertility_1e4"))
+      .orderBy(col("lang"))
 }

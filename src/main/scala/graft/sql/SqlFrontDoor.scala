@@ -2890,6 +2890,25 @@ object SqlFrontDoor {
       graft.operators.Mining.degreeHistogramSql(graft.SparkEntry.Basket.maxItems,
         "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"),
 
+    // the q_token_estimate piece regex, aggregated by language
+    "q_tokenizer_fertility" ->
+      """WITH b AS (SELECT lang, coalesce(text, '') AS t,
+           regexp_extract_all(coalesce(text, ''),
+             "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}']+|\\s+", 0) AS bpe
+           FROM documents),
+         c AS (SELECT lang,
+                 CAST(size(regexp_extract_all(t, '\\S+', 0)) AS BIGINT) AS words,
+                 CAST(size(filter(bpe, p -> NOT (p RLIKE '^\\s+$'))) AS BIGINT) AS pieces
+               FROM b),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(words) AS BIGINT) AS n_words,
+                      CAST(sum(pieces) AS BIGINT) AS n_pieces
+               FROM c GROUP BY lang)
+         SELECT lang, n_docs, n_words, n_pieces,
+                CAST((20000 * n_pieces + n_words) DIV (2 * n_words) AS BIGINT)
+                  AS fertility_1e4
+         FROM g ORDER BY lang""",
+
     // same generation-formula prediction as the oracle; range -> sequence
     "q_shot_boundaries" ->
       """WITH m AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),

@@ -2588,4 +2588,22 @@ class OperatorSpec extends SparkTestBase {
     // dispersion of a counting process is non-negative
     got.foreach { case (_, _, _, b) => assert(b >= 0L) }
   }
+
+  test("tokenizer fertility reconciles with per-doc token estimates") {
+    val perDoc = graft.operators.TextAnalysis.tokenEstimate(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val langs = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = perDoc.groupBy(t => langs(t._1)).toSeq.map { case (l, g) =>
+      val words = g.map(_._2).sum; val pieces = g.map(_._3).sum
+      (l, g.length.toLong, words, pieces, (20000L * pieces + words) / (2 * words))
+    }.sortBy(_._1)
+    val got = graft.operators.TextAnalysis.tokenizerFertility(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // pieces never undercount words on this regex pair
+    got.foreach { case (_, _, w, p, f) => assert(p >= w && f >= 10000L) }
+  }
 }

@@ -216,6 +216,14 @@ object SparkEntry {
     "q_string_funcs" -> (Analytics.customerStringShapes(_, _)),
     "q_array_funcs" -> (Analytics.embeddingArrayShapes(_, _)),
     "q_join_brand_revenue" -> (Analytics.brandRevenue(_, _)),
+    "q_volume_shipping" -> (Analytics.volumeShipping(_, _)),
+    "q_market_share" -> (Analytics.marketShare(_, _)),
+    "q_promotion_effect" -> (Analytics.promotionEffect(_, _)),
+    "q_top_supplier" -> (Analytics.topSupplier(_, _)),
+    "q_small_qty_revenue" -> (Analytics.smallQtyRevenue(_, _)),
+    "q_min_cost_supplier" -> (Analytics.minCostSupplier(_, _)),
+    "q_acf_daily_value" -> (Analytics.acfDailyValue(_, _)),
+    "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
     "q_token_estimate" -> (TextAnalysis.tokenEstimate(_, _)),
@@ -426,7 +434,10 @@ object SparkEntry {
     "q_dup_rate_trend" -> (Dedup.dupRateTrend(_, _)),
     "q_sample_pps" -> (Sampling.ppsSample(_, _)),
     "q_degree_histogram" -> (Mining.degreeHistogram(_, _, Basket.maxItems)),
-    "q_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility(_, _))
+    "q_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility(_, _)),
+    "q_kcore_membership" ->
+      (Mining.kcoreMembership(_, _, Basket.maxItems, Basket.ccMinCo,
+        Basket.kcoreK, Basket.kcoreRounds))
   )
 
   // ------------------------------------------------------------------
@@ -584,6 +595,8 @@ object SparkEntry {
     val ccRounds = 12 // comfortably past the observed radius at sf0.01/0.1
     val ccMinCo = 2 // repeat-support edges only; the raw graph is one blob
     val coeffMinDeg = 2
+    val kcoreK = 3
+    val kcoreRounds = 8 // fixed peels; fixture fixed point is ~3 rounds
   }
 
   /** Sketch parameters shared by operators, twins, and specs. The oracles
@@ -2468,6 +2481,21 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
 
+    "q_volume_shipping" ->
+      operators.Analytics.volumeShippingSql("NATION_18", "NATION_19"),
+    "q_market_share" ->
+      operators.Analytics.marketShareSql("//", "NATION_15", "AFRICA", "ECONOMY"),
+    "q_promotion_effect" ->
+      operators.Analytics.promotionEffectSql("//", "strftime(l_shipdate, '%Y-%m')"),
+    "q_top_supplier" -> operators.Analytics.topSupplierSql,
+    "q_small_qty_revenue" ->
+      operators.Analytics.smallQtyRevenueSql("//", "Brand#1"),
+    "q_min_cost_supplier" ->
+      operators.Analytics.minCostSupplierSql("Brand#2"),
+    "q_acf_daily_value" -> operators.Analytics.acfDailyValueSql(7),
+    "q_traffic_kpi_report" ->
+      operators.Analytics.trafficKpiReportSql("//", "epoch_us", 30),
+
     "q_string_funcs" ->
       """SELECT c_custkey,
          upper(c_mktsegment) AS seg_upper,
@@ -3924,6 +3952,14 @@ object SparkEntry {
     "q_connected_components" ->
       operators.Mining.connectedComponentsSql(Basket.maxItems, Basket.ccMinCo,
         Basket.ccRounds, Basket.topK),
+
+    // fixed-round k-core peel, rounds unrolled; MATERIALIZED pins each
+    // round to one evaluation (DuckDB inlines CTEs per reference and each
+    // round is referenced 3x by the next — inlined, the base scan expands
+    // ~5^rounds times and exhausts file handles)
+    "q_kcore_membership" ->
+      operators.Mining.kcoreMembershipSql("MATERIALIZED", Basket.maxItems,
+        Basket.ccMinCo, Basket.kcoreK, Basket.kcoreRounds),
 
     // naive id-ordered triangles per node; // vs DIV is the only knob
     "q_clustering_coeff" ->

@@ -2474,4 +2474,449 @@ object Analytics {
        FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
        GROUP BY event_type, e2, e3
        ORDER BY n DESC, e1, e2, e3 LIMIT $topN"""
+
+  // ------------------------------------------------------- TPC-H classics
+  // The reference's warehouse consumers run the canonical decision-support
+  // shapes (SURVEY §2.5 delegates them to BigQuery); this block adds the
+  // classics the registry was still missing: the nation-pair flow (Q7),
+  // market share (Q8), promotion effect (Q14), top supplier with tie
+  // semantics (Q15), the avg-quantity correlated subquery (Q17), and the
+  // min-cost-supplier-per-part window (Q2's shape recast on lineitem since
+  // the synthetic star has no partsupp). All money is per-row half-up
+  // cents summed as BIGINT (order-free — see brandRevenue) and every ratio
+  // is half-up 1e4 fixed point, so no engine promotion/accumulation noise
+  // can reach the driver's hash.
+
+  private val centsLi =
+    """CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+       * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""
+
+  /** TPC-H Q7-style volume shipping: revenue flow between an ordered pair
+    * of trading nations by ship year. Lineitem joins orders then the two
+    * nation roles arrive through customer and supplier — the only forced
+    * broadcasts are the 25-row nation dim (bounded at any SF); customer
+    * and supplier scale with the data so AQE decides their side. One
+    * shuffle agg on (supp_nation, cust_nation, year): 2x2x|years| groups.
+    */
+  def volumeShipping(s: SparkSession, dir: String,
+                     nationA: String = "NATION_18",
+                     nationB: String = "NATION_19"): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr(centsLi).as("cents"), year(col("l_shipdate")).cast("long").as("l_year"))
+    li.join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private[graft] def volumeShippingSql(nationA: String, nationB: String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+              CAST(sum(cents) AS BIGINT) AS revenue_cents
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                    CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                      * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+               AND ((n1.n_name = '$nationA' AND n2.n_name = '$nationB')
+                 OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA'))) shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** TPC-H Q8-style market share: of the ECONOMY-part revenue sold into
+    * one region's customers per order year, the half-up 1e4 fraction
+    * supplied by one of that region's nations (the Q8 BRAZIL-in-AMERICA
+    * shape). The numerator is a conditional sum inside the same single
+    * aggregation — no second scan, no self-join.
+    */
+  def marketShare(s: SparkSession, dir: String,
+                  nation: String = "NATION_15",
+                  region: String = "AFRICA",
+                  ptype: String = "ECONOMY"): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr(centsLi).as("cents"))
+    li.join(Tables.part(s, dir).filter(col("p_type") === ptype).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("c_nk"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation, col("cents")).otherwise(0L))
+          .as("nation_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("share_1e4",
+        expr("CAST((20000 * nation_cents + total_cents) div (2 * total_cents) AS BIGINT)"))
+      .orderBy(col("o_year"))
+  }
+
+  private[graft] def marketShareSql(div: String, nation: String,
+                                    region: String, ptype: String): String =
+    s"""WITH base AS (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                n2.n_name AS supp_nation,
+                CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                  * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = '$ptype' AND r_name = '$region'),
+       agg AS (
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = '$nation' THEN cents ELSE 0 END) AS BIGINT)
+                  AS nation_cents,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM base GROUP BY o_year)
+       SELECT o_year, nation_cents, total_cents,
+              CAST((20000 * nation_cents + total_cents) $div (2 * total_cents) AS BIGINT)
+                AS share_1e4
+       FROM agg ORDER BY o_year"""
+
+  /** TPC-H Q14-style promotion effect: the half-up 1e4 share of monthly
+    * revenue coming from PROMO-type parts. Part is an unhinted dimension
+    * join (scales with data); one agg, conditional numerator.
+    */
+  def promotionEffect(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        expr(centsLi).as("cents"))
+    li.join(Tables.part(s, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("promo_share_1e4",
+        expr("CAST((20000 * promo_cents + total_cents) div (2 * total_cents) AS BIGINT)"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** `month` is the dialect's yyyy-MM formatter applied to l_shipdate —
+    * DuckDB `strftime(l_shipdate, '%Y-%m')`, Spark
+    * `date_format(l_shipdate, 'yyyy-MM')`.
+    */
+  private[graft] def promotionEffectSql(div: String, month: String): String =
+    s"""WITH base AS (
+         SELECT $month AS ship_month, p_type,
+                CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                  * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       agg AS (
+         SELECT ship_month,
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT)
+                  AS promo_cents,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM base GROUP BY ship_month)
+       SELECT ship_month, promo_cents, total_cents,
+              CAST((20000 * promo_cents + total_cents) $div (2 * total_cents) AS BIGINT)
+                AS promo_share_1e4
+       FROM agg ORDER BY ship_month"""
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose quarterly
+    * revenue equals the maximum — tie semantics preserved exactly (ints,
+    * so ties are bit-identical in both engines), spelled as a window max
+    * instead of Q15's view + scalar subquery: one shuffle on s_suppkey
+    * then a single-column global max broadcast by the window.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(centsLi)).as("revenue_cents"))
+    rev.withColumn("mx", max(col("revenue_cents")).over(Window.partitionBy()))
+      .filter(col("revenue_cents") === col("mx"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private[graft] val topSupplierSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                  * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, revenue_cents
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+       ORDER BY s_suppkey"""
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand whose
+    * quantity is below 20% of that part's average quantity. The correlated
+    * avg subquery is spelled as a window avg over p_partkey — one shuffle,
+    * no second lineitem scan. l_quantity values are small integers stored
+    * as DOUBLE, so sum/avg are exact in IEEE double in any order and the
+    * 0.2*avg comparison is bit-identical across engines.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String,
+                      brand: String = "Brand#1"): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_brand") === brand)
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_quantity"), expr(centsLi).as("cents"))
+    li.withColumn("avg_qty", avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_items"), coalesce(sum(col("cents")), lit(0L)).as("revenue_cents"))
+      .withColumn("avg_weekly_cents",
+        expr("CAST((2 * revenue_cents + 7) div 14 AS BIGINT)"))
+  }
+
+  private[graft] def smallQtyRevenueSql(div: String, brand: String): String =
+    s"""WITH li AS (
+         SELECT p_partkey, l_quantity,
+                CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                  * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+                avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = '$brand'),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents
+         FROM li WHERE l_quantity < 0.2 * avg_qty)
+       SELECT n_items, revenue_cents,
+              CAST((2 * revenue_cents + 7) $div 14 AS BIGINT) AS avg_weekly_cents
+       FROM agg"""
+
+  /** TPC-H Q2's shape recast on lineitem (the synthetic star has no
+    * partsupp): per part of one brand, the supplier offering the lowest
+    * observed sell price (min extendedprice; ties break to the smaller
+    * suppkey). Window min-rank over (part), deterministic total order.
+    * Prices are compared exactly as stored doubles — no arithmetic, so
+    * engine-identical.
+    */
+  def minCostSupplier(s: SparkSession, dir: String,
+                      brand: String = "Brand#2"): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_brand") === brand)
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min(expr(
+        """CAST(floor(l_extendedprice * CAST(100 AS DOUBLE)
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)""")).as("min_price_cents"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("min_price_cents"), col("l_suppkey"))
+    li.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_partkey"), col("l_suppkey").as("s_suppkey"),
+        col("min_price_cents"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private[graft] def minCostSupplierSql(brand: String): String =
+    s"""WITH offers AS (
+         SELECT p_partkey, l_suppkey,
+                CAST(min(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS min_price_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = '$brand'
+         GROUP BY p_partkey, l_suppkey),
+       ranked AS (
+         SELECT p_partkey, l_suppkey, min_price_cents,
+                row_number() OVER (PARTITION BY p_partkey
+                  ORDER BY min_price_cents, l_suppkey) AS rk
+         FROM offers)
+       SELECT p_partkey, l_suppkey AS s_suppkey, min_price_cents
+       FROM ranked WHERE rk = 1 ORDER BY p_partkey"""
+
+  /** Autocorrelation of the daily event-value series at lags 1..maxLag —
+    * the seasonality probe behind the dow-profile and seasonal-anomaly
+    * queries (is there actually a weekly cycle to model?). Determinism
+    * story: the daily series is exact half-up cents (BIGINT); all Pearson
+    * component sums run in DECIMAL(38,0) (no BIGINT wraparound, no
+    * engine-specific promotion); only the final r = num/(sqrt(dx)sqrt(dy))
+    * happens in DOUBLE — from identical integers through correctly-rounded
+    * IEEE ops, so both engines produce the same bits — and is emitted as
+    * signed half-up micro units. Shuffle shape: one day-keyed agg over
+    * events, then lead() windows on the catalog-sized daily series
+    * (|days| rows at any SF), then a maxLag-key agg.
+    */
+  def acfDailyValue(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+    val w = Window.orderBy(col("day"))
+    val withLeads = (1 to maxLag).foldLeft(daily)((df, k) =>
+      df.withColumn(s"y$k", lead(col("v"), k).over(w)))
+    val pairs = withLeads
+      .select(explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag_d"), col("v").as("x"), col(s"y$k").as("y"))): _*)).as("z"))
+      .select(col("z.lag_d").as("lag_d"), col("z.x").as("x"), col("z.y").as("y"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("lag_d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"))
+      .withColumn("num", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
+      .withColumn("dx", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("dy", expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))
+      .select(col("lag_d"), col("n"),
+        expr("""CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+                WHEN num >= 0 THEN CAST(floor(num / (sqrt(dx) * sqrt(dy))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor((-num) / (sqrt(dx) * sqrt(dy))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("acf_micro"))
+      .orderBy(col("lag_d"))
+  }
+
+  /** Fully portable text (lead/UNION ALL/decimal sums spell identically in
+    * DuckDB and Spark) — rides `SqlFrontDoor.portable`.
+    */
+  private[graft] def acfDailyValueSql(maxLag: Int): String = {
+    val leadCols = (1 to maxLag)
+      .map(k => s"lead(v, $k) OVER (ORDER BY day) AS y$k").mkString(", ")
+    val lagArms = (1 to maxLag)
+      .map(k => s"SELECT $k AS lag_d, x, y$k AS y FROM leads WHERE y$k IS NOT NULL")
+      .mkString("\n         UNION ALL ")
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       leads AS (SELECT day, v AS x, $leadCols FROM daily),
+       pairs AS ($lagArms),
+       agg AS (
+         SELECT lag_d, count(*) AS n,
+                sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+                sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+         FROM pairs GROUP BY lag_d),
+       fin AS (
+         SELECT lag_d, n,
+                CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS num,
+                CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS dx,
+                CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS dy
+         FROM agg)
+       SELECT CAST(lag_d AS BIGINT) AS lag_d, CAST(n AS BIGINT) AS n,
+              CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+                   WHEN num >= 0 THEN CAST(floor(num / (sqrt(dx) * sqrt(dy))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor((-num) / (sqrt(dx) * sqrt(dy))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS acf_micro
+       FROM fin ORDER BY lag_d"""
+  }
+
+  /** The daily traffic dashboard the reference's warehouse consumers read:
+    * per day — events, distinct users, exact value cents, sessions STARTED
+    * that day (30-min-gap sessionization, same contract as
+    * [[sessionizeBatch]]), and half-up 1e4 events-per-session. A day all
+    * of whose traffic belongs to sessions begun the previous day has
+    * n_sessions = 0 and the ratio pins to 0 rather than dividing by zero.
+    * Two day-keyed aggs (events; session starts) + one user-windowed scan
+    * for the gap rule — the distinct-user count is the only expensive
+    * aggregate and it shuffles once on day.
+    */
+  def trafficKpiReport(s: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr(
+          "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("value_cents"))
+    val starts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_sessions"))
+    daily.join(starts, Seq("day"), "left")
+      .withColumn("n_sessions", coalesce(col("n_sessions"), lit(0L)))
+      .withColumn("events_per_session_1e4",
+        expr("""CASE WHEN n_sessions = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((20000 * n_events + n_sessions) div (2 * n_sessions) AS BIGINT)
+                END"""))
+      .orderBy(col("day"))
+  }
+
+  /** Shared template: `div` is the dialect's integer division, `micros`
+    * the epoch-microseconds function (DuckDB `epoch_us`, Spark
+    * `unix_micros`).
+    */
+  private[graft] def trafficKpiReportSql(div: String, micros: String,
+                                         gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY CAST(ts AS DATE)),
+       g AS (
+         SELECT ts, $micros(ts) - lag($micros(ts), 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS gap_us
+         FROM events),
+       starts AS (
+         SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM g WHERE gap_us IS NULL OR gap_us > $gapUs
+         GROUP BY CAST(ts AS DATE))
+       SELECT daily.day, n_events, n_users, value_cents,
+              CAST(coalesce(n_sessions, 0) AS BIGINT) AS n_sessions,
+              CASE WHEN coalesce(n_sessions, 0) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((20000 * n_events + n_sessions)
+                     $div (2 * n_sessions) AS BIGINT) END AS events_per_session_1e4
+       FROM daily LEFT JOIN starts ON daily.day = starts.day
+       ORDER BY daily.day"""
+  }
 }

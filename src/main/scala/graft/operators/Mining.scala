@@ -857,4 +857,92 @@ object Mining {
         b AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket FROM deg)
         SELECT bucket, $shl AS lo, CAST(count(*) AS BIGINT) AS n_nodes
         FROM b GROUP BY bucket ORDER BY bucket"""
+
+  /** k-core of the repeat-support co-purchase graph (same minCo >= 2
+    * edge rule as [[connectedComponents]] — the raw graph is one blob):
+    * iteratively peel nodes of degree < k for a FIXED number of rounds,
+    * then report the degree of every node still incident to an edge.
+    * Fixed rounds (not convergence-polled) keep the schedule free of
+    * driver-side collects, the same contract as [[pagerankCopurchase]];
+    * at the fixture scale the peel reaches its fixed point well inside
+    * the budget, and at any scale the output is a well-defined
+    * deterministic function (degrees after exactly `rounds` peels).
+    *
+    * 100 TB shape: each round is one map-side-combined degree count over
+    * the surviving edge list + two semi-join-shaped equi-joins back onto
+    * it — no all-pairs step anywhere, and the edge list only ever
+    * shrinks. localCheckpoint every second round bounds lineage depth.
+    */
+  def kcoreMembership(s: SparkSession, dir: String, maxItems: Int = 40,
+                      minCo: Int = 2, k: Int = 3, rounds: Int = 8): DataFrame = {
+    val inc = Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val ok = inc.groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxItems)
+      .select("basket")
+    var edges = inc.join(ok, Seq("basket")).as("a")
+      .join(inc.join(ok, Seq("basket")).as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("u"), col("b.item").as("v"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val alive = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      edges = edges
+        .join(alive.toDF("u"), Seq("u"))
+        .join(alive.toDF("v"), Seq("v"))
+      if (i % 2 == 0 || i == rounds) edges = edges.localCheckpoint(true)
+    }
+    edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** The same fixed-round peel as one statement with the rounds unrolled.
+    * The text is identical between the DuckDB oracle and the Spark front
+    * door except for `mat`: each e$i CTE is referenced three times by the
+    * next round (the alive census twice, the surviving-edge join once), so
+    * a planner that inlines CTEs per reference expands the base scan
+    * ~5^rounds times. DuckDB 1.x inlines by default — the oracle passes
+    * "MATERIALIZED" to pin each round to one evaluation; Spark has no such
+    * keyword (and Catalyst's CTE dedup handles the reuse), so the twin
+    * passes "".
+    */
+  private[graft] def kcoreMembershipSql(mat: String, maxItems: Int,
+                                        minCo: Int, k: Int,
+                                        rounds: Int): String = {
+    val header =
+      s"""WITH inc AS $mat (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS $mat (SELECT basket FROM inc GROUP BY basket
+                HAVING count(*) <= $maxItems),
+         kept AS $mat (SELECT inc.basket, inc.item FROM inc JOIN ok
+                  ON ok.basket = inc.basket),
+         e0 AS $mat (SELECT a.item AS u, b.item AS v
+               FROM kept a JOIN kept b
+                 ON a.basket = b.basket AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= $minCo)"""
+    val steps = (1 to rounds).map { i =>
+      s"""alive$i AS $mat (SELECT node FROM (SELECT u AS node FROM e${i - 1}
+                      UNION ALL SELECT v FROM e${i - 1}) d
+               GROUP BY node HAVING count(*) >= $k),
+         e$i AS $mat (SELECT e.u, e.v FROM e${i - 1} e
+               JOIN alive$i a ON e.u = a.node
+               JOIN alive$i b ON e.v = b.node)"""
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM (SELECT u AS node FROM e$rounds
+               UNION ALL SELECT v FROM e$rounds) d
+         GROUP BY node ORDER BY node"""
+  }
 }

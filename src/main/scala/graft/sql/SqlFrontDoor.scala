@@ -580,6 +580,27 @@ object SqlFrontDoor {
     */
   val twins: Map[String, String] = Map(
 
+    // TPC-H classics — shared templates from Analytics, Spark dialect
+    // (DIV integer division, date_format month key); the DuckDB oracle
+    // uses the same text with "//" and strftime, so the three surfaces
+    // cannot drift. The div-free classics (volume shipping, top supplier,
+    // min-cost supplier) ride `portable` instead.
+    "q_market_share" ->
+      graft.operators.Analytics.marketShareSql("DIV", "NATION_15", "AFRICA", "ECONOMY"),
+    "q_promotion_effect" ->
+      graft.operators.Analytics.promotionEffectSql("DIV", "date_format(l_shipdate, 'yyyy-MM')"),
+    "q_small_qty_revenue" ->
+      graft.operators.Analytics.smallQtyRevenueSql("DIV", "Brand#1"),
+    "q_traffic_kpi_report" ->
+      graft.operators.Analytics.trafficKpiReportSql("DIV", "unix_micros", 30),
+
+    // same text as the oracle minus the MATERIALIZED CTE pin (a DuckDB
+    // keyword; Catalyst dedups repeated CTE references on its own)
+    "q_kcore_membership" ->
+      graft.operators.Mining.kcoreMembershipSql("",
+        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.ccMinCo,
+        graft.SparkEntry.Basket.kcoreK, graft.SparkEntry.Basket.kcoreRounds),
+
     "q_ann_bruteforce_topk" -> annBruteforceSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_ann_ivf_topk" -> annIvfSql,
@@ -3068,7 +3089,9 @@ object SqlFrontDoor {
     "q_bitmap_distinct_users", "q_bitmap_overlap", "q_theta_set_ops",
     "q_snapshot_diff", "q_bfs_levels", "q_image_near_dup",
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
-    "q_balanced_downsample", "q_connected_components", "q_journey_trigrams")
+    "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
+    "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
+    "q_acf_daily_value")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

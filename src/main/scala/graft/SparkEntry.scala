@@ -148,6 +148,9 @@ object SparkEntry {
     "q_fd_discovery" -> (Quality.fdDiscovery(_, _)),
     "q_ab_test_readout" -> (Quality.abTestReadout(_, _)),
     "q_cusum_changepoint" -> (Analytics.cusumChangepoint(_, _)),
+    "q_holt_forecast" -> (Analytics.holtForecast(_, _)),
+    "q_trend_audit" -> (Analytics.trendAudit(_, _)),
+    "q_seq_pair_support" -> (Mining.seqPairSupport(_, _)),
     "q_daily_value_bands" -> (Analytics.dailyValueBands(_, _)),
     "q_revenue_lorenz" -> (Analytics.revenueLorenz(_, _)),
     "q_interleave_mix" -> (Curation.interleaveMix(_, _)),
@@ -384,6 +387,7 @@ object SparkEntry {
     // ---- corpus curation / layout ----
     "q_boilerplate" -> (TextAnalysis.boilerplate(_, _)),
     "q_quality_calibrated" -> (TextAnalysis.calibrateQuality(_, _)),
+    "q_quantile_normalize" -> (TextAnalysis.quantileNormalize(_, _)),
     "q_length_filter_impact" -> (TextAnalysis.lengthFilterImpact(_, _)),
     "q_dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
     "q_dup_cluster_sizes" -> (Dedup.dupClusterSizes(_, _)),
@@ -595,7 +599,11 @@ object SparkEntry {
     val ccRounds = 12 // comfortably past the observed radius at sf0.01/0.1
     val ccMinCo = 2 // repeat-support edges only; the raw graph is one blob
     val coeffMinDeg = 2
-    val kcoreK = 3
+    // k = 2 (the cycle core: peeling degree-1 nodes removes every tree)
+    // keeps the output non-degenerate ACROSS scales: repeat-support
+    // co-purchase edges get relatively sparser as the part catalog grows,
+    // and the k = 3 core is already empty at sf0.1 (236 nodes at sf0.01)
+    val kcoreK = 2
     val kcoreRounds = 8 // fixed peels; fixture fixed point is ~3 rounds
   }
 
@@ -2133,6 +2141,23 @@ object SparkEntry {
     // shared template (strftime is the only dialect point)
     "q_cusum_changepoint" ->
       operators.Analytics.cusumSql("strftime(ts, '%Y-%m-%d')"),
+
+    // Holt double-exponential smoothing: the same recursive-CTE pattern
+    // (dialect points: strftime + truncating integer division spelling)
+    "q_holt_forecast" ->
+      operators.Analytics.holtSql("strftime(ts, '%Y-%m-%d')", "//"),
+
+    // Mann-Kendall + Theil-Sen trend audit (dialect: strftime, DuckDB
+    // date_diff arg order, //)
+    "q_trend_audit" ->
+      operators.Analytics.trendAuditSql("strftime(ts, '%Y-%m-%d')",
+        "CAST(date_diff('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) AS BIGINT)",
+        "//"),
+
+    // gapped sequential pairs: the oracle is the NAIVE EXISTS-over-raw-
+    // row-pairs statement (no order-statistic collapse) — equality is an
+    // algorithmic cross-check of the first/last-occurrence reduction
+    "q_seq_pair_support" -> operators.Mining.seqPairSupportSql("//", 2),
 
     // daily P50/P90 bands (doubled-median + discrete rank quantile)
     "q_daily_value_bands" ->
@@ -3792,6 +3817,38 @@ object SparkEntry {
                 CAST(CASE WHEN n = 1 THEN 0
                      ELSE (20000 * (rk - 1) + (n - 1)) // (2 * (n - 1)) END AS BIGINT) AS pct_rank_1e4
          FROM rk ORDER BY doc_id""",
+
+    // naive per-doc statement of the quantile normalization: max-rank by
+    // a default-RANGE-frame window (ties included), pooled value by a
+    // row_number-indexed lookup — no CDF build, so equality algorithmically
+    // cross-checks the bounded-domain mapping the operator uses
+    "q_quantile_normalize" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $Toks AS toks FROM documents),
+         m AS (SELECT doc_id, source, text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','in','is','it'], t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
+           FROM t),
+         sc AS (SELECT doc_id, source,
+           CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
+           FROM m),
+         f AS (SELECT * FROM sc WHERE quality_1e4 IS NOT NULL),
+         r AS (SELECT doc_id, source, quality_1e4,
+                CAST(sum(1) OVER (PARTITION BY source ORDER BY quality_1e4) AS BIGINT) AS cum_s,
+                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+                CAST(count(*) OVER () AS BIGINT) AS n_total FROM f),
+         p AS (SELECT quality_1e4 AS pq,
+                CAST(row_number() OVER (ORDER BY quality_1e4, doc_id) AS BIGINT) AS idx
+               FROM f)
+         SELECT r.doc_id, r.source, r.quality_1e4, p.pq AS pooled_1e4
+         FROM r JOIN p ON p.idx = (r.cum_s * r.n_total + r.n_s - 1) // r.n_s
+         ORDER BY r.doc_id""",
 
     "q_dedup_threshold_sweep" ->
       s"""WITH $minhashVerifyCtes,

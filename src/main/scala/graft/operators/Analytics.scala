@@ -2174,22 +2174,7 @@ object Analytics {
       .agg(sum(expr(
         "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
         .as("cents"))
-    val parted = perCust.repartitionByRange(32, col("cents"), col("user_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // offsets + ranks both read this frame; the
-                             // pin also freezes the sampled boundaries so
-                             // pid/offset come from ONE partitioning
-    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("pid"), col("offset"))
-    val ranked = parted
-      .withColumn("lrk", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("cents"), col("user_id"))).cast("long"))
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("rank", col("lrk") + col("offset"))
+    val ranked = RankUtils.globalRank(perCust, 32, col("cents"), col("user_id"))
       .localCheckpoint(true) // totals + decile rollup both read the ranks
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
       sum(col("rank") * col("cents")).as("rank_cents"))
@@ -2919,4 +2904,214 @@ object Analytics {
        FROM daily LEFT JOIN starts ON daily.day = starts.day
        ORDER BY daily.day"""
   }
+
+  /** Public (not private) so Catalyst's codegen'd encoders can reach them. */
+  final case class HoltDay(day: String, cents: Long)
+  final case class HoltRow(day: String, cents: Long, level_1e4: Long,
+                           trend_1e4: Long, forecast_1e4: Option[Long],
+                           resid_1e4: Option[Long])
+
+  /** Holt double-exponential smoothing over daily event revenue — the
+    * trend-aware sibling of [[ewmaUserValue]]: a level-only smoother lags
+    * a steadily-growing series forever, while Holt's second state
+    * variable tracks the slope and the one-step-ahead forecast
+    * level+trend stays centered. alpha = beta = 1/2 keeps the recurrence
+    * EXACT-INTEGER (state in 1e-4 cents; every smoothing step is one
+    * truncating halving, which Spark DIV, Java Long `/`, and DuckDB `//`
+    * all perform identically — the EWMA sign note):
+    *   f_t = l_{t-1} + b_{t-1}                    (one-step forecast)
+    *   l_t = (10000·x_t + l_{t-1} + b_{t-1}) div 2
+    *   b_t = ((l_t - l_{t-1}) + b_{t-1}) div 2
+    * seeded l_1 = 10000·x_1, b_1 = 0; residual r_t = 10000·x_t - f_t is
+    * the monitoring signal (CUSUM watches the level; this watches the
+    * day-over-day surprise after trend is priced in).
+    *
+    * 100 TB shape: identical to [[cusumChangepoint]] — one map-side
+    * aggregate collapses the feed to |days| rows, then the
+    * prefix-dependent recurrence runs as ONE flatMapSortedGroups pass
+    * over that catalog-sized frame. The streaming face reuses
+    * [[graft.streaming.EventsStream.cusumCells]] verbatim (daily cents
+    * cells as complete-mode state) with [[holtFromDaily]] as the
+    * downstream epilogue.
+    */
+  def holtForecast(s: SparkSession, dir: String): DataFrame =
+    holtFromDaily(
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr(
+          "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("cents")))
+
+  /** The Holt recurrence over an already-reduced (day, cents) frame —
+    * shared by the batch operator and the streaming face (the
+    * cusumFromDaily split: daily cells are streaming state; the
+    * recurrence runs downstream of the sink over the catalog-sized
+    * readout).
+    */
+  def holtFromDaily(dailyIn: DataFrame): DataFrame = {
+    val s = dailyIn.sparkSession
+    import s.implicits._
+    dailyIn.as[HoltDay]
+      .groupByKey(_ => true)
+      .flatMapSortedGroups(col("day")) { (_, it) =>
+        var l = 0L
+        var b = 0L
+        var first = true
+        it.map { d =>
+          val x = 10000L * d.cents
+          if (first) {
+            first = false
+            l = x; b = 0L
+            HoltRow(d.day, d.cents, l, b, None, None)
+          } else {
+            val f = l + b
+            val lNew = (x + l + b) / 2
+            b = ((lNew - l) + b) / 2
+            l = lNew
+            HoltRow(d.day, d.cents, l, b, Some(f), Some(x - f))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("day"))
+  }
+
+  /** Non-parametric trend audit over daily event revenue: the
+    * Mann-Kendall S statistic with tie-corrected significance and the
+    * Theil-Sen median slope — the robust pair that answers "is this
+    * series actually drifting, and how fast" without the normality and
+    * outlier-sensitivity assumptions an OLS slope ([[regrSlope]] family)
+    * carries. One row out.
+    *
+    * Exactness: S = SUM sign(c_j - c_i) over day pairs is pure integers;
+    * significance avoids sqrt/float entirely by comparing z^2 in
+    * cross-multiplied form — with var18 = n(n-1)(2n+5) - SUM t(t-1)(2t+5)
+    * (18·Var(S), tie groups of size t subtracted), the 95% two-sided
+    * rule z^2 > 1.96^2 becomes 180000·S^2 > 38416·var18, all BIGINT.
+    * trend = sign(S) when significant else 0. The Theil-Sen slope is the
+    * lower-median pair's half-up (20000·dy + dx) div (2·dx) in 1e-4
+    * cents/day; pair order is (dy/dx, day_i, day_j) — distinct slope
+    * rationals with day gaps <= D differ by >= 1/D^2, far above double
+    * ulp at fixture magnitudes (exact while |dy|·D^2 < 2^52), and pairs
+    * with EQUAL rational slope emit the same fixed-point value, so the
+    * double sort key cannot change the answer.
+    *
+    * 100 TB shape: one map-side aggregate collapses the feed to |days|
+    * rows; everything after — the pair self-join (|days|^2), the tie
+    * census, the median window — is catalog-sized (a decade is 3.6k days
+    * = 6.5M pairs, still one task's worth). The oracle states the same
+    * math naively.
+    */
+  def trendAudit(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+      .localCheckpoint(true) // pairs, ties, and n read one |days| frame
+    val n = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie18"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(
+        expr("CASE WHEN b.cents > a.cents THEN 1 WHEN b.cents < a.cents THEN -1 ELSE 0 END")
+          .cast("long").as("sgn"),
+        (col("b.cents") - col("a.cents")).as("dy"),
+        datediff(col("b.day").cast("date"), col("a.day").cast("date"))
+          .cast("long").as("dx"),
+        col("a.day").as("d1"), col("b.day").as("d2"))
+      .localCheckpoint(true) // S-sum + median window read one pair frame
+    val sStat = pairs.agg(sum(col("sgn")).as("s_stat"),
+      count(lit(1)).as("n_pairs"))
+    val median = pairs
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("dy").cast("double") / col("dx").cast("double"),
+        col("d1"), col("d2"))).cast("long"))
+      .crossJoin(broadcast(sStat.select(col("n_pairs"))))
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+      .select(expr(
+        """CASE WHEN dy >= 0 THEN (20000 * dy + dx) DIV (2 * dx)
+           ELSE -((20000 * -dy + dx) DIV (2 * dx)) END""").as("slope_1e4"))
+    sStat.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(median))
+      .withColumn("var18", expr("n * (n - 1) * (2 * n + 5) - tie18"))
+      .select(col("n").as("n_days"), col("n_pairs"), col("s_stat"),
+        col("var18"),
+        expr("""CASE WHEN 180000 * s_stat * s_stat > 38416 * var18
+                THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
+                ELSE 0 END""").cast("long").as("trend"),
+        col("slope_1e4"))
+  }
+
+  /** The trend audit as one naive statement; dialect points are the day
+    * extractor, the day-difference expression, and the truncating
+    * division spelling.
+    */
+  private[graft] def trendAuditSql(dayE: String, dxE: String,
+                                   div: String): String =
+    s"""WITH d AS (
+           SELECT $dayE AS day,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         tie AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie18
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                       FROM d GROUP BY cents) g),
+         p AS (SELECT CAST(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END AS BIGINT)
+                        AS sgn,
+                      b.cents - a.cents AS dy,
+                      $dxE AS dx,
+                      a.day AS d1, b.day AS d2
+               FROM d a JOIN d b ON a.day < b.day),
+         st AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+                       CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+         med AS (SELECT CASE WHEN dy >= 0 THEN (20000 * dy + dx) $div (2 * dx)
+                        ELSE -((20000 * -dy + dx) $div (2 * dx)) END AS slope_1e4
+                 FROM (SELECT dy, dx,
+                         CAST(row_number() OVER (ORDER BY
+                           CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), d1, d2)
+                           AS BIGINT) AS rk
+                       FROM p) r CROSS JOIN st
+                 WHERE rk = (n_pairs + 1) $div 2)
+         SELECT nn.n AS n_days, st.n_pairs, st.s_stat,
+                nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18 AS var18,
+                CAST(CASE WHEN 180000 * st.s_stat * st.s_stat >
+                       38416 * (nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie18)
+                     THEN CASE WHEN st.s_stat > 0 THEN 1 ELSE -1 END
+                     ELSE 0 END AS BIGINT) AS trend,
+                med.slope_1e4
+         FROM st CROSS JOIN nn CROSS JOIN tie CROSS JOIN med"""
+
+  /** The Holt recurrence as one recursive-CTE statement; dialect points
+    * are the day extractor (strftime vs date_format) and the truncating
+    * integer division spelling (// vs DIV). Same text feeds the DuckDB
+    * oracle and the Spark front-door twin.
+    */
+  private[graft] def holtSql(dayE: String, div: String): String =
+    s"""WITH RECURSIVE d AS (
+           SELECT $dayE AS day,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1),
+         s AS (SELECT day, cents,
+                      CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rk
+               FROM d),
+         h AS (
+           SELECT day, cents, rk,
+                  10000 * cents AS l, CAST(0 AS BIGINT) AS b,
+                  CAST(NULL AS BIGINT) AS f
+           FROM s WHERE rk = 1
+           UNION ALL
+           SELECT s.day, s.cents, s.rk,
+                  (10000 * s.cents + h.l + h.b) $div 2,
+                  (((10000 * s.cents + h.l + h.b) $div 2 - h.l) + h.b) $div 2,
+                  h.l + h.b
+           FROM h JOIN s ON s.rk = h.rk + 1)
+         SELECT day, cents, l AS level_1e4, b AS trend_1e4,
+                f AS forecast_1e4, 10000 * cents - f AS resid_1e4
+         FROM h ORDER BY day"""
 }

@@ -569,20 +569,7 @@ object Curation {
     val docs = TextAnalysis.qualityScore(s, dir)
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("quality_1e4"), lit(-1L)).as("q"))
-    val parted = docs.repartitionByRange(32, col("q"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // offsets + ranks read ONE frozen partitioning
-    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum(col("cnt")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("pid"), col("offset"))
-    val ranked = parted
-      .withColumn("lrk", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("q"), col("doc_id"))).cast("long"))
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("rank", col("lrk") + col("offset"))
+    val ranked = RankUtils.globalRank(docs, 32, col("q"), col("doc_id"))
     val tot = ranked.agg(count(lit(1)).as("n"),
       sum(col("n_tokens")).as("total_tokens"))
     ranked.crossJoin(broadcast(tot))

@@ -945,4 +945,88 @@ object Mining {
                UNION ALL SELECT v FROM e$rounds) d
          GROUP BY node ORDER BY node"""
   }
+
+  /** Gapped sequential-pattern support (PrefixSpan's length-2 layer): for
+    * every ordered event-type pair (e1, e2), the number of users whose
+    * timeline contains some e1 occurrence strictly before some e2
+    * occurrence — gaps allowed, which is what separates sequence mining
+    * from [[graft.operators.Analytics]]'s contiguous journey trigrams: "a
+    * signup eventually followed by a purchase" matches regardless of the
+    * browsing in between.
+    *
+    * The whole subsequence test collapses to two order statistics:
+    * a timeline contains e1-before-e2 iff FIRST(e1) < LAST(e2) in the
+    * per-user (ts, event_id) order — strict inequality also makes the
+    * diagonal (e, e) mean "e occurs at least twice", so one condition
+    * serves every pair. No per-user sequence scan, no subsequence
+    * enumeration.
+    *
+    * 100 TB shape: ONE shuffle keyed user_id (the sessionize shape) pays
+    * for everything — the position window, the (user, type) min/max
+    * aggregate (catalyst reuses the user_id partitioning: at most |types|
+    * rows per user survive), and the co-partitioned self-join whose
+    * fan-out is bounded by |types|² per user. The final aggregate is
+    * |types|²-row catalog output. The oracle states the naive
+    * EXISTS-pair-of-rows SQL, proving the order-statistic collapse
+    * result-invisible.
+    */
+  def seqPairSupport(s: SparkSession, dir: String,
+                     minSupport: Long = 2): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    seqPairsFromSpans(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).cast("long").as("pos"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos")),
+      minSupport)
+  }
+
+  /** The pair-support epilogue over an already-reduced
+    * (user_id, event_type, first_pos, last_pos) spans frame — shared by
+    * the batch operator and the streaming face (the cusumFromDaily
+    * split: per-(user, type) min/max cells are plain streaming aggregate
+    * state; the self-join readout runs downstream of the sink). The
+    * position columns may be ANY mutually orderable type — the batch
+    * side uses window row numbers, the streaming side (ts, event_id)
+    * structs; both encode the same per-user total order, so the strict
+    * first < last comparison agrees (StreamingSpec pins the equality).
+    */
+  def seqPairsFromSpans(spansIn: DataFrame, minSupport: Long = 2): DataFrame = {
+    val spans = spansIn.localCheckpoint(true) // total + both join sides
+    val total = spans.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    spans.as("a")
+      .join(spans.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.first_pos") < col("b.last_pos"))
+      .groupBy(col("a.event_type").as("e1"), col("b.event_type").as("e2"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+      .crossJoin(broadcast(total))
+      .select(col("e1"), col("e2"), col("n_users"),
+        expr("(20000 * n_users + n_total) DIV (2 * n_total)").as("supp_1e4"))
+      .orderBy(col("e1"), col("e2"))
+  }
+
+  /** The naive statement of the same support counts — an EXISTS over raw
+    * row pairs, no order-statistic collapse — so oracle equality is an
+    * algorithmic cross-check, not a restatement. `div` is the only
+    * dialect point.
+    */
+  private[graft] def seqPairSupportSql(div: String, minSupport: Long): String =
+    s"""WITH t AS (SELECT user_id, event_type, ts, event_id FROM events),
+       pairs AS (
+         SELECT DISTINCT a.user_id, a.event_type AS e1, b.event_type AS e2
+         FROM t a JOIN t b
+           ON a.user_id = b.user_id
+          AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))),
+       sup AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS n_users
+               FROM pairs GROUP BY e1, e2),
+       tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+               FROM t)
+       SELECT e1, e2, n_users,
+              (20000 * n_users + n_total) $div (2 * n_total) AS supp_1e4
+       FROM sup CROSS JOIN tot
+       WHERE n_users >= $minSupport
+       ORDER BY e1, e2"""
 }

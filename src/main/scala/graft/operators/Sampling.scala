@@ -205,20 +205,7 @@ object Sampling {
       .select(col("doc_id"),
         expr(s"CAST(size(${TextAnalysis.TokensExpr}) AS BIGINT)").as("w"))
       .filter(col("w") > 0)
-    val parted = docs.repartitionByRange(32, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // offsets + cumsums read one frozen partitioning
-    val offsets = parted.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
-      .withColumn("offset",
-        coalesce(sum(col("pw")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("pid"), col("offset"))
-    val cum = parted
-      .withColumn("lcum",
-        sum(col("w")).over(Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("cum_hi", col("lcum") + col("offset"))
+    val cum = RankUtils.prefixSum(docs, "w", 32, col("doc_id"))
     val tot = cum.agg(sum(col("w")).as("total"))
     cum.crossJoin(broadcast(tot))
       .withColumn("stride", expr(s"greatest(total DIV $m, 1)"))

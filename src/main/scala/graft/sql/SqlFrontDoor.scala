@@ -2504,6 +2504,36 @@ object SqlFrontDoor {
                      ELSE (20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) END AS BIGINT) AS pct_rank_1e4
          FROM rk ORDER BY doc_id""",
 
+    // same naive statement as the oracle, Spark dialect (array lambdas,
+    // DIV); the default-RANGE window frame includes ties in both engines
+    "q_quantile_normalize" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         m AS (SELECT doc_id, source, text,
+           CAST(size(toks) AS BIGINT) AS n_tokens,
+           CAST(size(filter(toks, t -> array_contains(
+             array('the','a','of','and','to','in','is','it'), t))) AS BIGINT) AS stop_hits,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT) AS punct_chars
+           FROM t),
+         sc AS (SELECT doc_id, source,
+           CASE WHEN n_tokens = 0 OR length(text) = 0 THEN NULL ELSE
+           CAST(floor(
+             least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS quality_1e4
+           FROM m),
+         f AS (SELECT * FROM sc WHERE quality_1e4 IS NOT NULL),
+         r AS (SELECT doc_id, source, quality_1e4,
+                CAST(sum(1) OVER (PARTITION BY source ORDER BY quality_1e4) AS BIGINT) AS cum_s,
+                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+                CAST(count(*) OVER () AS BIGINT) AS n_total FROM f),
+         p AS (SELECT quality_1e4 AS pq,
+                CAST(row_number() OVER (ORDER BY quality_1e4, doc_id) AS BIGINT) AS idx
+               FROM f)
+         SELECT r.doc_id, r.source, r.quality_1e4, p.pq AS pooled_1e4
+         FROM r JOIN p ON p.idx = (r.cum_s * r.n_total + r.n_s - 1) DIV r.n_s
+         ORDER BY r.doc_id""",
+
     "q_dedup_threshold_sweep" ->
       s"""WITH $minhashVerifyCtes,
          pass AS (SELECT doc_a, doc_b, jaccard_1e4 FROM verify WHERE jaccard_1e4 >= 5000),
@@ -2998,6 +3028,17 @@ object SqlFrontDoor {
     // same generated recursive-CTE text as the oracle (date_format only)
     "q_cusum_changepoint" ->
       graft.operators.Analytics.cusumSql("date_format(ts, 'yyyy-MM-dd')"),
+
+    "q_holt_forecast" ->
+      graft.operators.Analytics.holtSql("date_format(ts, 'yyyy-MM-dd')", "DIV"),
+
+    "q_trend_audit" ->
+      graft.operators.Analytics.trendAuditSql("date_format(ts, 'yyyy-MM-dd')",
+        "CAST(datediff(CAST(b.day AS DATE), CAST(a.day AS DATE)) AS BIGINT)",
+        "DIV"),
+
+    "q_seq_pair_support" ->
+      graft.operators.Mining.seqPairSupportSql("DIV", 2),
 
     // same generated text as the oracle with DIV for //
     "q_interleave_mix" -> graft.operators.Curation.interleaveSql("DIV"),

@@ -601,6 +601,28 @@ object EventsStream {
         "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
         .as("cents"))
 
+  /** Per-(user, type) first/last occurrence cells for the streaming
+    * sequential-pattern monitor — complete-mode min/max aggregate state,
+    * one row per touched (user, type) pair. Positions are (ts, event_id)
+    * structs, order-isomorphic to the batch operator's per-user row
+    * numbers, so the downstream pair-support epilogue
+    * ([[graft.operators.Mining.seqPairsFromSpans]]) computes the exact
+    * batch answer over the readout — the cusumCells split again: min/max
+    * partials merge in the state store under any trigger boundary, and
+    * the self-join readout (which a new occurrence of any type can
+    * re-price) runs downstream over the users x types cells.
+    *
+    * State is bounded by |users| x |event types| — the same cardinality
+    * as the attribution state; at true unbounded user churn, age out
+    * long-idle users into a compacted store like the other per-user
+    * monitors.
+    */
+  def seqSpanCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first_pos"),
+        max(struct(col("ts"), col("event_id"))).as("last_pos"))
+
   /** Per-(event_type, day) KLL quantile-sketch cells for the streaming
     * value monitor — the ingest face of the batch quantile cube
     * ([[graft.operators.Sketches.quantileRollup]]): `kll_agg` runs as

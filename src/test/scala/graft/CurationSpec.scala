@@ -156,6 +156,44 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), "CDF join-back must broadcast")
   }
 
+  test("quantile normalization: per-source multiset equals pooled quantile draw") {
+    val out = TextAnalysis.quantileNormalize(spark, Sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // independent recompute: pooled sorted values, per-source max-ranks
+    val pooledSorted = rows.map(_._3).sorted
+    val n = pooledSorted.length.toLong
+    rows.groupBy(_._2).foreach { case (_, src) =>
+      val ns = src.length.toLong
+      val sortedQ = src.map(_._3).sorted
+      src.foreach { case (_, _, q, pooled) =>
+        val cum = sortedQ.count(_ <= q).toLong // max-rank on ties
+        val tr = (cum * n + ns - 1) / ns
+        assert(pooled == pooledSorted((tr - 1).toInt),
+          s"pooled value must be the target-rank-th smallest pooled score")
+      }
+      // monotone within source: higher raw score never maps lower
+      val bySorted = src.sortBy(r => (r._3, r._1))
+      bySorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4)
+        case _ =>
+      }
+      // the top doc of every source reaches the pooled maximum
+      assert(bySorted.last._4 == pooledSorted.last)
+    }
+    // corpus-side join-back must broadcast the catalog-sized mapping;
+    // the only BNLJ allowed is the 1-row n_total cross join — a RANGE-
+    // conditioned BNLJ would mean the interval join crept back in (the
+    // cells x scores quadratic the merge window exists to avoid)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "mapping join-back must broadcast")
+    val intervalBnlj = plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains(">="))
+    assert(!intervalBnlj,
+      s"the anchors/probes merge must not be an interval join:\n$plan")
+  }
+
   test("length-filter impact: monotone, lowest cutoff covers every non-empty doc") {
     val out = TextAnalysis.lengthFilterImpact(spark, Sf).collect()
       .map(r => (r.getAs[Long]("min_tokens"), r.getAs[Long]("n_docs"),

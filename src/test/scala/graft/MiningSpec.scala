@@ -527,6 +527,111 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(r => r._3 >= 0L && r._4 >= 0L))
   }
 
+  test("holt forecast matches the in-memory recurrence; residual reconciles") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var l = 0L; var b = 0L
+    val want = daily.zipWithIndex.map { case ((day, cents), i) =>
+      val x = 10000L * cents
+      if (i == 0) { l = x; b = 0L; (day, cents, l, b, None, None) }
+      else {
+        val f = l + b
+        val lNew = (x + l + b) / 2
+        b = ((lNew - l) + b) / 2
+        l = lNew
+        (day, cents, l, b, Some(f), Some(x - f))
+      }
+    }.toSeq
+    val got = Analytics.holtForecast(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == want)
+    // residual is exactly the forecast miss wherever a forecast exists
+    got.foreach { r =>
+      (r._5, r._6) match {
+        case (Some(f), Some(res)) => assert(res == 10000L * r._2 - f)
+        case (None, None) => ()
+        case other => fail(s"forecast/residual must be null together: $other")
+      }
+    }
+  }
+
+  test("trend audit matches the in-memory Mann-Kendall + Theil-Sen recompute") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def epochDay(d: String): Long = fmt.parse(d).getTime / 86400000L
+    val pairs = for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(i), daily(j))
+    val s = pairs.map { case ((_, a), (_, b)) =>
+      java.lang.Long.signum(b - a).toLong }.sum
+    val n = daily.length.toLong
+    val tie18 = daily.groupBy(_._2).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - tie18
+    val slopes = pairs.map { case ((d1, a), (d2, b)) =>
+      val dy = b - a
+      val dx = epochDay(d2) - epochDay(d1)
+      (dy.toDouble / dx, d1, d2, dy, dx)
+    }.sortBy(t => (t._1, t._2, t._3))
+    val m = slopes((((slopes.length + 1) / 2) - 1).toInt)
+    val slope = if (m._4 >= 0) (20000L * m._4 + m._5) / (2L * m._5)
+                else -((20000L * -m._4 + m._5) / (2L * m._5))
+    val trend = if (180000L * s * s > 38416L * var18) (if (s > 0) 1L else -1L)
+                else 0L
+    val row = Analytics.trendAudit(spark, Sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) ==
+      (n, pairs.length.toLong, s, var18, trend, slope))
+    // the S statistic is bounded by the pair count
+    assert(math.abs(row.getLong(2)) <= row.getLong(1))
+  }
+
+  test("seq pair support matches the in-memory subsequence recompute") {
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getLong(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._3, e._4)).map(_._2).toSeq).toMap
+    val nTotal = byUser.size.toLong
+    // brute force: for each user timeline, the set of ordered pairs
+    // (e1 strictly before e2 somewhere in the sequence)
+    val pairSets = byUser.values.map { seq =>
+      (for {
+        i <- seq.indices
+        j <- (i + 1) until seq.length
+      } yield (seq(i), seq(j))).toSet
+    }
+    val want = pairSets.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+      .toSeq.sortBy(_._1)
+      .map { case ((e1, e2), n) =>
+        (e1, e2, n, (20000L * n + nTotal) / (2L * nTotal)) }
+    val got = Mining.seqPairSupport(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the diagonal means "occurs at least twice": cross-check one cell
+    got.filter(r => r._1 == r._2).foreach { r =>
+      val direct = byUser.values.count(s => s.count(_ == r._1) >= 2).toLong
+      assert(r._3 == direct)
+    }
+  }
+
   test("seasonal anomaly: dense grid, reconciled baselines, exact flags") {
     val rows = Quality.seasonalAnomaly(spark, Sf).collect()
     val nDays = rows.map(_.getString(0)).distinct.length

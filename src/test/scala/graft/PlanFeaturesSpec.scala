@@ -273,4 +273,28 @@ class PlanFeaturesSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       s"the candidate and hit joins must stay equi; the k frame broadcasts:\n$plan")
   }
+
+  test("seq pair support: the self-join stays keyed on user_id, never cartesian") {
+    val df = graft.operators.Mining.seqPairSupport(spark, Sf)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the spans self-join must stay an equi join on user_id:\n$plan")
+    // the only BNLJ allowed is the 1-row n_total cross join
+    val conditionedBnlj = plan.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("<") || l.contains(">")))
+    assert(!conditionedBnlj,
+      s"pair fan-out must ride the user_id equi join, not a theta join:\n$plan")
+  }
+
+  test("k-core peel: every round's census and survivor joins stay equi") {
+    val df = graft.operators.Mining.kcoreMembership(spark, Sf,
+      SparkEntry.Basket.maxItems, SparkEntry.Basket.ccMinCo,
+      SparkEntry.Basket.kcoreK, SparkEntry.Basket.kcoreRounds)
+    df.collect() // may be small at tiny SF; the pin is on the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"k-core survivor joins must stay equi:\n$plan")
+  }
 }

@@ -141,6 +141,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming daily cells + holt epilogue equal the batch smoother") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    // the Holt face REUSES cusumCells verbatim: daily cents cells are
+    // one complete-mode state table serving both monitors
+    val q = EventsStream.cusumCells(input.toDF())
+      .writeStream.format("memory").queryName("holtcells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2 + 7)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      val got = graft.operators.Analytics
+        .holtFromDaily(spark.table("holtcells")).collect().map(key).toSeq
+      val want = graft.operators.Analytics.holtForecast(spark, Sf)
+        .collect().map(key).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming seq-span cells + pair epilogue equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.seqSpanCells(input.toDF())
+      .writeStream.format("memory").queryName("seqspans")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // split mid-stream so some (user, type) min/max cells must merge
+      // a second batch's occurrences into existing state
+      val (b1, b2) = all.splitAt(all.length / 2 + 3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = graft.operators.Mining
+        .seqPairsFromSpans(spark.table("seqspans")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val want = graft.operators.Mining.seqPairSupport(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming seasonal cells + batch epilogue equal the batch monitor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

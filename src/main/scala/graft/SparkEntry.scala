@@ -4010,12 +4010,11 @@ object SparkEntry {
       operators.Mining.connectedComponentsSql(Basket.maxItems, Basket.ccMinCo,
         Basket.ccRounds, Basket.topK),
 
-    // fixed-round k-core peel, rounds unrolled; MATERIALIZED pins each
-    // round to one evaluation (DuckDB inlines CTEs per reference and each
-    // round is referenced 3x by the next — inlined, the base scan expands
-    // ~5^rounds times and exhausts file handles)
+    // fixed-round k-core peel, rounds unrolled as a single-reference
+    // window chain (portable text; see kcoreMembershipSql for why the
+    // naive unrolling explodes under per-reference CTE inlining)
     "q_kcore_membership" ->
-      operators.Mining.kcoreMembershipSql("MATERIALIZED", Basket.maxItems,
+      operators.Mining.kcoreMembershipSql(Basket.maxItems,
         Basket.ccMinCo, Basket.kcoreK, Basket.kcoreRounds),
 
     // naive id-ordered triangles per node; // vs DIV is the only knob

@@ -906,44 +906,51 @@ object Mining {
       .orderBy(col("node"))
   }
 
-  /** The same fixed-round peel as one statement with the rounds unrolled.
-    * The text is identical between the DuckDB oracle and the Spark front
-    * door except for `mat`: each e$i CTE is referenced three times by the
-    * next round (the alive census twice, the surviving-edge join once), so
-    * a planner that inlines CTEs per reference expands the base scan
-    * ~5^rounds times. DuckDB 1.x inlines by default — the oracle passes
-    * "MATERIALIZED" to pin each round to one evaluation; Spark has no such
-    * keyword (and Catalyst's CTE dedup handles the reuse), so the twin
-    * passes "".
+  /** The same fixed-round peel as one PORTABLE statement (identical text
+    * in DuckDB and Spark) with the rounds unrolled as a SINGLE-REFERENCE
+    * chain. The naive unrolling (per round: an alive census referencing
+    * the edge CTE twice + a survivor join referencing it once) explodes
+    * under per-reference CTE inlining — BOTH engines inline (DuckDB 1.x
+    * by default, Catalyst's InlineCTE for deterministic CTEs), so the
+    * base scan expands ~5^rounds times: DuckDB exhausts file handles,
+    * Spark exhausts driver heap just PLANNING it. Instead edges are kept
+    * BIDIRECTIONAL and each round is two window layers over its
+    * predecessor alone: deg(src) is a count() window per src, and the
+    * mirror row's degree — deg(dst) — is recovered as (pair-partition
+    * sum of deg(src)) - own, since exactly the two mirror rows share the
+    * unordered-pair partition. One reference per round, linear chain,
+    * linear plan.
     */
-  private[graft] def kcoreMembershipSql(mat: String, maxItems: Int,
-                                        minCo: Int, k: Int,
+  private[graft] def kcoreMembershipSql(maxItems: Int, minCo: Int, k: Int,
                                         rounds: Int): String = {
     val header =
-      s"""WITH inc AS $mat (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
                       FROM lineitem),
-         ok AS $mat (SELECT basket FROM inc GROUP BY basket
+         ok AS (SELECT basket FROM inc GROUP BY basket
                 HAVING count(*) <= $maxItems),
-         kept AS $mat (SELECT inc.basket, inc.item FROM inc JOIN ok
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
                   ON ok.basket = inc.basket),
-         e0 AS $mat (SELECT a.item AS u, b.item AS v
+         e AS (SELECT a.item AS u, b.item AS v
                FROM kept a JOIN kept b
                  ON a.basket = b.basket AND a.item < b.item
-               GROUP BY 1, 2 HAVING count(*) >= $minCo)"""
+               GROUP BY 1, 2 HAVING count(*) >= $minCo),
+         g0 AS (SELECT u AS src, v AS dst FROM e
+                UNION ALL SELECT v, u FROM e)"""
     val steps = (1 to rounds).map { i =>
-      s"""alive$i AS $mat (SELECT node FROM (SELECT u AS node FROM e${i - 1}
-                      UNION ALL SELECT v FROM e${i - 1}) d
-               GROUP BY node HAVING count(*) >= $k),
-         e$i AS $mat (SELECT e.u, e.v FROM e${i - 1} e
-               JOIN alive$i a ON e.u = a.node
-               JOIN alive$i b ON e.v = b.node)"""
+      s"""g$i AS (
+           SELECT src, dst FROM (
+             SELECT src, dst, ds,
+                    CAST(sum(ds) OVER (PARTITION BY least(src, dst),
+                                       greatest(src, dst)) AS BIGINT) AS pair_ds
+             FROM (SELECT src, dst,
+                          CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS ds
+                   FROM g${i - 1}) d$i) w$i
+           WHERE ds >= $k AND pair_ds - ds >= $k)"""
     }
     (header +: steps).mkString(",\n") +
       s"""
-         SELECT node, CAST(count(*) AS BIGINT) AS core_deg
-         FROM (SELECT u AS node FROM e$rounds
-               UNION ALL SELECT v FROM e$rounds) d
-         GROUP BY node ORDER BY node"""
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         FROM g$rounds GROUP BY src ORDER BY node"""
   }
 
   /** Gapped sequential-pattern support (PrefixSpan's length-2 layer): for

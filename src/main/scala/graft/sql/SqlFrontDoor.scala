@@ -594,13 +594,6 @@ object SqlFrontDoor {
     "q_traffic_kpi_report" ->
       graft.operators.Analytics.trafficKpiReportSql("DIV", "unix_micros", 30),
 
-    // same text as the oracle minus the MATERIALIZED CTE pin (a DuckDB
-    // keyword; Catalyst dedups repeated CTE references on its own)
-    "q_kcore_membership" ->
-      graft.operators.Mining.kcoreMembershipSql("",
-        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.ccMinCo,
-        graft.SparkEntry.Basket.kcoreK, graft.SparkEntry.Basket.kcoreRounds),
-
     "q_ann_bruteforce_topk" -> annBruteforceSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_ann_ivf_topk" -> annIvfSql,
@@ -3132,7 +3125,7 @@ object SqlFrontDoor {
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
     "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
     "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
-    "q_acf_daily_value")
+    "q_acf_daily_value", "q_kcore_membership")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -129,6 +129,7 @@ object SparkEntry {
           .filter(col("t_us") >= split))
     }),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
+    "q_corr_matrix" -> (Quality.corrMatrix(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
     "q_chi2_source_lang" -> (Quality.chi2SourceLang(_, _)),
     "q_type_drift_hourly" -> (Quality.typeDriftHourly(_, _)),
@@ -2153,6 +2154,10 @@ object SparkEntry {
       operators.Analytics.trendAuditSql("strftime(ts, '%Y-%m-%d')",
         "CAST(date_diff('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) AS BIGINT)",
         "//"),
+
+    // pairwise Pearson matrix; UNION ALL arms (no stack) — portable text
+    // that also algorithmically cross-checks the operator's Expand path
+    "q_corr_matrix" -> operators.Quality.corrMatrixSql,
 
     // gapped sequential pairs: the oracle is the NAIVE EXISTS-over-raw-
     // row-pairs statement (no order-statistic collapse) — equality is an

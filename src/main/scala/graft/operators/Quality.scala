@@ -798,4 +798,102 @@ object Quality {
       }
     blocks.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
   }
+
+  /** The numeric-column slate for [[corrMatrix]]: name -> exact integer
+    * projection (quantity whole units, price cents, discount/tax
+    * hundredths — all half-up, so every engine starts from identical
+    * BIGINTs).
+    */
+  private val CorrCols: Seq[(String, String)] = Seq(
+    "qty" -> "CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT)",
+    "price" -> """CAST(floor(l_extendedprice * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)""",
+    "disc" -> """CAST(floor(l_discount * CAST(100 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)""",
+    "tax" -> """CAST(floor(l_tax * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT)""")
+
+  /** Pairwise Pearson correlation matrix over lineitem's numeric columns
+    * (upper triangle, 6 pairs) — the between-column dependence profile a
+    * feature audit reads before trusting any per-column screen
+    * ([[profileColumns]] prices columns alone; this prices them jointly:
+    * price tracks quantity by construction, discount shouldn't track
+    * anything). Same determinism story as the daily-ACF: component sums
+    * in DECIMAL(38,0) (exact, order-free, no promotion divergence), one
+    * final r from identical integers through correctly-rounded IEEE ops,
+    * emitted as signed half-up micro units.
+    *
+    * 100 TB shape: ONE scan of the fact table — the pair slate unpivots
+    * via stack (Catalyst Expand, 6 two-int rows per input row) into a
+    * map-side-combinable aggregate whose output is 6 rows. No joins, no
+    * windows, nothing downstream touches the feed. The oracle states the
+    * same sums as six UNION ALL arms (six logical scans, no Expand) —
+    * equality cross-checks the stack path.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = for {
+      (i, (na, ea)) <- CorrCols.zipWithIndex.map(_.swap)
+      (j, (nb, eb)) <- CorrCols.zipWithIndex.map(_.swap) if i < j
+    } yield (s"${na}_$nb", ea, eb)
+    val stackArgs = pairs.map { case (name, ea, eb) =>
+      s"'$name', $ea, $eb" }.mkString(", ")
+    Tables.spread(s, dir, "lineitem")
+      .select(expr(s"stack(${pairs.size}, $stackArgs) AS (pair, x, y)"))
+      .groupBy(col("pair"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"))
+      .withColumn("num", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
+      .withColumn("dx", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("dy", expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))
+      .select(col("pair"), col("n"),
+        expr("""CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+                WHEN num >= 0 THEN CAST(floor(num / (sqrt(dx) * sqrt(dy))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor((-num) / (sqrt(dx) * sqrt(dy))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("r_micro"))
+      .orderBy(col("pair"))
+  }
+
+  /** Fully portable text (UNION ALL arms instead of stack; decimal sums
+    * and the final-double readout spell identically in DuckDB and
+    * Spark) — rides `SqlFrontDoor.portable`.
+    */
+  private[graft] def corrMatrixSql: String = {
+    val pairs = for {
+      (i, (na, ea)) <- CorrCols.zipWithIndex.map(_.swap)
+      (j, (nb, eb)) <- CorrCols.zipWithIndex.map(_.swap) if i < j
+    } yield (s"${na}_$nb", ea, eb)
+    val arms = pairs.map { case (name, ea, eb) =>
+      s"SELECT '$name' AS pair, $ea AS x, $eb AS y FROM lineitem"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH pairs AS ($arms),
+       agg AS (
+         SELECT pair, count(*) AS n,
+                sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+                sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+         FROM pairs GROUP BY pair),
+       fin AS (
+         SELECT pair, n,
+                CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS num,
+                CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS dx,
+                CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS dy
+         FROM agg)
+       SELECT pair, CAST(n AS BIGINT) AS n,
+              CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+                   WHEN num >= 0 THEN CAST(floor(num / (sqrt(dx) * sqrt(dy))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor((-num) / (sqrt(dx) * sqrt(dy))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   END AS r_micro
+       FROM fin ORDER BY pair"""
+  }
 }

@@ -3125,7 +3125,7 @@ object SqlFrontDoor {
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
     "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
     "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
-    "q_acf_daily_value", "q_kcore_membership")
+    "q_acf_daily_value", "q_kcore_membership", "q_corr_matrix")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -561,6 +561,41 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("corr matrix matches the in-memory Pearson recompute; diagonal-free") {
+    val cols = Tables.spread(spark, Sf, "lineitem")
+      .select(
+        expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("qty"),
+        expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)").as("price"),
+        expr("CAST(floor(l_discount * 100D + 0.5D) AS BIGINT)").as("disc"),
+        expr("CAST(floor(l_tax * 100D + 0.5D) AS BIGINT)").as("tax"))
+      .collect().map(r => Map("qty" -> r.getLong(0), "price" -> r.getLong(1),
+        "disc" -> r.getLong(2), "tax" -> r.getLong(3)))
+    def pearsonMicro(a: String, b: String): Long = {
+      val xs = cols.map(_(a)).map(BigInt(_))
+      val ys = cols.map(_(b)).map(BigInt(_))
+      val n = BigInt(xs.length)
+      val num = (n * xs.zip(ys).map { case (x, y) => x * y }.sum
+        - xs.sum * ys.sum).toDouble
+      val dx = (n * xs.map(x => x * x).sum - xs.sum * xs.sum).toDouble
+      val dy = (n * ys.map(y => y * y).sum - ys.sum * ys.sum).toDouble
+      if (dx <= 0 || dy <= 0) 0L
+      else if (num >= 0) math.floor(num / (math.sqrt(dx) * math.sqrt(dy)) * 1e6 + 0.5).toLong
+      else -math.floor(-num / (math.sqrt(dx) * math.sqrt(dy)) * 1e6 + 0.5).toLong
+    }
+    val got = Quality.corrMatrix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 6) // upper triangle of 4 columns, no diagonal
+    got.foreach { case (pair, n, r) =>
+      assert(n == cols.length.toLong)
+      assert(math.abs(r) <= 1000000L)
+      val Array(a, b) = pair.split("_")
+      assert(r == pearsonMicro(a, b), s"pair $pair")
+    }
+    // the synthetic columns are drawn independently — every |r| is small,
+    // which is itself the profile a feature audit wants to see here
+    assert(got.forall(g => math.abs(g._3) < 200000L))
+  }
+
   test("trend audit matches the in-memory Mann-Kendall + Theil-Sen recompute") {
     val daily = Tables.events(spark, Sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_attribution_last_touch" -> (Analytics.lastTouchAttribution(_, _)),
     "q_attribution_first_touch" -> (Analytics.firstTouchAttribution(_, _)),
     "q_ewma_user_value" -> (Analytics.ewmaUserValue(_, _)),
+    "q_time_weighted_value" -> (Analytics.timeWeightedValue(_, _)),
     "q_throttle_dedup" ->
       ((s, d) => Analytics.throttleDedup(s, d, Throttle.windowHours)),
     "q_scd2_incremental" -> ((s, d) => {
@@ -225,6 +226,9 @@ object SparkEntry {
     "q_promotion_effect" -> (Analytics.promotionEffect(_, _)),
     "q_top_supplier" -> (Analytics.topSupplier(_, _)),
     "q_small_qty_revenue" -> (Analytics.smallQtyRevenue(_, _)),
+    "q_returned_item_report" -> (Analytics.returnedItemReport(_, _)),
+    "q_forecast_revenue" -> (Analytics.forecastRevenue(_, _)),
+    "q_disjunctive_revenue" -> (Analytics.disjunctiveRevenue(_, _)),
     "q_min_cost_supplier" -> (Analytics.minCostSupplier(_, _)),
     "q_acf_daily_value" -> (Analytics.acfDailyValue(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
@@ -417,6 +421,8 @@ object SparkEntry {
     "q_column_hhi" -> (Quality.columnHhi(_, _)),
     "q_balanced_downsample" -> (Sampling.balancedDownsample(_, _)),
     "q_attribution_position" -> (Analytics.positionAttribution(_, _)),
+    "q_markov_attribution" ->
+      (Analytics.markovAttribution(_, _, Markov.rounds)),
     "q_readability" -> (TextAnalysis.readability(_, _)),
     "q_decode_roundtrip" -> (TextAnalysis.decodeRoundtrip(_, _)),
     "q_connected_components" ->
@@ -432,6 +438,7 @@ object SparkEntry {
     "q_split_leakage" -> (Curation.splitLeakage(_, _)),
     "q_selection_gain" -> (Curation.selectionGain(_, _)),
     "q_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
+    "q_lang_diversity" -> (TextAnalysis.langDiversity(_, _)),
     "q_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
     "q_journey_trigrams" -> (Analytics.journeyTrigrams(_, _)),
     "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _)),
@@ -586,6 +593,16 @@ object SparkEntry {
   private[graft] object Dsir {
     val target = "src0"
     val k = 50
+  }
+
+  /** Markov removal-effect attribution: fixed value-iteration rounds
+    * shared by operator, oracle, and twin (bounded-round semantics is the
+    * contract — both engines run identical rounds over the catalog-sized
+    * scenario x state frame; 12 comfortably exceeds the fixtures' journey
+    * mixing depth).
+    */
+  private[graft] object Markov {
+    val rounds = 12
   }
 
   private[graft] object Basket {
@@ -1865,6 +1882,11 @@ object SparkEntry {
     // weights over half-up cents, half-up 1e-4 quotient. DuckDB's `//`
     // on BIGINT truncates toward zero exactly like Spark DIV and Java
     // Long division, so the quotient agrees for any sign of cents.
+    // TWAP: step-function holds in whole seconds, half-up 1e-4 quotient;
+    // // + epoch_us are the only dialect points
+    "q_time_weighted_value" ->
+      operators.Analytics.timeWeightedValueSql("//", "epoch_us(ts)"),
+
     "q_ewma_user_value" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
              CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
@@ -2520,6 +2542,12 @@ object SparkEntry {
     "q_top_supplier" -> operators.Analytics.topSupplierSql,
     "q_small_qty_revenue" ->
       operators.Analytics.smallQtyRevenueSql("//", "Brand#1"),
+    "q_returned_item_report" ->
+      operators.Analytics.returnedItemReportSql(20),
+    "q_forecast_revenue" ->
+      operators.Analytics.forecastRevenueSql,
+    "q_disjunctive_revenue" ->
+      operators.Analytics.disjunctiveRevenueSql,
     "q_min_cost_supplier" ->
       operators.Analytics.minCostSupplierSql("Brand#2"),
     "q_acf_daily_value" -> operators.Analytics.acfDailyValueSql(7),
@@ -4004,6 +4032,11 @@ object SparkEntry {
     // operator the window form — parity proves them equivalent
     "q_attribution_position" -> operators.Analytics.positionAttributionSql("//"),
 
+    // Markov removal-effect attribution: value iteration unrolled (the
+    // pagerank pattern); same text as the Spark twin modulo // and epoch_us
+    "q_markov_attribution" ->
+      operators.Analytics.markovAttributionSql("//", "epoch_us(ts)", Markov.rounds),
+
     // Flesch-shape readability in portable integer fixed point
     "q_readability" -> operators.TextAnalysis.readabilitySql(duck = true),
 
@@ -4132,6 +4165,10 @@ object SparkEntry {
 
     // declared-vs-detected language confusion matrix
     "q_lang_confusion" -> operators.TextAnalysis.langConfusionSql(duck = true),
+
+    // Simpson + inverse-Simpson language mix per source; // is the only
+    // dialect point
+    "q_lang_diversity" -> operators.TextAnalysis.langDiversitySql("//"),
 
     // token-share drift between the first 80% and trailing 20% by doc_id
     "q_vocab_drift" ->

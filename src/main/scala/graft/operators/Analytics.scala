@@ -1504,6 +1504,234 @@ object Analytics {
        FROM (SELECT * FROM cr UNION ALL SELECT * FROM np) u
        GROUP BY channel ORDER BY channel"""
 
+  /** Markov-chain (removal-effect) attribution — the data-driven model
+    * that completes the first/last/position family: journeys become a
+    * first-order Markov chain (START -> channels -> CONV | DROP), and a
+    * channel's credit is how much total conversion probability disappears
+    * when every transition INTO that channel is redirected to loss (the
+    * Anderl et al. removal-effect construction, public literature).
+    * Unlike the rule-based models it prices channels by their structural
+    * position in real paths — a channel that only ever precedes drops
+    * earns nothing even if it is frequent.
+    *
+    * Journey contract: each user's timeline ordered by (ts, event_id) up
+    * to and INCLUDING the first purchase (CONV, absorbing); users who
+    * never purchase terminate in DROP. Absorption probability is computed
+    * by `iters` rounds of fixed-point value iteration in exact 1e-9
+    * integer units — p_k(s) = sum_d cnt(s,d)*p_{k-1}(d) DIV n(s) — so the
+    * result is bit-reproducible on any engine and partitioning (bounded-
+    * round semantics is the contract, the connectedComponents discipline;
+    * both engines run identical rounds). All removal scenarios iterate
+    * JOINTLY: the state frame carries a scenario key rm in
+    * {(base)} ∪ channels and the removed channel's value is clamped to 0
+    * each round, so one K-round chain prices every channel at once.
+    *
+    * 100 TB shape: ONE user-partitioned window pass over the fact stream
+    * builds the transition counts (map-side-combinable aggregate to
+    * <= |states|^2 <= ~50 rows); everything after — scenarios x states
+    * value frame, K join-aggregate rounds, the readout — is catalog-sized.
+    * sum(cnt*p) holds in BIGINT while n_transitions < 9e9; past that,
+    * lift the products to DECIMAL(38,0) (documented hatch, cf. assocRules).
+    */
+  def markovAttribution(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pos = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("state"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .drop("ts", "event_id")
+    val conv = pos.filter(col("state") === "CONV")
+      .groupBy(col("user_id")).agg(min(col("i")).as("ci"))
+    val wj = Window.partitionBy(col("user_id")).orderBy(col("i"))
+    val st = pos.join(conv, Seq("user_id"), "left")
+      .filter(col("ci").isNull || col("i") <= col("ci"))
+      .withColumn("src", coalesce(lag(col("state"), 1).over(wj), lit("START")))
+      .withColumn("drops", col("ci").isNull && lead(col("i"), 1).over(wj).isNull)
+    // transition counts: the only corpus-sized aggregate in the operator
+    val trans = st.select(col("src"), col("state").as("dst"))
+      .unionByName(st.filter(col("drops"))
+        .select(col("state").as("src"), lit("DROP").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val channels = pos.filter(col("state") =!= "CONV")
+      .select(col("state").as("rm")).distinct()
+    markovFromTransitions(s, trans, channels, iters)
+  }
+
+  /** The removal-effect value iteration over a prepared transition-count
+    * frame — shared by [[markovAttribution]] and the streaming face
+    * (whose per-user state emits the same steps incrementally;
+    * StreamingSpec pins the replayed counts + this epilogue equal to the
+    * batch operator). `trans` is (src, dst, cnt) including the DROP
+    * terminals; `channels` is the removal-scenario frame (one row per
+    * channel, no specials). Everything here is catalog-sized.
+    */
+  private[graft] def markovFromTransitions(s: SparkSession, trans: DataFrame,
+                                           channels: DataFrame,
+                                           iters: Int): DataFrame = {
+    val edges = trans.join(
+      trans.groupBy(col("src")).agg(sum(col("cnt")).as("n")), Seq("src"))
+    val scen = channels
+      .unionByName(s.range(1).select(lit("(base)").as("rm")))
+      .localCheckpoint(true)
+    val states = trans.select(col("src").as("state"))
+      .unionByName(trans.select(col("dst").as("state"))).distinct()
+    val convRows = scen.select(col("rm"), lit("CONV").as("state"),
+      lit(1000000000L).as("p"))
+    var p = scen.crossJoin(states) // scenarios x states: both catalog-sized
+      .withColumn("p", when(col("state") === "CONV", lit(1000000000L))
+        .otherwise(lit(0L)))
+    (1 to iters).foreach { k =>
+      p = edges.join(p, edges("dst") === p("state"))
+        .groupBy(col("rm"), col("src"), col("n"))
+        .agg(sum(expr("cnt * p")).as("m"))
+        .select(col("rm"),
+          col("src").as("state"),
+          when(col("src") === col("rm"), lit(0L))
+            .otherwise(expr("m DIV n")).as("p"))
+        .unionByName(convRows)
+      // catalog-sized rounds: pin lineage every 4th (and the last) so the
+      // 12-round plan stays shallow without 12 driver syncs
+      if (k % 4 == 0 || k == iters) p = p.localCheckpoint(true)
+    }
+    val pStart = p.filter(col("state") === "START").select(col("rm"), col("p"))
+    val base = pStart.filter(col("rm") === "(base)")
+      .select(col("p").as("p_base"))
+    pStart.crossJoin(broadcast(base))
+      .select(col("rm").as("channel"),
+        col("p").as("p_removed_1e9"),
+        when(col("rm") === "(base)" || col("p_base") === 0, lit(0L))
+          .otherwise(expr("((p_base - p) * 1000000) DIV p_base"))
+          .as("removal_1e6"))
+      .orderBy(col("channel"))
+  }
+
+  /** [[markovAttribution]] as one SQL statement with the value iteration
+    * unrolled (the pagerank pattern): `div` = "//" is the DuckDB oracle,
+    * "DIV" + unix_micros the Spark twin — same text modulo dialect, so
+    * the three surfaces can never drift.
+    */
+  private[graft] def markovAttributionSql(div: String, epoch: String,
+                                          iters: Int): String = {
+    val header =
+      s"""WITH ev AS (SELECT user_id, event_id, $epoch AS t_us,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS state
+           FROM events),
+         pos AS (SELECT user_id, state,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY t_us, event_id) AS BIGINT) AS i
+           FROM ev),
+         cv AS (SELECT user_id, min(i) AS ci FROM pos
+                WHERE state = 'CONV' GROUP BY user_id),
+         st AS (SELECT j.user_id, j.i, j.state, j.ci,
+             coalesce(lag(j.state) OVER (PARTITION BY j.user_id ORDER BY j.i),
+                      'START') AS src,
+             CASE WHEN j.ci IS NULL AND lead(j.i) OVER (PARTITION BY j.user_id
+               ORDER BY j.i) IS NULL THEN 1 ELSE 0 END AS drops
+           FROM (SELECT p.user_id, p.i, p.state, c.ci
+                 FROM pos p LEFT JOIN cv c ON p.user_id = c.user_id
+                 WHERE c.ci IS NULL OR p.i <= c.ci) j),
+         tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+                 SELECT src, state AS dst FROM st
+                 UNION ALL
+                 SELECT state AS src, 'DROP' AS dst FROM st WHERE drops = 1) u
+                GROUP BY src, dst),
+         ns AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM tr GROUP BY src),
+         scen AS (SELECT DISTINCT state AS rm FROM pos WHERE state <> 'CONV'
+                  UNION ALL SELECT '(base)' AS rm),
+         sts AS (SELECT src AS state FROM tr
+                 UNION SELECT dst AS state FROM tr),
+         it0 AS (SELECT s.rm, t.state,
+             CAST(CASE WHEN t.state = 'CONV' THEN 1000000000 ELSE 0 END
+                  AS BIGINT) AS p
+           FROM scen s CROSS JOIN sts t)"""
+    val steps = (1 to iters).map { k =>
+      s"""it$k AS (
+           SELECT p.rm, t.src AS state,
+                  CASE WHEN t.src = p.rm THEN CAST(0 AS BIGINT)
+                       ELSE sum(t.cnt * p.p) $div max(n2.n) END AS p
+           FROM tr t JOIN it${k - 1} p ON t.dst = p.state
+           JOIN ns n2 ON t.src = n2.src
+           GROUP BY p.rm, t.src
+           UNION ALL
+           SELECT rm, 'CONV' AS state, CAST(1000000000 AS BIGINT) AS p
+           FROM scen)"""
+    }
+    (header +: steps).mkString(",\n") +
+      s""",
+         bs AS (SELECT p AS p_base FROM it$iters
+                WHERE rm = '(base)' AND state = 'START')
+         SELECT x.rm AS channel,
+                CAST(x.p AS BIGINT) AS p_removed_1e9,
+                CAST(CASE WHEN x.rm = '(base)' OR b.p_base = 0 THEN 0
+                     ELSE ((b.p_base - x.p) * 1000000) $div b.p_base
+                     END AS BIGINT) AS removal_1e6
+         FROM it$iters x CROSS JOIN bs b
+         WHERE x.state = 'START'
+         ORDER BY channel"""
+  }
+
+  /** Time-weighted average value (TWAP) per user: each event's value
+    * holds until the user's next event (the step-function/LOCF reading of
+    * a sampled signal), and the average weights every held value by how
+    * long it held — the billing/exposure primitive where a flat per-event
+    * mean is simply wrong (one week at value 100 must outweigh ten
+    * back-to-back ticks at 5).
+    *
+    * Exact integers throughout: durations in WHOLE SECONDS
+    * ((next_us - t_us) DIV 1e6 — truncation is part of the contract and
+    * identical on both engines), values in half-up cents, the quotient
+    * emitted half-up 1e-4. cents x seconds keeps the weighted sum inside
+    * BIGINT to ~2e5 user-years of held cents — the microsecond version
+    * overflows at one user-month, which is why seconds are the contract
+    * (DECIMAL(38,0) hatch documented for colder keys).
+    *
+    * Users with a single event have no held interval and drop out
+    * (span_s > 0): a point mass has no time-weighted reading. One
+    * user-partitioned window (lead) + one hash aggregate.
+    */
+  def timeWeightedValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("dur_s",
+        expr("(lead(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id) - t_us) DIV 1000000"))
+      .filter(col("dur_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("dur_s")).as("span_s"),
+        sum(expr("cents * dur_s")).as("wsum"))
+      .filter(col("span_s") > 0)
+      .select(col("user_id"), col("n_held"), col("span_s"),
+        expr("CAST((20000 * wsum + span_s) DIV (2 * span_s) AS BIGINT)")
+          .as("twap_1e4"))
+      .orderBy(col("user_id"))
+  }
+
+  /** [[timeWeightedValue]] as dialect-templated SQL (`div` + the
+    * epoch-micros spelling are the only dialect points).
+    */
+  private[graft] def timeWeightedValueSql(div: String, epoch: String): String =
+    s"""WITH e AS (SELECT user_id, event_id, $epoch AS t_us,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+           FROM events),
+       d AS (SELECT user_id, cents,
+             (lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+              - t_us) $div 1000000 AS dur_s
+           FROM e),
+       agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_held,
+                      CAST(sum(dur_s) AS BIGINT) AS span_s,
+                      CAST(sum(cents * dur_s) AS BIGINT) AS wsum
+               FROM d WHERE dur_s IS NOT NULL GROUP BY user_id)
+       SELECT user_id, n_held, span_s,
+              CAST((20000 * wsum + span_s) $div (2 * span_s) AS BIGINT) AS twap_1e4
+       FROM agg WHERE span_s > 0 ORDER BY user_id"""
+
   /** Exponentially-weighted moving average of event value per user:
     * decay 1/2 per step over the trailing 6 events (current + 5 lags),
     * entirely in integers — weights are the exact powers 32,16,8,4,2,1
@@ -2708,6 +2936,141 @@ object Analytics {
        SELECT n_items, revenue_cents,
               CAST((2 * revenue_cents + 7) $div 14 AS BIGINT) AS avg_weekly_cents
        FROM agg"""
+
+  /** TPC-H Q6-style forecast revenue change: the discount revenue that
+    * would vanish if small-order discounts in one band were dropped for a
+    * year — a pure filter + single-row aggregate, the canonical
+    * predicate-pushdown probe (every filter reaches the scan; only 4
+    * columns read). Discount cents are half-up per row then summed as
+    * BIGINT (order-free).
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(expr(
+          """CAST(floor(l_extendedprice * l_discount * CAST(100 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)""")), lit(0L))
+          .as("discount_cents"))
+
+  /** [[forecastRevenue]] as portable SQL. */
+  private[graft] def forecastRevenueSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_items,
+              CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount
+                * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)), 0)
+                AS BIGINT) AS discount_cents
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24"""
+
+  /** TPC-H Q10-style returned-item report: customers ranked by the revenue
+    * they returned (l_returnflag = 'R') against orders placed in one
+    * quarter — the "which accounts are churning value" readout. Revenue in
+    * exact half-up cents; top-K exits via TakeOrderedAndProject on
+    * (revenue DESC, custkey), so no global sort materializes.
+    *
+    * 100 TB shape: the returnflag filter and the orderdate window both
+    * push to the scans; customer joins shuffle-hash/broadcast per AQE
+    * (customer scales with the data — no forced hint); the 25-row nation
+    * frame broadcasts.
+    */
+  def returnedItemReport(s: SparkSession, dir: String,
+                         topK: Int = 20): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), expr(centsLi).as("cents"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(topK)
+  }
+
+  /** [[returnedItemReport]] as portable SQL (no dialect points — runs
+    * verbatim on both engines).
+    */
+  private[graft] def returnedItemReportSql(topK: Int): String =
+    s"""SELECT c_custkey, c_name, n_name,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue_cents DESC, c_custkey
+       LIMIT $topK"""
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three (brand, size
+    * band, quantity band) arms OR-ed together, revenue per arm. The
+    * classic "does the optimizer keep a disjunction of conjunctions
+    * sargable" probe: the per-arm brand+size predicates stay on the part
+    * scan (part prunes to the 3 brands before the join) and the quantity
+    * bands evaluate post-join without a second lineitem scan.
+    */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val arms = part_arms
+    val p = Tables.part(s, dir)
+      .filter(arms.map { case (b, s0, s1, _, _) =>
+        col("p_brand") === b && col("p_size").between(s0, s1)
+      }.reduce(_ || _))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), expr(centsLi).as("cents"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(arms.map { case (b, s0, s1, q0, q1) =>
+        col("p_brand") === b && col("p_size").between(s0, s1) &&
+          col("l_quantity") >= q0 && col("l_quantity") <= q1
+      }.reduce(_ || _))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** (brand, size lo, size hi, qty lo, qty hi) arms shared by the operator
+    * and both SQL surfaces.
+    */
+  private val part_arms: Seq[(String, Int, Int, Int, Int)] = Seq(
+    ("Brand#11", 1, 15, 1, 20),
+    ("Brand#22", 10, 30, 10, 35),
+    ("Brand#13", 20, 50, 25, 50))
+
+  /** [[disjunctiveRevenue]] as portable SQL. */
+  private[graft] def disjunctiveRevenueSql: String = {
+    val preds = part_arms.map { case (b, s0, s1, q0, q1) =>
+      s"""(p_brand = '$b' AND p_size BETWEEN $s0 AND $s1
+          AND l_quantity >= $q0 AND l_quantity <= $q1)"""
+    }.mkString("\n           OR ")
+    s"""SELECT p_brand,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE $preds
+       GROUP BY p_brand
+       ORDER BY p_brand"""
+  }
 
   /** TPC-H Q2's shape recast on lineitem (the synthetic star has no
     * partsupp): per part of one brand, the supplier offering the lowest

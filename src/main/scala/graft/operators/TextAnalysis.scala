@@ -1893,4 +1893,54 @@ object TextAnalysis {
         expr("CAST((20000 * n_pieces + n_words) DIV (2 * n_words) AS BIGINT)")
           .as("fertility_1e4"))
       .orderBy(col("lang"))
+
+  /** Language-diversity audit per source: Simpson's diversity index
+    * 1 - sum(p_i^2) over the source's language mix, plus the inverse
+    * Simpson ("effective number of languages"). Ecology's standard
+    * concentration duals — exact rationals (n^2 - sum c_i^2) / n^2, so
+    * unlike Shannon entropy they need no libm log and stay engine-exact
+    * (the columnHhi reasoning; HHI measures the same thing over ONE
+    * categorical column, this is its per-group readout with the
+    * effective-count dual that mixing dashboards quote).
+    *
+    * simpson_1e6 = 0 means a monolingual feed; inv_simpson_1e4 ~= k*1e4
+    * means "as diverse as k equally-sized languages" — the number a
+    * data-mixing plan targets per source.
+    *
+    * 100 TB shape: two stacked map-side-combinable aggregates (corpus ->
+    * |sources|x|langs| -> |sources|); nothing downstream exceeds catalog
+    * size. Counts square in BIGINT to ~3e9 docs per source; past that
+    * lift c*c to DECIMAL(38,0) (documented hatch).
+    */
+  def langDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(expr("c * c")).as("ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("""CAST((2 * 1000000 * (n_docs * n_docs - ss) + n_docs * n_docs)
+                DIV (2 * n_docs * n_docs) AS BIGINT)""").as("simpson_1e6"),
+        expr("CAST((2 * 10000 * n_docs * n_docs + ss) DIV (2 * ss) AS BIGINT)")
+          .as("inv_simpson_1e4"))
+      .orderBy(col("source"))
+
+  /** [[langDiversity]] as dialect-templated SQL (`div` is the only
+    * dialect point).
+    */
+  private[graft] def langDiversitySql(div: String): String =
+    s"""WITH cl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                  FROM documents GROUP BY source, lang),
+       agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_langs,
+                      CAST(sum(c * c) AS BIGINT) AS ss
+               FROM cl GROUP BY source)
+       SELECT source, n_docs, n_langs,
+              CAST((2 * 1000000 * (n_docs * n_docs - ss) + n_docs * n_docs)
+                $div (2 * n_docs * n_docs) AS BIGINT) AS simpson_1e6,
+              CAST((2 * 10000 * n_docs * n_docs + ss) $div (2 * ss) AS BIGINT)
+                AS inv_simpson_1e4
+       FROM agg ORDER BY source"""
 }

@@ -2118,6 +2118,10 @@ object SqlFrontDoor {
                 sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS revenue_cents
          FROM p GROUP BY 1 ORDER BY channel""",
 
+    // same generated text as the oracle with DIV and unix_micros
+    "q_time_weighted_value" ->
+      graft.operators.Analytics.timeWeightedValueSql("DIV", "unix_micros(ts)"),
+
     // epoch_us -> unix_micros; // -> DIV
     "q_ewma_user_value" ->
       """WITH c AS (SELECT user_id, event_id, unix_micros(ts) AS t_us,
@@ -2826,6 +2830,12 @@ object SqlFrontDoor {
                   AS novelty_1e4
          FROM j GROUP BY doc_id, n_sh ORDER BY doc_id""",
 
+    // same generated text as the oracle with DIV for // and unix_micros
+    // for epoch_us (value iteration unrolled, the pagerank pattern)
+    "q_markov_attribution" ->
+      graft.operators.Analytics.markovAttributionSql("DIV", "unix_micros(ts)",
+        graft.SparkEntry.Markov.rounds),
+
     // same generated text as the oracle with DIV for //
     "q_pagerank_copurchase" ->
       graft.operators.Mining.pagerankSql("DIV",
@@ -2911,6 +2921,10 @@ object SqlFrontDoor {
     // dialect points: list/array filter + // vs DIV
     "q_lang_confusion" ->
       graft.operators.TextAnalysis.langConfusionSql(duck = false),
+
+    // same generated text as the oracle with DIV for //
+    "q_lang_diversity" ->
+      graft.operators.TextAnalysis.langDiversitySql("DIV"),
 
     // dialect points: unnest/explode + // vs DIV
     "q_vocab_drift" ->
@@ -3125,7 +3139,8 @@ object SqlFrontDoor {
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
     "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
     "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
-    "q_acf_daily_value", "q_kcore_membership", "q_corr_matrix")
+    "q_acf_daily_value", "q_kcore_membership", "q_corr_matrix",
+    "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

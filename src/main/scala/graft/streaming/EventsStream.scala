@@ -568,6 +568,58 @@ object EventsStream {
       }
   }
 
+  final case class MarkovState(prev: String, pos: Long, done: Boolean)
+  final case class MarkovStep(user_id: Long, pos: Long, src: String,
+                              dst: String)
+
+  /** Streaming face of the Markov removal-effect attribution
+    * ([[graft.operators.Analytics.markovAttribution]]): per-user state is
+    * (previous journey state, position, converted?) — three scalars, the
+    * minimal sufficient statistic of a first-order chain — and every
+    * arriving event of a not-yet-converted user emits its transition
+    * immediately (purchase maps to the absorbing CONV and closes the
+    * journey; later events for that user are journey-external, exactly
+    * the batch operator's cut-at-first-purchase contract).
+    *
+    * DROP terminals are deliberately NOT emitted: "this journey never
+    * converts" is unknowable online. The readout derives them from each
+    * user's LAST emitted step (dst <> CONV => one dst -> DROP terminal)
+    * before running the shared value-iteration epilogue
+    * ([[graft.operators.Analytics.markovFromTransitions]]) — the
+    * cusumCells split: open-ended state resolves downstream, the stream
+    * carries only per-event increments. StreamingSpec pins the two-batch
+    * replay + readout equal to the batch operator.
+    *
+    * State never expires (NoTimeout): journeys resume whenever the user
+    * returns; three scalars per ever-active user is the attribution-state
+    * cardinality.
+    */
+  def markovSteps(events: Dataset[Event]): Dataset[MarkovStep] = {
+    import events.sparkSession.implicits._
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkovState, MarkovStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[MarkovState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(MarkovState("START", 0L, false))
+          val out = scala.collection.mutable.ArrayBuffer[MarkovStep]()
+          sorted.foreach { e =>
+            if (!st.done) {
+              val dst =
+                if (e.event_type == "purchase") "CONV" else e.event_type
+              out += MarkovStep(userId, st.pos + 1, st.prev, dst)
+              st = MarkovState(dst, st.pos + 1, dst == "CONV")
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def bitmapIndex(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"),

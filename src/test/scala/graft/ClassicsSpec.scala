@@ -28,6 +28,84 @@ class ClassicsSpec extends SparkTestBase {
     }
   }
 
+  test("returned-item report matches the in-memory join recompute") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, Sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1) * (1d - r.getDouble(2)))))
+    val ord = Tables.load(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string").as("d"))
+      .collect()
+      .filter { r =>
+        val d = r.getString(2)
+        d >= "1996-01-01" && d < "1996-04-01"
+      }
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = Tables.load(spark, Sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val nat = Tables.load(spark, Sf, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = li.flatMap { case (ok, c) => ord.get(ok).map(ck => (ck, c)) }
+      .groupBy(_._1).map { case (ck, xs) =>
+        val (name, nk) = cust(ck)
+        (ck, name, nat(nk), xs.length.toLong, xs.map(_._2).sum)
+      }.toSeq
+      .sortBy(t => (-t._5, t._1)).take(20)
+    val got = Analytics.returnedItemReport(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("forecast revenue matches the in-memory filter recompute") {
+    import org.apache.spark.sql.functions.col
+    val want = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_shipdate").cast("string").as("d"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .filter { r =>
+        val d = r.getString(0)
+        d >= "1996-01-01" && d < "1997-01-01" &&
+          r.getDouble(1) >= 0.05 && r.getDouble(1) <= 0.07 &&
+          r.getDouble(2) < 24d
+      }
+      .map(r => cents(r.getDouble(3) * r.getDouble(1)))
+    val got = Analytics.forecastRevenue(spark, Sf).collect().head
+    assert((got.getLong(0), got.getLong(1)) == (want.length.toLong, want.sum))
+  }
+
+  test("disjunctive revenue: every arm priced, recompute agrees") {
+    import org.apache.spark.sql.functions.col
+    val arms = Seq(("Brand#11", 1, 15, 1d, 20d), ("Brand#22", 10, 30, 10d, 35d),
+      ("Brand#13", 20, 50, 25d, 50d))
+    val parts = Tables.load(spark, Sf, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val want = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .collect()
+      .flatMap { r =>
+        parts.get(r.getLong(0)).collect {
+          case (b, sz) if arms.exists { case (ab, s0, s1, q0, q1) =>
+            b == ab && sz >= s0 && sz <= s1 &&
+              r.getDouble(1) >= q0 && r.getDouble(1) <= q1 } =>
+            (b, cents(r.getDouble(2) * (1d - r.getDouble(3))))
+        }
+      }
+      .groupBy(_._1).view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum))
+      .toMap
+    val got = Analytics.disjunctiveRevenue(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("market share: numerator bounded by denominator, share in [0, 1e4]") {
     val rows = Analytics.marketShare(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -168,6 +168,52 @@ class DriftAuditSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum == totalPurchases)
   }
 
+  test("markov attribution matches the in-memory value iteration") {
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    // journeys: per user ordered by (ts, event_id), cut at first purchase
+    val trans = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val tl = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      val cut = tl.indexOf("purchase")
+      val j = (if (cut >= 0) tl.take(cut + 1) else tl)
+        .map(t => if (t == "purchase") "CONV" else t)
+      ("START" +: j).sliding(2).foreach(w => trans((w(0), w(1))) += 1)
+      if (cut < 0) trans((j.last, "DROP")) += 1
+    }
+    val nSrc = trans.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val srcs = trans.keys.map(_._1).toSeq.distinct
+    def iterate(rm: String): Long = {
+      var p = Map("CONV" -> 1000000000L).withDefaultValue(0L)
+      (1 to 12).foreach { _ =>
+        val next = srcs.map { s =>
+          s -> (if (s == rm) 0L
+                else trans.collect { case ((a, b), c) if a == s => c * p(b) }
+                  .sum / nSrc(s))
+        }.toMap + ("CONV" -> 1000000000L)
+        p = next.withDefaultValue(0L)
+      }
+      p("START")
+    }
+    val base = iterate("(base)") // no state is named (base): clamps nothing
+    val channels = ev.map(_._4).filter(_ != "purchase").distinct.sorted
+    val want = (channels.map { c =>
+      val pr = iterate(c)
+      (c, pr, (base - pr) * 1000000L / base)
+    } :+ (("(base)", base, 0L))).sortBy(_._1).toSeq
+    val got = Analytics.markovAttribution(spark, Sf, 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // removal effect is a probability share: bounded, and zero on the base
+    assert(got.forall(r => r._3 >= 0 && r._3 <= 1000000L))
+    assert(got.find(_._1 == "(base)").get._3 == 0L)
+  }
+
   test("three attribution models conserve the same revenue") {
     val total = Analytics.positionAttribution(spark, Sf)
       .agg(sum(col("credit_cents"))).head().getLong(0)

@@ -2501,6 +2501,63 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("time-weighted value matches the in-memory step-function recompute") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val tl = rows.sortBy(r => (r._2, r._3))
+      val held = tl.zip(tl.tail).map { case (a, b) =>
+        (a._4, (b._2 - a._2) / 1000000L)
+      }
+      val span = held.map(_._2).sum
+      if (held.isEmpty || span <= 0) None
+      else {
+        val wsum = held.map { case (c, d) => c * d }.sum
+        Some((uid, held.length.toLong, span,
+          (20000L * wsum + span) / (2L * span)))
+      }
+    }.sortBy(_._1)
+    val got = graft.operators.Analytics.timeWeightedValue(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // a held week at high value must dominate: twap lies inside the held
+    // cents range for every user
+    val centsByUser = ev.groupBy(_._1).view
+      .mapValues(rows => rows.sortBy(r => (r._2, r._3)).dropRight(1).map(_._4))
+    got.foreach { case (uid, _, _, tw) =>
+      val cs = centsByUser(uid)
+      assert(tw >= cs.min * 10000L - 10000L && tw <= cs.max * 10000L + 10000L)
+    }
+  }
+
+  test("lang diversity matches the in-memory Simpson recompute") {
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val rows = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = rows.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val cs = xs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val n = cs.sum
+      val ss = cs.map(c => c * c).sum
+      (src, n, cs.length.toLong,
+        halfUp(1000000L * (n * n - ss), n * n),
+        halfUp(10000L * n * n, ss))
+    }.sortBy(_._1)
+    val got = graft.operators.TextAnalysis.langDiversity(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // index bounds: simpson in [0, 1e6); effective count in [1, n_langs]
+    got.foreach { case (_, _, nl, simp, inv) =>
+      assert(simp >= 0L && simp < 1000000L)
+      assert(inv >= 10000L && inv <= nl * 10000L)
+    }
+  }
+
   test("vocab drift equals the in-memory two-slice recompute") {
     val docs = graft.sources.Tables.load(spark, Sf, "documents")
       .selectExpr("doc_id", s"${graft.operators.TextAnalysis.TokensExpr} AS toks")

@@ -536,6 +536,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming markov steps cut at first purchase and match batch attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val steps = EventsStream.markovSteps(input.toDS())
+    val q = steps.writeStream.format("memory").queryName("mkvsteps")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      // batch 2: the conversion spans the trigger boundary; the
+      // post-conversion event must NOT emit (journey closed)
+      Event(3, ts("2024-01-01 10:10:00"), 1, "purchase", 5.0),
+      Event(4, ts("2024-01-01 10:15:00"), 1, "view", 1.0),
+      Event(5, ts("2024-01-01 10:20:00"), 2, "view", 1.0),
+      Event(6, ts("2024-01-01 10:25:00"), 2, "error", 1.0))
+    try {
+      input.addData(all.take(2): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(2): _*)
+      q.processAllAvailable()
+      val out = spark.table("mkvsteps").as[EventsStream.MarkovStep]
+        .collect().sortBy(s => (s.user_id, s.pos))
+      assert(out.map(s => (s.user_id, s.src, s.dst)).toSeq == Seq(
+        (1L, "START", "view"), (1L, "view", "click"), (1L, "click", "CONV"),
+        (2L, "START", "view"), (2L, "view", "error")))
+      // readout: each user's last OPEN step becomes a DROP terminal, then
+      // the shared value-iteration epilogue equals the batch operator
+      val dir = tmpDir("markov-stream")
+      all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val drops = out.groupBy(_.user_id).values.toSeq
+        .map(_.maxBy(_.pos)).filter(_.dst != "CONV")
+        .map(s => (s.dst, "DROP"))
+      val trans = (out.map(s => (s.src, s.dst)).toSeq ++ drops)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case ((a, b), n) => (a, b, n) }
+        .toDF("src", "dst", "cnt")
+      val channels = all.map(_.event_type).filter(_ != "purchase").distinct
+        .toDF("rm")
+      val got = graft.operators.Analytics
+        .markovFromTransitions(spark, trans, channels, 12)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val batch = graft.operators.Analytics.markovAttribution(spark, dir, 12)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -860,6 +860,116 @@ object Quality {
       .orderBy(col("pair"))
   }
 
+  /** Distribution-shape profile per event type: population variance,
+    * skewness, and excess kurtosis of the value column from exact raw
+    * power sums — the audit that says WHICH way a value feed is weird
+    * (heavy right tail? spiky center?) where [[profileColumns]] /
+    * winsorized stats only say that it is. The classic cross-multiplied
+    * central-moment identities keep everything integer until one final
+    * double per statistic:
+    *   d2 = n*s2 - s1^2                         (= n^2 * M2)
+    *   d3 = n^2*s3 - 3n*s1*s2 + 2*s1^3          (= n^3 * M3)
+    *   d4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4  (= n^4 * M4)
+    * and the dimensionless stats collapse to pure ratios — skew =
+    * d3 / d2^1.5, excess kurtosis = d4 / d2^2 - 3 — so the n-powers
+    * cancel exactly. Sums run in DECIMAL(38,0) (order-free, no engine
+    * promotion divergence); values are half-up DECIunits (value*10) so
+    * n^3*s4 stays inside 38 digits to ~1e7 rows per type (documented
+    * hatch past that: shift-center the power sums). The corr-matrix
+    * determinism story: identical exact integers -> one fixed tree of
+    * correctly-rounded IEEE ops -> identical half-up micro outputs.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregate over the feed, five
+    * sums per group, |types| rows out. Nothing else touches the data.
+    */
+  def momentProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = "CAST(x AS DECIMAL(38,0))"
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(d)).as("s1"),
+        sum(expr(s"$d * $d")).as("s2"),
+        sum(expr(s"$d * $d * $d")).as("s3"),
+        sum(expr(s"$d * $d * $d * $d")).as("s4"))
+      .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))
+      .withColumn("d2", expr("CAST(nd * s2 - s1 * s1 AS DOUBLE)"))
+      .withColumn("d3",
+        expr("CAST(nd * nd * s3 - 3 * nd * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)"))
+      .withColumn("d4", expr(
+        """CAST(nd * nd * nd * s4 - 4 * nd * nd * s1 * s3
+           + 6 * nd * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)"""))
+      .select(col("event_type"), col("n"),
+        expr(s"CAST(floor(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("mean_1e4"),
+        expr(s"""CASE WHEN d2 <= 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(d2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END""")
+          .as("var_1e4"),
+        expr(s"""CASE WHEN d2 <= 0 THEN CAST(0 AS BIGINT)
+                 WHEN d3 >= 0 THEN CAST(floor(d3 / (d2 * sqrt(d2))
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 ELSE -CAST(floor((-d3) / (d2 * sqrt(d2))
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END""")
+          .as("skew_micro"),
+        expr(s"""CASE WHEN d2 <= 0 THEN CAST(0 AS BIGINT)
+                 WHEN d4 / (d2 * d2) - CAST(3 AS DOUBLE) >= 0
+                   THEN CAST(floor((d4 / (d2 * d2) - CAST(3 AS DOUBLE))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 ELSE -CAST(floor(-(d4 / (d2 * d2) - CAST(3 AS DOUBLE))
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END""")
+          .as("ex_kurt_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fully portable text for [[momentProfile]] (decimal power sums + the
+    * final-double readout spell identically on both engines) — rides
+    * `SqlFrontDoor.portable`; `epoch` differs nowhere because the value
+    * column needs no timestamps.
+    */
+  private[graft] def momentProfileSql: String = {
+    val d = "CAST(x AS DECIMAL(38,0))"
+    s"""WITH b AS (SELECT event_type,
+             CAST(floor(value * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x
+           FROM events),
+       agg AS (SELECT event_type, count(*) AS n,
+                      sum($d) AS s1, sum($d * $d) AS s2,
+                      sum($d * $d * $d) AS s3, sum($d * $d * $d * $d) AS s4
+               FROM b GROUP BY event_type),
+       fin AS (SELECT event_type, n,
+                      CAST(s1 AS DOUBLE) AS s1d,
+                      CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) AS d2,
+                      CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s3
+                        - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2
+                        + 2 * s1 * s1 * s1 AS DOUBLE) AS d3,
+                      CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                          * CAST(n AS DECIMAL(38,0)) * s4
+                        - 4 * CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s1 * s3
+                        + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2
+                        - 3 * s1 * s1 * s1 * s1 AS DOUBLE) AS d4
+               FROM agg)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(floor(s1d / CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_1e4,
+              CASE WHEN d2 <= 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(d2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                     * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS var_1e4,
+              CASE WHEN d2 <= 0 THEN CAST(0 AS BIGINT)
+                   WHEN d3 >= 0 THEN CAST(floor(d3 / (d2 * sqrt(d2))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor((-d3) / (d2 * sqrt(d2))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS skew_micro,
+              CASE WHEN d2 <= 0 THEN CAST(0 AS BIGINT)
+                   WHEN d4 / (d2 * d2) - CAST(3 AS DOUBLE) >= 0
+                     THEN CAST(floor((d4 / (d2 * d2) - CAST(3 AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor(-(d4 / (d2 * d2) - CAST(3 AS DOUBLE))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS ex_kurt_micro
+       FROM fin ORDER BY event_type"""
+  }
+
   /** Fully portable text (UNION ALL arms instead of stack; decimal sums
     * and the final-double readout spell identically in DuckDB and
     * Spark) — rides `SqlFrontDoor.portable`.

@@ -3140,7 +3140,8 @@ object SqlFrontDoor {
     "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
     "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
     "q_acf_daily_value", "q_kcore_membership", "q_corr_matrix",
-    "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue")
+    "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
+    "q_moment_profile")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

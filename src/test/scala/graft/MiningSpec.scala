@@ -596,6 +596,40 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => math.abs(g._3) < 200000L))
   }
 
+  test("moment profile matches the BigInt power-sum recompute") {
+    val rows = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10D + 0.5D) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val want = rows.groupBy(_._1).toSeq.map { case (t, xs0) =>
+      val xs = xs0.map(_._2)
+      val n = BigInt(xs.length)
+      val (s1, s2, s3, s4) = (xs.sum, xs.map(x => x * x).sum,
+        xs.map(x => x * x * x).sum, xs.map(x => x * x * x * x).sum)
+      val d2 = (n * s2 - s1 * s1).toDouble
+      val d3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).toDouble
+      val d4 = (n * n * n * s4 - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1).toDouble
+      def signedMicro(v: Double): Long =
+        if (v >= 0) math.floor(v * 1e6 + 0.5).toLong
+        else -math.floor(-v * 1e6 + 0.5).toLong
+      val mean = math.floor(s1.toDouble / n.toDouble * 1000d + 0.5).toLong
+      val vr = if (d2 <= 0) 0L
+        else math.floor(d2 / (n.toDouble * n.toDouble) * 100d + 0.5).toLong
+      val sk = if (d2 <= 0) 0L else signedMicro(d3 / (d2 * math.sqrt(d2)))
+      val ku = if (d2 <= 0) 0L else signedMicro(d4 / (d2 * d2) - 3d)
+      (t, xs.length.toLong, mean, vr, sk, ku)
+    }.sortBy(_._1)
+    val got = Quality.momentProfile(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // the value draws are exponential-shaped: every type must read as
+    // right-skewed and heavy-tailed — exactly the profile this audit is
+    // for (a symmetric readout here would mean the math is wrong)
+    assert(got.forall(g => g._5 > 0L && g._6 > 0L))
+  }
+
   test("trend audit matches the in-memory Mann-Kendall + Theil-Sen recompute") {
     val daily = Tables.events(spark, Sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

@@ -141,6 +141,14 @@ object Mining {
     // distinct + whale join + basket self-join); co-purchase weight is
     // symmetric (# baskets containing both), so count canonical pairs
     // and mirror
+    // per-basket sorted arrays + map-side canonical-pair explode (the
+    // basketEdges shape — one shuffle instead of the old incidence
+    // distinct + whale join + basket self-join); co-purchase weight is
+    // symmetric (# baskets containing both), so count canonical pairs
+    // and mirror. The canonical frame is localCheckpointed so its THREE
+    // consumers (the mirror union's two arms and, downstream, the
+    // out-weight aggregate) scan the 2M-row pair table instead of
+    // re-running the basket explode per branch.
     val canon = Tables.spread(s, dir, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
@@ -152,6 +160,7 @@ object Mining {
                        y -> struct(x AS u, y AS v))))""")).as("e"))
       .groupBy(col("e.u").as("src"), col("e.v").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     canon.unionByName(canon.select(col("dst").as("src"),
       col("src").as("dst"), col("w")))
   }
@@ -180,23 +189,32 @@ object Mining {
   def pagerankCopurchase(s: SparkSession, dir: String,
                          maxItems: Int, iters: Int): DataFrame = {
     val raw = copurchaseEdges(s, dir, maxItems)
+    // the out-weight side is node-catalog-sized: BROADCAST it onto the
+    // edge table (a checkpointed frame carries no stats, so leaving this
+    // to AQE shuffle-sorts the multi-million-row edge side instead)
     val edges = raw
-      .join(raw.groupBy(col("src")).agg(sum(col("w")).as("wsum")), Seq("src"))
+      .join(broadcast(raw.groupBy(col("src")).agg(sum(col("w")).as("wsum"))),
+        Seq("src"))
       .persist()
     val nodes = edges.select(col("src").as("node")).distinct().persist()
     val n = nodes.count()
     var ranks = nodes.withColumn("pr", lit(1000000000L / n))
     val base = 150000000L / n
     (1 to iters).foreach { i =>
-      ranks = edges.join(ranks, edges("src") === ranks("node"))
+      // ranks is the node catalog (tiny next to edges) and, being a
+      // checkpoint/agg frame, invisible to AQE's size estimate — force
+      // the broadcast so edges NEVER shuffle: each round is a map-side
+      // broadcast join + a partially-aggregated |nodes|-sized exchange.
+      // (Past ~1e8-node catalogs swap this hint for a one-time
+      // repartition(src) of edges + co-partitioned shuffled-hash rounds.)
+      ranks = edges.join(broadcast(ranks), edges("src") === ranks("node"))
         .select(col("dst"), expr("(pr * w) DIV wsum").as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(base) + expr("(85 * sum(contrib)) DIV 100")).as("pr"))
         .withColumnRenamed("dst", "node")
-      // lineage pin every SECOND round (and on the last): the eager
-      // checkpoint's per-round driver sync serialized 10 jobs; two
-      // rounds per job do the same shuffle work with half the job
-      // overhead, while the plan depth stays bounded at 2 rounds
+      // lineage pin every SECOND round (and on the last): two broadcast
+      // rounds per job halve the driver syncs while plan depth stays
+      // bounded at two rounds
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     val out = ranks

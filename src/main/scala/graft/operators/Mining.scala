@@ -498,10 +498,11 @@ object Mining {
     var hop = 0L
     while (hop < maxHops && frontier.limit(1).count() > 0) {
       hop += 1
-      frontier = frontier
-        .join(adj, frontier("node") === adj("u"))
+      // frontier and visited set are node-bounded, stats-less after
+      // checkpoint — broadcast both so the adjacency never shuffles
+      frontier = adj.join(broadcast(frontier), frontier("node") === adj("u"))
         .select(col("v").as("node")).distinct()
-        .join(levels, Seq("node"), "left_anti")
+        .join(broadcast(levels), Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("lvl"))
         .localCheckpoint(true)
       levels = levels.unionByName(frontier).localCheckpoint(true)
@@ -691,7 +692,9 @@ object Mining {
       .localCheckpoint(true)
     var lab = nodes.withColumn("lab", col("node"))
     for (i <- 1 to rounds) {
-      lab = adj.join(lab, adj("v") === lab("node"))
+      // lab is node-sized and, as a checkpoint/agg frame, stats-less to
+      // AQE — broadcast so the adjacency never shuffles
+      lab = adj.join(broadcast(lab), adj("v") === lab("node"))
         .groupBy(adj("u").as("node"))
         .agg(min(col("lab")).as("lab"))
       if (i % 2 == 0 || i == rounds) lab = lab.localCheckpoint(true)
@@ -913,9 +916,11 @@ object Mining {
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
+      // the survivor set is node-sized and stats-less mid-peel —
+      // broadcast both semi-join probes so the edge list never shuffles
       edges = edges
-        .join(alive.toDF("u"), Seq("u"))
-        .join(alive.toDF("v"), Seq("v"))
+        .join(broadcast(alive.toDF("u")), Seq("u"))
+        .join(broadcast(alive.toDF("v")), Seq("v"))
       if (i % 2 == 0 || i == rounds) edges = edges.localCheckpoint(true)
     }
     edges.select(col("u").as("node"))

@@ -172,6 +172,9 @@ object SparkEntry {
     "q_snapshot_diff" -> (Curation.snapshotDiff(_, _)),
     "q_bfs_levels" ->
       (Mining.bfsLevels(_, _, Basket.maxItems, Basket.bfsHops)),
+    "q_shortest_paths" ->
+      (Mining.shortestPaths(_, _, Basket.maxItems, Basket.spRounds,
+        Basket.topK)),
     "q_item_neighbor_jaccard" ->
       (Mining.itemNeighborJaccard(_, _, Basket.maxItems,
         Basket.jaccardMinCo, Basket.jaccardTopN)),
@@ -613,6 +616,7 @@ object SparkEntry {
     val pagerankIters = 10
     val joinEstBuckets = 32
     val bfsHops = 4
+    val spRounds = 4 // Bellman-Ford relaxations; matches the BFS horizon
     val jaccardMinCo = 2
     val jaccardTopN = 100
     val ccRounds = 12 // comfortably past the observed radius at sf0.01/0.1
@@ -1498,6 +1502,11 @@ object SparkEntry {
     // BFS level histogram: unrolled reach sets, portable text
     "q_bfs_levels" ->
       operators.Mining.bfsLevelsSql(Basket.maxItems, Basket.bfsHops),
+
+    // bounded Bellman-Ford: relaxations unrolled; // the only dialect point
+    "q_shortest_paths" ->
+      operators.Mining.shortestPathsSql("//", Basket.maxItems,
+        Basket.spRounds, Basket.topK),
 
     // item-item neighbor Jaccard: portable text modulo // vs DIV
     "q_item_neighbor_jaccard" ->

@@ -263,6 +263,81 @@ object Mining {
          ORDER BY rank_1e9 DESC, p_partkey"""
   }
 
+  /** Bounded weighted shortest paths (Bellman-Ford rounds) over the
+    * co-purchase graph from its min-id node: edge length = 1e6 DIV w, so
+    * frequently co-bought pairs are CLOSE and the distance readout ranks
+    * the catalog by recommendation proximity to the anchor — the weighted
+    * complement of [[bfsLevels]]' hop counts (hops say reachable, lengths
+    * say how strongly). Exactly `rounds` min-plus relaxations, exact
+    * integers, so the result is the true distance for every node whose
+    * shortest path uses <= rounds edges and an upper bound otherwise —
+    * bounded-round semantics is the contract (the connectedComponents
+    * discipline; both engines run identical rounds).
+    *
+    * 100 TB shape: per round ONE equi-join of the (persisted,
+    * checkpoint-fed) edge list with the node-sized distance frame —
+    * broadcast for the same stats-blindness reason as the pagerank
+    * rounds — plus a map-side-combined min; the union arm keeps settled
+    * distances without re-walking them. Top-K exits via
+    * TakeOrderedAndProject.
+    */
+  def shortestPaths(s: SparkSession, dir: String, maxItems: Int,
+                    rounds: Int, topN: Int): DataFrame = {
+    val edges = copurchaseEdges(s, dir, maxItems)
+      .select(col("src"), col("dst"), expr("1000000 DIV w").as("len"))
+      .persist()
+    val src = edges.agg(min(col("src"))).head().getLong(0)
+    var dist = s.range(1)
+      .select(lit(src).as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { i =>
+      dist = edges.join(broadcast(dist), edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + col("len")).as("d"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
+    }
+    val out = dist
+      .select(col("node").as("p_partkey"), col("d").as("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+      .limit(topN)
+    edges.unpersist()
+    out
+  }
+
+  /** [[shortestPaths]] as one SQL statement with the relaxations unrolled
+    * (the pagerank pattern); `div` = "//" is the DuckDB oracle, "DIV" the
+    * Spark twin — same text otherwise.
+    */
+  private[graft] def shortestPathsSql(div: String, maxItems: Int,
+                                      rounds: Int, topN: Int): String = {
+    val header =
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS (SELECT basket FROM inc GROUP BY basket
+                HAVING count(*) <= $maxItems),
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok USING (basket)),
+         e AS (SELECT a.item AS src, b.item AS dst,
+                      1000000 $div CAST(count(*) AS BIGINT) AS len
+               FROM kept a JOIN kept b
+                 ON a.basket = b.basket AND a.item <> b.item
+               GROUP BY a.item, b.item),
+         s0 AS (SELECT min(src) AS src FROM e),
+         it0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS d FROM s0)"""
+    val steps = (1 to rounds).map { k =>
+      s"""it$k AS (SELECT node, min(d) AS d FROM (
+             SELECT e.dst AS node, r.d + e.len AS d
+             FROM e JOIN it${k - 1} r ON e.src = r.node
+             UNION ALL
+             SELECT node, d FROM it${k - 1}) u
+           GROUP BY node)"""
+    }
+    (header +: steps).mkString(",\n") +
+      s"""
+         SELECT node AS p_partkey, CAST(d AS BIGINT) AS dist FROM it$rounds
+         ORDER BY dist, p_partkey LIMIT $topN"""
+  }
+
   /** Association rules over the basket incidence — [[marketBasket]] emits
     * raw pair support; this prices each DIRECTED rule a -> b with the
     * classic triple (support, confidence, lift), exact half-up 1e-4

@@ -2830,6 +2830,12 @@ object SqlFrontDoor {
                   AS novelty_1e4
          FROM j GROUP BY doc_id, n_sh ORDER BY doc_id""",
 
+    // same generated text as the oracle with DIV for //
+    "q_shortest_paths" ->
+      graft.operators.Mining.shortestPathsSql("DIV",
+        graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.spRounds,
+        graft.SparkEntry.Basket.topK),
+
     // same generated text as the oracle with DIV for // and unix_micros
     // for epoch_us (value iteration unrolled, the pagerank pattern)
     "q_markov_attribution" ->

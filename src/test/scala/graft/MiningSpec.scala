@@ -596,6 +596,36 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => math.abs(g._3) < 200000L))
   }
 
+  test("shortest paths match the in-memory Bellman-Ford recompute") {
+    val li = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).values.map(_.map(_._2).distinct.toSeq)
+      .filter(_.size <= 8).toSeq
+    val w = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    baskets.foreach { its =>
+      for (a <- its; b <- its if a != b) w((a, b)) += 1
+    }
+    val edges = w.toSeq.map { case ((a, b), c) => (a, b, 1000000L / c) }
+    val src = edges.map(_._1).min
+    var dist = Map(src -> 0L)
+    (1 to 4).foreach { _ =>
+      val relaxed = edges.flatMap { case (a, b, len) =>
+        dist.get(a).map(d => b -> (d + len))
+      }
+      dist = (relaxed ++ dist.toSeq).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val want = dist.toSeq.map { case (n, d) => (n, d) }
+      .sortBy(t => (t._2, t._1)).take(25)
+    val got = graft.operators.Mining
+      .shortestPaths(spark, Sf, 8, 4, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // the anchor itself is distance 0 and ranks first
+    assert(got.head == ((src, 0L)))
+  }
+
   test("moment profile matches the BigInt power-sum recompute") {
     val rows = Tables.events(spark, Sf)
       .select(col("event_type"),

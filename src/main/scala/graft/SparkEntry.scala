@@ -132,6 +132,8 @@ object SparkEntry {
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_corr_matrix" -> (Quality.corrMatrix(_, _)),
     "q_moment_profile" -> (Quality.momentProfile(_, _)),
+    "q_moment_profile_incremental" ->
+      (Quality.momentProfileIncremental(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
     "q_chi2_source_lang" -> (Quality.chi2SourceLang(_, _)),
     "q_type_drift_hourly" -> (Quality.typeDriftHourly(_, _)),
@@ -2192,6 +2194,8 @@ object SparkEntry {
     "q_corr_matrix" -> operators.Quality.corrMatrixSql,
     // skew/kurtosis from exact decimal power sums, final-double readout
     "q_moment_profile" -> operators.Quality.momentProfileSql,
+    // merge == rescan: the oracle runs the one-shot statement
+    "q_moment_profile_incremental" -> operators.Quality.momentProfileSql,
 
     // gapped sequential pairs: the oracle is the NAIVE EXISTS-over-raw-
     // row-pairs statement (no order-statistic collapse) — equality is an

@@ -882,18 +882,47 @@ object Quality {
     * 100 TB shape: ONE map-side-combinable aggregate over the feed, five
     * sums per group, |types| rows out. Nothing else touches the data.
     */
-  def momentProfile(s: SparkSession, dir: String): DataFrame = {
-    val d = "CAST(x AS DECIMAL(38,0))"
+  def momentProfile(s: SparkSession, dir: String): DataFrame =
+    momentReadout(momentSums(momentInput(s, dir)))
+
+  /** The staged/incremental face of [[momentProfile]]: power sums are
+    * trivially mergeable (they ADD), so the profile over "prefix already
+    * summarized, delta arrives" is the per-slice sums unioned and
+    * re-summed — never a rescan of the prefix. The event_id split point
+    * mirrors the other incremental queries; the oracle runs the one-shot
+    * statement, proving merge == rescan exactly (including every IEEE
+    * readout bit, because the merged integer sums are identical).
+    */
+  def momentProfileIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = momentInput(s, dir)
+    val split = ev.agg(max(col("event_id"))).head().getLong(0) * 4 / 5
+    val merged = momentSums(ev.filter(col("event_id") <= split))
+      .unionByName(momentSums(ev.filter(col("event_id") > split)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"),
+        sum(col("s4")).as("s4"))
+    momentReadout(merged)
+  }
+
+  private def momentInput(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .select(col("event_type"),
+      .select(col("event_type"), col("event_id"),
         expr("CAST(floor(value * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
           .as("x"))
-      .groupBy(col("event_type"))
+
+  private def momentSums(df: DataFrame): DataFrame = {
+    val d = "CAST(x AS DECIMAL(38,0))"
+    df.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(expr(d)).as("s1"),
         sum(expr(s"$d * $d")).as("s2"),
         sum(expr(s"$d * $d * $d")).as("s3"),
         sum(expr(s"$d * $d * $d * $d")).as("s4"))
+  }
+
+  private def momentReadout(sums: DataFrame): DataFrame = {
+    sums
       .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))
       .withColumn("d2", expr("CAST(nd * s2 - s1 * s1 AS DOUBLE)"))
       .withColumn("d3",

@@ -3120,7 +3120,10 @@ object SqlFrontDoor {
     "q_pack_sequences_incremental" -> twins("q_pack_sequences"),
     "q_scd2_incremental" -> twins("q_scd2_intervals"),
     "q_hll_rollup_incremental" -> twins("q_hll_sketch_rollup"),
-    "q_quantile_rollup_incremental" -> twins("q_quantile_rollup"))
+    "q_quantile_rollup_incremental" -> twins("q_quantile_rollup"),
+    // the parent is portable (no twin): alias its oracle text directly
+    "q_moment_profile_incremental" ->
+      graft.operators.Quality.momentProfileSql)
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

@@ -131,6 +131,7 @@ object SparkEntry {
     }),
     "q_profile_columns" -> (Quality.profileOrders(_, _)),
     "q_corr_matrix" -> (Quality.corrMatrix(_, _)),
+    "q_corr_matrix_incremental" -> (Quality.corrMatrixIncremental(_, _)),
     "q_moment_profile" -> (Quality.momentProfile(_, _)),
     "q_moment_profile_incremental" ->
       (Quality.momentProfileIncremental(_, _)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "q_disjunctive_revenue" -> (Analytics.disjunctiveRevenue(_, _)),
     "q_min_cost_supplier" -> (Analytics.minCostSupplier(_, _)),
     "q_acf_daily_value" -> (Analytics.acfDailyValue(_, _)),
+    "q_ccf_click_purchase" -> (Analytics.ccfDailyValue(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2192,6 +2194,8 @@ object SparkEntry {
     // pairwise Pearson matrix; UNION ALL arms (no stack) — portable text
     // that also algorithmically cross-checks the operator's Expand path
     "q_corr_matrix" -> operators.Quality.corrMatrixSql,
+    // merge == rescan: the oracle runs the one-shot statement
+    "q_corr_matrix_incremental" -> operators.Quality.corrMatrixSql,
     // skew/kurtosis from exact decimal power sums, final-double readout
     "q_moment_profile" -> operators.Quality.momentProfileSql,
     // merge == rescan: the oracle runs the one-shot statement
@@ -2567,6 +2571,8 @@ object SparkEntry {
     "q_min_cost_supplier" ->
       operators.Analytics.minCostSupplierSql("Brand#2"),
     "q_acf_daily_value" -> operators.Analytics.acfDailyValueSql(7),
+    "q_ccf_click_purchase" ->
+      operators.Analytics.ccfDailyValueSql("click", "purchase", 7),
     "q_traffic_kpi_report" ->
       operators.Analytics.trafficKpiReportSql("//", "epoch_us", 30),
 

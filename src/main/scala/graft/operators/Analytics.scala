@@ -3200,6 +3200,115 @@ object Analytics {
        FROM fin ORDER BY lag_d"""
   }
 
+  /** Cross-correlation function between two event types' daily series:
+    * ccf(k) = corr(click_t, purchase_{t+k}) for k in -maxLag..maxLag —
+    * the lead/lag detector behind "does click volume LEAD purchase volume,
+    * and by how many days?" (the peak's sign and position answer it;
+    * [[acfDailyValue]] is the self-paired special case). Positive lags
+    * pair today's clicks with FUTURE purchases; negative lags spell the
+    * mirrored pairing (lead(x, k) vs y), so one window pass serves both
+    * directions. Same determinism story as the ACF: exact DECIMAL(38,0)
+    * component sums, one final double r per lag, signed half-up micro.
+    *
+    * 100 TB shape: the feed collapses to ONE |days|-row frame (two
+    * conditional sums in one map-side aggregate); the global-ordered lead
+    * window, the lag explode, and the readout all ride that catalog-sized
+    * frame.
+    */
+  def ccfDailyValue(s: SparkSession, dir: String,
+                    typeX: String = "click", typeY: String = "purchase",
+                    maxLag: Int = 7): DataFrame = {
+    val cents =
+      "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        sum(expr(s"CASE WHEN event_type = '$typeX' THEN $cents ELSE 0 END")).as("x"),
+        sum(expr(s"CASE WHEN event_type = '$typeY' THEN $cents ELSE 0 END")).as("y"))
+    val w = Window.orderBy(col("day"))
+    val withLeads = (1 to maxLag).foldLeft(daily)((df, k) =>
+      df.withColumn(s"yl$k", lead(col("y"), k).over(w))
+        .withColumn(s"xl$k", lead(col("x"), k).over(w)))
+    val arms =
+      struct(lit(0L).as("lag_d"), col("x").as("a"), col("y").as("b")) +:
+        (1 to maxLag).flatMap(k => Seq(
+          struct(lit(k.toLong).as("lag_d"), col("x").as("a"),
+            col(s"yl$k").as("b")),
+          struct(lit(-k.toLong).as("lag_d"), col(s"xl$k").as("a"),
+            col("y").as("b"))))
+    val pairs = withLeads
+      .select(explode(array(arms: _*)).as("z"))
+      .select(col("z.lag_d").as("lag_d"), col("z.a").as("a"), col("z.b").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    pairs.groupBy(col("lag_d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(a AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(b AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))")).as("syy"))
+      .withColumn("num", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
+      .withColumn("dx", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("dy", expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))
+      .select(col("lag_d"), col("n"),
+        expr("""CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+                WHEN num >= 0 THEN CAST(floor(num / (sqrt(dx) * sqrt(dy))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor((-num) / (sqrt(dx) * sqrt(dy))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("ccf_micro"))
+      .orderBy(col("lag_d"))
+  }
+
+  /** Fully portable text for [[ccfDailyValue]] (the ACF's portable shape
+    * with two conditional daily sums and mirrored negative-lag arms).
+    */
+  private[graft] def ccfDailyValueSql(typeX: String, typeY: String,
+                                      maxLag: Int): String = {
+    val leadCols = (1 to maxLag).flatMap(k => Seq(
+      s"lead(y, $k) OVER (ORDER BY day) AS yl$k",
+      s"lead(x, $k) OVER (ORDER BY day) AS xl$k")).mkString(", ")
+    val lagArms = (Seq("SELECT 0 AS lag_d, x AS a, y AS b FROM leads") ++
+      (1 to maxLag).flatMap(k => Seq(
+        s"SELECT $k AS lag_d, x AS a, yl$k AS b FROM leads WHERE yl$k IS NOT NULL",
+        s"SELECT -$k AS lag_d, xl$k AS a, y AS b FROM leads WHERE xl$k IS NOT NULL")))
+      .mkString("\n         UNION ALL ")
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CASE WHEN event_type = '$typeX'
+                  THEN CAST(floor(value * CAST(100 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN event_type = '$typeY'
+                  THEN CAST(floor(value * CAST(100 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         FROM events GROUP BY CAST(ts AS DATE)),
+       leads AS (SELECT day, x, y, $leadCols FROM daily),
+       pairs AS ($lagArms),
+       agg AS (
+         SELECT lag_d, count(*) AS n,
+                sum(CAST(a AS DECIMAL(38,0))) AS sx,
+                sum(CAST(b AS DECIMAL(38,0))) AS sy,
+                sum(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS sxy,
+                sum(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS syy
+         FROM pairs GROUP BY lag_d),
+       fin AS (
+         SELECT lag_d, n,
+                CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) AS num,
+                CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS dx,
+                CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS dy
+         FROM agg)
+       SELECT CAST(lag_d AS BIGINT) AS lag_d, CAST(n AS BIGINT) AS n,
+              CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+                   WHEN num >= 0 THEN CAST(floor(num / (sqrt(dx) * sqrt(dy))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor((-num) / (sqrt(dx) * sqrt(dy))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS ccf_micro
+       FROM fin ORDER BY lag_d"""
+  }
+
   /** The daily traffic dashboard the reference's warehouse consumers read:
     * per day — events, distinct users, exact value cents, sessions STARTED
     * that day (30-min-gap sessionization, same contract as

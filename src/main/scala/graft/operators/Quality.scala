@@ -830,7 +830,29 @@ object Quality {
     * same sums as six UNION ALL arms (six logical scans, no Expand) —
     * equality cross-checks the stack path.
     */
-  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+  def corrMatrix(s: SparkSession, dir: String): DataFrame =
+    corrReadout(corrSums(corrInput(s, dir)))
+
+  /** The staged/incremental face of [[corrMatrix]] — the moment-profile
+    * mergeability story applied to the pair slate: component sums ADD, so
+    * "prefix summarized, delta arrives" unions the per-slice sums and
+    * re-sums, never rescanning the prefix; the merged integers equal the
+    * one-shot scan's, so the oracle IS the one-shot statement and merge
+    * == rescan holds to the IEEE bit of every r.
+    */
+  def corrMatrixIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = corrInput(s, dir)
+    val split = li.agg(max(col("okey"))).head().getLong(0) * 4 / 5
+    val merged = corrSums(li.filter(col("okey") <= split))
+      .unionByName(corrSums(li.filter(col("okey") > split)))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
+    corrReadout(merged)
+  }
+
+  private def corrInput(s: SparkSession, dir: String): DataFrame = {
     val pairs = for {
       (i, (na, ea)) <- CorrCols.zipWithIndex.map(_.swap)
       (j, (nb, eb)) <- CorrCols.zipWithIndex.map(_.swap) if i < j
@@ -838,8 +860,12 @@ object Quality {
     val stackArgs = pairs.map { case (name, ea, eb) =>
       s"'$name', $ea, $eb" }.mkString(", ")
     Tables.spread(s, dir, "lineitem")
-      .select(expr(s"stack(${pairs.size}, $stackArgs) AS (pair, x, y)"))
-      .groupBy(col("pair"))
+      .select(col("l_orderkey").as("okey"),
+        expr(s"stack(${pairs.size}, $stackArgs) AS (pair, x, y)"))
+  }
+
+  private def corrSums(df: DataFrame): DataFrame =
+    df.groupBy(col("pair"))
       .agg(
         count(lit(1)).as("n"),
         sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
@@ -847,6 +873,9 @@ object Quality {
         sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
         sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"))
+
+  private def corrReadout(sums: DataFrame): DataFrame = {
+    sums
       .withColumn("num", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
       .withColumn("dx", expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
       .withColumn("dy", expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))

@@ -3121,9 +3121,11 @@ object SqlFrontDoor {
     "q_scd2_incremental" -> twins("q_scd2_intervals"),
     "q_hll_rollup_incremental" -> twins("q_hll_sketch_rollup"),
     "q_quantile_rollup_incremental" -> twins("q_quantile_rollup"),
-    // the parent is portable (no twin): alias its oracle text directly
+    // the parents are portable (no twin): alias their oracle texts
     "q_moment_profile_incremental" ->
-      graft.operators.Quality.momentProfileSql)
+      graft.operators.Quality.momentProfileSql,
+    "q_corr_matrix_incremental" ->
+      graft.operators.Quality.corrMatrixSql)
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).
@@ -3148,7 +3150,8 @@ object SqlFrontDoor {
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
     "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
     "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
-    "q_acf_daily_value", "q_kcore_membership", "q_corr_matrix",
+    "q_acf_daily_value", "q_ccf_click_purchase", "q_kcore_membership",
+    "q_corr_matrix",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
     "q_moment_profile")
 

@@ -596,6 +596,40 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => math.abs(g._3) < 200000L))
   }
 
+  test("ccf matches the in-memory Pearson-at-every-lag recompute") {
+    val daily = Tables.events(spark, Sf)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        sum(expr("CASE WHEN event_type = 'click' THEN CAST(floor(value * 100D + 0.5D) AS BIGINT) ELSE 0 END")).as("x"),
+        sum(expr("CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100D + 0.5D) AS BIGINT) ELSE 0 END")).as("y"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val xs = daily.map(t => BigInt(t._2))
+    val ys = daily.map(t => BigInt(t._3))
+    def pearson(as: Seq[BigInt], bs: Seq[BigInt]): Long = {
+      val n = BigInt(as.length)
+      val num = (n * as.zip(bs).map { case (a, b) => a * b }.sum
+        - as.sum * bs.sum).toDouble
+      val dx = (n * as.map(a => a * a).sum - as.sum * as.sum).toDouble
+      val dy = (n * bs.map(b => b * b).sum - bs.sum * bs.sum).toDouble
+      if (dx <= 0 || dy <= 0) 0L
+      else if (num >= 0) math.floor(num / (math.sqrt(dx) * math.sqrt(dy)) * 1e6 + 0.5).toLong
+      else -math.floor(-num / (math.sqrt(dx) * math.sqrt(dy)) * 1e6 + 0.5).toLong
+    }
+    val want = (-7 to 7).map { k =>
+      // pairs (x_t, y_{t+k}); negative k drops the first |k| y's
+      val (as, bs) =
+        if (k >= 0) (xs.dropRight(k), ys.drop(k))
+        else (xs.drop(-k), ys.dropRight(-k))
+      (k.toLong, as.length.toLong, pearson(as.toSeq, bs.toSeq))
+    }
+    val got = graft.operators.Analytics.ccfDailyValue(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // self-consistency: lag 0 pairs every day
+    assert(got.find(_._1 == 0L).get._2 == daily.length.toLong)
+  }
+
   test("shortest paths match the in-memory Bellman-Ford recompute") {
     val li = Tables.load(spark, Sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).collect()

@@ -219,6 +219,7 @@ object SparkEntry {
     "q_equal_freq_binning" -> (Analytics.equalFreqBins(_, _)),
     "q_setops_all_nationkeys" -> (Analytics.nationKeyMultisets(_, _)),
     "q_cohort_retention" -> (Analytics.cohortRetention(_, _)),
+    "q_cohort_ltv" -> (Analytics.cohortLtv(_, _)),
     "q_rolling_active_users" -> (Analytics.rollingActiveUsers(_, _)),
     "q_interp_residuals" -> (Analytics.valueVsLocalTrend(_, _)),
     "q_window_rank_family" -> (Analytics.orderPriceRanks(_, _)),
@@ -2721,6 +2722,10 @@ object SparkEntry {
          UNION ALL SELECT '2_click', count(*) FROM s2
          UNION ALL SELECT '3_purchase', count(*) FROM s3
          ORDER BY step""",
+
+    // cohort LTV: retention's cohort convention priced in cum cents
+    "q_cohort_ltv" ->
+      operators.Analytics.cohortLtvSql("//", "epoch_us(ts)"),
 
     "q_cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -515,6 +515,80 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Cohort LTV curve: cumulative purchase revenue per acquisition cohort
+    * by day offset, priced per cohort user — the companion readout to
+    * [[cohortRetention]] (retention says who comes BACK; LTV says what
+    * the cohort is WORTH by age, the payback-period number an
+    * acquisition budget is set against). Cohort = the user's first
+    * active day (any event type, the retention convention); offsets
+    * appear only where revenue occurred (the cumulative sum is over
+    * present rows — documented contract, matching the oracle exactly).
+    *
+    * 100 TB shape: one distinct user-day pass + one purchase-side join
+    * against the |users|-sized cohort frame (scales with data — no
+    * forced hint, AQE sizes it); everything after (per-cohort cumsum
+    * window, size join) rides the |cohorts| x |offsets| frame, which is
+    * calendar-bounded; the cohort-size frame broadcasts.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val dayIdx = "CAST(unix_micros(ts) DIV 1000000 DIV 86400 AS BIGINT)"
+    val ev = Tables.events(s, dir)
+    val ud = ev.select(col("user_id"), expr(dayIdx).as("day_idx")).distinct()
+    val cohorts = ud.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(dayIdx).as("day_idx"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day_idx") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("revenue_cents"),
+        col("cum_revenue_cents"), col("n_users"),
+        expr("CAST((2 * 10000 * cum_revenue_cents + n_users) DIV (2 * n_users) AS BIGINT)")
+          .as("ltv_per_user_1e4"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** [[cohortLtv]] as dialect-templated SQL (`div` + the epoch-micros
+    * spelling are the only dialect points).
+    */
+  private[graft] def cohortLtvSql(div: String, epoch: String): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+           CAST($epoch $div 1000000 $div 86400 AS BIGINT) AS day_idx
+         FROM events),
+       c AS (SELECT user_id, min(day_idx) AS cohort_day FROM ud
+             GROUP BY user_id),
+       cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+              FROM c GROUP BY cohort_day),
+       r AS (SELECT c.cohort_day, p.day_idx - c.cohort_day AS day_offset,
+                    CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+             FROM (SELECT user_id,
+                          CAST($epoch $div 1000000 $div 86400 AS BIGINT) AS day_idx,
+                          CAST(floor(value * CAST(100 AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase') p
+             JOIN c ON p.user_id = c.user_id
+             GROUP BY c.cohort_day, p.day_idx - c.cohort_day),
+       cum AS (SELECT cohort_day, day_offset, revenue_cents,
+                      CAST(sum(revenue_cents) OVER (PARTITION BY cohort_day
+                        ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents
+               FROM r)
+       SELECT cohort_day, day_offset, revenue_cents, cum_revenue_cents,
+              n_users,
+              CAST((2 * 10000 * cum_revenue_cents + n_users)
+                $div (2 * n_users) AS BIGINT) AS ltv_per_user_1e4
+       FROM cum JOIN cs USING (cohort_day)
+       ORDER BY cohort_day, day_offset"""
+
   /** Rolling DAU/WAU: for every day, the distinct users active THAT day
     * and within the trailing `windowDays` window ending on it. The
     * classic sliding-distinct problem solved by a BOUNDED explode — each

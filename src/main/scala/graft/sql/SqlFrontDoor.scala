@@ -2119,6 +2119,10 @@ object SqlFrontDoor {
          FROM p GROUP BY 1 ORDER BY channel""",
 
     // same generated text as the oracle with DIV and unix_micros
+    "q_cohort_ltv" ->
+      graft.operators.Analytics.cohortLtvSql("DIV", "unix_micros(ts)"),
+
+    // same generated text as the oracle with DIV and unix_micros
     "q_time_weighted_value" ->
       graft.operators.Analytics.timeWeightedValueSql("DIV", "unix_micros(ts)"),
 

@@ -2501,6 +2501,39 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("cohort ltv matches the in-memory cohort recompute and is monotone") {
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .select(col("user_id"),
+        expr("CAST(unix_micros(ts) DIV 1000000 DIV 86400 AS BIGINT)").as("d"),
+        col("event_type"),
+        expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rev = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohort(e._1), e._2 - cohort(e._1))).view
+      .mapValues(_.map(_._4).sum).toSeq
+      .map { case ((c, o), v) => (c, o, v) }.sortBy(t => (t._1, t._2))
+    val want = rev.groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, o, v) =>
+        cum += v
+        (c, o, v, cum, sizes(c), halfUp(10000L * cum, sizes(c)))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Analytics.cohortLtv(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // LTV is non-decreasing down each cohort's curve
+    got.groupBy(_._1).values.foreach { rows =>
+      val curve = rows.sortBy(_._2).map(_._6)
+      assert(curve == curve.sorted)
+    }
+  }
+
   test("time-weighted value matches the in-memory step-function recompute") {
     val ev = graft.sources.Tables.events(spark, Sf)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))

@@ -568,6 +568,51 @@ object EventsStream {
       }
   }
 
+  final case class HoldState(lastUs: Long, lastCents: Long)
+  final case class HeldInterval(user_id: Long, cents: Long, dur_s: Long)
+
+  /** Streaming face of the time-weighted average
+    * ([[graft.operators.Analytics.timeWeightedValue]]): per-user state is
+    * the OPEN hold (last event's micros + half-up cents — two longs, the
+    * step function's sufficient statistic), and every arriving event
+    * closes the previous hold, emitting (held cents, whole-second
+    * duration) immediately. The TWAP rollup — sum(cents x dur) over
+    * sum(dur), half-up 1e-4 — runs downstream of the sink, exactly the
+    * batch aggregate; a hold spanning a trigger boundary still emits with
+    * its full duration, which is precisely what the state carries.
+    * StreamingSpec pins the two-batch replay rollup equal to the batch
+    * operator.
+    *
+    * State never expires (NoTimeout): a billing meter must close a hold
+    * whenever the user returns; two longs per ever-active user is the
+    * attribution-state cardinality.
+    */
+  def twapIntervals(events: Dataset[Event]): Dataset[HeldInterval] = {
+    import events.sparkSession.implicits._
+    def toUs(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoldState, HeldInterval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[HoldState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[HeldInterval]()
+          sorted.foreach { e =>
+            val tUs = toUs(e.ts)
+            val cents = math.floor(e.value * 100d + 0.5d).toLong
+            st.foreach { p =>
+              out += HeldInterval(userId, p.lastCents, (tUs - p.lastUs) / 1000000L)
+            }
+            st = Some(HoldState(tUs, cents))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class MarkovState(prev: String, pos: Long, done: Boolean)
   final case class MarkovStep(user_id: Long, pos: Long, src: String,
                               dst: String)

@@ -536,6 +536,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming twap intervals span batch boundaries and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val ivs = EventsStream.twapIntervals(input.toDS())
+    val q = ivs.writeStream.format("memory").queryName("twapivs")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.00),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 3.00),
+      // batch 2: the open hold from e2 must close across the boundary
+      Event(3, ts("2024-01-01 10:20:00"), 1, "purchase", 5.00),
+      Event(4, ts("2024-01-01 10:30:00"), 2, "view", 2.00))
+    try {
+      input.addData(all.take(2): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(2): _*)
+      q.processAllAvailable()
+      val out = spark.table("twapivs").as[EventsStream.HeldInterval]
+        .collect().sortBy(h => (h.user_id, h.dur_s))
+      assert(out.map(h => (h.user_id, h.cents, h.dur_s)).toSeq == Seq(
+        (1L, 100L, 300L), (1L, 300L, 900L)))
+      // rollup over the emitted holds equals the batch operator
+      val dir = tmpDir("twap-stream")
+      all.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Analytics.timeWeightedValue(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val rollup = out.groupBy(_.user_id).toSeq.flatMap { case (u, hs) =>
+        val span = hs.map(_.dur_s).sum
+        if (span <= 0) None
+        else {
+          val wsum = hs.map(h => h.cents * h.dur_s).sum
+          Some((u, hs.length.toLong, span, (20000L * wsum + span) / (2L * span)))
+        }
+      }.sortBy(_._1)
+      assert(rollup == batch)
+    } finally q.stop()
+  }
+
   test("streaming markov steps cut at first purchase and match batch attribution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

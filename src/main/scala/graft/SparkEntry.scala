@@ -425,6 +425,7 @@ object SparkEntry {
     }),
     "q_pack_efficiency" -> (Curation.packEfficiency(_, _)),
     "q_zorder_layout" -> (Layout.zorderCells(_, _)),
+    "q_zone_prune_audit" -> (Layout.zonePruneAudit(_, _)),
     "q_ks_drift" -> (Quality.ksDrift(_, _)),
     "q_benford_audit" -> (Quality.benfordAudit(_, _)),
     "q_column_hhi" -> (Quality.columnHhi(_, _)),
@@ -4042,6 +4043,9 @@ object SparkEntry {
                      // (2 * greatest(mxs - mns, 1)) AS BIGINT) AS supp_span_1e4
          FROM cells ORDER BY z_cell"""
     },
+
+    // zone-map prune audit: read-amplification per predicate box
+    "q_zone_prune_audit" -> operators.Layout.zonePruneSql("//"),
 
     // two-sample KS over exact-integer CDFs; one // vs DIV dialect knob
     "q_ks_drift" -> operators.Quality.ksDriftSql("//"),

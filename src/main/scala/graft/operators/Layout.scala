@@ -91,6 +91,122 @@ object Layout {
       .withColumn("z", expr(mortonExpr("xn", "yn")))
   }
 
+  /** Predicate boxes for [[zonePruneAudit]] as 1e4 fractions of each
+    * key's global span — fraction-space so the SAME boxes are meaningful
+    * at every scale factor: (id, part lo, part hi, supp lo, supp hi).
+    * Box 1 is a z-aligned corner (skipping should shine), box 2 an
+    * off-diagonal block, box 3 a full-part-range narrow supp band (the
+    * partial-clustering case where z-order only half-helps).
+    */
+  private val PruneBoxes: Seq[(Long, Long, Long, Long, Long)] = Seq(
+    (1L, 0L, 2500L, 0L, 2500L),
+    (2L, 2500L, 5000L, 5000L, 7500L),
+    (3L, 0L, 10000L, 4000L, 6000L))
+
+  /** Zone-map prune audit: for each predicate box, how many of the 16
+    * z-cells (and how many rows) a min/max skipping index must READ,
+    * against the exact match count — the read-amplification number that
+    * says what the z-order layout actually buys per query shape. A cell
+    * is read iff its [min,max] spans overlap the box on BOTH keys (the
+    * parquet row-group pruning rule verbatim); rows_read / rows_match is
+    * the amplification a warehouse pays after skipping.
+    *
+    * 100 TB shape: the cell frame is 16 rows; boxes are 3 constants; the
+    * only fact-table work is ONE scan with |boxes| conditional counts
+    * (global bounds broadcast) — the same single-aggregate discipline as
+    * the bounds pass itself.
+    */
+  def zonePruneAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(
+      min(col("l_partkey")).as("mnp"), max(col("l_partkey")).as("mxp"),
+      min(col("l_suppkey")).as("mns"), max(col("l_suppkey")).as("mxs"))
+    val boxes = PruneBoxes.map { case (id, p0, p1, s0, s1) =>
+      s.range(1).select(lit(id).as("box_id"), lit(p0).as("p0"),
+        lit(p1).as("p1"), lit(s0).as("s0"), lit(s1).as("s1"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(bounds))
+      .select(col("box_id"),
+        expr("mnp + ((mxp - mnp) * p0) DIV 10000").as("plo"),
+        expr("mnp + ((mxp - mnp) * p1) DIV 10000").as("phi"),
+        expr("mns + ((mxs - mns) * s0) DIV 10000").as("slo"),
+        expr("mns + ((mxs - mns) * s1) DIV 10000").as("shi"))
+    val read = zorderCells(s, dir).crossJoin(broadcast(boxes))
+      .withColumn("hit",
+        !(col("max_part") < col("plo") || col("min_part") > col("phi") ||
+          col("max_supp") < col("slo") || col("min_supp") > col("shi")))
+      .groupBy(col("box_id"), col("plo"), col("phi"), col("slo"), col("shi"))
+      .agg(count(lit(1)).as("cells_total"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("cells_read"),
+        sum(when(col("hit"), col("n_rows")).otherwise(lit(0L))).as("rows_read"))
+    val matched = li.join(broadcast(boxes),
+        col("l_partkey") >= col("plo") && col("l_partkey") <= col("phi") &&
+          col("l_suppkey") >= col("slo") && col("l_suppkey") <= col("shi"))
+      .groupBy(col("box_id")).agg(count(lit(1)).as("rows_match"))
+    read.join(matched, Seq("box_id"), "left")
+      .select(col("box_id"), col("cells_total"), col("cells_read"),
+        col("rows_read"),
+        coalesce(col("rows_match"), lit(0L)).as("rows_match"),
+        expr("""CAST((20000 * rows_read + greatest(coalesce(rows_match, 0), 1))
+                DIV (2 * greatest(coalesce(rows_match, 0), 1)) AS BIGINT)""")
+          .as("read_amp_1e4"))
+      .orderBy(col("box_id"))
+  }
+
+  /** [[zonePruneAudit]] as dialect-templated SQL (`div` the only dialect
+    * point; the cells CTE restates the zorderCells text).
+    */
+  private[graft] def zonePruneSql(div: String): String = {
+    def bit(e: String, i: Int) = s"(($e $div ${1L << i}) % 2)"
+    val morton = (0 until BitsPerDim).map { i =>
+      s"${bit("xn", i)} * ${1L << (2 * i)} + ${bit("yn", i)} * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val boxArms = PruneBoxes.map { case (id, p0, p1, s0, s1) =>
+      s"SELECT CAST($id AS BIGINT) AS box_id, $p0 AS p0, $p1 AS p1, " +
+        s"$s0 AS s0, $s1 AS s1"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH b AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                   min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem),
+       n AS (SELECT l_partkey, l_suppkey,
+             ((CAST(l_partkey AS BIGINT) - mnp) * 65535) $div greatest(mxp - mnp, 1) AS xn,
+             ((CAST(l_suppkey AS BIGINT) - mns) * 65535) $div greatest(mxs - mns, 1) AS yn
+             FROM lineitem CROSS JOIN b),
+       zed AS (SELECT *, ($morton) AS z FROM n),
+       cells AS (SELECT z $div ${1L << (2 * BitsPerDim - 4)} AS z_cell,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                 min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+                 FROM zed GROUP BY 1),
+       raw_boxes AS ($boxArms),
+       boxes AS (SELECT box_id,
+                 mnp + ((mxp - mnp) * p0) $div 10000 AS plo,
+                 mnp + ((mxp - mnp) * p1) $div 10000 AS phi,
+                 mns + ((mxs - mns) * s0) $div 10000 AS slo,
+                 mns + ((mxs - mns) * s1) $div 10000 AS shi
+                 FROM raw_boxes CROSS JOIN b),
+       rd AS (SELECT box_id,
+              CAST(count(*) AS BIGINT) AS cells_total,
+              CAST(sum(CASE WHEN NOT (max_part < plo OR min_part > phi
+                OR max_supp < slo OR min_supp > shi) THEN 1 ELSE 0 END) AS BIGINT)
+                AS cells_read,
+              CAST(sum(CASE WHEN NOT (max_part < plo OR min_part > phi
+                OR max_supp < slo OR min_supp > shi) THEN n_rows ELSE 0 END) AS BIGINT)
+                AS rows_read
+              FROM cells CROSS JOIN boxes GROUP BY box_id),
+       mt AS (SELECT box_id, CAST(count(*) AS BIGINT) AS rows_match
+              FROM lineitem JOIN boxes
+                ON l_partkey >= plo AND l_partkey <= phi
+               AND l_suppkey >= slo AND l_suppkey <= shi
+              GROUP BY box_id)
+       SELECT rd.box_id, cells_total, cells_read, rows_read,
+              CAST(coalesce(rows_match, 0) AS BIGINT) AS rows_match,
+              CAST((20000 * rows_read + greatest(coalesce(rows_match, 0), 1))
+                $div (2 * greatest(coalesce(rows_match, 0), 1)) AS BIGINT)
+                AS read_amp_1e4
+       FROM rd LEFT JOIN mt ON rd.box_id = mt.box_id
+       ORDER BY rd.box_id"""
+  }
+
   /** The layout WRITER the audit's scaladoc promises: rewrite lineitem
     * as parquet clustered by the z key — `repartitionByRange(z)` gives
     * near-equal files from sampled range boundaries (the distributed

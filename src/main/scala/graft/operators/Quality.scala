@@ -950,6 +950,12 @@ object Quality {
         sum(expr(s"$d * $d * $d * $d")).as("s4"))
   }
 
+  /** The moment readout over an externally-maintained power-sum cell
+    * table (the streaming face's state readout — cells carry
+    * (event_type, n, s1..s4); see `EventsStream.momentCells`).
+    */
+  def momentReadoutFromSums(sums: DataFrame): DataFrame = momentReadout(sums)
+
   private def momentReadout(sums: DataFrame): DataFrame = {
     sums
       .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))

@@ -2653,6 +2653,9 @@ object SqlFrontDoor {
                 CAST((20000 * n_docs + src_total) DIV (2 * src_total) AS BIGINT) AS share_1e4
          FROM t ORDER BY source, split""",
 
+    // same generated text as the oracle with DIV for //
+    "q_zone_prune_audit" -> graft.operators.Layout.zonePruneSql("DIV"),
+
     "q_zorder_layout" -> {
       def bit(e: String, i: Int) = s"(($e DIV ${1L << i}) % 2)"
       val morton = (0 until 16).map { i =>

@@ -720,6 +720,31 @@ object EventsStream {
       .agg(min(struct(col("ts"), col("event_id"))).as("first_pos"),
         max(struct(col("ts"), col("event_id"))).as("last_pos"))
 
+  /** Per-type power-sum cells for the streaming distribution-shape
+    * monitor — the ingest face of the batch moment profile
+    * ([[graft.operators.Quality.momentProfile]]): five DECIMAL(38,0)
+    * sums per event type as complete-mode aggregate state (power sums
+    * ADD, so partials merge in the state store under any trigger
+    * boundary — the exact mergeability the incremental batch face
+    * proves), with the skew/kurtosis readout
+    * ([[graft.operators.Quality.momentReadoutFromSums]]) running
+    * downstream of the sink over the |types|-row cells. State is five
+    * decimals per type, forever.
+    */
+  def momentCells(events: DataFrame): DataFrame = {
+    val d = "CAST(x AS DECIMAL(38,0))"
+    events
+      .select(col("event_type"),
+        expr("CAST(floor(value * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(d)).as("s1"),
+        sum(expr(s"$d * $d")).as("s2"),
+        sum(expr(s"$d * $d * $d")).as("s3"),
+        sum(expr(s"$d * $d * $d * $d")).as("s4"))
+  }
+
   /** Per-(event_type, day) KLL quantile-sketch cells for the streaming
     * value monitor — the ingest face of the batch quantile cube
     * ([[graft.operators.Sketches.quantileRollup]]): `kll_agg` runs as

@@ -2501,6 +2501,27 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("zone prune audit: reads cover matches, corner box actually prunes") {
+    val got = graft.operators.Layout.zonePruneAudit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val totalRows = graft.sources.Tables.load(spark, Sf, "lineitem").count()
+    got.foreach { case (_, cellsTotal, cellsRead, rowsRead, rowsMatch, amp) =>
+      assert(cellsTotal == 16L)
+      assert(cellsRead >= 0L && cellsRead <= cellsTotal)
+      // skipping must never lose a matching row, and never read past all
+      assert(rowsRead >= rowsMatch)
+      assert(rowsRead <= totalRows)
+      // amplification is consistent with its own inputs (half-up)
+      val den = math.max(rowsMatch, 1L)
+      assert(amp == (20000L * rowsRead + den) / (2L * den))
+    }
+    // the z-aligned corner box must skip SOMETHING — that is the point
+    // of the layout; a 16/16 read there would mean the audit is vacuous
+    assert(got.find(_._1 == 1L).get._3 < 16L)
+  }
+
   test("cohort ltv matches the in-memory cohort recompute and is monotone") {
     def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
     val ev = graft.sources.Tables.events(spark, Sf)

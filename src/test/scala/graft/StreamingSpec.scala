@@ -141,6 +141,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming moment cells + batch readout equal the batch profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.momentCells(input.toDF())
+      .writeStream.format("memory").queryName("momentcells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // split mid-feed so every type's power sums MERGE across triggers
+      val (b1, b2) = all.splitAt(all.length / 2 + 3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = graft.operators.Quality
+        .momentReadoutFromSums(spark.table("momentcells")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      val want = graft.operators.Quality.momentProfile(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming daily cells + holt epilogue equal the batch smoother") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

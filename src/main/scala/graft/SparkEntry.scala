@@ -133,11 +133,14 @@ object SparkEntry {
     "q_corr_matrix" -> (Quality.corrMatrix(_, _)),
     "q_corr_matrix_incremental" -> (Quality.corrMatrixIncremental(_, _)),
     "q_moment_profile" -> (Quality.momentProfile(_, _)),
+    "q_ab_power_audit" -> (Quality.abPowerAudit(_, _)),
     "q_moment_profile_incremental" ->
       (Quality.momentProfileIncremental(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
     "q_chi2_source_lang" -> (Quality.chi2SourceLang(_, _)),
     "q_type_drift_hourly" -> (Quality.typeDriftHourly(_, _)),
+    "q_basket_triples" ->
+      (Mining.basketTriples(_, _, Basket.maxItems, Basket.topK)),
     "q_market_basket" ->
       (Mining.marketBasket(_, _, Basket.maxItems, Basket.topK)),
     "q_pareto_frontier" ->
@@ -449,6 +452,8 @@ object SparkEntry {
     "q_selection_gain" -> (Curation.selectionGain(_, _)),
     "q_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
     "q_lang_diversity" -> (TextAnalysis.langDiversity(_, _)),
+    "q_weighted_len_pctl" ->
+      (TextAnalysis.weightedLengthPercentiles(_, _)),
     "q_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
     "q_journey_trigrams" -> (Analytics.journeyTrigrams(_, _)),
     "q_shot_boundaries" -> (Multimodal.shotBoundaries(_, _)),
@@ -2019,6 +2024,11 @@ object SparkEntry {
                 // (greatest(expected_1e4, 1) * 10000) AS chi2c_1e4
          FROM e ORDER BY hour, event_type""",
 
+    // size-3 itemsets: the naive three-way join cross-checks the
+    // operator's bounded array explode
+    "q_basket_triples" ->
+      operators.Mining.basketTriplesSql(Basket.maxItems, Basket.topK),
+
     // market-basket pair mining: distinct incidence, whale-basket guard,
     // then the pair self-join — identical semantics to the operator
     "q_market_basket" ->
@@ -2200,6 +2210,8 @@ object SparkEntry {
     "q_corr_matrix_incremental" -> operators.Quality.corrMatrixSql,
     // skew/kurtosis from exact decimal power sums, final-double readout
     "q_moment_profile" -> operators.Quality.momentProfileSql,
+    // per-arm sample size for 1%/5% mean shifts: pure power-sum ratios
+    "q_ab_power_audit" -> operators.Quality.abPowerAuditSql,
     // merge == rescan: the oracle runs the one-shot statement
     "q_moment_profile_incremental" -> operators.Quality.momentProfileSql,
 
@@ -4200,6 +4212,10 @@ object SparkEntry {
     // Simpson + inverse-Simpson language mix per source; // is the only
     // dialect point
     "q_lang_diversity" -> operators.TextAnalysis.langDiversitySql("//"),
+
+    // token-mass-weighted length percentiles (max-rank threshold rule)
+    "q_weighted_len_pctl" ->
+      operators.TextAnalysis.weightedLengthPercentilesSql(duck = true),
 
     // token-share drift between the first 80% and trailing 20% by doc_id
     "q_vocab_drift" ->

@@ -61,6 +61,52 @@ object Mining {
       .limit(topK)
   }
 
+  /** Top-K frequent TRIPLES over the basket incidence — the size-3 layer
+    * above [[marketBasket]]'s pairs (bundle recommendations need the
+    * third item; pair counts alone can't distinguish a genuine trio from
+    * three popular pairs). Canonical a < b < c triples explode map-side
+    * from per-basket sorted arrays — C(maxItems,3) <= 56 per basket, the
+    * whale guard bounds the fan-out exactly as for edges — then ONE
+    * map-side-combinable count and a TakeOrderedAndProject exit. The
+    * oracle states the naive three-way self-join (quadratic+ at oracle
+    * scale only) as an algorithmic cross-check of the explode path.
+    */
+  def basketTriples(s: SparkSession, dir: String, maxItems: Int,
+                    topK: Int): DataFrame = {
+    Tables.spread(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .filter(size(col("its")).between(3, maxItems))
+      .select(explode(expr(
+        """flatten(flatten(transform(its, (x, i) ->
+             transform(slice(its, i + 2, size(its) - i - 1), (y, j) ->
+               transform(slice(its, i + j + 3, size(its) - i - j - 2),
+                         z -> struct(x AS a, y AS b, z AS c))))))""")).as("t"))
+      .groupBy(col("t.a").as("part_a"), col("t.b").as("part_b"),
+        col("t.c").as("part_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+      .limit(topK)
+  }
+
+  /** [[basketTriples]] as portable SQL (the naive three-way join). */
+  private[graft] def basketTriplesSql(maxItems: Int, topK: Int): String =
+    s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+       ok AS (SELECT basket FROM inc GROUP BY basket
+              HAVING count(*) <= $maxItems),
+       kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok USING (basket))
+       SELECT a.item AS part_a, b.item AS part_b, c.item AS part_c,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM kept a
+       JOIN kept b ON a.basket = b.basket AND a.item < b.item
+       JOIN kept c ON b.basket = c.basket AND b.item < c.item
+       GROUP BY a.item, b.item, c.item
+       ORDER BY n_orders DESC, part_a, part_b, part_c
+       LIMIT $topK"""
+
   /** Distributed 2D Pareto frontier (skyline): the parts for which no
     * other part is both cheaper (price <=) and larger (size >=) with at
     * least one strict inequality. The data-curation reading: candidates on

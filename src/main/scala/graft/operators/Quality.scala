@@ -956,6 +956,68 @@ object Quality {
     */
   def momentReadoutFromSums(sums: DataFrame): DataFrame = momentReadout(sums)
 
+  /** A/B experimentation power audit: per event type, the per-arm sample
+    * size needed to detect a 1% (and 5%) shift of the mean value at
+    * alpha = 0.05 two-sided / 80% power — the "can this experiment even
+    * be run here" readiness number every experimentation platform
+    * publishes next to its metrics. The two-sample normal approximation
+    * n = 2(z_{0.975}+z_{0.8})^2 sigma^2 / delta^2 with z = 1.96/0.84
+    * (2(2.8)^2 = 15.68 exactly); for delta = mean/k the n-powers cancel
+    * into a PURE ratio of the exact decimal power sums:
+    *   n_req = ceil(15.68 * k^2 * d2 / s1^2),  d2 = n*s2 - s1^2
+    * so the readout is one correctly-rounded double division per type
+    * (the moment-profile determinism story — no variance estimate ever
+    * materializes in float).
+    *
+    * 100 TB shape: the same ONE map-side power-sum aggregate as the
+    * moment profile; |types| rows out.
+    */
+  def abPowerAudit(s: SparkSession, dir: String): DataFrame = {
+    momentSums(momentInput(s, dir))
+      .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))
+      .withColumn("d2", expr("CAST(nd * s2 - s1 * s1 AS DOUBLE)"))
+      .withColumn("m2", expr("CAST(s1 * s1 AS DOUBLE)"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN m2 <= 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(ceil(CAST(156800 AS DOUBLE) * d2 / m2) AS BIGINT)
+                END""").as("n_req_1pct"),
+        expr("""CASE WHEN m2 <= 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(ceil(CAST(6272 AS DOUBLE) * d2 / m2) AS BIGINT)
+                END""").as("n_req_5pct"),
+        expr("""CASE WHEN m2 <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(100000000 AS DOUBLE) * d2 / m2
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) END""").as("cv2_1e8"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fully portable text for [[abPowerAudit]] (shares the moment-profile
+    * power-sum CTE; rides `SqlFrontDoor.portable`).
+    */
+  private[graft] def abPowerAuditSql: String = {
+    val d = "CAST(x AS DECIMAL(38,0))"
+    s"""WITH b AS (SELECT event_type,
+             CAST(floor(value * CAST(10 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x
+           FROM events),
+       agg AS (SELECT event_type, count(*) AS n,
+                      sum($d) AS s1, sum($d * $d) AS s2
+               FROM b GROUP BY event_type),
+       fin AS (SELECT event_type, n,
+                      CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) AS d2,
+                      CAST(s1 * s1 AS DOUBLE) AS m2
+               FROM agg)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CASE WHEN m2 <= 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST(ceil(CAST(156800 AS DOUBLE) * d2 / m2) AS BIGINT)
+                   END AS n_req_1pct,
+              CASE WHEN m2 <= 0 THEN CAST(-1 AS BIGINT)
+                   ELSE CAST(ceil(CAST(6272 AS DOUBLE) * d2 / m2) AS BIGINT)
+                   END AS n_req_5pct,
+              CASE WHEN m2 <= 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(CAST(100000000 AS DOUBLE) * d2 / m2
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS cv2_1e8
+       FROM fin ORDER BY event_type"""
+  }
+
   private def momentReadout(sums: DataFrame): DataFrame = {
     sums
       .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))

@@ -1894,6 +1894,62 @@ object TextAnalysis {
           .as("fertility_1e4"))
       .orderBy(col("lang"))
 
+  /** Token-mass-weighted length percentiles: the doc length (in tokens)
+    * below which q of the corpus TOKENS sit, for q in {25, 50, 75, 90,
+    * 99}% — the number a length-cutoff decision actually needs (a plain
+    * doc-count percentile says half the DOCS are short; this says where
+    * the training token mass lives, which is what the budget pays for).
+    * Exact integers: the percentile is the smallest length whose
+    * cumulative token mass reaches ceil(q * total / 100) (max-rank ties,
+    * the quantileNormalize discipline).
+    *
+    * 100 TB shape: one map-side regex pass collapses the corpus to a
+    * |distinct lengths|-row mass frame; the cumulative window, the
+    * threshold probes, and the readout all ride that bounded-domain
+    * frame (lengths are ~thousands of distinct values at any corpus
+    * size). The percentile slate is a constant-width cross join.
+    */
+  def weightedLengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val mass = Tables.documents(s, dir)
+      .select(expr(s"CAST(size($TokensExpr) AS BIGINT)").as("len"))
+      .groupBy(col("len")).agg(sum(col("len")).as("mass"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = mass.withColumn("cum", sum(col("mass")).over(w))
+    val total = cum.agg(max(col("cum")).as("total"))
+    val qs = Seq(25L, 50L, 75L, 90L, 99L)
+      .map(q => s.range(1).select(lit(q).as("pct")))
+      .reduce(_ unionByName _)
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(qs))
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(min(col("len")).as("len_at_pct"), max(col("total")).as("total_tokens"))
+      .orderBy(col("pct"))
+  }
+
+  /** [[weightedLengthPercentiles]] as fully portable SQL. */
+  private[graft] def weightedLengthPercentilesSql(duck: Boolean): String = {
+    val toks = if (duck)
+      "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+    else TokensExpr
+    val sz = if (duck) s"len($toks)" else s"size($toks)"
+    s"""WITH m AS (SELECT len, CAST(sum(len) AS BIGINT) AS mass FROM
+           (SELECT CAST($sz AS BIGINT) AS len FROM documents) d
+         GROUP BY len),
+       c AS (SELECT len, sum(mass) OVER (ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM m),
+       t AS (SELECT max(cum) AS total FROM c),
+       q AS (SELECT CAST(25 AS BIGINT) AS pct UNION ALL SELECT 50
+             UNION ALL SELECT 75 UNION ALL SELECT 90 UNION ALL SELECT 99)
+       SELECT pct, CAST(min(len) AS BIGINT) AS len_at_pct,
+              CAST(max(total) AS BIGINT) AS total_tokens
+       FROM c CROSS JOIN t CROSS JOIN q
+       WHERE cum * 100 >= pct * total
+       GROUP BY pct ORDER BY pct"""
+  }
+
   /** Language-diversity audit per source: Simpson's diversity index
     * 1 - sum(p_i^2) over the source's language mix, plus the inverse
     * Simpson ("effective number of languages"). Ecology's standard

@@ -2939,6 +2939,10 @@ object SqlFrontDoor {
     "q_lang_diversity" ->
       graft.operators.TextAnalysis.langDiversitySql("DIV"),
 
+    // dialect point: the tokenizer regex spelling only
+    "q_weighted_len_pctl" ->
+      graft.operators.TextAnalysis.weightedLengthPercentilesSql(duck = false),
+
     // dialect points: unnest/explode + // vs DIV
     "q_vocab_drift" ->
       graft.operators.TextAnalysis.vocabDriftSql(duck = false, 20, 25),
@@ -3151,7 +3155,8 @@ object SqlFrontDoor {
     "q_setops_all_nationkeys", "q_setops_nations", "q_topk_orders",
     "q_unpivot_order_status", "q_window_first_last",
     "q_window_rank_family", "q_window_top_customers",
-    "q_market_basket", "q_pareto_frontier", "q_join_size_estimate",
+    "q_market_basket", "q_basket_triples", "q_pareto_frontier",
+    "q_join_size_estimate",
     "q_bitmap_distinct_users", "q_bitmap_overlap", "q_theta_set_ops",
     "q_snapshot_diff", "q_bfs_levels", "q_image_near_dup",
     "q_triangle_count", "q_fd_discovery", "q_bloom_semi_join",
@@ -3160,7 +3165,7 @@ object SqlFrontDoor {
     "q_acf_daily_value", "q_ccf_click_purchase", "q_kcore_membership",
     "q_corr_matrix",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
-    "q_moment_profile")
+    "q_moment_profile", "q_ab_power_audit")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -694,6 +694,56 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => g._5 > 0L && g._6 > 0L))
   }
 
+  test("basket triples match the in-memory canonical-triple recompute") {
+    val li = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map[(Long, Long, Long), Long]()
+      .withDefaultValue(0L)
+    li.groupBy(_._1).values.foreach { rows =>
+      val its = rows.map(_._2).distinct.sorted
+      if (its.size >= 3 && its.size <= 8)
+        for (i <- its.indices; j <- (i + 1) until its.size;
+             k <- (j + 1) until its.size)
+          counts((its(i), its(j), its(k))) += 1
+    }
+    val want = counts.toSeq.map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(25)
+    val got = graft.operators.Mining.basketTriples(spark, Sf, 8, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    got.foreach { case (a, b, c, n) =>
+      assert(a < b && b < c && n >= 1L)
+    }
+  }
+
+  test("ab power audit matches the BigInt ratio recompute, scales with k^2") {
+    val rows = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10D + 0.5D) AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val want = rows.groupBy(_._1).toSeq.map { case (t, xs0) =>
+      val xs = xs0.map(_._2)
+      val n = BigInt(xs.length)
+      val s1 = xs.sum
+      val d2 = (n * xs.map(x => x * x).sum - s1 * s1).toDouble
+      val m2 = (s1 * s1).toDouble
+      (t, xs.length.toLong,
+        math.ceil(156800d * d2 / m2).toLong,
+        math.ceil(6272d * d2 / m2).toLong,
+        math.floor(1e8 * d2 / m2 + 0.5).toLong)
+    }.sortBy(_._1)
+    val got = graft.operators.Quality.abPowerAudit(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // a 1% shift needs ~25x the sample of a 5% shift (exact k^2 in the
+    // formula before the ceil; allow the two rounding steps one unit)
+    got.foreach { case (_, _, n1, n5, _) =>
+      assert(n1 >= 25 * (n5 - 1) && n1 <= 25 * n5)
+    }
+  }
+
   test("trend audit matches the in-memory Mann-Kendall + Theil-Sen recompute") {
     val daily = Tables.events(spark, Sf)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

@@ -2501,6 +2501,25 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("weighted length percentiles match the in-memory cumulative scan") {
+    val lens = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr(s"CAST(size(${graft.operators.TextAnalysis.TokensExpr}) AS BIGINT) AS len")
+      .collect().map(_.getLong(0))
+    val total = lens.sum
+    val byLen = lens.groupBy(identity).view.mapValues(_.sum).toSeq.sortBy(_._1)
+    def at(pct: Long): Long = {
+      var cum = 0L
+      byLen.find { case (_, m) => cum += m; cum * 100 >= pct * total }.get._1
+    }
+    val want = Seq(25L, 50L, 75L, 90L, 99L).map(q => (q, at(q), total))
+    val got = graft.operators.TextAnalysis
+      .weightedLengthPercentiles(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // percentile lengths are non-decreasing in q
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
   test("zone prune audit: reads cover matches, corner box actually prunes") {
     val got = graft.operators.Layout.zonePruneAudit(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

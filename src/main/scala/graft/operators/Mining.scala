@@ -551,14 +551,18 @@ object Mining {
     // out-list — an empty intersection closes nothing.
     val nbrs = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbr"))
-    val tri = oriented
+    // ONE pass credits all three corners: the union-of-three-projections
+    // spelling recomputes the intersection join per branch (Catalyst does
+    // not common it up); a nested explode keeps the join single-shot and
+    // emits exactly 3 rows per triangle. (Broadcasting the adjacency was
+    // measured SLOWER here — the array payload makes the broadcast build
+    // cost more than the coalesced exchange it removes.)
+    oriented
       .join(nbrs.toDF("src", "nu"), Seq("src"))
       .join(nbrs.toDF("dst", "nv"), Seq("dst"))
       .select(col("src").as("a"), col("dst").as("b"),
         explode(array_intersect(col("nu"), col("nv"))).as("c"))
-    tri.select(col("a").as("p_partkey"))
-      .union(tri.select(col("b").as("p_partkey")))
-      .union(tri.select(col("c").as("p_partkey")))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("p_partkey"))
@@ -902,9 +906,10 @@ object Mining {
       .join(nbrs.toDF("dst", "nv"), Seq("dst"))
       .select(col("src").as("a"), col("dst").as("b"),
         explode(array_intersect(col("nu"), col("nv"))).as("c"))
-    val triPerNode = tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
+    // one nested explode credits all three corners without recomputing
+    // the intersection join per branch (the triangleCount fix)
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
     deg.filter(col("deg") >= minDeg)
       .join(triPerNode, Seq("node"), "left")

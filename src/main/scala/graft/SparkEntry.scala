@@ -134,6 +134,8 @@ object SparkEntry {
     "q_corr_matrix_incremental" -> (Quality.corrMatrixIncremental(_, _)),
     "q_moment_profile" -> (Quality.momentProfile(_, _)),
     "q_ab_power_audit" -> (Quality.abPowerAudit(_, _)),
+    "q_quantile_uplift" -> (Quality.quantileUplift(_, _)),
+    "q_shrunken_rates" -> (Quality.shrunkenRates(_, _)),
     "q_moment_profile_incremental" ->
       (Quality.momentProfileIncremental(_, _)),
     "q_load_reconciliation" -> (Quality.loadReconciliation(_, _)),
@@ -2212,6 +2214,10 @@ object SparkEntry {
     "q_moment_profile" -> operators.Quality.momentProfileSql,
     // per-arm sample size for 1%/5% mean shifts: pure power-sum ratios
     "q_ab_power_audit" -> operators.Quality.abPowerAuditSql,
+    // exact max-rank per-decile order statistics, urgent minus other
+    "q_quantile_uplift" -> operators.Quality.quantileUpliftSql,
+    // empirical-Bayes shrinkage; // is the only dialect point
+    "q_shrunken_rates" -> operators.Quality.shrunkenRatesSql("//", 20, 50),
     // merge == rescan: the oracle runs the one-shot statement
     "q_moment_profile_incremental" -> operators.Quality.momentProfileSql,
 

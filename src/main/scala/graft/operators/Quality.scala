@@ -956,6 +956,132 @@ object Quality {
     */
   def momentReadoutFromSums(sums: DataFrame): DataFrame = momentReadout(sums)
 
+  /** Quantile treatment effect (QTE): per decile P10..P90, the exact
+    * order-statistic of order value in the urgent arm minus the
+    * non-urgent arm — the experimentation readout that says WHERE in the
+    * distribution an effect lives (a mean uplift driven by three whales
+    * and one lifting every decile price very differently; the mean-only
+    * A/B readout cannot tell them apart). Exact max-rank percentiles
+    * (cum*100 >= pct*n, the weightedLengthPercentiles rule), so no
+    * interpolation semantics can diverge between engines.
+    *
+    * 100 TB shape: one map-side (arm, cents) count collapses the feed to
+    * a value-domain-sized CDF frame (the ksDrift discipline); the
+    * per-arm cumulative windows, the decile probes, and the pivot all
+    * ride that frame.
+    */
+  def quantileUplift(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "orders")
+      .select(
+        when(col("o_orderpriority") === "1-URGENT", lit("urgent"))
+          .otherwise(lit("other")).as("arm"),
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("arm"), col("cents")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("arm"))
+      .orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cells.withColumn("cum", sum(col("c")).over(w))
+    val totals = cells.groupBy(col("arm")).agg(sum(col("c")).as("n"))
+    val qs = (1 to 9).map(q => s.range(1).select(lit(q * 10L).as("pct")))
+      .reduce(_ unionByName _)
+    val pcts = cum.join(broadcast(totals), Seq("arm"))
+      .crossJoin(broadcast(qs))
+      .filter(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("arm"), col("pct"))
+      .agg(min(col("cents")).as("cents"))
+    pcts.filter(col("arm") === "urgent")
+      .select(col("pct"), col("cents").as("urgent_cents"))
+      .join(pcts.filter(col("arm") === "other")
+        .select(col("pct"), col("cents").as("other_cents")), Seq("pct"))
+      .withColumn("uplift_cents", col("urgent_cents") - col("other_cents"))
+      .orderBy(col("pct"))
+  }
+
+  /** Fully portable text for [[quantileUplift]]. */
+  private[graft] def quantileUpliftSql: String =
+    s"""WITH cells AS (
+         SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                     ELSE 'other' END AS arm,
+                CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+                count(*) AS c
+         FROM orders GROUP BY 1, 2),
+       cum AS (SELECT arm, cents,
+               sum(c) OVER (PARTITION BY arm ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM cells),
+       t AS (SELECT arm, sum(c) AS n FROM cells GROUP BY arm),
+       q AS (SELECT CAST(10 AS BIGINT) AS pct UNION ALL SELECT 20
+             UNION ALL SELECT 30 UNION ALL SELECT 40 UNION ALL SELECT 50
+             UNION ALL SELECT 60 UNION ALL SELECT 70 UNION ALL SELECT 80
+             UNION ALL SELECT 90),
+       p AS (SELECT cum.arm, pct, min(cents) AS cents
+             FROM cum JOIN t ON cum.arm = t.arm CROSS JOIN q
+             WHERE cum * 100 >= pct * n
+             GROUP BY cum.arm, pct)
+       SELECT u.pct, u.cents AS urgent_cents, o.cents AS other_cents,
+              u.cents - o.cents AS uplift_cents
+       FROM (SELECT pct, cents FROM p WHERE arm = 'urgent') u
+       JOIN (SELECT pct, cents FROM p WHERE arm = 'other') o
+         ON u.pct = o.pct
+       ORDER BY u.pct"""
+
+  /** Empirical-Bayes shrunken return rates per part: rate estimates
+    * shrunk toward the global rate with prior weight `k` —
+    * (x + k*p0) / (n + k) — the "small-sample leaderboard" fix every
+    * marketplace ranking uses (a part with 1 return out of 2 sales must
+    * NOT outrank one with 40 of 100; raw rates say it does, the
+    * shrinkage says otherwise). Exact integers by cross-multiplying p0 =
+    * X/N through: shrunk_1e4 = halfUp(1e4*(x*N + k*X), N*(n + k)) — no
+    * float prior ever materializes. BIGINT holds to ~3e9 rows per side
+    * (x*N); DECIMAL(38,0) hatch documented past that.
+    *
+    * 100 TB shape: one map-side per-part aggregate, one 1-row global
+    * broadcast, TakeOrderedAndProject exit.
+    */
+  def shrunkenRates(s: SparkSession, dir: String, k: Long = 20,
+                    topK: Int = 50): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L)))
+          .as("n_returns"))
+    per.crossJoin(broadcast(
+        per.agg(sum(col("n_items")).as("nn"), sum(col("n_returns")).as("xx"))))
+      .select(col("p_partkey"), col("n_items"), col("n_returns"),
+        expr("CAST((20000 * n_returns + n_items) DIV (2 * n_items) AS BIGINT)")
+          .as("raw_1e4"),
+        expr(s"""CAST((2 * 10000 * (n_returns * nn + $k * xx)
+                 + nn * (n_items + $k))
+                 DIV (2 * nn * (n_items + $k)) AS BIGINT)""").as("shrunk_1e4"))
+      .orderBy(col("shrunk_1e4").desc, col("p_partkey"))
+      .limit(topK)
+  }
+
+  /** [[shrunkenRates]] as dialect-templated SQL (`div` the only dialect
+    * point).
+    */
+  private[graft] def shrunkenRatesSql(div: String, k: Long,
+                                      topK: Int): String =
+    s"""WITH per AS (SELECT l_partkey AS p_partkey,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returns
+           FROM lineitem GROUP BY l_partkey),
+       g AS (SELECT CAST(sum(n_items) AS BIGINT) AS nn,
+                    CAST(sum(n_returns) AS BIGINT) AS xx FROM per)
+       SELECT p_partkey, n_items, n_returns,
+              CAST((20000 * n_returns + n_items) $div (2 * n_items) AS BIGINT)
+                AS raw_1e4,
+              CAST((2 * 10000 * (n_returns * nn + $k * xx)
+                + nn * (n_items + $k))
+                $div (2 * nn * (n_items + $k)) AS BIGINT) AS shrunk_1e4
+       FROM per CROSS JOIN g
+       ORDER BY shrunk_1e4 DESC, p_partkey
+       LIMIT $topK"""
+
   /** A/B experimentation power audit: per event type, the per-arm sample
     * size needed to detect a 1% (and 5%) shift of the mean value at
     * alpha = 0.05 two-sided / 80% power — the "can this experiment even

@@ -2936,6 +2936,10 @@ object SqlFrontDoor {
       graft.operators.TextAnalysis.langConfusionSql(duck = false),
 
     // same generated text as the oracle with DIV for //
+    "q_shrunken_rates" ->
+      graft.operators.Quality.shrunkenRatesSql("DIV", 20, 50),
+
+    // same generated text as the oracle with DIV for //
     "q_lang_diversity" ->
       graft.operators.TextAnalysis.langDiversitySql("DIV"),
 
@@ -3165,7 +3169,7 @@ object SqlFrontDoor {
     "q_acf_daily_value", "q_ccf_click_purchase", "q_kcore_membership",
     "q_corr_matrix",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
-    "q_moment_profile", "q_ab_power_audit")
+    "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -694,6 +694,63 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => g._5 > 0L && g._6 > 0L))
   }
 
+  test("quantile uplift matches the in-memory per-arm percentile scan") {
+    val rows = Tables.load(spark, Sf, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0) == "1-URGENT",
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def pcts(arm: Seq[Long]): Map[Long, Long] = {
+      val sorted = arm.sorted
+      val n = sorted.length.toLong
+      (1 to 9).map { q =>
+        val pct = q * 10L
+        // smallest value whose cumulative count reaches pct% (max-rank)
+        var cum = 0L
+        val v = sorted.find { x => cum += 1; cum * 100 >= pct * n }.get
+        pct -> v
+      }.toMap
+    }
+    val u = pcts(rows.filter(_._1).map(_._2).toSeq)
+    val o = pcts(rows.filterNot(_._1).map(_._2).toSeq)
+    val want = (1 to 9).map { q =>
+      val pct = q * 10L
+      (pct, u(pct), o(pct), u(pct) - o(pct))
+    }
+    val got = graft.operators.Quality.quantileUplift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // per-arm percentile curves are non-decreasing in the decile
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
+  test("shrunken rates lie between raw and global, match the recompute") {
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val li = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "R"))
+    val per = li.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    val nn = per.values.map(_._1).sum
+    val xx = per.values.map(_._2).sum
+    val k = 20L
+    val want = per.toSeq.map { case (p, (n, x)) =>
+      (p, n, x, halfUp(10000L * x, n),
+        halfUp(10000L * (x * nn + k * xx), nn * (n + k)))
+    }.sortBy(t => (-t._5, t._1)).take(50)
+    val got = graft.operators.Quality.shrunkenRates(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // shrinkage pulls toward the global rate: shrunk sits between the raw
+    // rate and the global rate (inclusive, modulo half-up rounding)
+    val g = halfUp(10000L * xx, nn)
+    got.foreach { case (_, _, _, raw, shrunk) =>
+      val (lo, hi) = (math.min(raw, g) - 1, math.max(raw, g) + 1)
+      assert(shrunk >= lo && shrunk <= hi)
+    }
+  }
+
   test("basket triples match the in-memory canonical-triple recompute") {
     val li = Tables.load(spark, Sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).collect()

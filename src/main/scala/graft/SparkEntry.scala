@@ -135,6 +135,7 @@ object SparkEntry {
     "q_moment_profile" -> (Quality.momentProfile(_, _)),
     "q_ab_power_audit" -> (Quality.abPowerAudit(_, _)),
     "q_quantile_uplift" -> (Quality.quantileUplift(_, _)),
+    "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
     "q_shrunken_rates" -> (Quality.shrunkenRates(_, _)),
     "q_moment_profile_incremental" ->
       (Quality.momentProfileIncremental(_, _)),
@@ -2216,6 +2217,9 @@ object SparkEntry {
     "q_ab_power_audit" -> operators.Quality.abPowerAuditSql,
     // exact max-rank per-decile order statistics, urgent minus other
     "q_quantile_uplift" -> operators.Quality.quantileUpliftSql,
+    // staleness per type behind the feed head; // + epoch_us dialect
+    "q_freshness_audit" ->
+      operators.Quality.freshnessAuditSql("//", "epoch_us(ts)"),
     // empirical-Bayes shrinkage; // is the only dialect point
     "q_shrunken_rates" -> operators.Quality.shrunkenRatesSql("//", 20, 50),
     // merge == rescan: the oracle runs the one-shot statement

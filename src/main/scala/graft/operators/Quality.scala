@@ -956,6 +956,40 @@ object Quality {
     */
   def momentReadoutFromSums(sums: DataFrame): DataFrame = momentReadout(sums)
 
+  /** Feed-freshness audit: per event type, how far its newest event lags
+    * the head of the feed — the staleness number an ingestion SLA pages
+    * on (a type whose producer died reads as a growing lag here long
+    * before any volume alarm fires). Whole-second lags by truncating
+    * integer division of epoch micros; the freshest type reads 0 by
+    * construction.
+    *
+    * 100 TB shape: one map-side min/max aggregate to |types| rows; the
+    * head-of-feed join is a 1-row broadcast.
+    */
+  def freshnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    per.crossJoin(broadcast(per.agg(max(col("last_us")).as("head_us"))))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        expr("(head_us - last_us) DIV 1000000").as("lag_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** [[freshnessAudit]] as dialect-templated SQL (`div` + epoch-micros
+    * are the only dialect points).
+    */
+  private[graft] def freshnessAuditSql(div: String, epoch: String): String =
+    s"""WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max($epoch) AS BIGINT) AS last_us
+           FROM events GROUP BY event_type),
+       h AS (SELECT max(last_us) AS head_us FROM per)
+       SELECT event_type, n_events, last_us,
+              CAST((head_us - last_us) $div 1000000 AS BIGINT) AS lag_s
+       FROM per CROSS JOIN h
+       ORDER BY event_type"""
+
   /** Quantile treatment effect (QTE): per decile P10..P90, the exact
     * order-statistic of order value in the urgent arm minus the
     * non-urgent arm — the experimentation readout that says WHERE in the

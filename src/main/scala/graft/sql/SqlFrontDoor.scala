@@ -2935,6 +2935,10 @@ object SqlFrontDoor {
     "q_lang_confusion" ->
       graft.operators.TextAnalysis.langConfusionSql(duck = false),
 
+    // same generated text as the oracle with DIV and unix_micros
+    "q_freshness_audit" ->
+      graft.operators.Quality.freshnessAuditSql("DIV", "unix_micros(ts)"),
+
     // same generated text as the oracle with DIV for //
     "q_shrunken_rates" ->
       graft.operators.Quality.shrunkenRatesSql("DIV", 20, 50),

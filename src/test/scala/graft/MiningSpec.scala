@@ -694,6 +694,22 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => g._5 > 0L && g._6 > 0L))
   }
 
+  test("freshness audit matches the recompute; freshest type lags zero") {
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = ev.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).max)).toMap
+    val head = per.values.map(_._2).max
+    val want = per.toSeq.map { case (t, (n, last)) =>
+      (t, n, last, (head - last) / 1000000L)
+    }.sortBy(_._1)
+    val got = graft.operators.Quality.freshnessAudit(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.map(_._4).min == 0L)
+  }
+
   test("quantile uplift matches the in-memory per-arm percentile scan") {
     val rows = Tables.load(spark, Sf, "orders")
       .select(col("o_orderpriority"), col("o_totalprice")).collect()

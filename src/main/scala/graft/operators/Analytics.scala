@@ -536,6 +536,9 @@ object Analytics {
     val ud = ev.select(col("user_id"), expr(dayIdx).as("day_idx")).distinct()
     val cohorts = ud.groupBy(col("user_id"))
       .agg(min(col("day_idx")).as("cohort_day"))
+      // |users|-sized, TWO consumers (size census + purchase join): pin
+      // once instead of re-running the distinct user-day pass per branch
+      .localCheckpoint(true)
     val sizes = cohorts.groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("n_users"))
     val rev = ev.filter(col("event_type") === "purchase")

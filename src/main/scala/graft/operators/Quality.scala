@@ -1012,6 +1012,9 @@ object Quality {
         expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
           .as("cents"))
       .groupBy(col("arm"), col("cents")).agg(count(lit(1)).as("c"))
+      // value-domain-sized; pinned once for its three consumers (cum
+      // window, totals, probe join) instead of re-scanning orders
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("arm"))
       .orderBy(col("cents"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -1913,6 +1913,9 @@ object TextAnalysis {
     val mass = Tables.documents(s, dir)
       .select(expr(s"CAST(size($TokensExpr) AS BIGINT)").as("len"))
       .groupBy(col("len")).agg(sum(col("len")).as("mass"))
+      // bounded-domain frame; pinned once so the cum window and the total
+      // probe do not re-run the corpus tokenize per branch
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

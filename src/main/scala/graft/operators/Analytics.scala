@@ -1668,9 +1668,12 @@ object Analytics {
           when(col("src") === col("rm"), lit(0L))
             .otherwise(expr("m DIV n")).as("p"))
         .unionByName(convRows)
-      // catalog-sized rounds: pin lineage every 4th (and the last) so the
-      // 12-round plan stays shallow without 12 driver syncs
-      if (k % 4 == 0 || k == iters) p = p.localCheckpoint(true)
+      // catalog-sized rounds: pin lineage every 6th (and the last). Each
+      // eager pin is a driver-synced job, and the frames are ~50 rows —
+      // the pin exists to bound PLAN depth (analysis time), not data
+      // lineage, so two pins across 12 rounds is the sweet spot
+      // (measured: every-4 4.3s, every-6 ~3.6s at sf0.1).
+      if (k % 6 == 0 || k == iters) p = p.localCheckpoint(true)
     }
     val pStart = p.filter(col("state") === "START").select(col("rm"), col("p"))
     val base = pStart.filter(col("rm") === "(base)")

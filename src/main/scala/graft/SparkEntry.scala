@@ -439,6 +439,8 @@ object SparkEntry {
     "q_attribution_position" -> (Analytics.positionAttribution(_, _)),
     "q_markov_attribution" ->
       (Analytics.markovAttribution(_, _, Markov.rounds)),
+    "q_attribution_time_decay" ->
+      (Analytics.timeDecayAttribution(_, _)),
     "q_readability" -> (TextAnalysis.readability(_, _)),
     "q_decode_roundtrip" -> (TextAnalysis.decodeRoundtrip(_, _)),
     "q_connected_components" ->
@@ -4089,6 +4091,12 @@ object SparkEntry {
     // pagerank pattern); same text as the Spark twin modulo // and epoch_us
     "q_markov_attribution" ->
       operators.Analytics.markovAttributionSql("//", "epoch_us(ts)", Markov.rounds),
+
+    // time-decay attribution: the oracle spells the quadratic pair join;
+    // dialect points are //, epoch_us, and the >> spelling
+    "q_attribution_time_decay" ->
+      operators.Analytics.timeDecayAttributionSql("//", "epoch_us(ts)",
+        (a, b) => s"($a >> $b)", 9),
 
     // Flesch-shape readability in portable integer fixed point
     "q_readability" -> operators.TextAnalysis.readabilitySql(duck = true),

@@ -1581,6 +1581,132 @@ object Analytics {
        FROM (SELECT * FROM cr UNION ALL SELECT * FROM np) u
        GROUP BY channel ORDER BY channel"""
 
+  /** Time-decay attribution — the recency-weighted model that completes
+    * the standard set (first/last/U-shaped/Markov/this): every purchase
+    * splits its revenue across the user's prior touches with weight
+    * 2^(-age_days), so yesterday's ad earns twice last week's. Exact
+    * integer weights: w = 1024 >> age for whole-day ages 0..9, zero past
+    * the 10-day horizon (a touch older than ten days earns nothing —
+    * the bounded-horizon contract that also makes the operator scale-
+    * safe); same-day touches must PRECEDE the purchase event. Credits
+    * are exact-cents apportioned per purchase: floor shares by weight,
+    * remainder to the heaviest channel (ties by name) — conservation is
+    * exact, spec-pinned against the other models. Touchless purchases
+    * credit '(none)'.
+    *
+    * 100 TB shape: NO touches-x-purchases join. Same-day-prior counts
+    * ride one (user, day)-windowed channel slate (the positionAttribution
+    * trick); prior days collapse to a (user, channel, day) count frame
+    * joined through a BOUNDED explode of 9 day-offsets per purchase
+    * (equi-join on (user, day) — never a range join); the apportion
+    * windows partition by purchase id over <= |channels| rows each.
+    */
+  def timeDecayAttribution(s: SparkSession, dir: String,
+                           horizon: Int = 9): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"),
+        expr("CAST(unix_micros(ts) DIV 1000000 DIV 86400 AS BIGINT)").as("day"))
+    val channels = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val slate = channels.zipWithIndex.foldLeft(ev) { case (df, (c, i)) =>
+      df.withColumn(s"sd_$i",
+        sum(when(col("event_type") === c, lit(1L)).otherwise(lit(0L))).over(wDay))
+    }
+    val purchases = slate.filter(col("event_type") === "purchase")
+      .select(Seq(col("user_id"), col("event_id").as("pid"),
+        col("day").as("pday"), col("cents")) ++
+        channels.indices.map(i => coalesce(col(s"sd_$i"), lit(0L)).as(s"sd_$i")): _*)
+      .localCheckpoint(true) // two consumers: W build + the '(none)' anti
+    val daily = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("event_type").as("channel"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val prior = purchases
+      .select(col("user_id"), col("pid"), col("pday"),
+        explode(expr(s"sequence(1, $horizon)")).as("k"))
+      .join(daily, Seq("user_id"))
+      .filter(col("day") === col("pday") - col("k"))
+      .select(col("pid"), col("channel"),
+        expr("c * shiftright(1024, CAST(k AS INT))").as("w"))
+    val sameDay = purchases.select(col("pid"),
+      explode(array(channels.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("channel"), (col(s"sd_$i") * 1024L).as("w"))
+      }: _*)).as("x"))
+      .select(col("pid"), col("x.channel").as("channel"), col("x.w").as("w"))
+    val wByChan = prior.unionByName(sameDay)
+      .groupBy(col("pid"), col("channel")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+    val wp = Window.partitionBy(col("pid"))
+    val wr = Window.partitionBy(col("pid"))
+      .orderBy(col("w").desc, col("channel"))
+    val credited = wByChan
+      .join(purchases.select(col("pid"), col("cents")), Seq("pid"))
+      .withColumn("wtot", sum(col("w")).over(wp))
+      .withColumn("fl", expr("(cents * w) DIV wtot"))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("credit",
+        col("fl") + when(col("rk") === 1,
+          col("cents") - sum(col("fl")).over(wp)).otherwise(lit(0L)))
+    val none = purchases
+      .join(wByChan.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit("(none)").as("channel"), col("cents").as("credit"))
+    credited.select(col("channel"), col("credit"))
+      .unionByName(none)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("credit")).as("credit_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** [[timeDecayAttribution]] as templated SQL — the oracle spells the
+    * quadratic touches-join-purchases form (oracle scale only; the
+    * operator's bounded-explode form is the one that survives 100 TB);
+    * `div` and the right-shift spelling are the dialect points.
+    */
+  private[graft] def timeDecayAttributionSql(div: String, epoch: String,
+                                             shift: (String, String) => String,
+                                             horizon: Int): String = {
+    val w = shift("1024", "CAST(p.pday - t.tday AS INT)")
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+             $epoch AS t_us,
+             CAST($epoch $div 1000000 $div 86400 AS BIGINT) AS day
+           FROM events),
+       p AS (SELECT user_id, event_id AS pid, t_us, day AS pday, cents
+             FROM e WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_id, event_type AS channel, t_us,
+                    day AS tday
+             FROM e WHERE event_type <> 'purchase'),
+       wrows AS (SELECT p.pid, t.channel, CAST(sum($w) AS BIGINT) AS w
+             FROM p JOIN t ON p.user_id = t.user_id
+              AND (t.t_us < p.t_us OR (t.t_us = p.t_us AND t.event_id < p.pid))
+              AND p.pday - t.tday <= $horizon
+             GROUP BY p.pid, t.channel
+             HAVING sum($w) > 0),
+       cr AS (SELECT wrows.pid, channel, w, p.cents,
+                     sum(w) OVER (PARTITION BY wrows.pid) AS wtot,
+                     row_number() OVER (PARTITION BY wrows.pid
+                       ORDER BY w DESC, channel) AS rk
+              FROM wrows JOIN p ON wrows.pid = p.pid),
+       fl AS (SELECT pid, channel, rk, cents,
+                     (cents * w) $div wtot AS fl,
+                     sum((cents * w) $div wtot) OVER (PARTITION BY pid) AS flsum
+              FROM cr),
+       credited AS (SELECT channel,
+                     fl + CASE WHEN rk = 1 THEN cents - flsum ELSE 0 END AS credit
+              FROM fl),
+       none AS (SELECT '(none)' AS channel, cents AS credit FROM p
+                WHERE NOT EXISTS (SELECT 1 FROM wrows WHERE wrows.pid = p.pid))
+       SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(credit) AS BIGINT) AS credit_cents
+       FROM (SELECT * FROM credited UNION ALL SELECT * FROM none) u
+       GROUP BY channel ORDER BY channel"""
+  }
+
   /** Markov-chain (removal-effect) attribution — the data-driven model
     * that completes the first/last/position family: journeys become a
     * first-order Markov chain (START -> channels -> CONV | DROP), and a

@@ -2843,6 +2843,11 @@ object SqlFrontDoor {
         graft.SparkEntry.Basket.maxItems, graft.SparkEntry.Basket.spRounds,
         graft.SparkEntry.Basket.topK),
 
+    // same generated text as the oracle with DIV, unix_micros, shiftright
+    "q_attribution_time_decay" ->
+      graft.operators.Analytics.timeDecayAttributionSql("DIV",
+        "unix_micros(ts)", (a, b) => s"shiftright($a, $b)", 9),
+
     // same generated text as the oracle with DIV for // and unix_micros
     // for epoch_us (value iteration unrolled, the pagerank pattern)
     "q_markov_attribution" ->

@@ -214,14 +214,56 @@ class DriftAuditSpec extends SparkTestBase {
     assert(got.find(_._1 == "(base)").get._3 == 0L)
   }
 
-  test("three attribution models conserve the same revenue") {
+  test("time-decay attribution matches the in-memory weighted recompute") {
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.floor(r.getDouble(4) * 100 + 0.5).toLong))
+    val credits = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val tl = rows.sortBy(r => (r._2, r._3))
+      tl.filter(_._4 == "purchase").foreach { p =>
+        val pday = p._2 / 1000000L / 86400L
+        val w = tl.filter(t => t._4 != "purchase" &&
+            (t._2 < p._2 || (t._2 == p._2 && t._3 < p._3)) &&
+            pday - t._2 / 1000000L / 86400L <= 9)
+          .groupBy(_._4).view
+          .mapValues(_.map(t => 1024L >> (pday - t._2 / 1000000L / 86400L).toInt).sum)
+          .filter(_._2 > 0).toSeq
+        if (w.isEmpty) {
+          val (n, c) = credits("(none)"); credits("(none)") = (n + 1, c + p._5)
+        } else {
+          val wtot = w.map(_._2).sum
+          val fl = w.map { case (ch, wc) => (ch, p._5 * wc / wtot) }
+          val rem = p._5 - fl.map(_._2).sum
+          // deterministic heaviest-first: order by (w desc, channel asc)
+          val winner = w.sortBy { case (ch, wc) => (-wc, ch) }.head._1
+          fl.foreach { case (ch, f) =>
+            val bonus = if (ch == winner) rem else 0L
+            val (n, c) = credits(ch); credits(ch) = (n + 1, c + f + bonus)
+          }
+        }
+      }
+    }
+    val want = credits.toSeq.map { case (ch, (n, c)) => (ch, n, c) }.sortBy(_._1)
+    val got = Analytics.timeDecayAttribution(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("attribution models conserve the same revenue") {
     val total = Analytics.positionAttribution(spark, Sf)
       .agg(sum(col("credit_cents"))).head().getLong(0)
     val first = Analytics.firstTouchAttribution(spark, Sf)
       .agg(sum(col("revenue_cents"))).head().getLong(0)
     val last = Analytics.lastTouchAttribution(spark, Sf)
       .agg(sum(col("revenue_cents"))).head().getLong(0)
-    assert(total == first && total == last)
+    val decay = Analytics.timeDecayAttribution(spark, Sf)
+      .agg(sum(col("credit_cents"))).head().getLong(0)
+    assert(total == first && total == last && total == decay)
   }
 
   // ---- readability ----

@@ -44,7 +44,12 @@ object Bench {
     "q_triangle_count",
     "q_dedup_prefix_filter",
     "q_semantic_dedup",
-    "q_hybrid_search")
+    "q_hybrid_search",
+    // r10 additions: the two costliest new plans (12-round Markov value
+    // iteration; Bellman-Ford over the co-purchase edges) — floor-gated
+    // so a regression there is visible to the driver's 2x gate
+    "q_markov_attribution",
+    "q_shortest_paths")
 
   /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
   def loadFloors(sfName: String): Map[String, Double] = {

@@ -1972,9 +1972,19 @@ object TextAnalysis {
     * lift c*c to DECIMAL(38,0) (documented hatch).
     */
   def langDiversity(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("c"))
+    diversityFromCounts(
+      Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c")))
+
+  /** The Simpson readout over an externally-maintained (source, lang, c)
+    * count-cell table — the streaming ingest face keeps exactly these
+    * cells as complete-mode aggregate state (counts ADD, so partials
+    * merge under any trigger boundary), and this epilogue runs
+    * downstream of the sink over the catalog-sized cells.
+    */
+  def diversityFromCounts(cells: DataFrame): DataFrame =
+    cells
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_docs"),
         count(lit(1)).as("n_langs"),

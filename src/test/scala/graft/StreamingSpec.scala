@@ -814,6 +814,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming diversity cells + batch readout equal the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.CorpusStream
+      .diversityCells(input.toDF().toDF("source", "lang"))
+      .writeStream.format("memory").queryName("divcells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // split mid-corpus so (source, lang) cells MERGE across triggers
+      val (b1, b2) = all.splitAt(all.length / 2 + 3)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = graft.operators.TextAnalysis
+        .diversityFromCounts(spark.table("divcells")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      val want = graft.operators.TextAnalysis.langDiversity(spark, Sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup: later batches screen against earlier ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -390,6 +390,8 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> (Similarity.embeddingLshPairs(_, _)),
     "q_centroid_affinity" -> (Similarity.labelCentroidAffinity(_, _)),
     "q_embed_dim_stats" -> (Similarity.dimStats(_, _)),
+    "q_label_separability" ->
+      (Similarity.labelSeparability(_, _, 0, 1)),
     "q_embed_gram" -> (Similarity.gramMatrix(_, _)),
     // ---- multimodal ----
     "q_multimodal_features" -> (Multimodal.assetFeatures(_, _)),
@@ -2883,6 +2885,10 @@ object SparkEntry {
 
     // per-dimension embedding health: exact 2^20 integer codes, one row
     // per coordinate position (0-based dim)
+    // per-dim Welch t^2 between two labels over the 2^20 integer codes
+    "q_label_separability" ->
+      operators.Similarity.labelSeparabilitySql(duck = true, 0, 1),
+
     "q_embed_dim_stats" ->
       """WITH codes AS (SELECT
            unnest(range(0, len(embedding))) AS dim,

@@ -1571,6 +1571,97 @@ object Similarity {
         sum(col("code")).as("sum_code"))
       .orderBy(col("dim"))
 
+  /** Per-dimension label separability: Welch's t² between two labels'
+    * coordinate distributions, for every embedding dimension — the "do
+    * these embeddings actually carry the label signal, and WHERE" audit
+    * an embedding-QA pass runs before training a probe on them (a high
+    * t² on a handful of dims says the signal is low-rank; flat ~0
+    * everywhere says the labels are not linearly visible in this space).
+    * All sums are exact BIGINTs over the 2^20 integer codes (the
+    * dimStats discipline), pivoted into FIXED per-label slots by
+    * conditional aggregation — so the readout is one fixed tree of
+    * correctly-rounded IEEE ops per dim (no fold-order anywhere), half-up
+    * micro units:
+    *   t² = (m1 - m2)² / (d2_1/(n1²(n1-1)) + d2_2/(n2²(n2-1))),
+    *   d2_l = n_l·s2_l - s1_l².
+    *
+    * 100 TB shape: one corpus scan (label-pruned at the parquet filter),
+    * posexplode to d rows per vector, ONE map-side-combining aggregate to
+    * d output rows.
+    */
+  def labelSeparability(s: SparkSession, dir: String, labelA: Int = 0,
+                        labelB: Int = 1): DataFrame = {
+    Tables.spread(s, dir, "embeddings")
+      .filter(col("label").isin(labelA, labelB))
+      .select(col("label"), posexplode(expr(CodeExpr)).as(Seq("dim", "code")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        sum(when(col("label") === labelA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("label") === labelA, col("code")).otherwise(0L)).as("s11"),
+        sum(when(col("label") === labelA, expr("code * code")).otherwise(0L)).as("s21"),
+        sum(when(col("label") === labelB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("label") === labelB, col("code")).otherwise(0L)).as("s12"),
+        sum(when(col("label") === labelB, expr("code * code")).otherwise(0L)).as("s22"))
+      .withColumn("num", expr(
+        """(CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))"""))
+      .withColumn("den", expr(
+        """CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+           + CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))"""))
+      .select(col("dim"), col("n1"), col("n2"),
+        expr("""CASE WHEN n1 < 2 OR n2 < 2 OR den <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(num / den * CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) END""").as("t2_micro"))
+      .orderBy(col("dim"))
+  }
+
+  /** [[labelSeparability]] as dialect-templated SQL (unnest-vs-posexplode
+    * is the only dialect point; the readout tree is identical text).
+    */
+  private[graft] def labelSeparabilitySql(duck: Boolean, labelA: Int,
+                                          labelB: Int): String = {
+    val codes = if (duck)
+      """SELECT label,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS code
+         FROM embeddings"""
+    else
+      """SELECT label, posexplode(transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * CAST(1048576 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS (dim, code)
+         FROM embeddings"""
+    s"""WITH codes AS ($codes),
+       agg AS (SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(sum(CASE WHEN label = $labelA THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN label = $labelA THEN code ELSE 0 END) AS BIGINT) AS s11,
+           CAST(sum(CASE WHEN label = $labelA THEN code * code ELSE 0 END) AS BIGINT) AS s21,
+           CAST(sum(CASE WHEN label = $labelB THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN label = $labelB THEN code ELSE 0 END) AS BIGINT) AS s12,
+           CAST(sum(CASE WHEN label = $labelB THEN code * code ELSE 0 END) AS BIGINT) AS s22
+         FROM codes WHERE label IN ($labelA, $labelB) GROUP BY dim),
+       fin AS (SELECT dim, n1, n2,
+           (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS num,
+           CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+           + CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS den
+         FROM agg)
+       SELECT dim, n1, n2,
+              CASE WHEN n1 < 2 OR n2 < 2 OR den <= 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(num / den * CAST(1000000 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS t2_micro
+       FROM fin ORDER BY dim"""
+  }
+
   /** Exact Gram / second-moment matrix of the embedding corpus over the
     * 2^20 integer codes: for every dimension pair (i, j), n and
     * Σ code_i·code_j — the order-free, engine-exact input to covariance,

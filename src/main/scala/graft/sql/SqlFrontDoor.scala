@@ -2952,6 +2952,10 @@ object SqlFrontDoor {
     "q_lang_diversity" ->
       graft.operators.TextAnalysis.langDiversitySql("DIV"),
 
+    // dialect point: unnest vs posexplode only
+    "q_label_separability" ->
+      graft.operators.Similarity.labelSeparabilitySql(duck = false, 0, 1),
+
     // dialect point: the tokenizer regex spelling only
     "q_weighted_len_pctl" ->
       graft.operators.TextAnalysis.weightedLengthPercentilesSql(duck = false),

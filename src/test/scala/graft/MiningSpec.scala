@@ -694,6 +694,43 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(g => g._5 > 0L && g._6 > 0L))
   }
 
+  test("label separability matches the BigInt Welch recompute") {
+    val rows = Tables.load(spark, Sf, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .selectExpr("CAST(label AS BIGINT) AS label",
+        """transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576D
+           + 0.5D) AS BIGINT)) AS codes""")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val dims = rows.head._2.length
+    val want = (0 until dims).map { d =>
+      def sums(l: Long) = {
+        val xs = rows.filter(_._1 == l).map(c => BigInt(c._2(d)))
+        (BigInt(xs.length), xs.sum, xs.map(x => x * x).sum)
+      }
+      val (n1, s11, s21) = sums(0L)
+      val (n2, s12, s22) = sums(1L)
+      val num = {
+        val m = s11.toDouble / n1.toDouble - s12.toDouble / n2.toDouble
+        m * m
+      }
+      val den =
+        (n1 * s21 - s11 * s11).toDouble /
+          (n1.toDouble * n1.toDouble * (n1 - 1).toDouble) +
+        (n2 * s22 - s12 * s12).toDouble /
+          (n2.toDouble * n2.toDouble * (n2 - 1).toDouble)
+      val t2 = if (n1 < 2 || n2 < 2 || den <= 0) 0L
+        else math.floor(num / den * 1e6 + 0.5).toLong
+      (d.toLong, n1.toLong, n2.toLong, t2)
+    }
+    val got = graft.operators.Similarity.labelSeparability(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // synthetic labels are independent of the embedding draw: no dim
+    // should show a huge separation (t^2 far above small-sample noise)
+    assert(got.map(_._4).max < 20000000L)
+  }
+
   test("freshness audit matches the recompute; freshest type lags zero") {
     val ev = Tables.events(spark, Sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()

@@ -966,16 +966,23 @@ object Quality {
     * 100 TB shape: one map-side min/max aggregate to |types| rows; the
     * head-of-feed join is a 1-row broadcast.
     */
-  def freshnessAudit(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        max(unix_micros(col("ts"))).as("last_us"))
-    per.crossJoin(broadcast(per.agg(max(col("last_us")).as("head_us"))))
+  def freshnessAudit(s: SparkSession, dir: String): DataFrame =
+    freshnessFromCells(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us")))
+
+  /** The lag readout over an externally-maintained (event_type,
+    * n_events, last_us) cell table — the streaming face keeps exactly
+    * these cells as complete-mode state (count/max merge exactly), and
+    * this epilogue runs downstream of the sink.
+    */
+  def freshnessFromCells(cells: DataFrame): DataFrame =
+    cells.crossJoin(broadcast(cells.agg(max(col("last_us")).as("head_us"))))
       .select(col("event_type"), col("n_events"), col("last_us"),
         expr("(head_us - last_us) DIV 1000000").as("lag_s"))
       .orderBy(col("event_type"))
-  }
 
   /** [[freshnessAudit]] as dialect-templated SQL (`div` + epoch-micros
     * are the only dialect points).

@@ -745,6 +745,21 @@ object EventsStream {
         sum(expr(s"$d * $d * $d * $d")).as("s4"))
   }
 
+  /** Per-type freshness cells for the streaming staleness monitor — the
+    * ingest face of [[graft.operators.Quality.freshnessAudit]]: count +
+    * max(event-time micros) per type as complete-mode state (both merge
+    * exactly under any trigger boundary); the lag-behind-head readout
+    * ([[graft.operators.Quality.freshnessFromCells]]) runs downstream
+    * over the |types|-row cells, because the head moves with EVERY
+    * event — per-trigger incremental lag maintenance would re-price all
+    * rows anyway. State is two longs per type, forever.
+    */
+  def freshnessCells(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
   /** Per-(event_type, day) KLL quantile-sketch cells for the streaming
     * value monitor — the ingest face of the batch quantile cube
     * ([[graft.operators.Sketches.quantileRollup]]): `kll_agg` runs as

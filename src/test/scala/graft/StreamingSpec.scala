@@ -141,6 +141,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming freshness cells + batch readout equal the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = EventsStream.freshnessCells(input.toDF())
+      .writeStream.format("memory").queryName("freshcells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2 + 1)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = graft.operators.Quality
+        .freshnessFromCells(spark.table("freshcells")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = graft.operators.Quality.freshnessAudit(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming moment cells + batch readout equal the batch profile") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -459,6 +459,8 @@ object SparkEntry {
     "q_selection_gain" -> (Curation.selectionGain(_, _)),
     "q_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
     "q_lang_diversity" -> (TextAnalysis.langDiversity(_, _)),
+    "q_source_mix_diversity" ->
+      (TextAnalysis.sourceMixDiversity(_, _)),
     "q_weighted_len_pctl" ->
       (TextAnalysis.weightedLengthPercentiles(_, _)),
     "q_vocab_drift" -> (TextAnalysis.vocabDrift(_, _)),
@@ -4236,6 +4238,10 @@ object SparkEntry {
     // Simpson + inverse-Simpson language mix per source; // is the only
     // dialect point
     "q_lang_diversity" -> operators.TextAnalysis.langDiversitySql("//"),
+
+    // effective source count by token mass; // + tokenizer dialect
+    "q_source_mix_diversity" ->
+      operators.TextAnalysis.sourceMixDiversitySql(duck = true, "//"),
 
     // token-mass-weighted length percentiles (max-rank threshold rule)
     "q_weighted_len_pctl" ->

@@ -1953,6 +1953,59 @@ object TextAnalysis {
        GROUP BY pct ORDER BY pct"""
   }
 
+  /** Corpus-level source-mix diversity by TOKEN MASS: the effective
+    * number of sources (inverse Simpson over token-mass shares) plus the
+    * top source's share — the one-row headline a data-mixing plan quotes
+    * ("this corpus behaves like k equally-sized feeds, and the largest
+    * holds x%"). Mass-weighted, not doc-weighted: a million stub docs
+    * from one feed must not read as diversity. Exact rationals over
+    * BIGINT token sums (the langDiversity discipline — no libm log);
+    * the share and index are half-up cross-multiplied divisions at the
+    * readout. Σmass² holds in BIGINT to ~3e9 corpus tokens; the
+    * DECIMAL(38,0) hatch is one cast (documented).
+    *
+    * 100 TB shape: one map-side regex pass to a |sources|-row mass frame;
+    * everything after is a 1-row readout.
+    */
+  def sourceMixDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select(col("source"),
+        expr(s"CAST(size($TokensExpr) AS BIGINT)").as("m"))
+      .groupBy(col("source")).agg(sum(col("m")).as("mass"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("mass")).as("total_tokens"),
+        sum(expr("mass * mass")).as("ss"),
+        max(col("mass")).as("top_mass"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("CAST((2 * 10000 * total_tokens * total_tokens + ss) DIV (2 * ss) AS BIGINT)")
+          .as("eff_sources_1e4"),
+        expr("CAST((20000 * top_mass + total_tokens) DIV (2 * total_tokens) AS BIGINT)")
+          .as("top_share_1e4"))
+
+  /** [[sourceMixDiversity]] as dialect-templated SQL (`div` + the
+    * tokenizer regex spelling are the dialect points).
+    */
+  private[graft] def sourceMixDiversitySql(duck: Boolean,
+                                           div: String): String = {
+    val toks = if (duck)
+      "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+    else TokensExpr
+    val sz = if (duck) s"len($toks)" else s"size($toks)"
+    s"""WITH m AS (SELECT source, CAST(sum(CAST($sz AS BIGINT)) AS BIGINT) AS mass
+                 FROM documents GROUP BY source),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                      CAST(sum(mass) AS BIGINT) AS total_tokens,
+                      CAST(sum(mass * mass) AS BIGINT) AS ss,
+                      CAST(max(mass) AS BIGINT) AS top_mass
+               FROM m)
+       SELECT n_sources, total_tokens,
+              CAST((2 * 10000 * total_tokens * total_tokens + ss)
+                $div (2 * ss) AS BIGINT) AS eff_sources_1e4,
+              CAST((20000 * top_mass + total_tokens)
+                $div (2 * total_tokens) AS BIGINT) AS top_share_1e4
+       FROM agg"""
+  }
+
   /** Language-diversity audit per source: Simpson's diversity index
     * 1 - sum(p_i^2) over the source's language mix, plus the inverse
     * Simpson ("effective number of languages"). Ecology's standard

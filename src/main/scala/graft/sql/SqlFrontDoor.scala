@@ -2956,6 +2956,10 @@ object SqlFrontDoor {
     "q_label_separability" ->
       graft.operators.Similarity.labelSeparabilitySql(duck = false, 0, 1),
 
+    // dialect points: tokenizer regex + DIV
+    "q_source_mix_diversity" ->
+      graft.operators.TextAnalysis.sourceMixDiversitySql(duck = false, "DIV"),
+
     // dialect point: the tokenizer regex spelling only
     "q_weighted_len_pctl" ->
       graft.operators.TextAnalysis.weightedLengthPercentilesSql(duck = false),

@@ -2501,6 +2501,26 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("source mix diversity matches the in-memory mass recompute") {
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val rows = graft.sources.Tables.load(spark, Sf, "documents")
+      .selectExpr("source",
+        s"CAST(size(${graft.operators.TextAnalysis.TokensExpr}) AS BIGINT) AS m")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mass = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = mass.values.sum
+    val ss = mass.values.map(v => v * v).sum
+    val want = (mass.size.toLong, total,
+      halfUp(10000L * total * total, ss),
+      halfUp(10000L * mass.values.max, total))
+    val got = graft.operators.TextAnalysis.sourceMixDiversity(spark, Sf)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == want)
+    // effective sources cannot exceed the actual source count
+    assert(got.getLong(2) <= got.getLong(0) * 10000L)
+  }
+
   test("weighted length percentiles match the in-memory cumulative scan") {
     val lens = graft.sources.Tables.load(spark, Sf, "documents")
       .selectExpr(s"CAST(size(${graft.operators.TextAnalysis.TokensExpr}) AS BIGINT) AS len")

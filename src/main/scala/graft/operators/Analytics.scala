@@ -1727,12 +1727,18 @@ object Analytics {
     * both engines run identical rounds). All removal scenarios iterate
     * JOINTLY: the state frame carries a scenario key rm in
     * {(base)} ∪ channels and the removed channel's value is clamped to 0
-    * each round, so one K-round chain prices every channel at once.
+    * each round, so one K-round chain prices every channel at once. The
+    * scenario set is the channels OBSERVED INSIDE JOURNEYS (distinct
+    * transition srcs minus START): a channel type seen only after
+    * conversions is journey-external — it could only ever price at zero
+    * removal effect — and emits no row.
     *
     * 100 TB shape: ONE user-partitioned window pass over the fact stream
     * builds the transition counts (map-side-combinable aggregate to
     * <= |states|^2 <= ~50 rows); everything after — scenarios x states
-    * value frame, K join-aggregate rounds, the readout — is catalog-sized.
+    * value frame, K join-aggregate rounds, the readout — is catalog-sized
+    * and derives from the CHECKPOINTED transition frame (the corpus is
+    * touched exactly once).
     * sum(cnt*p) holds in BIGINT while n_transitions < 9e9; past that,
     * lift the products to DECIMAL(38,0) (documented hatch, cf. assocRules).
     */
@@ -1757,8 +1763,13 @@ object Analytics {
         .select(col("state").as("src"), lit("DROP").as("dst")))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val channels = pos.filter(col("state") =!= "CONV")
-      .select(col("state").as("rm")).distinct()
+    // scenario set from the CHECKPOINTED transition frame, not pos —
+    // deriving from pos would re-run the corpus window pass just to list
+    // ~5 channels. Every journey state appears as a src (it either has a
+    // successor or gets the DROP terminal), so distinct src \ {START} is
+    // exactly the journey channels at catalog size.
+    val channels = trans.filter(col("src") =!= "START")
+      .select(col("src").as("rm")).distinct()
     markovFromTransitions(s, trans, channels, iters)
   }
 
@@ -1845,7 +1856,7 @@ object Analytics {
                  SELECT state AS src, 'DROP' AS dst FROM st WHERE drops = 1) u
                 GROUP BY src, dst),
          ns AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM tr GROUP BY src),
-         scen AS (SELECT DISTINCT state AS rm FROM pos WHERE state <> 'CONV'
+         scen AS (SELECT DISTINCT src AS rm FROM tr WHERE src <> 'START'
                   UNION ALL SELECT '(base)' AS rm),
          sts AS (SELECT src AS state FROM tr
                  UNION SELECT dst AS state FROM tr),

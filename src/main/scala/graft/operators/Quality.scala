@@ -464,13 +464,23 @@ object Quality {
     * a dependency VIOLATION check tolerates sketch error badly, so the
     * exact form stays the default and the sketch is the triage pass.
     */
-  def fdDiscovery(s: SparkSession, dir: String): DataFrame = {
-    val deps = Seq(
-      ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
-      ("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"),
-      ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
-      ("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
-      ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+  /** The default candidate-dependency slate over the orders feed. */
+  private[graft] val FdDeps = Seq(
+    ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+    ("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"),
+    ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
+    ("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
+    ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+
+  def fdDiscovery(s: SparkSession, dir: String): DataFrame =
+    fdDiscoveryCore(Tables.spread(s, dir, "orders"), FdDeps)
+
+  /** The FD audit over an arbitrary frame + candidate slate — exposed so
+    * specs can pin the NULL contract on nullable fixtures the TPC-H feed
+    * doesn't contain.
+    */
+  private[graft] def fdDiscoveryCore(df: DataFrame,
+                                     deps: Seq[(String, String, String)]): DataFrame = {
     // NULLs coalesce to a sentinel on both surfaces: countDistinct skips
     // tuples containing NULL while SELECT DISTINCT keeps them, so a
     // nullable candidate column would otherwise silently diverge.
@@ -478,7 +488,7 @@ object Quality {
       s"'$name', coalesce(CAST($lhs AS STRING), '<null>'), " +
         s"coalesce(CAST($rhs AS STRING), '<null>')"
     }.mkString(", ")
-    Tables.spread(s, dir, "orders")
+    df
       .select(expr(s"stack(${deps.size}, $stackArgs) AS (dependency, lhs, rhs)"))
       .groupBy(col("dependency"))
       .agg(countDistinct(col("lhs")).as("n_lhs"),
@@ -494,13 +504,12 @@ object Quality {
     * formulation (five scans, no stack/Expand), so oracle equality is an
     * algorithmic cross-check of the multi-distinct path.
     */
-  private[graft] def fdDiscoverySql: String = {
-    val blocks = Seq(
-      ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
-      ("o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"),
-      ("o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"),
-      ("o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"),
-      ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"))
+  private[graft] def fdDiscoverySql: String = fdDiscoverySqlFor("orders", FdDeps)
+
+  /** [[fdDiscoverySql]] parameterized on table + slate (spec surface). */
+  private[graft] def fdDiscoverySqlFor(table: String,
+                                       deps: Seq[(String, String, String)]): String = {
+    val blocks = deps
       .map { case (name, lhs, rhs) =>
         s"""SELECT '$name' AS dependency,
                CAST(count(DISTINCT lhs) AS BIGINT) AS n_lhs,
@@ -508,7 +517,7 @@ object Quality {
             FROM (SELECT DISTINCT
                          coalesce(CAST($lhs AS STRING), '<null>') AS lhs,
                          coalesce(CAST($rhs AS STRING), '<null>') AS rhs
-                  FROM orders) p"""
+                  FROM $table) p"""
       }
     s"""WITH u AS (${blocks.mkString("\nUNION ALL\n")})
         SELECT dependency, n_lhs, n_pairs,

@@ -986,14 +986,25 @@ object Similarity {
     * joins — O(Σ cluster²) — and nLists is the lever that keeps clusters
     * bounded as the corpus grows (nLists ∝ corpus size keeps the expected
     * cluster size constant). The exact float re-check touches only
-    * same-cluster pairs. A skew-pathological whale cluster would get the
-    * nearestInLabel whale-label sub-block cap; at the default fixture
-    * scales the clusters are orders of magnitude under that bound.
+    * same-cluster pairs. A skew-pathological whale cluster (one list
+    * holding a corpus-scale fraction) is ENFORCED down to bounded work by
+    * the nearestInLabel sub-block cap ([[semanticDropsCore]]): clusters
+    * over `maxBlock` members split into hash sub-blocks with adjacent
+    * multi-probe, so per-cluster candidate work is O(n · 2·maxBlock)
+    * instead of O(n²). Under the cap (every driver fixture, by orders of
+    * magnitude) n_sub = 1 and the search is bit-identical to the exact
+    * within-cluster join — the DuckDB oracle is unchanged. Over the cap
+    * the drop set is SOUND but best-effort: a whale-cluster vector is
+    * dropped only for a genuine earlier ≥-threshold neighbor, but its
+    * neighbor can hash outside both probed sub-blocks (kept-when-exact-
+    * would-drop; the nearestInLabel recall-floor contract, OperatorSpec
+    * pins both properties on a whale-heavy fixture).
     */
   def semanticDedup(s: SparkSession, dir: String, nLists: Int = 16,
                     iters: Int = 2, thresholdMicros: Long = 400000L,
                     maxVecIdExclusive: Long = Long.MaxValue,
-                    trainMaxVecIdExclusive: Long = Long.MaxValue): DataFrame = {
+                    trainMaxVecIdExclusive: Long = Long.MaxValue,
+                    maxBlock: Int = 1 << 16): DataFrame = {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
     val emb = embWithNorm(s, dir).filter(col("vec_id") < maxVecIdExclusive)
@@ -1004,19 +1015,56 @@ object Similarity {
     val withCluster = emb.join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("vnorm"),
         col("centroid_id").as("cluster_id"))
-    val later = withCluster.select(col("cluster_id"), col("vec_id"),
-      col("embedding").as("ea"), col("vnorm").as("na"))
-    val earlier = withCluster.select(col("cluster_id"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("vnorm").as("nb"))
-    val drops = later.join(earlier, Seq("cluster_id"))
-      .filter(col("vec_b") < col("vec_id"))
-      .withColumn("m", expr(scoreMicrosFromNorms("dot_f(ea, eb)", "na", "nb")))
-      .filter(col("m") >= thresholdMicros)
-      .select(col("vec_id")).distinct()
+    val drops = semanticDropsCore(withCluster, thresholdMicros, maxBlock,
+      Long.MinValue)
     withCluster.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"),
         not(coalesce(col("dropped"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The whale-capped within-cluster drop search shared by
+    * [[semanticDedup]] and [[semanticDedupIncremental]]. Input: a
+    * (vec_id, embedding, vnorm, cluster_id) frame covering the FULL
+    * comparison universe; rows with vec_id >= laterMinId act as the
+    * "later" (drop-candidate) side, every row acts as a potential earlier
+    * neighbor. Returns the distinct vec_ids with at least one probed
+    * earlier same-cluster neighbor at or above the threshold.
+    *
+    * Whale-cluster cap — the nearestInLabel sub-block discipline: a
+    * cluster over `maxBlock` members splits into ceil(n / maxBlock)
+    * deterministic xxhash64 sub-blocks; each later vector probes its own
+    * sub-block plus the adjacent one, bounding candidate work at
+    * O(n · 2·maxBlock) per cluster. n_sub = 1 (every cluster at or under
+    * the cap) makes the probe set collapse to the single block —
+    * bit-identical to the exact within-cluster join, so the oracle is
+    * unchanged wherever the cap doesn't bite. Soundness is unconditional:
+    * every returned vec_id has a GENUINE earlier ≥-threshold neighbor
+    * (sub-blocking only prunes candidate pairs, never fabricates them).
+    */
+  private[graft] def semanticDropsCore(withCluster: DataFrame,
+                                       thresholdMicros: Long, maxBlock: Int,
+                                       laterMinId: Long): DataFrame = {
+    require(maxBlock > 0, "maxBlock must be positive")
+    registerFunctions(withCluster.sparkSession)
+    val nSub = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("block_n"))
+      .select(col("cluster_id"),
+        expr(s"CAST((block_n + ${maxBlock - 1}) DIV $maxBlock AS INT)").as("n_sub"))
+    val withSub = withCluster.join(nSub, Seq("cluster_id"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("n_sub")).cast("int"))
+    val later = withSub.filter(col("vec_id") >= laterMinId)
+      .select(col("cluster_id"),
+        explode(array_distinct(array(col("sub"),
+          pmod(col("sub") + 1, col("n_sub")).cast("int")))).as("sub"),
+        col("vec_id"), col("embedding").as("ea"), col("vnorm").as("na"))
+    val earlier = withSub.select(col("cluster_id"), col("sub"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"), col("vnorm").as("nb"))
+    later.join(earlier, Seq("cluster_id", "sub"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("m", expr(scoreMicrosFromNorms("dot_f(ea, eb)", "na", "nb")))
+      .filter(col("m") >= thresholdMicros)
+      .select(col("vec_id")).distinct()
   }
 
   /** INCREMENTAL semantic dedup — O(delta · cluster) steady state: fold a
@@ -1035,7 +1083,8 @@ object Similarity {
   def semanticDedupIncremental(s: SparkSession, dir: String,
                                quantizerDir: String, minDeltaId: Long,
                                prior: DataFrame,
-                               thresholdMicros: Long = 400000L): DataFrame = {
+                               thresholdMicros: Long = 400000L,
+                               maxBlock: Int = 1 << 16): DataFrame = {
     registerFunctions(s)
     val cents = s.read.parquet(
       centroidsPath(quantizerDir).toString)
@@ -1048,17 +1097,19 @@ object Similarity {
     // the delta's own smaller ids
     val allAssign = prior.select(col("vec_id"), col("cluster_id"))
       .unionByName(deltaAssign)
-    val later = delta.join(deltaAssign.hint("shuffle_hash"), Seq("vec_id"))
-      .select(col("cluster_id"), col("vec_id"),
-        col("embedding").as("ea"), col("vnorm").as("na"))
-    val earlier = emb.join(allAssign.hint("shuffle_hash"), Seq("vec_id"))
-      .select(col("cluster_id"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("vnorm").as("nb"))
-    val drops = later.join(earlier, Seq("cluster_id"))
-      .filter(col("vec_b") < col("vec_id"))
-      .withColumn("m", expr(scoreMicrosFromNorms("dot_f(ea, eb)", "na", "nb")))
-      .filter(col("m") >= thresholdMicros)
-      .select(col("vec_id")).distinct()
+    // full comparison universe with cluster labels; the shared core takes
+    // the delta rows (vec_id >= minDeltaId) as the later side. The whale
+    // cap's sub-block count comes from the FULL current membership, so
+    // increment == batch holds bit-for-bit wherever clusters stay at or
+    // under maxBlock (n_sub pinned at 1); a cluster that crosses the cap
+    // between increments re-shards its probe sets, and the frozen prior
+    // labels make whale-cluster increments best-effort — the same
+    // recall-floor contract as the batch face, stated here because only
+    // whales can ever observe the difference.
+    val universe = emb.join(allAssign.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("vnorm"), col("cluster_id"))
+    val drops = semanticDropsCore(universe, thresholdMicros, maxBlock,
+      minDeltaId)
     val deltaLabeled = deltaAssign
       .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"),
@@ -1584,6 +1635,12 @@ object Similarity {
     * micro units:
     *   t² = (m1 - m2)² / (d2_1/(n1²(n1-1)) + d2_2/(n2²(n2-1))),
     *   d2_l = n_l·s2_l - s1_l².
+    * The d2 products ride DECIMAL(38,0) before the one DOUBLE cast: in
+    * BIGINT, n·s2 wraps at ~3e3 vectors per label for codes near ±2^20
+    * (s2 ≈ n·1.1e12), silently corrupting t². In DECIMAL the products
+    * hold to ~9e12 vectors/label; the BIGINT sums s2 themselves bind
+    * first at ~8e6 rows/label (Σcode² ≤ n·2^40) — past that lift the
+    * aggregation to DECIMAL(38,0) too (the momentProfile hatch).
     *
     * 100 TB shape: one corpus scan (label-pruned at the parquet filter),
     * posexplode to d rows per vector, ONE map-side-combining aggregate to
@@ -1608,9 +1665,9 @@ object Similarity {
            * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
             - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))"""))
       .withColumn("den", expr(
-        """CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+        """CAST(CAST(n1 AS DECIMAL(38,0)) * s21 - CAST(s11 AS DECIMAL(38,0)) * s11 AS DOUBLE)
              / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
-           + CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+           + CAST(CAST(n2 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12 AS DOUBLE)
              / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))"""))
       .select(col("dim"), col("n1"), col("n2"),
         expr("""CASE WHEN n1 < 2 OR n2 < 2 OR den <= 0 THEN CAST(0 AS BIGINT)
@@ -1650,9 +1707,9 @@ object Similarity {
             - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
            * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
             - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS num,
-           CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+           CAST(CAST(n1 AS DECIMAL(38,0)) * s21 - CAST(s11 AS DECIMAL(38,0)) * s11 AS DOUBLE)
              / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
-           + CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+           + CAST(CAST(n2 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12 AS DOUBLE)
              / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS den
          FROM agg)
        SELECT dim, n1, n2,

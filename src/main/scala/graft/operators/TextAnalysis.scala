@@ -1961,8 +1961,12 @@ object TextAnalysis {
     * from one feed must not read as diversity. Exact rationals over
     * BIGINT token sums (the langDiversity discipline — no libm log);
     * the share and index are half-up cross-multiplied divisions at the
-    * readout. Σmass² holds in BIGINT to ~3e9 corpus tokens; the
-    * DECIMAL(38,0) hatch is one cast (documented).
+    * readout, with the eff-sources numerator (2·1e4·total²) lifted to
+    * DECIMAL(38,0) — in BIGINT it wraps at ~2.1e7 corpus tokens, two
+    * orders below the Σmass² bound. The remaining BIGINT bounds:
+    * Σmass² holds to ~3e9 corpus tokens (aggregation-side; the
+    * DECIMAL(38,0) hatch is one cast on mass·mass) and the top-share
+    * numerator 2e4·top_mass holds to ~4.6e14 — Σmass² binds first.
     *
     * 100 TB shape: one map-side regex pass to a |sources|-row mass frame;
     * everything after is a 1-row readout.
@@ -1976,8 +1980,14 @@ object TextAnalysis {
         sum(col("mass")).as("total_tokens"),
         sum(expr("mass * mass")).as("ss"),
         max(col("mass")).as("top_mass"))
+      // half-up division as the exact truncated quotient (num - num % den)
+      // / den over DECIMAL(38,0) — the regr-slope discipline; all terms
+      // are non-negative so trunc == floor == the old DIV
+      .withColumn("effnum",
+        expr("CAST(20000 AS DECIMAL(38,0)) * total_tokens * total_tokens + ss"))
+      .withColumn("effden", expr("CAST(2 AS DECIMAL(38,0)) * ss"))
       .select(col("n_sources"), col("total_tokens"),
-        expr("CAST((2 * 10000 * total_tokens * total_tokens + ss) DIV (2 * ss) AS BIGINT)")
+        expr("CAST((effnum - effnum % effden) / effden AS BIGINT)")
           .as("eff_sources_1e4"),
         expr("CAST((20000 * top_mass + total_tokens) DIV (2 * total_tokens) AS BIGINT)")
           .as("top_share_1e4"))
@@ -1997,13 +2007,18 @@ object TextAnalysis {
                       CAST(sum(mass) AS BIGINT) AS total_tokens,
                       CAST(sum(mass * mass) AS BIGINT) AS ss,
                       CAST(max(mass) AS BIGINT) AS top_mass
-               FROM m)
+               FROM m),
+       fin AS (SELECT n_sources, total_tokens, top_mass,
+                      CAST(20000 AS DECIMAL(38,0)) * total_tokens * total_tokens
+                        + ss AS effnum,
+                      CAST(2 AS DECIMAL(38,0)) * ss AS effden
+               FROM agg)
        SELECT n_sources, total_tokens,
-              CAST((2 * 10000 * total_tokens * total_tokens + ss)
-                $div (2 * ss) AS BIGINT) AS eff_sources_1e4,
+              CAST((effnum - effnum % effden) / effden AS BIGINT)
+                AS eff_sources_1e4,
               CAST((20000 * top_mass + total_tokens)
                 $div (2 * total_tokens) AS BIGINT) AS top_share_1e4
-       FROM agg"""
+       FROM fin"""
   }
 
   /** Language-diversity audit per source: Simpson's diversity index
@@ -2021,8 +2036,11 @@ object TextAnalysis {
     *
     * 100 TB shape: two stacked map-side-combinable aggregates (corpus ->
     * |sources|x|langs| -> |sources|); nothing downstream exceeds catalog
-    * size. Counts square in BIGINT to ~3e9 docs per source; past that
-    * lift c*c to DECIMAL(38,0) (documented hatch).
+    * size. The readout numerators (2·1e6·n² and 2·1e4·n²) ride
+    * DECIMAL(38,0) — in BIGINT they wrap at ~2.1e6 docs/source, far
+    * below the aggregation-side bound. What remains BIGINT: Σc² holds
+    * to ~3e9 docs per source; past that lift c*c to DECIMAL(38,0)
+    * (documented hatch).
     */
   def langDiversity(s: SparkSession, dir: String): DataFrame =
     diversityFromCounts(
@@ -2042,11 +2060,17 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_docs"),
         count(lit(1)).as("n_langs"),
         sum(expr("c * c")).as("ss"))
+      // n² and both half-up numerators in DECIMAL(38,0); the exact
+      // truncated quotient (num - num % den) / den == the old DIV since
+      // every term is non-negative (n² >= Σc² always)
+      .withColumn("nn", expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs"))
+      .withColumn("snum", expr("CAST(2000000 AS DECIMAL(38,0)) * (nn - ss) + nn"))
+      .withColumn("sden", expr("CAST(2 AS DECIMAL(38,0)) * nn"))
+      .withColumn("inum", expr("CAST(20000 AS DECIMAL(38,0)) * nn + ss"))
+      .withColumn("iden", expr("CAST(2 AS DECIMAL(38,0)) * ss"))
       .select(col("source"), col("n_docs"), col("n_langs"),
-        expr("""CAST((2 * 1000000 * (n_docs * n_docs - ss) + n_docs * n_docs)
-                DIV (2 * n_docs * n_docs) AS BIGINT)""").as("simpson_1e6"),
-        expr("CAST((2 * 10000 * n_docs * n_docs + ss) DIV (2 * ss) AS BIGINT)")
-          .as("inv_simpson_1e4"))
+        expr("CAST((snum - snum % sden) / sden AS BIGINT)").as("simpson_1e6"),
+        expr("CAST((inum - inum % iden) / iden AS BIGINT)").as("inv_simpson_1e4"))
       .orderBy(col("source"))
 
   /** [[langDiversity]] as dialect-templated SQL (`div` is the only
@@ -2058,11 +2082,18 @@ object TextAnalysis {
        agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
                       CAST(count(*) AS BIGINT) AS n_langs,
                       CAST(sum(c * c) AS BIGINT) AS ss
-               FROM cl GROUP BY source)
+               FROM cl GROUP BY source),
+       fin AS (SELECT source, n_docs, n_langs, ss,
+                      CAST(n_docs AS DECIMAL(38,0)) * n_docs AS nn
+               FROM agg),
+       rd AS (SELECT source, n_docs, n_langs,
+                     CAST(2000000 AS DECIMAL(38,0)) * (nn - ss) + nn AS snum,
+                     CAST(2 AS DECIMAL(38,0)) * nn AS sden,
+                     CAST(20000 AS DECIMAL(38,0)) * nn + ss AS inum,
+                     CAST(2 AS DECIMAL(38,0)) * ss AS iden
+              FROM fin)
        SELECT source, n_docs, n_langs,
-              CAST((2 * 1000000 * (n_docs * n_docs - ss) + n_docs * n_docs)
-                $div (2 * n_docs * n_docs) AS BIGINT) AS simpson_1e6,
-              CAST((2 * 10000 * n_docs * n_docs + ss) $div (2 * ss) AS BIGINT)
-                AS inv_simpson_1e4
-       FROM agg ORDER BY source"""
+              CAST((snum - snum % sden) / sden AS BIGINT) AS simpson_1e6,
+              CAST((inum - inum % iden) / iden AS BIGINT) AS inv_simpson_1e4
+       FROM rd ORDER BY source"""
 }

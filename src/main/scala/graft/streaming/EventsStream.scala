@@ -15,6 +15,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * DataFrame (from readStream / MemoryStream) and return one — they also
   * work verbatim on a batch frame (Analytics.hourlyEventRollup is the
   * batch twin of hourlyCounts, used for the DuckDB oracle).
+  *
+  * Watermark contract: only faces whose STATE consumes event-time
+  * progress declare a watermark — windowed aggregates and
+  * EventTimeTimeout sessions/dedup (state expiry), plus newVsReturning
+  * (its openDays pruning reads getCurrentWatermarkMs, so its 1-hour
+  * late-drop horizon is a stated part of that face's contract). The
+  * other NoTimeout faces (SCD2, EWMA, attribution, trigrams, TWAP,
+  * markov) deliberately declare NONE: their contract is
+  * resume-whenever-the-user-returns, and a watermark would buy no
+  * state expiry while making Spark silently drop events more than the
+  * delay behind max event time BEFORE the stateful operator — a
+  * divergence from the batch twin on out-of-order feeds. Cost of the
+  * trade: per-batch input sorting is by (event-time, event_id), so a
+  * genuinely late event within a trigger is still ordered correctly,
+  * but one arriving triggers later applies to state as-of arrival (the
+  * documented at-arrival semantics of every state face).
   */
 object EventsStream {
 
@@ -173,7 +189,6 @@ object EventsStream {
     def toUs(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, ClosedInterval](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -214,7 +229,6 @@ object EventsStream {
     def toUs(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[EwmaState, EwmaPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -265,7 +279,6 @@ object EventsStream {
     def toUs(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, AttributedPurchase](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -441,6 +454,9 @@ object EventsStream {
       java.time.LocalDate.parse(d).plusDays(1)
         .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
     events
+      // the ONE NoTimeout face that declares a watermark: openDays
+      // pruning consumes getCurrentWatermarkMs, so the 1-hour late-drop
+      // horizon is a stated part of this face's contract, not a stray
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FirstSeenState, UserDayFlag](
@@ -547,7 +563,6 @@ object EventsStream {
     def toUs(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TrigramState, TrigramHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -592,7 +607,6 @@ object EventsStream {
     def toUs(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[HoldState, HeldInterval](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -644,7 +658,6 @@ object EventsStream {
     def toUs(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[MarkovState, MarkovStep](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

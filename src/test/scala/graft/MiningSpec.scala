@@ -1060,4 +1060,30 @@ class MiningSpec extends SparkTestBase {
     assert(got.find(_._1 == "o_orderkey->o_custkey").get._5 == 1L)
     assert(got.find(_._1 == "o_orderstatus->o_orderpriority").get._5 == 0L)
   }
+
+  test("fdDiscovery NULL contract: operator equals its SQL twin on nullable columns") {
+    import spark.implicits._
+    // countDistinct skips NULL tuples while SELECT DISTINCT keeps them —
+    // the sentinel coalesce on both surfaces is what keeps them equal.
+    // k=1 maps to both 'x' and NULL (violation); k=3 maps only to NULL
+    // (holds); a NULL lhs is one more distinct determinant value.
+    val df = Seq(
+      (Option(1L), Option("x")), (Option(1L), None), (Option(1L), Option("x")),
+      (Option(2L), Option("y")),
+      (Option(3L), None), (Option(3L), None),
+      (None, Option("z")))
+      .toDF("k", "v")
+    val deps = Seq(("k->v", "k", "v"))
+    val op = Quality.fdDiscoveryCore(df, deps).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    df.createOrReplaceTempView("fd_null_fixture")
+    val twin = spark.sql(Quality.fdDiscoverySqlFor("fd_null_fixture", deps))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(op == twin, "operator and SQL twin must agree on nullable input")
+    // spot values: 4 distinct lhs (1,2,3,<null>), 5 distinct pairs
+    assert(op == Seq(("k->v", 4L, 5L, 1L, 0L)))
+  }
 }

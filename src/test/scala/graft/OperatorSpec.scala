@@ -173,6 +173,40 @@ class OperatorSpec extends SparkTestBase {
       "query results must be identical before and after physical deletion")
   }
 
+  test("PQ and IVF-PQ tombstones: deleted ids never surface pre-compaction") {
+    // the PQ layouts must honor the same delete contract as IVF-flat: a
+    // tombstoned id disappears at query time immediately, and compaction
+    // only changes the physical layout, never the results
+    val pq = tmpDir("pqtomb")
+    Similarity.buildPqIndex(spark, Sf, pq)
+    val before = Similarity.pqTopKFromIndex(spark, Sf, pq).collect().toSeq
+    val victims = before.map(_.getLong(2)).filter(_ >= 16).distinct.take(2)
+    assert(victims.length == 2, "fixture must surface deletable neighbors")
+    Similarity.tombstoneIvfIndex(spark, pq, victims)
+    val after = Similarity.pqTopKFromIndex(spark, Sf, pq).collect().toSeq
+    assert(after != before)
+    assert(!after.exists(r => victims.contains(r.getLong(2))),
+      "tombstoned ids must never surface from a PQ index pre-compaction")
+    Similarity.compactPqIndex(spark, pq)
+    assert(!new java.io.File(pq, "_tombstones").exists())
+    assert(Similarity.pqTopKFromIndex(spark, Sf, pq).collect().toSeq == after,
+      "physical deletion must be result-invisible")
+
+    val ivfpq = tmpDir("ivfpqtomb")
+    Similarity.buildIvfPqIndex(spark, Sf, ivfpq)
+    val before2 = Similarity.ivfPqTopKFromIndex(spark, Sf, ivfpq).collect().toSeq
+    val victims2 = before2.map(_.getLong(2)).filter(_ >= 16).distinct.take(2)
+    assert(victims2.length == 2, "fixture must surface deletable neighbors")
+    Similarity.tombstoneIvfIndex(spark, ivfpq, victims2)
+    val after2 = Similarity.ivfPqTopKFromIndex(spark, Sf, ivfpq).collect().toSeq
+    assert(!after2.exists(r => victims2.contains(r.getLong(2))),
+      "tombstoned ids must never surface from an IVF-PQ index pre-compaction")
+    Similarity.compactIvfPqIndex(spark, ivfpq)
+    assert(!new java.io.File(ivfpq, "_tombstones").exists())
+    assert(Similarity.ivfPqTopKFromIndex(spark, Sf, ivfpq).collect().toSeq == after2,
+      "physical deletion must be result-invisible")
+  }
+
   test("incremental IVF append equals a from-scratch index build") {
     val full = tmpDir("ivffull")
     val inc = tmpDir("ivfinc")

@@ -62,6 +62,28 @@ class SkewUtilsSpec extends SparkTestBase {
     assert(plain.exceptAll(tiny).count() == 0)
   }
 
+  test("bloomSemiJoin handles backtick-needing key names (Column API, no SQL interpolation)") {
+    import spark.implicits._
+    // names with spaces break any expr()-string probe outright; dotted
+    // names work through the Column API with the caller's backticks
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c"), (42L, "d"))
+      .toDF("left key", "payload")
+    val right = Seq(2L, 42L).toDF("right key")
+    val out = SkewUtils.bloomSemiJoin(left, right, "left key", "right key")
+    assert(out.select(col("left key")).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 42L))
+    val leftDot = left.withColumnRenamed("left key", "left.key")
+    val outDot = SkewUtils.bloomSemiJoin(leftDot, right, "`left.key`", "right key")
+    assert(outDot.select(col("`left.key`")).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 42L))
+    // reserved-name guard fails loudly instead of corrupting the probe
+    val clash = left.withColumn("__bits", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      SkewUtils.bloomSemiJoin(clash, right, "left key", "right key")
+    }
+    assert(e.getMessage.contains("__bits"))
+  }
+
   /** Deterministic synthetic embeddings: 4-dim, label-controlled, with the
     * same (vec_id, label, embedding, vnorm) shape nearestInLabelCore reads.
     */
@@ -147,5 +169,65 @@ class SkewUtilsSpec extends SparkTestBase {
       .join(ownSubBest, "vec_id")
     assert(joined.filter(col("own_best") > col("nn_m") + 50).count() == 0,
       "multi-probe must never score below the vector's own sub-block best")
+  }
+
+  test("semanticDedup whale-cluster cap: probe-rule-exact drops, sound, exact under the cap") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // cluster 1 is a whale (30 members, cap 8 -> 4 hash sub-blocks);
+    // cluster 2 fits the cap (6 members) and must be bit-identical to the
+    // exact within-cluster search
+    val rows = (0L until 30L).map(i => (i, 1)) ++ (100L until 106L).map(i => (i, 2))
+    val emb = rows.map { case (id, cl) =>
+      val rnd = new java.util.Random(4200L + id)
+      (id, cl, Array.fill(4)(rnd.nextFloat()))
+    }.toDF("vec_id", "cluster_id", "embedding")
+      .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
+    val thr = 900000L
+    val capped = Similarity.semanticDropsCore(emb, thr, maxBlock = 8,
+      Long.MinValue).collect().map(_.getLong(0)).toSet
+    val exact = Similarity.semanticDropsCore(emb, thr, maxBlock = 1 << 16,
+      Long.MinValue).collect().map(_.getLong(0)).toSet
+
+    // reference: all qualifying earlier-neighbor pairs, scored with the
+    // operator's own integer rounding
+    val a = emb.select(col("cluster_id"), col("vec_id"),
+      col("embedding").as("ea"), col("vnorm").as("na"))
+    val b = emb.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("vnorm").as("nb"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("m", expr(Similarity.scoreMicrosFromNorms(
+        "dot_f(ea, eb)", "na", "nb")))
+      .filter(col("m") >= thr)
+      .select(col("cluster_id"), col("vec_id"), col("vec_b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+
+    // replicate the deterministic sub assignment (xxhash64 mod n_sub) and
+    // the own+adjacent probe rule
+    val nSubOf = Map(1 -> 4, 2 -> 1) // ceil(30/8), ceil(6/8)
+    val subs = emb.select(col("vec_id"),
+        pmod(xxhash64(col("vec_id")),
+          when(col("cluster_id") === 1, lit(4)).otherwise(lit(1)))
+          .cast("int").as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(subs.filter(_._1 < 30).values.toSet.size >= 3,
+      "whale fixture must actually shard across sub-blocks")
+    val expectedExact = pairs.map(_._2).toSet
+    val expectedCapped = pairs.filter { case (cl, later, earlier) =>
+      val ns = nSubOf(cl)
+      val sa = subs(later)
+      subs(earlier) == sa || subs(earlier) == (sa + 1) % ns
+    }.map(_._2).toSet
+
+    assert(exact == expectedExact, "uncapped core must equal the exact all-pairs search")
+    assert(capped == expectedCapped, "capped core must equal the probe-rule reference")
+    assert(capped.subsetOf(exact),
+      "sub-blocking may only prune drops (soundness), never fabricate them")
+    // the small cluster is untouched by the cap
+    assert(capped.filter(_ >= 100L) == exact.filter(_ >= 100L),
+      "clusters at or under the cap must be exact (n_sub = 1)")
   }
 }

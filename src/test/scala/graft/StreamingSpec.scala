@@ -666,8 +666,10 @@ class StreamingSpec extends SparkTestBase {
         .groupBy(identity).view.mapValues(_.size.toLong).toSeq
         .map { case ((a, b), n) => (a, b, n) }
         .toDF("src", "dst", "cnt")
-      val channels = all.map(_.event_type).filter(_ != "purchase").distinct
-        .toDF("rm")
+      // same scenario rule as the batch operator: channels = distinct
+      // transition srcs minus START (journey-observed states only)
+      val channels = (out.map(_.src).toSeq ++ drops.map(_._1))
+        .distinct.filter(_ != "START").toDF("rm")
       val got = graft.operators.Analytics
         .markovFromTransitions(spark, trans, channels, 12)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq

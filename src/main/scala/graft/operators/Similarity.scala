@@ -1012,9 +1012,14 @@ object Similarity {
     val centroids = trainCentroids(
       codes.filter(col("vec_id") < trainMaxVecIdExclusive), nLists, iters)
     val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
+    // pinned once (r9 materialize-once discipline): the clustered frame
+    // is the product of the expensive step (training + assignment) and
+    // now has FOUR consumers (whale census, later, earlier, final join) —
+    // unpinned, Spark re-runs the scoring subtree per consumer
     val withCluster = emb.join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("vnorm"),
         col("centroid_id").as("cluster_id"))
+      .localCheckpoint(true)
     val drops = semanticDropsCore(withCluster, thresholdMicros, maxBlock,
       Long.MinValue)
     withCluster.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")

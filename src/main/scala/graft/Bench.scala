@@ -55,7 +55,7 @@ object Bench {
   def loadFloors(sfName: String): Map[String, Double] = {
     val f = new java.io.File("bench_floor.txt")
     if (!f.isFile) Map.empty
-    else scala.io.Source.fromFile(f).getLines()
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(_.split("\\s+")).collect {
         case Array(sf, q, sec) if sf == sfName => q -> sec.toDouble

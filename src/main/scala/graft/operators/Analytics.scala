@@ -1159,8 +1159,15 @@ object Analytics {
       .orderBy(col("n_events").desc, col("user_id")).limit(topK)
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("share_1e4", expr("(20000 * n_events + total) DIV (2 * total)"))
+      // ratio numerator is a COUNT x COUNT product (hot-key rows x
+      // distinct keys) — in BIGINT it wraps at n_events*n_keys ~ 4.6e14,
+      // reachable at warehouse scale, so it rides DECIMAL(38,0); the
+      // truncated quotient equals DIV on these non-negative terms
+      .withColumn("rnum",
+        expr("CAST(20000 AS DECIMAL(38,0)) * n_events * n_keys + total"))
+      .withColumn("rden", expr("CAST(2 AS DECIMAL(38,0)) * total"))
       .withColumn("ratio_to_avg_1e4",
-        expr("(20000 * n_events * n_keys + total) DIV (2 * total)"))
+        expr("CAST((rnum - rnum % rden) / rden AS BIGINT)"))
       .select(col("rank"), col("user_id"), col("n_events"),
         col("share_1e4"), col("ratio_to_avg_1e4"))
       .orderBy(col("rank"))

@@ -1766,11 +1766,16 @@ object SqlFrontDoor {
       """WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
          t AS (SELECT sum(n_events) AS total, count(*) AS n_keys FROM k),
          r AS (SELECT user_id, n_events,
-               row_number() OVER (ORDER BY n_events DESC, user_id) AS rank FROM k)
-         SELECT CAST(rank AS BIGINT) AS rank, r.user_id, r.n_events,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rank FROM k),
+         d AS (SELECT rank, user_id, n_events, total, n_keys,
+                      CAST(20000 AS DECIMAL(38,0)) * n_events * n_keys
+                        + total AS rnum,
+                      CAST(2 AS DECIMAL(38,0)) * total AS rden
+               FROM r CROSS JOIN t WHERE rank <= 5)
+         SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events,
                 (20000 * n_events + total) DIV (2 * total) AS share_1e4,
-                (20000 * n_events * n_keys + total) DIV (2 * total) AS ratio_to_avg_1e4
-         FROM r CROSS JOIN t WHERE rank <= 5 ORDER BY rank""",
+                CAST((rnum - rnum % rden) / rden AS BIGINT) AS ratio_to_avg_1e4
+         FROM d ORDER BY rank""",
 
     // per-source token coverage of the global top-N vocabulary
     "q_vocab_coverage" ->

@@ -254,6 +254,7 @@ object SparkEntry {
     "q_text_clean" -> (TextAnalysis.cleanText(_, _)),
     "q_lang_id" -> (TextAnalysis.langId(_, _)),
     "q_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
+    "q_winnow_fingerprints" -> (TextAnalysis.winnowFingerprints(_, _)),
     "q_repetition_stats" -> (TextAnalysis.repetitionStats(_, _)),
     "q_tfidf_top_terms" -> (TextAnalysis.tfidfTopTerms(_, _)),
     "q_chunk_docs" -> (TextAnalysis.chunkDocs(_, _)),
@@ -2556,6 +2557,29 @@ object SparkEntry {
            list_transform(toks, t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
          FROM t ORDER BY doc_id""",
+
+    // winnowing (SIGMOD'03): per-window min gram-hash, rightmost tiebreak
+    // packed as (md5 asc, pos desc) into one string so min() decides both
+    "q_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS txt FROM documents),
+         f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= 8),
+         g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - 7)) AS pos FROM f),
+         h AS (SELECT doc_id, pos,
+               concat(md5(substr(txt, CAST(pos AS INT) + 1, 8)),
+                      lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS pk
+               FROM g),
+         wm AS (SELECT doc_id, pos,
+               min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+               FROM h),
+         sel AS (SELECT DISTINCT doc_id, n, wmin FROM wm
+                 WHERE pos <= greatest(n - 4, 0))
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_grams,
+                CAST(count(*) AS BIGINT) AS n_fps,
+                CAST(count(DISTINCT substr(wmin, 1, 32)) AS BIGINT) AS n_uniq_hashes,
+                min(substr(wmin, 1, 32)) AS min_fp
+         FROM sel GROUP BY doc_id ORDER BY doc_id""",
 
     "q_date_parts_orders" ->
       """WITH p AS (SELECT

@@ -333,6 +333,72 @@ object TextAnalysis {
                   (a, b) -> (a * 31 + b) % 1000000007)""").as("fp_rolling"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS local fingerprinting algorithm, public literature): hash
+    * every k-char gram of the token-normalized text, slide a w-gram
+    * window over the hash sequence, and select each window's MINIMUM
+    * hash, breaking ties by the RIGHTMOST position — the classic rule
+    * under which selection depends only on window contents, so the same
+    * substring always yields the same fingerprints wherever it appears.
+    * The winnowing guarantee: any shared substring of length >=
+    * w + k - 1 between two documents surfaces as at least one shared
+    * fingerprint (no false negatives at that match length); expected
+    * fingerprint density is 2/(w+1). [[fingerprints]] is the whole-doc
+    * key; this is its LOCAL sibling — the primitive behind partial-copy
+    * and quotation detection, where whole-doc hashes see nothing.
+    *
+    * Determinism/parity: gram hash = md5 (lexicographic min, the Dedup
+    * discipline); the (hash asc, pos desc) tie rule packs into ONE
+    * string as concat(h, lpad(999999 - pos)) so both engines take a
+    * plain min(). Documents are fingerprintable to 1e6 - 1 grams; the
+    * packing guard fails loudly past that (the nearestInLabel rule).
+    *
+    * 100 TB shape: one corpus scan, posexplode to ~len grams per doc,
+    * ONE doc-keyed window pass (frame min + partition count ride the
+    * same sort), distinct, and a per-doc hash aggregate — a single
+    * shuffle on doc_id; nothing pairwise, nothing corpus-global.
+    */
+  def winnowFingerprints(s: SparkSession, dir: String,
+                         k: Int = 8, w: Int = 4): DataFrame =
+    winnowSelections(Tables.spread(s, dir, "documents"), k, w)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_grams"),
+        count(lit(1)).as("n_fps"),
+        countDistinct(expr("substring(wmin, 1, 32)")).as("n_uniq_hashes"),
+        min(expr("substring(wmin, 1, 32)")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
+  /** The winnowing selection frame over a (doc_id, text) input: one
+    * distinct (doc_id, n, wmin) row per selected fingerprint, where
+    * wmin = 32-hex md5 || 6-digit reversed position (exposed so specs
+    * can pin the shared-substring guarantee on synthetic frames).
+    */
+  private[graft] def winnowSelections(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val txt = docs
+      .withColumn("txt", expr(s"array_join($TokensExpr, ' ')"))
+      .filter(length(col("txt")) >= k)
+    val packed = txt.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, length(txt) - $k), i -> md5(substring(txt, i + 1, $k)))"))
+          .as(Seq("pos", "h")))
+      .withColumn("pk", expr(
+        """CASE WHEN pos < 999999
+            THEN concat(h, lpad(CAST(999999 - pos AS STRING), 6, '0'))
+            ELSE raise_error('winnowFingerprints: document exceeds the 1e6-gram packing range')
+            END"""))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    packed
+      .withColumn("wmin", min(col("pk")).over(frame))
+      .withColumn("n", count(lit(1)).over(whole))
+      // one selection per window START (positions 0 .. n-w); a doc
+      // shorter than w grams still gets its single all-grams window
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"), col("n"), col("wmin")).distinct()
+  }
+
   /** Gopher-style repetition signals: the fraction of word-bigram
     * OCCURRENCES that are repeats, and the fraction taken by the single
     * most frequent bigram — the standard cheap filters for boilerplate /

@@ -1465,6 +1465,32 @@ object SqlFrontDoor {
            CAST(7 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
          FROM t ORDER BY doc_id""",
 
+    // winnowing: per-window min gram-hash, rightmost tiebreak packed as
+    // (md5 asc, pos desc) into one string so min() decides both
+    "q_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, array_join($toksSql, ' ') AS txt FROM documents),
+         f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= 8),
+         h AS (SELECT doc_id, pos,
+               concat(md5(substring(txt, pos + 1, 8)),
+                      lpad(CAST(999999 - pos AS STRING), 6, '0')) AS pk
+               FROM (SELECT doc_id,
+                       posexplode(transform(sequence(0, length(txt) - 8),
+                         i -> substring(txt, i + 1, 8))) AS (pos, gram),
+                       txt
+                     FROM f)),
+         wm AS (SELECT doc_id, pos,
+               min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+               FROM h),
+         sel AS (SELECT DISTINCT doc_id, n, wmin FROM wm
+                 WHERE pos <= greatest(n - 4, 0))
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_grams,
+                CAST(count(*) AS BIGINT) AS n_fps,
+                CAST(count(DISTINCT substring(wmin, 1, 32)) AS BIGINT) AS n_uniq_hashes,
+                min(substring(wmin, 1, 32)) AS min_fp
+         FROM sel GROUP BY doc_id ORDER BY doc_id""",
+
     "q_forward_fill" ->
       """WITH c AS (SELECT user_id, event_id, ts,
            CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0','1','2')

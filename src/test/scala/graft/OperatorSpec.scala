@@ -173,6 +173,56 @@ class OperatorSpec extends SparkTestBase {
       "query results must be identical before and after physical deletion")
   }
 
+  test("winnowing fingerprints equal a driver-side reference implementation") {
+    val (k, w) = (8, 4)
+    val got = operators.TextAnalysis.winnowFingerprints(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val txt = "[a-z0-9]+".r
+        .findAllIn(text.toLowerCase(java.util.Locale.ROOT)).mkString(" ")
+      if (txt.length >= k) {
+        val packed = (0 to txt.length - k).map(i =>
+          md5hex(txt.substring(i, i + k)) + f"${999999 - i}%06d")
+        val n = packed.length
+        val sel = (0 to math.max(n - w, 0))
+          .map(i => packed.slice(i, math.min(i + w, n)).min).distinct
+        val hashes = sel.map(_.take(32))
+        assert(got(id) == (n.toLong, sel.size.toLong,
+          hashes.distinct.size.toLong, hashes.min), s"doc $id")
+        // winnowing density: at most one selection per window start
+        assert(sel.size <= math.max(n - w, 0) + 1, s"doc $id density")
+        checked += 1
+      } else assert(!got.contains(id), s"doc $id under $k chars must drop")
+    }
+    assert(checked > 400, "fixture must exercise the fingerprinter broadly")
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
+    import spark.implicits._
+    // A and B share the 30-char normalized run 'alpha beta gamma delta
+    // epsilon' (>= 4+8-1 = 11); C shares no 8-char gram with either
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique tail one"),
+      (2L, "prefix words here alpha beta gamma delta epsilon other end"),
+      (3L, "zzzz qqqq wwww rrrr tttt yyyy uuuu iiii oooo")).toDF("doc_id", "text")
+    val sel = operators.TextAnalysis.winnowSelections(docs, 8, 4)
+      .selectExpr("doc_id", "substring(wmin, 1, 32) AS fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = sel.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a shared >= w+k-1 substring must yield a shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint-vocabulary docs must share nothing")
+  }
+
   test("PQ and IVF-PQ tombstones: deleted ids never surface pre-compaction") {
     // the PQ layouts must honor the same delete contract as IVF-flat: a
     // tombstoned id disappears at query time immediately, and compaction

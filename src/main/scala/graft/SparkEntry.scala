@@ -291,6 +291,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact(_, _)),
     "q_substring_spans" -> (Dedup.substringSpans(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
+    "q_dedup_winnow" -> (Dedup.winnowPairs(_, _)),
     "q_dedup_prefix_filter" -> (Dedup.prefixFilterJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
@@ -2580,6 +2581,9 @@ object SparkEntry {
                 CAST(count(DISTINCT substr(wmin, 1, 32)) AS BIGINT) AS n_uniq_hashes,
                 min(substr(wmin, 1, 32)) AS min_fp
          FROM sel GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dedup_winnow" ->
+      graft.operators.Dedup.winnowPairsSql(duck = true, Toks, "//"),
 
     "q_date_parts_orders" ->
       """WITH p AS (SELECT

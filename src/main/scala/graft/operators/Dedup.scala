@@ -1063,4 +1063,121 @@ object Dedup {
                    $div (2 * dc.n_docs) AS BIGINT) AS pairs_per_1e6_docs
        FROM dc LEFT JOIN pc ON pc.decile = dc.decile
        ORDER BY decile"""
+
+  /** 6. Winnowed near-dup pairs — the dedup application of the MOSS
+    * local fingerprints ([[TextAnalysis.winnowFingerprints]]): two
+    * documents are candidates when they share at least `minShared`
+    * selected fingerprints, scored containment-style as
+    * shared / min(|A|, |B|) — so a short document quoted wholesale
+    * inside a long one still scores near 1.0, exactly the case whole-doc
+    * hashing and symmetric Jaccard both under-read. The winnowing
+    * guarantee makes the recall floor explicit: any shared run of
+    * w + k - 1 = 11+ normalized chars yields a shared fingerprint.
+    *
+    * Skew guard — the stop-shingle discipline at fingerprint
+    * granularity: a fingerprint present in more than `dfCap` documents
+    * is boilerplate (headers, licenses) and is dropped BEFORE the
+    * self-join, so join buckets are bounded by dfCap and the pair
+    * explosion a viral snippet would cause cannot happen. Dropped
+    * fingerprints also leave the |doc| denominators, keeping the
+    * containment score consistent with what was actually joinable.
+    *
+    * Defaults are the PAIR-DETECTION operating point, deliberately
+    * coarser than [[TextAnalysis.winnowFingerprints]]'s per-doc stats
+    * (k=8): 16-char grams (an 8-char gram is a word and a half — common
+    * phrases collide corpus-wide and bury real matches; at k=8/min=2 the
+    * 500-doc fixture emits ~99k pairs), window 8, at least 3 shared
+    * fingerprints AND containment >= overlapMin_1e4 — the match-length
+    * guarantee is then w + k - 1 = 23 normalized chars per fingerprint.
+    *
+    * 100 TB shape: one winnowing pass (single doc-keyed window), the
+    * fingerprint frame pinned once (four consumers: df census, both
+    * join sides, doc sizes), a df-capped equi self-join (bucket size
+    * <= dfCap by construction), and |pairs|-sized scoring. Never
+    * all-pairs.
+    */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 16, w: Int = 8,
+                  minShared: Long = 3, dfCap: Long = 100,
+                  overlapMin1e4: Long = 2500): DataFrame =
+    winnowPairsCore(Tables.spread(s, dir, "documents"), k, w, minShared,
+      dfCap, overlapMin1e4)
+
+  private[graft] def winnowPairsCore(docs: DataFrame, k: Int, w: Int,
+                                     minShared: Long, dfCap: Long,
+                                     overlapMin1e4: Long = 0L): DataFrame = {
+    val fps = TextAnalysis.winnowSelections(docs, k, w)
+      .select(col("doc_id"), expr("substring(wmin, 1, 32)").as("fp"))
+      .distinct()
+      .localCheckpoint(true)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
+      .withColumn("overlap_1e4", expr(
+        "CAST((20000 * n_shared + least(na, nb)) DIV (2 * least(na, nb)) AS BIGINT)"))
+      .filter(col("overlap_1e4") >= overlapMin1e4)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap_1e4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[winnowPairs]] as dialect-templated SQL — one text for both
+    * engines so the three surfaces cannot drift; unnest/posexplode and
+    * `div` are the dialect points, the operating point is parameterized
+    * in lockstep with the operator defaults.
+    */
+  private[graft] def winnowPairsSql(duck: Boolean, toks: String, div: String,
+                                    k: Int = 16, w: Int = 8,
+                                    minShared: Long = 3, dfCap: Long = 100,
+                                    overlapMin1e4: Long = 2500): String = {
+    val join = if (duck) "array_to_string" else "array_join"
+    val gramCtes = if (duck)
+      s"""g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - ${k - 1})) AS pos FROM f),
+         h AS (SELECT doc_id, pos,
+               concat(md5(substr(txt, CAST(pos AS INT) + 1, $k)),
+                      lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS pk
+               FROM g)"""
+    else
+      s"""h AS (SELECT doc_id, pos,
+               concat(md5(gram), lpad(CAST(999999 - pos AS STRING), 6, '0')) AS pk
+               FROM (SELECT doc_id,
+                       posexplode(transform(sequence(0, length(txt) - $k),
+                         i -> substring(txt, i + 1, $k))) AS (pos, gram)
+                     FROM f))"""
+    s"""WITH t AS (SELECT doc_id, $join($toks, ' ') AS txt FROM documents),
+       f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= $k),
+       $gramCtes,
+       wm AS (SELECT doc_id, pos,
+             min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n
+             FROM h),
+       sel AS (SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp FROM wm
+               WHERE pos <= greatest(n - $w, 0)),
+       rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM sel GROUP BY fp) d
+                WHERE df <= $dfCap),
+       kept AS (SELECT s2.doc_id, s2.fp FROM sel s2 JOIN rare USING (fp)),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM kept
+              GROUP BY doc_id),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= $minShared),
+       sc AS (SELECT doc_a, doc_b, n_shared,
+              CAST((20000 * n_shared + least(sa.n_fp, sb.n_fp))
+                $div (2 * least(sa.n_fp, sb.n_fp)) AS BIGINT) AS overlap_1e4
+              FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id
+                      JOIN sz sb ON pr.doc_b = sb.doc_id)
+       SELECT doc_a, doc_b, n_shared, overlap_1e4
+       FROM sc WHERE overlap_1e4 >= $overlapMin1e4
+       ORDER BY doc_a, doc_b"""
+  }
 }

@@ -1491,6 +1491,9 @@ object SqlFrontDoor {
                 min(substring(wmin, 1, 32)) AS min_fp
          FROM sel GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_dedup_winnow" ->
+      graft.operators.Dedup.winnowPairsSql(duck = false, toksSql, "DIV"),
+
     "q_forward_fill" ->
       """WITH c AS (SELECT user_id, event_id, ts,
            CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0','1','2')

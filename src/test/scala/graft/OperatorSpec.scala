@@ -205,6 +205,31 @@ class OperatorSpec extends SparkTestBase {
     assert(checked > 400, "fixture must exercise the fingerprinter broadly")
   }
 
+  test("winnow pairs: containment scoring, specificity, df-cap boilerplate guard") {
+    import spark.implicits._
+    // doc 2 quotes doc 1 wholesale inside extra text; doc 3 is unrelated
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, "intro words " + quoted + " closing remarks"),
+      (3L, "completely different vocabulary everywhere here now")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairsCore(docs, 8, 4, 1L, 100L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(pairs.contains((1L, 2L)), "the quoting pair must surface")
+    val (shared, overlap) = pairs((1L, 2L))
+    assert(shared >= 1L)
+    // containment reading: the quoted doc's interior fingerprints are all
+    // re-selected inside the quoting doc (hash dominates the packed min,
+    // so selection is position-shift-robust), so shared/min(na,nb) is high
+    assert(overlap >= 5000L, s"wholesale quote must score high, got $overlap")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "an unrelated doc must not pair")
+    // dfCap = 1: any fingerprint in 2+ docs is 'boilerplate' and drops
+    // BEFORE the join, so nothing can pair at all
+    assert(Dedup.winnowPairsCore(docs, 8, 4, 1L, 1L).collect().isEmpty,
+      "the df cap must drop shared fingerprints before the self-join")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
     import spark.implicits._
     // A and B share the 30-char normalized run 'alpha beta gamma delta

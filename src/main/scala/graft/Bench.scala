@@ -49,7 +49,11 @@ object Bench {
     // iteration; Bellman-Ford over the co-purchase edges) — floor-gated
     // so a regression there is visible to the driver's 2x gate
     "q_markov_attribution",
-    "q_shortest_paths")
+    "q_shortest_paths",
+    // r11 addition: the winnowed near-dup pair join (corpus-wide char-gram
+    // explode + window pass + df-capped self-join) — the costliest new
+    // r11 plan, floor-gated on arrival
+    "q_dedup_winnow")
 
   /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
   def loadFloors(sfName: String): Map[String, Double] = {

@@ -867,6 +867,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming winnow screen: per-batch pairs equal the batch operator over the corpus-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("winnowstream")
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val d1 = Seq(
+      (1L, quoted),
+      (2L, "intro words " + quoted + " closing remarks"),
+      (3L, "completely different vocabulary everywhere here now"))
+    val d2 = Seq((10L, "second wave copy " + quoted + " trailing text"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.WinnowStream.start(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt",
+      k = 8, w = 4, minShared = 1, dfCap = 100, overlapMin1e4 = 0)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "n_shared", "overlap_1e4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      input.addData(d1: _*)
+      q.processAllAvailable()
+      // batch 0's pairs ARE the batch operator over batch 0's corpus
+      val got0 = pairsOf(spark.read.parquet(s"$base/pairs/batch=0"))
+      val want0 = pairsOf(graft.operators.Dedup
+        .winnowPairsCore(d1.toDF("doc_id", "text"), 8, 4, 1L, 100L, 0L))
+      assert(got0 == want0, s"batch 0: $got0 vs $want0")
+      assert(got0.exists(p => p._1 == 1L && p._2 == 2L),
+        "the intra-batch quoting pair must surface")
+      input.addData(d2: _*)
+      q.processAllAvailable()
+      // batch 1's pairs = the batch operator over the WHOLE corpus-so-far,
+      // restricted to pairs whose greater member arrived in batch 1 —
+      // found via the persistent index, without re-reading batch 0 text
+      val got1 = pairsOf(spark.read.parquet(s"$base/pairs/batch=1"))
+      val want1 = pairsOf(graft.operators.Dedup
+        .winnowPairsCore((d1 ++ d2).toDF("doc_id", "text"), 8, 4, 1L, 100L, 0L))
+        .filter(_._2 == 10L)
+      assert(got1 == want1, s"batch 1: $got1 vs $want1")
+      assert(got1.exists(p => p._1 == 1L && p._2 == 10L),
+        "the cross-batch quote must be found via the index")
+      assert(!((got0 ++ got1).exists(p => p._1 == 3L || p._2 == 3L)),
+        "the disjoint-vocabulary doc must never pair")
+      // every screened doc's fingerprints are indexed
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 2L, 3L, 10L))
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup: later batches screen against earlier ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

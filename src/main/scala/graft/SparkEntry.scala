@@ -246,6 +246,8 @@ object SparkEntry {
     "q_min_cost_supplier" -> (Analytics.minCostSupplier(_, _)),
     "q_acf_daily_value" -> (Analytics.acfDailyValue(_, _)),
     "q_ccf_click_purchase" -> (Analytics.ccfDailyValue(_, _)),
+    "q_theil_sen_trend" -> (Analytics.theilSenTrend(_, _)),
+    "q_kendall_tau_daily" -> (Analytics.kendallTauDaily(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2634,6 +2636,11 @@ object SparkEntry {
     "q_min_cost_supplier" ->
       operators.Analytics.minCostSupplierSql("Brand#2"),
     "q_acf_daily_value" -> operators.Analytics.acfDailyValueSql(7),
+
+    "q_theil_sen_trend" ->
+      operators.Analytics.theilSenTrendSql("date_diff('day', a.day, b.day)"),
+
+    "q_kendall_tau_daily" -> operators.Analytics.kendallTauDailySql,
     "q_ccf_click_purchase" ->
       operators.Analytics.ccfDailyValueSql("click", "purchase", 7),
     "q_traffic_kpi_report" ->

@@ -3424,6 +3424,158 @@ object Analytics {
        FROM fin ORDER BY lag_d"""
   }
 
+  /** Theil-Sen robust trend of the daily revenue series: the MEDIAN of
+    * all pairwise day-to-day slopes — the estimator whose breakdown
+    * point (~29%) shrugs off the outlier days that pull an OLS line
+    * ([[priceQuantitySlope]] is the parametric sibling; one flash-sale
+    * day can own its slope, but not this one). Exact rationals
+    * throughout: a pair's slope is (cents_j − cents_i)/(days apart), the
+    * median is the LOWER order statistic at rank (n+1) DIV 2 under an
+    * order both engines reproduce bit-for-bit (slope doubles are single
+    * correctly-rounded divisions of modest integers — identical IEEE
+    * results — with a full deterministic integer tiebreak behind them),
+    * and the reported slope is the exact truncated integer quotient of
+    * the WINNING pair's rational (the regr-slope discipline; no float
+    * ever reaches the output).
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the pairwise slope set is the documented catalog-sized crossJoin
+    * (|days|² pairs — a decade is ~6.7M rows, still catalog-sized) and
+    * the median is one row_number window over it. Nothing row-sized
+    * shuffles twice.
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+    val a = daily.select(col("day").as("da"), col("v").as("va"))
+    val b = daily.select(col("day").as("db"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("num", col("vb") - col("va"))
+      .withColumn("den", expr("CAST(datediff(db, da) AS BIGINT)"))
+    val w = Window.orderBy(
+      expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"),
+      col("num"), col("den"), col("da"))
+    val ranked = pairs.withColumn("rk", row_number().over(w))
+    val stats = pairs.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(stats))
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+      .select(
+        expr("CAST(den AS BIGINT)").as("median_gap_days"),
+        col("n_pairs"),
+        expr("""CAST((num * 1000000 - (num * 1000000) % den) / den AS BIGINT)""")
+          .as("slope_cents_per_day_1e6"))
+  }
+
+  /** Portable text except the datediff spelling (the one dialect knob). */
+  private[graft] def theilSenTrendSql(datediff: String): String =
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       pairs AS (SELECT a.day AS da, b.day AS db,
+                        b.v - a.v AS num,
+                        CAST($datediff AS BIGINT) AS den
+                 FROM daily a JOIN daily b ON a.day < b.day),
+       ranked AS (SELECT num, den,
+                    row_number() OVER (ORDER BY
+                      CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                      num, den, da) AS rk
+                  FROM pairs),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+       SELECT CAST(den AS BIGINT) AS median_gap_days, n_pairs,
+              CAST((num * 1000000 - (num * 1000000) % den) / den AS BIGINT)
+                AS slope_cents_per_day_1e6
+       FROM ranked CROSS JOIN st
+       WHERE rk = CAST(floor((n_pairs + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
+
+  /** Kendall tau-b between the daily event COUNT and daily revenue —
+    * the rank-based association that answers "do busier days actually
+    * take more money?" without assuming linearity or trusting outliers
+    * (the Pearson matrix [[corrMatrix]] is the parametric reading; a
+    * single whale day can push r toward 1 while tau barely moves).
+    * PURE INTEGER evidence: concordant/discordant/tie counts over all
+    * day pairs — no ranks materialized, no floats until the single
+    * final tau ratio, whose sqrt operands are exact BIGINTs (IEEE sqrt
+    * is correctly rounded, so even the double is engine-identical).
+    * tau_b handles ties in either margin the standard way:
+    * tau = (C − D) / sqrt((n0 − tx)(n0 − ty)), n0 = n(n−1)/2.
+    *
+    * 100 TB shape: aggregate-first to the |days|-row frame, the pair
+    * census is the documented catalog-sized crossJoin, and the readout
+    * is ONE row of counts.
+    */
+  def kendallTauDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr(
+          "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("y"))
+    val a = daily.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(expr("""CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                    THEN 1 ELSE 0 END""")).as("concordant"),
+        sum(expr("""CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                    THEN 1 ELSE 0 END""")).as("discordant"),
+        sum(expr("CASE WHEN xa = xb THEN 1 ELSE 0 END")).as("ties_x"),
+        sum(expr("CASE WHEN ya = yb THEN 1 ELSE 0 END")).as("ties_y"))
+      .select(col("n0"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        expr("""CASE WHEN n0 = ties_x OR n0 = ties_y THEN CAST(0 AS BIGINT)
+                WHEN concordant >= discordant THEN
+                  CAST(floor(CAST(concordant - discordant AS DOUBLE)
+                    / (sqrt(CAST(n0 - ties_x AS DOUBLE))
+                       * sqrt(CAST(n0 - ties_y AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor(CAST(discordant - concordant AS DOUBLE)
+                    / (sqrt(CAST(n0 - ties_x AS DOUBLE))
+                       * sqrt(CAST(n0 - ties_y AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("tau_b_micro"))
+  }
+
+  /** Fully portable (crossJoin-as-inequality-join, CASE census, IEEE
+    * sqrt readout spell identically in DuckDB and Spark).
+    */
+  private[graft] def kendallTauDailySql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS x,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y
+         FROM events GROUP BY CAST(ts AS DATE)),
+       census AS (
+         SELECT CAST(count(*) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+                CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+                CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+         FROM daily a JOIN daily b ON a.day < b.day)
+       SELECT n0, concordant, discordant, ties_x, ties_y,
+              CASE WHEN n0 = ties_x OR n0 = ties_y THEN CAST(0 AS BIGINT)
+                   WHEN concordant >= discordant THEN
+                     CAST(floor(CAST(concordant - discordant AS DOUBLE)
+                       / (sqrt(CAST(n0 - ties_x AS DOUBLE))
+                          * sqrt(CAST(n0 - ties_y AS DOUBLE)))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor(CAST(discordant - concordant AS DOUBLE)
+                       / (sqrt(CAST(n0 - ties_x AS DOUBLE))
+                          * sqrt(CAST(n0 - ties_y AS DOUBLE)))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS tau_b_micro
+       FROM census"""
+
   /** Cross-correlation function between two event types' daily series:
     * ccf(k) = corr(click_t, purchase_{t+k}) for k in -maxLag..maxLag —
     * the lead/lag detector behind "does click volume LEAD purchase volume,

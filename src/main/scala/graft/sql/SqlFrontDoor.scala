@@ -1494,6 +1494,10 @@ object SqlFrontDoor {
     "q_dedup_winnow" ->
       graft.operators.Dedup.winnowPairsSql(duck = false, toksSql, "DIV"),
 
+    // datediff argument order is the one dialect knob
+    "q_theil_sen_trend" ->
+      graft.operators.Analytics.theilSenTrendSql("datediff(b.day, a.day)"),
+
     "q_forward_fill" ->
       """WITH c AS (SELECT user_id, event_id, ts,
            CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0','1','2')
@@ -3218,7 +3222,7 @@ object SqlFrontDoor {
     "q_balanced_downsample", "q_connected_components", "q_journey_trigrams",
     "q_volume_shipping", "q_top_supplier", "q_min_cost_supplier",
     "q_acf_daily_value", "q_ccf_click_purchase", "q_kcore_membership",
-    "q_corr_matrix",
+    "q_corr_matrix", "q_kendall_tau_daily",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
     "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift")
 

@@ -1086,4 +1086,64 @@ class MiningSpec extends SparkTestBase {
     // spot values: 4 distinct lhs (1,2,3,<null>), 5 distinct pairs
     assert(op == Seq(("k->v", 4L, 5L, 1L, 0L)))
   }
+
+  private def dailyFixture(): Seq[(java.time.LocalDate, Long, Long)] =
+    spark.read.parquet(s"$Sf/events.parquet")
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("value")).collect()
+      .map { r =>
+        val day = r.get(0) match {
+          case t: java.sql.Timestamp =>
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+        }
+        (day, math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      }
+      .groupBy(_._1).map { case (d, xs) =>
+        (d, xs.size.toLong, xs.map(_._2).sum)
+      }.toSeq.sortBy(_._1.toString)
+
+  test("theil-sen trend equals a driver-side median-of-slopes recompute") {
+    val daily = dailyFixture().map { case (d, _, cents) => (d, cents) }
+    val pairs = for {
+      (da, va) <- daily; (db, vb) <- daily
+      if da.isBefore(db)
+    } yield (vb - va, java.time.temporal.ChronoUnit.DAYS.between(da, db), da)
+    // the operator's exact order: slope double, then num, den, da
+    val sorted = pairs.sortBy { case (num, den, da) =>
+      (num.toDouble / den.toDouble, num, den, da.toString)
+    }
+    val n = sorted.length
+    val (num, den, _) = sorted((n + 1) / 2 - 1)
+    val slope = (num * 1000000L - (num * 1000000L) % den) / den
+    val row = graft.operators.Analytics.theilSenTrend(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2)) ==
+      (den, n.toLong, slope))
+  }
+
+  test("kendall tau-b equals a driver-side pair census") {
+    val daily = dailyFixture()
+    var (c, d, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- daily.indices; j <- daily.indices if i < j) {
+      val (_, xa, ya) = daily(i); val (_, xb, yb) = daily(j)
+      n0 += 1
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) c += 1
+      else if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) d += 1
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+    }
+    val tau =
+      if (n0 == tx || n0 == ty) 0L
+      else {
+        val den = math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)
+        if (c >= d) math.floor((c - d).toDouble / den * 1e6 + 0.5).toLong
+        else -math.floor((d - c).toDouble / den * 1e6 + 0.5).toLong
+      }
+    val row = graft.operators.Analytics.kendallTauDaily(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3), row.head.getLong(4), row.head.getLong(5)) ==
+      (n0, c, d, tx, ty, tau))
+  }
 }

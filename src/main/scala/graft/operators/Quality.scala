@@ -1081,6 +1081,114 @@ object Quality {
          ON u.pct = o.pct
        ORDER BY u.pct"""
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the urgent and other
+    * arms' order values — the NONPARAMETRIC significance readout beside
+    * the parametric [[abTestReadout]] and the distributional
+    * [[quantileUplift]]: does one arm stochastically dominate, without
+    * trusting means or normality? Midranks handle ties the standard way;
+    * z uses the tie-corrected variance (no continuity correction —
+    * documented, both engines evaluate the same tree).
+    *
+    * EXACT integer evidence: per distinct cents value, the arm counts
+    * and the cumulative count below give midrank×2 = 2·below + t + 1
+    * (always an integer), so the rank sum and U statistic accumulate in
+    * DECIMAL(38,0) with zero float ranks; u_x2 = 2·U is emitted exactly.
+    * The only float is the final z (correctly-rounded IEEE ops over
+    * exact operands — engine-identical), half-up signed micro.
+    *
+    * 100 TB shape: one map-side (arm, cents) count collapses the feed
+    * to the value-domain CDF frame (the ksDrift/QTE discipline); the
+    * below-count window and the one-row census ride that frame. The
+    * unpartitioned window is bounded by the VALUE DOMAIN, not the feed.
+    */
+  def mannWhitneyValue(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.load(s, dir, "orders")
+      .select(
+        when(col("o_orderpriority") === "1-URGENT", lit("urgent"))
+          .otherwise(lit("other")).as("arm"),
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("cents"))
+      .agg(
+        sum(when(col("arm") === "urgent", 1L).otherwise(0L)).as("cu"),
+        sum(when(col("arm") === "other", 1L).otherwise(0L)).as("co"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perVal
+      .withColumn("b", coalesce(sum(expr("cu + co")).over(w), lit(0L)))
+      .agg(
+        sum(col("cu")).as("n_urgent"),
+        sum(col("co")).as("n_other"),
+        sum(expr("CAST(cu AS DECIMAL(38,0)) * (2 * b + (cu + co) + 1)")).as("r2u"),
+        sum(expr("CAST(cu + co AS DECIMAL(38,0)) * (cu + co) * (cu + co) - (cu + co)"))
+          .as("tcorr"))
+      .withColumn("u_x2_dec",
+        expr("r2u - CAST(n_urgent AS DECIMAL(38,0)) * (n_urgent + 1)"))
+      .withColumn("nn", expr("n_urgent + n_other"))
+      .withColumn("inner", expr(
+        """CAST(n_urgent AS DOUBLE) * CAST(n_other AS DOUBLE)
+           * (CAST(nn + 1 AS DOUBLE)
+              - CAST(tcorr AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+           / CAST(12 AS DOUBLE)"""))
+      .withColumn("num", expr(
+        "CAST(u_x2_dec - CAST(n_urgent AS DECIMAL(38,0)) * n_other AS DOUBLE)"))
+      .select(col("n_urgent"), col("n_other"),
+        expr("CAST(u_x2_dec AS BIGINT)").as("u_urgent_x2"),
+        expr("""CASE WHEN n_urgent = 0 OR n_other = 0 OR nn < 2 OR inner <= 0
+                THEN CAST(0 AS BIGINT)
+                WHEN num >= 0 THEN CAST(floor(num / (2 * sqrt(inner))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor((-num) / (2 * sqrt(inner))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("z_micro"))
+  }
+
+  /** Fully portable text for [[mannWhitneyValue]]. */
+  private[graft] def mannWhitneyValueSql: String =
+    """WITH cells AS (
+         SELECT CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cu,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS co
+         FROM orders GROUP BY 1),
+       withb AS (SELECT cents, cu, co,
+                 coalesce(sum(cu + co) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS b
+                 FROM cells),
+       agg AS (SELECT
+                 CAST(sum(cu) AS BIGINT) AS n_urgent,
+                 CAST(sum(co) AS BIGINT) AS n_other,
+                 sum(CAST(cu AS DECIMAL(38,0)) * (2 * b + (cu + co) + 1)) AS r2u,
+                 sum(CAST(cu + co AS DECIMAL(38,0)) * (cu + co) * (cu + co)
+                     - (cu + co)) AS tcorr
+               FROM withb),
+       fin AS (SELECT n_urgent, n_other,
+                 r2u - CAST(n_urgent AS DECIMAL(38,0)) * (n_urgent + 1) AS u_x2_dec,
+                 n_urgent + n_other AS nn, tcorr
+               FROM agg),
+       rd AS (SELECT n_urgent, n_other, u_x2_dec, nn,
+                CAST(n_urgent AS DOUBLE) * CAST(n_other AS DOUBLE)
+                  * (CAST(nn + 1 AS DOUBLE)
+                     - CAST(tcorr AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))
+                  / CAST(12 AS DOUBLE) AS inr,
+                CAST(u_x2_dec - CAST(n_urgent AS DECIMAL(38,0)) * n_other
+                  AS DOUBLE) AS num
+              FROM fin)
+       SELECT n_urgent, n_other,
+              CAST(u_x2_dec AS BIGINT) AS u_urgent_x2,
+              CASE WHEN n_urgent = 0 OR n_other = 0 OR nn < 2 OR inr <= 0
+                   THEN CAST(0 AS BIGINT)
+                   WHEN num >= 0 THEN CAST(floor(num / (2 * sqrt(inr))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor((-num) / (2 * sqrt(inr))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS z_micro
+       FROM rd"""
+
   /** Empirical-Bayes shrunken return rates per part: rate estimates
     * shrunk toward the global rate with prior weight `k` —
     * (x + k*p0) / (n + k) — the "small-sample leaderboard" fix every

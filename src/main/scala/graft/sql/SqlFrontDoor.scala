@@ -3224,7 +3224,8 @@ object SqlFrontDoor {
     "q_acf_daily_value", "q_ccf_click_purchase", "q_kcore_membership",
     "q_corr_matrix", "q_kendall_tau_daily",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
-    "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift")
+    "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift",
+    "q_mannwhitney_value")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -1122,6 +1122,52 @@ class MiningSpec extends SparkTestBase {
       (den, n.toLong, slope))
   }
 
+  test("mann-whitney U equals a driver-side midrank recompute; U_u + U_o = n_u*n_o") {
+    val vals = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("o_totalprice")).collect()
+      .map(r => (r.getString(0) == "1-URGENT",
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val byVal = vals.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (v, xs) =>
+        (v, xs.count(_._1).toLong, xs.count(!_._1).toLong)
+      }
+    var below = 0L
+    var r2u = BigInt(0)
+    var tcorr = BigInt(0)
+    byVal.foreach { case (_, cu, co) =>
+      val t = cu + co
+      r2u += BigInt(cu) * (2 * below + t + 1)
+      tcorr += BigInt(t) * t * t - t
+      below += t
+    }
+    val nu = vals.count(_._1).toLong
+    val no = vals.count(!_._1).toLong
+    val u2 = r2u - BigInt(nu) * (nu + 1)
+    // rank-sum identity: U_u + U_o == n_u * n_o (in x2 units: sum of both
+    // arms' u2 equals 2 * nu * no)
+    var r2o = BigInt(0)
+    below = 0L
+    byVal.foreach { case (_, cu, co) =>
+      val t = cu + co
+      r2o += BigInt(co) * (2 * below + t + 1)
+      below += t
+    }
+    assert(u2 + (r2o - BigInt(no) * (no + 1)) == BigInt(2) * nu * no)
+    val nn = nu + no
+    val inner = nu.toDouble * no.toDouble *
+      ((nn + 1).toDouble - tcorr.toDouble / (nn.toDouble * (nn - 1).toDouble)) / 12d
+    val num = (u2 - BigInt(nu) * no).toDouble
+    val z =
+      if (inner <= 0) 0L
+      else if (num >= 0) math.floor(num / (2 * math.sqrt(inner)) * 1e6 + 0.5).toLong
+      else -math.floor(-num / (2 * math.sqrt(inner)) * 1e6 + 0.5).toLong
+    val row = Quality.mannWhitneyValue(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3)) == (nu, no, u2.toLong, z))
+  }
+
   test("kendall tau-b equals a driver-side pair census") {
     val daily = dailyFixture()
     var (c, d, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_ab_power_audit" -> (Quality.abPowerAudit(_, _)),
     "q_quantile_uplift" -> (Quality.quantileUplift(_, _)),
     "q_mannwhitney_value" -> (Quality.mannWhitneyValue(_, _)),
+    "q_bootstrap_ci_revenue" -> (Quality.bootstrapRevenueCi(_, _)),
     "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
     "q_shrunken_rates" -> (Quality.shrunkenRates(_, _)),
     "q_moment_profile_incremental" ->
@@ -2234,6 +2235,8 @@ object SparkEntry {
     // exact max-rank per-decile order statistics, urgent minus other
     "q_quantile_uplift" -> operators.Quality.quantileUpliftSql,
     "q_mannwhitney_value" -> operators.Quality.mannWhitneyValueSql,
+    "q_bootstrap_ci_revenue" ->
+      operators.Quality.bootstrapRevenueCiSql(duck = true),
     // staleness per type behind the feed head; // + epoch_us dialect
     "q_freshness_audit" ->
       operators.Quality.freshnessAuditSql("//", "epoch_us(ts)"),

@@ -1189,6 +1189,101 @@ object Quality {
               END AS z_micro
        FROM rd"""
 
+  /** Poisson(1) weight from an 8-hex md5 prefix — the deterministic
+    * resampling kernel of the distributed bootstrap. Thresholds are
+    * floor(CDF(k)·2^32) rendered as fixed-width lowercase hex LITERALS,
+    * so both engines compare the same strings (the stratifiedSplit
+    * hash-split convention); the tail past k=8 (~7e-6 mass) rounds
+    * into 8.
+    */
+  private[graft] def poissonWeightCase(hexpr: String): String =
+    s"""CASE WHEN $hexpr < '5e2d58d8' THEN 0
+         WHEN $hexpr < 'bc5ab1b1' THEN 1
+         WHEN $hexpr < 'eb715e1d' THEN 2
+         WHEN $hexpr < 'fb239797' THEN 3
+         WHEN $hexpr < 'ff1025f5' THEN 4
+         WHEN $hexpr < 'ffd90f3b' THEN 5
+         WHEN $hexpr < 'fffa8b71' THEN 6
+         WHEN $hexpr < 'ffff540c' THEN 7
+         ELSE 8 END"""
+
+  /** Bootstrap confidence interval for total order revenue via the
+    * POISSON BOOTSTRAP (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012 — the canonical distributed
+    * bootstrap): replicate r reweights every order by an independent
+    * Poisson(1) count derived DETERMINISTICALLY from
+    * md5(order_key : r), so resampling needs no RNG state, no
+    * per-replicate shuffle, and no row exchange at all beyond one
+    * map-side-combinable aggregate — Poisson(1) counts approximate the
+    * multinomial resample without needing to know n in advance, which
+    * is exactly why this is THE bootstrap that survives 100 TB.
+    *
+    * ZERO floats: replicate totals are integer cent sums; the CI bounds
+    * are max-rank order statistics over the B-replicate frame (the
+    * weightedLengthPercentiles rule) at 2.5% / 97.5%.
+    *
+    * 100 TB shape: the B-fold explode happens INSIDE the scan
+    * projection and collapses map-side — the shuffle carries at most B
+    * partial rows per input partition, and everything after rides the
+    * B-row frame. B=200 keeps the percentile resolution honest at the
+    * 2.5% tails (5 replicates below the bound).
+    */
+  def bootstrapRevenueCi(s: SparkSession, dir: String, b: Int = 200): DataFrame = {
+    require(b >= 40, "need enough replicates to resolve the 2.5% tails")
+    val wexpr = poissonWeightCase(
+      "substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(rep AS STRING))), 1, 8)")
+    val reps = Tables.load(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("rep"))
+      .groupBy(col("rep"))
+      .agg(sum(expr(s"CAST(($wexpr) AS BIGINT) * cents")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"), col("rep"))
+    val ranked = reps.withColumn("rn", row_number().over(w))
+    val base = Tables.load(s, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr(
+          "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("total_cents"))
+    base
+      .crossJoin(broadcast(ranked.filter(expr(s"rn * 1000 >= 25 * $b"))
+        .agg(min(col("t")).as("boot_lo_cents"))))
+      .crossJoin(broadcast(ranked.filter(expr(s"rn * 1000 >= 975 * $b"))
+        .agg(min(col("t")).as("boot_hi_cents"))))
+      .select(col("n_orders"), col("total_cents"),
+        col("boot_lo_cents"), col("boot_hi_cents"),
+        lit(b.toLong).as("n_reps"))
+  }
+
+  /** Fully portable text for [[bootstrapRevenueCi]] (explode spells as
+    * unnest(range) in DuckDB — the one dialect knob, parameterized).
+    */
+  private[graft] def bootstrapRevenueCiSql(duck: Boolean, b: Int = 200): String = {
+    val repSrc =
+      if (duck) s"SELECT o_orderkey, o_totalprice, unnest(range(0, $b)) AS rep FROM orders"
+      else s"SELECT o_orderkey, o_totalprice, explode(sequence(0, ${b - 1})) AS rep FROM orders"
+    val wexpr = poissonWeightCase(
+      "substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(rep AS STRING))), 1, 8)")
+    s"""WITH r AS ($repSrc),
+       tot AS (SELECT rep,
+                 CAST(sum(CAST(($wexpr) AS BIGINT)
+                   * CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS t
+               FROM r GROUP BY rep),
+       rk AS (SELECT t, rep, row_number() OVER (ORDER BY t, rep) AS rn FROM tot),
+       lo AS (SELECT min(t) AS boot_lo_cents FROM rk WHERE rn * 1000 >= 25 * $b),
+       hi AS (SELECT min(t) AS boot_hi_cents FROM rk WHERE rn * 1000 >= 975 * $b),
+       base AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total_cents
+                FROM orders)
+       SELECT n_orders, total_cents, boot_lo_cents, boot_hi_cents,
+              CAST($b AS BIGINT) AS n_reps
+       FROM base CROSS JOIN lo CROSS JOIN hi"""
+  }
+
   /** Empirical-Bayes shrunken return rates per part: rate estimates
     * shrunk toward the global rate with prior weight `k` —
     * (x + k*p0) / (n + k) — the "small-sample leaderboard" fix every

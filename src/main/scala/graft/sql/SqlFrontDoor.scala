@@ -1498,6 +1498,10 @@ object SqlFrontDoor {
     "q_theil_sen_trend" ->
       graft.operators.Analytics.theilSenTrendSql("datediff(b.day, a.day)"),
 
+    // explode-vs-unnest is the one dialect knob
+    "q_bootstrap_ci_revenue" ->
+      graft.operators.Quality.bootstrapRevenueCiSql(duck = false),
+
     "q_forward_fill" ->
       """WITH c AS (SELECT user_id, event_id, ts,
            CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 1) IN ('0','1','2')

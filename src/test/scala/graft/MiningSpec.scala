@@ -1168,6 +1168,48 @@ class MiningSpec extends SparkTestBase {
       row.head.getLong(3)) == (nu, no, u2.toLong, z))
   }
 
+  test("poisson bootstrap CI equals a driver-side deterministic recompute; CI brackets the total") {
+    val b = 200
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def md5hex8(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val thresholds = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
+    def weight(h: String): Long = {
+      val i = thresholds.indexWhere(t => h < t)
+      if (i < 0) 8L else i.toLong
+    }
+    var wsum = 0L
+    val totals = (0 until b).map { rep =>
+      val t = orders.map { case (k, cents) =>
+        val wv = weight(md5hex8(s"$k:$rep"))
+        wsum += wv
+        wv * cents
+      }.sum
+      (rep.toLong, t)
+    }
+    // the Poisson(1) kernel really has unit mean on this fixture
+    val meanW = wsum.toDouble / (orders.length.toLong * b)
+    assert(math.abs(meanW - 1.0) < 0.01, s"poisson mean drifted: $meanW")
+    val sorted = totals.sortBy(x => (x._2, x._1)).map(_._2)
+    def bound(pctPerMille: Int): Long =
+      sorted.zipWithIndex.collectFirst {
+        case (t, i) if (i + 1) * 1000 >= pctPerMille * b => t
+      }.get
+    val trueTotal = orders.map(_._2).sum
+    val row = Quality.bootstrapRevenueCi(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3), row.head.getLong(4)) ==
+      (orders.length.toLong, trueTotal, bound(25), bound(975), b.toLong))
+    assert(row.head.getLong(2) <= trueTotal && trueTotal <= row.head.getLong(3),
+      "the 95% CI must bracket the true total on this fixture")
+  }
+
   test("kendall tau-b equals a driver-side pair census") {
     val daily = dailyFixture()
     var (c, d, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)

@@ -137,6 +137,7 @@ object SparkEntry {
     "q_quantile_uplift" -> (Quality.quantileUplift(_, _)),
     "q_mannwhitney_value" -> (Quality.mannWhitneyValue(_, _)),
     "q_bootstrap_ci_revenue" -> (Quality.bootstrapRevenueCi(_, _)),
+    "q_bootstrap_ci_incremental" -> (Quality.bootstrapRevenueCiIncremental(_, _)),
     "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
     "q_shrunken_rates" -> (Quality.shrunkenRates(_, _)),
     "q_moment_profile_incremental" ->
@@ -2236,6 +2237,9 @@ object SparkEntry {
     "q_quantile_uplift" -> operators.Quality.quantileUpliftSql,
     "q_mannwhitney_value" -> operators.Quality.mannWhitneyValueSql,
     "q_bootstrap_ci_revenue" ->
+      operators.Quality.bootstrapRevenueCiSql(duck = true),
+    // merge == rescan: the incremental face's oracle IS the one-shot text
+    "q_bootstrap_ci_incremental" ->
       operators.Quality.bootstrapRevenueCiSql(duck = true),
     // staleness per type behind the feed head; // + epoch_us dialect
     "q_freshness_audit" ->

@@ -1229,24 +1229,56 @@ object Quality {
     * 2.5% tails (5 replicates below the bound).
     */
   def bootstrapRevenueCi(s: SparkSession, dir: String, b: Int = 200): DataFrame = {
+    val o = bootInput(s, dir)
+    bootstrapReadout(bootBase(o), bootTotals(o, b), b)
+  }
+
+  /** The staged/incremental face of [[bootstrapRevenueCi]] — replicate
+    * totals are SUMS of deterministic per-row terms, so they ADD across
+    * slices: "prefix summarized, delta arrives" unions the per-slice
+    * (rep, t) partials and re-sums, never rescanning the prefix, and the
+    * merged integers equal the one-shot scan's exactly (the corrMatrix /
+    * momentProfile mergeability story — the oracle IS the one-shot
+    * statement, merge == rescan to the exact cent).
+    */
+  def bootstrapRevenueCiIncremental(s: SparkSession, dir: String,
+                                    b: Int = 200): DataFrame = {
+    val o = bootInput(s, dir)
+    val split = o.agg(max(col("o_orderkey"))).head().getLong(0) * 4 / 5
+    val slices = Seq(o.filter(col("o_orderkey") <= split),
+      o.filter(col("o_orderkey") > split))
+    val reps = slices.map(bootTotals(_, b)).reduce(_ unionByName _)
+      .groupBy(col("rep")).agg(sum(col("t")).as("t"))
+    val base = slices.map(bootBase).reduce(_ unionByName _)
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("total_cents")).as("total_cents"))
+    bootstrapReadout(base, reps, b)
+  }
+
+  private def bootInput(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("cents"))
+
+  /** Per-replicate reweighted totals — the mergeable partial. */
+  private def bootTotals(o: DataFrame, b: Int): DataFrame = {
     require(b >= 40, "need enough replicates to resolve the 2.5% tails")
     val wexpr = poissonWeightCase(
       "substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(rep AS STRING))), 1, 8)")
-    val reps = Tables.load(s, dir, "orders")
-      .select(
-        col("o_orderkey"),
-        expr("CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
-          .as("cents"),
+    o.select(col("o_orderkey"), col("cents"),
         explode(expr(s"sequence(0, ${b - 1})")).as("rep"))
       .groupBy(col("rep"))
       .agg(sum(expr(s"CAST(($wexpr) AS BIGINT) * cents")).as("t"))
+  }
+
+  private def bootBase(o: DataFrame): DataFrame =
+    o.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+
+  private def bootstrapReadout(base: DataFrame, reps: DataFrame,
+                               b: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"), col("rep"))
     val ranked = reps.withColumn("rn", row_number().over(w))
-    val base = Tables.load(s, dir, "orders")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(expr(
-          "CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
-          .as("total_cents"))
     base
       .crossJoin(broadcast(ranked.filter(expr(s"rn * 1000 >= 25 * $b"))
         .agg(min(col("t")).as("boot_lo_cents"))))

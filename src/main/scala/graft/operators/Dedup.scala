@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -1138,15 +1139,24 @@ object Dedup {
                                     minShared: Long = 3, dfCap: Long = 100,
                                     overlapMin1e4: Long = 2500): String = {
     val join = if (duck) "array_to_string" else "array_join"
+    // the pos-desc tiebreak packs as lpad(999999 - pos): past 1e6 grams
+    // the subtraction goes negative and would silently mis-order the
+    // (hash, pos) tiebreak — fail LOUDLY instead, exactly like the Scala
+    // operator's raise_error guard (r11 advisory)
     val gramCtes = if (duck)
       s"""g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - ${k - 1})) AS pos FROM f),
          h AS (SELECT doc_id, pos,
                concat(md5(substr(txt, CAST(pos AS INT) + 1, $k)),
-                      lpad(CAST(999999 - pos AS VARCHAR), 6, '0')) AS pk
+                      CASE WHEN pos < 999999
+                           THEN lpad(CAST(999999 - pos AS VARCHAR), 6, '0')
+                           ELSE error('winnow: document exceeds the 1e6-gram packing range') END) AS pk
                FROM g)"""
     else
       s"""h AS (SELECT doc_id, pos,
-               concat(md5(gram), lpad(CAST(999999 - pos AS STRING), 6, '0')) AS pk
+               concat(md5(gram),
+                      CASE WHEN pos < 999999
+                           THEN lpad(CAST(999999 - pos AS STRING), 6, '0')
+                           ELSE raise_error('winnow: document exceeds the 1e6-gram packing range') END) AS pk
                FROM (SELECT doc_id,
                        posexplode(transform(sequence(0, length(txt) - $k),
                          i -> substring(txt, i + 1, $k))) AS (pos, gram)
@@ -1179,5 +1189,124 @@ object Dedup {
        SELECT doc_a, doc_b, n_shared, overlap_1e4
        FROM sc WHERE overlap_1e4 >= $overlapMin1e4
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** 7. Exact substring dedup (Lee et al. 2022, arXiv:2107.06499 —
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * maximal EXACTLY-shared substrings of length >= `minLen` between
+    * document pairs, with span coordinates — the exact complement of
+    * the probabilistic winnowing screen ([[winnowPairs]] FLAGS a
+    * partial-copy pair; this NAMES the copied characters, the output a
+    * train-data pipeline cuts with). Positions index the canonical
+    * normalized text (lowercased [a-z0-9]+ tokens joined by single
+    * spaces — the normal form every text operator here fingerprints).
+    *
+    * Algorithm — the distributed shape, NOT Lee et al.'s single-node
+    * suffix array: a k-gram position table, the df-cap boilerplate
+    * screen, an equi self-join on the RAW GRAM (the 16-char text
+    * itself, NOT a hash — a join key shorter than its own md5 hex, and
+    * a collision cannot fabricate a span), then a per-diagonal island
+    * merge: matches between a doc pair at offset difference
+    * diag = pos_a − pos_b with CONSECUTIVE positions are one shared
+    * run, grouped by the classic pos − row_number() island key; a run
+    * of r consecutive matching k-grams is an exact shared substring of
+    * length r + k − 1.
+    *
+    * Guarantee: every shared substring of length >= minLen whose
+    * k-grams all survive the df cap is reported at its MAXIMAL extent
+    * (each of its len − k + 1 grams matches on the same diagonal, and
+    * island-merge is exact). A span containing a capped gram splits at
+    * that gram — deliberate: corpus-wide boilerplate (licenses,
+    * headers) is exactly what substring dedup must not flood on, the
+    * same stop-fingerprint discipline as [[winnowPairs]].
+    *
+    * 100 TB shape: the gram table is a map-only explode off the scan
+    * (NOT pinned — it is O(corpus chars) wide, ~k× the text bytes, so
+    * re-deriving beats materializing; its three consumers shuffle on
+    * the same gram key and reuse one exchange); the df census and join
+    * key are the gram itself; join buckets are <= dfCap docs by
+    * construction; the island merge shuffles once on
+    * (doc_a, doc_b, diag) and windows within groups — partitioned by
+    * pair, never a global sort. Never all-pairs.
+    */
+  def substringDedup(s: SparkSession, dir: String, k: Int = 16,
+                     dfCap: Long = 100, minLen: Long = 32): DataFrame =
+    substringDedupCore(Tables.spread(s, dir, "documents"), k, dfCap, minLen)
+
+  private[graft] def substringDedupCore(docs: DataFrame, k: Int,
+                                        dfCap: Long, minLen: Long): DataFrame = {
+    require(k >= 2, "gram length must be at least 2")
+    require(minLen >= k, "a reportable span cannot be shorter than one gram")
+    val txt = docs
+      .withColumn("txt", expr(s"array_join(${TextAnalysis.TokensExpr}, ' ')"))
+      .filter(length(col("txt")) >= k)
+    val grams = txt.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, length(txt) - $k), i -> substring(txt, i + 1, $k))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram"))
+    val rare = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("gram"))
+    val kept = grams.join(rare, Seq("gram"))
+    val m = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit((k - 1).toLong)).as("match_len"))
+      .filter(col("match_len") >= minLen)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("match_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** [[substringDedup]] as dialect-templated SQL — one text for both
+    * engines (the winnowPairsSql discipline); unnest/posexplode is the
+    * dialect point, parameters in lockstep with the operator defaults.
+    */
+  private[graft] def substringDedupSql(duck: Boolean, toks: String,
+                                       k: Int = 16, dfCap: Long = 100,
+                                       minLen: Long = 32): String = {
+    val join = if (duck) "array_to_string" else "array_join"
+    val gramCtes = if (duck)
+      s"""g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - ${k - 1})) AS pos FROM f),
+         h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                      substr(txt, CAST(pos AS INT) + 1, $k) AS gram FROM g)"""
+    else
+      s"""h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+               FROM (SELECT doc_id,
+                       posexplode(transform(sequence(0, length(txt) - $k),
+                         i -> substring(txt, i + 1, $k))) AS (pos, gram)
+                     FROM f))"""
+    s"""WITH t AS (SELECT doc_id, $join($toks, ' ') AS txt FROM documents),
+       f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= $k),
+       $gramCtes,
+       rare AS (SELECT gram FROM (
+                  SELECT gram, count(DISTINCT doc_id) AS df FROM h GROUP BY gram) d
+                WHERE df <= $dfCap),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+             FROM (SELECT h2.doc_id, h2.pos, h2.gram FROM h h2 JOIN rare USING (gram)) a
+             JOIN (SELECT h3.doc_id, h3.pos, h3.gram FROM h h3 JOIN rare USING (gram)) b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       r AS (SELECT doc_a, doc_b, diag, pa, pb,
+                    pa - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             FROM m),
+       runs AS (SELECT doc_a, doc_b,
+                       CAST(min(pa) AS BIGINT) AS start_a,
+                       CAST(min(pb) AS BIGINT) AS start_b,
+                       CAST(count(*) + ${k - 1} AS BIGINT) AS match_len
+                FROM r GROUP BY doc_a, doc_b, diag, grp)
+       SELECT doc_a, doc_b, start_a, start_b, match_len
+       FROM runs WHERE match_len >= $minLen
+       ORDER BY doc_a, doc_b, start_a, start_b"""
   }
 }

@@ -1246,6 +1246,11 @@ object Quality {
   def bootstrapRevenueCiIncremental(s: SparkSession, dir: String,
                                     b: Int = 200): DataFrame = {
     val o = bootInput(s, dir)
+    // deliberate driver action (SCALE.md ledger): the 80/20 replay split
+    // point is ONE long off a max() aggregate — catalog-sized by contract.
+    // It exists only to FABRICATE the two slices this demo replays; a
+    // production incremental run is HANDED its slice boundary (the
+    // previous run's high-water mark) and never computes it
     val split = o.agg(max(col("o_orderkey"))).head().getLong(0) * 4 / 5
     val slices = Seq(o.filter(col("o_orderkey") <= split),
       o.filter(col("o_orderkey") > split))

@@ -21,6 +21,32 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Sentinel default for nLists parameters: derive from the corpus size
+    * at call time ([[deriveNLists]]) instead of pinning a constant.
+    */
+  val AutoNLists: Int = -1
+
+  /** The nLists ∝ corpus rule, wired (r11 verdict task 3): target ~320
+    * vectors per inverted list, floored at 16 (so every driver fixture —
+    * 500/500/2000 vectors at the oracle-checked SFs — resolves to the
+    * historical 16 and no DuckDB oracle moves), capped at the packed
+    * centroid-id ceiling. The sf1 empirical probe
+    * (tools/SemDedupLeverProbe, SCALE.md) measured the U-shape minimum
+    * near 64 at 20k vectors; n/320 lands 62 there and keeps the expected
+    * cluster size — hence the O(Σ cluster²) within-cluster pair term —
+    * constant as the corpus grows.
+    */
+  private[graft] def deriveNLists(n: Long): Int =
+    math.min(65536L, math.max(16L, n / 320L)).toInt
+
+  /** Resolve an nLists argument: explicit values pass through; the
+    * [[AutoNLists]] sentinel derives from a count of the comparison
+    * universe (one cheap parquet-metadata-driven aggregate, driver-side
+    * by design — a single long, recorded in the collect()-audit ledger).
+    */
+  private def resolveNLists(nLists: Int, universe: DataFrame): Int =
+    if (nLists == AutoNLists) deriveNLists(universe.count()) else nLists
+
   /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
     * double, left-to-right (parity with DuckDB's list_dot_product on
     * DOUBLE[]). Uses the native codegen'd dot_f expression
@@ -985,8 +1011,16 @@ object Similarity {
     * Scale shape: the O(n²) similarity search collapses to within-cluster
     * joins — O(Σ cluster²) — and nLists is the lever that keeps clusters
     * bounded as the corpus grows (nLists ∝ corpus size keeps the expected
-    * cluster size constant). The exact float re-check touches only
-    * same-cluster pairs. A skew-pathological whale cluster (one list
+    * cluster size constant). The default now WIRES that rule
+    * ([[AutoNLists]] → [[deriveNLists]]: max(16, n/320), probed empirically
+    * at sf1 — 16 → 5.09s, 64 → 4.81s, 160 → 5.83s at 20k vectors, and the
+    * derivation lands 62 there); pass nLists explicitly only to pin a
+    * build. The oracle queries pin 16, which the derivation EQUALS at
+    * every oracle-checked SF (the 16 floor holds until n > 5120), so the
+    * lever changes no checked answer. Frozen staged quantizers
+    * (stageIvfQuantizer) keep their build-time nLists — the incremental
+    * and streaming faces read `_centroids` and never re-derive.
+    * The exact float re-check touches only same-cluster pairs. A skew-pathological whale cluster (one list
     * holding a corpus-scale fraction) is ENFORCED down to bounded work by
     * the nearestInLabel sub-block cap ([[semanticDropsCore]]): clusters
     * over `maxBlock` members split into hash sub-blocks with adjacent
@@ -1000,7 +1034,7 @@ object Similarity {
     * would-drop; the nearestInLabel recall-floor contract, OperatorSpec
     * pins both properties on a whale-heavy fixture).
     */
-  def semanticDedup(s: SparkSession, dir: String, nLists: Int = 16,
+  def semanticDedup(s: SparkSession, dir: String, nLists: Int = AutoNLists,
                     iters: Int = 2, thresholdMicros: Long = 400000L,
                     maxVecIdExclusive: Long = Long.MaxValue,
                     trainMaxVecIdExclusive: Long = Long.MaxValue,
@@ -1009,8 +1043,9 @@ object Similarity {
     registerFunctions(s)
     val emb = embWithNorm(s, dir).filter(col("vec_id") < maxVecIdExclusive)
     val codes = vectorCodes(emb)
+    val lists = resolveNLists(nLists, emb)
     val centroids = trainCentroids(
-      codes.filter(col("vec_id") < trainMaxVecIdExclusive), nLists, iters)
+      codes.filter(col("vec_id") < trainMaxVecIdExclusive), lists, iters)
     val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
     // pinned once (r9 materialize-once discipline): the clustered frame
     // is the product of the expensive step (training + assignment) and
@@ -1168,7 +1203,11 @@ object Similarity {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
     val emb = embWithNorm(s, dir).filter(col("vec_id") < trainMaxVecIdExclusive)
-    trainCentroids(vectorCodes(emb), nLists, iters)
+    // AutoNLists derives from the TRAINING slice: the staged quantizer is
+    // frozen at build time, and downstream incremental/streaming faces
+    // inherit its width from `_centroids` — they never re-derive
+    val lists = resolveNLists(nLists, emb)
+    trainCentroids(vectorCodes(emb), lists, iters)
       .write.mode("overwrite").parquet(centroidsPath(indexDir).toString)
     indexDir
   }

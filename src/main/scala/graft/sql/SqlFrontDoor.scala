@@ -1472,7 +1472,9 @@ object SqlFrontDoor {
          f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= 8),
          h AS (SELECT doc_id, pos,
                concat(md5(substring(txt, pos + 1, 8)),
-                      lpad(CAST(999999 - pos AS STRING), 6, '0')) AS pk
+                      CASE WHEN pos < 999999
+                           THEN lpad(CAST(999999 - pos AS STRING), 6, '0')
+                           ELSE raise_error('winnow: document exceeds the 1e6-gram packing range') END) AS pk
                FROM (SELECT doc_id,
                        posexplode(transform(sequence(0, length(txt) - 8),
                          i -> substring(txt, i + 1, 8))) AS (pos, gram),
@@ -1493,6 +1495,9 @@ object SqlFrontDoor {
 
     "q_dedup_winnow" ->
       graft.operators.Dedup.winnowPairsSql(duck = false, toksSql, "DIV"),
+
+    "q_dedup_substring" ->
+      graft.operators.Dedup.substringDedupSql(duck = false, toksSql),
 
     // datediff argument order is the one dialect knob
     "q_theil_sen_trend" ->

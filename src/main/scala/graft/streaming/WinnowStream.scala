@@ -22,8 +22,13 @@ import graft.operators.TextAnalysis
   *
   * Contract (the incremental-dedup shape, pinned by StreamingSpec):
   * batch N's emitted pairs equal the BATCH operator run over the
-  * corpus-so-far, restricted to pairs whose GREATER member arrived in
-  * batch N — the boilerplate df cap and the containment denominators
+  * corpus-so-far, restricted to pairs with AT LEAST ONE member in batch
+  * N and not both members in prior batches (membership, not id order:
+  * emitted pairs are canonicalized least/greatest, so when doc_ids do
+  * not arrive monotonically a batch-N pair's greater member may predate
+  * batch N — the r11 wording "pairs whose greater member arrived in N"
+  * is equivalent ONLY under monotone ingestion) — the boilerplate df
+  * cap and the containment denominators
   * are recomputed over the full current index each batch, so the
   * screen prices rarity as of NOW, not as of each fingerprint's first
   * arrival. Pairs emitted by earlier batches are append-only history:

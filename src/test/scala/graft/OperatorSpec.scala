@@ -230,6 +230,59 @@ class OperatorSpec extends SparkTestBase {
       "the df cap must drop shared fingerprints before the self-join")
   }
 
+  test("substring dedup: spans are exact, maximal, and df-cap guarded") {
+    import spark.implicits._
+    def canonical(t: String): String =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).mkString(" ")
+    // brute-force longest-common-substring — the spec's own oracle
+    def lcsLen(a: String, b: String): Int = {
+      var best = 0
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    val t1 = "alpha beta quick brown fox jumps gamma"
+    val t2 = "delta quick brown fox jumps epsilon zeta"
+    val t3 = "unrelated words occupy this document entirely"
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val rows = Dedup.substringDedupCore(docs, 8, 100L, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty, "the shared run must surface")
+    val canon = Map(1L -> canonical(t1), 2L -> canonical(t2), 3L -> canonical(t3))
+    rows.foreach { case (a, b, sa, sb, len) =>
+      val (ca, cb) = (canon(a), canon(b))
+      // exactness: the reported span IS the same characters in both docs
+      assert(ca.substring(sa.toInt, sa.toInt + len.toInt) ==
+        cb.substring(sb.toInt, sb.toInt + len.toInt), s"span mismatch: $a/$b")
+      // maximality: extending one char either way must break the match
+      assert(sa == 0 || sb == 0 || ca(sa.toInt - 1) != cb(sb.toInt - 1),
+        "span extends left")
+      assert(sa + len == ca.length || sb + len == cb.length ||
+        ca((sa + len).toInt) != cb((sb + len).toInt), "span extends right")
+    }
+    // the longest reported span between 1 and 2 is THE longest common
+    // substring (all its grams are rare here, so recall is exact)
+    val best12 = rows.filter(r => r._1 == 1L && r._2 == 2L).map(_._5).max
+    assert(best12 == lcsLen(canon(1L), canon(2L)).toLong,
+      s"maximal span must equal brute-force LCS, got $best12")
+    assert(!rows.exists(r => r._1 == 3L || r._2 == 3L),
+      "an unrelated doc must not pair")
+    // df-cap boilerplate guard: a span present in MORE than dfCap docs
+    // drops before the self-join — 4 docs share the license block, so at
+    // dfCap=3 its grams (df=4) all leave and nothing can pair
+    val boiler = (1 to 4).map(i =>
+      (i.toLong, s"uniq$i common license header text block tail$i")).toDF("doc_id", "text")
+    assert(Dedup.substringDedupCore(boiler, 8, 3L, 10L).collect().isEmpty,
+      "capped boilerplate grams must not produce spans")
+    val withCap = Dedup.substringDedupCore(boiler, 8, 100L, 10L).collect()
+    assert(withCap.length == 6, "uncapped: every pair of the 4 docs spans")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
     import spark.implicits._
     // A and B share the 30-char normalized run 'alpha beta gamma delta

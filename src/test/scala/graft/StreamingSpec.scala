@@ -898,21 +898,39 @@ class StreamingSpec extends SparkTestBase {
       input.addData(d2: _*)
       q.processAllAvailable()
       // batch 1's pairs = the batch operator over the WHOLE corpus-so-far,
-      // restricted to pairs whose greater member arrived in batch 1 —
-      // found via the persistent index, without re-reading batch 0 text
+      // restricted by MEMBERSHIP: at least one member in batch 1, not both
+      // members prior (NOT "greater member arrived in batch 1" — pairs are
+      // canonicalized least/greatest, so that phrasing only coincides with
+      // membership under monotone doc_ids; the r11 advisory) — found via
+      // the persistent index, without re-reading batch 0 text
+      val ids1 = d2.map(_._1).toSet
       val got1 = pairsOf(spark.read.parquet(s"$base/pairs/batch=1"))
       val want1 = pairsOf(graft.operators.Dedup
         .winnowPairsCore((d1 ++ d2).toDF("doc_id", "text"), 8, 4, 1L, 100L, 0L))
-        .filter(_._2 == 10L)
+        .filter(p => ids1.contains(p._1) || ids1.contains(p._2))
       assert(got1 == want1, s"batch 1: $got1 vs $want1")
       assert(got1.exists(p => p._1 == 1L && p._2 == 10L),
         "the cross-batch quote must be found via the index")
-      assert(!((got0 ++ got1).exists(p => p._1 == 3L || p._2 == 3L)),
+      // batch 2 arrives with a SMALLER doc_id than the indexed doc 10: the
+      // pair (5, 10)'s greater member predates this batch, so the old
+      // greater-id phrasing would exclude it — membership demands it
+      val d3 = Seq((5L, "late arrival quoting " + quoted + " out of order"))
+      input.addData(d3: _*)
+      q.processAllAvailable()
+      val ids2 = d3.map(_._1).toSet
+      val got2 = pairsOf(spark.read.parquet(s"$base/pairs/batch=2"))
+      val want2 = pairsOf(graft.operators.Dedup
+        .winnowPairsCore((d1 ++ d2 ++ d3).toDF("doc_id", "text"), 8, 4, 1L, 100L, 0L))
+        .filter(p => ids2.contains(p._1) || ids2.contains(p._2))
+      assert(got2 == want2, s"batch 2: $got2 vs $want2")
+      assert(got2.exists(p => p._1 == 5L && p._2 == 10L),
+        "the non-monotone arrival must pair with the LARGER prior id")
+      assert(!((got0 ++ got1 ++ got2).exists(p => p._1 == 3L || p._2 == 3L)),
         "the disjoint-vocabulary doc must never pair")
       // every screened doc's fingerprints are indexed
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-      assert(indexed == Set(1L, 2L, 3L, 10L))
+      assert(indexed == Set(1L, 2L, 3L, 5L, 10L))
     } finally q.stop()
   }
 

@@ -166,7 +166,10 @@ object Bench {
     // the numbers it could have corrupted
     val trials = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (pass <- 1 to 3) {
+    // default 3 interleaved passes; the big-fixture decade runs (sf10)
+    // set SPARK_GRAFT_PASSES=1 — those measure scaling shape, not floors
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    for (pass <- 1 to passes) {
       sample(s"pass$pass", sentinels)
       for (name <- Headline)
         timeOnce(name).foreach(t => trials(name) = t :: trials(name))

@@ -298,6 +298,18 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_winnow" -> (Dedup.winnowPairs(_, _)),
     "q_dedup_substring" -> (Dedup.substringDedup(_, _)),
+    "q_dedup_substring_incremental" -> ((s, d) => {
+      // "corpus already gram-indexed, delta arrives": stage the index for
+      // the older 80% of doc_ids, then screen only the delta against it
+      val maxId = sources.Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_gram_inc_" + Integer.toHexString(d.hashCode)).toString
+      Dedup.buildGramIndex(s, d, idx, maxDocIdExclusive = split)
+      Dedup.substringDedupIncremental(s, d, idx, split)
+    }),
+    "q_substring_dup_profile" -> (Dedup.substringDupProfile(_, _)),
     "q_dedup_prefix_filter" -> (Dedup.prefixFilterJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
@@ -2607,6 +2619,16 @@ object SparkEntry {
 
     "q_dedup_substring" ->
       graft.operators.Dedup.substringDedupSql(duck = true, Toks),
+
+    // full-corpus spans restricted to greater-member-in-delta (ids are
+    // append-monotone, so doc_b >= split IS membership here); the split
+    // computed in SQL, the q_dedup_incremental oracle discipline
+    "q_dedup_substring_incremental" ->
+      graft.operators.Dedup.substringDedupSql(duck = true, Toks,
+        incremental = true, div = "//"),
+
+    "q_substring_dup_profile" ->
+      graft.operators.Dedup.substringDupProfileSql(duck = true, Toks, div = "//"),
 
     "q_date_parts_orders" ->
       """WITH p AS (SELECT

@@ -1233,18 +1233,44 @@ object Dedup {
                      dfCap: Long = 100, minLen: Long = 32): DataFrame =
     substringDedupCore(Tables.spread(s, dir, "documents"), k, dfCap, minLen)
 
-  private[graft] def substringDedupCore(docs: DataFrame, k: Int,
-                                        dfCap: Long, minLen: Long): DataFrame = {
+  /** Canonical-text k-gram position table for an arbitrary
+    * (doc_id, text) frame — the building block the batch, incremental,
+    * and index faces share. One map-only explode, no shuffle.
+    */
+  private[graft] def gramRows(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, "gram length must be at least 2")
-    require(minLen >= k, "a reportable span cannot be shorter than one gram")
-    val txt = docs
+    docs
       .withColumn("txt", expr(s"array_join(${TextAnalysis.TokensExpr}, ' ')"))
       .filter(length(col("txt")) >= k)
-    val grams = txt.select(col("doc_id"),
+      .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, length(txt) - $k), i -> substring(txt, i + 1, $k))"))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram"))
+  }
+
+  /** Island merge of per-pair gram matches into maximal spans: input is
+    * (doc_a, doc_b, pa, pb); consecutive matches on one diagonal
+    * (pa − pb) are one exact shared run of length run + k − 1. One
+    * shuffle on (doc_a, doc_b, diag), windows within groups.
+    */
+  private def mergeSpans(m: DataFrame, k: Int, minLen: Long): DataFrame = {
+    val withDiag = m.withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    withDiag.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit((k - 1).toLong)).as("match_len"))
+      .filter(col("match_len") >= minLen)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("match_len"))
+  }
+
+  private[graft] def substringDedupCore(docs: DataFrame, k: Int,
+                                        dfCap: Long, minLen: Long): DataFrame = {
+    require(minLen >= k, "a reportable span cannot be shorter than one gram")
+    val grams = gramRows(docs, k)
     val rare = grams.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -1254,17 +1280,107 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-      .withColumn("diag", col("pa") - col("pb"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-      .orderBy(col("pa"))
-    m.withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-        (count(lit(1)) + lit((k - 1).toLong)).as("match_len"))
-      .filter(col("match_len") >= minLen)
-      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
-        col("match_len"))
+    mergeSpans(m, k, minLen)
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** Materialized gram index — substring dedup's pay-at-load path: the
+    * k-gram position table persisted once, so repeated dedup runs and
+    * incremental corpus additions skip the corpus re-gramming. The
+    * index is deliberately RAW grams (no df filter): the boilerplate
+    * cap must be priced over the corpus-as-of-query, not as-of-build —
+    * the WinnowStream at-arrival lesson. ~k× the text bytes on disk;
+    * at warehouse scale bucket it by gram (`bucketBy`) so increments
+    * co-locate without a full index shuffle — plain parquet here, the
+    * join key is the gram either way. Returns the index directory.
+    */
+  def buildGramIndex(s: SparkSession, dir: String, indexDir: String,
+                     k: Int = 16,
+                     maxDocIdExclusive: Long = Long.MaxValue): String = {
+    gramRows(Tables.spread(s, dir, "documents")
+        .filter(col("doc_id") < maxDocIdExclusive), k)
+      .write.mode("overwrite").parquet(indexDir)
+    indexDir
+  }
+
+  /** INCREMENTAL exact substring dedup — O(delta · df) steady state:
+    * screen a delta batch (doc_id >= minDeltaId) against the persisted
+    * gram index of everything earlier, without re-gramming (or even
+    * re-reading) historical text. The gram df census runs over
+    * index ∪ delta — rarity priced as of NOW, the same at-arrival
+    * semantics as every incremental face here — and the delta-side join
+    * takes one probe of the index per delta gram, buckets <= dfCap by
+    * construction. Ids are append-monotone, so a pair's GREATER member
+    * is always in the delta: output equals the batch [[substringDedup]]
+    * over the full corpus restricted to doc_b >= minDeltaId
+    * (OperatorSpec pins the equality).
+    */
+  def substringDedupIncremental(s: SparkSession, dir: String,
+                                indexDir: String, minDeltaId: Long,
+                                k: Int = 16, dfCap: Long = 100,
+                                minLen: Long = 32): DataFrame = {
+    require(minLen >= k, "a reportable span cannot be shorter than one gram")
+    val delta = gramRows(Tables.spread(s, dir, "documents")
+      .filter(col("doc_id") >= minDeltaId), k)
+    val all = s.read.parquet(indexDir).unionByName(delta)
+    val rare = all.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("gram"))
+    val keptAll = all.join(rare, Seq("gram"))
+    val keptDelta = delta.join(rare, Seq("gram"))
+    val m = keptAll.as("a").join(keptDelta.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    mergeSpans(m, k, minLen)
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  /** Per-document duplication profile — the curation readout over
+    * [[substringDedup]]'s spans: how much of each document's canonical
+    * text sits inside SOME exactly-shared span of length >= minLen (the
+    * number a train-data pipeline thresholds to drop or trim docs).
+    * Span intervals from both pair sides union per doc, overlapping
+    * intervals merge (running-max island pass — bounded by spans per
+    * doc, partitioned by doc), and the covered-character total reads
+    * out against the canonical length as half-up permille. Every
+    * document reports (zero spans => 0), so the output is a corpus
+    * census, not a flag list.
+    */
+  def substringDupProfile(s: SparkSession, dir: String, k: Int = 16,
+                          dfCap: Long = 100, minLen: Long = 32): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+    val spans = substringDedupCore(docs, k, dfCap, minLen)
+    val sides = spans.select(col("doc_a").as("doc_id"), col("start_a").as("st"),
+        (col("start_a") + col("match_len")).as("en"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"), col("start_b").as("st"),
+        (col("start_b") + col("match_len")).as("en")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val merged = sides
+      .withColumn("prev_max", max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh", when(col("prev_max").isNull ||
+        col("st") > col("prev_max"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("island", sum(col("fresh")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("ien") - col("ist")).as("dup_chars"))
+    docs.withColumn("txt", expr(s"array_join(${TextAnalysis.TokensExpr}, ' ')"))
+      .select(col("doc_id"), length(col("txt")).cast("long").as("total_chars"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("total_chars"),
+        expr("""CASE WHEN total_chars = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2000 * coalesce(dup_chars, 0) + total_chars)
+                     DIV (2 * total_chars) AS BIGINT) END""").as("dup_permille"))
+      .orderBy(col("doc_id"))
   }
 
   /** [[substringDedup]] as dialect-templated SQL — one text for both
@@ -1273,7 +1389,64 @@ object Dedup {
     */
   private[graft] def substringDedupSql(duck: Boolean, toks: String,
                                        k: Int = 16, dfCap: Long = 100,
-                                       minLen: Long = 32): String = {
+                                       minLen: Long = 32,
+                                       incremental: Boolean = false,
+                                       div: String = "//"): String = {
+    val join = if (duck) "array_to_string" else "array_join"
+    // incremental face: the full-corpus statement restricted to pairs
+    // whose greater member is in the delta (ids append-monotone) — the
+    // split computed IN SQL, the q_dedup_incremental oracle discipline
+    val mxCte =
+      if (incremental)
+        s""",
+       mxd AS (SELECT max(doc_id) * 4 $div 5 AS split FROM documents)"""
+      else ""
+    val fromRuns = if (incremental) "runs CROSS JOIN mxd" else "runs"
+    val deltaPred = if (incremental) " AND doc_b >= split" else ""
+    val gramCtes = if (duck)
+      s"""g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - ${k - 1})) AS pos FROM f),
+         h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                      substr(txt, CAST(pos AS INT) + 1, $k) AS gram FROM g)"""
+    else
+      s"""h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+               FROM (SELECT doc_id,
+                       posexplode(transform(sequence(0, length(txt) - $k),
+                         i -> substring(txt, i + 1, $k))) AS (pos, gram)
+                     FROM f))"""
+    s"""WITH t AS (SELECT doc_id, $join($toks, ' ') AS txt FROM documents),
+       f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= $k),
+       $gramCtes,
+       rare AS (SELECT gram FROM (
+                  SELECT gram, count(DISTINCT doc_id) AS df FROM h GROUP BY gram) d
+                WHERE df <= $dfCap),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+             FROM (SELECT h2.doc_id, h2.pos, h2.gram FROM h h2 JOIN rare USING (gram)) a
+             JOIN (SELECT h3.doc_id, h3.pos, h3.gram FROM h h3 JOIN rare USING (gram)) b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       r AS (SELECT doc_a, doc_b, diag, pa, pb,
+                    pa - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             FROM m),
+       runs AS (SELECT doc_a, doc_b,
+                       CAST(min(pa) AS BIGINT) AS start_a,
+                       CAST(min(pb) AS BIGINT) AS start_b,
+                       CAST(count(*) + ${k - 1} AS BIGINT) AS match_len
+                FROM r GROUP BY doc_a, doc_b, diag, grp)$mxCte
+       SELECT doc_a, doc_b, start_a, start_b, match_len
+       FROM $fromRuns WHERE match_len >= $minLen$deltaPred
+       ORDER BY doc_a, doc_b, start_a, start_b"""
+  }
+
+  /** [[substringDupProfile]] as dialect-templated SQL — the span CTEs
+    * from [[substringDedupSql]]'s shape plus the per-doc interval merge
+    * (running-max island pass) and the permille readout; every document
+    * reports, zero-span docs read 0.
+    */
+  private[graft] def substringDupProfileSql(duck: Boolean, toks: String,
+                                            k: Int = 16, dfCap: Long = 100,
+                                            minLen: Long = 32,
+                                            div: String = "//"): String = {
     val join = if (duck) "array_to_string" else "array_join"
     val gramCtes = if (duck)
       s"""g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - ${k - 1})) AS pos FROM f),
@@ -1304,9 +1477,38 @@ object Dedup {
                        CAST(min(pa) AS BIGINT) AS start_a,
                        CAST(min(pb) AS BIGINT) AS start_b,
                        CAST(count(*) + ${k - 1} AS BIGINT) AS match_len
-                FROM r GROUP BY doc_a, doc_b, diag, grp)
-       SELECT doc_a, doc_b, start_a, start_b, match_len
-       FROM runs WHERE match_len >= $minLen
-       ORDER BY doc_a, doc_b, start_a, start_b"""
+                FROM r GROUP BY doc_a, doc_b, diag, grp
+                HAVING count(*) + ${k - 1} >= $minLen),
+       sides AS (SELECT DISTINCT doc_id, st, en FROM (
+                   SELECT doc_a AS doc_id, start_a AS st,
+                          start_a + match_len AS en FROM runs
+                   UNION ALL
+                   SELECT doc_b AS doc_id, start_b AS st,
+                          start_b + match_len AS en FROM runs) u),
+       mxw AS (SELECT doc_id, st, en,
+                      max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM sides),
+       isl AS (SELECT doc_id, st, en,
+                      sum(CASE WHEN prev_max IS NULL OR st > prev_max
+                          THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM mxw),
+       reg AS (SELECT doc_id, island, min(st) AS ist, max(en) AS ien
+               FROM isl GROUP BY doc_id, island),
+       per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+                      CAST(sum(ien - ist) AS BIGINT) AS dup_chars
+               FROM reg GROUP BY doc_id),
+       lens AS (SELECT doc_id, CAST(length(txt) AS BIGINT) AS total_chars FROM t)
+       SELECT l.doc_id,
+              coalesce(p.n_regions, CAST(0 AS BIGINT)) AS n_regions,
+              coalesce(p.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+              l.total_chars,
+              CASE WHEN l.total_chars = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((2000 * coalesce(p.dup_chars, 0) + l.total_chars)
+                        $div (2 * l.total_chars) AS BIGINT) END AS dup_permille
+       FROM lens l LEFT JOIN per p ON p.doc_id = l.doc_id
+       ORDER BY l.doc_id"""
   }
 }

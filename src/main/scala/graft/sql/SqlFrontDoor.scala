@@ -1499,6 +1499,14 @@ object SqlFrontDoor {
     "q_dedup_substring" ->
       graft.operators.Dedup.substringDedupSql(duck = false, toksSql),
 
+    "q_dedup_substring_incremental" ->
+      graft.operators.Dedup.substringDedupSql(duck = false, toksSql,
+        incremental = true, div = "DIV"),
+
+    "q_substring_dup_profile" ->
+      graft.operators.Dedup.substringDupProfileSql(duck = false, toksSql,
+        div = "DIV"),
+
     // datediff argument order is the one dialect knob
     "q_theil_sen_trend" ->
       graft.operators.Analytics.theilSenTrendSql("datediff(b.day, a.day)"),

@@ -13,20 +13,27 @@ import org.apache.spark.sql.functions._
   *    supplier, event->user) replicate with identical fan-outs, skew
   *    profiles, and join selectivities — copy k is the same graph as
   *    copy 0, relabeled;
-  *  - document TEXT gets a per-copy affine substitution over the 62-char
-  *    alphanumeric wheel [a-zA-Z0-9]: char i -> char (u*(i+k)) mod 62,
-  *    with the multiplier u stepping through the units of Z/62 every
-  *    62 copies. 1:1 (lengths and n_chars stay exact) and the mapped
-  *    class stays alphanumeric, so tokenization boundaries, Zipf
-  *    profile, and within-copy duplicate structure are preserved, while
-  *    the mappings — hence vocabularies — are PROVABLY distinct across
-  *    copies for every k < 62*30 = 1860 (two affine maps over the wheel
-  *    agree only if both the rotation k mod 62 and the unit u coincide).
-  *    The r11 scheme rotated letters with period 26, so copies k and
-  *    k+26 silently shared letter vocabulary — dedup workloads would
-  *    have seen phantom cross-copy duplicates at factor >= 27. Dedup and
-  *    search therefore scale as "f-times more corpus at the same dup
-  *    rate", not as a pathological everything-matches-everything blowup;
+  *  - document TEXT gets a per-copy affine substitution over the
+  *    EFFECTIVE 36-char alphabet [a-z0-9] — the alphabet that survives
+  *    the pipeline's own case-folding tokenizer — applied
+  *    case-preservingly to the raw [a-zA-Z0-9] chars: effective char i
+  *    -> effective char (u*(i+k)) mod 36, u stepping through the units
+  *    of Z/36 every 36 copies (an uppercase source letter takes the
+  *    uppercase form of its target when the target is a letter). 1:1
+  *    (lengths and n_chars stay exact) and alphanumerics stay
+  *    alphanumeric, so tokenization boundaries, Zipf profile, and
+  *    within-copy duplicate structure are preserved, while the INDUCED
+  *    maps on post-lowercase tokens — hence effective vocabularies —
+  *    are PROVABLY distinct across copies for every k < 36*12 = 432
+  *    (two affine maps over the wheel agree only if both the rotation
+  *    k mod 36 and the unit u coincide). Two prior schemes failed this:
+  *    r11's letter rotation had period 26 (copies k, k+26 shared
+  *    letter vocabulary outright), and a raw 62-wheel rotation maps
+  *    lowercase to uppercase at k=26, which the tokenizer's lower()
+  *    folds straight back to the identity — the effective alphabet is
+  *    where disjointness must hold. Dedup and search therefore scale as
+  *    "f-times more corpus at the same dup rate", not as a pathological
+  *    everything-matches-everything blowup;
   *  - EMBEDDINGS get a per-copy SIGNED coordinate permutation: a cyclic
   *    shift by (k*step) mod dims (step coprime to dims, so shifts are
   *    bijective per lap) composed with Walsh-Hadamard sign flips
@@ -52,20 +59,27 @@ object FixtureScale {
   private val Digits = "0123456789"
   private val Base = Letters + Letters.toUpperCase + Digits
 
-  /** The 30 multiplicative units of Z/62 (62 = 2 * 31). */
-  private val Units62: IndexedSeq[Int] =
-    (1 until 62).filter(u => BigInt(u).gcd(BigInt(62)) == 1)
+  /** The effective post-lowercase wheel and the 12 units of Z/36. */
+  private val Wheel36 = Letters + Digits
+  private val Units36: IndexedSeq[Int] =
+    (1 until 36).filter(u => BigInt(u).gcd(BigInt(36)) == 1)
 
-  /** The copy-k substitution alphabet: the affine map
-    * i -> (u * (i + k)) mod 62 over the full 62-char wheel, u stepping
-    * through the units every 62 copies. k = 0 is the identity. Distinct
-    * maps for every k < 62 * 30 = 1860: equality of two affine maps over
-    * the wheel forces equal rotation (k mod 62) AND equal unit.
+  /** The copy-k substitution alphabet over [a-zA-Z0-9], acting as the
+    * affine map i -> (u * (i + k)) mod 36 on the EFFECTIVE 36-char
+    * wheel (u stepping through the units every 36 copies) and
+    * preserving case on the raw chars. k = 0 is the identity. The
+    * induced post-lowercase maps are distinct for every k < 36 * 12 =
+    * 432: equality of two affine maps over the wheel forces equal
+    * rotation (k mod 36) AND equal unit.
     */
   private def mapped(k: Int): String = {
-    require(k < 62 * Units62.length, s"copy index $k exceeds the distinct-map range")
-    val u = Units62((k / 62) % Units62.length)
-    (0 until 62).map(i => Base((u * (i + k)) % 62)).mkString
+    require(k < 36 * Units36.length, s"copy index $k exceeds the distinct-map range")
+    val u = Units36((k / 36) % Units36.length)
+    def tgt(i: Int): Char = Wheel36((u * (i + k)) % 36)
+    val lower = (0 until 26).map(tgt)
+    val upper = lower.map(c => if (c.isLetter) c.toUpper else c)
+    val digits = (26 until 36).map(tgt)
+    (lower ++ upper ++ digits).mkString
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,8 +87,8 @@ object FixtureScale {
     val src = args(0)
     val dst = args(1)
     val f = if (args.length > 2) args(2).toInt else 10
-    require(f >= 1 && f <= 1000, "factor in [1, 1000]")
-    require(f <= 62 * Units62.length,
+    require(f >= 1 && f <= 400, "factor in [1, 400]")
+    require(f <= 36 * Units36.length,
       s"factor $f exceeds the text substitution's distinct-map range")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))

@@ -283,6 +283,56 @@ class OperatorSpec extends SparkTestBase {
     assert(withCap.length == 6, "uncapped: every pair of the 4 docs spans")
   }
 
+  test("incremental substring dedup equals the batch run restricted to the delta") {
+    val full = Dedup.substringDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val maxId = sources.Tables.documents(spark, Sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
+    val split = maxId * 4 / 5
+    val idx = tmpDir("gramidx")
+    Dedup.buildGramIndex(spark, Sf, idx, maxDocIdExclusive = split)
+    val inc = Dedup.substringDedupIncremental(spark, Sf, idx, split).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ids append-monotone => a delta pair's greater member is doc_b
+    assert(inc.toSet == full.filter(_._2 >= split).toSet,
+      "incremental must equal batch restricted to greater-member-in-delta")
+    assert(inc.nonEmpty, "the fixture's delta must contain real spans")
+  }
+
+  test("substring dup profile: covered chars recompute from the span set") {
+    val spans = Dedup.substringDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver-side oracle: union both sides' intervals, merge, count
+    val intervals = (spans.map(s => (s._1, (s._3, s._3 + s._5))) ++
+        spans.map(s => (s._2, (s._4, s._4 + s._5)))).distinct
+      .groupBy(_._1).map { case (d, xs) =>
+        val sorted = xs.map(_._2).sortBy(identity)
+        var regions = 0L; var covered = 0L
+        var curSt = -1L; var curEn = -1L
+        sorted.foreach { case (st, en) =>
+          if (st > curEn) { // fresh island
+            if (curEn > curSt) { regions += 1; covered += curEn - curSt }
+            curSt = st; curEn = en
+          } else curEn = math.max(curEn, en)
+        }
+        if (curEn > curSt) { regions += 1; covered += curEn - curSt }
+        d -> (regions, covered)
+      }
+    val got = Dedup.substringDupProfile(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (d, nReg, dup, total, permille) =>
+      val (expReg, expDup) = intervals.getOrElse(d, (0L, 0L))
+      assert((nReg, dup) == (expReg, expDup), s"doc $d regions/chars")
+      assert(dup <= total, s"doc $d covered chars cannot exceed length")
+      val expPm = if (total == 0) 0L else (2000L * dup + total) / (2L * total)
+      assert(permille == expPm, s"doc $d permille")
+    }
+    assert(got.length == sources.Tables.documents(spark, Sf).count(),
+      "every document must report")
+    assert(got.exists(_._3 > 0), "the fixture must exercise nonzero coverage")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
     import spark.implicits._
     // A and B share the 30-char normalized run 'alpha beta gamma delta

@@ -100,6 +100,126 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Packed nearest-centroid argmax over a FOLDABLE centroid table — the
+  * coarse-quantizer assignment loop as ONE expression per vector instead
+  * of an n × nLists row explosion.
+  *
+  * Rationale (the r12 sf10 lesson): `scoreAgainstCentroids` +
+  * `nearestCentroid` spell the argmax as crossJoin(broadcast(centroids))
+  * + hash-aggregate — n × nLists materialized rows, each carrying both
+  * code arrays. At fixed nLists=16 that is invisible; with the
+  * nLists ∝ corpus lever engaged it turns the assignment O(n²/320) in
+  * ROWS (sf10: 200k × 625 = 125M wide rows, 770s measured). The
+  * centroid table is catalog-sized by contract (nLists <= 65536), so it
+  * rides into the expression as literal arrays and the argmax runs as a
+  * JIT-compiled primitive loop per row — identical arithmetic, zero row
+  * multiplication, and the n·nLists distance computations execute at
+  * FLOP speed rather than row-pipeline speed.
+  *
+  * Arithmetic is REPLICATED BIT-FOR-BIT from the dataflow form (the
+  * DuckDB oracle recomputes it): dot = left-to-right double fold of
+  * CAST(p)·CAST(q); cm = floor(dot / (vqn·cqn) · 1e6 + 0.5) as BIGINT;
+  * selection key = cm·65536 − centroid_id (the packed max_by). Returns
+  * the packed key; callers recover centroid_id = pmod(−packed, 65536)
+  * and cm = (packed + centroid_id) DIV 65536 — exact because the
+  * contract requires 0 <= centroid_id < 65536.
+  *
+  * children: (code ARRAY<BIGINT>, vqn DOUBLE, csums ARRAY<ARRAY<BIGINT>>,
+  * cqns ARRAY<DOUBLE>, ids ARRAY<BIGINT>) — the last three must be
+  * foldable (literals); they decode once per executor instance.
+  */
+case class NearestCentroidPacked(children: Seq[Expression])
+    extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def codeChild = children(0)
+  private def vqnChild = children(1)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.length == 5 &&
+      (codeChild.dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+      vqnChild.dataType == DoubleType &&
+      (children(2).dataType match {
+        case ArrayType(ArrayType(LongType, _), _) => true; case _ => false }) &&
+      (children(3).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      (children(4).dataType match { case ArrayType(LongType, _) => true; case _ => false })
+    if (!ok) TypeCheckResult.TypeCheckFailure(
+      "nearest_centroid expects (ARRAY<BIGINT>, DOUBLE, ARRAY<ARRAY<BIGINT>>, ARRAY<DOUBLE>, ARRAY<BIGINT>)")
+    else if (!children.drop(2).forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "nearest_centroid's centroid table arguments must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val mat: Array[Array[Long]] = {
+    val ad = children(2).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+  }
+  @transient private lazy val nrm: Array[Double] =
+    children(3).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val idv: Array[Long] =
+    children(4).eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  /** The per-row loop, shared by eval and the generated code (which
+    * calls it through an addReferenceObj handle — the loop body itself
+    * is JIT-compiled Scala either way).
+    */
+  def bestPacked(code: ArrayData, vqn: Double): Long = {
+    val nc = mat.length
+    var best = Long.MinValue
+    var j = 0
+    while (j < nc) {
+      val m = mat(j)
+      var acc = 0.0
+      var i = 0
+      val n = m.length
+      while (i < n) {
+        acc += code.getLong(i).toDouble * m(i).toDouble
+        i += 1
+      }
+      val cm = math.floor(acc / (vqn * nrm(j)) * 1000000d + 0.5d).toLong
+      val key = cm * 65536L - idv(j)
+      if (key > best) best = key
+      j += 1
+    }
+    best
+  }
+
+  /** Empty centroid table => NULL (same as max_by over zero rows). */
+  def hasCentroids: Boolean = mat.nonEmpty
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = codeChild.eval(input)
+    val v = vqnChild.eval(input)
+    if (c == null || v == null || !hasCentroids) null
+    else bestPacked(c.asInstanceOf[ArrayData], v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroidPacked].getName)
+    val codeGen = codeChild.genCode(ctx)
+    val vqnGen = vqnChild.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${codeGen.code}
+        ${vqnGen.code}
+        boolean ${ev.isNull} = ${codeGen.isNull} || ${vqnGen.isNull} || !$ref.hasCentroids();
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.bestPacked(${codeGen.value}, ${vqnGen.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCentroidPacked =
+    copy(children = newChildren)
+}
+
 /** Function registration: session-local (register) or via
   * spark.sql.extensions=graft.functions.GraftExtensions.
   */
@@ -140,6 +260,13 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("kll_merge_agg")))
       reg.createOrReplaceTempFunction(
         "kll_merge_agg", KllFunctions.buildMerge, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("nearest_centroid")))
+      reg.createOrReplaceTempFunction(
+        "nearest_centroid", exprs => {
+          require(exprs.length == 5,
+            s"nearest_centroid takes 5 arguments, got ${exprs.length}")
+          NearestCentroidPacked(exprs)
+        }, "built-in")
     if (!reg.functionExists(FunctionIdentifier("theta_agg")))
       reg.createOrReplaceTempFunction(
         "theta_agg", exprs => {

@@ -1254,7 +1254,7 @@ object Dedup {
     * (pa − pb) are one exact shared run of length run + k − 1. One
     * shuffle on (doc_a, doc_b, diag), windows within groups.
     */
-  private def mergeSpans(m: DataFrame, k: Int, minLen: Long): DataFrame = {
+  private[graft] def mergeSpans(m: DataFrame, k: Int, minLen: Long): DataFrame = {
     val withDiag = m.withColumn("diag", col("pa") - col("pb"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))

@@ -344,6 +344,68 @@ object Similarity {
             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
   }
 
+  /** Corpus-sized nearest-centroid assignment through the codegen'd
+    * [[graft.functions.NearestCentroidPacked]] expression: the centroid
+    * table (catalog-sized by the nLists <= 65536 contract) collects to
+    * the driver ONCE — a ledgered driver action, <= 65536 × dim longs,
+    * the same boundary the broadcast crossJoin shipped — and rides into
+    * the expression as literals; each corpus row then computes its
+    * argmax in ONE JIT-compiled loop. Replaces the crossJoin +
+    * hash-aggregate spelling, whose n × nLists materialized rows turned
+    * the AutoNLists lever quadratic in ROWS (sf10: 125M rows, 770s; this
+    * path: 14s). Arithmetic bit-identical (same left-to-right double
+    * fold, same floor/packing — the DuckDB oracle is unchanged); the
+    * packed key unpacks exactly because ids are < 65536.
+    *
+    * Returns (vec_id, centroid_id). Query-sized probe scoring (top-nProbe
+    * per query, needs ALL centroid scores) stays on
+    * [[scoreAgainstCentroids]] — bounded by the query set there.
+    */
+  private[graft] def assignNearest(codes: DataFrame, centroids: DataFrame): DataFrame = {
+    registerFunctions(codes.sparkSession)
+    val rows = centroids.select(col("centroid_id"), col("csum")).collect()
+    val ids = rows.map(_.getLong(0))
+    require(ids.forall(id => id >= 0 && id < 65536),
+      "packed assignment requires 0 <= centroid_id < 65536")
+    val mats = rows.map(_.getSeq[Long](1).toSeq)
+    // cqn replicated from the dataflow spelling: left-to-right double
+    // fold of CAST(c)*CAST(c), then sqrt — identical IEEE sequence
+    val cqns = mats.map { m =>
+      var acc = 0.0; val it = m.iterator
+      while (it.hasNext) { val v = it.next().toDouble; acc += v * v }
+      math.sqrt(acc)
+    }
+    codes.withColumn("packed", call_function("nearest_centroid",
+        col("code"), col("vqn"),
+        typedlit(mats.toSeq), typedlit(cqns.toSeq), typedlit(ids.toSeq)))
+      .select(col("vec_id"),
+        expr("pmod(-packed, CAST(65536 AS BIGINT))").as("centroid_id"))
+  }
+
+  /** [[assignNearest]] keeping the winning score: (vec_id, centroid_id,
+    * best_cm) — the clusterReport consumer.
+    */
+  private[graft] def assignNearestWithCm(codes: DataFrame,
+                                         centroids: DataFrame): DataFrame = {
+    registerFunctions(codes.sparkSession)
+    val rows = centroids.select(col("centroid_id"), col("csum")).collect()
+    val ids = rows.map(_.getLong(0))
+    require(ids.forall(id => id >= 0 && id < 65536),
+      "packed assignment requires 0 <= centroid_id < 65536")
+    val mats = rows.map(_.getSeq[Long](1).toSeq)
+    val cqns = mats.map { m =>
+      var acc = 0.0; val it = m.iterator
+      while (it.hasNext) { val v = it.next().toDouble; acc += v * v }
+      math.sqrt(acc)
+    }
+    codes.withColumn("packed", call_function("nearest_centroid",
+        col("code"), col("vqn"),
+        typedlit(mats.toSeq), typedlit(cqns.toSeq), typedlit(ids.toSeq)))
+      .withColumn("centroid_id", expr("pmod(-packed, CAST(65536 AS BIGINT))"))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("(packed + centroid_id) DIV CAST(65536 AS BIGINT)").as("best_cm"))
+  }
+
   /** Fixed-iteration spherical Lloyd's k-means over the integer codes —
     * the trained coarse quantizer. Init is the deterministic first-N
     * codes (the existing fallback quantizer); each iteration assigns every
@@ -366,7 +428,11 @@ object Similarity {
     var centroids = codes.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("centroid_id"), col("code").as("csum"))
     for (_ <- 1 to iters) {
-      val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
+      // assignNearest COLLECTS the incoming centroid table into expression
+      // literals, breaking lineage each iteration — the intermediate
+      // centroid frames have exactly one consumer (that collect), so the
+      // old per-iteration localCheckpoint is pure overhead now
+      val assign = assignNearest(codes, centroids)
       centroids = codes.join(assign, Seq("vec_id"))
         .select(col("centroid_id"), posexplode(col("code")).as(Seq("pos", "c")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -374,9 +440,10 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
           .as("csum"))
-        .localCheckpoint()
     }
-    centroids
+    // the RETURNED frame does fan out (stage writes, probe scoring, the
+    // final assignNearest collect) — pin once for its consumers
+    if (iters > 0) centroids.localCheckpoint() else centroids
   }
 
   /** IVF-flat ANN with the TRAINED quantizer: Lloyd's k-means centroids
@@ -393,11 +460,13 @@ object Similarity {
     val emb = embWithNorm(s, dir)
     val codes = vectorCodes(emb)
     val centroids = trainCentroids(codes, nLists, iters)
-    val scoredC = scoreAgainstCentroids(codes, centroids)
-    val assign = nearestCentroid(scoredC)
+    // corpus side through the codegen'd argmax; ONLY the query rows pay
+    // the all-centroid scoring (the probe window needs every score)
+    val assign = assignNearest(codes, centroids)
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cm").desc, col("centroid_id"))
-    val probes = scoredC.filter(col("vec_id") < nQueries)
+    val probes = scoreAgainstCentroids(
+        codes.filter(col("vec_id") < nQueries), centroids)
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
@@ -456,13 +525,7 @@ object Similarity {
     val emb = embWithNorm(s, dir)
     val codes = vectorCodes(emb)
     val centroids = trainCentroids(codes, nLists, iters)
-    val scoredC = scoreAgainstCentroids(codes, centroids)
-    scoredC.groupBy(col("vec_id"))
-      .agg(
-        max_by(col("centroid_id"),
-          expr("cm * CAST(65536 AS BIGINT) - centroid_id")).as("centroid_id"),
-        max(expr("cm * CAST(65536 AS BIGINT) - centroid_id")).as("packed"))
-      .withColumn("best_cm", expr("(packed + centroid_id) DIV CAST(65536 AS BIGINT)"))
+    assignNearestWithCm(codes, centroids)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("best_cm")).as("cm_sum"))
       .withColumn("mean_sim_micro", expr("(cm_sum - cm_sum % n_vecs) DIV n_vecs"))
@@ -888,7 +951,7 @@ object Similarity {
     registerFunctions(s)
     val codes = vectorCodes(embWithNorm(s, dir))
     val centroids = trainCentroids(codes, nLists, iters)
-    nearestCentroid(scoreAgainstCentroids(codes, centroids))
+    assignNearest(codes, centroids)
       .select(col("vec_id"), col("centroid_id").as("cluster_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
@@ -931,7 +994,7 @@ object Similarity {
     val trainCodes = codes.filter(col("vec_id") < trainMaxVecIdExclusive)
     val coarse = trainCentroids(trainCodes, nLists, coarseIters)
     val books = trainPqCodebooks(subCodes(trainCodes, m, subDim), ksub, pqIters)
-    val assign = nearestCentroid(scoreAgainstCentroids(codes, coarse))
+    val assign = assignNearest(codes, coarse)
     pqEncode(subCodes(codes, m, subDim), books, ksub)
       .join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
@@ -955,7 +1018,7 @@ object Similarity {
     val codes = vectorCodes(delta)
     val coarse = s.read.parquet(centroidsPath(indexDir).toString)
     val books = storedCodebooks(s, indexDir)
-    val assign = nearestCentroid(scoreAgainstCentroids(codes, coarse))
+    val assign = assignNearest(codes, coarse)
     pqEncode(subCodes(codes, m, subDim), books, ksub)
       .join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
@@ -1046,7 +1109,7 @@ object Similarity {
     val lists = resolveNLists(nLists, emb)
     val centroids = trainCentroids(
       codes.filter(col("vec_id") < trainMaxVecIdExclusive), lists, iters)
-    val assign = nearestCentroid(scoreAgainstCentroids(codes, centroids))
+    val assign = assignNearest(codes, centroids)
     // pinned once (r9 materialize-once discipline): the clustered frame
     // is the product of the expensive step (training + assignment) and
     // now has FOUR consumers (whale census, later, earlier, final join) —
@@ -1130,8 +1193,7 @@ object Similarity {
       centroidsPath(quantizerDir).toString)
     val emb = embWithNorm(s, dir)
     val delta = emb.filter(col("vec_id") >= minDeltaId)
-    val deltaAssign = nearestCentroid(
-      scoreAgainstCentroids(vectorCodes(delta), cents))
+    val deltaAssign = assignNearest(vectorCodes(delta), cents)
       .select(col("vec_id"), col("centroid_id").as("cluster_id"))
     // every (vec, cluster) the delta can collide with: prior members plus
     // the delta's own smaller ids
@@ -1220,7 +1282,7 @@ object Similarity {
                             trained: Option[DataFrame]): DataFrame =
     trained match {
       case Some(cents) =>
-        nearestCentroid(scoreAgainstCentroids(vectorCodes(emb), cents))
+        assignNearest(vectorCodes(emb), cents)
       case None =>
         val centroids = emb.filter(col("vec_id") < nLists)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),

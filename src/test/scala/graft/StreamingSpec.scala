@@ -934,6 +934,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming substring screen: per-batch spans equal the batch operator over the corpus-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("substrstream")
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    val d1 = Seq(
+      (1L, quoted),
+      (2L, "intro words " + quoted + " closing remarks"),
+      (3L, "completely different vocabulary everywhere here now"))
+    val d2 = Seq((10L, "second wave copy " + quoted + " trailing text"))
+    val d3 = Seq((5L, "late arrival quoting " + quoted + " out of order"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SubstringStream.start(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/spans", s"$base/ckpt",
+      k = 8, dfCap = 100, minLen = 10)
+    def spansOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "start_a", "start_b", "match_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    def batchOver(docs: Seq[(Long, String)]) = spansOf(graft.operators.Dedup
+      .substringDedupCore(docs.toDF("doc_id", "text"), 8, 100L, 10L))
+    try {
+      input.addData(d1: _*)
+      q.processAllAvailable()
+      val got0 = spansOf(spark.read.parquet(s"$base/spans/batch=0"))
+      assert(got0 == batchOver(d1), "batch 0 IS the batch operator")
+      assert(got0.exists(p => p._1 == 1L && p._2 == 2L))
+      input.addData(d2: _*)
+      q.processAllAvailable()
+      val ids1 = d2.map(_._1).toSet
+      val got1 = spansOf(spark.read.parquet(s"$base/spans/batch=1"))
+      val want1 = batchOver(d1 ++ d2)
+        .filter(p => ids1.contains(p._1) || ids1.contains(p._2))
+      assert(got1 == want1, s"batch 1: $got1 vs $want1")
+      // non-monotone arrival: doc 5 pairs with the LARGER prior id 10,
+      // positions must follow the least/greatest canonicalization
+      input.addData(d3: _*)
+      q.processAllAvailable()
+      val ids2 = d3.map(_._1).toSet
+      val got2 = spansOf(spark.read.parquet(s"$base/spans/batch=2"))
+      val want2 = batchOver(d1 ++ d2 ++ d3)
+        .filter(p => ids2.contains(p._1) || ids2.contains(p._2))
+      assert(got2 == want2, s"batch 2: $got2 vs $want2")
+      assert(got2.exists(p => p._1 == 5L && p._2 == 10L),
+        "the non-monotone arrival must span-pair with the larger prior id")
+      assert(!((got0 ++ got1 ++ got2).exists(p => p._1 == 3L || p._2 == 3L)),
+        "the disjoint-vocabulary doc must never span-pair")
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup: later batches screen against earlier ones") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

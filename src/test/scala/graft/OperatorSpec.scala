@@ -1978,6 +1978,30 @@ class OperatorSpec extends SparkTestBase {
     assert(pq.nonEmpty)
   }
 
+  test("nearest_centroid expression equals the crossJoin+max_by dataflow argmax") {
+    // the r12 sf10 fix replaced the row-exploding spelling with a
+    // codegen'd literal-table loop; this pins the two forms equal on the
+    // full fixture (the arithmetic claim every oracle already rides) —
+    // including a non-contiguous centroid id set (dropped-cluster shape)
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = sources.Tables.spread(spark, Sf, "embeddings")
+      .withColumn("vnorm", org.apache.spark.sql.functions.expr(
+        "sqrt(dot_f(embedding, embedding))"))
+    val codes = Similarity.vectorCodes(emb)
+    val centroids = codes
+      .filter(org.apache.spark.sql.functions.expr(
+        "vec_id IN (0, 3, 7, 11, 19, 42, 99, 123)"))
+      .selectExpr("vec_id AS centroid_id", "code AS csum")
+    val viaExpr = Similarity.assignNearest(codes, centroids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRows = Similarity.nearestCentroid(
+        Similarity.scoreAgainstCentroids(codes, centroids))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExpr == viaRows, "expression and dataflow argmax must agree exactly")
+    assert(viaExpr.size == codes.count(), "every vector assigns")
+  }
+
   test("semantic dedup: keeper rule and drop evidence hold exactly") {
     import org.apache.spark.sql.functions.col
     val out = Similarity.semanticDedup(spark, Sf,

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *    case-preservingly to the raw [a-zA-Z0-9] chars: effective char i
   *    -> effective char (u*(i+k)) mod 36, u stepping through the units
   *    of Z/36 every 36 copies (an uppercase source letter takes the
-  *    uppercase form of its target when the target is a letter). 1:1
-  *    (lengths and n_chars stay exact) and alphanumerics stay
-  *    alphanumeric, so tokenization boundaries, Zipf profile, and
-  *    within-copy duplicate structure are preserved, while the INDUCED
+  *    uppercase form of its target when the target is a letter; when
+  *    the target is a digit both cases collapse to it — harmless, and
+  *    the only place the raw map is not injective, because every text
+  *    operator in this engine case-folds before anything else, and the
+  *    INDUCED post-lowercase map IS a bijection of the 36-char
+  *    effective alphabet). Per-char (lengths and n_chars stay exact)
+  *    and alphanumerics stay alphanumeric, so tokenization boundaries,
+  *    Zipf profile, and within-copy post-fold duplicate structure are
+  *    preserved, while the INDUCED
   *    maps on post-lowercase tokens — hence effective vocabularies —
   *    are PROVABLY distinct across copies for every k < 36*12 = 432
   *    (two affine maps over the wheel agree only if both the rotation
@@ -72,7 +77,7 @@ object FixtureScale {
     * 432: equality of two affine maps over the wheel forces equal
     * rotation (k mod 36) AND equal unit.
     */
-  private def mapped(k: Int): String = {
+  private[graft] def mapped(k: Int): String = {
     require(k < 36 * Units36.length, s"copy index $k exceeds the distinct-map range")
     val u = Units36((k / 36) % Units36.length)
     def tgt(i: Int): Char = Wheel36((u * (i + k)) % 36)

@@ -310,6 +310,7 @@ object SparkEntry {
       Dedup.substringDedupIncremental(s, d, idx, split)
     }),
     "q_substring_dup_profile" -> (Dedup.substringDupProfile(_, _)),
+    "q_dedup_substring_rewrite" -> (Dedup.substringDedupRewrite(_, _)),
     "q_dedup_prefix_filter" -> (Dedup.prefixFilterJaccard(_, _)),
     "q_dedup_containment" -> (Dedup.containment(_, _)),
     "q_fuzzy_join_names" -> (Dedup.fuzzyMatchNames(_, _)),
@@ -2629,6 +2630,9 @@ object SparkEntry {
 
     "q_substring_dup_profile" ->
       graft.operators.Dedup.substringDupProfileSql(duck = true, Toks, div = "//"),
+
+    "q_dedup_substring_rewrite" ->
+      graft.operators.Dedup.substringDedupRewriteSql(duck = true, Toks),
 
     "q_date_parts_orders" ->
       """WITH p AS (SELECT

@@ -1383,6 +1383,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus with exactly-duplicated spans CUT — the apply step Lee
+    * et al. 2022 actually run on training data: within every reported
+    * span pair the LATER document (greater doc_id) loses the span, so
+    * the FIRST occurrence of any duplicated substring survives verbatim
+    * and later cross-document copies are excised (keep-first at span
+    * granularity — the span sibling of [[dedupCorpus]]'s keep-first at
+    * document granularity; within-doc self-repeats are out of scope by
+    * the pair operator's doc_a < doc_b contract). Output:
+    * (doc_id, clean_text, cut_chars, total_chars) over the CANONICAL
+    * normalized text — the coordinate system the spans live in; every
+    * document reports (zero cuts => text unchanged).
+    *
+    * Shape: the span set's doc_b side merges per doc (the profile's
+    * island pass, bounded by spans/doc), and the residual text
+    * assembles IN ONE EXPRESSION per doc — a gap-slice concat over the
+    * sorted merged regions (size(regions)+1 substrings) — so the
+    * rewrite is a projection, never a per-span explode-and-reassemble
+    * shuffle of text.
+    */
+  def substringDedupRewrite(s: SparkSession, dir: String, k: Int = 16,
+                            dfCap: Long = 100, minLen: Long = 32): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents")
+    val spans = substringDedupCore(docs, k, dfCap, minLen)
+    val cut = spans.select(col("doc_b").as("doc_id"), col("start_b").as("st"),
+        (col("start_b") + col("match_len")).as("en"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val regions = cut
+      .withColumn("prev_max", max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh", when(col("prev_max").isNull ||
+        col("st") > col("prev_max"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("island", sum(col("fresh")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("doc_id"))
+      .agg(expr("array_sort(collect_list(struct(ist, ien)))").as("rs"))
+    docs.withColumn("txt", expr(s"array_join(${TextAnalysis.TokensExpr}, ' ')"))
+      .join(regions, Seq("doc_id"), "left")
+      .withColumn("clean_text", when(col("rs").isNull, col("txt")).otherwise(
+        // gap i spans (prev region's end .. next region's start); gap 0
+        // starts at 0, gap size(rs) ends at length(txt)
+        expr("""concat_ws('', transform(sequence(0, size(rs)), i ->
+                 substring(txt,
+                   (CASE WHEN i = 0 THEN CAST(0 AS BIGINT) ELSE rs[i - 1].ien END) + 1,
+                   (CASE WHEN i = size(rs) THEN CAST(length(txt) AS BIGINT) ELSE rs[i].ist END)
+                     - (CASE WHEN i = 0 THEN CAST(0 AS BIGINT) ELSE rs[i - 1].ien END))))""")))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("txt")) - length(col("clean_text"))).cast("long").as("cut_chars"),
+        length(col("txt")).cast("long").as("total_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[substringDedup]] as dialect-templated SQL — one text for both
     * engines (the winnowPairsSql discipline); unnest/posexplode is the
     * dialect point, parameters in lockstep with the operator defaults.
@@ -1510,5 +1564,92 @@ object Dedup {
                         $div (2 * l.total_chars) AS BIGINT) END AS dup_permille
        FROM lens l LEFT JOIN per p ON p.doc_id = l.doc_id
        ORDER BY l.doc_id"""
+  }
+
+  /** [[substringDedupRewrite]] as dialect-templated SQL: the span CTEs,
+    * the doc_b-side island merge, and the gap-slice concat assembly —
+    * list indexing (0- vs 1-based) and the list-concat spelling are the
+    * dialect points; the integer boundaries are identical, so the
+    * rebuilt strings hash-match across engines.
+    */
+  private[graft] def substringDedupRewriteSql(duck: Boolean, toks: String,
+                                              k: Int = 16, dfCap: Long = 100,
+                                              minLen: Long = 32): String = {
+    val join = if (duck) "array_to_string" else "array_join"
+    val gramCtes = if (duck)
+      s"""g AS (SELECT doc_id, txt, unnest(range(0, length(txt) - ${k - 1})) AS pos FROM f),
+         h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                      substr(txt, CAST(pos AS INT) + 1, $k) AS gram FROM g)"""
+    else
+      s"""h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+               FROM (SELECT doc_id,
+                       posexplode(transform(sequence(0, length(txt) - $k),
+                         i -> substring(txt, i + 1, $k))) AS (pos, gram)
+                     FROM f))"""
+    val segsCte = if (duck)
+      """segs AS (SELECT doc_id, list(struct_pack(ist := ist, ien := ien)
+                    ORDER BY ist) AS rs FROM reg GROUP BY doc_id)"""
+    else
+      """segs AS (SELECT doc_id, array_sort(collect_list(struct(ist, ien))) AS rs
+                  FROM reg GROUP BY doc_id)"""
+    // gap i = (prev region's end .. next region's start); gap 0 starts at
+    // char 0, the last gap ends at length(txt)
+    val assemble = if (duck)
+      """list_aggregate(list_transform(range(0, len(s.rs) + 1), i ->
+           substr(t.txt,
+             CAST((CASE WHEN i = 0 THEN 0 ELSE s.rs[i].ien END) + 1 AS INT),
+             CAST((CASE WHEN i = len(s.rs) THEN length(t.txt) ELSE s.rs[i + 1].ist END)
+               - (CASE WHEN i = 0 THEN 0 ELSE s.rs[i].ien END) AS INT))),
+         'string_agg', '')"""
+    else
+      """concat_ws('', transform(sequence(0, size(s.rs)), i ->
+           substring(t.txt,
+             (CASE WHEN i = 0 THEN CAST(0 AS BIGINT) ELSE s.rs[i - 1].ien END) + 1,
+             (CASE WHEN i = size(s.rs) THEN CAST(length(t.txt) AS BIGINT) ELSE s.rs[i].ist END)
+               - (CASE WHEN i = 0 THEN CAST(0 AS BIGINT) ELSE s.rs[i - 1].ien END))))"""
+    s"""WITH t AS (SELECT doc_id, $join($toks, ' ') AS txt FROM documents),
+       f AS (SELECT doc_id, txt FROM t WHERE length(txt) >= $k),
+       $gramCtes,
+       rare AS (SELECT gram FROM (
+                  SELECT gram, count(DISTINCT doc_id) AS df FROM h GROUP BY gram) d
+                WHERE df <= $dfCap),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+             FROM (SELECT h2.doc_id, h2.pos, h2.gram FROM h h2 JOIN rare USING (gram)) a
+             JOIN (SELECT h3.doc_id, h3.pos, h3.gram FROM h h3 JOIN rare USING (gram)) b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       r AS (SELECT doc_a, doc_b, diag, pa, pb,
+                    pa - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             FROM m),
+       runs AS (SELECT doc_a, doc_b,
+                       CAST(min(pa) AS BIGINT) AS start_a,
+                       CAST(min(pb) AS BIGINT) AS start_b,
+                       CAST(count(*) + ${k - 1} AS BIGINT) AS match_len
+                FROM r GROUP BY doc_a, doc_b, diag, grp
+                HAVING count(*) + ${k - 1} >= $minLen),
+       cut AS (SELECT DISTINCT doc_b AS doc_id, start_b AS st,
+                      start_b + match_len AS en FROM runs),
+       mxw AS (SELECT doc_id, st, en,
+                      max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM cut),
+       isl AS (SELECT doc_id, st, en,
+                      sum(CASE WHEN prev_max IS NULL OR st > prev_max
+                          THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM mxw),
+       reg AS (SELECT doc_id, island, min(st) AS ist, max(en) AS ien
+               FROM isl GROUP BY doc_id, island),
+       $segsCte,
+       base AS (SELECT t.doc_id, t.txt,
+                       CASE WHEN s.rs IS NULL THEN t.txt
+                            ELSE $assemble END AS clean_text
+                FROM t LEFT JOIN segs s ON s.doc_id = t.doc_id)
+       SELECT doc_id, clean_text,
+              CAST(length(txt) - length(clean_text) AS BIGINT) AS cut_chars,
+              CAST(length(txt) AS BIGINT) AS total_chars
+       FROM base ORDER BY doc_id"""
   }
 }

@@ -1507,6 +1507,9 @@ object SqlFrontDoor {
       graft.operators.Dedup.substringDupProfileSql(duck = false, toksSql,
         div = "DIV"),
 
+    "q_dedup_substring_rewrite" ->
+      graft.operators.Dedup.substringDedupRewriteSql(duck = false, toksSql),
+
     // datediff argument order is the one dialect knob
     "q_theil_sen_trend" ->
       graft.operators.Analytics.theilSenTrendSql("datediff(b.day, a.day)"),

@@ -333,6 +333,56 @@ class OperatorSpec extends SparkTestBase {
     assert(got.exists(_._3 > 0), "the fixture must exercise nonzero coverage")
   }
 
+  test("substring rewrite: clean text recomputes from the span set, keep-first") {
+    def canonical(t: String): String =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).mkString(" ")
+    val docsRaw = sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> canonical(r.getString(1))).toMap
+    val spans = Dedup.substringDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver-side oracle: the LATER doc loses each span; merge, excise
+    val cutBy = spans.map(s => (s._2, (s._4, s._4 + s._5))).distinct
+      .groupBy(_._1).map { case (d, xs) =>
+        val merged = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        xs.map(_._2).sortBy(identity).foreach { case (st, en) =>
+          if (merged.nonEmpty && st <= merged.last._2)
+            merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, en))
+          else merged += ((st, en))
+        }
+        d -> merged.toList
+      }
+    val got = Dedup.substringDedupRewrite(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == docsRaw.size, "every document must report")
+    var cutTotal = 0L
+    got.foreach { case (d, clean, cut, total) =>
+      val txt = docsRaw(d)
+      assert(total == txt.length, s"doc $d total")
+      val expected = cutBy.get(d) match {
+        case None => txt
+        case Some(regions) =>
+          val keep = new StringBuilder; var at = 0L
+          regions.foreach { case (st, en) =>
+            keep ++= txt.substring(at.toInt, st.toInt); at = en }
+          keep ++= txt.substring(at.toInt)
+          keep.toString
+      }
+      assert(clean == expected, s"doc $d rewrite mismatch")
+      assert(cut == total - clean.length, s"doc $d cut_chars")
+      cutTotal += cut
+    }
+    assert(cutTotal > 0, "the fixture must exercise real cuts")
+    // keep-first: the SMALLEST doc holding a span keeps it verbatim
+    val firstHolders = spans.map(s => (s._1, s._3, s._5)).distinct
+    val cleanOf = got.map(g => g._1 -> g._2).toMap
+    firstHolders.filter { case (a, _, _) => !cutBy.contains(a) }.take(20)
+      .foreach { case (a, st, len) =>
+        val span = docsRaw(a).substring(st.toInt, (st + len).toInt)
+        assert(cleanOf(a).contains(span), s"doc $a must keep its first-occurrence span")
+      }
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
     import spark.implicits._
     // A and B share the 30-char normalized run 'alpha beta gamma delta

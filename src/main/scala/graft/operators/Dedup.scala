@@ -1303,6 +1303,21 @@ object Dedup {
     indexDir
   }
 
+  /** Append a delta's grams into an existing gram index — O(delta) like
+    * appendToIvfIndex: the steady-state loop is screen the delta
+    * ([[substringDedupIncremental]]), then append it so the NEXT delta
+    * sees it. No historical text is read, nothing re-grams.
+    */
+  def appendToGramIndex(s: SparkSession, dir: String, indexDir: String,
+                        minDocId: Long, k: Int = 16,
+                        maxDocIdExclusive: Long = Long.MaxValue): String = {
+    gramRows(Tables.spread(s, dir, "documents")
+        .filter(col("doc_id") >= minDocId &&
+          col("doc_id") < maxDocIdExclusive), k)
+      .write.mode("append").parquet(indexDir)
+    indexDir
+  }
+
   /** INCREMENTAL exact substring dedup — O(delta · df) steady state:
     * screen a delta batch (doc_id >= minDeltaId) against the persisted
     * gram index of everything earlier, without re-gramming (or even

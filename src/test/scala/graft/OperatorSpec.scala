@@ -300,6 +300,43 @@ class OperatorSpec extends SparkTestBase {
     assert(inc.nonEmpty, "the fixture's delta must contain real spans")
   }
 
+  test("gram-index append: two-increment screen equals the batch run per delta") {
+    // steady-state loop: index the first 60%, screen+append the next 20%,
+    // screen the last 20% — each increment's spans must equal the batch
+    // operator restricted to greater-member-in-that-delta
+    val maxId = sources.Tables.documents(spark, Sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
+    val (s1, s2) = (maxId * 3 / 5, maxId * 4 / 5)
+    val idx = tmpDir("gramappend")
+    Dedup.buildGramIndex(spark, Sf, idx, maxDocIdExclusive = s1)
+    val full = Dedup.substringDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // increment 1: docs in [s1, s2) — emulate via the max-exclusive trick:
+    // screen against the index with delta = [s1, maxId], then restrict
+    // assertions to doc_b < s2 (the operator itself takes only minDeltaId;
+    // the second delta's rows are screened in increment 2)
+    val inc1 = Dedup.substringDedupIncremental(spark, Sf, idx, s1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter(_._2 < s2)
+    assert(inc1.toSet == full.filter(p => p._2 >= s1 && p._2 < s2).toSet,
+      "increment 1 must equal batch restricted to its delta")
+    // append increment 1's grams, then screen increment 2 against the
+    // GROWN index — cross-pairs against increment 1 must now surface
+    // without re-reading any text before s2
+    Dedup.appendToGramIndex(spark, Sf, idx,
+      minDocId = s1, maxDocIdExclusive = s2)
+    val grown = spark.read.parquet(idx)
+      .select("doc_id").distinct().count()
+    assert(grown == sources.Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.expr(s"doc_id < $s2")).count(),
+      "append must grow the index by exactly the delta's docs")
+    val inc2 = Dedup.substringDedupIncremental(spark, Sf, idx, s2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(inc2.toSet == full.filter(_._2 >= s2).toSet,
+      "increment 2 must equal batch restricted to its delta")
+  }
+
   test("substring dup profile: covered chars recompute from the span set") {
     val spans = Dedup.substringDedup(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_ab_power_audit" -> (Quality.abPowerAudit(_, _)),
     "q_quantile_uplift" -> (Quality.quantileUplift(_, _)),
     "q_mannwhitney_value" -> (Quality.mannWhitneyValue(_, _)),
+    "q_hodges_lehmann_value" -> (Quality.hodgesLehmannValue(_, _)),
     "q_bootstrap_ci_revenue" -> (Quality.bootstrapRevenueCi(_, _)),
     "q_bootstrap_ci_incremental" -> (Quality.bootstrapRevenueCiIncremental(_, _)),
     "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
@@ -251,6 +252,8 @@ object SparkEntry {
     "q_ccf_click_purchase" -> (Analytics.ccfDailyValue(_, _)),
     "q_theil_sen_trend" -> (Analytics.theilSenTrend(_, _)),
     "q_kendall_tau_daily" -> (Analytics.kendallTauDaily(_, _)),
+    "q_spearman_daily" -> (Analytics.spearmanDaily(_, _)),
+    "q_mann_kendall_seasonal" -> (Analytics.mannKendallSeasonal(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -353,6 +356,7 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
+    "q_bitext_margin" -> (Similarity.bitextMarginMine(_, _)),
     "q_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "q_embed_drift" -> (Similarity.embedDrift(_, _)),
     "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
@@ -2688,6 +2692,13 @@ object SparkEntry {
       operators.Analytics.theilSenTrendSql("date_diff('day', a.day, b.day)"),
 
     "q_kendall_tau_daily" -> operators.Analytics.kendallTauDailySql,
+    "q_spearman_daily" -> operators.Analytics.spearmanDailySql,
+
+    // day-of-week is the one dialect knob (DuckDB dayofweek is 0-based)
+    "q_mann_kendall_seasonal" ->
+      operators.Analytics.mannKendallSeasonalSql("dayofweek(day)"),
+
+    "q_hodges_lehmann_value" -> operators.Quality.hodgesLehmannValueSql,
     "q_ccf_click_purchase" ->
       operators.Analytics.ccfDailyValueSql("click", "purchase", 7),
     "q_traffic_kpi_report" ->
@@ -3527,6 +3538,12 @@ object SparkEntry {
     // the shared template (cos fold + // are the dialect points)
     "q_mmr_rerank" ->
       operators.Similarity.mmrSql(cosMicrosSql,
+        "CAST(embedding AS DOUBLE[])", "//"),
+
+    // bitext margin mining: CSLS ratio margin over the parity shards
+    // (cos fold, array cast, and // are the dialect points)
+    "q_bitext_margin" ->
+      operators.Similarity.bitextMarginSql(cosMicrosSql,
         "CAST(embedding AS DOUBLE[])", "//"),
 
     // embedding drift monitor: cross-multiplied mean shifts over 2^20

@@ -3594,6 +3594,216 @@ object Analytics {
               END AS tau_b_micro
        FROM census"""
 
+  /** Spearman rank correlation between the daily event COUNT and daily
+    * revenue — Pearson's r computed on AVERAGE ranks, the third leg of
+    * the rank-association tripod ([[kendallTauDaily]] is the pair
+    * census; [[Quality.corrMatrix]] the raw-value parametric reading).
+    * Spearman answers the same "monotone association?" question as tau
+    * with the familiar [-1, 1] Pearson scale and O(n log n) cost where
+    * tau's census is O(n²) pairs.
+    *
+    * PURE INTEGER evidence: ties take the standard average rank, kept
+    * exact by DOUBLING — a value with `before` smaller entries in a
+    * group of `cnt` ties has 2·avg_rank = 2·before + cnt + 1, an
+    * integer — so every Pearson component sum (Sx, Sxx, Sxy, ...) is an
+    * exact BIGINT and the only float is the single final ratio, whose
+    * sqrt operands are exact BIGINTs (IEEE sqrt is correctly rounded, so
+    * even the double is engine-identical). BIGINT headroom: the largest
+    * component is n·Sxy ≤ 4n⁴ — safe past n = 200k days (half a
+    * millennium); the overflow hatch is DECIMAL(38,0) sums (cf.
+    * assocRules).
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the rank build aggregates it again to the DISTINCT-VALUE frames
+    * (≤ |days| rows) whose prefix-count window is catalog-sized by
+    * construction (the RankUtils discipline matters for corpus-sized
+    * rank frames; a ≤ |days|-row window is the same class as the
+    * kendall crossJoin census). The two rank joins broadcast under AQE
+    * and the readout is ONE row of exact sums.
+    */
+  def spearmanDaily(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): the daily frame feeds both rank
+    // builds and the final join fan-in
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr(
+          "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .as("y"))
+      .localCheckpoint(true)
+    // doubled average rank per DISTINCT value: 2·before + cnt + 1
+    def doubledRanks(vcol: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(vcol),
+          (lit(2L) * col("before") + col("cnt") + lit(1L)).as(out))
+    }
+    daily
+      .join(doubledRanks("x", "r2x"), Seq("x"))
+      .join(doubledRanks("y", "r2y"), Seq("y"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        coalesce(sum(col("r2x")), lit(0L)).as("sx"),
+        coalesce(sum(col("r2y")), lit(0L)).as("sy"),
+        coalesce(sum(col("r2x") * col("r2x")), lit(0L)).as("sxx"),
+        coalesce(sum(col("r2y") * col("r2y")), lit(0L)).as("syy"),
+        coalesce(sum(col("r2x") * col("r2y")), lit(0L)).as("sxy"))
+      .select(col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("d_xy"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("d_xx"),
+        (col("n_days") * col("syy") - col("sy") * col("sy")).as("d_yy"))
+      .select(col("n_days"), col("d_xy"), col("d_xx"), col("d_yy"),
+        expr("""CASE WHEN n_days < 2 OR d_xx = 0 OR d_yy = 0 THEN CAST(0 AS BIGINT)
+                WHEN d_xy >= 0 THEN
+                  CAST(floor(CAST(d_xy AS DOUBLE)
+                    / (sqrt(CAST(d_xx AS DOUBLE)) * sqrt(CAST(d_yy AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor(CAST(-d_xy AS DOUBLE)
+                    / (sqrt(CAST(d_xx AS DOUBLE)) * sqrt(CAST(d_yy AS DOUBLE)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("rho_micro"))
+  }
+
+  /** Fully portable (GROUP BY rank build, prefix-count window, IEEE sqrt
+    * readout spell identically in DuckDB and Spark).
+    */
+  private[graft] def spearmanDailySql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS x,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS y
+         FROM events GROUP BY CAST(ts AS DATE)),
+       rx AS (SELECT x,
+                CAST(2 * coalesce(sum(cnt) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + cnt + 1 AS BIGINT) AS r2x
+              FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+                    FROM daily GROUP BY x) gx),
+       ry AS (SELECT y,
+                CAST(2 * coalesce(sum(cnt) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + cnt + 1 AS BIGINT) AS r2y
+              FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                    FROM daily GROUP BY y) gy),
+       sums AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(coalesce(sum(r2x), 0) AS BIGINT) AS sx,
+                CAST(coalesce(sum(r2y), 0) AS BIGINT) AS sy,
+                CAST(coalesce(sum(r2x * r2x), 0) AS BIGINT) AS sxx,
+                CAST(coalesce(sum(r2y * r2y), 0) AS BIGINT) AS syy,
+                CAST(coalesce(sum(r2x * r2y), 0) AS BIGINT) AS sxy
+                FROM daily JOIN rx USING (x) JOIN ry USING (y)),
+       d AS (SELECT n_days,
+               n_days * sxy - sx * sy AS d_xy,
+               n_days * sxx - sx * sx AS d_xx,
+               n_days * syy - sy * sy AS d_yy
+             FROM sums)
+       SELECT n_days, d_xy, d_xx, d_yy,
+              CASE WHEN n_days < 2 OR d_xx = 0 OR d_yy = 0 THEN CAST(0 AS BIGINT)
+                   WHEN d_xy >= 0 THEN
+                     CAST(floor(CAST(d_xy AS DOUBLE)
+                       / (sqrt(CAST(d_xx AS DOUBLE)) * sqrt(CAST(d_yy AS DOUBLE)))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor(CAST(-d_xy AS DOUBLE)
+                       / (sqrt(CAST(d_xx AS DOUBLE)) * sqrt(CAST(d_yy AS DOUBLE)))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS rho_micro
+       FROM d"""
+
+  /** Seasonal Mann-Kendall trend test on daily revenue with day-of-week
+    * seasons — the canonical significance companion to the
+    * [[theilSenTrend]] slope (Hirsch & Slack 1984; the pairing every
+    * hydrology/monitoring stack ships): "is revenue trending, judged
+    * only WITHIN each weekday so the weekly cycle can't masquerade as
+    * trend?" S sums sign(later − earlier) over all within-season day
+    * pairs; the variance carries the standard tie correction, held as
+    * exact 18-scaled integers (Var·18 = Σ n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    * over seasons and tie runs), and the readout z applies the ±1
+    * continuity correction with a single IEEE sqrt — no float before
+    * the last expression, so the z is engine-identical bit-for-bit.
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the pair census is a 7-key equi-join on season over that catalog
+    * frame (never a corpus crossJoin) and both variance terms are
+    * two-level aggregates of it. The readout is ONE row.
+    */
+  def mannKendallSeasonal(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): the daily frame feeds the pair
+    // census (twice) and both variance aggregates
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+      .withColumn("season", (dayofweek(col("day")) - 1).cast("long"))
+      .localCheckpoint(true)
+    val a = daily.select(col("season"), col("day").as("da"), col("v").as("va"))
+    val b = daily.select(col("season"), col("day").as("db"), col("v").as("vb"))
+    // census sums coalesce to 0: a sub-2-day season yields an EMPTY pair
+    // frame whose global-agg sum is NULL (the kendall r11 advisory)
+    val sCensus = a.join(b, Seq("season")).filter(col("da") < col("db"))
+      .agg(
+        coalesce(sum(expr(
+          "CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END")), lit(0L))
+          .as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val nTerm = daily.groupBy(col("season")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) * (2 * n + 5)")), lit(0L)).as("var18_n"))
+    val tieTerm = daily.groupBy(col("season"), col("v")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("var18_t"))
+    sCensus.crossJoin(broadcast(nTerm)).crossJoin(broadcast(tieTerm))
+      .select(col("s_stat"), col("n_pairs"),
+        (col("var18_n") - col("var18_t")).as("var18"),
+        expr("""CASE WHEN var18_n - var18_t <= 0 OR s_stat = 0 THEN CAST(0 AS BIGINT)
+                WHEN s_stat > 0 THEN
+                  CAST(floor(CAST(s_stat - 1 AS DOUBLE)
+                    / sqrt(CAST(var18_n - var18_t AS DOUBLE) / CAST(18 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor(CAST(-s_stat - 1 AS DOUBLE)
+                    / sqrt(CAST(var18_n - var18_t AS DOUBLE) / CAST(18 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("z_micro"))
+  }
+
+  /** Portable text except the day-of-week spelling (the one dialect
+    * knob: DuckDB dayofweek is already 0-based Sunday; Spark subtracts 1).
+    */
+  private[graft] def mannKendallSeasonalSql(dow: String): String =
+    s"""WITH daily AS (
+         SELECT day, CAST($dow AS BIGINT) AS season, v FROM (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY CAST(ts AS DATE)) d),
+       sc AS (SELECT
+                CAST(coalesce(sum(CASE WHEN b.v > a.v THEN 1
+                                       WHEN b.v < a.v THEN -1
+                                       ELSE 0 END), 0) AS BIGINT) AS s_stat,
+                CAST(count(*) AS BIGINT) AS n_pairs
+              FROM daily a JOIN daily b
+              ON a.season = b.season AND a.day < b.day),
+       nt AS (SELECT CAST(coalesce(sum(n * (n - 1) * (2 * n + 5)), 0) AS BIGINT)
+                AS var18_n
+              FROM (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM daily GROUP BY season) g),
+       tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                AS var18_t
+              FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                    FROM daily GROUP BY season, v) g)
+       SELECT s_stat, n_pairs, var18_n - var18_t AS var18,
+              CASE WHEN var18_n - var18_t <= 0 OR s_stat = 0 THEN CAST(0 AS BIGINT)
+                   WHEN s_stat > 0 THEN
+                     CAST(floor(CAST(s_stat - 1 AS DOUBLE)
+                       / sqrt(CAST(var18_n - var18_t AS DOUBLE) / CAST(18 AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor(CAST(-s_stat - 1 AS DOUBLE)
+                       / sqrt(CAST(var18_n - var18_t AS DOUBLE) / CAST(18 AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS z_micro
+       FROM sc CROSS JOIN nt CROSS JOIN tt"""
+
   /** Cross-correlation function between two event types' daily series:
     * ccf(k) = corr(click_t, purchase_{t+k}) for k in -maxLag..maxLag —
     * the lead/lag detector behind "does click volume LEAD purchase volume,

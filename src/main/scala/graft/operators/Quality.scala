@@ -1191,6 +1191,73 @@ object Quality {
               END AS z_micro
        FROM rd"""
 
+  /** Hodges-Lehmann pseudo-median of daily revenue — the robust
+    * LOCATION estimator associated with the Wilcoxon/Mann-Whitney rank
+    * family ([[mannWhitneyValue]] is the significance reading; this is
+    * the "where IS the center, outliers notwithstanding" number): the
+    * median of all Walsh averages (vᵢ + vⱼ)/2 over day pairs i ≤ j.
+    * Against a plain median it gains ~21% asymptotic efficiency at the
+    * normal and keeps a 29% breakdown point — one whale day cannot own
+    * it the way it owns the mean.
+    *
+    * EXACT INTEGER evidence: a Walsh average is held DOUBLED as the
+    * pair sum w = vᵢ + vⱼ (BIGINT, never halved into a float); the
+    * median is the LOWER order statistic at rank (m+1) DIV 2 under the
+    * total order (w, da, db), and the readout emits w itself plus the
+    * exact milli-cent pseudo-median w·500 (÷2 for the average, ×1000
+    * for milli — one integer multiply, no division anywhere).
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the Walsh set is the documented catalog-sized crossJoin (|days|²/2
+    * pairs — a decade ≈ 3.3M rows) and the median rank comes from
+    * RankUtils.globalRank (sampled range partitioning + broadcast
+    * prefix offsets — never one window task). The ranked frame is
+    * checkpointed by globalRank, so the census re-reads the pinned
+    * frame, not the crossJoin subtree.
+    */
+  def hodgesLehmannValue(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): both crossJoin sides read this frame
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+      .localCheckpoint(true)
+    val a = daily.select(col("day").as("da"), col("v").as("va"))
+    val b = daily.select(col("day").as("db"), col("v").as("vb"))
+    val walsh = a.crossJoin(b).filter(col("da") <= col("db"))
+      .select((col("va") + col("vb")).as("w"), col("da"), col("db"))
+    val ranked = RankUtils.globalRank(walsh, 32, col("w"), col("da"), col("db"))
+    val census = ranked.agg(count(lit(1)).as("n_walsh"))
+    ranked.crossJoin(broadcast(census))
+      .filter(col("rank") === expr("(n_walsh + 1) DIV 2"))
+      .select(col("n_walsh"),
+        col("w").as("walsh_sum_cents"),
+        (col("w") * lit(500L)).as("pseudo_median_milli"))
+  }
+
+  /** Fully portable (self-join-as-inequality-join, row_number median,
+    * integer readout spell identically in DuckDB and Spark; the rank
+    * target avoids DIV-vs-// via the theilSen floor spelling).
+    */
+  private[graft] def hodgesLehmannValueSql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       pairs AS (SELECT a.day AS da, b.day AS db, a.v + b.v AS w
+                 FROM daily a JOIN daily b ON a.day <= b.day),
+       ranked AS (SELECT w,
+                    row_number() OVER (ORDER BY w, da, db) AS rk
+                  FROM pairs),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_walsh FROM pairs)
+       SELECT n_walsh,
+              CAST(w AS BIGINT) AS walsh_sum_cents,
+              CAST(w * 500 AS BIGINT) AS pseudo_median_milli
+       FROM ranked CROSS JOIN st
+       WHERE rk = CAST(floor((n_walsh + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
+
   /** Poisson(1) weight from an 8-hex md5 prefix — the deterministic
     * resampling kernel of the distributed bootstrap. Thresholds are
     * floor(CDF(k)·2^32) rendered as fixed-width lowercase hex LITERALS,

@@ -2204,4 +2204,140 @@ object Similarity {
                 ${micro4("m")} AS rel_1e4, ${micro4("mmr")} AS mmr_1e4
          FROM sel_out ORDER BY query_id, sel_rank"""
   }
+
+  /** Margin-based cross-corpus alignment — BITEXT MINING (Artetxe &
+    * Schwenk ACL'19, the LASER/CCMatrix recipe; the ratio margin is
+    * CSLS by another name): for every document in corpus A, the best
+    * corpus-B match scored not by raw cosine but by the cosine DIVIDED
+    * by the mean of both endpoints' k-NN cosines — hubness-corrected,
+    * so a vector that is "everyone's neighbor" stops winning every
+    * alignment. This is THE operator that builds parallel training
+    * corpora from two monolingual crawls.
+    *
+    * margin(a,b) = cos(a,b) / ((fwdAvg_a + bwdAvg_b) / 2), realized as
+    * the exact integer rational 2·m·ka·kb / (fwdSum_a·kb + bwdSum_b·ka)
+    * in micro-units: m is the shared micro-cosine, fwdSum/bwdSum are
+    * exact BIGINT sums of each endpoint's top-k micro-cosines, and the
+    * one division is integer DIV with an all-positive numerator and
+    * denominator (mining considers only positive-cosine pairs, so
+    * truncate-vs-floor cannot disagree). accepted = margin ≥ 1.06 (the
+    * published mining threshold) as a 0/1 BIGINT.
+    *
+    * The registry entry splits the embeddings corpus by vec_id parity —
+    * the even/odd shards stand in for the two crawls; real deployments
+    * pass two frames to [[bitextMarginOf]].
+    *
+    * 100 TB shape: the brute scored frame is the oracle-able BASELINE
+    * (and the exact re-rank kernel); at corpus×corpus scale candidate
+    * pairs come from the existing ANN index paths (ivfTopKFromIndex /
+    * annLshTopK) exactly as CCMatrix mines from FAISS shards, with the
+    * k-NN sums taken over the candidate lists (index-approximated CSLS
+    * — the production spelling). Both top-k passes here are map-side
+    * combining TopKNeighbors aggregates (never a corpus-wide window),
+    * and the scored frame is pinned once for its three consumers.
+    */
+  def bitextMarginMine(s: SparkSession, dir: String, k: Int = 4,
+                       thresholdMicro: Long = 1060000L): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    bitextMarginOf(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      k, thresholdMicro)
+  }
+
+  /** [[bitextMarginMine]] over two explicit (vec_id, embedding, vnorm)
+    * corpora — the building block a two-crawl deployment calls directly.
+    */
+  private[graft] def bitextMarginOf(aSide0: DataFrame, bSide0: DataFrame,
+                                    k: Int, thresholdMicro: Long): DataFrame = {
+    val aSide = aSide0.select(col("vec_id").as("a_id"),
+      col("embedding").as("av"), col("vnorm").as("an"))
+    val bSide = bSide0.select(col("vec_id").as("b_id"),
+      col("embedding").as("bv"), col("vnorm").as("bn"))
+    // pinned once: the scored frame feeds the fwd aggregate, the bwd
+    // aggregate, the margin join, AND the winner's cos readout
+    val scored = aSide.crossJoin(bSide)
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(av, bv)", "an", "bn")))
+      .filter(col("m") > 0)
+      .select(col("a_id"), col("b_id"), col("m"))
+      .localCheckpoint(true)
+    val enc =
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor]
+    val topk = udaf(new graft.functions.TopKNeighbors(k), enc)
+    def knnSums(key: String, other: String, sumOut: String, kOut: String) =
+      scored.groupBy(col(key))
+        .agg(topk(col("m"), col(other)).as("nn"))
+        .select(col(key),
+          expr("aggregate(nn, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)")
+            .as(sumOut),
+          expr("CAST(size(nn) AS BIGINT)").as(kOut))
+    val margins = scored
+      .join(knnSums("a_id", "b_id", "fwd_sum", "fwd_k"), Seq("a_id"))
+      .join(knnSums("b_id", "a_id", "bwd_sum", "bwd_k"), Seq("b_id"))
+      .withColumn("margin_micro", expr(
+        """(2 * m * fwd_k * bwd_k * CAST(1000000 AS BIGINT))
+           DIV (fwd_sum * bwd_k + bwd_sum * fwd_k)"""))
+    val top1 = udaf(new graft.functions.TopKNeighbors(1), enc)
+    margins.groupBy(col("a_id"))
+      .agg(top1(col("margin_micro"), col("b_id")).as("nn"))
+      .select(col("a_id"), expr("nn[0].vecId").as("match_id"),
+        expr("nn[0].m").as("margin_micro"))
+      .join(scored.select(col("a_id"), col("b_id").as("match_id"),
+        col("m").as("cos_micro")), Seq("a_id", "match_id"))
+      .select(col("a_id"), col("match_id"), col("cos_micro"),
+        col("margin_micro"),
+        expr(s"""CASE WHEN margin_micro >= $thresholdMicro
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+          .as("accepted"))
+      .orderBy(col("a_id"))
+  }
+
+  /** Dialect-templated SQL twin of [[bitextMarginMine]] (cos fold,
+    * array cast, and integer division are the dialect points — the
+    * DIV operands are all-positive by construction, so truncating DIV
+    * and flooring // agree).
+    */
+  private[graft] def bitextMarginSql(cosMicros: (String, String) => String,
+                                     embCast: String, div: String,
+                                     k: Int = 4,
+                                     thresholdMicro: Long = 1060000L): String =
+    s"""WITH e AS (SELECT vec_id, $embCast AS v FROM embeddings),
+       aside AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 2 = 0),
+       bside AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 2 = 1),
+       pos AS (SELECT a_id, b_id, m FROM (
+                 SELECT a_id, b_id, ${cosMicros("av", "bv")} AS m
+                 FROM aside CROSS JOIN bside) s0
+               WHERE m > 0),
+       fr AS (SELECT a_id, b_id, m,
+                row_number() OVER (PARTITION BY a_id
+                                   ORDER BY m DESC, b_id) AS rk
+              FROM pos),
+       fwd AS (SELECT a_id, CAST(sum(m) AS BIGINT) AS fwd_sum,
+                 CAST(count(*) AS BIGINT) AS fwd_k
+               FROM fr WHERE rk <= $k GROUP BY a_id),
+       br AS (SELECT a_id, b_id, m,
+                row_number() OVER (PARTITION BY b_id
+                                   ORDER BY m DESC, a_id) AS rk
+              FROM pos),
+       bwd AS (SELECT b_id, CAST(sum(m) AS BIGINT) AS bwd_sum,
+                 CAST(count(*) AS BIGINT) AS bwd_k
+               FROM br WHERE rk <= $k GROUP BY b_id),
+       margins AS (SELECT p.a_id, p.b_id, p.m,
+                     CAST((2 * p.m * f.fwd_k * w.bwd_k * 1000000)
+                          $div (f.fwd_sum * w.bwd_k + w.bwd_sum * f.fwd_k)
+                          AS BIGINT) AS margin_micro
+                   FROM pos p
+                   JOIN fwd f ON p.a_id = f.a_id
+                   JOIN bwd w ON p.b_id = w.b_id),
+       best AS (SELECT a_id, b_id, m, margin_micro,
+                  row_number() OVER (PARTITION BY a_id
+                                     ORDER BY margin_micro DESC, b_id) AS rk
+                FROM margins)
+       SELECT a_id, b_id AS match_id, CAST(m AS BIGINT) AS cos_micro,
+              margin_micro,
+              CASE WHEN margin_micro >= $thresholdMicro
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS accepted
+       FROM best WHERE rk = 1 ORDER BY a_id"""
 }

@@ -3154,6 +3154,14 @@ object SqlFrontDoor {
     "q_mmr_rerank" -> graft.operators.Similarity.mmrSql(cosMicrosSql,
       "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
 
+    // same generated bitext text (cos fold + array cast + DIV dialect)
+    "q_bitext_margin" -> graft.operators.Similarity.bitextMarginSql(
+      cosMicrosSql, "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
+
+    // same generated text with Spark's 1-based dayofweek knob
+    "q_mann_kendall_seasonal" ->
+      graft.operators.Analytics.mannKendallSeasonalSql("dayofweek(day) - 1"),
+
     // same generated text as the oracle with DIV for //
     "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV"),
 
@@ -3246,7 +3254,7 @@ object SqlFrontDoor {
     "q_corr_matrix", "q_kendall_tau_daily",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
     "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift",
-    "q_mannwhitney_value")
+    "q_mannwhitney_value", "q_spearman_daily", "q_hodges_lehmann_value")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -1239,4 +1239,79 @@ class MiningSpec extends SparkTestBase {
       row.head.getLong(3), row.head.getLong(4), row.head.getLong(5)) ==
       (n0, c, d, tx, ty, tau))
   }
+
+  test("spearman equals a driver-side doubled-average-rank recompute") {
+    val daily = dailyFixture()
+    val n = daily.size.toLong
+    val xs = daily.map(_._2); val ys = daily.map(_._3)
+    // doubled average rank of v among vs: 2*(#smaller) + (#tied) + 1
+    def dr(vs: Seq[Long], v: Long): Long =
+      2L * vs.count(_ < v) + vs.count(_ == v) + 1L
+    var (sx, sy, sxx, syy, sxy) = (0L, 0L, 0L, 0L, 0L)
+    daily.foreach { case (_, x, y) =>
+      val rx = dr(xs, x); val ry = dr(ys, y)
+      sx += rx; sy += ry; sxx += rx * rx; syy += ry * ry; sxy += rx * ry
+    }
+    val (dxy, dxx, dyy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    val rho =
+      if (n < 2 || dxx == 0L || dyy == 0L) 0L
+      else {
+        val den = math.sqrt(dxx.toDouble) * math.sqrt(dyy.toDouble)
+        if (dxy >= 0) math.floor(dxy.toDouble / den * 1e6 + 0.5).toLong
+        else -math.floor(-dxy.toDouble / den * 1e6 + 0.5).toLong
+      }
+    val row = graft.operators.Analytics.spearmanDaily(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3), row.head.getLong(4)) == (n, dxy, dxx, dyy, rho))
+    // a rank-based rho must live in micro bounds
+    assert(math.abs(rho) <= 1000000L)
+  }
+
+  test("seasonal mann-kendall equals a driver-side per-weekday census") {
+    val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
+    val bySeason = dv.groupBy(_._1.getDayOfWeek.getValue % 7) // 0 = Sunday
+    var (sStat, nPairs) = (0L, 0L)
+    bySeason.values.foreach { days =>
+      val seq = days.sortBy(_._1.toString)
+      for (i <- seq.indices; j <- seq.indices if i < j) {
+        nPairs += 1
+        sStat += java.lang.Long.signum(seq(j)._2 - seq(i)._2)
+      }
+    }
+    val var18n = bySeason.values.map { days =>
+      val m = days.size.toLong; m * (m - 1) * (2 * m + 5)
+    }.sum
+    val var18t = dv.groupBy(d => (d._1.getDayOfWeek.getValue % 7, d._2))
+      .values.map { g => val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }.sum
+    val var18 = var18n - var18t
+    val z =
+      if (var18 <= 0L || sStat == 0L) 0L
+      else {
+        val den = math.sqrt(var18.toDouble / 18.0)
+        if (sStat > 0) math.floor((sStat - 1).toDouble / den * 1e6 + 0.5).toLong
+        else -math.floor((-sStat - 1).toDouble / den * 1e6 + 0.5).toLong
+      }
+    val row = graft.operators.Analytics.mannKendallSeasonal(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3)) == (sStat, nPairs, var18, z))
+  }
+
+  test("hodges-lehmann equals a driver-side walsh-average median") {
+    val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
+    val walsh = (for {
+      i <- dv.indices; j <- dv.indices
+      if !dv(i)._1.isAfter(dv(j)._1)
+    } yield (dv(i)._2 + dv(j)._2, dv(i)._1.toString, dv(j)._1.toString))
+      .sortBy(identity)
+    val m = walsh.size.toLong
+    val w = walsh(((m + 1) / 2 - 1).toInt)._1
+    val row = graft.operators.Quality.hodgesLehmannValue(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2)) ==
+      (m, w, w * 500L))
+    // the pseudo-median must sit inside the daily-total range (doubled)
+    assert(w >= 2 * dv.map(_._2).min && w <= 2 * dv.map(_._2).max)
+  }
 }

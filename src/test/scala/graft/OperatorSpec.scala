@@ -3079,4 +3079,46 @@ class OperatorSpec extends SparkTestBase {
     // pieces never undercount words on this regex pair
     got.foreach { case (_, _, w, p, f) => assert(p >= w && f >= 10000L) }
   }
+
+  test("bitext margin mining equals a driver-side CSLS recompute") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // the operator's exact arithmetic: left-to-right double fold + norms
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosMicro(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5).toLong
+    val aSide = emb.filter(_._1 % 2 == 0); val bSide = emb.filter(_._1 % 2 == 1)
+    val pos = for {
+      (aid, av) <- aSide; (bid, bv) <- bSide
+      m = cosMicro(av, bv) if m > 0
+    } yield (aid, bid, m)
+    def knnSum(pairs: Seq[(Long, Long)]): (Long, Long) = { // (sum, k) of top-4
+      val top = pairs.sortBy { case (id, m) => (-m, id) }.take(4)
+      (top.map(_._2).sum, top.size.toLong)
+    }
+    val fwd = pos.groupBy(_._1).map { case (a, ps) =>
+      a -> knnSum(ps.toSeq.map(p => (p._2, p._3))) }
+    val bwd = pos.groupBy(_._2).map { case (b, ps) =>
+      b -> knnSum(ps.toSeq.map(p => (p._1, p._3))) }
+    val want = pos.groupBy(_._1).map { case (a, ps) =>
+      val (fs, fk) = fwd(a)
+      val scoredPairs = ps.map { case (_, b, m) =>
+        val (bs, bk) = bwd(b)
+        (b, m, (2L * m * fk * bk * 1000000L) / (fs * bk + bs * fk))
+      }
+      val (b, m, mm) = scoredPairs.minBy { case (bid, _, marg) => (-marg, bid) }
+      (a, b, m, mm, if (mm >= 1060000L) 1L else 0L)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Similarity.bitextMarginMine(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // every A-side doc with a positive-cosine pair is matched exactly once
+    assert(got.map(_._1).distinct.size == got.size)
+  }
 }

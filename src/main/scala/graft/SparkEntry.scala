@@ -254,6 +254,7 @@ object SparkEntry {
     "q_kendall_tau_daily" -> (Analytics.kendallTauDaily(_, _)),
     "q_spearman_daily" -> (Analytics.spearmanDaily(_, _)),
     "q_mann_kendall_seasonal" -> (Analytics.mannKendallSeasonal(_, _)),
+    "q_siegel_slope" -> (Analytics.siegelSlope(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2699,6 +2700,10 @@ object SparkEntry {
       operators.Analytics.mannKendallSeasonalSql("dayofweek(day)"),
 
     "q_hodges_lehmann_value" -> operators.Quality.hodgesLehmannValueSql,
+
+    // datediff argument order is the one dialect knob
+    "q_siegel_slope" ->
+      operators.Analytics.siegelSlopeSql("date_diff('day', a.day, b.day)"),
     "q_ccf_click_purchase" ->
       operators.Analytics.ccfDailyValueSql("click", "purchase", 7),
     "q_traffic_kpi_report" ->

@@ -3502,6 +3502,92 @@ object Analytics {
        FROM ranked CROSS JOIN st
        WHERE rk = CAST(floor((n_pairs + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
 
+  /** Siegel repeated-median slope of daily revenue — the 50%-breakdown
+    * upgrade of [[theilSenTrend]] (Siegel, Biometrika 1982): for each
+    * day i take the MEDIAN slope to every other day, then the median of
+    * those per-day medians. Theil-Sen's single median over all pairs
+    * breaks once ~29% of days are corrupted; the repeated median holds
+    * to 50% — the strongest possible breakdown for a slope — because a
+    * bad day must first win its own inner median before it can even
+    * vote in the outer one.
+    *
+    * Exactness inherits the theilSen discipline wholesale: each slope
+    * is one correctly-rounded IEEE division of modest integers with a
+    * full deterministic (num, den, day) tiebreak behind it, medians are
+    * LOWER order statistics at rank (n+1) DIV 2, and the output slope
+    * is the exact truncated integer quotient of the winning pair's
+    * rational (x − x%d over d truncates identically for any sign mix on
+    * both engines — no float reaches the output).
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the |days|² pair frame is the documented catalog-sized crossJoin,
+    * and — unlike theilSen's global rank — the inner medians come from
+    * a window PARTITIONED by day (|days| parallel partitions of |days|
+    * rows each; no single-task choke to engineer around), leaving only
+    * the |days|-row outer rank as a catalog-sized global window.
+    */
+  def siegelSlope(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): both crossJoin sides read this frame
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+      .localCheckpoint(true)
+    val a = daily.select(col("day").as("da"), col("v").as("va"))
+    val b = daily.select(col("day").as("db"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("da") =!= col("db"))
+      .withColumn("num", col("vb") - col("va"))
+      .withColumn("den", expr("CAST(datediff(db, da) AS BIGINT)"))
+      .withColumn("slope", expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"))
+    val byDay = Window.partitionBy(col("da"))
+    val innerMed = pairs
+      .withColumn("rk", row_number().over(
+        byDay.orderBy(col("slope"), col("num"), col("den"), col("db"))))
+      .withColumn("cnt", count(lit(1)).over(byDay))
+      .filter(col("rk") === expr("(cnt + 1) DIV 2"))
+      .select(col("da"), col("num"), col("den"), col("slope"))
+    innerMed
+      .withColumn("rk2", row_number().over(
+        Window.orderBy(col("slope"), col("num"), col("den"), col("da"))))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rk2") === expr("(n_days + 1) DIV 2"))
+      .select(col("da").as("median_day"), col("n_days"),
+        expr("""CAST((num * 1000000 - (num * 1000000) % den) / den AS BIGINT)""")
+          .as("slope_cents_per_day_1e6"))
+  }
+
+  /** Portable text except the datediff spelling (the one dialect knob). */
+  private[graft] def siegelSlopeSql(datediff: String): String =
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       pairs AS (SELECT a.day AS da, b.day AS db,
+                        b.v - a.v AS num,
+                        CAST($datediff AS BIGINT) AS den
+                 FROM daily a JOIN daily b ON a.day <> b.day),
+       sl AS (SELECT da, db, num, den,
+                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+              FROM pairs),
+       inner_med AS (SELECT da, num, den, slope FROM (
+                 SELECT da, num, den, slope,
+                        row_number() OVER (PARTITION BY da
+                          ORDER BY slope, num, den, db) AS rk,
+                        count(*) OVER (PARTITION BY da) AS cnt
+                 FROM sl) r
+               WHERE rk = CAST(floor((cnt + 1) / CAST(2 AS DOUBLE)) AS BIGINT)),
+       ranked AS (SELECT da, num, den,
+                    row_number() OVER (ORDER BY slope, num, den, da) AS rk2,
+                    CAST(count(*) OVER () AS BIGINT) AS n_days
+                  FROM inner_med)
+       SELECT da AS median_day, n_days,
+              CAST((num * 1000000 - (num * 1000000) % den) / den AS BIGINT)
+                AS slope_cents_per_day_1e6
+       FROM ranked
+       WHERE rk2 = CAST(floor((n_days + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
+
   /** Kendall tau-b between the daily event COUNT and daily revenue —
     * the rank-based association that answers "do busier days actually
     * take more money?" without assuming linearity or trusting outliers

@@ -3162,6 +3162,10 @@ object SqlFrontDoor {
     "q_mann_kendall_seasonal" ->
       graft.operators.Analytics.mannKendallSeasonalSql("dayofweek(day) - 1"),
 
+    // same generated text with Spark's datediff argument order
+    "q_siegel_slope" ->
+      graft.operators.Analytics.siegelSlopeSql("datediff(b.day, a.day)"),
+
     // same generated text as the oracle with DIV for //
     "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV"),
 

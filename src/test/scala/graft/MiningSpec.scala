@@ -1298,6 +1298,31 @@ class MiningSpec extends SparkTestBase {
       row.head.getLong(3)) == (sStat, nPairs, var18, z))
   }
 
+  test("siegel repeated-median slope equals a driver-side recompute") {
+    val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
+    // inner: per day i, the lower-median slope to every other day j
+    val inner = dv.map { case (di, vi) =>
+      val slopes = dv.filter(_._1 != di).map { case (dj, vj) =>
+        val num = vj - vi
+        val den = java.time.temporal.ChronoUnit.DAYS.between(di, dj)
+        (num.toDouble / den.toDouble, num, den, dj.toString)
+      }.sortBy(identity)
+      val m = slopes((slopes.size + 1) / 2 - 1)
+      (m._1, m._2, m._3, di.toString)
+    }.sortBy(identity)
+    // outer: the lower median of the per-day medians
+    val n = inner.size.toLong
+    val (_, num, den, day) = inner(((n + 1) / 2 - 1).toInt)
+    val slope1e6 = {
+      val x = num * 1000000L
+      (x - x % den) / den
+    }
+    val row = graft.operators.Analytics.siegelSlope(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getDate(0).toString, row.head.getLong(1),
+      row.head.getLong(2)) == (day, n, slope1e6))
+  }
+
   test("hodges-lehmann equals a driver-side walsh-average median") {
     val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
     val walsh = (for {

@@ -2246,36 +2246,49 @@ object Similarity {
       k, thresholdMicro)
   }
 
-  /** [[bitextMarginMine]] over two explicit (vec_id, embedding, vnorm)
-    * corpora — the building block a two-crawl deployment calls directly.
+  /** Positive-cosine (a_id, b_id, m) pairs between two renamed sides —
+    * the shared scoring pass; pinned once because every caller consumes
+    * it at least three times (fwd agg, margin join, winner's readout).
     */
-  private[graft] def bitextMarginOf(aSide0: DataFrame, bSide0: DataFrame,
-                                    k: Int, thresholdMicro: Long): DataFrame = {
-    val aSide = aSide0.select(col("vec_id").as("a_id"),
-      col("embedding").as("av"), col("vnorm").as("an"))
-    val bSide = bSide0.select(col("vec_id").as("b_id"),
-      col("embedding").as("bv"), col("vnorm").as("bn"))
-    // pinned once: the scored frame feeds the fwd aggregate, the bwd
-    // aggregate, the margin join, AND the winner's cos readout
-    val scored = aSide.crossJoin(bSide)
+  private[graft] def bitextScored(aSide: DataFrame, bSide: DataFrame): DataFrame =
+    aSide.crossJoin(bSide)
       .withColumn("m",
         expr(scoreMicrosFromNorms("dot_f(av, bv)", "an", "bn")))
       .filter(col("m") > 0)
       .select(col("a_id"), col("b_id"), col("m"))
       .localCheckpoint(true)
+
+  /** Per-key sum+count of the top-k micro-cosines — the CSLS k-NN
+    * denominator halves, as one map-side-combining aggregate.
+    */
+  private[graft] def bitextKnnSums(scored: DataFrame, key: String,
+                                   other: String, sumOut: String,
+                                   kOut: String, k: Int): DataFrame = {
     val enc =
       org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor]
     val topk = udaf(new graft.functions.TopKNeighbors(k), enc)
-    def knnSums(key: String, other: String, sumOut: String, kOut: String) =
-      scored.groupBy(col(key))
-        .agg(topk(col("m"), col(other)).as("nn"))
-        .select(col(key),
-          expr("aggregate(nn, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)")
-            .as(sumOut),
-          expr("CAST(size(nn) AS BIGINT)").as(kOut))
+    scored.groupBy(col(key))
+      .agg(topk(col("m"), col(other)).as("nn"))
+      .select(col(key),
+        expr("aggregate(nn, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)")
+          .as(sumOut),
+        expr("CAST(size(nn) AS BIGINT)").as(kOut))
+  }
+
+  /** The margin + best-match tail shared by the batch operator and the
+    * streaming screen: `bwd` carries (b_id, bwd_sum, bwd_k) — the batch
+    * face derives it from `scored` itself; the stream merges its
+    * persistent per-b top-k index first, so the two faces are equal by
+    * construction.
+    */
+  private[graft] def bitextMarginCore(scored: DataFrame, bwd: DataFrame,
+                                      k: Int, thresholdMicro: Long): DataFrame = {
+    val enc =
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredNeighbor]
     val margins = scored
-      .join(knnSums("a_id", "b_id", "fwd_sum", "fwd_k"), Seq("a_id"))
-      .join(knnSums("b_id", "a_id", "bwd_sum", "bwd_k"), Seq("b_id"))
+      .join(bitextKnnSums(scored, "a_id", "b_id", "fwd_sum", "fwd_k", k),
+        Seq("a_id"))
+      .join(bwd, Seq("b_id"))
       .withColumn("margin_micro", expr(
         """(2 * m * fwd_k * bwd_k * CAST(1000000 AS BIGINT))
            DIV (fwd_sum * bwd_k + bwd_sum * fwd_k)"""))
@@ -2292,6 +2305,21 @@ object Similarity {
                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
           .as("accepted"))
       .orderBy(col("a_id"))
+  }
+
+  /** [[bitextMarginMine]] over two explicit (vec_id, embedding, vnorm)
+    * corpora — the building block a two-crawl deployment calls directly.
+    */
+  private[graft] def bitextMarginOf(aSide0: DataFrame, bSide0: DataFrame,
+                                    k: Int, thresholdMicro: Long): DataFrame = {
+    val aSide = aSide0.select(col("vec_id").as("a_id"),
+      col("embedding").as("av"), col("vnorm").as("an"))
+    val bSide = bSide0.select(col("vec_id").as("b_id"),
+      col("embedding").as("bv"), col("vnorm").as("bn"))
+    val scored = bitextScored(aSide, bSide)
+    bitextMarginCore(scored,
+      bitextKnnSums(scored, "b_id", "a_id", "bwd_sum", "bwd_k", k),
+      k, thresholdMicro)
   }
 
   /** Dialect-templated SQL twin of [[bitextMarginMine]] (cos fold,

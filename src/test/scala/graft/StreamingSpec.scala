@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat}
+import org.apache.spark.sql.functions.{col, concat, expr, max}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Dedup
@@ -1383,6 +1383,68 @@ class StreamingSpec extends SparkTestBase {
       assert(b2.exists(e => e.event_type == "purchase" && b1Users(e.user_id)),
         "fixture must have a batch-2 purchase resolving batch-1 touches")
       assert(out.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming bitext screen: per-batch matches equal the batch operator over A-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val base = tmpDir("bitextstream")
+    val all = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // B = odd ids (staged counter-corpus); A = even ids in two batches
+    val bRows = all.filter(_._1 % 2 == 1)
+    val a1 = all.filter(t => t._1 % 2 == 0 && t._1 < 250).toSeq
+    val a2 = all.filter(t => t._1 % 2 == 0 && t._1 >= 250).toSeq
+    def frame(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .withColumn("vnorm", expr("sqrt(dot_f(embedding, embedding))"))
+    graft.streaming.BitextStream.stageCorpus(
+      frame(bRows.toSeq).select("vec_id", "embedding"), s"$base/index")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.BitextStream.start(
+      input.toDF().toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      s"$base/index", s"$base/matches", s"$base/ckpt")
+    def matchesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "match_id", "cos_micro", "margin_micro", "accepted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def batchOver(aRows: Seq[(Long, Array[Float])]) =
+      matchesOf(graft.operators.Similarity.bitextMarginOf(
+        frame(aRows), frame(bRows.toSeq), 4, 1060000L))
+    try {
+      input.addData(a1: _*)
+      q.processAllAvailable()
+      // batch 0's matches ARE the batch operator over (A₀, B)
+      val got0 = matchesOf(spark.read.parquet(s"$base/matches/batch=0"))
+      assert(got0 == batchOver(a1), "batch 0 must equal the batch operator")
+      assert(got0.nonEmpty)
+      input.addData(a2: _*)
+      q.processAllAvailable()
+      // batch 1 = the batch operator over ALL A-so-far, restricted to
+      // batch-1 a_ids: the merged per-b top-k index must reproduce the
+      // hubness denominators a full rescore would compute
+      val ids1 = a2.map(_._1).toSet
+      val got1 = matchesOf(spark.read.parquet(s"$base/matches/batch=1"))
+      val want1 = batchOver(a1 ++ a2).filter(m => ids1.contains(m._1))
+      assert(got1 == want1,
+        s"batch 1: ${got1.size} got vs ${want1.size} want; " +
+          s"diff=${(got1 diff want1).take(3)} / ${(want1 diff got1).take(3)}")
+      assert(got1.nonEmpty)
+      // the hubness index must actually bite for SOME pair: at least one
+      // batch-1 margin differs from a naive batch-1-only rerun (else the
+      // merge path is untested by this fixture)
+      val naive1 = batchOver(a2).filter(m => ids1.contains(m._1))
+      assert(naive1 != got1,
+        "fixture too easy: A-so-far hubness never changed a batch-1 margin")
+      // the index holds at most k rows per b per batch
+      val perB = spark.read.parquet(s"$base/index/bwd")
+        .groupBy("batch", "b_id").count().agg(max("count")).head.getLong(0)
+      assert(perB <= 4L)
     } finally q.stop()
   }
 }

@@ -137,6 +137,7 @@ object SparkEntry {
     "q_quantile_uplift" -> (Quality.quantileUplift(_, _)),
     "q_mannwhitney_value" -> (Quality.mannWhitneyValue(_, _)),
     "q_hodges_lehmann_value" -> (Quality.hodgesLehmannValue(_, _)),
+    "q_qn_scale_value" -> (Quality.qnScaleValue(_, _)),
     "q_bootstrap_ci_revenue" -> (Quality.bootstrapRevenueCi(_, _)),
     "q_bootstrap_ci_incremental" -> (Quality.bootstrapRevenueCiIncremental(_, _)),
     "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
@@ -2700,6 +2701,7 @@ object SparkEntry {
       operators.Analytics.mannKendallSeasonalSql("dayofweek(day)"),
 
     "q_hodges_lehmann_value" -> operators.Quality.hodgesLehmannValueSql,
+    "q_qn_scale_value" -> operators.Quality.qnScaleValueSql,
 
     // datediff argument order is the one dialect knob
     "q_siegel_slope" ->

@@ -1258,6 +1258,75 @@ object Quality {
        FROM ranked CROSS JOIN st
        WHERE rk = CAST(floor((n_walsh + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
 
+  /** Qn scale estimator of daily revenue (Rousseeuw & Croux, JASA 1993)
+    * — the robust SPREAD companion to the [[hodgesLehmannValue]]
+    * location: the k-th order statistic of all pairwise gaps
+    * |vᵢ − vⱼ| (i < j) at k = h(h−1)/2, h = n DIV 2 + 1. Against the
+    * MAD ([[graft.operators.Analytics.madOutliers]]) it keeps the 50%
+    * breakdown but needs no location estimate first (so it stays honest
+    * on skewed series) and is 4× more efficient at the normal (82% vs
+    * 37%).
+    *
+    * PURE INTEGER evidence end to end: gaps are exact cent differences,
+    * the rank target is integer arithmetic on the day census, and the
+    * readout emits the raw winning gap plus its Gaussian-consistency
+    * scaling as the exact product gap·221914 in 1e-5-cent units
+    * (d = 2.21914 pinned as a 1e5-scaled integer literal — no float
+    * ever, not even at the readout).
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the gap set is the documented catalog-sized crossJoin and the
+    * order statistic comes from RankUtils.globalRank (the
+    * hodgesLehmann/theilSen discipline — never one window task).
+    */
+  def qnScaleValue(s: SparkSession, dir: String): DataFrame = {
+    // pinned once (r9 discipline): both crossJoin sides read this frame
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+      .localCheckpoint(true)
+    val a = daily.select(col("day").as("da"), col("v").as("va"))
+    val b = daily.select(col("day").as("db"), col("v").as("vb"))
+    val gaps = a.crossJoin(b).filter(col("da") < col("db"))
+      .select(abs(col("vb") - col("va")).as("g"), col("da"), col("db"))
+    val ranked = RankUtils.globalRank(gaps, 32, col("g"), col("da"), col("db"))
+    val census = daily.agg(count(lit(1)).as("n_days"))
+      .withColumn("h", expr("n_days DIV 2 + 1"))
+      .withColumn("k_target", expr("(h * (h - 1)) DIV 2"))
+    ranked.crossJoin(broadcast(census))
+      .filter(col("rank") === col("k_target"))
+      .select(col("n_days"), col("k_target").as("k_rank"),
+        col("g").as("qn_gap_cents"),
+        (col("g") * lit(221914L)).as("qn_scaled_1e5"))
+  }
+
+  /** Fully portable (inequality self-join, row_number order statistic,
+    * integer census arithmetic via the floor spelling; zero floats).
+    */
+  private[graft] def qnScaleValueSql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       gaps AS (SELECT abs(b.v - a.v) AS g, a.day AS da, b.day AS db
+                FROM daily a JOIN daily b ON a.day < b.day),
+       ranked AS (SELECT g,
+                    row_number() OVER (ORDER BY g, da, db) AS rk
+                  FROM gaps),
+       census AS (SELECT n_days,
+                    CAST((h * (h - 1)) / 2 AS BIGINT) AS k_target
+                  FROM (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                          CAST(floor(count(*) / CAST(2 AS DOUBLE)) + 1 AS BIGINT) AS h
+                        FROM daily) c)
+       SELECT n_days, k_target AS k_rank,
+              CAST(g AS BIGINT) AS qn_gap_cents,
+              CAST(g * 221914 AS BIGINT) AS qn_scaled_1e5
+       FROM ranked CROSS JOIN census
+       WHERE rk = k_target"""
+
   /** Poisson(1) weight from an 8-hex md5 prefix — the deterministic
     * resampling kernel of the distributed bootstrap. Thresholds are
     * floor(CDF(k)·2^32) rendered as fixed-width lowercase hex LITERALS,

@@ -3258,7 +3258,8 @@ object SqlFrontDoor {
     "q_corr_matrix", "q_kendall_tau_daily",
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
     "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift",
-    "q_mannwhitney_value", "q_spearman_daily", "q_hodges_lehmann_value")
+    "q_mannwhitney_value", "q_spearman_daily", "q_hodges_lehmann_value",
+    "q_qn_scale_value")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

@@ -1323,6 +1323,25 @@ class MiningSpec extends SparkTestBase {
       row.head.getLong(2)) == (day, n, slope1e6))
   }
 
+  test("qn scale estimator equals a driver-side pairwise-gap recompute") {
+    val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
+    val gaps = (for {
+      i <- dv.indices; j <- dv.indices
+      if dv(i)._1.isBefore(dv(j)._1)
+    } yield (math.abs(dv(j)._2 - dv(i)._2), dv(i)._1.toString, dv(j)._1.toString))
+      .sortBy(identity)
+    val n = dv.size.toLong
+    val h = n / 2 + 1
+    val k = h * (h - 1) / 2
+    val g = gaps((k - 1).toInt)._1
+    val row = graft.operators.Quality.qnScaleValue(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3)) == (n, k, g, g * 221914L))
+    // Qn is a gap order statistic: bounded by the extreme daily spread
+    assert(g >= 0 && g <= dv.map(_._2).max - dv.map(_._2).min)
+  }
+
   test("hodges-lehmann equals a driver-side walsh-average median") {
     val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
     val walsh = (for {

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_mannwhitney_value" -> (Quality.mannWhitneyValue(_, _)),
     "q_hodges_lehmann_value" -> (Quality.hodgesLehmannValue(_, _)),
     "q_qn_scale_value" -> (Quality.qnScaleValue(_, _)),
+    "q_wilcoxon_signed_rank" -> (Quality.wilcoxonSignedRank(_, _)),
     "q_bootstrap_ci_revenue" -> (Quality.bootstrapRevenueCi(_, _)),
     "q_bootstrap_ci_incremental" -> (Quality.bootstrapRevenueCiIncremental(_, _)),
     "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
@@ -2702,6 +2703,10 @@ object SparkEntry {
 
     "q_hodges_lehmann_value" -> operators.Quality.hodgesLehmannValueSql,
     "q_qn_scale_value" -> operators.Quality.qnScaleValueSql,
+
+    // datediff argument order is the one dialect knob
+    "q_wilcoxon_signed_rank" -> operators.Quality.wilcoxonSignedRankSql(
+      "date_diff('day', DATE '1970-01-05', day)"),
 
     // datediff argument order is the one dialect knob
     "q_siegel_slope" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -1326,6 +1327,123 @@ object Quality {
               CAST(g * 221914 AS BIGINT) AS qn_scaled_1e5
        FROM ranked CROSS JOIN census
        WHERE rk = k_target"""
+
+  /** Wilcoxon signed-rank test on week-over-week daily revenue — the
+    * PAIRED nonparametric significance test that completes the rank
+    * family ([[mannWhitneyValue]] is the unpaired arm-vs-arm reading;
+    * this one asks "did THIS weekday take more money than the same
+    * weekday last week?", so the weekly cycle is differenced out
+    * instead of averaged over). Pairs are (epoch-week w, w+1) at equal
+    * day-of-week; zero differences drop (the standard Wilcoxon
+    * treatment); |d| takes DOUBLED average ranks (2·below + t + 1 —
+    * exact integers, the mannWhitney midrank discipline); W is the
+    * doubled rank sum of the positive differences.
+    *
+    * PURE INTEGER evidence: with num = 2·W₂ − n(n+1) (W₂ the doubled
+    * positive-rank sum) and the tie-corrected variance held 48-scaled
+    * as var48 = 2n(n+1)(2n+1) − Σ(t³−t), the z statistic is
+    * z = num·sqrt(3)/sqrt(var48) — both sqrt operands exact (sqrt(3)
+    * spells identically on both engines), ±1-in-doubled-units
+    * continuity correction (±2 on num), half-up micro readout.
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the week-pair join is an equi-join on (dow, week) over that
+    * catalog frame; ranks ride a DISTINCT-|d| prefix-count frame (the
+    * spearman build); the readout is ONE row.
+    */
+  def wilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    // pinned once: the daily frame feeds both sides of the pair join
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+      .withColumn("ed", expr("CAST(datediff(day, DATE '1970-01-05') AS BIGINT)"))
+      .withColumn("week", expr("CASE WHEN ed >= 0 THEN ed DIV 7 ELSE -((-ed + 6) DIV 7) END"))
+      .withColumn("dow", expr("((ed % 7) + 7) % 7"))
+      .localCheckpoint(true)
+    val a = daily.select(col("dow"), col("week"), col("v").as("v1"))
+    val b = daily.select(col("dow"), (col("week") - 1).as("week"),
+      col("v").as("v2"))
+    val diffs = a.join(b, Seq("dow", "week"))
+      .select((col("v2") - col("v1")).as("d"))
+      .filter(col("d") =!= 0)
+      .withColumn("ad", abs(col("d")))
+      .localCheckpoint(true) // rank build + join-back + census
+    // doubled average rank per DISTINCT |d| (the spearman build)
+    val w = Window.orderBy(col("ad")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = diffs.groupBy(col("ad")).agg(count(lit(1)).as("cnt"))
+      .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select(col("ad"),
+        (lit(2L) * col("before") + col("cnt") + lit(1L)).as("r2"),
+        col("cnt").as("t"))
+    val census = diffs.join(ranks, Seq("ad"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("d") > 0, col("r2")).otherwise(lit(0L))), lit(0L))
+          .as("w2"))
+    val ties = ranks
+      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("tie3"))
+    census.crossJoin(broadcast(ties))
+      .select(col("n_pairs"), col("w2"),
+        expr("2 * w2 - n_pairs * (n_pairs + 1)").as("num"),
+        expr("2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie3")
+          .as("var48"))
+      .select(col("n_pairs"), col("w2"), col("num"), col("var48"),
+        expr("""CASE WHEN var48 <= 0 OR num = 0 THEN CAST(0 AS BIGINT)
+                WHEN num > 0 THEN
+                  CAST(floor(CAST(greatest(num - 2, 0) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE))
+                    / sqrt(CAST(var48 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                ELSE -CAST(floor(CAST(greatest(-num - 2, 0) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE))
+                    / sqrt(CAST(var48 AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("z_micro"))
+  }
+
+  /** Portable text except the datediff spelling (the one dialect knob). */
+  private[graft] def wilcoxonSignedRankSql(datediff: String): String =
+    s"""WITH daily AS (
+         SELECT day, v,
+                CASE WHEN ed >= 0 THEN CAST(floor(ed / CAST(7 AS DOUBLE)) AS BIGINT)
+                     ELSE -CAST(floor((-ed + 6) / CAST(7 AS DOUBLE)) AS BIGINT) END AS week,
+                ((ed % 7) + 7) % 7 AS dow
+         FROM (SELECT day, v, CAST($datediff AS BIGINT) AS ed FROM (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY CAST(ts AS DATE)) d0) d1),
+       diffs AS (SELECT b.v - a.v AS d, abs(b.v - a.v) AS ad
+                 FROM daily a JOIN daily b
+                 ON a.dow = b.dow AND b.week = a.week + 1
+                 WHERE b.v <> a.v),
+       ranks AS (SELECT ad,
+                   CAST(2 * coalesce(sum(cnt) OVER (ORDER BY ad
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + cnt + 1 AS BIGINT) AS r2,
+                   cnt AS t
+                 FROM (SELECT ad, CAST(count(*) AS BIGINT) AS cnt
+                       FROM diffs GROUP BY ad) g),
+       census AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(coalesce(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END), 0)
+                      AS BIGINT) AS w2
+                  FROM diffs JOIN ranks USING (ad)),
+       ties AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+                FROM ranks),
+       fin AS (SELECT n_pairs, w2,
+                 2 * w2 - n_pairs * (n_pairs + 1) AS num,
+                 2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tie3 AS var48
+               FROM census CROSS JOIN ties)
+       SELECT n_pairs, w2, num, var48,
+              CASE WHEN var48 <= 0 OR num = 0 THEN CAST(0 AS BIGINT)
+                   WHEN num > 0 THEN
+                     CAST(floor(CAST(greatest(num - 2, 0) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE))
+                       / sqrt(CAST(var48 AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE -CAST(floor(CAST(greatest(-num - 2, 0) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE))
+                       / sqrt(CAST(var48 AS DOUBLE))
+                       * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS z_micro
+       FROM fin"""
 
   /** Poisson(1) weight from an 8-hex md5 prefix — the deterministic
     * resampling kernel of the distributed bootstrap. Thresholds are

@@ -3166,6 +3166,10 @@ object SqlFrontDoor {
     "q_siegel_slope" ->
       graft.operators.Analytics.siegelSlopeSql("datediff(b.day, a.day)"),
 
+    // same generated text with Spark's datediff argument order
+    "q_wilcoxon_signed_rank" -> graft.operators.Quality.wilcoxonSignedRankSql(
+      "datediff(day, DATE '1970-01-05')"),
+
     // same generated text as the oracle with DIV for //
     "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV"),
 

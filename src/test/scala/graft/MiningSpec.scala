@@ -1342,6 +1342,40 @@ class MiningSpec extends SparkTestBase {
     assert(g >= 0 && g <= dv.map(_._2).max - dv.map(_._2).min)
   }
 
+  test("wilcoxon signed-rank equals a driver-side paired recompute") {
+    val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
+    val epoch = java.time.LocalDate.of(1970, 1, 5) // a Monday
+    val keyed = dv.map { case (day, v) =>
+      val ed = java.time.temporal.ChronoUnit.DAYS.between(epoch, day)
+      ((if (ed >= 0) ed / 7 else -((-ed + 6) / 7), ((ed % 7) + 7) % 7), v)
+    }.toMap
+    val diffs = keyed.flatMap { case ((week, dow), v1) =>
+      keyed.get((week + 1, dow)).map(v2 => v2 - v1)
+    }.filter(_ != 0L).toSeq
+    val ads = diffs.map(math.abs)
+    def r2(ad: Long): Long = 2L * ads.count(_ < ad) + ads.count(_ == ad) + 1L
+    val n = diffs.size.toLong
+    val w2 = diffs.filter(_ > 0).map(d => r2(math.abs(d))).sum
+    val tie3 = ads.distinct.map { ad =>
+      val t = ads.count(_ == ad).toLong; t * t * t - t
+    }.sum
+    val num = 2 * w2 - n * (n + 1)
+    val var48 = 2 * n * (n + 1) * (2 * n + 1) - tie3
+    val z =
+      if (var48 <= 0 || num == 0) 0L
+      else {
+        val mag = math.max(math.abs(num) - 2, 0L).toDouble
+        val v = math.floor(mag * math.sqrt(3.0) / math.sqrt(var48.toDouble)
+          * 1e6 + 0.5).toLong
+        if (num > 0) v else -v
+      }
+    val row = graft.operators.Quality.wilcoxonSignedRank(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3), row.head.getLong(4)) == (n, w2, num, var48, z))
+    assert(n > 0, "fixture must produce week-over-week pairs")
+  }
+
   test("hodges-lehmann equals a driver-side walsh-average median") {
     val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
     val walsh = (for {

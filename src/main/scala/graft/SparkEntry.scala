@@ -187,6 +187,9 @@ object SparkEntry {
     "q_snapshot_diff" -> (Curation.snapshotDiff(_, _)),
     "q_bfs_levels" ->
       (Mining.bfsLevels(_, _, Basket.maxItems, Basket.bfsHops)),
+    "q_closeness_centrality" ->
+      (Mining.closenessCentrality(_, _, Basket.maxItems,
+        Basket.closenessSources, Basket.bfsHops)),
     "q_shortest_paths" ->
       (Mining.shortestPaths(_, _, Basket.maxItems, Basket.spRounds,
         Basket.topK)),
@@ -670,6 +673,7 @@ object SparkEntry {
     val pagerankIters = 10
     val joinEstBuckets = 32
     val bfsHops = 4
+    val closenessSources = 8 // the panel: smallest node ids, deterministic
     val spRounds = 4 // Bellman-Ford relaxations; matches the BFS horizon
     val jaccardMinCo = 2
     val jaccardTopN = 100
@@ -1561,6 +1565,11 @@ object SparkEntry {
     // BFS level histogram: unrolled reach sets, portable text
     "q_bfs_levels" ->
       operators.Mining.bfsLevelsSql(Basket.maxItems, Basket.bfsHops),
+
+    // panel closeness: unrolled per-source reach sets; // the dialect point
+    "q_closeness_centrality" ->
+      operators.Mining.closenessCentralitySql("//", Basket.maxItems,
+        Basket.closenessSources, Basket.bfsHops),
 
     // bounded Bellman-Ford: relaxations unrolled; // the only dialect point
     "q_shortest_paths" ->

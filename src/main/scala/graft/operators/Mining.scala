@@ -684,6 +684,127 @@ object Mining {
          FROM lv GROUP BY level ORDER BY level"""
   }
 
+  /** Closeness (and truncated-harmonic) centrality on the co-purchase
+    * graph from a deterministic panel of sources — the "which items sit
+    * in the MIDDLE of the catalog's purchase structure?" reading that
+    * [[pagerankCopurchase]] (influence flow) and [[bfsLevels]]
+    * (reachability profile) don't give. Exact all-pairs closeness is
+    * O(V·E) and pointless at catalog scale; the standard estimator runs
+    * BFS from a source PANEL (here: the nSources smallest node ids —
+    * deterministic, oracle-reproducible; a production caller passes its
+    * own panel) bounded at maxHops (the bounded-round contract every
+    * iterative op here documents: distances are exact for paths ≤
+    * maxHops, unreached nodes simply don't vote).
+    *
+    * Readouts, pure integers: closeness_1e6 = reached·1e6 DIV Σdist
+    * (Wasserman-Faust without the float normalizer — comparable across
+    * sources at fixed panel), and harmonic_1e6 = Σ (1e6 DIV dist) — the
+    * centrality that stays well-defined on disconnected graphs
+    * (Boldi & Vigna 2014), each term an exact truncated quotient.
+    *
+    * 100 TB shape: the bfsLevels discipline per round — frontier and
+    * visited sets are (panel × node)-bounded and BROADCAST so the edge
+    * list never reshuffles; per-round distinct keeps reach sets
+    * set-sized; lineage pinned per hop. The readout is |panel| rows.
+    */
+  def closenessCentrality(s: SparkSession, dir: String, maxItems: Int = 40,
+                          nSources: Int = 8, maxHops: Int = 4): DataFrame = {
+    val edges = basketEdges(s, dir, maxItems)
+    val adj = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val srcs = adj.select(col("u")).distinct()
+      .orderBy(col("u")).limit(nSources)
+      .select(col("u").as("src"))
+      .localCheckpoint(true)
+    var levels = srcs.select(col("src"), col("src").as("node"),
+      lit(0L).as("lvl")).localCheckpoint(true)
+    var frontier = levels
+    var hop = 0L
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      frontier = adj.join(broadcast(frontier), frontier("node") === adj("u"))
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(broadcast(levels.select(col("src"), col("node"))),
+          Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(hop).as("lvl"))
+        .localCheckpoint(true)
+      levels = levels.unionByName(frontier).localCheckpoint(true)
+    }
+    srcs.join(
+        levels.filter(col("lvl") > 0)
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(col("lvl")).as("sum_dist"),
+            sum(expr("1000000 DIV lvl")).as("harmonic_1e6")),
+        Seq("src"), "left")
+      .select(col("src"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        expr("""CASE WHEN coalesce(sum_dist, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (n_reached * 1000000) DIV sum_dist END""")
+          .as("closeness_1e6"),
+        coalesce(col("harmonic_1e6"), lit(0L)).as("harmonic_1e6"))
+      .orderBy(col("src"))
+  }
+
+  /** The panel BFS as one SQL statement with hops unrolled — the
+    * bfsLevelsSql pattern carrying a src column through every reach set
+    * (integer division is the one dialect knob).
+    */
+  private[graft] def closenessCentralitySql(div: String, maxItems: Int = 40,
+                                            nSources: Int = 8,
+                                            maxHops: Int = 4): String = {
+    val header =
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                      FROM lineitem),
+         ok AS (SELECT basket FROM inc GROUP BY basket
+                HAVING count(*) <= $maxItems),
+         kept AS (SELECT inc.basket, inc.item FROM inc JOIN ok
+                  ON ok.basket = inc.basket),
+         e AS (SELECT DISTINCT a.item AS u, b.item AS v
+               FROM kept a JOIN kept b
+                 ON a.basket = b.basket AND a.item <> b.item),
+         srcs AS (SELECT u AS src FROM (
+                    SELECT DISTINCT u FROM e ORDER BY u LIMIT $nSources) s0),
+         r0 AS (SELECT src, src AS node FROM srcs)"""
+    val steps = (1 to maxHops).map { i =>
+      s"""r$i AS (SELECT src, node FROM r${i - 1}
+                  UNION
+                  SELECT f.src, e.v AS node FROM e
+                  JOIN r${i - 1} f ON f.node = e.u)"""
+    }
+    val lvlJoins = (0 to maxHops).map { i =>
+      s"LEFT JOIN r$i x$i ON x$i.src = p.src AND x$i.node = p.node"
+    }.mkString("\n                ")
+    val lvlCase = (0 to maxHops).map { i =>
+      s"WHEN x$i.node IS NOT NULL THEN CAST($i AS BIGINT)"
+    }.mkString("\n                 ")
+    (header +: steps).mkString(",\n") +
+      s""",
+         pairs AS (SELECT s.src, n.node
+                   FROM srcs s CROSS JOIN (SELECT DISTINCT u AS node FROM e) n),
+         lv AS (SELECT p.src, CASE $lvlCase
+                       ELSE CAST(-1 AS BIGINT) END AS level
+                FROM pairs p
+                $lvlJoins),
+         agg AS (SELECT src,
+                   CAST(coalesce(sum(CASE WHEN level > 0 THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_reached,
+                   CAST(coalesce(sum(CASE WHEN level > 0 THEN level ELSE 0 END), 0)
+                     AS BIGINT) AS sum_dist,
+                   CAST(coalesce(sum(CASE WHEN level > 0
+                     THEN CAST(1000000 $div level AS BIGINT) ELSE 0 END), 0)
+                     AS BIGINT) AS harmonic_1e6
+                 FROM lv GROUP BY src)
+         SELECT src, n_reached, sum_dist,
+                CASE WHEN sum_dist = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((n_reached * 1000000) $div sum_dist AS BIGINT)
+                END AS closeness_1e6,
+                harmonic_1e6
+         FROM agg ORDER BY src"""
+  }
+
   /** Item-item NEIGHBOR SIMILARITY on the co-purchase graph: for every
     * canonical item pair sharing at least [[minCo]] baskets, the Jaccard
     * of their basket sets — |baskets with both| / |baskets with either| —

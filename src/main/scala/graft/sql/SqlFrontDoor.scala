@@ -3170,6 +3170,12 @@ object SqlFrontDoor {
     "q_wilcoxon_signed_rank" -> graft.operators.Quality.wilcoxonSignedRankSql(
       "datediff(day, DATE '1970-01-05')"),
 
+    // same generated panel-BFS text with DIV for //
+    "q_closeness_centrality" -> graft.operators.Mining.closenessCentralitySql(
+      "DIV", graft.SparkEntry.Basket.maxItems,
+      graft.SparkEntry.Basket.closenessSources,
+      graft.SparkEntry.Basket.bfsHops),
+
     // same generated text as the oracle with DIV for //
     "q_ab_test_readout" -> graft.operators.Quality.abTestSql("DIV"),
 

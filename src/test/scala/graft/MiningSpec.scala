@@ -1240,6 +1240,43 @@ class MiningSpec extends SparkTestBase {
       (n0, c, d, tx, ty, tau))
   }
 
+  test("closeness centrality equals a driver-side panel BFS") {
+    val inc = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val adj = inc.groupBy(_._1).values.toSeq
+      .filter(_.size <= 8) // the whale-basket guard
+      .flatMap { rows =>
+        val its = rows.map(_._2).distinct
+        for (x <- its; y <- its if x != y) yield (x, y)
+      }
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val srcs = adj.keySet.toSeq.sorted.take(8)
+    val want = srcs.map { src =>
+      var dist = Map(src -> 0L); var frontier = Set(src); var hop = 0L
+      while (hop < 4 && frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(adj(_)) -- dist.keySet
+        next.foreach(n => dist += n -> hop)
+        frontier = next
+      }
+      val reached = (dist.size - 1).toLong
+      val sumd = dist.values.sum
+      val closeness = if (sumd == 0) 0L else reached * 1000000L / sumd
+      val harmonic = dist.values.filter(_ > 0).map(1000000L / _).sum
+      (src, reached, sumd, closeness, harmonic)
+    }
+    val got = graft.operators.Mining
+      .closenessCentrality(spark, Sf, maxItems = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // a panel source reaches at least its own neighbors
+    got.zip(srcs).foreach { case ((_, reached, _, _, _), src) =>
+      assert(reached >= adj(src).size)
+    }
+  }
+
   test("spearman equals a driver-side doubled-average-rank recompute") {
     val daily = dailyFixture()
     val n = daily.size.toLong

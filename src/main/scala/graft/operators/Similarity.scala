@@ -2322,6 +2322,64 @@ object Similarity {
       k, thresholdMicro)
   }
 
+  /** [[bitextMarginMine]] with candidate generation from a prebuilt IVF
+    * index over the corpus — the scale path the batch scaladoc names
+    * (CCMatrix's FAISS-shard recipe): each A doc probes its nProbe
+    * nearest lists and every CSLS ingredient — forward sums, backward
+    * sums, the margin itself — is computed over candidate pairs only
+    * (index-approximated CSLS, the production spelling). At
+    * nProbe = nLists the candidate set is exactly the positive-cosine
+    * pair set, so the result equals the brute operator BIT-FOR-BIT
+    * (OperatorSpec pins it); recall tuning moves nProbe, never the
+    * arithmetic. The counter-corpus is the index's odd-parity shard
+    * (the registry op's B side); tombstones are screened like every
+    * other index consumer.
+    */
+  def bitextMarginFromIndex(s: SparkSession, dir: String, indexDir: String,
+                            k: Int = 4, thresholdMicro: Long = 1060000L,
+                            nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val aSide = emb.filter(col("vec_id") % 2 === 0)
+    // probe scoring matches the index's quantizer (the ivfTopKFromIndex
+    // dispatch): code-space vs stored trained centroids, exact vs first-N
+    val scoredQ = storedCentroids(s, indexDir) match {
+      case Some(cents) => scoreAgainstCentroids(vectorCodes(aSide), cents)
+      case None =>
+        val centroids = emb.filter(col("vec_id") < nLists)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+            col("vnorm").as("cnorm"))
+        aSide.crossJoin(broadcast(centroids))
+          .withColumn("cm",
+            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+    }
+    val probes = scoredQ
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cm").desc, col("centroid_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("a_id"), col("centroid_id"))
+    val index = screenTombstones(s, indexDir, s.read.parquet(indexDir))
+      .filter(col("vec_id") % 2 === 1)
+    // a vector lives in exactly one list, so (a_id, b_id) is unique by
+    // construction — the dedup is the ivfTopKFromIndex defensive parity
+    val candB = index.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        col("embedding").as("bv"), col("vnorm").as("bn"))
+      .dropDuplicates("a_id", "b_id")
+    val aRen = aSide.select(col("vec_id").as("a_id"),
+      col("embedding").as("av"), col("vnorm").as("an"))
+    val scored = candB.join(aRen, Seq("a_id"))
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(av, bv)", "an", "bn")))
+      .filter(col("m") > 0)
+      .select(col("a_id"), col("b_id"), col("m"))
+      .localCheckpoint(true)
+    bitextMarginCore(scored,
+      bitextKnnSums(scored, "b_id", "a_id", "bwd_sum", "bwd_k", k),
+      k, thresholdMicro)
+  }
+
   /** Dialect-templated SQL twin of [[bitextMarginMine]] (cos fold,
     * array cast, and integer division are the dialect points — the
     * DIV operands are all-positive by construction, so truncating DIV

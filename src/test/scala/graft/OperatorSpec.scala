@@ -3080,6 +3080,26 @@ class OperatorSpec extends SparkTestBase {
     got.foreach { case (_, _, w, p, f) => assert(p >= w && f >= 10000L) }
   }
 
+  test("bitext margin from the IVF index: exhaustive probe equals brute bit-for-bit") {
+    val idx = tmpDir("bitext_ivf")
+    Similarity.buildIvfIndex(spark, Sf, idx) // 16 first-N lists
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val brute = rows(Similarity.bitextMarginMine(spark, Sf))
+    // full probe => candidates are ALL positive pairs => identical CSLS
+    val full = rows(Similarity.bitextMarginFromIndex(spark, Sf, idx,
+      nProbe = 16))
+    assert(full == brute, "exhaustive probing must reproduce brute mining")
+    // partial probe: still one row per mined a, every a from the A shard,
+    // and the candidate screen can only shrink the mined set
+    val partial = rows(Similarity.bitextMarginFromIndex(spark, Sf, idx))
+    assert(partial.map(_._1).distinct.size == partial.size)
+    assert(partial.forall(_._1 % 2 == 0))
+    assert(partial.size <= brute.size)
+    assert(partial.nonEmpty)
+  }
+
   test("bitext margin mining equals a driver-side CSLS recompute") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

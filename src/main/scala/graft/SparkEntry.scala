@@ -139,6 +139,7 @@ object SparkEntry {
     "q_hodges_lehmann_value" -> (Quality.hodgesLehmannValue(_, _)),
     "q_qn_scale_value" -> (Quality.qnScaleValue(_, _)),
     "q_wilcoxon_signed_rank" -> (Quality.wilcoxonSignedRank(_, _)),
+    "q_mcnemar_conversion" -> (Quality.mcnemarConversion(_, _)),
     "q_bootstrap_ci_revenue" -> (Quality.bootstrapRevenueCi(_, _)),
     "q_bootstrap_ci_incremental" -> (Quality.bootstrapRevenueCiIncremental(_, _)),
     "q_freshness_audit" -> (Quality.freshnessAudit(_, _)),
@@ -260,6 +261,7 @@ object SparkEntry {
     "q_spearman_daily" -> (Analytics.spearmanDaily(_, _)),
     "q_mann_kendall_seasonal" -> (Analytics.mannKendallSeasonal(_, _)),
     "q_siegel_slope" -> (Analytics.siegelSlope(_, _)),
+    "q_runs_test_daily" -> (Analytics.runsTestDaily(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2720,6 +2722,12 @@ object SparkEntry {
     // datediff argument order is the one dialect knob
     "q_siegel_slope" ->
       operators.Analytics.siegelSlopeSql("date_diff('day', a.day, b.day)"),
+
+    "q_runs_test_daily" -> operators.Analytics.runsTestDailySql,
+
+    // datediff + // are the dialect knobs
+    "q_mcnemar_conversion" -> operators.Quality.mcnemarConversionSql(
+      "date_diff('day', DATE '1970-01-05', day)", "//"),
     "q_ccf_click_purchase" ->
       operators.Analytics.ccfDailyValueSql("click", "purchase", 7),
     "q_traffic_kpi_report" ->

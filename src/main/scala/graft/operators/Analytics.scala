@@ -3588,6 +3588,97 @@ object Analytics {
        FROM ranked
        WHERE rk2 = CAST(floor((n_days + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
 
+  /** Wald-Wolfowitz runs test on the daily revenue up/down sequence —
+    * the randomness check behind every trend readout ([[theilSenTrend]],
+    * [[mannKendallSeasonal]] say WHERE the series is going; this one
+    * says whether the day-to-day wiggle is even random, or clustered /
+    * oscillating — too FEW runs means momentum regimes, too MANY means
+    * mean-reverting overcorrection). Day-over-day ties (d = 0) drop,
+    * the standard treatment; a run is a maximal streak of equal signs.
+    *
+    * PURE INTEGER census: n₊, n₋, R are counts; with n = n₊+n₋ and
+    * A = 2·n₊·n₋ the z numerator is the exact integer R·n − A − n
+    * (n·(R − μ), μ = A/n + 1) and the denominator is n·σ =
+    * sqrt(A(A−n)/(n−1)) — the double products stay exact below 2^53
+    * past n = 60k days, and the single sqrt/division readout is
+    * engine-identical IEEE.
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the two lag windows ride that catalog frame (the acf/holt class)
+    * and the readout is ONE row.
+    */
+  def runsTestDaily(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.orderBy(col("day"))
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+    val signs = daily
+      .withColumn("d", col("v") - lag(col("v"), 1).over(byDay))
+      .filter(col("d").isNotNull && col("d") =!= 0)
+      .withColumn("sgn", expr("CASE WHEN d > 0 THEN 1 ELSE -1 END"))
+      .withColumn("prev", lag(col("sgn"), 1).over(byDay))
+    signs.agg(
+        coalesce(sum(expr("CASE WHEN sgn = 1 THEN 1 ELSE 0 END")), lit(0L))
+          .as("n_plus"),
+        coalesce(sum(expr("CASE WHEN sgn = -1 THEN 1 ELSE 0 END")), lit(0L))
+          .as("n_minus"),
+        coalesce(sum(expr(
+          "CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END")), lit(0L))
+          .as("n_runs"))
+      .select(col("n_plus"), col("n_minus"), col("n_runs"),
+        expr("""CASE WHEN n_plus = 0 OR n_minus = 0
+                     OR n_plus + n_minus < 2 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(
+                  CAST(n_runs * (n_plus + n_minus)
+                       - 2 * n_plus * n_minus - (n_plus + n_minus) AS DOUBLE)
+                  / sqrt(CAST(2 AS DOUBLE) * n_plus * n_minus
+                         * (CAST(2 AS DOUBLE) * n_plus * n_minus
+                            - (n_plus + n_minus))
+                         / CAST(n_plus + n_minus - 1 AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                END""").as("z_micro"))
+  }
+
+  /** Fully portable (two lag windows over the daily frame, one IEEE
+    * sqrt/division readout; floor(x + 0.5) keeps the signed micro exact
+    * because the numerator's sign flows through the division).
+    */
+  private[graft] def runsTestDailySql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       diffs AS (SELECT day, v - lag(v, 1) OVER (ORDER BY day) AS d
+                 FROM daily),
+       signs AS (SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+                 FROM diffs WHERE d IS NOT NULL AND d <> 0),
+       runsrc AS (SELECT sgn, lag(sgn, 1) OVER (ORDER BY day) AS prev
+                  FROM signs),
+       census AS (SELECT
+                    CAST(coalesce(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_plus,
+                    CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS n_minus,
+                    CAST(coalesce(sum(CASE WHEN prev IS NULL OR sgn <> prev
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+                  FROM runsrc)
+       SELECT n_plus, n_minus, n_runs,
+              CASE WHEN n_plus = 0 OR n_minus = 0
+                        OR n_plus + n_minus < 2 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(
+                     CAST(n_runs * (n_plus + n_minus)
+                          - 2 * n_plus * n_minus - (n_plus + n_minus) AS DOUBLE)
+                     / sqrt(CAST(2 AS DOUBLE) * n_plus * n_minus
+                            * (CAST(2 AS DOUBLE) * n_plus * n_minus
+                               - (n_plus + n_minus))
+                            / CAST(n_plus + n_minus - 1 AS DOUBLE))
+                     * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              END AS z_micro
+       FROM census"""
+
   /** Kendall tau-b between the daily event COUNT and daily revenue —
     * the rank-based association that answers "do busier days actually
     * take more money?" without assuming linearity or trusting outliers

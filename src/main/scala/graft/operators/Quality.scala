@@ -1445,6 +1445,93 @@ object Quality {
               END AS z_micro
        FROM fin"""
 
+  /** McNemar's test on per-user conversion across the horizon's two
+    * halves — the PAIRED BINARY member of the test family (MWU compares
+    * value distributions, Wilcoxon paired values; this one asks "did
+    * the users who purchase CHANGE?" — each user is their own control,
+    * so population mix shifts cancel). Halves split at the event
+    * horizon's day midpoint (2·day ≤ min+max — pure integer, no
+    * division); the statistic uses only the DISCORDANT cells: b =
+    * early-only converters, c = late-only, continuity-corrected
+    * χ² = (|b−c|−1)²/(b+c).
+    *
+    * ZERO floats anywhere: the readout is the exact truncated rational
+    * (|b−c|−1)²·1e6 DIV (b+c) — all operands non-negative, so
+    * truncating DIV and flooring // agree — with the concordant cells
+    * (n_both, n_neither) emitted for the full 2×2.
+    *
+    * 100 TB shape: one map-side bounds aggregate (1-row broadcast
+    * scaffold), ONE per-user conditional-max aggregate (map-side
+    * combining to |users| rows), one 4-counter readout aggregate.
+    */
+  def mcnemarConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') AS BIGINT)")
+          .as("ed"))
+    val bounds = ev.agg(min(col("ed")).as("lo"), max(col("ed")).as("hi"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        max(expr("""CASE WHEN event_type = 'purchase' AND 2 * ed <= lo + hi
+                    THEN 1 ELSE 0 END""")).as("early"),
+        max(expr("""CASE WHEN event_type = 'purchase' AND 2 * ed > lo + hi
+                    THEN 1 ELSE 0 END""")).as("late"))
+    perUser.agg(
+        coalesce(sum(expr("CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END")),
+          lit(0L)).as("n_both"),
+        coalesce(sum(expr("CASE WHEN early = 0 AND late = 0 THEN 1 ELSE 0 END")),
+          lit(0L)).as("n_neither"),
+        coalesce(sum(expr("CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END")),
+          lit(0L)).as("b_early_only"),
+        coalesce(sum(expr("CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END")),
+          lit(0L)).as("c_late_only"))
+      .select(col("n_both"), col("n_neither"),
+        col("b_early_only"), col("c_late_only"),
+        expr("""CASE WHEN b_early_only + c_late_only = 0 THEN CAST(0 AS BIGINT)
+                ELSE ((abs(b_early_only - c_late_only) - 1)
+                      * (abs(b_early_only - c_late_only) - 1) * 1000000)
+                     DIV (b_early_only + c_late_only)
+                END""").as("chi2_micro"))
+  }
+
+  /** Portable text except the datediff and integer-division spellings
+    * (the two dialect knobs; the DIV operands are non-negative, so
+    * truncating DIV and flooring // agree). BIGINT headroom: the 1e6
+    * numerator holds while |b − c| stays under ~3e6 discordant users
+    * (DECIMAL(38,0) hatch documented, cf. assocRules).
+    */
+  private[graft] def mcnemarConversionSql(datediff: String,
+                                          div: String): String =
+    s"""WITH ev AS (SELECT user_id, event_type,
+                CAST($datediff AS BIGINT) AS ed
+              FROM (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+                    FROM events) e0),
+       bounds AS (SELECT min(ed) AS lo, max(ed) AS hi FROM ev),
+       per_user AS (SELECT user_id,
+              max(CASE WHEN event_type = 'purchase' AND 2 * ed <= lo + hi
+                  THEN 1 ELSE 0 END) AS early,
+              max(CASE WHEN event_type = 'purchase' AND 2 * ed > lo + hi
+                  THEN 1 ELSE 0 END) AS late
+            FROM ev CROSS JOIN bounds GROUP BY user_id),
+       census AS (SELECT
+              CAST(coalesce(sum(CASE WHEN early = 1 AND late = 1
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+              CAST(coalesce(sum(CASE WHEN early = 0 AND late = 0
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neither,
+              CAST(coalesce(sum(CASE WHEN early = 1 AND late = 0
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS b_early_only,
+              CAST(coalesce(sum(CASE WHEN early = 0 AND late = 1
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_late_only
+            FROM per_user)
+       SELECT n_both, n_neither, b_early_only, c_late_only,
+              CASE WHEN b_early_only + c_late_only = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(((abs(b_early_only - c_late_only) - 1)
+                       * (abs(b_early_only - c_late_only) - 1) * 1000000)
+                       $div (b_early_only + c_late_only) AS BIGINT)
+              END AS chi2_micro
+       FROM census"""
+
   /** Poisson(1) weight from an 8-hex md5 prefix — the deterministic
     * resampling kernel of the distributed bootstrap. Thresholds are
     * floor(CDF(k)·2^32) rendered as fixed-width lowercase hex LITERALS,

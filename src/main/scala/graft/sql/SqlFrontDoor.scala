@@ -3170,6 +3170,10 @@ object SqlFrontDoor {
     "q_wilcoxon_signed_rank" -> graft.operators.Quality.wilcoxonSignedRankSql(
       "datediff(day, DATE '1970-01-05')"),
 
+    // same generated text with Spark's datediff order and DIV for //
+    "q_mcnemar_conversion" -> graft.operators.Quality.mcnemarConversionSql(
+      "datediff(day, DATE '1970-01-05')", "DIV"),
+
     // same generated panel-BFS text with DIV for //
     "q_closeness_centrality" -> graft.operators.Mining.closenessCentralitySql(
       "DIV", graft.SparkEntry.Basket.maxItems,
@@ -3269,7 +3273,7 @@ object SqlFrontDoor {
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
     "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift",
     "q_mannwhitney_value", "q_spearman_daily", "q_hodges_lehmann_value",
-    "q_qn_scale_value")
+    "q_qn_scale_value", "q_runs_test_daily")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

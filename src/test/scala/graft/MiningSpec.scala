@@ -1413,6 +1413,64 @@ class MiningSpec extends SparkTestBase {
     assert(n > 0, "fixture must produce week-over-week pairs")
   }
 
+  test("runs test equals a driver-side up/down streak census") {
+    val dv = dailyFixture().map(_._3) // cents, day-sorted
+    val signs = dv.zip(dv.tail).map { case (a, b) => b - a }
+      .filter(_ != 0L).map(d => if (d > 0) 1L else -1L)
+    val nP = signs.count(_ == 1L).toLong
+    val nM = signs.count(_ == -1L).toLong
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.zip(signs.tail).count { case (a, b) => a != b }.toLong
+    val n = nP + nM
+    val z =
+      if (nP == 0 || nM == 0 || n < 2) 0L
+      else {
+        val num = (runs * n - 2 * nP * nM - n).toDouble
+        val den = math.sqrt(
+          2.0 * nP * nM * (2.0 * nP * nM - n) / (n - 1).toDouble)
+        math.floor(num / den * 1e6 + 0.5).toLong
+      }
+    val row = graft.operators.Analytics.runsTestDaily(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3)) == (nP, nM, runs, z))
+    assert(runs >= 1 && runs <= n, "runs count must be a valid streak census")
+  }
+
+  test("mcnemar equals a driver-side paired-conversion census") {
+    val epoch = java.time.LocalDate.of(1970, 1, 5)
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id", "event_type", "ts").collect()
+      .map { r =>
+        val day = r.get(2) match {
+          case t: java.sql.Timestamp =>
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+        }
+        (r.getLong(0), r.getString(1),
+          java.time.temporal.ChronoUnit.DAYS.between(epoch, day))
+      }
+    val lo = ev.map(_._3).min; val hi = ev.map(_._3).max
+    // .values.toSeq first: mapping a Map to Tuple2s would re-form a map
+    // and silently dedup equal (early, late) profiles
+    val perUser = ev.groupBy(_._1).values.toSeq.map { rows =>
+      (rows.exists(e => e._2 == "purchase" && 2 * e._3 <= lo + hi),
+        rows.exists(e => e._2 == "purchase" && 2 * e._3 > lo + hi))
+    }
+    val both = perUser.count(p => p._1 && p._2).toLong
+    val neither = perUser.count(p => !p._1 && !p._2).toLong
+    val b = perUser.count(p => p._1 && !p._2).toLong
+    val c = perUser.count(p => !p._1 && p._2).toLong
+    val chi2 = if (b + c == 0) 0L
+      else (math.abs(b - c) - 1) * (math.abs(b - c) - 1) * 1000000L / (b + c)
+    val row = graft.operators.Quality.mcnemarConversion(spark, Sf).collect()
+    assert(row.length == 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getLong(2),
+      row.head.getLong(3), row.head.getLong(4)) == (both, neither, b, c, chi2))
+    assert(both + neither + b + c ==
+      ev.map(_._1).distinct.length.toLong, "2x2 cells partition the users")
+  }
+
   test("hodges-lehmann equals a driver-side walsh-average median") {
     val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
     val walsh = (for {

@@ -262,6 +262,7 @@ object SparkEntry {
     "q_mann_kendall_seasonal" -> (Analytics.mannKendallSeasonal(_, _)),
     "q_siegel_slope" -> (Analytics.siegelSlope(_, _)),
     "q_runs_test_daily" -> (Analytics.runsTestDaily(_, _)),
+    "q_ljung_box_daily" -> (Analytics.ljungBoxDaily(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2724,6 +2725,7 @@ object SparkEntry {
       operators.Analytics.siegelSlopeSql("date_diff('day', a.day, b.day)"),
 
     "q_runs_test_daily" -> operators.Analytics.runsTestDailySql,
+    "q_ljung_box_daily" -> operators.Analytics.ljungBoxDailySql(7),
 
     // datediff + // are the dialect knobs
     "q_mcnemar_conversion" -> operators.Quality.mcnemarConversionSql(

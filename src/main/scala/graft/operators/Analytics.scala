@@ -3424,6 +3424,78 @@ object Analytics {
        FROM fin ORDER BY lag_d"""
   }
 
+  /** The Ljung-Box readout expression over a 1-row frame carrying
+    * n_days and r1..rK (micro ACF integers): Q = n(n+2)·Σ r_k²/(n−k),
+    * UNROLLED left-to-right instead of a SQL SUM — a float SUM over a
+    * K-row frame has engine/partition-defined addition order; a single
+    * fixed expression over exact integer inputs is bit-identical
+    * everywhere. Shared verbatim by the operator and both SQL twins.
+    */
+  private[graft] def ljungBoxReadout(maxLag: Int): String = {
+    val terms = (1 to maxLag).map { k =>
+      s"""CAST(r$k AS DOUBLE) * CAST(r$k AS DOUBLE)
+          / (CAST(1000000000000 AS DOUBLE) * CAST(n_days - $k AS DOUBLE))"""
+    }.mkString("\n                  + ")
+    s"""CASE WHEN n_days <= $maxLag THEN CAST(0 AS BIGINT)
+        ELSE CAST(floor(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+          * ($terms)
+          * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        END"""
+  }
+
+  /** Ljung-Box portmanteau statistic over the first K daily-revenue
+    * autocorrelations — THE residual-whiteness test (Ljung & Box,
+    * Biometrika 1978): one number answering "is there ANY linear
+    * autocorrelation structure left in the first K lags?", where
+    * [[acfDailyValue]] shows the per-lag picture and [[runsTestDaily]]
+    * checks sign randomness. Q = n(n+2)·Σ_{k≤K} r_k²/(n−k); under
+    * whiteness Q ~ χ²(K), so q_micro > 14.07e6 rejects at 5% for K=7
+    * (the caller's table lookup — no p-value float ships).
+    *
+    * The r_k plug in from the committed [[acfDailyValue]] reading
+    * (per-lag Pearson over the lag-k pair frame — the documented
+    * variant; classic Ljung-Box uses c_k/c_0, and for |days| ≫ K the
+    * two agree to O(K/n)). Determinism: the r_k are exact micro
+    * INTEGERS and the readout is ONE unrolled fixed-order expression
+    * ([[ljungBoxReadout]]) — no float ever crosses an aggregation
+    * boundary, so the single output double is engine-identical.
+    *
+    * 100 TB shape: everything after the acf's own day-aggregate rides
+    * the K-row ACF frame pivoted to ONE row (conditional-max pivot, the
+    * catalog class) plus a 1-row day census broadcast.
+    */
+  def ljungBoxDaily(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val acf = acfDailyValue(s, dir, maxLag)
+    val rCols = (1 to maxLag).map(k =>
+      coalesce(max(when(col("lag_d") === k, col("acf_micro"))), lit(0L))
+        .as(s"r$k"))
+    val pivot = acf.agg(rCols.head, rCols.tail: _*)
+    val census = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day")).distinct()
+      .agg(count(lit(1)).as("n_days"))
+    pivot.crossJoin(broadcast(census))
+      .select((col("n_days") +: (lit(maxLag.toLong).as("max_lag")) +:
+        (1 to maxLag).map(k => col(s"r$k"))) :+
+        expr(ljungBoxReadout(maxLag)).as("q_micro"): _*)
+  }
+
+  /** Fully portable (the acf text is portable; the pivot is
+    * conditional-max; the readout is the shared unrolled expression).
+    */
+  private[graft] def ljungBoxDailySql(maxLag: Int): String = {
+    val rcols = (1 to maxLag).map(k =>
+      s"""CAST(coalesce(max(CASE WHEN lag_d = $k THEN acf_micro END), 0)
+          AS BIGINT) AS r$k""").mkString(",\n                ")
+    val rsel = (1 to maxLag).map(k => s"r$k").mkString(", ")
+    s"""WITH acf AS (${acfDailyValueSql(maxLag)}),
+       pv AS (SELECT $rcols FROM acf),
+       census AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM (
+                    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) dd)
+       SELECT n_days, CAST($maxLag AS BIGINT) AS max_lag, $rsel,
+              ${ljungBoxReadout(maxLag)} AS q_micro
+       FROM pv CROSS JOIN census"""
+  }
+
   /** Theil-Sen robust trend of the daily revenue series: the MEDIAN of
     * all pairwise day-to-day slopes — the estimator whose breakdown
     * point (~29%) shrugs off the outlier days that pull an OLS line

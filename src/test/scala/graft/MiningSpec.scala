@@ -1437,6 +1437,29 @@ class MiningSpec extends SparkTestBase {
     assert(runs >= 1 && runs <= n, "runs count must be a valid streak census")
   }
 
+  test("ljung-box equals a driver-side recompute from the specced acf") {
+    val acf = graft.operators.Analytics.acfDailyValue(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val n = dailyFixture().size.toLong
+    val q =
+      if (n <= 7) 0L
+      else {
+        var terms = 0.0
+        for (k <- 1 to 7) { // same left-to-right order as the expression
+          val r = acf(k.toLong).toDouble
+          terms += r * r / (1e12 * (n - k).toDouble)
+        }
+        math.floor(n.toDouble * (n + 2).toDouble * terms * 1e6 + 0.5).toLong
+      }
+    val row = graft.operators.Analytics.ljungBoxDaily(spark, Sf).collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(0) == n)
+    assert(row.head.getLong(1) == 7L)
+    (1 to 7).foreach(k => assert(row.head.getLong(1 + k) == acf(k.toLong)))
+    assert(row.head.getLong(9) == q)
+    assert(q >= 0L, "Q is a sum of squares scaled by positive factors")
+  }
+
   test("mcnemar equals a driver-side paired-conversion census") {
     val epoch = java.time.LocalDate.of(1970, 1, 5)
     val ev = spark.read.parquet(s"$Sf/events.parquet")

@@ -263,6 +263,7 @@ object SparkEntry {
     "q_siegel_slope" -> (Analytics.siegelSlope(_, _)),
     "q_runs_test_daily" -> (Analytics.runsTestDaily(_, _)),
     "q_ljung_box_daily" -> (Analytics.ljungBoxDaily(_, _)),
+    "q_pacf_daily" -> (Analytics.pacfDaily(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2726,6 +2727,7 @@ object SparkEntry {
 
     "q_runs_test_daily" -> operators.Analytics.runsTestDailySql,
     "q_ljung_box_daily" -> operators.Analytics.ljungBoxDailySql(7),
+    "q_pacf_daily" -> operators.Analytics.pacfDailySql(7),
 
     // datediff + // are the dialect knobs
     "q_mcnemar_conversion" -> operators.Quality.mcnemarConversionSql(

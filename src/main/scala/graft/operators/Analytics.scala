@@ -3496,6 +3496,105 @@ object Analytics {
        FROM pv CROSS JOIN census"""
   }
 
+  /** The Durbin-Levinson recursion as an ordered list of (column,
+    * expression) steps over a 1-row frame carrying r1d..rKd (the ACF as
+    * doubles): phi_1_1 = r1; each level k derives phi_k_k from the
+    * previous level's row and then updates phi_k_j. Every Σ is unrolled
+    * left-to-right (the [[ljungBoxReadout]] rule: floats never cross an
+    * aggregation boundary and addition order is pinned by the text), so
+    * the recursion is bit-identical on both engines. A degenerate
+    * denominator (1 − Σ ≈ 0: a perfectly predictable series) reads
+    * phi_k_k = 0 rather than dividing by ~0.
+    */
+  private[graft] def durbinLevinsonSteps(maxLag: Int): Seq[(String, String)] = {
+    val steps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    steps += ("phi_1_1" -> "r1d")
+    for (k <- 2 to maxLag) {
+      val num = (1 until k).map(j => s"phi_${k - 1}_$j * r${k - j}d")
+        .mkString(" + ")
+      val den = (1 until k).map(j => s"phi_${k - 1}_$j * r${j}d")
+        .mkString(" + ")
+      steps += (s"phi_${k}_$k" ->
+        s"""CASE WHEN abs(CAST(1 AS DOUBLE) - ($den)) < CAST(1e-12 AS DOUBLE)
+            THEN CAST(0 AS DOUBLE)
+            ELSE (r${k}d - ($num)) / (CAST(1 AS DOUBLE) - ($den)) END""")
+      for (j <- 1 until k)
+        steps += (s"phi_${k}_$j" ->
+          s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j}")
+    }
+    steps.toSeq
+  }
+
+  private def pacfMicro(k: Int): String =
+    s"""CASE WHEN phi_${k}_$k >= 0
+        THEN CAST(floor(phi_${k}_$k * CAST(1000000 AS DOUBLE)
+          + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        ELSE -CAST(floor(-phi_${k}_$k * CAST(1000000 AS DOUBLE)
+          + CAST(0.5 AS DOUBLE)) AS BIGINT) END"""
+
+  /** Partial autocorrelation of daily revenue — the lag-k correlation
+    * with lags 1..k−1 regressed out, via the Durbin-Levinson recursion
+    * ([[acfDailyValue]] answers "correlated at lag k?"; this answers
+    * "correlated at lag k GIVEN the shorter lags?" — the reading that
+    * identifies AR order, where an AR(p) series cuts off after lag p).
+    *
+    * Determinism: inputs are the committed ACF's exact micro integers;
+    * the whole recursion is [[durbinLevinsonSteps]] — fixed-order
+    * expressions over ONE row, no float aggregation anywhere — so every
+    * intermediate double and the signed half-up micro readouts are
+    * engine-identical.
+    *
+    * 100 TB shape: everything past the ACF's own day-aggregate rides
+    * the K-row frame pivoted to ONE row; the recursion is scalar
+    * expressions on that row; the output is K rows via UNION-ALL arms.
+    */
+  def pacfDaily(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val acf = acfDailyValue(s, dir, maxLag)
+    val rCols = (1 to maxLag).map(k =>
+      coalesce(max(when(col("lag_d") === k, col("acf_micro"))), lit(0L))
+        .as(s"r$k"))
+    var frame = acf.agg(rCols.head, rCols.tail: _*)
+    for (k <- 1 to maxLag)
+      frame = frame.withColumn(s"r${k}d",
+        expr(s"CAST(r$k AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
+    for ((name, ex) <- durbinLevinsonSteps(maxLag))
+      frame = frame.withColumn(name, expr(ex))
+    val arms = (1 to maxLag).map(k => frame.select(
+      lit(k.toLong).as("lag_d"), expr(pacfMicro(k)).as("pacf_micro")))
+    arms.reduce(_.unionByName(_)).orderBy(col("lag_d"))
+  }
+
+  /** Fully portable (the acf text is a CTE; the recursion is the shared
+    * generated step chain; UNION ALL arms emit the K rows).
+    */
+  private[graft] def pacfDailySql(maxLag: Int): String = {
+    val rcols = (1 to maxLag).map(k =>
+      s"""CAST(coalesce(max(CASE WHEN lag_d = $k THEN acf_micro END), 0)
+          AS BIGINT) AS r$k""").mkString(",\n                ")
+    val rds = (1 to maxLag).map(k =>
+      s"CAST(r$k AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r${k}d")
+      .mkString(",\n                ")
+    val steps = durbinLevinsonSteps(maxLag)
+    val chain = steps.zipWithIndex.map { case ((name, ex), i) =>
+      val prev = if (i == 0) "base" else s"s${i - 1}"
+      s"s$i AS (SELECT *, $ex AS $name FROM $prev)"
+    }
+    val last = s"s${steps.size - 1}"
+    val arms = (1 to maxLag).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag_d,
+          ${pacfMicro(k)} AS pacf_micro FROM $last""")
+      .mkString("\n         UNION ALL ")
+    s"""WITH acf AS (${acfDailyValueSql(maxLag)}),
+       pv AS (SELECT $rcols FROM acf),
+       base AS (SELECT *,
+                $rds
+                FROM pv),
+       ${chain.mkString(",\n       ")}
+       SELECT lag_d, pacf_micro FROM (
+         $arms) u
+       ORDER BY lag_d"""
+  }
+
   /** Theil-Sen robust trend of the daily revenue series: the MEDIAN of
     * all pairwise day-to-day slopes — the estimator whose breakdown
     * point (~29%) shrugs off the outlier days that pull an OLS line

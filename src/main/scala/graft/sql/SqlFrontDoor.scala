@@ -3273,7 +3273,8 @@ object SqlFrontDoor {
     "q_returned_item_report", "q_disjunctive_revenue", "q_forecast_revenue",
     "q_moment_profile", "q_ab_power_audit", "q_quantile_uplift",
     "q_mannwhitney_value", "q_spearman_daily", "q_hodges_lehmann_value",
-    "q_qn_scale_value", "q_runs_test_daily", "q_ljung_box_daily")
+    "q_qn_scale_value", "q_runs_test_daily", "q_ljung_box_daily",
+    "q_pacf_daily")
 
   /** Queries with no SQL surface (API-only). Currently none — every
     * registry query has a runnable Spark SQL statement.

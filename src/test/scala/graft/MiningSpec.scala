@@ -1460,6 +1460,36 @@ class MiningSpec extends SparkTestBase {
     assert(q >= 0L, "Q is a sum of squares scaled by positive factors")
   }
 
+  test("pacf equals a driver-side durbin-levinson recompute") {
+    val acf = graft.operators.Analytics.acfDailyValue(spark, Sf).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+    val r = (1 to 7).map(k => acf(k).toDouble / 1e6)
+    // the recursion in the exact step order the shared expressions use
+    var phi = Map(1 -> Map(1 -> r(0)))
+    for (k <- 2 to 7) {
+      var num = 0.0; var den = 0.0
+      for (j <- 1 until k) num += phi(k - 1)(j) * r(k - j - 1)
+      for (j <- 1 until k) den += phi(k - 1)(j) * r(j - 1)
+      val pkk = if (math.abs(1.0 - den) < 1e-12) 0.0
+        else (r(k - 1) - num) / (1.0 - den)
+      var level = Map(k -> pkk)
+      for (j <- 1 until k)
+        level += j -> (phi(k - 1)(j) - pkk * phi(k - 1)(k - j))
+      phi += k -> level
+    }
+    val want = (1 to 7).map { k =>
+      val p = phi(k)(k)
+      val m = if (p >= 0) math.floor(p * 1e6 + 0.5).toLong
+        else -math.floor(-p * 1e6 + 0.5).toLong
+      (k.toLong, m)
+    }
+    val got = graft.operators.Analytics.pacfDaily(spark, Sf).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSeq
+    assert(got == want)
+    // pacf at lag 1 IS the acf at lag 1
+    assert(got.head._2 == acf(1))
+  }
+
   test("mcnemar equals a driver-side paired-conversion census") {
     val epoch = java.time.LocalDate.of(1970, 1, 5)
     val ev = spark.read.parquet(s"$Sf/events.parquet")

@@ -443,6 +443,7 @@ object SparkEntry {
     // ---- deterministic sampling / dataset mixing ----
     "q_sample_hash_docs" -> (Sampling.sampledDocs(_, _)),
     "q_sample_weighted_mix" -> (Sampling.weightedMix(_, _)),
+    "q_temperature_mix" -> (Sampling.temperatureMix(_, _)),
     "q_sample_token_budget" -> (Sampling.tokenBudgetMix(_, _)),
     "q_sample_exact_n" -> (Sampling.exactNPerSource(_, _)),
     // ---- embedding quantization ----
@@ -3999,6 +4000,9 @@ object SparkEntry {
       s"""SELECT doc_id, source, n_chars FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hexThreshold(0.25)}'
          ORDER BY doc_id""",
+
+    // alpha=1/2 temperature mixing: // is the one dialect knob
+    "q_temperature_mix" -> operators.Sampling.temperatureMixSql("//"),
 
     "q_sample_weighted_mix" -> {
       val cases = Sampling.DefaultMixWeights.toSeq.sortBy(_._1).map { case (src, r) =>

@@ -120,6 +120,87 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source mixing at α = 1/2 — the multilingual
+    * sampling recipe (mT5 / XLM-R): sampling mass ∝ n_s^α flattens the
+    * source distribution so a giant web crawl cannot drown the tail,
+    * without going all the way to uniform. α is PINNED at 1/2 because
+    * n^0.5 = sqrt(n) is a single correctly-rounded IEEE op — identical
+    * on every engine — where pow(n, 0.7) is libm-territory (the TF-IDF
+    * integer-surrogate reasoning; other α values belong to a caller
+    * willing to pass precomputed weights to [[weightedMix]]).
+    *
+    * Mass w_s = floor(sqrt(n_s)·1e6 + 0.5) exact BIGINT; a document
+    * budget B apportions as target_s = B·w_s DIV Σw, CAPPED at n_s —
+    * the emitted `target` column keeps the uncapped ask visible, so the
+    * deficit (the amount a training loop would up-sample/repeat, a
+    * loop-side policy this operator does not fabricate rows for) is
+    * auditable. Selection inside each source is the exactNPerSource
+    * hash-rank discipline: content-addressed, stable under engine swaps
+    * and appends that don't disturb the chosen hashes.
+    *
+    * 100 TB shape: one map-side per-source count (catalog-sized), a
+    * 1-row total broadcast, one per-source window for the rank (the
+    * balancedDownsample skew note applies verbatim: tiny quota × whale
+    * source → swap the window for the TopK aggregator), and a
+    * catalog-sized summary readout.
+    */
+  def temperatureMix(s: SparkSession, dir: String,
+                     budgetDocs: Long = 1000): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("md5(CAST(doc_id AS STRING))").as("hkey"))
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("w",
+        expr("""CAST(floor(sqrt(CAST(n_source AS DOUBLE))
+                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"""))
+    val total = weights.agg(sum(col("w")).as("w_total"))
+    val targets = weights.crossJoin(broadcast(total))
+      .withColumn("target", expr(s"($budgetDocs * w) DIV w_total"))
+      .select(col("source"), col("n_source"), col("w").as("weight_1e6"),
+        col("target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(targets), Seq("source"))
+      .filter(col("rk") <= col("target"))
+      .groupBy(col("source"), col("n_source"), col("weight_1e6"),
+        col("target"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Dialect-templated SQL twin (integer division is the one knob; the
+    * DIV operands are non-negative, so truncating DIV and flooring //
+    * agree).
+    */
+  private[graft] def temperatureMixSql(div: String,
+                                       budgetDocs: Long = 1000): String =
+    s"""WITH docs AS (SELECT doc_id, source, n_chars,
+                md5(CAST(doc_id AS STRING)) AS hkey
+              FROM documents),
+       weights AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source,
+                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                  AS w
+              FROM docs GROUP BY source),
+       total AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM weights),
+       targets AS (SELECT source, n_source, w AS weight_1e6,
+                CAST(($budgetDocs * w) $div w_total AS BIGINT) AS target
+              FROM weights CROSS JOIN total),
+       ranked AS (SELECT d.source, d.n_chars,
+                CAST(row_number() OVER (PARTITION BY d.source
+                  ORDER BY d.hkey, d.doc_id) AS BIGINT) AS rk
+              FROM docs d)
+       SELECT r.source, t.n_source, t.weight_1e6, t.target,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(r.n_chars) AS BIGINT) AS kept_chars
+       FROM ranked r JOIN targets t ON r.source = t.source
+       WHERE r.rk <= t.target
+       GROUP BY r.source, t.n_source, t.weight_1e6, t.target
+       ORDER BY r.source"""
+
   /** Class-balanced downsample: every language keeps exactly
     * min-class-count documents, chosen in deterministic md5(doc_id)
     * order — the rebalancing pass a classifier-training pipeline runs so

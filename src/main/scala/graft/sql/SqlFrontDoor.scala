@@ -3170,6 +3170,10 @@ object SqlFrontDoor {
     "q_wilcoxon_signed_rank" -> graft.operators.Quality.wilcoxonSignedRankSql(
       "datediff(day, DATE '1970-01-05')"),
 
+    // same generated temperature-mix text with DIV for //
+    "q_temperature_mix" ->
+      graft.operators.Sampling.temperatureMixSql("DIV"),
+
     // same generated text with Spark's datediff order and DIV for //
     "q_mcnemar_conversion" -> graft.operators.Quality.mcnemarConversionSql(
       "datediff(day, DATE '1970-01-05')", "DIV"),

@@ -3080,6 +3080,39 @@ class OperatorSpec extends SparkTestBase {
     got.foreach { case (_, _, w, p, f) => assert(p >= w && f >= 10000L) }
   }
 
+  test("temperature mix equals a driver-side sqrt-mass apportionment") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val bySource = docs.groupBy(_._2)
+    val weights = bySource.map { case (src, rows) =>
+      val n = rows.size.toLong
+      src -> (n, math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val wTotal = weights.values.map(_._2).sum
+    val want = bySource.toSeq.map { case (src, rows) =>
+      val (n, wgt) = weights(src)
+      val target = 1000L * wgt / wTotal
+      val kept = rows.sortBy(r => (md5hex(r._1.toString), r._1))
+        .take(target.toInt)
+      (src, n, wgt, target, kept.size.toLong, kept.map(_._3).sum)
+    }.sortBy(_._1)
+    val got = graft.operators.Sampling.temperatureMix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // the sqrt flattening must hand the tail a larger share than its
+    // doc share: min-source kept/total >= min-source docs/total
+    val minSrc = want.minBy(_._2)
+    assert(minSrc._5 * docs.size >= minSrc._2 * want.map(_._5).sum,
+      "temperature sampling must over-represent the smallest source")
+  }
+
   test("bitext margin from the IVF index: exhaustive probe equals brute bit-for-bit") {
     val idx = tmpDir("bitext_ivf")
     Similarity.buildIvfIndex(spark, Sf, idx) // 16 first-N lists

@@ -3559,6 +3559,9 @@ object Analytics {
         expr(s"CAST(r$k AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
     for ((name, ex) <- durbinLevinsonSteps(maxLag))
       frame = frame.withColumn(name, expr(ex))
+    // pinned once: each of the K output arms reads this 1-row frame —
+    // unpinned, every arm re-runs the whole ACF subtree (K corpus scans)
+    frame = frame.localCheckpoint(true)
     val arms = (1 to maxLag).map(k => frame.select(
       lit(k.toLong).as("lag_d"), expr(pacfMicro(k)).as("pacf_micro")))
     arms.reduce(_.unionByName(_)).orderBy(col("lag_d"))

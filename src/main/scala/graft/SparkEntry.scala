@@ -264,6 +264,7 @@ object SparkEntry {
     "q_runs_test_daily" -> (Analytics.runsTestDaily(_, _)),
     "q_ljung_box_daily" -> (Analytics.ljungBoxDaily(_, _)),
     "q_pacf_daily" -> (Analytics.pacfDaily(_, _)),
+    "q_seasonal_decompose" -> (Analytics.seasonalDecompose(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2729,6 +2730,10 @@ object SparkEntry {
     "q_runs_test_daily" -> operators.Analytics.runsTestDailySql,
     "q_ljung_box_daily" -> operators.Analytics.ljungBoxDailySql(7),
     "q_pacf_daily" -> operators.Analytics.pacfDailySql(7),
+
+    // dayofweek base + // are the dialect knobs
+    "q_seasonal_decompose" ->
+      operators.Analytics.seasonalDecomposeSql("dayofweek(day)", "//"),
 
     // datediff + // are the dialect knobs
     "q_mcnemar_conversion" -> operators.Quality.mcnemarConversionSql(

@@ -3762,6 +3762,95 @@ object Analytics {
        FROM ranked
        WHERE rk2 = CAST(floor((n_days + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
 
+  /** Classical additive seasonal decomposition of daily revenue —
+    * v = trend + seasonal + residual with a centered 7-day moving
+    * average trend and day-of-week seasonal indices (the textbook
+    * decomposition statsmodels ships as `seasonal_decompose`; the
+    * "where does the weekly cycle end and the anomaly begin?" reading
+    * that [[seasonalAnomaly]] consumes implicitly and this op makes
+    * explicit). Only days with a FULL ±3 window carry a trend — edge
+    * days drop, the classical contract. The window is over OBSERVED
+    * days (a ROWS frame, gap-blind): a series with calendar holes
+    * should densify first ([[denseDailyCounts]] is that op) — the
+    * decomposition itself does not invent zero-revenue days.
+    *
+    * PURE INTEGER evidence: the trend is the exact truncated milli-cent
+    * quotient sum7·1000 DIV 7; the detrended value is held as the exact
+    * integer d7 = 7·v − sum7 (denominator 7 carried, never divided
+    * early); each weekday's seasonal index is the two-branch truncated
+    * rational Σd7·1000 DIV (7·n_dow); the residual closes the identity
+    * v·1000 − trend_milli − seasonal_milli exactly. Indices are NOT
+    * re-centered to sum zero — the residual mean absorbs the offset
+    * (documented classical variant; re-centering would add one more
+    * rational join for cosmetics).
+    *
+    * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
+    * the centered window, the dow aggregate, and the index join-back
+    * all ride that catalog frame.
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(expr(
+        "CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .as("v"))
+    val trended = daily
+      .withColumn("sum7", sum(col("v")).over(byDay))
+      .withColumn("cnt7", count(lit(1)).over(byDay))
+      .filter(col("cnt7") === 7)
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .withColumn("d7", lit(7L) * col("v") - col("sum7"))
+      .localCheckpoint(true) // seasonal aggregate + the per-day readout
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(sum(col("d7")).as("sd"), count(lit(1)).as("n_dow"))
+      .select(col("dow"),
+        expr("""CASE WHEN sd >= 0 THEN (sd * 1000) DIV (7 * n_dow)
+                ELSE -((-sd * 1000) DIV (7 * n_dow)) END""")
+          .as("seasonal_milli"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .withColumn("trend_milli", expr("(sum7 * 1000) DIV 7"))
+      .select(col("day"), col("v").as("v_cents"),
+        col("trend_milli"), col("seasonal_milli"),
+        (lit(1000L) * col("v") - col("trend_milli") - col("seasonal_milli"))
+          .as("residual_milli"))
+      .orderBy(col("day"))
+  }
+
+  /** Portable text except the day-of-week and integer-division
+    * spellings (the two dialect knobs; the signed seasonal quotient is
+    * two-branch so truncating DIV and flooring // agree).
+    */
+  private[graft] def seasonalDecomposeSql(dow: String, div: String): String =
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY CAST(ts AS DATE)),
+       trended AS (SELECT day, v, CAST($dow AS BIGINT) AS dow,
+                CAST(sum7 AS BIGINT) AS sum7, 7 * v - sum7 AS d7
+              FROM (SELECT day, v,
+                      sum(v) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+                      count(*) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+                    FROM daily) t
+              WHERE cnt7 = 7),
+       seasonal AS (SELECT dow,
+                CASE WHEN sd >= 0 THEN CAST((sd * 1000) $div (7 * n_dow) AS BIGINT)
+                     ELSE -CAST(((-sd) * 1000) $div (7 * n_dow) AS BIGINT) END
+                  AS seasonal_milli
+              FROM (SELECT dow, CAST(sum(d7) AS BIGINT) AS sd,
+                      CAST(count(*) AS BIGINT) AS n_dow
+                    FROM trended GROUP BY dow) g)
+       SELECT t.day, t.v AS v_cents,
+              CAST((t.sum7 * 1000) $div 7 AS BIGINT) AS trend_milli,
+              s.seasonal_milli,
+              1000 * t.v - CAST((t.sum7 * 1000) $div 7 AS BIGINT)
+                - s.seasonal_milli AS residual_milli
+       FROM trended t JOIN seasonal s ON t.dow = s.dow
+       ORDER BY t.day"""
+
   /** Wald-Wolfowitz runs test on the daily revenue up/down sequence —
     * the randomness check behind every trend readout ([[theilSenTrend]],
     * [[mannKendallSeasonal]] say WHERE the series is going; this one

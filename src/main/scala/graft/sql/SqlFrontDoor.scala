@@ -3174,6 +3174,10 @@ object SqlFrontDoor {
     "q_temperature_mix" ->
       graft.operators.Sampling.temperatureMixSql("DIV"),
 
+    // same generated text with Spark's 1-based dayofweek and DIV
+    "q_seasonal_decompose" -> graft.operators.Analytics
+      .seasonalDecomposeSql("dayofweek(day) - 1", "DIV"),
+
     // same generated text with Spark's datediff order and DIV for //
     "q_mcnemar_conversion" -> graft.operators.Quality.mcnemarConversionSql(
       "datediff(day, DATE '1970-01-05')", "DIV"),

@@ -1490,6 +1490,33 @@ class MiningSpec extends SparkTestBase {
     assert(got.head._2 == acf(1))
   }
 
+  test("seasonal decomposition equals a driver-side recompute and closes the identity") {
+    val dv = dailyFixture().map(t => (t._1, t._3)) // (day, cents), day-sorted
+    // the ±3 window is over OBSERVED days (row frame, gap-blind — the
+    // operator's documented contract; densify first if gaps matter)
+    val full = dv.indices.filter(i => i >= 3 && i < dv.size - 3)
+    val rows = full.map { i =>
+      val sum7 = (i - 3 to i + 3).map(dv(_)._2).sum
+      val (day, v) = dv(i)
+      (day, v, sum7, 7 * v - sum7, day.getDayOfWeek.getValue % 7)
+    }
+    val seasonal = rows.groupBy(_._5).map { case (dow, rs) =>
+      val sd = rs.map(_._4).sum; val n = rs.size.toLong
+      dow -> (if (sd >= 0) sd * 1000 / (7 * n) else -((-sd) * 1000 / (7 * n)))
+    }
+    val want = rows.map { case (day, v, sum7, _, dow) =>
+      val trend = sum7 * 1000 / 7
+      val seas = seasonal(dow)
+      (day.toString, v, trend, seas, 1000 * v - trend - seas)
+    }
+    val got = graft.operators.Analytics.seasonalDecompose(spark, Sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // the additive identity closes exactly on every row
+    got.foreach { case (_, v, t, s2, res) => assert(1000 * v == t + s2 + res) }
+  }
+
   test("mcnemar equals a driver-side paired-conversion census") {
     val epoch = java.time.LocalDate.of(1970, 1, 5)
     val ev = spark.read.parquet(s"$Sf/events.parquet")

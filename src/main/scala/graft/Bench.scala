@@ -57,7 +57,12 @@ object Bench {
     // r12 addition: exact substring dedup (gram-table self-join + island
     // merge — the Lee et al. exact complement of winnowing); top cost
     // tier on arrival, floor-gated on arrival
-    "q_dedup_substring")
+    "q_dedup_substring",
+    // r12 addition: brute CSLS bitext mining (the corpus x corpus pair
+    // score + two map-side top-k passes — the costliest new r12 plan;
+    // the IVF-candidate face is the warehouse path, this gates the
+    // exact kernel); floor-gated on arrival
+    "q_bitext_margin")
 
   /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
   def loadFloors(sfName: String): Map[String, Double] = {

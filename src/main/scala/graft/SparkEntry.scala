@@ -265,6 +265,7 @@ object SparkEntry {
     "q_ljung_box_daily" -> (Analytics.ljungBoxDaily(_, _)),
     "q_pacf_daily" -> (Analytics.pacfDaily(_, _)),
     "q_seasonal_decompose" -> (Analytics.seasonalDecompose(_, _)),
+    "q_bot_likeness" -> (Analytics.botLikeness(_, _)),
     "q_traffic_kpi_report" -> (Analytics.trafficKpiReport(_, _)),
     // ---- text analysis ----
     "q_text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -2734,6 +2735,10 @@ object SparkEntry {
     // dayofweek base + // are the dialect knobs
     "q_seasonal_decompose" ->
       operators.Analytics.seasonalDecomposeSql("dayofweek(day)", "//"),
+
+    // epoch-micros + // are the dialect knobs
+    "q_bot_likeness" ->
+      operators.Analytics.botLikenessSql("epoch_us", "//"),
 
     // datediff + // are the dialect knobs
     "q_mcnemar_conversion" -> operators.Quality.mcnemarConversionSql(

@@ -3762,6 +3762,110 @@ object Analytics {
        FROM ranked
        WHERE rk2 = CAST(floor((n_days + 1) / CAST(2 AS DOUBLE)) AS BIGINT)"""
 
+  /** Bot-likeness score per user — the traffic-hygiene screen every
+    * website-analytics pipeline runs before trusting its own KPIs
+    * (sessions, funnels, attribution all read differently once scripted
+    * traffic is flagged): three pure-integer behavioral flags summed to
+    * a 0–3 score. (1) REGULAR TIMING — scripted clients fire on a
+    * clock: inter-event gap CV² < 0.01, stated cross-multiplied as
+    * 100·(k·Σg² − (Σg)²) < (Σg)² over exact DECIMAL(38,0) operands (the
+    * mannWhitney discipline — gap² at month-micros scale overflows
+    * BIGINT), so no variance float ever exists. (2) HIGH RATE — mean
+    * gap under 60s across the horizon, cross-multiplied
+    * Σg < k·60e6. (3) NO PURCHASE — volume without a single conversion.
+    * Flags are heuristics with documented thresholds, not a classifier
+    * — the score EXPLAINS itself (which flags fired is in the row).
+    *
+    * 100 TB shape: ONE user-keyed window pass for the gaps (the
+    * sessionize exchange), one map-side-combining per-user aggregate,
+    * catalog thresholds inline — no joins, no second corpus touch.
+    */
+  def botLikeness(s: SparkSession, dir: String, minEvents: Long = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"))
+      .withColumn("gap", col("t_us") - lag(col("t_us"), 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        coalesce(sum(expr(
+          "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")), lit(0L))
+          .as("n_purchases"),
+        coalesce(sum(expr("CASE WHEN gap IS NULL THEN 0 ELSE 1 END")), lit(0L))
+          .as("k_gaps"),
+        coalesce(sum(expr("CASE WHEN gap IS NULL THEN CAST(0 AS BIGINT) ELSE gap END")),
+          lit(0L)).as("sg"),
+        coalesce(sum(expr(
+          """CASE WHEN gap IS NULL THEN CAST(0 AS DECIMAL(38,0))
+             ELSE CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)) END""")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("sg2"))
+      .filter(col("n_events") >= minEvents)
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("k_gaps"),
+        expr("CASE WHEN k_gaps > 0 THEN sg DIV (k_gaps * 1000) ELSE CAST(0 AS BIGINT) END")
+          .as("mean_gap_ms"),
+        expr("""CASE WHEN k_gaps >= 5 AND sg > 0
+                AND 100 * (k_gaps * sg2 - CAST(sg AS DECIMAL(38,0)) * sg)
+                    < CAST(sg AS DECIMAL(38,0)) * sg
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+          .as("regular_timing"),
+        expr("""CASE WHEN k_gaps > 0 AND sg < k_gaps * CAST(60000000 AS BIGINT)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+          .as("high_rate"),
+        expr("""CASE WHEN n_purchases = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END""").as("no_purchase"))
+      .withColumn("bot_score",
+        col("regular_timing") + col("high_rate") + col("no_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Portable text except the epoch-micros spelling (the one dialect
+    * knobs: DuckDB epoch_us + //, Spark unix_micros + DIV; the DIV
+    * operands are non-negative, so truncation and flooring agree).
+    */
+  private[graft] def botLikenessSql(epochUs: String, div: String,
+                                    minEvents: Long = 10): String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+                $epochUs(ts) AS t_us
+              FROM events),
+       gaps AS (SELECT user_id, event_type,
+                t_us - lag(t_us, 1) OVER (PARTITION BY user_id
+                  ORDER BY t_us, event_id) AS gap
+              FROM ev),
+       agg AS (SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purchases,
+                CAST(coalesce(sum(CASE WHEN gap IS NULL THEN 0 ELSE 1 END), 0)
+                  AS BIGINT) AS k_gaps,
+                CAST(coalesce(sum(CASE WHEN gap IS NULL
+                  THEN CAST(0 AS BIGINT) ELSE gap END), 0) AS BIGINT) AS sg,
+                coalesce(sum(CASE WHEN gap IS NULL THEN CAST(0 AS DECIMAL(38,0))
+                  ELSE CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))
+                  END), CAST(0 AS DECIMAL(38,0))) AS sg2
+              FROM gaps GROUP BY user_id),
+       flagged AS (SELECT user_id, n_events, n_purchases, k_gaps,
+                CASE WHEN k_gaps > 0
+                  THEN CAST(sg $div (k_gaps * 1000) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS mean_gap_ms,
+                CASE WHEN k_gaps >= 5 AND sg > 0
+                  AND 100 * (k_gaps * sg2 - CAST(sg AS DECIMAL(38,0)) * sg)
+                      < CAST(sg AS DECIMAL(38,0)) * sg
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                  AS regular_timing,
+                CASE WHEN k_gaps > 0 AND sg < k_gaps * CAST(60000000 AS BIGINT)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                  AS high_rate,
+                CASE WHEN n_purchases = 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS no_purchase
+              FROM agg WHERE n_events >= $minEvents)
+       SELECT user_id, n_events, n_purchases, k_gaps, mean_gap_ms,
+              regular_timing, high_rate, no_purchase,
+              regular_timing + high_rate + no_purchase AS bot_score
+       FROM flagged ORDER BY user_id"""
+
   /** Classical additive seasonal decomposition of daily revenue —
     * v = trend + seasonal + residual with a centered 7-day moving
     * average trend and day-of-week seasonal indices (the textbook

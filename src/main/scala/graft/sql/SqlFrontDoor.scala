@@ -3178,6 +3178,10 @@ object SqlFrontDoor {
     "q_seasonal_decompose" -> graft.operators.Analytics
       .seasonalDecomposeSql("dayofweek(day) - 1", "DIV"),
 
+    // same generated text with Spark's unix_micros and DIV
+    "q_bot_likeness" ->
+      graft.operators.Analytics.botLikenessSql("unix_micros", "DIV"),
+
     // same generated text with Spark's datediff order and DIV for //
     "q_mcnemar_conversion" -> graft.operators.Quality.mcnemarConversionSql(
       "datediff(day, DATE '1970-01-05')", "DIV"),

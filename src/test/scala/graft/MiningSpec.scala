@@ -1517,6 +1517,38 @@ class MiningSpec extends SparkTestBase {
     got.foreach { case (_, v, t, s2, res) => assert(1000 * v == t + s2 + res) }
   }
 
+  test("bot likeness equals a driver-side per-user timing census") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS t_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.map { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val gaps = sorted.map(_._4).zip(sorted.map(_._4).tail)
+        .map { case (a, b) => b - a }
+      val n = rows.size.toLong
+      val nPur = rows.count(_._3 == "purchase").toLong
+      val k = gaps.size.toLong
+      val sg = gaps.sum
+      val sg2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+      val meanMs = if (k > 0) sg / (k * 1000) else 0L
+      val regular = if (k >= 5 && sg > 0 &&
+        100 * (BigInt(k) * sg2 - BigInt(sg) * BigInt(sg)) <
+          BigInt(sg) * BigInt(sg)) 1L else 0L
+      val rate = if (k > 0 && sg < k * 60000000L) 1L else 0L
+      val noPur = if (nPur == 0) 1L else 0L
+      (uid, n, nPur, k, meanMs, regular, rate, noPur,
+        regular + rate + noPur)
+    }.filter(_._2 >= 10).sortBy(_._1)
+    val got = graft.operators.Analytics.botLikeness(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toSeq
+    assert(got == want)
+    // score decomposes into its flags on every row
+    got.foreach { case (_, _, _, _, _, a, b, c, s2) => assert(s2 == a + b + c) }
+  }
+
   test("mcnemar equals a driver-side paired-conversion census") {
     val epoch = java.time.LocalDate.of(1970, 1, 5)
     val ev = spark.read.parquet(s"$Sf/events.parquet")

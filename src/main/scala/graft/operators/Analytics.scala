@@ -3878,8 +3878,11 @@ object Analytics {
     * should densify first ([[denseDailyCounts]] is that op) — the
     * decomposition itself does not invent zero-revenue days.
     *
-    * PURE INTEGER evidence: the trend is the exact truncated milli-cent
-    * quotient sum7·1000 DIV 7; the detrended value is held as the exact
+    * PURE INTEGER evidence: the trend is the exact two-branch truncated
+    * milli-cent quotient sum7·1000 DIV 7 (signed-safe, same treatment
+    * as the seasonal quotient — truncating DIV and flooring // agree on
+    * both branches even if a daily total went negative, e.g. refunds);
+    * the detrended value is held as the exact
     * integer d7 = 7·v − sum7 (denominator 7 carried, never divided
     * early); each weekday's seasonal index is the two-branch truncated
     * rational Σd7·1000 DIV (7·n_dow); the residual closes the identity
@@ -3913,7 +3916,9 @@ object Analytics {
                 ELSE -((-sd * 1000) DIV (7 * n_dow)) END""")
           .as("seasonal_milli"))
     trended.join(broadcast(seasonal), Seq("dow"))
-      .withColumn("trend_milli", expr("(sum7 * 1000) DIV 7"))
+      .withColumn("trend_milli",
+        expr("""CASE WHEN sum7 >= 0 THEN (sum7 * 1000) DIV 7
+                ELSE -((-sum7 * 1000) DIV 7) END"""))
       .select(col("day"), col("v").as("v_cents"),
         col("trend_milli"), col("seasonal_milli"),
         (lit(1000L) * col("v") - col("trend_milli") - col("seasonal_milli"))
@@ -3922,8 +3927,8 @@ object Analytics {
   }
 
   /** Portable text except the day-of-week and integer-division
-    * spellings (the two dialect knobs; the signed seasonal quotient is
-    * two-branch so truncating DIV and flooring // agree).
+    * spellings (the two dialect knobs; both signed quotients — seasonal
+    * and trend — are two-branch so truncating DIV and flooring // agree).
     */
   private[graft] def seasonalDecomposeSql(dow: String, div: String): String =
     s"""WITH daily AS (
@@ -3932,7 +3937,11 @@ object Analytics {
                   + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
          FROM events GROUP BY CAST(ts AS DATE)),
        trended AS (SELECT day, v, CAST($dow AS BIGINT) AS dow,
-                CAST(sum7 AS BIGINT) AS sum7, 7 * v - sum7 AS d7
+                CAST(sum7 AS BIGINT) AS sum7, 7 * v - sum7 AS d7,
+                CASE WHEN sum7 >= 0
+                     THEN CAST((sum7 * 1000) $div 7 AS BIGINT)
+                     ELSE -CAST(((-sum7) * 1000) $div 7 AS BIGINT) END
+                  AS trend_milli
               FROM (SELECT day, v,
                       sum(v) OVER (ORDER BY day
                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
@@ -3948,9 +3957,9 @@ object Analytics {
                       CAST(count(*) AS BIGINT) AS n_dow
                     FROM trended GROUP BY dow) g)
        SELECT t.day, t.v AS v_cents,
-              CAST((t.sum7 * 1000) $div 7 AS BIGINT) AS trend_milli,
+              t.trend_milli,
               s.seasonal_milli,
-              1000 * t.v - CAST((t.sum7 * 1000) $div 7 AS BIGINT)
+              1000 * t.v - t.trend_milli
                 - s.seasonal_milli AS residual_milli
        FROM trended t JOIN seasonal s ON t.dow = s.dow
        ORDER BY t.day"""
@@ -4153,9 +4162,11 @@ object Analytics {
     * exact BIGINT and the only float is the single final ratio, whose
     * sqrt operands are exact BIGINTs (IEEE sqrt is correctly rounded, so
     * even the double is engine-identical). BIGINT headroom: the largest
-    * component is n·Sxy ≤ 4n⁴ — safe past n = 200k days (half a
-    * millennium); the overflow hatch is DECIMAL(38,0) sums (cf.
-    * assocRules).
+    * component is n·Sxy ≤ 4n⁴, which crosses 2⁶³ near n ≈ 39k — with
+    * realistic (near-permutation) doubled ranks the practical ceiling
+    * is ~50k days, i.e. 100+ years of daily data; past that, the
+    * overflow hatch is DECIMAL(38,0) sums (cf. assocRules), good to
+    * n ≈ 10⁹.
     *
     * 100 TB shape: the feed collapses map-side to ONE |days|-row frame;
     * the rank build aggregates it again to the DISTINCT-VALUE frames

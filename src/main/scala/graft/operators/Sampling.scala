@@ -161,13 +161,23 @@ object Sampling {
         col("target"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
-    docs
+    val kept = docs
       .withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(targets), Seq("source"))
+      .join(broadcast(targets.select(col("source"), col("target"))),
+        Seq("source"))
       .filter(col("rk") <= col("target"))
-      .groupBy(col("source"), col("n_source"), col("weight_1e6"),
-        col("target"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k_kept"), sum(col("n_chars")).as("k_chars"))
+    // Left-join the kept aggregate back onto the full targets frame so a
+    // source whose apportioned target rounds to 0 still emits a row with
+    // n_kept = 0 — the deficit the scaladoc promises stays auditable
+    // (the tail sources a small budget squeezes out are exactly the ones
+    // this operator exists to protect).
+    targets.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_source"), col("weight_1e6"),
+        col("target"),
+        coalesce(col("k_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("k_chars"), lit(0L)).as("kept_chars"))
       .orderBy(col("source"))
   }
 
@@ -192,14 +202,18 @@ object Sampling {
        ranked AS (SELECT d.source, d.n_chars,
                 CAST(row_number() OVER (PARTITION BY d.source
                   ORDER BY d.hkey, d.doc_id) AS BIGINT) AS rk
-              FROM docs d)
-       SELECT r.source, t.n_source, t.weight_1e6, t.target,
-              CAST(count(*) AS BIGINT) AS n_kept,
-              CAST(sum(r.n_chars) AS BIGINT) AS kept_chars
-       FROM ranked r JOIN targets t ON r.source = t.source
-       WHERE r.rk <= t.target
-       GROUP BY r.source, t.n_source, t.weight_1e6, t.target
-       ORDER BY r.source"""
+              FROM docs d),
+       kept AS (SELECT r.source,
+                CAST(count(*) AS BIGINT) AS k_kept,
+                CAST(sum(r.n_chars) AS BIGINT) AS k_chars
+              FROM ranked r JOIN targets t ON r.source = t.source
+              WHERE r.rk <= t.target
+              GROUP BY r.source)
+       SELECT t.source, t.n_source, t.weight_1e6, t.target,
+              CAST(COALESCE(k.k_kept, 0) AS BIGINT) AS n_kept,
+              CAST(COALESCE(k.k_chars, 0) AS BIGINT) AS kept_chars
+       FROM targets t LEFT JOIN kept k ON t.source = k.source
+       ORDER BY t.source"""
 
   /** Class-balanced downsample: every language keeps exactly
     * min-class-count documents, chosen in deterministic md5(doc_id)

@@ -58,11 +58,14 @@ object Bench {
     // merge — the Lee et al. exact complement of winnowing); top cost
     // tier on arrival, floor-gated on arrival
     "q_dedup_substring",
-    // r12 addition: brute CSLS bitext mining (the corpus x corpus pair
-    // score + two map-side top-k passes — the costliest new r12 plan;
-    // the IVF-candidate face is the warehouse path, this gates the
-    // exact kernel); floor-gated on arrival
-    "q_bitext_margin")
+    // r13: the PRODUCTION bitext spelling replaces the brute face in the
+    // headline set (r12 verdict task 1) — index-approximated CSLS with
+    // the first-N IVF build charged to the query; the brute all-pairs
+    // kernel stays registry+oracle-checked as the exact cross-check
+    // (the triangle-count precedent) but is no longer the benched plan,
+    // because its |A|x|B| crossJoin is the one scale-killer the judge
+    // flagged. Floor-gated on arrival.
+    "q_bitext_margin_index")
 
   /** bench_floor.txt lines: `<sf-dir-basename> <query> <seconds>`. */
   def loadFloors(sfName: String): Map[String, Double] = {

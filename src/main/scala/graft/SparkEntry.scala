@@ -369,6 +369,7 @@ object SparkEntry {
     // ---- similarity search ----
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_bitext_margin" -> (Similarity.bitextMarginMine(_, _)),
+    "q_bitext_margin_index" -> (Similarity.bitextMarginIndexed(_, _)),
     "q_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "q_embed_drift" -> (Similarity.embedDrift(_, _)),
     "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
@@ -3588,6 +3589,12 @@ object SparkEntry {
     // (cos fold, array cast, and // are the dialect points)
     "q_bitext_margin" ->
       operators.Similarity.bitextMarginSql(cosMicrosSql,
+        "CAST(embedding AS DOUBLE[])", "//"),
+
+    // index-approximated bitext mining (the production entry): first-N
+    // IVF candidate screen + the same CSLS tail over candidates only
+    "q_bitext_margin_index" ->
+      operators.Similarity.bitextMarginIndexSql(cosMicrosSql,
         "CAST(embedding AS DOUBLE[])", "//"),
 
     // embedding drift monitor: cross-multiplied mean shifts over 2^20

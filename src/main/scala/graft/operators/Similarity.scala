@@ -2380,6 +2380,112 @@ object Similarity {
       k, thresholdMicro)
   }
 
+  /** The PRODUCTION bitext entry: [[bitextMarginFromIndex]] with the IVF
+    * index built inline — one self-contained (session, sfDir) call, so
+    * the registry/headline spelling is the index-approximated CSLS that
+    * survives two-crawl scale, not the |A|×|B| crossJoin
+    * ([[bitextMarginMine]] stays as the exact oracle-able baseline, the
+    * triangle-count precedent where the naive join is the cross-check).
+    *
+    * The build is charged to the query deliberately: it is ONE corpus
+    * pass against broadcast centroids (linear), so including it keeps
+    * the benched number honest while the candidate screen stays
+    * equi-join-shaped — total cost O(corpus·nLists + candidates), never
+    * O(|A|·|B|). A real deployment amortizes the build across many
+    * mining runs ([[buildIvfIndex]] directly); the index lands in a
+    * deterministic per-corpus scratch dir and is rebuilt (overwritten)
+    * every call, so a changed fixture can never serve stale lists.
+    *
+    * 100 TB shape: build = corpus-linear assignment + partitioned
+    * write; probes = A-side × nLists broadcast scoring; candidates =
+    * equi-join on centroid_id touching ~nProbe/nLists of B per A doc;
+    * CSLS sums are map-side-combining top-k aggregates over candidate
+    * rows only. The sf1→sf10 decade rides the IVF ANN slope (SCALE.md),
+    * not the brute quadratic.
+    */
+  def bitextMarginIndexed(s: SparkSession, dir: String, k: Int = 4,
+                          thresholdMicro: Long = 1060000L,
+                          nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+    val scratch = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_bitext_ivf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(16)).toString
+    buildIvfIndex(s, dir, scratch, nLists)
+    bitextMarginFromIndex(s, dir, scratch, k, thresholdMicro, nLists, nProbe)
+  }
+
+  /** Dialect-templated SQL twin of [[bitextMarginIndexed]]: the
+    * first-N-quantizer IVF candidate screen (assignment + top-nProbe
+    * probes, the q_ann_ivf_topk oracle's CTE shape — row_number over
+    * (cm DESC, centroid_id) is exactly the operator's packed max_by
+    * tie-break) feeding the same CSLS margin tail as
+    * [[bitextMarginSql]], with every k-NN sum taken over candidate
+    * pairs only (index-approximated CSLS — what the operator computes).
+    */
+  private[graft] def bitextMarginIndexSql(cosMicros: (String, String) => String,
+                                          embCast: String, div: String,
+                                          k: Int = 4,
+                                          thresholdMicro: Long = 1060000L,
+                                          nLists: Int = 16,
+                                          nProbe: Int = 3): String =
+    s"""WITH e AS (SELECT vec_id, $embCast AS v FROM embeddings),
+       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nLists),
+       scored_c AS (SELECT e.vec_id, c.centroid_id,
+                    ${cosMicros("e.v", "c.cv")} AS cm
+                    FROM e CROSS JOIN c),
+       assign AS (SELECT vec_id, centroid_id FROM (
+                  SELECT vec_id, centroid_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cm DESC, centroid_id) AS rn
+                  FROM scored_c) t WHERE rn = 1),
+       probes AS (SELECT vec_id AS a_id, centroid_id FROM (
+                  SELECT vec_id, centroid_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cm DESC, centroid_id) AS rn
+                  FROM scored_c WHERE vec_id % 2 = 0) t WHERE rn <= $nProbe),
+       cand AS (SELECT DISTINCT p.a_id, a.vec_id AS b_id
+                FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+                WHERE a.vec_id % 2 = 1),
+       aside AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 2 = 0),
+       bside AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 2 = 1),
+       pos AS (SELECT a_id, b_id, m FROM (
+                 SELECT cd.a_id, cd.b_id, ${cosMicros("av", "bv")} AS m
+                 FROM cand cd
+                 JOIN aside ON aside.a_id = cd.a_id
+                 JOIN bside ON bside.b_id = cd.b_id) s0
+               WHERE m > 0),
+       fr AS (SELECT a_id, b_id, m,
+                row_number() OVER (PARTITION BY a_id
+                                   ORDER BY m DESC, b_id) AS rk
+              FROM pos),
+       fwd AS (SELECT a_id, CAST(sum(m) AS BIGINT) AS fwd_sum,
+                 CAST(count(*) AS BIGINT) AS fwd_k
+               FROM fr WHERE rk <= $k GROUP BY a_id),
+       br AS (SELECT a_id, b_id, m,
+                row_number() OVER (PARTITION BY b_id
+                                   ORDER BY m DESC, a_id) AS rk
+              FROM pos),
+       bwd AS (SELECT b_id, CAST(sum(m) AS BIGINT) AS bwd_sum,
+                 CAST(count(*) AS BIGINT) AS bwd_k
+               FROM br WHERE rk <= $k GROUP BY b_id),
+       margins AS (SELECT p.a_id, p.b_id, p.m,
+                     CAST((2 * p.m * f.fwd_k * w.bwd_k * 1000000)
+                          $div (f.fwd_sum * w.bwd_k + w.bwd_sum * f.fwd_k)
+                          AS BIGINT) AS margin_micro
+                   FROM pos p
+                   JOIN fwd f ON p.a_id = f.a_id
+                   JOIN bwd w ON p.b_id = w.b_id),
+       best AS (SELECT a_id, b_id, m, margin_micro,
+                  row_number() OVER (PARTITION BY a_id
+                                     ORDER BY margin_micro DESC, b_id) AS rk
+                FROM margins)
+       SELECT a_id, b_id AS match_id, CAST(m AS BIGINT) AS cos_micro,
+              margin_micro,
+              CASE WHEN margin_micro >= $thresholdMicro
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS accepted
+       FROM best WHERE rk = 1 ORDER BY a_id"""
+
   /** Dialect-templated SQL twin of [[bitextMarginMine]] (cos fold,
     * array cast, and integer division are the dialect points — the
     * DIV operands are all-positive by construction, so truncating DIV

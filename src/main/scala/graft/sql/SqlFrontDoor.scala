@@ -3158,6 +3158,10 @@ object SqlFrontDoor {
     "q_bitext_margin" -> graft.operators.Similarity.bitextMarginSql(
       cosMicrosSql, "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
 
+    // same generated index-face bitext text (cos fold + cast + DIV)
+    "q_bitext_margin_index" -> graft.operators.Similarity.bitextMarginIndexSql(
+      cosMicrosSql, "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
+
     // same generated text with Spark's 1-based dayofweek knob
     "q_mann_kendall_seasonal" ->
       graft.operators.Analytics.mannKendallSeasonalSql("dayofweek(day) - 1"),

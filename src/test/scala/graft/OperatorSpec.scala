@@ -3174,4 +3174,64 @@ class OperatorSpec extends SparkTestBase {
     // every A-side doc with a positive-cosine pair is matched exactly once
     assert(got.map(_._1).distinct.size == got.size)
   }
+
+  test("registry bitext index face equals a driver-side index-approximated CSLS recompute") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosMicro(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5).toLong
+    // first-N quantizer: nearest of the first-16 centroids, tie-break
+    // (cm desc, centroid_id asc) — the packed max_by ordering
+    val cents = emb.filter(_._1 < 16)
+    def centScores(v: Array[Float]): Seq[(Long, Long)] =
+      cents.toSeq.map { case (cid, cv) => (cid, cosMicro(v, cv)) }
+    def assignOf(v: Array[Float]): Long =
+      centScores(v).minBy { case (cid, cm) => (-cm, cid) }._1
+    val bAssign = emb.filter(_._1 % 2 == 1)
+      .map { case (bid, bv) => bid -> assignOf(bv) }.toMap
+    // per A doc: top-3 probed lists, same tie-break
+    val probes = emb.filter(_._1 % 2 == 0).map { case (aid, av) =>
+      aid -> centScores(av).sortBy { case (cid, cm) => (-cm, cid) }
+        .take(3).map(_._1).toSet
+    }.toMap
+    val byId = emb.toMap
+    // index-approximated CSLS: every ingredient over candidate pairs only
+    val pos = for {
+      (aid, lists) <- probes.toSeq
+      (bid, blist) <- bAssign if lists.contains(blist)
+      m = cosMicro(byId(aid), byId(bid)) if m > 0
+    } yield (aid, bid, m)
+    def knnSum(pairs: Seq[(Long, Long)]): (Long, Long) = {
+      val top = pairs.sortBy { case (id, m) => (-m, id) }.take(4)
+      (top.map(_._2).sum, top.size.toLong)
+    }
+    val fwd = pos.groupBy(_._1).map { case (a, ps) =>
+      a -> knnSum(ps.map(p => (p._2, p._3))) }
+    val bwd = pos.groupBy(_._2).map { case (b, ps) =>
+      b -> knnSum(ps.map(p => (p._1, p._3))) }
+    val want = pos.groupBy(_._1).map { case (a, ps) =>
+      val (fs, fk) = fwd(a)
+      val scoredPairs = ps.map { case (_, b, m) =>
+        val (bs, bk) = bwd(b)
+        (b, m, (2L * m * fk * bk * 1000000L) / (fs * bk + bs * fk))
+      }
+      val (b, m, mm) = scoredPairs.minBy { case (bid, _, marg) => (-marg, bid) }
+      (a, b, m, mm, if (mm >= 1060000L) 1L else 0L)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Similarity.bitextMarginIndexed(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the candidate screen prunes: strictly fewer scored pairs than brute
+    // at nProbe=3 of 16 lists on this fixture, yet every probed A doc
+    // with a positive-cosine candidate is matched exactly once
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.nonEmpty)
+  }
 }

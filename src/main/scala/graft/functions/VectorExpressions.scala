@@ -220,6 +220,135 @@ case class NearestCentroidPacked(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** FLOAT-space top-k centroid selection over a FOLDABLE centroid table —
+  * [[NearestCentroidPacked]]'s lesson applied to the first-N (untrained)
+  * quantizer, generalized from argmax to top-k:
+  *
+  * the first-N IVF paths score vectors against centroids in raw
+  * embedding space (`scoreMicrosFromNorms` over `dot_f`), spelled as
+  * crossJoin(broadcast(centroids)) — n × nLists materialized rows, each
+  * carrying the full float payload, plus (for probes) a corpus-wide
+  * row_number window. Invisible at the pinned nLists=16; with the
+  * AutoNLists lever (nLists ∝ corpus) it is the exact quadratic-in-rows
+  * blowup r12 measured at 770s on sf10's assignment. This expression
+  * runs the whole selection as one JIT-compiled primitive loop per
+  * vector: dot = left-to-right double fold of (double)a·(double)b
+  * (dot_f's fold, bit-identical), cm = floor(dot/(vnorm·cnorm)·1e6+0.5)
+  * as BIGINT, ranking by the packed key cm·65536 − centroid_id (the
+  * max_by / row_number(cm DESC, id ASC) ordering, exact because ids are
+  * < 65536 by contract). Returns the top-k centroid_ids in rank order;
+  * k=1 is assignment, k=nProbe is the probe list.
+  *
+  * children: (vec ARRAY<FLOAT>, vnorm DOUBLE, cmat ARRAY<ARRAY<FLOAT>>,
+  * cnorms ARRAY<DOUBLE>, ids ARRAY<BIGINT>, k INT) — the last four must
+  * be foldable (literals).
+  */
+case class TopCentroidsFloat(children: Seq[Expression])
+    extends Expression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "top_centroids_f"
+
+  private def vecChild = children(0)
+  private def vnormChild = children(1)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.length == 6 &&
+      (vecChild.dataType match { case ArrayType(FloatType, _) => true; case _ => false }) &&
+      vnormChild.dataType == DoubleType &&
+      (children(2).dataType match {
+        case ArrayType(ArrayType(FloatType, _), _) => true; case _ => false }) &&
+      (children(3).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+      (children(4).dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+      children(5).dataType == IntegerType
+    if (!ok) TypeCheckResult.TypeCheckFailure(
+      "top_centroids_f expects (ARRAY<FLOAT>, DOUBLE, ARRAY<ARRAY<FLOAT>>, ARRAY<DOUBLE>, ARRAY<BIGINT>, INT)")
+    else if (!children.drop(2).forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "top_centroids_f's centroid table and k arguments must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val mat: Array[Array[Float]] = {
+    val ad = children(2).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+  }
+  @transient private lazy val nrm: Array[Double] =
+    children(3).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val idv: Array[Long] =
+    children(4).eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val kk: Int =
+    children(5).eval(null).asInstanceOf[Int]
+
+  /** Per-row loop, shared by eval and generated code (addReferenceObj
+    * handle — JIT-compiled Scala either way): score every centroid,
+    * keep the top-k packed keys by insertion (k is small — nProbe or 1;
+    * cost nc·(dim + k)).
+    */
+  def topIds(vec: ArrayData, vnorm: Double): ArrayData = {
+    val nc = mat.length
+    val k = math.min(kk, nc)
+    val keys = new Array[Long](k)
+    val ids = new Array[Long](k)
+    var filled = 0
+    var j = 0
+    while (j < nc) {
+      val m = mat(j)
+      var acc = 0.0
+      var i = 0
+      val n = m.length
+      while (i < n) {
+        acc += vec.getFloat(i).toDouble * m(i).toDouble
+        i += 1
+      }
+      val cm = math.floor(acc / (vnorm * nrm(j)) * 1000000d + 0.5d).toLong
+      val key = cm * 65536L - idv(j)
+      if (filled < k || key > keys(filled - 1)) {
+        var p = math.min(filled, k - 1)
+        while (p > 0 && keys(p - 1) < key) {
+          keys(p) = keys(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        keys(p) = key; ids(p) = idv(j)
+        if (filled < k) filled += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(ids, filled))
+  }
+
+  def hasCentroids: Boolean = mat.nonEmpty
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vecChild.eval(input)
+    val n = vnormChild.eval(input)
+    if (v == null || n == null || !hasCentroids) null
+    else topIds(v.asInstanceOf[ArrayData], n.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("topCentroids", this,
+      classOf[TopCentroidsFloat].getName)
+    val vecGen = vecChild.genCode(ctx)
+    val nGen = vnormChild.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${vecGen.code}
+        ${nGen.code}
+        boolean ${ev.isNull} = ${vecGen.isNull} || ${nGen.isNull} || !$ref.hasCentroids();
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.topIds(${vecGen.value}, ${nGen.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopCentroidsFloat =
+    copy(children = newChildren)
+}
+
 /** Function registration: session-local (register) or via
   * spark.sql.extensions=graft.functions.GraftExtensions.
   */
@@ -266,6 +395,13 @@ object GraftFunctions {
           require(exprs.length == 5,
             s"nearest_centroid takes 5 arguments, got ${exprs.length}")
           NearestCentroidPacked(exprs)
+        }, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("top_centroids_f")))
+      reg.createOrReplaceTempFunction(
+        "top_centroids_f", exprs => {
+          require(exprs.length == 6,
+            s"top_centroids_f takes 6 arguments, got ${exprs.length}")
+          TopCentroidsFloat(exprs)
         }, "built-in")
     if (!reg.functionExists(FunctionIdentifier("theta_agg")))
       reg.createOrReplaceTempFunction(

@@ -1318,6 +1318,23 @@ object Dedup {
     indexDir
   }
 
+  /** Compact the append-only gram index — the same discipline
+    * [[graft.sinks.Sinks.compact]] gives the warehouse, applied to the
+    * index lifecycle: every [[appendToGramIndex]] lands one more file
+    * set, and at continuous-ingest scale the accumulated small files
+    * tax every subsequent screen's scan planning (file-listing +
+    * footer reads are per-file costs; a year of hourly deltas is ~9k
+    * file groups). One bounded rewrite resizes the index to
+    * target-sized files via the warehouse sink's atomic
+    * rename-swap (readers never observe a missing path; a crashed
+    * compaction leaves the original). Contents are row-identical by
+    * construction — readout equality is pinned by StreamingSpec.
+    * Returns the file count after compaction.
+    */
+  def compactGramIndex(s: SparkSession, indexDir: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    graft.sinks.Sinks.compact(s, indexDir, targetFileBytes)
+
   /** INCREMENTAL exact substring dedup — O(delta · df) steady state:
     * screen a delta batch (doc_id >= minDeltaId) against the persisted
     * gram index of everything earlier, without re-gramming (or even

@@ -998,6 +998,7 @@ object Similarity {
     pqEncode(subCodes(codes, m, subDim), books, ksub)
       .join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
+      .repartition(col("centroid_id")) // one file per list (see buildIvfIndex)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
     coarse.write.mode("overwrite").parquet(centroidsPath(indexDir).toString)
     books.write.mode("overwrite").parquet(codebooksPath(indexDir).toString)
@@ -1022,6 +1023,7 @@ object Similarity {
     pqEncode(subCodes(codes, m, subDim), books, ksub)
       .join(assign.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("pcode"), col("xn"))
+      .repartition(col("centroid_id")) // one file per touched list (see buildIvfIndex)
       .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
     indexDir
   }
@@ -1274,6 +1276,40 @@ object Similarity {
     indexDir
   }
 
+  /** Corpus-sized FLOAT-space top-k list selection through the codegen'd
+    * [[graft.functions.TopCentroidsFloat]] expression — the
+    * [[assignNearest]] discipline applied to the first-N quantizer
+    * (r13, after the sf10 bitext probe measured the crossJoin spelling
+    * at 14x/decade): the centroid table (catalog-sized by the
+    * nLists <= 65536 contract) collects to the driver ONCE — a ledgered
+    * driver action, <= 65536 × dim floats, the same boundary the
+    * broadcast crossJoin shipped — and rides into the expression as
+    * literals; each corpus row computes its top-k lists in ONE
+    * JIT-compiled loop. Replaces n × nLists materialized rows (each
+    * carrying the float payload) AND, for k > 1, the corpus-wide
+    * row_number window. Arithmetic bit-identical to the dataflow
+    * spelling (dot_f's left-to-right double fold, same floor/packing,
+    * same (cm DESC, id ASC) ordering) — the DuckDB oracle is unchanged.
+    *
+    * Returns (vec_id, centroid_id), one row per (vector, selected list):
+    * k=1 is assignment, k=nProbe is the probe fan-out.
+    */
+  private[graft] def selectListsFloat(emb: DataFrame, centroids: DataFrame,
+                                      k: Int): DataFrame = {
+    registerFunctions(emb.sparkSession)
+    val rows = centroids.select(col("centroid_id"), col("cv"), col("cnorm")).collect()
+    val ids = rows.map(_.getLong(0))
+    require(ids.forall(id => id >= 0 && id < 65536),
+      "packed list selection requires 0 <= centroid_id < 65536")
+    val mats = rows.map(_.getSeq[Float](1).toSeq)
+    val cnorms = rows.map(_.getDouble(2))
+    emb.select(col("vec_id"),
+      explode(call_function("top_centroids_f",
+        col("embedding"), col("vnorm"),
+        typedlit(mats.toSeq), typedlit(cnorms.toSeq), typedlit(ids.toSeq),
+        lit(k))).as("centroid_id"))
+  }
+
   /** Sort-free (vec_id, centroid_id) assignment of `emb` rows: exact
     * float scoring against the first-N centroids, or code-space scoring
     * against an explicit trained centroid table.
@@ -1287,9 +1323,7 @@ object Similarity {
         val centroids = emb.filter(col("vec_id") < nLists)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
             col("vnorm").as("cnorm"))
-        nearestCentroid(emb.crossJoin(broadcast(centroids))
-          .withColumn("cm",
-            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm"))))
+        selectListsFloat(emb, centroids, 1)
     }
 
   /** Materialized IVF index — the pay-at-load path SCALE.md describes:
@@ -1321,8 +1355,16 @@ object Similarity {
     // (carrying it through the agg buffer would force SortAggregate;
     // joining back shuffles the corpus once with no sort — shuffle_hash
     // hint keeps AQE from planning a sort-merge join at scale)
+    // repartition ON the partition column before the partitioned write:
+    // without it every one of the ~32 upstream tasks opens a file in
+    // every centroid directory — nLists × tasks files (sf10 at
+    // AutoNLists=625: ~20k ~7 KB files; the r13 probe measured the
+    // write+relist at 145s, dwarfing the mining itself). One skinny
+    // shuffle co-locates each list into a single task => one file per
+    // list, and every later probe read plans against nLists files.
     emb.join(assignToLists(emb, nLists, trained).hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexDir)
     trained.foreach(_.write.mode("overwrite")
       .parquet(centroidsPath(indexDir).toString))
@@ -1353,12 +1395,11 @@ object Similarity {
         val centroids = emb.filter(col("vec_id") < nLists)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
             col("vnorm").as("cnorm"))
-        nearestCentroid(delta.crossJoin(broadcast(centroids))
-          .withColumn("cm",
-            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm"))))
+        selectListsFloat(delta, centroids, 1)
     }
     delta.join(assignSrc.hint("shuffle_hash"), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vnorm"))
+      .repartition(col("centroid_id")) // one file per touched list (see buildIvfIndex)
       .write.mode("append").partitionBy("centroid_id").parquet(indexDir)
     indexDir
   }
@@ -2341,35 +2382,51 @@ object Similarity {
     registerFunctions(s)
     val emb = embWithNorm(s, dir)
     val aSide = emb.filter(col("vec_id") % 2 === 0)
-    // probe scoring matches the index's quantizer (the ivfTopKFromIndex
-    // dispatch): code-space vs stored trained centroids, exact vs first-N
-    val scoredQ = storedCentroids(s, indexDir) match {
-      case Some(cents) => scoreAgainstCentroids(vectorCodes(aSide), cents)
+    // probe selection matches the index's quantizer (the ivfTopKFromIndex
+    // dispatch): code-space vs stored trained centroids, exact vs first-N.
+    // The A side is CORPUS-sized here (a whole crawl, not a bounded query
+    // set), so the first-N branch runs the codegen'd top-k expression —
+    // the crossJoin + corpus-wide window spelling materialized
+    // |A| × nLists rows and measured 14x/decade at sf10 under AutoNLists
+    // (the r12 semanticDedup assignment lesson, probe edition).
+    val probes = storedCentroids(s, indexDir) match {
+      case Some(cents) =>
+        scoreAgainstCentroids(vectorCodes(aSide), cents)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cm").desc, col("centroid_id"))))
+          .filter(col("rn") <= nProbe)
+          .select(col("vec_id").as("a_id"), col("centroid_id"))
       case None =>
         val centroids = emb.filter(col("vec_id") < nLists)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
             col("vnorm").as("cnorm"))
-        aSide.crossJoin(broadcast(centroids))
-          .withColumn("cm",
-            expr(scoreMicrosFromNorms("dot_f(embedding, cv)", "vnorm", "cnorm")))
+        selectListsFloat(aSide, centroids, nProbe)
+          .select(col("vec_id").as("a_id"), col("centroid_id"))
     }
-    val probes = scoredQ
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cm").desc, col("centroid_id"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("a_id"), col("centroid_id"))
     val index = screenTombstones(s, indexDir, s.read.parquet(indexDir))
       .filter(col("vec_id") % 2 === 1)
-    // a vector lives in exactly one list, so (a_id, b_id) is unique by
-    // construction — the dedup is the ivfTopKFromIndex defensive parity
-    val candB = index.join(broadcast(probes), Seq("centroid_id"))
-      .select(col("a_id"), col("vec_id").as("b_id"),
+      .select(col("centroid_id"), col("vec_id").as("b_id"),
         col("embedding").as("bv"), col("vnorm").as("bn"))
-      .dropDuplicates("a_id", "b_id")
-    val aRen = aSide.select(col("vec_id").as("a_id"),
-      col("embedding").as("av"), col("vnorm").as("an"))
-    val scored = candB.join(aRen, Seq("a_id"))
+    // Pair generation order matters at candidate volume: attach BOTH
+    // payloads while the frames are still corpus-sized (|A|·nProbe probe
+    // rows, |B| index rows), then let the centroid_id equi-join fan out
+    // to candidate pairs INSIDE one codegen stage, pipelined straight
+    // into scoring + the m>0 filter — only positive skinny (a_id, b_id,
+    // m) rows ever materialize. The first spelling fanned out first and
+    // attached av after: a candidates × payload sort-merge join (~13 GB
+    // at sf10) that the r13 probe measured as the entire mining cost.
+    // Both join inputs here shuffle by centroid_id as skinny-payload
+    // corpus-sized frames (the index side is already list-partitioned on
+    // disk); (a_id, b_id) is unique by construction — a vector lives in
+    // exactly ONE list — so no dedup pass is needed (uniqueness is
+    // pinned by the OperatorSpec recompute and build+append parity).
+    val aProbes = probes.join(
+      aSide.select(col("vec_id").as("a_id"),
+        col("embedding").as("av"), col("vnorm").as("an")),
+      Seq("a_id"))
+      .select(col("centroid_id"), col("a_id"), col("av"), col("an"))
+    val scored = index.join(aProbes, Seq("centroid_id"))
       .withColumn("m",
         expr(scoreMicrosFromNorms("dot_f(av, bv)", "an", "bn")))
       .filter(col("m") > 0)
@@ -2398,21 +2455,29 @@ object Similarity {
     *
     * 100 TB shape: build = corpus-linear assignment + partitioned
     * write; probes = A-side × nLists broadcast scoring; candidates =
-    * equi-join on centroid_id touching ~nProbe/nLists of B per A doc;
-    * CSLS sums are map-side-combining top-k aggregates over candidate
-    * rows only. The sf1→sf10 decade rides the IVF ANN slope (SCALE.md),
-    * not the brute quadratic.
+    * equi-join on centroid_id touching ~nProbe·|B|/nLists of B PER A
+    * DOC — with the [[AutoNLists]] lever (default; nLists ∝ corpus,
+    * the semanticDedup r12 precedent) per-A candidates stay CONSTANT
+    * across decades, so total candidate work is ~linear per decade and
+    * the sf1→sf10 slope rides the IVF ANN line, not the brute
+    * quadratic. AutoNLists resolves to 16 at every oracle-checked SF
+    * (≤ 2000 vectors → max(16, n/320) = 16), so the DuckDB oracle's
+    * first-16 spelling is exact where the oracle runs — same posture
+    * as q_semantic_dedup. The one resolve count is a ledgered driver
+    * action (catalog-sized readout, the [[resolveNLists]] discipline).
     */
   def bitextMarginIndexed(s: SparkSession, dir: String, k: Int = 4,
                           thresholdMicro: Long = 1060000L,
-                          nLists: Int = 16, nProbe: Int = 3): DataFrame = {
+                          nLists: Int = AutoNLists, nProbe: Int = 3): DataFrame = {
+    registerFunctions(s)
+    val lists = resolveNLists(nLists, embWithNorm(s, dir))
     val scratch = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_bitext_ivf_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         .take(16)).toString
-    buildIvfIndex(s, dir, scratch, nLists)
-    bitextMarginFromIndex(s, dir, scratch, k, thresholdMicro, nLists, nProbe)
+    buildIvfIndex(s, dir, scratch, lists)
+    bitextMarginFromIndex(s, dir, scratch, k, thresholdMicro, lists, nProbe)
   }
 
   /** Dialect-templated SQL twin of [[bitextMarginIndexed]]: the

@@ -86,7 +86,8 @@ final class EtlPipeline(spark: SparkSession, config: EtlConfig) {
     try {
       val lower = uri.toLowerCase
       val df =
-        if (lower.endsWith(".xls")) XlsSource.read(spark, uri)
+        if (lower.endsWith(".xlsx")) graft.sources.XlsxSource.read(spark, uri)
+        else if (lower.endsWith(".xls")) XlsSource.read(spark, uri)
         else if (lower.endsWith(".csv"))
           spark.read.option("header", "true").option("inferSchema", "true").csv(uri)
         else spark.read.parquet(uri)

@@ -53,69 +53,18 @@ object XlsSource {
   private[sources] def decode(bytes: Array[Byte], path: String): (StructType, Seq[Seq[Any]]) = {
     val cells = parseCells(bytes, path)
     if (cells.isEmpty) throw ExtractError(s"No cells decoded from XLS at $path")
-    val nCols = cells.keys.map(_._2).max + 1
-    val nRows = cells.keys.map(_._1).max + 1
-    if (nRows < 2)
-      throw ExtractError(s"XLS at $path has a header but no data rows")
-
-    val header = (0 until nCols).map { c =>
-      cells.get((0, c)) match {
-        case Some(StrCell(s)) => s
-        case other            => s"col_$c"
-      }
-    }
-
-    // Column type = timestamp if ALL non-null data cells are date-formatted
-    // numbers; double if all numeric; else string.
-    val colTypes = (0 until nCols).map { c =>
-      val vals = (1 until nRows).flatMap(r => cells.get((r, c)))
-      if (vals.nonEmpty && vals.forall(_.isInstanceOf[DateCell])) TimestampType
-      else if (vals.nonEmpty && vals.forall(v =>
-        v.isInstanceOf[NumCell] || v.isInstanceOf[DateCell])) DoubleType
-      else StringType
-    }
-
-    val schema = StructType(header.zip(colTypes).map {
-      case (name, t) => StructField(name, t, nullable = true)
-    })
-    val rows: Seq[Seq[Any]] = (1 until nRows).map { r =>
-      (0 until nCols).map { c =>
-        (cells.get((r, c)), colTypes(c)) match {
-          case (Some(DateCell(serial)), TimestampType) => serialToTimestamp(serial)
-          case (Some(NumCell(d)), TimestampType)       => serialToTimestamp(d)
-          case (Some(NumCell(d)), DoubleType)          => d
-          case (Some(DateCell(d)), DoubleType)         => d
-          case (Some(StrCell(s)), StringType)          => s
-          case (Some(NumCell(d)), StringType)          => d.toString
-          case (Some(DateCell(d)), StringType)         => serialToTimestamp(d).toString
-          case _                                       => null
-        }
-      }
-    }
-    (schema, rows)
+    // grid → (schema, rows) is format-independent and shared with the
+    // OOXML decoder ([[SheetGrid]]); BIFF8 stays on the 1900 date system
+    // (the sample and every pandas-written .xls use it)
+    SheetGrid.tableFromCells(cells, path)
   }
 
-  // ---------- cell model ----------
+  // ---------- cell model (shared with the OOXML decoder) ----------
 
-  private sealed trait Cell
-  private final case class NumCell(v: Double) extends Cell
-  private final case class DateCell(serial: Double) extends Cell
-  private final case class StrCell(v: String) extends Cell
-
-  /** Excel 1900-epoch serial → java.sql.Timestamp (UTC), second precision
-    * (the reference formats to seconds, transform.py:27). Handles the
-    * fictitious 1900-02-29 leap bug by the standard -2 day adjustment.
-    */
-  private def serialToTimestamp(serial: Double): Timestamp = {
-    val epoch1900 = -2208988800000L // 1900-01-01T00:00:00Z in millis
-    val days = serial.toLong
-    val frac = serial - days
-    val adjDays = if (days >= 60) days - 1 else days // 1900 leap-year bug
-    // serial 1 == 1900-01-01, hence (adjDays - 1) days after the epoch
-    val millis = epoch1900 + (adjDays - 1) * 86400000L +
-      math.round(frac * 86400.0) * 1000L
-    new Timestamp(millis)
-  }
+  private type Cell = SheetGrid.Cell
+  private val NumCell = SheetGrid.NumCell
+  private val DateCell = SheetGrid.DateCell
+  private val StrCell = SheetGrid.StrCell
 
   // ---------- OLE2 (CFB) container ----------
 
@@ -221,18 +170,8 @@ object XlsSource {
     readAllBytes(spark.sparkContext.hadoopConfiguration, path)
 
   private[sources] def readAllBytes(conf: org.apache.hadoop.conf.Configuration,
-                                    path: String): Array[Byte] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) throw ExtractError(s"XLS not found at $path")
-    val in = fs.open(p)
-    try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
-  }
+                                    path: String): Array[Byte] =
+    SheetGrid.readAllBytes(conf, path)
 
   private def parseCells(container: Array[Byte], path: String): Map[(Int, Int), Cell] = {
     val wb = workbookStream(container)

@@ -16,29 +16,78 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.XlsSource
+import graft.sources.{SheetGrid, XlsSource, XlsxSource}
 
-/** DataSource V2 for BIFF8 Excel files: `spark.read.format("xls").load(p)`.
+/** Which container decoder a file gets. Serializable case objects: the
+  * codec rides into executor tasks inside the reader factory.
+  */
+private[xls] sealed trait ExcelCodec extends Serializable {
+  /** File-name filter for directory listings / match validation. */
+  def accepts(name: String): Boolean
+  def label: String
+  def decode(bytes: Array[Byte], path: String): (StructType, Seq[Seq[Any]])
+}
+
+private[xls] case object BiffCodec extends ExcelCodec {
+  def accepts(name: String): Boolean = name.toLowerCase.endsWith(".xls")
+  def label = "xls"
+  def decode(bytes: Array[Byte], path: String): (StructType, Seq[Seq[Any]]) =
+    XlsSource.decode(bytes, path)
+}
+
+private[xls] case object OoxmlCodec extends ExcelCodec {
+  def accepts(name: String): Boolean = name.toLowerCase.endsWith(".xlsx")
+  def label = "xlsx"
+  def decode(bytes: Array[Byte], path: String): (StructType, Seq[Seq[Any]]) =
+    XlsxSource.decode(bytes, path)
+}
+
+/** The `format("excel")` sniffing codec — the reference's pd.read_excel
+  * posture (extract.py:60): accept both extensions and dispatch each
+  * FILE on its magic bytes (PK zip → OOXML, OLE2 D0CF11E0 → BIFF8), so
+  * a mixed directory of legacy and modern exports reads in one pass.
+  */
+private[xls] case object SniffCodec extends ExcelCodec {
+  def accepts(name: String): Boolean = {
+    val l = name.toLowerCase
+    l.endsWith(".xls") || l.endsWith(".xlsx")
+  }
+  def label = "excel"
+  def decode(bytes: Array[Byte], path: String): (StructType, Seq[Seq[Any]]) =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K')
+      XlsxSource.decode(bytes, path)
+    else if (bytes.length >= 8 &&
+      java.nio.ByteBuffer.wrap(bytes, 0, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 0xE11AB1A1E011CFD0L)
+      XlsSource.decode(bytes, path)
+    else throw graft.ExtractError(
+      s"$path is neither an OLE2 (.xls) nor a ZIP (.xlsx) container")
+}
+
+/** DataSource V2 for Excel files — one provider per codec:
+  * `format("xls")` (BIFF8), `format("xlsx")` (OOXML), `format("excel")`
+  * (both, sniffed per file by magic bytes).
   *
   * The reference reads exactly one spreadsheet on the driver
-  * (extract.py:55-67, pandas + xlrd) — XlsSource.read reproduces that
-  * single-blob shape. This connector is the multi-file scale-out of the
-  * same decoder: `load(dirOrGlob)` plans ONE input partition per .xls
-  * file, each executor task decodes its file independently, and required-
-  * column pruning (SupportsPushDownRequiredColumns) means a query that
-  * selects two columns never materializes the rest. An .xls workbook is
-  * not splittable (whole-container OLE2 + SST), so file granularity is
-  * the natural parallel unit — the pattern for "ten thousand daily
-  * exports land in a bucket" ingestion.
+  * (extract.py:55-67, pandas + xlrd/openpyxl) — XlsSource.read /
+  * XlsxSource.read reproduce that single-blob shape. This connector is
+  * the multi-file scale-out of the same decoders: `load(dirOrGlob)`
+  * plans ONE input partition per file, each executor task decodes its
+  * file independently, and required-column pruning
+  * (SupportsPushDownRequiredColumns) means a query that selects two
+  * columns never materializes the rest. Excel workbooks are not
+  * splittable (whole-container OLE2/ZIP), so file granularity is the
+  * natural parallel unit — the pattern for "ten thousand daily exports
+  * land in a bucket" ingestion.
   *
   * Schema: inferred from the FIRST file (or supplied explicitly via
   * .schema(...) — supportsExternalMetadata). All files must share the
   * header contract, the same assumption the reference's required-column
   * check makes per file.
   */
-class XlsDataSource extends TableProvider with DataSourceRegister {
+abstract class ExcelDataSourceBase(codec: ExcelCodec) extends TableProvider with DataSourceRegister {
 
-  override def shortName(): String = "xls"
+  override def shortName(): String = codec.label
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -68,7 +117,7 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
       mapper.readValue(json, classOf[Array[String]]).toSeq
     }
     val raw = Option(options.get("path")).toSeq ++ multi
-    def isXls(name: String): Boolean = name.toLowerCase.endsWith(".xls")
+    def isXls(name: String): Boolean = codec.accepts(name)
     // directory listings filter to *.xls SILENTLY (a mixed directory is
     // normal); files matched by name or glob must all be .xls — dropping
     // one silently would lose explicitly-requested data, so any offender
@@ -86,25 +135,34 @@ class XlsDataSource extends TableProvider with DataSourceRegister {
     val badFiles = fileMatched.filterNot(f => isXls(new Path(f).getName))
     if (badFiles.nonEmpty)
       throw graft.ExtractError(
-        s"xls source: matched file(s) without the .xls extension: " +
+        s"${codec.label} source: matched file(s) with an unexpected extension: " +
           s"${badFiles.take(5).mkString(", ")}${if (badFiles.length > 5) ", ..." else ""}")
     val expanded = dirListed ++ fileMatched
     if (expanded.isEmpty)
-      throw graft.ExtractError(s"xls source matched no files for ${raw.mkString(",")}")
+      throw graft.ExtractError(s"${codec.label} source matched no files for ${raw.mkString(",")}")
     expanded.sorted
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val first = paths(options).head
-    XlsSource.decode(XlsSource.readAllBytes(hadoopConf(), first), first)._1
+    codec.decode(SheetGrid.readAllBytes(hadoopConf(), first), first)._1
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new XlsTable(schema, paths(opts))
+    new XlsTable(schema, paths(opts), codec)
   }
 }
+
+/** `spark.read.format("xls")` — BIFF8 only. */
+class XlsDataSource extends ExcelDataSourceBase(BiffCodec)
+
+/** `spark.read.format("xlsx")` — OOXML only. */
+class XlsxDataSource extends ExcelDataSourceBase(OoxmlCodec)
+
+/** `spark.read.format("excel")` — both, per-file magic-byte dispatch. */
+class ExcelDataSource extends ExcelDataSourceBase(SniffCodec)
 
 /** Java-serializable Hadoop Configuration carrier (Spark's own
   * SerializableConfiguration is private[spark]).
@@ -121,17 +179,18 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
   }
 }
 
-class XlsTable(tableSchema: StructType, files: Seq[String]) extends Table with SupportsRead {
+class XlsTable(tableSchema: StructType, files: Seq[String],
+               codec: ExcelCodec) extends Table with SupportsRead {
   // keep the table name bounded: at 10k-files scale a full path list would
   // put megabytes into plan strings, the UI, and error messages
   override def name(): String =
-    if (files.length <= 3) s"xls(${files.mkString(",")})"
-    else s"xls(${files.length} files: ${files.head}, ...)"
+    if (files.length <= 3) s"${codec.label}(${files.mkString(",")})"
+    else s"${codec.label}(${files.length} files: ${files.head}, ...)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsScanBuilder(tableSchema, files,
+    new XlsScanBuilder(tableSchema, files, codec,
       new SerializableHadoopConf(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
@@ -142,7 +201,7 @@ class XlsTable(tableSchema: StructType, files: Seq[String]) extends Table with S
   * prune rows only after decode — no I/O saved, complexity for nothing.)
   */
 class XlsScanBuilder(fullSchema: StructType, files: Seq[String],
-                     conf: SerializableHadoopConf)
+                     codec: ExcelCodec, conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
@@ -151,32 +210,32 @@ class XlsScanBuilder(fullSchema: StructType, files: Seq[String],
     required = requiredSchema
   }
 
-  override def build(): Scan = new XlsScan(fullSchema, required, files, conf)
+  override def build(): Scan = new XlsScan(fullSchema, required, files, codec, conf)
 }
 
 class XlsScan(fullSchema: StructType, required: StructType, files: Seq[String],
-              conf: SerializableHadoopConf)
+              codec: ExcelCodec, conf: SerializableHadoopConf)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"XlsScan[${files.length} files, ${required.fieldNames.mkString(",")}]"
+    s"XlsScan[${codec.label}, ${files.length} files, ${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => XlsInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsReaderFactory(fullSchema, required, conf)
+    new XlsReaderFactory(fullSchema, required, codec, conf)
 }
 
 case class XlsInputPartition(path: String) extends InputPartition
 
 class XlsReaderFactory(fullSchema: StructType, required: StructType,
-                       conf: SerializableHadoopConf)
+                       codec: ExcelCodec, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsInputPartition].path
-    new XlsPartitionReader(path, fullSchema, required, conf)
+    new XlsPartitionReader(path, fullSchema, required, codec, conf)
   }
 }
 
@@ -184,19 +243,19 @@ class XlsReaderFactory(fullSchema: StructType, required: StructType,
   * InternalRow (timestamps as micros, strings as UTF8String).
   */
 class XlsPartitionReader(path: String, fullSchema: StructType, required: StructType,
-                         conf: SerializableHadoopConf)
+                         codec: ExcelCodec, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[Seq[Any]] = {
-    val (fileSchema, data) = XlsSource.decode(
-      XlsSource.readAllBytes(conf.value, path), path)
+    val (fileSchema, data) = codec.decode(
+      SheetGrid.readAllBytes(conf.value, path), path)
     // map required fields to the FILE's column positions by name — files
     // may order columns differently as long as names match
     val idx = required.fields.map { f =>
       val i = fileSchema.fieldIndex(f.name) // throws with a clear message if absent
       val ft = fileSchema.fields(i).dataType
       require(ft == f.dataType,
-        s"xls column '${f.name}' in $path is $ft, expected ${f.dataType}")
+        s"${codec.label} column '${f.name}' in $path is $ft, expected ${f.dataType}")
       i
     }
     data.iterator.map(row => idx.toSeq.map(row))

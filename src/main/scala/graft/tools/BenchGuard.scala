@@ -30,8 +30,15 @@ import graft.plans.PlanFingerprint
   */
 object BenchGuard {
 
-  /** Exits the JVM: 0 = all within gate, 1 = breach or unparseable. */
-  def checkBench(jsonPath: String): Unit = {
+  /** Exits the JVM: 0 = all within gate, 1 = breach or unparseable,
+    * 2 = box was loaded (rerun demanded). With `requireQuiet` (the
+    * `--require-quiet` flag — for the CANONICAL per-round artifact), an
+    * elevated sentinel is itself a failure even when every query is
+    * within gate: the canonical BENCH_rN.json must be a quiet-box run,
+    * so the gate artifact and the narrative artifact can never disagree
+    * again (the r12 q_ann_bruteforce_topk 1.8x confusion).
+    */
+  def checkBench(jsonPath: String, requireQuiet: Boolean = false): Unit = {
     val line = scala.io.Source.fromFile(jsonPath).getLines()
       .find(_.contains("\"queries\"")).getOrElse {
         println(s"[guard] no bench JSON line in $jsonPath"); sys.exit(1)
@@ -82,7 +89,13 @@ object BenchGuard {
     if (sentinels.nonEmpty && spinRef.isEmpty)
       println("[guard] sentinel present but no `sentinel spin_ms` reference committed in bench_floor.txt")
     if (breaches == 0) {
-      println("[guard] bench within the committed floor gate")
+      if (requireQuiet && loaded) {
+        println("[guard] within gate BUT the sentinel shows a loaded box — NOT acceptable as the canonical artifact (exit 2)")
+        sys.exit(2)
+      }
+      println(if (requireQuiet)
+        "[guard] bench within the committed floor gate on a verified-quiet box — canonical"
+      else "[guard] bench within the committed floor gate")
       sys.exit(0)
     } else if (loaded) {
       println(s"[guard] $breaches breach(es) COINCIDE with an elevated box sentinel — RERUN on a quiet box (exit 2)")
@@ -100,7 +113,8 @@ object BenchGuard {
     val write = args.contains("--write")
     val bench = args.contains("--bench")
     args.indexOf("--check-bench") match {
-      case i if i >= 0 && i + 1 < args.length => checkBench(args(i + 1)); return
+      case i if i >= 0 && i + 1 < args.length =>
+        checkBench(args(i + 1), requireQuiet = args.contains("--require-quiet")); return
       case _ =>
     }
     val spark = SparkSession.builder().master("local[4]")

@@ -331,6 +331,19 @@ class OperatorSpec extends SparkTestBase {
     assert(grown == sources.Tables.documents(spark, Sf)
       .filter(org.apache.spark.sql.functions.expr(s"doc_id < $s2")).count(),
       "append must grow the index by exactly the delta's docs")
+    // lifecycle: compact the append-fragmented index (the warehouse
+    // compaction discipline applied to the index) — rows identical,
+    // parquet file count shrinks, and increment 2 below reads the
+    // COMPACTED index, proving screen-readout equality survives it
+    val rowsBefore = spark.read.parquet(idx).count()
+    val filesBefore = new java.io.File(idx).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 1, "append must have fragmented the index")
+    val filesAfter = Dedup.compactGramIndex(spark, idx)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(spark.read.parquet(idx).count() == rowsBefore,
+      "compaction must preserve every index row")
     val inc2 = Dedup.substringDedupIncremental(spark, Sf, idx, s2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(inc2.toSet == full.filter(_._2 >= s2).toSet,

@@ -73,6 +73,31 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(stats.getDouble(3) - 6.95334) < 1e-4)
   }
 
+  test("XLSX end-to-end: the converted reference sample through the full pipeline") {
+    assume(new java.io.File("/root/reference/data/traffic_spreadsheet.xls").exists())
+    val bucket = freshBucket()
+    // convert the BIFF8 sample to OOXML (exact serial roundtrip) — the
+    // reference's pd.read_excel covers both containers; so must we
+    val src = graft.sources.XlsSource
+      .read(spark, "/root/reference/data/traffic_spreadsheet.xls")
+      .collect().map(r => Seq[Any](r.getTimestamp(0), r.getDouble(1))).toSeq
+    XlsxTestWriter.write(new java.io.File(s"$bucket/raw_data/traffic.xlsx"),
+      Seq("time", "traffic"), src)
+    val cfg = EtlConfig(projectId = "test", bucketUri = s"file://$bucket",
+      dataset = "d", table = "t", sourceBlob = "raw_data/traffic.xlsx")
+    val report = new EtlPipeline(spark, cfg).run()
+    assert(report.rowsLoaded == 287)
+    val wh = spark.read.parquet(report.warehousePath)
+    val stats = wh.selectExpr("count(*)", "min(time)", "max(time)", "avg(traffic)").head()
+    assert(stats.getLong(0) == 287)
+    assert(stats.getTimestamp(1).toString.startsWith("2021-05-23 00:00"))
+    assert(stats.getTimestamp(2).toString.startsWith("2021-05-23 23:50"))
+    assert(math.abs(stats.getDouble(3) - 6.95334) < 1e-4)
+    // the backup keeps the source's real extension
+    assert(new java.io.File(s"$bucket/backups").listFiles()
+      .exists(_.getName.endsWith(".xlsx")))
+  }
+
   test("empty source rejects (extract.py:76-77)") {
     val bucket = freshBucket()
     Files.write(Paths.get(s"$bucket/raw_data/traffic.csv"), "time,traffic\n".getBytes)

@@ -46,7 +46,7 @@ class XlsDataSourceSpec extends SparkTestBase {
     assume(new java.io.File(sample).exists())
     val df = spark.read.format("xls").load(sample).select("traffic")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("XlsScan[1 files, traffic]"), s"plan was:\n$plan")
+    assert(plan.contains("XlsScan[xls, 1 files, traffic]"), s"plan was:\n$plan")
     assert(math.abs(df.agg(org.apache.spark.sql.functions.max("traffic"))
       .head().getDouble(0) - 9.3624) < 1e-3)
   }
@@ -75,7 +75,7 @@ class XlsDataSourceSpec extends SparkTestBase {
     val e = intercept[Exception] {
       spark.read.format("xls").load(s"${dir.getAbsolutePath}/notes.*").collect()
     }
-    assert(e.getMessage.contains(".xls extension") ||
-      Option(e.getCause).exists(_.getMessage.contains(".xls extension")))
+    assert(e.getMessage.contains("unexpected extension") ||
+      Option(e.getCause).exists(_.getMessage.contains("unexpected extension")))
   }
 }

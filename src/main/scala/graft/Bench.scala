@@ -167,6 +167,17 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
+      } finally {
+        // Free the query's localCheckpoint/persist debt. Checkpoint
+        // blocks are per-plan artifacts — the next invocation builds a
+        // FRESH plan and can never reuse them — but they live for the
+        // JVM lifetime unless unpersisted, so a multi-query multi-pass
+        // bench accumulates every query's blocks: the r13 sf10
+        // PASSES=2 run amassed 33 GB of block-manager spill and died
+        // on disk exhaustion mid-pass-2. Non-blocking: eviction
+        // overlaps the next query's planning.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // three interleaved passes, then floor-gated retrials; a sentinel

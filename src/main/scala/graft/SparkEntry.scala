@@ -370,6 +370,7 @@ object SparkEntry {
     "q_ann_bruteforce_topk" -> (Similarity.bruteForceTopK(_, _)),
     "q_bitext_margin" -> (Similarity.bitextMarginMine(_, _)),
     "q_bitext_margin_index" -> (Similarity.bitextMarginIndexed(_, _)),
+    "q_semantic_decontaminate" -> (Similarity.semanticDecontaminate(_, _)),
     "q_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "q_embed_drift" -> (Similarity.embedDrift(_, _)),
     "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
@@ -3596,6 +3597,12 @@ object SparkEntry {
     "q_bitext_margin_index" ->
       operators.Similarity.bitextMarginIndexSql(cosMicrosSql,
         "CAST(embedding AS DOUBLE[])", "//"),
+
+    // embedding-space decontamination: same first-N IVF candidate screen,
+    // eval/corpus split on vec_id % 97, per-corpus-doc hit aggregate
+    "q_semantic_decontaminate" ->
+      operators.Similarity.semanticDecontaminateSql(cosMicrosSql,
+        "CAST(embedding AS DOUBLE[])"),
 
     // embedding drift monitor: cross-multiplied mean shifts over 2^20
     // integer codes (template; list dialect + // are the only points)

@@ -151,7 +151,22 @@ case class NearestCentroidPacked(children: Seq[Expression])
     else if (!children.drop(2).forall(_.foldable))
       TypeCheckResult.TypeCheckFailure(
         "nearest_centroid's centroid table arguments must be literals")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // same packed-key contract as top_centroids_f: callers decode
+      // centroid_id = pmod(−key, 65536), so out-of-range ids corrupt the
+      // argmax silently — fail at analysis time instead.
+      val ids = children(4).eval(null)
+      if (ids == null)
+        TypeCheckResult.TypeCheckFailure("nearest_centroid: ids must not be NULL")
+      else {
+        val bad = ids.asInstanceOf[ArrayData].toLongArray()
+          .find(id => id < 0L || id >= 65536L)
+        if (bad.isDefined) TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid: centroid ids must be in [0, 65536) for the " +
+            s"packed cm*65536 - id selection key, got ${bad.get}")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
   }
 
   @transient private lazy val mat: Array[Array[Long]] = {
@@ -267,7 +282,29 @@ case class TopCentroidsFloat(children: Seq[Expression])
     else if (!children.drop(2).forall(_.foldable))
       TypeCheckResult.TypeCheckFailure(
         "top_centroids_f's centroid table and k arguments must be literals")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // the packed key is cm·65536 − centroid_id and callers recover the
+      // id with pmod(−key, 65536): ids outside [0, 65536) would silently
+      // corrupt the ranking, and k < 1 would blow up the insertion
+      // buffer. The function is user-callable from SQL, so the contract
+      // is enforced HERE (analysis time, literals are evaluable) rather
+      // than trusted to internal call sites.
+      val kv = children(5).eval(null)
+      val ids = children(4).eval(null)
+      if (kv == null || kv.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"top_centroids_f: k must be >= 1, got $kv")
+      else if (ids == null)
+        TypeCheckResult.TypeCheckFailure("top_centroids_f: ids must not be NULL")
+      else {
+        val bad = ids.asInstanceOf[ArrayData].toLongArray()
+          .find(id => id < 0L || id >= 65536L)
+        if (bad.isDefined) TypeCheckResult.TypeCheckFailure(
+          s"top_centroids_f: centroid ids must be in [0, 65536) for the " +
+            s"packed cm*65536 - id ranking, got ${bad.get}")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
   }
 
   @transient private lazy val mat: Array[Array[Float]] = {
@@ -349,6 +386,161 @@ case class TopCentroidsFloat(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Saturating bucket-count summary of a shingle SET — the fixed-width
+  * side-car that lets the prefix-filter verify join prune candidates
+  * without touching the full string arrays.
+  *
+  * children: (shingles ARRAY<STRING>, buckets INT foldable). Output is a
+  * BINARY of exactly `buckets` bytes where byte b = min(255, |{s ∈
+  * shingles : murmur3(s) mod buckets = b}|) — a multiset histogram of the
+  * hashed shingles. For any two docs, Σ_b min(cA[b], cB[b]) is a PROVABLE
+  * upper bound on |A ∩ B| (every common shingle lands in the same bucket
+  * on both sides), so a threshold test evaluated on the bound instead of
+  * the true intersection can only over-admit, never drop a true pair —
+  * the exactness argument [[Dedup.prefixFilterJaccard]]'s pre-verify
+  * rests on. Saturation at 255 only distorts the bound when BOTH sides
+  * saturate the same bucket (min of one exact count and one floor is
+  * still exact), which requires both docs to carry >= 256 shingles;
+  * callers pass such pairs straight to the exact verify.
+  *
+  * 100 TB shape: computed once per document at corpus size (one murmur3 +
+  * one increment per shingle), then the 31M-candidate verify join at sf10
+  * streams `buckets` bytes per side instead of the ~1.2 KB string arrays
+  * — the attach-payload-late move, summary edition.
+  */
+case class JaccardSummaryBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jacc_summary"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (!okL || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"jacc_summary expects (ARRAY<STRING>, INT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure("jacc_summary's bucket count must be a literal")
+    else {
+      val b = right.eval(null)
+      if (b == null || b.asInstanceOf[Int] < 1 || b.asInstanceOf[Int] > 65536)
+        TypeCheckResult.TypeCheckFailure(
+          s"jacc_summary: buckets must be in [1, 65536], got $b")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  @transient private lazy val buckets: Int = right.eval(null).asInstanceOf[Int]
+
+  /** Per-document loop, shared by eval and generated code (JIT-compiled
+    * Scala either way). A null ELEMENT yields a null summary — the
+    * conservative contract: callers must route null-summary pairs to the
+    * exact verify, so a malformed doc can weaken pruning but never
+    * correctness.
+    */
+  def summarize(arr: ArrayData): Array[Byte] = {
+    val out = new Array[Byte](buckets)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val s = arr.getUTF8String(i)
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+      val b = ((h % buckets) + buckets) % buckets
+      if ((out(b) & 0xFF) < 255) out(b) = (out(b) + 1).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    summarize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccSummary", this,
+      classOf[JaccardSummaryBytes].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      s"""
+         |${ev.value} = $ref.summarize($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSummaryBytes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ_b min(a[b], b[b]) over two unsigned-byte BINARY histograms — the
+  * intersection upper bound [[JaccardSummaryBytes]] documents, as the
+  * candidate-volume hot loop (one call per candidate PAIR), so it
+  * whole-stage-codegens to a tight primitive loop like dot_f. Length
+  * mismatch yields NULL (summaries built with different bucket counts are
+  * not comparable); callers treat NULL as "cannot prune".
+  */
+case class MinSumBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "minsum_b"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minsum_b expects (BINARY, BINARY), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0
+    var i = 0
+    while (i < x.length) {
+      val xa = x(i) & 0xFF
+      val xb = y(i) & 0xFF
+      acc += (if (xa < xb) xa else xb)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    int $xa = $a[$i] & 0xFF;
+         |    int $xb = $b[$i] & 0xFF;
+         |    $acc += ($xa < $xb) ? $xa : $xb;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinSumBytes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Function registration: session-local (register) or via
   * spark.sql.extensions=graft.functions.GraftExtensions.
   */
@@ -402,6 +594,20 @@ object GraftFunctions {
           require(exprs.length == 6,
             s"top_centroids_f takes 6 arguments, got ${exprs.length}")
           TopCentroidsFloat(exprs)
+        }, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("jacc_summary")))
+      reg.createOrReplaceTempFunction(
+        "jacc_summary", exprs => {
+          require(exprs.length == 2,
+            s"jacc_summary(shingles, buckets) takes 2 arguments, got ${exprs.length}")
+          JaccardSummaryBytes(exprs(0), exprs(1))
+        }, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("minsum_b")))
+      reg.createOrReplaceTempFunction(
+        "minsum_b", exprs => {
+          require(exprs.length == 2,
+            s"minsum_b(a, b) takes 2 arguments, got ${exprs.length}")
+          MinSumBytes(exprs(0), exprs(1))
         }, "built-in")
     if (!reg.functionExists(FunctionIdentifier("theta_agg")))
       reg.createOrReplaceTempFunction(

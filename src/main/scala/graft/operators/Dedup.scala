@@ -37,6 +37,20 @@ object Dedup {
     """array_distinct(transform(sequence(0, size(ws) - 3),
        i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"""
 
+  /** Bucket count for the prefix-filter pre-verify summaries (128 bytes
+    * per doc). Sizing: the bound's slack for two UNRELATED ~n-shingle
+    * docs is the expected bucket-collision mass Σ_b E[min(cA,cB)] ≈
+    * B·P(Poisson(n/B) ≥ 1)² — at the corpus's ~52-shingle docs and
+    * B = 128 that is ~14, comfortably below the ~34-shingle intersection
+    * a 0.5-Jaccard pair needs, so near-zero-overlap candidates (the
+    * overwhelming mass, per the r13 count audit: 31M candidates, 25.6k
+    * survivors at sf10) are pruned before the string arrays are ever
+    * attached. Doubling B halves the slack but doubles the per-pair byte
+    * loop and the exchange payload; 128 balances both at this shingle
+    * scale while staying 9× smaller than the arrays it replaces.
+    */
+  private[graft] val SummaryBuckets = 128
+
   private[graft] def withShingles(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, dir, "documents") // shingling+hashing is compute-bound
       .withColumn("ws", expr(TextAnalysis.TokensExpr))
@@ -103,17 +117,36 @@ object Dedup {
     * plus prefix collisions, not pairs. The oracle runs the NAIVE
     * any-shared-shingle join with no prefix (a different algorithm) —
     * equality proves both the lemma and the verify step.
+    *
+    * Verify-join scale lever (the r13 count audit's knee): candidates are
+    * exactly linear per decade but the exact verify used to re-attach two
+    * ~1.2 KB string arrays to every candidate row — a payload stream the
+    * sf10 probe measured at 8.6s → 266s for 10× candidates. The verify is
+    * now TWO-TIER: a candidate-volume PRE-VERIFY on fixed 128-byte
+    * [[graft.functions.JaccardSummaryBytes]] histograms, where
+    * `minsum_b(sm_a, sm_b)` >= the true intersection (bucket-count
+    * upper bound, so the threshold test on it can only over-admit —
+    * EXACT, no sketch error), and the full-array `array_intersect` only
+    * on the few pre-verify survivors. The payload crossing the candidate
+    * exchange shrinks ~9× and the per-pair CPU drops from hashing ~100
+    * strings to 128 byte-mins; saturated (>= 255 shingles) or
+    * null-summary docs bypass the pre-verify so the bound's exactness
+    * argument holds unconditionally.
     */
   def prefixFilterJaccard(s: SparkSession, dir: String,
                           threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val t1e4 = math.round(threshold * 10000)
     // MATERIALIZED (eager localCheckpoint): shingling is the compute-bound
     // step and five consumers read this frame (the explode feeding both
     // the df counts and the prefix join, plus both sides of the exact
     // verify) — without the pin each re-tokenizes the corpus (the probe
-    // measured 4.2s/pass at sf0.1, 5 passes = the old 23s bench time)
+    // measured 4.2s/pass at sf0.1, 5 passes = the old 23s bench time).
+    // The 128-byte summary is computed HERE, once per document at corpus
+    // size (one murmur3 per shingle), never per candidate.
     val docs = withShingles(s, dir)
-      .select(col("doc_id"), col("sh"), expr("CAST(size(sh) AS BIGINT)").as("n"))
+      .select(col("doc_id"), col("sh"), expr("CAST(size(sh) AS BIGINT)").as("n"),
+        expr(s"jacc_summary(sh, $SummaryBuckets)").as("sm"))
       .localCheckpoint(true)
     val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -138,13 +171,35 @@ object Dedup {
         ((2 * $t1e4 - 1) * greatest(a.n, b.n) + 19999) DIV 20000"""))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // explicit-width repartition before the verify: the candidate frame is
-    // small in BYTES (~3 MB at sf0.1) so AQE's size-based coalescing packs
-    // it into 1-2 tasks — blind to the per-row intersect CPU behind it
-    // (the stage probe measured 13.7s of evaluation wall-clocked on 2
-    // cores). A user-specified partition count is exempt from AQE
-    // coalescing, so the intersect spreads over every core.
-    cands.repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+    // TIER 1 — candidate-volume pre-verify on the 128-byte summaries.
+    // minsum_b is a provable UPPER bound on the true intersection
+    // (JaccardSummaryBytes scaladoc), so evaluating the same half-up
+    // threshold inequality on it never drops a true pair; the bound is
+    // only unsafe when both docs saturate a bucket (needs >= 255
+    // shingles each) or a summary is NULL — those pairs pass straight
+    // through. The explicit-width repartition exists because the
+    // candidate frame is small in BYTES (~3 MB at sf0.1) so AQE's
+    // size-based coalescing packs it into 1-2 tasks — blind to the
+    // per-row CPU behind it (the r12 stage probe measured 13.7s of
+    // evaluation wall-clocked on 2 cores). A user-specified partition
+    // count is exempt from AQE coalescing, so the byte loop spreads
+    // over every core.
+    val sums = docs.select(col("doc_id"), col("n"), col("sm"))
+    val pre = cands
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+      .join(sums.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("sm").as("sm_a")), Seq("doc_a"))
+      .join(sums.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("sm").as("sm_b")), Seq("doc_b"))
+      .filter(expr(s"""sm_a IS NULL OR sm_b IS NULL OR least(na, nb) >= 255
+        OR CAST(minsum_b(sm_a, sm_b) AS BIGINT) * (19999 + 2 * $t1e4)
+           >= (2 * $t1e4 - 1) * (na + nb)"""))
+      .select(col("doc_a"), col("doc_b"))
+    // TIER 2 — exact verify, now on the pre-screened survivors only
+    // (near-dups plus near-threshold bound collisions, not the full
+    // candidate set): re-attach the full shingle arrays and compute the
+    // TRUE intersection.
+    pre.repartition(s.sparkContext.defaultParallelism, col("doc_a"))
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),

@@ -180,8 +180,8 @@ object Mining {
     * walk has no dangling mass. Shared by [[pagerankCopurchase]] and its
     * SQL surfaces.
     */
-  private def copurchaseEdges(s: SparkSession, dir: String,
-                              maxItems: Int): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+                                     maxItems: Int): DataFrame = {
     // per-basket sorted arrays + map-side canonical-pair explode (the
     // basketEdges shape — one shuffle instead of the old incidence
     // distinct + whale join + basket self-join); co-purchase weight is
@@ -224,41 +224,87 @@ object Mining {
     * leaks a few units per round to the floors — deterministic leakage,
     * not drift.
     *
-    * 100 TB shape: each round is ONE equi-join (edges x ranks on src,
-    * broadcast when rank fits, shuffled hash otherwise — AQE decides) +
-    * one map-side-combined aggregate on dst. Edge weights and out-degree
-    * totals are computed once and cached; ranks are localCheckpointed per
-    * round so the 10-round plan never accumulates lineage. Rounds are
-    * fixed (10), not convergence-polled — no driver-side collect in the
-    * loop.
+    * 100 TB shape: each round is ONE equi-join (edges x ranks on src) +
+    * one map-side-combined aggregate on dst, with the join strategy a
+    * first-class [[RankJoinMode]]: broadcast ranks while the node catalog
+    * fits executor memory, or co-partitioned shuffled-hash rounds over
+    * once-repartitioned edges past ~1e8 nodes (crossover guidance on the
+    * mode trait). Edge weights and out-degree totals are computed once
+    * and cached; ranks are localCheckpointed per round so the 10-round
+    * plan never accumulates lineage. Rounds are fixed (10), not
+    * convergence-polled — no driver-side collect in the loop.
     */
+  /** Per-round rank-join strategy for iterative graph dataflows.
+    *
+    *  - [[BroadcastRanks]] (default): ranks are the node catalog — tiny
+    *    next to edges — so each round broadcasts them and edges NEVER
+    *    move. Right up to the executor-memory catalog bound (~1e8
+    *    nodes × 16 B ≈ 1.6 GB broadcast — the practical ceiling).
+    *  - [[CoPartitionedRanks]]: edges are hash-partitioned on src ONCE
+    *    (paid at build), every round is a shuffled-hash join whose edge
+    *    side is exchange-free (the cached partitioning satisfies the
+    *    join's distribution requirement) — only the |nodes|-sized rank
+    *    frame shuffles per round. The web-graph regime: rank tables too
+    *    big to broadcast, edges far too big to move per round.
+    *
+    * Crossover guidance: stay with broadcast while the rank table fits
+    * comfortably in executor memory (it also skips the per-round rank
+    * exchange); switch to co-partitioned when |nodes| approaches ~1e8 or
+    * broadcast OOMs — per-round cost then stays one node-sized exchange
+    * regardless of edge count. Outputs are bit-identical (MiningSpec
+    * pins it): the mode moves data, never arithmetic.
+    */
+  sealed trait RankJoinMode
+  case object BroadcastRanks extends RankJoinMode
+  case object CoPartitionedRanks extends RankJoinMode
+
+  /** One diffusion round: contributions along edges + the damped
+    * map-side-combined aggregate onto dst. Exposed for the mode-equality
+    * and plan-shape specs; the arithmetic is IDENTICAL across modes.
+    */
+  private[graft] def rankRound(edges: DataFrame, ranks: DataFrame,
+                               base: Long, mode: RankJoinMode): DataFrame = {
+    val joined = mode match {
+      case BroadcastRanks =>
+        // ranks is a checkpoint/agg frame, invisible to AQE's size
+        // estimate — force the broadcast so edges never shuffle
+        edges.join(broadcast(ranks), edges("src") === ranks("node"))
+      case CoPartitionedRanks =>
+        // edges were repartitioned on src at build: the shuffle_hash
+        // hint (build side = ranks) plans a ShuffledHashJoin whose edge
+        // side is exchange-free, so each round moves |nodes| rows only
+        edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("node"))
+    }
+    joined
+      .select(col("dst"), expr("(pr * w) DIV wsum").as("contrib"))
+      .groupBy(col("dst"))
+      .agg((lit(base) + expr("(85 * sum(contrib)) DIV 100")).as("pr"))
+      .withColumnRenamed("dst", "node")
+  }
+
   def pagerankCopurchase(s: SparkSession, dir: String,
-                         maxItems: Int, iters: Int): DataFrame = {
+                         maxItems: Int, iters: Int,
+                         mode: RankJoinMode = BroadcastRanks): DataFrame = {
     val raw = copurchaseEdges(s, dir, maxItems)
     // the out-weight side is node-catalog-sized: BROADCAST it onto the
     // edge table (a checkpointed frame carries no stats, so leaving this
     // to AQE shuffle-sorts the multi-million-row edge side instead)
-    val edges = raw
+    val withW = raw
       .join(broadcast(raw.groupBy(col("src")).agg(sum(col("w")).as("wsum"))),
         Seq("src"))
-      .persist()
+    // co-partitioned mode pays ONE edge shuffle here so no round moves
+    // edges again; broadcast mode never moves them at all
+    val edges = (mode match {
+      case BroadcastRanks => withW
+      case CoPartitionedRanks => withW.repartition(col("src"))
+    }).persist()
     val nodes = edges.select(col("src").as("node")).distinct().persist()
     val n = nodes.count()
     var ranks = nodes.withColumn("pr", lit(1000000000L / n))
     val base = 150000000L / n
     (1 to iters).foreach { i =>
-      // ranks is the node catalog (tiny next to edges) and, being a
-      // checkpoint/agg frame, invisible to AQE's size estimate — force
-      // the broadcast so edges NEVER shuffle: each round is a map-side
-      // broadcast join + a partially-aggregated |nodes|-sized exchange.
-      // (Past ~1e8-node catalogs swap this hint for a one-time
-      // repartition(src) of edges + co-partitioned shuffled-hash rounds.)
-      ranks = edges.join(broadcast(ranks), edges("src") === ranks("node"))
-        .select(col("dst"), expr("(pr * w) DIV wsum").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(base) + expr("(85 * sum(contrib)) DIV 100")).as("pr"))
-        .withColumnRenamed("dst", "node")
-      // lineage pin every SECOND round (and on the last): two broadcast
+      ranks = rankRound(edges, ranks, base, mode)
+      // lineage pin every SECOND round (and on the last): two joined
       // rounds per job halve the driver syncs while plan depth stays
       // bounded at two rounds
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
@@ -507,7 +553,7 @@ object Mining {
     * scans before the pin). Shared by [[triangleCount]] and
     * [[bfsLevels]].
     */
-  private def basketEdges(s: SparkSession, dir: String,
+  private[graft] def basketEdges(s: SparkSession, dir: String,
                           maxItems: Int): DataFrame =
     Tables.spread(s, dir, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))

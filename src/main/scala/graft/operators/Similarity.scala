@@ -1383,6 +1383,19 @@ object Similarity {
                        minVecId: Long, nLists: Int = 16): String = {
     require(nLists <= 65536, "packed assignment ordering assumes centroid_id < 65536")
     registerFunctions(s)
+    // Uniqueness guard at the APPEND BOUNDARY: every from-index consumer
+    // (bitextMarginFromIndex dropped its defensive dropDuplicates on this
+    // contract) relies on a vector living in exactly ONE index row — an
+    // overlapping delta would silently double-count candidate pairs and
+    // inflate CSLS k-NN sums. The check is a pushed-down vec_id >= min
+    // scan with limit 1 (bounded driver readout), so a violated contract
+    // fails loudly here instead of corrupting downstream arithmetic.
+    val clash = s.read.parquet(indexDir)
+      .filter(col("vec_id") >= minVecId).select(col("vec_id")).limit(1).collect()
+    require(clash.isEmpty,
+      s"appendToIvfIndex: index at $indexDir already contains vec_id " +
+        s"${clash.head.getLong(0)} >= minVecId=$minVecId — appending would " +
+        "duplicate index rows; rebuild the index or append a disjoint delta")
     val emb = embWithNorm(s, dir)
     val delta = emb.filter(col("vec_id") >= minVecId)
     // quantizer auto-detected from the index: a trained index appends
@@ -2450,8 +2463,10 @@ object Similarity {
     * equi-join-shaped — total cost O(corpus·nLists + candidates), never
     * O(|A|·|B|). A real deployment amortizes the build across many
     * mining runs ([[buildIvfIndex]] directly); the index lands in a
-    * deterministic per-corpus scratch dir and is rebuilt (overwritten)
-    * every call, so a changed fixture can never serve stale lists.
+    * per-corpus, per-application scratch dir under the configurable
+    * `graft.scratch.dir` root and is rebuilt (overwritten) every call,
+    * so a changed fixture can never serve stale lists and concurrent
+    * applications never race.
     *
     * 100 TB shape: build = corpus-linear assignment + partitioned
     * write; probes = A-side × nLists broadcast scoring; candidates =
@@ -2471,11 +2486,7 @@ object Similarity {
                           nLists: Int = AutoNLists, nProbe: Int = 3): DataFrame = {
     registerFunctions(s)
     val lists = resolveNLists(nLists, embWithNorm(s, dir))
-    val scratch = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_bitext_ivf_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(16)).toString
+    val scratch = appScratchDir(s, "graft_bitext_ivf", dir)
     buildIvfIndex(s, dir, scratch, lists)
     bitextMarginFromIndex(s, dir, scratch, k, thresholdMicro, lists, nProbe)
   }
@@ -2550,6 +2561,165 @@ object Similarity {
               CASE WHEN margin_micro >= $thresholdMicro
                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS accepted
        FROM best WHERE rk = 1 ORDER BY a_id"""
+
+  /** Per-corpus, per-application scratch dir for inline index builds.
+    * The root is CONFIGURABLE (`graft.scratch.dir`) because the
+    * driver-local java.io.tmpdir default is only executor-visible in
+    * local mode — a multi-node deployment must point this at shared
+    * storage (the warehouse's filesystem). The dir name carries the
+    * applicationId so two concurrent applications working the same
+    * corpus never race one overwrite against the other's mid-query read
+    * (sessions WITHIN one application share a SparkContext and run the
+    * build serially before reading, so per-app uniqueness is the race
+    * boundary). Rebuilt (overwritten) every call, so a changed fixture
+    * can never serve stale lists; the per-app dirs are small (index ≈
+    * corpus embeddings) and live under the scratch root's normal
+    * cleanup policy.
+    */
+  private def appScratchDir(s: SparkSession, tag: String, dir: String): String = {
+    val root = s.conf.getOption("graft.scratch.dir")
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    new org.apache.hadoop.fs.Path(root,
+      tag + "_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(16) + "_" + s.sparkContext.applicationId).toString
+  }
+
+  /** EMBEDDING-SPACE benchmark decontamination from a prebuilt IVF
+    * index — the semantic sibling of [[Curation.decontaminate]]'s n-gram
+    * pass: paraphrased eval contamination shares no 4-gram but sits next
+    * to the eval doc in embedding space, so every serious training-data
+    * pipeline runs this screen BESIDE the exact one (the GPT-3 appendix-C
+    * lesson, embedding edition).
+    *
+    * The eval set is the deterministic `vec_id % evalMod == 0` slice
+    * (same stand-in discipline as the n-gram operator); the corpus is
+    * everything else. Eval queries probe their nProbe nearest lists and
+    * every corpus vector in a probed list is scored once — a corpus
+    * vector lives in exactly ONE list (the appendToIvfIndex boundary
+    * guard enforces it), so (corpus, eval) candidate pairs are unique by
+    * construction and the per-doc aggregate needs no dedup pass. Output:
+    * one row per CONTAMINATED corpus vector — how many eval docs it
+    * collides with and the worst cosine (micro units) — ordered by
+    * vec_id; downstream drops these ids before training.
+    *
+    * 100 TB shape: eval suites are tiny but the CORPUS is the 100 TB
+    * side, which rules the brute eval×corpus crossJoin out once nothing
+    * is broadcastable end-to-end; here candidates ride the centroid_id
+    * equi-join (probes × index lists), touching ~nProbe/nLists of the
+    * corpus per eval doc, and with [[AutoNLists]] the per-query fan-out
+    * stays constant per decade — the q_bitext_margin_index slope, not
+    * the brute one. Threshold semantics follow [[semanticDedup]]'s
+    * integer-micro discipline; the default is calibrated to the
+    * synthetic fixture geometry (real deployments screen paraphrases
+    * at ~950000).
+    */
+  def semanticDecontaminateFromIndex(s: SparkSession, dir: String,
+                                     indexDir: String,
+                                     thresholdMicro: Long = 350000L,
+                                     evalMod: Int = 97, nLists: Int = 16,
+                                     nProbe: Int = 3): DataFrame = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val evalQ = emb.filter(pmod(col("vec_id"), lit(evalMod)) === 0)
+    // probe selection matches the index's quantizer (the ivfTopKFromIndex
+    // dispatch): code-space vs stored trained centroids, exact vs
+    // first-N via the codegen'd top-k expression (the r13 probe lesson).
+    val probes = storedCentroids(s, indexDir) match {
+      case Some(cents) =>
+        scoreAgainstCentroids(vectorCodes(evalQ), cents)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cm").desc, col("centroid_id"))))
+          .filter(col("rn") <= nProbe)
+          .select(col("vec_id").as("eval_id"), col("centroid_id"))
+      case None =>
+        val centroids = emb.filter(col("vec_id") < nLists)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+            col("vnorm").as("cnorm"))
+        selectListsFloat(evalQ, centroids, nProbe)
+          .select(col("vec_id").as("eval_id"), col("centroid_id"))
+    }
+    val index = screenTombstones(s, indexDir, s.read.parquet(indexDir))
+      .filter(pmod(col("vec_id"), lit(evalMod)) =!= 0)
+      .select(col("centroid_id"), col("vec_id"), col("embedding").as("bv"),
+        col("vnorm").as("bn"))
+    // attach the eval payload at QUERY-SET size, then let the centroid_id
+    // equi-join fan out to candidates inside one codegen stage straight
+    // into scoring — the bitext payload-before-fanout fix, reused
+    val eProbes = probes.join(
+      evalQ.select(col("vec_id").as("eval_id"),
+        col("embedding").as("ev"), col("vnorm").as("en")),
+      Seq("eval_id"))
+      .select(col("centroid_id"), col("eval_id"), col("ev"), col("en"))
+    index.join(eProbes, Seq("centroid_id"))
+      .withColumn("m",
+        expr(scoreMicrosFromNorms("dot_f(ev, bv)", "en", "bn")))
+      .filter(col("m") >= thresholdMicro)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("m")).as("max_cm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The registry entry: [[semanticDecontaminateFromIndex]] with the IVF
+    * index built inline — one self-contained (session, sfDir) call, same
+    * posture as [[bitextMarginIndexed]] (build charged to the query; a
+    * real deployment amortizes it across screens via [[buildIvfIndex]]).
+    * AutoNLists resolves to 16 at every oracle-checked SF, so the DuckDB
+    * oracle's first-16 spelling is exact where the oracle runs.
+    */
+  def semanticDecontaminate(s: SparkSession, dir: String,
+                            thresholdMicro: Long = 350000L,
+                            evalMod: Int = 97, nLists: Int = AutoNLists,
+                            nProbe: Int = 3): DataFrame = {
+    registerFunctions(s)
+    val lists = resolveNLists(nLists, embWithNorm(s, dir))
+    val scratch = appScratchDir(s, "graft_decon_ivf", dir)
+    buildIvfIndex(s, dir, scratch, lists)
+    semanticDecontaminateFromIndex(s, dir, scratch, thresholdMicro, evalMod,
+      lists, nProbe)
+  }
+
+  /** Dialect-templated SQL twin of [[semanticDecontaminate]]: the same
+    * first-N-quantizer IVF candidate screen as [[bitextMarginIndexSql]]
+    * (assignment + top-nProbe probes via row_number over
+    * (cm DESC, centroid_id) — exactly the operator's packed ordering),
+    * with the eval/corpus split on vec_id % evalMod and the per-corpus-
+    * vector contamination aggregate as the tail.
+    */
+  private[graft] def semanticDecontaminateSql(
+      cosMicros: (String, String) => String, embCast: String,
+      thresholdMicro: Long = 350000L, evalMod: Int = 97,
+      nLists: Int = 16, nProbe: Int = 3): String =
+    s"""WITH e AS (SELECT vec_id, $embCast AS v FROM embeddings),
+       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < $nLists),
+       scored_c AS (SELECT e.vec_id, c.centroid_id,
+                    ${cosMicros("e.v", "c.cv")} AS cm
+                    FROM e CROSS JOIN c),
+       assign AS (SELECT vec_id, centroid_id FROM (
+                  SELECT vec_id, centroid_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cm DESC, centroid_id) AS rn
+                  FROM scored_c) t WHERE rn = 1),
+       probes AS (SELECT vec_id AS eval_id, centroid_id FROM (
+                  SELECT vec_id, centroid_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cm DESC, centroid_id) AS rn
+                  FROM scored_c WHERE vec_id % $evalMod = 0) t WHERE rn <= $nProbe),
+       cand AS (SELECT p.eval_id, a.vec_id
+                FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+                WHERE a.vec_id % $evalMod <> 0),
+       ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % $evalMod = 0),
+       co AS (SELECT vec_id, v AS cov FROM e WHERE vec_id % $evalMod <> 0),
+       hits AS (SELECT vec_id, eval_id, m FROM (
+                  SELECT cd.vec_id, cd.eval_id, ${cosMicros("cov", "evv")} AS m
+                  FROM cand cd
+                  JOIN co ON co.vec_id = cd.vec_id
+                  JOIN ev ON ev.eval_id = cd.eval_id) s0
+                WHERE m >= $thresholdMicro)
+       SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+              CAST(max(m) AS BIGINT) AS max_cm
+       FROM hits GROUP BY vec_id ORDER BY vec_id"""
 
   /** Dialect-templated SQL twin of [[bitextMarginMine]] (cos fold,
     * array cast, and integer division are the dialect points — the

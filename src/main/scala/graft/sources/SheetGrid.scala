@@ -46,6 +46,30 @@ private[sources] object SheetGrid {
     new Timestamp(millis)
   }
 
+  /** Is a number-format code a DATE format? The y/m/d/h/s token scan both
+    * Excel decoders apply, but over the format's CODE characters only:
+    * double-quoted literal sections (`0.0"m"` renders a unit suffix, not
+    * minutes) and backslash-escaped characters (`0\\h`) are display text,
+    * so they are stripped before the scan — otherwise a numeric column
+    * with a quoted unit decodes as timestamps. `#` anywhere in the code
+    * marks a digit-placeholder (numeric) format, same as before.
+    */
+  def looksLikeDateFormat(formatCode: String): Boolean = {
+    val sb = new java.lang.StringBuilder(formatCode.length)
+    var i = 0
+    var inQuote = false
+    while (i < formatCode.length) {
+      val c = formatCode.charAt(i)
+      if (inQuote) { if (c == '"') inQuote = false }
+      else if (c == '"') inQuote = true
+      else if (c == '\\') i += 1 // escaped literal: skip the next char
+      else sb.append(c)
+      i += 1
+    }
+    val code = sb.toString.toLowerCase
+    code.exists("ymdhs".contains(_)) && !code.contains("#")
+  }
+
   /** Grid → (schema, rows). Row 0 is the header (missing/non-string
     * header cells fall back to `col_N`). Column type = timestamp if ALL
     * non-null data cells are date-formatted numbers; double if all

@@ -297,8 +297,7 @@ object XlsSource {
           val fmtStr =
             if ((flags & 1) == 0) new String(wb, body + 5, cch, "ISO-8859-1")
             else new String(wb, body + 5, cch * 2, "UTF-16LE")
-          val lower = fmtStr.toLowerCase
-          if (lower.exists("ymdhs".contains(_)) && !lower.contains("#"))
+          if (SheetGrid.looksLikeDateFormat(fmtStr))
             customDateFmts += ifmt
         case 0xE0 => // XF
           xfFormats += (bb.getShort(body + 2) & 0xFFFF)

@@ -156,6 +156,19 @@ object XlsxSource {
 
   private val BuiltinDateFmts = Set(14, 15, 16, 17, 18, 19, 20, 21, 22, 45, 46, 47)
 
+  /** numFmtId attributes come from untrusted workbook XML — surface a
+    * malformed one as the source's typed ExtractError, not a bare
+    * NumberFormatException from deep inside the style scan.
+    */
+  private def parseFmtId(s: String): Int =
+    try s.trim.toInt
+    catch {
+      case e: NumberFormatException =>
+        throw ExtractError(
+          s"xlsx styles.xml: non-integer numFmtId '$s' — the workbook's " +
+            "style table is malformed; re-export the file", e)
+    }
+
   /** Style (cellXfs) indices whose number format is a date format — the
     * same builtin-ids + custom-code rule the BIFF8 decoder applies.
     */
@@ -169,13 +182,12 @@ object XlsxSource {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
           case "numFmt" =>
             for (idS <- attr(r, "numFmtId"); code <- attr(r, "formatCode")) {
-              val lower = code.toLowerCase
-              if (lower.exists("ymdhs".contains(_)) && !lower.contains("#"))
-                customDate += idS.toInt
+              if (SheetGrid.looksLikeDateFormat(code))
+                customDate += parseFmtId(idS)
             }
           case "cellXfs" => inCellXfs = true
           case "xf" if inCellXfs =>
-            xfFmts += attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+            xfFmts += attr(r, "numFmtId").map(parseFmtId).getOrElse(0)
           case _ =>
         }
         case XMLStreamConstants.END_ELEMENT =>

@@ -3162,6 +3162,11 @@ object SqlFrontDoor {
     "q_bitext_margin_index" -> graft.operators.Similarity.bitextMarginIndexSql(
       cosMicrosSql, "CAST(embedding AS ARRAY<DOUBLE>)", "DIV"),
 
+    // same generated embedding-decontamination text (cos fold + cast)
+    "q_semantic_decontaminate" ->
+      graft.operators.Similarity.semanticDecontaminateSql(
+        cosMicrosSql, "CAST(embedding AS ARRAY<DOUBLE>)"),
+
     // same generated text with Spark's 1-based dayofweek knob
     "q_mann_kendall_seasonal" ->
       graft.operators.Analytics.mannKendallSeasonalSql("dayofweek(day) - 1"),

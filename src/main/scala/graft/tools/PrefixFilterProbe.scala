@@ -62,7 +62,31 @@ object PrefixFilterProbe {
       .localCheckpoint(true)
     println("[probe] distinct candidates, WITH length filter: " +
       timed("count_cands_len")(cands.count()))
-    val verified = cands
+    // r14 two-tier verify: summary pre-verify at candidate volume, exact
+    // array_intersect only on its survivors (the production spelling).
+    graft.functions.GraftFunctions.register(spark)
+    val B = graft.operators.Dedup.SummaryBuckets
+    val sums = timed("summaries_build") {
+      graft.operators.Dedup.withShingles(spark, dir)
+        .select(col("doc_id"), expr("CAST(size(sh) AS BIGINT)").as("n"),
+          expr(s"jacc_summary(sh, $B)").as("sm"))
+        .localCheckpoint(true)
+    }
+    val pre = timed("pre_verify_minsum") {
+      cands.repartition(spark.sparkContext.defaultParallelism, col("doc_a"))
+        .join(sums.select(col("doc_id").as("doc_a"), col("n").as("na"),
+          col("sm").as("sm_a")), Seq("doc_a"))
+        .join(sums.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+          col("sm").as("sm_b")), Seq("doc_b"))
+        .filter(expr(s"""sm_a IS NULL OR sm_b IS NULL OR least(na, nb) >= 255
+          OR CAST(minsum_b(sm_a, sm_b) AS BIGINT) * (19999 + 2 * $t1e4)
+             >= (2 * $t1e4 - 1) * (na + nb)"""))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+    }
+    println("[probe] pre-verify survivors: " + pre.count())
+    val verified2 = pre
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_a"))
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("na")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
@@ -72,7 +96,23 @@ object PrefixFilterProbe {
       .withColumn("jaccard_1e4", expr(
         "(20000 * common + (na + nb - common)) DIV (2 * (na + nb - common))"))
       .filter(col("jaccard_1e4") >= t1e4)
-    println("[probe] verified pairs: " + timed("verify_join")(verified.count()))
+    println("[probe] verified pairs (two-tier): " +
+      timed("verify_exact_on_survivors")(verified2.count()))
+    // the retired one-tier spelling, for A/B stage timing on demand
+    if (args.contains("--with-old-verify")) {
+      val verified = cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("n").as("na")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("n").as("nb")), Seq("doc_b"))
+        .withColumn("common",
+          expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)"))
+        .withColumn("jaccard_1e4", expr(
+          "(20000 * common + (na + nb - common)) DIV (2 * (na + nb - common))"))
+        .filter(col("jaccard_1e4") >= t1e4)
+      println("[probe] verified pairs (one-tier OLD): " +
+        timed("verify_join_old_full_arrays")(verified.count()))
+    }
     spark.stop()
   }
 }

@@ -3,8 +3,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: stage timing for triangleCount at a given SF — incidence,
-  * edge materialization, orientation, wedge+closing join.
+/** Dev probe: stage timing AND shape COUNTS for the production
+  * triangleCount pipeline (degree-ordered orientation + in-task
+  * array_intersect — the edge-iterator spelling the operator actually
+  * runs, not the retired wedge join). The counts verify the
+  * "edges × sqrt(deg)" bound claim the SCALE row makes:
+  *
+  *  - `sum_intersect_mass` = Σ_edges(outdeg(u) + outdeg(v)) over the
+  *    edges that actually reach the intersect (inner joins) — the real
+  *    per-decade work of the closing stage;
+  *  - `max/p99 outdeg` — whether degree orientation keeps the per-row
+  *    array bound flat as the graph decades up (the high-degree-split
+  *    lever fires only if these grow super-√);
+  *  - `triangle rows` — output mass (3 rows per triangle pre-agg).
   */
 object TriangleProbe {
   def main(args: Array[String]): Unit = {
@@ -22,20 +33,8 @@ object TriangleProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    val incidence = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
-    val ok = incidence.groupBy(col("basket"))
-      .agg(count(lit(1)).as("n_items"))
-      .filter(col("n_items") <= 40)
-      .select("basket")
-    val kept = incidence.join(ok, Seq("basket"))
     val edges = timed("edges_build") {
-      kept.as("a").join(kept.as("b"),
-          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-        .select(col("a.item").as("u"), col("b.item").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+      graft.operators.Mining.basketEdges(spark, dir, maxItems = 40)
     }
     println("[probe] edges: " + timed("edges_count")(edges.count()))
     val deg = edges.select(col("u").as("node"))
@@ -54,16 +53,34 @@ object TriangleProbe {
             col("v")).otherwise(col("u")).as("dst"))
         .localCheckpoint(true)
     }
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("a"),
-        col("e1.dst").as("b"), col("e2.dst").as("c"))
-    println("[probe] wedge count: " + timed("wedge_count")(wedges.count()))
-    val tri = wedges.join(edges,
-        edges("u") === least(col("b"), col("c")) &&
-        edges("v") === greatest(col("b"), col("c")))
-      .select(col("a"), col("b"), col("c"))
-    println("[probe] tri count: " + timed("tri_count")(tri.count()))
+    val odeg = oriented.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
+    val st = odeg.agg(max(col("od")), expr("percentile(od, 0.99)"),
+      sum(col("od")), sum(expr("od * od"))).head()
+    println(s"[probe] outdeg max=${st.getLong(0)} p99=${st.getDouble(1)}" +
+      s" sum=${st.getLong(2)} sum_sq=${st.getLong(3)}")
+    // per-edge intersect input mass over the edges that reach the
+    // intersect (both endpoints have an out-list — the operator's inner
+    // joins): the closing stage's true work measure
+    val mass = oriented
+      .join(odeg.toDF("src", "odu"), Seq("src"))
+      .join(odeg.toDF("dst", "odv"), Seq("dst"))
+      .agg(count(lit(1)), sum(expr("odu + odv"))).head()
+    println(s"[probe] intersect edges=${mass.getLong(0)}" +
+      s" sum_intersect_mass=${mass.getLong(1)}")
+    val nbrs = timed("nbrs_build") {
+      oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+        .localCheckpoint(true)
+    }
+    val triRows = timed("intersect_join") {
+      oriented
+        .join(nbrs.toDF("src", "nu"), Seq("src"))
+        .join(nbrs.toDF("dst", "nv"), Seq("dst"))
+        .select(explode(array_intersect(col("nu"), col("nv"))).as("c"))
+        .count()
+    }
+    println("[probe] triangle rows (1 per triangle): " + triRows)
     spark.stop()
   }
 }

@@ -169,6 +169,90 @@ class FunctionsSpec extends SparkTestBase {
   // fresh SparkContext. Suites run sequentially in the forked test JVM,
   // and the finally block restores a SparkTestBase-identical baseline
   // session for whatever runs next.
+  test("jacc_summary: bytes are the murmur3-bucket histogram, saturating at 255") {
+    GraftFunctions.register(spark)
+    val b = 32
+    // histogram semantics: the expression's buckets must agree with the
+    // engine's own hash() (murmur3 seed 42) bucketed the composed way
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").limit(40)
+      .selectExpr("doc_id",
+        "array_distinct(split(lower(text), ' ')) AS sh")
+      .where("size(sh) >= 1")
+    val rows = docs
+      .selectExpr("doc_id", s"jacc_summary(sh, $b) AS sm",
+        s"transform(sh, x -> pmod(hash(x), $b)) AS hs")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sm = r.getAs[Array[Byte]]("sm")
+      assert(sm.length == b)
+      val want = r.getSeq[Int](2).groupBy(identity).view.mapValues(_.size).toMap
+      (0 until b).foreach { i =>
+        assert((sm(i) & 0xFF) == math.min(want.getOrElse(i, 0), 255))
+      }
+    }
+    // saturation: 300 copies of one token pile into a single bucket,
+    // clamped at 255 (the exactness guard's boundary)
+    val sat = spark.sql(
+      s"SELECT jacc_summary(transform(sequence(1, 300), i -> 'tok'), $b) AS sm")
+      .head().getAs[Array[Byte]](0)
+    assert(sat.map(_ & 0xFF).sum == 255 && sat.map(_ & 0xFF).max == 255)
+    // null array -> null summary; null ELEMENT -> null summary (the
+    // conservative cannot-prune contract)
+    assert(spark.sql(s"SELECT jacc_summary(CAST(NULL AS ARRAY<STRING>), $b)")
+      .head().isNullAt(0))
+    assert(spark.sql(s"SELECT jacc_summary(array('a', CAST(NULL AS STRING)), $b)")
+      .head().isNullAt(0))
+  }
+
+  test("minsum_b upper-bounds the true intersection on real shingle sets") {
+    GraftFunctions.register(spark)
+    val b = graft.operators.Dedup.SummaryBuckets
+    val docs = graft.operators.Dedup.withShingles(spark, Sf)
+      .selectExpr("doc_id", "sh", s"jacc_summary(sh, $b) AS sm")
+      .limit(60).localCheckpoint(true)
+    val pairs = docs.selectExpr("doc_id AS ia", "sh AS a", "sm AS sa")
+      .crossJoin(docs.selectExpr("doc_id AS ib", "sh AS b", "sm AS sb"))
+      .where("ia < ib")
+      .selectExpr("minsum_b(sa, sb) AS ub", "size(array_intersect(a, b)) AS tru")
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getInt(0) >= r.getInt(1),
+        s"bound ${r.getInt(0)} < true intersection ${r.getInt(1)}")
+    }
+  }
+
+  test("minsum_b null semantics: null input or length mismatch yields null") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT minsum_b(CAST(NULL AS BINARY), X'00')").head().isNullAt(0))
+    assert(spark.sql("SELECT minsum_b(X'0102', X'01')").head().isNullAt(0))
+    // byte-wise unsigned min: min(0x02,0xFF)=2, min(0x80,0x7F)=127
+    assert(spark.sql("SELECT minsum_b(X'0280', X'FF7F')").head().getInt(0) == 2 + 127)
+  }
+
+  test("top_centroids_f / nearest_centroid reject k < 1 and out-of-range ids loudly") {
+    GraftFunctions.register(spark)
+    val cm = "array(array(CAST(1 AS FLOAT)))"
+    val v = "array(CAST(1 AS FLOAT)), CAST(1.0 AS DOUBLE)"
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(frag), s"message was: ${e.getMessage}")
+    }
+    fails(s"SELECT top_centroids_f($v, $cm, array(CAST(1.0 AS DOUBLE)), array(CAST(0 AS BIGINT)), 0)",
+      "k must be >= 1")
+    fails(s"SELECT top_centroids_f($v, $cm, array(CAST(1.0 AS DOUBLE)), array(CAST(65536 AS BIGINT)), 1)",
+      "must be in [0, 65536)")
+    fails(s"""SELECT nearest_centroid(array(CAST(1 AS BIGINT)), CAST(1.0 AS DOUBLE),
+      array(array(CAST(1 AS BIGINT))), array(CAST(1.0 AS DOUBLE)), array(CAST(-1 AS BIGINT)))""",
+      "must be in [0, 65536)")
+    // the valid spelling still works
+    val ok = spark.sql(
+      s"SELECT top_centroids_f($v, $cm, array(CAST(1.0 AS DOUBLE)), array(CAST(7 AS BIGINT)), 1)")
+      .head().getSeq[Long](0)
+    assert(ok == Seq(7L))
+  }
+
   test("GraftExtensions injects dot_f/minhash_sig via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     spark.stop()

@@ -134,6 +134,54 @@ class MiningSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("pagerank co-partitioned mode is bit-identical to broadcast mode") {
+    // the mode moves data, never arithmetic: the once-repartitioned
+    // shuffled-hash rounds (the >1e8-node regime) must reproduce the
+    // broadcast rounds' ranks exactly
+    val bc = Mining.pagerankCopurchase(spark, Sf, maxItems = 8, iters = 10,
+      mode = Mining.BroadcastRanks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cp = Mining.pagerankCopurchase(spark, Sf, maxItems = 8, iters = 10,
+      mode = Mining.CoPartitionedRanks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cp == bc)
+  }
+
+  test("co-partitioned rank round plans a shuffled-hash join, edge side exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, BroadcastHashJoinExec}
+    val raw = Mining.copurchaseEdges(spark, Sf, maxItems = 8)
+    val withW = raw.join(
+      broadcast(raw.groupBy(col("src")).agg(sum(col("w")).as("wsum"))), Seq("src"))
+    val edges = withW.repartition(col("src")).persist()
+    edges.count() // materialize the cache so the scan reports its partitioning
+    val ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L)).localCheckpoint(true)
+    try {
+      val was = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val round = Mining.rankRound(edges, ranks, 1000L, Mining.CoPartitionedRanks)
+        val plan = round.queryExecution.executedPlan
+        val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+        assert(shj.nonEmpty, s"expected a ShuffledHashJoin round:\n$plan")
+        // the edge (stream) side must satisfy the join's distribution
+        // from the cached repartition — NO exchange under it
+        val streamSideExchanges = shj.head.left.collect {
+          case e: ShuffleExchangeExec => e
+        } ++ shj.head.right.collect { case e: ShuffleExchangeExec => e }
+        // exactly one exchange total (the rank side); the edge side
+        // rides the InMemoryTableScan's hash partitioning
+        assert(streamSideExchanges.size == 1,
+          s"expected exactly the rank-side exchange, got ${streamSideExchanges.size}:\n$plan")
+        // and the broadcast mode keeps its broadcast join
+        val bplan = Mining.rankRound(edges, ranks, 1000L, Mining.BroadcastRanks)
+          .queryExecution.executedPlan
+        assert(bplan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", was)
+    } finally edges.unpersist()
+  }
+
   test("pagerank mass stays near 1e9 and every node survives") {
     val rows = Mining.pagerankCopurchase(spark, Sf, maxItems = 8, iters = 10)
       .collect()

@@ -3247,4 +3247,66 @@ class OperatorSpec extends SparkTestBase {
     assert(got.map(_._1).distinct.size == got.size)
     assert(got.nonEmpty)
   }
+
+  test("registry semantic decontamination equals a driver-side index-probe recompute") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosMicro(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5).toLong
+    // first-N quantizer, packed (cm desc, centroid_id asc) tie-break —
+    // the same recompute conventions as the bitext index face
+    val cents = emb.filter(_._1 < 16)
+    def centScores(v: Array[Float]): Seq[(Long, Long)] =
+      cents.toSeq.map { case (cid, cv) => (cid, cosMicro(v, cv)) }
+    val corpusAssign = emb.filter(_._1 % 97 != 0)
+      .map { case (id, v) =>
+        id -> centScores(v).minBy { case (cid, cm) => (-cm, cid) }._1 }.toMap
+    val probes = emb.filter(_._1 % 97 == 0).map { case (eid, ev) =>
+      eid -> centScores(ev).sortBy { case (cid, cm) => (-cm, cid) }
+        .take(3).map(_._1).toSet
+    }.toMap
+    val byId = emb.toMap
+    val hits = for {
+      (eid, lists) <- probes.toSeq
+      (cid, clist) <- corpusAssign if lists.contains(clist)
+      m = cosMicro(byId(cid), byId(eid)) if m >= 350000L
+    } yield (cid, eid, m)
+    val want = hits.groupBy(_._1).map { case (cid, ps) =>
+      (cid, ps.size.toLong, ps.map(_._3).max)
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Similarity.semanticDecontaminate(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty, "fixture must exercise at least one contamination hit")
+  }
+
+  test("semantic decontamination flags a planted paraphrase and nothing else") {
+    // a paraphrase shares no n-gram but sits next to its eval doc in
+    // embedding space — plant exactly that and pin recall + precision at
+    // a high threshold where the random background can never collide
+    val rng = new scala.util.Random(7)
+    val dim = 8
+    def randVec(): Array[Float] = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val base = (0L until 120L).map(i => i -> randVec()).toMap
+    // vec 50 := vec 0 (an eval doc: 0 % 97 == 0) + 1% noise
+    val planted = base.updated(50L,
+      base(0L).map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    val dir = tmpDir("decon_fixture")
+    import spark.implicits._
+    planted.toSeq.sortBy(_._1).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity
+      .semanticDecontaminate(spark, dir, thresholdMicro = 950000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((50L, 1L)),
+      s"expected exactly the planted paraphrase flagged once, got $got")
+  }
 }

@@ -169,4 +169,58 @@ class XlsxDataSourceSpec extends SparkTestBase {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("not a ZIP container")))
   }
+
+  test("custom format with a quoted unit suffix stays numeric, real date codes still date") {
+    // 0.0"m" renders 42.5 as `42.5m` — the m is display TEXT, not minutes;
+    // a scanner that reads quoted literals as format codes classifies the
+    // style as a date and decodes the column as timestamps. A REAL custom
+    // date code (with an escaped literal thrown in) must still be a date.
+    val styles =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<numFmts count="1"><numFmt numFmtId="164" formatCode="0.0&quot;m&quot;"/></numFmts>
+         |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="164" applyNumberFormat="1"/></cellXfs>
+         |</styleSheet>""".stripMargin
+    val f = new java.io.File(tmpDir("xlsx_quoted_fmt"), "q.xlsx")
+    XlsxTestWriter.write(f, Seq("qty"),
+      Seq(Seq(XlsxTestWriter.Styled(42.5)), Seq(XlsxTestWriter.Styled(7.25))),
+      stylesOverride = Some(styles))
+    val df = spark.read.format("xlsx").load(f.toString)
+    assert(df.schema("qty").dataType == org.apache.spark.sql.types.DoubleType,
+      s"quoted-unit numeric format decoded as ${df.schema("qty").dataType}")
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(7.25, 42.5))
+    // control: custom code with real date tokens (and a quoted AND an
+    // escaped literal mixed in) is still classified as a date style
+    val dateStyles =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<numFmts count="1"><numFmt numFmtId="165" formatCode="yyyy-mm-dd&quot;T&quot;hh:mm\\#"/></numFmts>
+         |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="165" applyNumberFormat="1"/></cellXfs>
+         |</styleSheet>""".stripMargin
+    val g = new java.io.File(tmpDir("xlsx_real_date_fmt"), "d.xlsx")
+    XlsxTestWriter.write(g, Seq("at"),
+      Seq(Seq(XlsxTestWriter.Styled(45000.5))), stylesOverride = Some(dateStyles))
+    val dg = spark.read.format("xlsx").load(g.toString)
+    assert(dg.schema("at").dataType == org.apache.spark.sql.types.TimestampType,
+      s"real custom date format decoded as ${dg.schema("at").dataType}")
+  }
+
+  test("malformed numFmtId surfaces as ExtractError, not a bare NumberFormatException") {
+    val styles =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="notanumber"/></cellXfs>
+         |</styleSheet>""".stripMargin
+    val f = new java.io.File(tmpDir("xlsx_bad_fmtid"), "b.xlsx")
+    XlsxTestWriter.write(f, Seq("a"), Seq(Seq(1.0)), stylesOverride = Some(styles))
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").load(f.toString).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[graft.ExtractError]),
+      s"expected an ExtractError in the cause chain, got $e")
+    assert(chain(e).exists(t =>
+      t.getMessage != null && t.getMessage.contains("numFmtId")))
+  }
 }

@@ -13,6 +13,12 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   */
 object XlsxTestWriter {
 
+  /** A numeric cell that references cellXfs style index 1 — lets tests
+    * apply a custom number format (via `stylesOverride`) to a NUMBER,
+    * exercising the date-vs-numeric style classification.
+    */
+  final case class Styled(v: Double)
+
   def toSerial(ts: Timestamp, date1904: Boolean = false): Double = {
     val millis = ts.getTime
     if (date1904) {
@@ -41,7 +47,8 @@ object XlsxTestWriter {
       .replace("\"", "&quot;")
 
   def write(path: File, header: Seq[String], rows: Seq[Seq[Any]],
-            date1904: Boolean = false): Unit = {
+            date1904: Boolean = false,
+            stylesOverride: Option[String] = None): Unit = {
     val strings = scala.collection.mutable.LinkedHashMap[String, Int]()
     def sstIdx(s: String): Int = strings.getOrElseUpdate(s, strings.size)
 
@@ -53,6 +60,8 @@ object XlsxTestWriter {
           case null => None
           case ts: Timestamp =>
             Some(s"""<c r="$ref" s="1"><v>${toSerial(ts, date1904)}</v></c>""")
+          case XlsxTestWriter.Styled(d) =>
+            Some(s"""<c r="$ref" s="1"><v>$d</v></c>""")
           case d: Double => Some(s"""<c r="$ref"><v>$d</v></c>""")
           case i: Int => Some(s"""<c r="$ref"><v>$i</v></c>""")
           case s: String => Some(s"""<c r="$ref" t="s"><v>${sstIdx(s)}</v></c>""")
@@ -72,11 +81,11 @@ object XlsxTestWriter {
          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">$sis</sst>""".stripMargin
     }
 
-    val stylesXml =
+    val stylesXml = stylesOverride.getOrElse(
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
          |<cellXfs count="2"><xf numFmtId="0" applyNumberFormat="0"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs>
-         |</styleSheet>""".stripMargin
+         |</styleSheet>""".stripMargin)
 
     val workbookXml =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

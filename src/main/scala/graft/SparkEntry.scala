@@ -371,6 +371,25 @@ object SparkEntry {
     "q_bitext_margin" -> (Similarity.bitextMarginMine(_, _)),
     "q_bitext_margin_index" -> (Similarity.bitextMarginIndexed(_, _)),
     "q_semantic_decontaminate" -> (Similarity.semanticDecontaminate(_, _)),
+    "q_semantic_decontaminate_incremental" -> ((s, d) => {
+      // "corpus already indexed, an embedding delta arrives": rebuild the
+      // prefix index (overwrite — keeps the entry idempotent across
+      // reruns), APPEND the newest 20% through the r14 boundary guard,
+      // then screen from the grown index. The frozen first-N quantizer
+      // (centroids = vec_id < 16 < split) makes every assignment
+      // identical to the one-shot build, so the parent's oracle text is
+      // exact — the incremental face moves index maintenance, never the
+      // verdict arithmetic.
+      val maxId = s.read.parquet(s"$d/embeddings.parquet")
+        .agg(max(col("vec_id"))).head().getLong(0)
+      val split = maxId * 4 / 5
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_decon_inc_" + Integer.toHexString(d.hashCode)).toString
+      Similarity.buildIvfIndex(s, d, idx, nLists = 16,
+        maxVecIdExclusive = split)
+      Similarity.appendToIvfIndex(s, d, idx, minVecId = split, nLists = 16)
+      Similarity.semanticDecontaminateFromIndex(s, d, idx)
+    }),
     "q_mmr_rerank" -> (Similarity.mmrRerank(_, _)),
     "q_embed_drift" -> (Similarity.embedDrift(_, _)),
     "q_hard_negatives" -> (Similarity.hardNegatives(_, _)),
@@ -3601,6 +3620,12 @@ object SparkEntry {
     // embedding-space decontamination: same first-N IVF candidate screen,
     // eval/corpus split on vec_id % 97, per-corpus-doc hit aggregate
     "q_semantic_decontaminate" ->
+      operators.Similarity.semanticDecontaminateSql(cosMicrosSql,
+        "CAST(embedding AS DOUBLE[])"),
+
+    // incremental face: build(prefix) + append(delta) must equal the
+    // one-shot scan — the SAME oracle text as the parent
+    "q_semantic_decontaminate_incremental" ->
       operators.Similarity.semanticDecontaminateSql(cosMicrosSql,
         "CAST(embedding AS DOUBLE[])"),
 

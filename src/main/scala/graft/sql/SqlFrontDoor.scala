@@ -3263,7 +3263,9 @@ object SqlFrontDoor {
       graft.operators.Quality.momentProfileSql,
     "q_corr_matrix_incremental" ->
       graft.operators.Quality.corrMatrixSql,
-    "q_bootstrap_ci_incremental" -> twins("q_bootstrap_ci_revenue"))
+    "q_bootstrap_ci_incremental" -> twins("q_bootstrap_ci_revenue"),
+    "q_semantic_decontaminate_incremental" ->
+      twins("q_semantic_decontaminate"))
 
   /** Queries whose oracle text runs under Spark verbatim (classified by
     * tools/SqlTwinProbe and re-proven by SqlFrontDoorSpec every run).

@@ -3286,6 +3286,19 @@ class OperatorSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must exercise at least one contamination hit")
   }
 
+  test("incremental decontamination (build prefix + guarded append) equals one-shot") {
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = rows(graft.operators.Similarity.semanticDecontaminate(spark, Sf))
+    val incr = rows(SparkEntry.queries("q_semantic_decontaminate_incremental")(spark, Sf))
+    assert(incr == oneShot)
+    // the registry entry must stay idempotent across reruns (the prefix
+    // rebuild truncates the previous append, so the boundary guard sees
+    // a clean index every time)
+    val again = rows(SparkEntry.queries("q_semantic_decontaminate_incremental")(spark, Sf))
+    assert(again == oneShot)
+  }
+
   test("semantic decontamination flags a planted paraphrase and nothing else") {
     // a paraphrase shares no n-gram but sits next to its eval doc in
     // embedding space — plant exactly that and pin recall + precision at

@@ -343,8 +343,7 @@ object SparkEntry {
       val maxId = sources.Tables.documents(s, d)
         .agg(max(col("doc_id"))).head().getLong(0)
       val split = maxId * 4 / 5
-      val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_lsh_clusters_" + Integer.toHexString(d.hashCode)).toString
+      val idx = Similarity.appScratchDir(s, "graft_lsh_clusters", d)
       Dedup.buildLshBandIndex(s, d, idx, maxDocIdExclusive = split)
       Dedup.dupClustersIncremental(s, d, idx, split)
     }),
@@ -358,11 +357,12 @@ object SparkEntry {
       val maxId = sources.Tables.documents(s, d)
         .agg(max(col("doc_id"))).head().getLong(0)
       val split = maxId * 4 / 5
-      // deterministic per-sfDir staging path, rewritten in place
-      // (overwrite) — repeated runs reuse the location instead of leaking
-      // a fresh temp index per invocation
-      val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_lsh_inc_" + Integer.toHexString(d.hashCode)).toString
+      // deterministic per-(app, sfDir) staging path, rewritten in place
+      // (overwrite) — repeated runs within an application reuse the
+      // location; the appScratchDir naming (configurable root + corpus
+      // MD5 + applicationId) keeps it executor-visible off local mode,
+      // collision-free across corpora, and race-free across apps
+      val idx = Similarity.appScratchDir(s, "graft_lsh_inc", d)
       Dedup.buildLshBandIndex(s, d, idx, maxDocIdExclusive = split)
       Dedup.minHashLshIncremental(s, d, idx, split)
     }),
@@ -383,8 +383,13 @@ object SparkEntry {
       val maxId = s.read.parquet(s"$d/embeddings.parquet")
         .agg(max(col("vec_id"))).head().getLong(0)
       val split = maxId * 4 / 5
-      val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_decon_inc_" + Integer.toHexString(d.hashCode)).toString
+      // the frozen-quantizer invariant below (centroids = vec_id < 16 <
+      // split) is what makes the incremental face equal the one-shot
+      // build — enforce it instead of assuming it on tiny corpora
+      require(split > 16,
+        s"q_semantic_decontaminate_incremental needs maxId >= 21 so the " +
+          s"80% prefix (split=$split) covers the 16 first-N centroids")
+      val idx = Similarity.appScratchDir(s, "graft_decon_inc", d)
       Similarity.buildIvfIndex(s, d, idx, nLists = 16,
         maxVecIdExclusive = split)
       Similarity.appendToIvfIndex(s, d, idx, minVecId = split, nLists = 16)

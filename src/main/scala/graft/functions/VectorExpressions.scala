@@ -128,6 +128,36 @@ case class DotProductFloat(left: Expression, right: Expression)
   * cqns ARRAY<DOUBLE>, ids ARRAY<BIGINT>) — the last three must be
   * foldable (literals); they decode once per executor instance.
   */
+/** Shared analysis-time validation of a literal centroid-id array for the
+  * packed-key expressions: ids must be a non-NULL array, contain no NULL
+  * elements, and each id must fit the `cm*65536 - id` packed key (callers
+  * decode `centroid_id = pmod(-key, 65536)`, so anything outside
+  * [0, 65536) corrupts the ranking silently). Element-wise `isNullAt`
+  * BEFORE any bulk conversion: `ArrayData.toLongArray()` on an array
+  * literal with a NULL element throws during analysis instead of
+  * returning the clean TypeCheckFailure this validation exists for.
+  */
+private[functions] object CentroidIdCheck {
+  def check(prettyName: String, ids: Any): TypeCheckResult = {
+    if (ids == null)
+      return TypeCheckResult.TypeCheckFailure(s"$prettyName: ids must not be NULL")
+    val arr = ids.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i))
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: ids must not contain NULL elements (element $i is NULL)")
+      val id = arr.getLong(i)
+      if (id < 0L || id >= 65536L)
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: centroid ids must be in [0, 65536) for the " +
+            s"packed cm*65536 - id key, got $id")
+      i += 1
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+}
+
 case class NearestCentroidPacked(children: Seq[Expression])
     extends Expression {
 
@@ -155,17 +185,7 @@ case class NearestCentroidPacked(children: Seq[Expression])
       // same packed-key contract as top_centroids_f: callers decode
       // centroid_id = pmod(−key, 65536), so out-of-range ids corrupt the
       // argmax silently — fail at analysis time instead.
-      val ids = children(4).eval(null)
-      if (ids == null)
-        TypeCheckResult.TypeCheckFailure("nearest_centroid: ids must not be NULL")
-      else {
-        val bad = ids.asInstanceOf[ArrayData].toLongArray()
-          .find(id => id < 0L || id >= 65536L)
-        if (bad.isDefined) TypeCheckResult.TypeCheckFailure(
-          s"nearest_centroid: centroid ids must be in [0, 65536) for the " +
-            s"packed cm*65536 - id selection key, got ${bad.get}")
-        else TypeCheckResult.TypeCheckSuccess
-      }
+      CentroidIdCheck.check("nearest_centroid", children(4).eval(null))
     }
   }
 
@@ -290,20 +310,11 @@ case class TopCentroidsFloat(children: Seq[Expression])
       // is enforced HERE (analysis time, literals are evaluable) rather
       // than trusted to internal call sites.
       val kv = children(5).eval(null)
-      val ids = children(4).eval(null)
       if (kv == null || kv.asInstanceOf[Int] < 1)
         TypeCheckResult.TypeCheckFailure(
           s"top_centroids_f: k must be >= 1, got $kv")
-      else if (ids == null)
-        TypeCheckResult.TypeCheckFailure("top_centroids_f: ids must not be NULL")
-      else {
-        val bad = ids.asInstanceOf[ArrayData].toLongArray()
-          .find(id => id < 0L || id >= 65536L)
-        if (bad.isDefined) TypeCheckResult.TypeCheckFailure(
-          s"top_centroids_f: centroid ids must be in [0, 65536) for the " +
-            s"packed cm*65536 - id ranking, got ${bad.get}")
-        else TypeCheckResult.TypeCheckSuccess
-      }
+      else
+        CentroidIdCheck.check("top_centroids_f", children(4).eval(null))
     }
   }
 

@@ -2576,7 +2576,7 @@ object Similarity {
     * corpus embeddings) and live under the scratch root's normal
     * cleanup policy.
     */
-  private def appScratchDir(s: SparkSession, tag: String, dir: String): String = {
+  private[graft] def appScratchDir(s: SparkSession, tag: String, dir: String): String = {
     val root = s.conf.getOption("graft.scratch.dir")
       .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     new org.apache.hadoop.fs.Path(root,

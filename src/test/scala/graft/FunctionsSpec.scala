@@ -246,6 +246,14 @@ class FunctionsSpec extends SparkTestBase {
     fails(s"""SELECT nearest_centroid(array(CAST(1 AS BIGINT)), CAST(1.0 AS DOUBLE),
       array(array(CAST(1 AS BIGINT))), array(CAST(1.0 AS DOUBLE)), array(CAST(-1 AS BIGINT)))""",
       "must be in [0, 65536)")
+    // a NULL ELEMENT passes the ArrayType(LongType, containsNull=true)
+    // type match — it must still fail with the clean analysis-time
+    // message, not an NPE from a bulk toLongArray conversion
+    fails(s"SELECT top_centroids_f($v, $cm, array(CAST(1.0 AS DOUBLE)), array(CAST(NULL AS BIGINT)), 1)",
+      "must not contain NULL")
+    fails(s"""SELECT nearest_centroid(array(CAST(1 AS BIGINT)), CAST(1.0 AS DOUBLE),
+      array(array(CAST(1 AS BIGINT))), array(CAST(1.0 AS DOUBLE)), array(CAST(NULL AS BIGINT)))""",
+      "must not contain NULL")
     // the valid spelling still works
     val ok = spark.sql(
       s"SELECT top_centroids_f($v, $cm, array(CAST(1.0 AS DOUBLE)), array(CAST(7 AS BIGINT)), 1)")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,6 +282,73 @@ object Mining {
       .withColumnRenamed("dst", "node")
   }
 
+  /** One frontier-expansion join under the same mode discipline as
+    * [[rankRound]]: the edge/adjacency side NEVER moves — the node-sized
+    * frontier/distance frame either BROADCASTS ([[BroadcastRanks]]) or
+    * arrives as the hinted build side of a shuffled-hash join whose
+    * stream side rides the once-paid edge partitioning
+    * ([[CoPartitionedRanks]]). Every bounded-round graph loop here
+    * (pagerank, shortest paths, BFS, closeness) has the same ceiling —
+    * the per-round frame is node-catalog-sized, ~1e8 nodes × 16 B before
+    * broadcast OOMs — so they share the same escape hatch; the caller
+    * co-partitions the edge side on the probe key via [[modePartition]]
+    * at build.
+    */
+  private[graft] def frontierJoin(edges: DataFrame, frontier: DataFrame,
+                                  cond: Column,
+                                  mode: RankJoinMode): DataFrame =
+    mode match {
+      case BroadcastRanks => edges.join(broadcast(frontier), cond)
+      case CoPartitionedRanks => edges.join(frontier.hint("shuffle_hash"), cond)
+    }
+
+  /** Visited-set pruning under the same mode: the visited frame is ALSO
+    * node-sized (it converges to the full reachable set), so past the
+    * broadcast ceiling the anti join must be a shuffled-hash round too —
+    * both sides are node-sized exchanges, never edge-sized.
+    */
+  private[graft] def visitedAnti(cand: DataFrame, visited: DataFrame,
+                                 keys: Seq[String],
+                                 mode: RankJoinMode): DataFrame =
+    mode match {
+      case BroadcastRanks => cand.join(broadcast(visited), keys, "left_anti")
+      case CoPartitionedRanks =>
+        cand.join(visited.hint("shuffle_hash"), keys, "left_anti")
+    }
+
+  /** Build-time co-location for [[CoPartitionedRanks]]: pay ONE hash
+    * partition of the edge side on its probe key (cached by the caller)
+    * so no subsequent round moves edges again; [[BroadcastRanks]] never
+    * moves them at all.
+    */
+  private[graft] def modePartition(edges: DataFrame, key: Column,
+                                   mode: RankJoinMode): DataFrame =
+    mode match {
+      case BroadcastRanks => edges
+      case CoPartitionedRanks => edges.repartition(key)
+    }
+
+  /** Mode-aware pinning of an adjacency built once and probed every
+    * round. Broadcast mode keeps the original localCheckpoint (cut
+    * lineage, materialize once). Co-partitioned mode must NOT checkpoint:
+    * `localCheckpoint` rewrites the frame as a `Scan ExistingRDD` that
+    * reports `UnknownPartitioning`, which would re-exchange the
+    * edge-sized side under every shuffled-hash round — the exact cost
+    * the mode exists to avoid. The cached repartition (the [[rankRound]]
+    * discipline) keeps the hash partitioning visible to
+    * EnsureRequirements; the eager count materializes it so the loop's
+    * first hop already rides the cache.
+    */
+  private[graft] def pinAdjacency(adj: DataFrame, key: Column,
+                                  mode: RankJoinMode): DataFrame =
+    mode match {
+      case BroadcastRanks => adj.localCheckpoint(true)
+      case CoPartitionedRanks =>
+        val a = adj.repartition(key).persist()
+        a.count()
+        a
+    }
+
   def pagerankCopurchase(s: SparkSession, dir: String,
                          maxItems: Int, iters: Int,
                          mode: RankJoinMode = BroadcastRanks): DataFrame = {
@@ -371,19 +438,29 @@ object Mining {
     * broadcast for the same stats-blindness reason as the pagerank
     * rounds — plus a map-side-combined min; the union arm keeps settled
     * distances without re-walking them. Top-K exits via
-    * TakeOrderedAndProject.
+    * TakeOrderedAndProject. Past the ~1e8-node broadcast ceiling, pass
+    * [[CoPartitionedRanks]]: edges hash-partition on src once at build
+    * and every relaxation becomes a node-sized shuffled-hash round with
+    * the edge side exchange-free (the [[rankRound]] escape hatch;
+    * outputs bit-identical, MiningSpec pins it).
     */
   def shortestPaths(s: SparkSession, dir: String, maxItems: Int,
-                    rounds: Int, topN: Int): DataFrame = {
-    val edges = copurchaseEdges(s, dir, maxItems)
-      .select(col("src"), col("dst"), expr("1000000 DIV w").as("len"))
+                    rounds: Int, topN: Int,
+                    mode: RankJoinMode = BroadcastRanks): DataFrame = {
+    // co-partitioned mode pays ONE edge shuffle on the probe key here so
+    // no relaxation round moves edges again ([[modePartition]]); the
+    // distance frame is node-sized — [[frontierJoin]]'s crossover note
+    val edges = modePartition(
+        copurchaseEdges(s, dir, maxItems)
+          .select(col("src"), col("dst"), expr("1000000 DIV w").as("len")),
+        col("src"), mode)
       .persist()
     val src = edges.agg(min(col("src"))).head().getLong(0)
     var dist = s.range(1)
       .select(lit(src).as("node"), lit(0L).as("d"))
       .localCheckpoint(true)
     (1 to rounds).foreach { i =>
-      dist = edges.join(broadcast(dist), edges("src") === dist("node"))
+      dist = frontierJoin(edges, dist, edges("src") === dist("node"), mode)
         .select(col("dst").as("node"), (col("d") + col("len")).as("d"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
@@ -655,12 +732,15 @@ object Mining {
     * histogram; `-1` rows are the unreached remainder.
     */
   def bfsLevels(s: SparkSession, dir: String, maxItems: Int = 40,
-                maxHops: Int = 4): DataFrame = {
+                maxHops: Int = 4,
+                mode: RankJoinMode = BroadcastRanks): DataFrame = {
     val edges = basketEdges(s, dir, maxItems)
-    // undirected adjacency: each edge probes both ways
-    val adj = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    // undirected adjacency: each edge probes both ways; co-partitioned
+    // mode hash-partitions it ONCE on the probe key so no hop moves the
+    // adjacency again ([[pinAdjacency]] on why the pinning differs)
+    val adj = pinAdjacency(
+      edges.unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
+      col("u"), mode)
     val src = edges.agg(least(min(col("u")), min(col("v")))).head().getLong(0)
     var levels = adj.sparkSession.range(1)
       .select(lit(src).as("node"), lit(0L).as("lvl"))
@@ -670,10 +750,13 @@ object Mining {
     while (hop < maxHops && frontier.limit(1).count() > 0) {
       hop += 1
       // frontier and visited set are node-bounded, stats-less after
-      // checkpoint — broadcast both so the adjacency never shuffles
-      frontier = adj.join(broadcast(frontier), frontier("node") === adj("u"))
-        .select(col("v").as("node")).distinct()
-        .join(broadcast(levels), Seq("node"), "left_anti")
+      // checkpoint — broadcast both (default mode) so the adjacency
+      // never shuffles; past the broadcast ceiling both become
+      // node-sized shuffled-hash rounds ([[frontierJoin]]/[[visitedAnti]])
+      frontier = visitedAnti(
+          frontierJoin(adj, frontier, frontier("node") === adj("u"), mode)
+            .select(col("v").as("node")).distinct(),
+          levels, Seq("node"), mode)
         .select(col("node"), lit(hop).as("lvl"))
         .localCheckpoint(true)
       levels = levels.unionByName(frontier).localCheckpoint(true)
@@ -754,11 +837,12 @@ object Mining {
     * set-sized; lineage pinned per hop. The readout is |panel| rows.
     */
   def closenessCentrality(s: SparkSession, dir: String, maxItems: Int = 40,
-                          nSources: Int = 8, maxHops: Int = 4): DataFrame = {
+                          nSources: Int = 8, maxHops: Int = 4,
+                          mode: RankJoinMode = BroadcastRanks): DataFrame = {
     val edges = basketEdges(s, dir, maxItems)
-    val adj = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    val adj = pinAdjacency(
+      edges.unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
+      col("u"), mode)
     val srcs = adj.select(col("u")).distinct()
       .orderBy(col("u")).limit(nSources)
       .select(col("u").as("src"))
@@ -769,10 +853,13 @@ object Mining {
     var hop = 0L
     while (hop < maxHops && frontier.limit(1).count() > 0) {
       hop += 1
-      frontier = adj.join(broadcast(frontier), frontier("node") === adj("u"))
-        .select(col("src"), col("v").as("node")).distinct()
-        .join(broadcast(levels.select(col("src"), col("node"))),
-          Seq("src", "node"), "left_anti")
+      // (panel × node)-bounded frames under the shared mode discipline:
+      // broadcast by default, node-sized shuffled-hash rounds past the
+      // ceiling — the adjacency never reshuffles either way
+      frontier = visitedAnti(
+          frontierJoin(adj, frontier, frontier("node") === adj("u"), mode)
+            .select(col("src"), col("v").as("node")).distinct(),
+          levels.select(col("src"), col("node")), Seq("src", "node"), mode)
         .select(col("src"), col("node"), lit(hop).as("lvl"))
         .localCheckpoint(true)
       levels = levels.unionByName(frontier).localCheckpoint(true)

@@ -182,6 +182,78 @@ class MiningSpec extends SparkTestBase {
     } finally edges.unpersist()
   }
 
+  test("shortest paths / BFS / closeness co-partitioned mode is bit-identical to broadcast") {
+    // the rankRound contract extended to every frontier loop: the mode
+    // moves data, never arithmetic
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(
+      rows(Mining.shortestPaths(spark, Sf, 8, 4, 25,
+        mode = Mining.CoPartitionedRanks)) ==
+      rows(Mining.shortestPaths(spark, Sf, 8, 4, 25,
+        mode = Mining.BroadcastRanks)))
+    assert(
+      rows(Mining.bfsLevels(spark, Sf, maxItems = 8, maxHops = 4,
+        mode = Mining.CoPartitionedRanks)) ==
+      rows(Mining.bfsLevels(spark, Sf, maxItems = 8, maxHops = 4,
+        mode = Mining.BroadcastRanks)))
+    assert(
+      rows(Mining.closenessCentrality(spark, Sf, maxItems = 8,
+        mode = Mining.CoPartitionedRanks)) ==
+      rows(Mining.closenessCentrality(spark, Sf, maxItems = 8,
+        mode = Mining.BroadcastRanks)))
+  }
+
+  test("co-partitioned frontier round: shuffled-hash joins, adjacency side exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, BroadcastHashJoinExec}
+    // one BFS hop built exactly as bfsLevels builds it in co-partitioned
+    // mode: adjacency pinned via the cached repartition (localCheckpoint
+    // would drop the partitioning — pinAdjacency's contract), frontier
+    // and visited checkpointed node-sized frames
+    val edges = Mining.basketEdges(spark, Sf, maxItems = 8)
+    val adj = Mining.pinAdjacency(
+      edges.unionByName(edges.select(col("v").as("u"), col("u").as("v"))),
+      col("u"), Mining.CoPartitionedRanks)
+    val frontier = adj.select(col("u").as("node")).distinct().limit(5)
+      .localCheckpoint(true)
+    val levels = frontier.withColumn("lvl", lit(0L)).localCheckpoint(true)
+    val was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hop = Mining.visitedAnti(
+        Mining.frontierJoin(adj, frontier, frontier("node") === adj("u"),
+          Mining.CoPartitionedRanks)
+          .select(col("v").as("node")).distinct(),
+        levels, Seq("node"), Mining.CoPartitionedRanks)
+      val plan = hop.queryExecution.executedPlan
+      val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shj.size == 2, s"expected SHJ expand + SHJ anti:\n$plan")
+      // the adjacency (stream) side of the expansion join must ride the
+      // checkpointed repartition — no exchange beneath it; the only
+      // exchanges in the whole hop are node-sized (frontier, distinct,
+      // visited), never the adjacency
+      val expand = shj.filter(
+        _.joinType == org.apache.spark.sql.catalyst.plans.Inner).head
+      val streamExchanges = expand.left.collect { case e: ShuffleExchangeExec => e } ++
+        expand.right.collect { case e: ShuffleExchangeExec => e }
+      assert(streamExchanges.size == 1,
+        s"expected only the frontier-side exchange under the expansion join, " +
+          s"got ${streamExchanges.size}:\n$plan")
+      // and the default mode keeps its broadcast joins
+      val bplan = Mining.visitedAnti(
+        Mining.frontierJoin(adj, frontier, frontier("node") === adj("u"),
+          Mining.BroadcastRanks)
+          .select(col("v").as("node")).distinct(),
+        levels, Seq("node"), Mining.BroadcastRanks)
+        .queryExecution.executedPlan
+      assert(bplan.collect { case j: BroadcastHashJoinExec => j }.size == 2)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", was)
+      adj.unpersist()
+    }
+  }
+
   test("pagerank mass stays near 1e9 and every node survives") {
     val rows = Mining.pagerankCopurchase(spark, Sf, maxItems = 8, iters = 10)
       .collect()

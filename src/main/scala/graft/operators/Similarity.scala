@@ -2680,6 +2680,84 @@ object Similarity {
       lists, nProbe)
   }
 
+  private def evalProbesDir(stageDir: String): String =
+    new org.apache.hadoop.fs.Path(stageDir, "eval_probes").toString
+
+  /** Stage the FROZEN eval-side artifact for the continuous semantic
+    * decontamination screen ([[graft.streaming.DeconSemStream]]):
+    *  - `_centroids_f` — the first-N float quantizer table
+    *    (centroid_id, cv, cnorm), the same centroids the batch build
+    *    derives, persisted so arriving corpus batches assign without
+    *    ever seeing the staging corpus;
+    *  - `eval_probes` — each eval doc's top-nProbe lists WITH its
+    *    payload (centroid_id, vec_id, ev, en), computed through the
+    *    identical [[selectListsFloat]] expression as the batch screen,
+    *    so stream and batch candidate sets agree bit-for-bit.
+    * Frozen for the life of the stream (the [[DecontaminateStream]]
+    * discipline: a moving eval target would silently re-admit docs
+    * screened before the target grew); eval-suite retirements go
+    * through [[tombstoneEvalScreen]] instead. Eval suites are tiny, so
+    * both artifacts stay broadcast-sized forever.
+    */
+  def stageEvalScreen(s: SparkSession, dir: String, stageDir: String,
+                      evalMod: Int = 97, nLists: Int = AutoNLists,
+                      nProbe: Int = 3): String = {
+    registerFunctions(s)
+    val emb = embWithNorm(s, dir)
+    val lists = resolveNLists(nLists, emb)
+    val centroids = emb.filter(col("vec_id") < lists)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"),
+        col("vnorm").as("cnorm"))
+    centroids.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(stageDir, "_centroids_f").toString)
+    val evalQ = emb.filter(pmod(col("vec_id"), lit(evalMod)) === 0)
+    // the eval id is stored AS vec_id so the probe table shares the index
+    // family's tombstone artifact verbatim (_tombstones keys on vec_id)
+    selectListsFloat(evalQ, centroids, nProbe)
+      .join(evalQ.select(col("vec_id"), col("embedding").as("ev"),
+        col("vnorm").as("en")), Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id"), col("ev"), col("en"))
+      .write.mode("overwrite").parquet(evalProbesDir(stageDir))
+    stageDir
+  }
+
+  /** The staged quantizer table of [[stageEvalScreen]]. */
+  def stagedScreenCentroids(s: SparkSession, stageDir: String): DataFrame =
+    s.read.parquet(
+      new org.apache.hadoop.fs.Path(stageDir, "_centroids_f").toString)
+
+  /** The staged eval-probe table, with pending `_tombstones` (retired
+    * eval docs) screened out — read-time semantics identical to the
+    * ANN index family's.
+    */
+  def stagedEvalProbes(s: SparkSession, stageDir: String): DataFrame =
+    screenTombstones(s, evalProbesDir(stageDir),
+      s.read.parquet(evalProbesDir(stageDir)))
+      .select(col("centroid_id"), col("vec_id").as("eval_id"),
+        col("ev"), col("en"))
+
+  /** Logical retirement of eval docs from the staged screen (an eval
+    * benchmark rotated out): ids append to `eval_probes/_tombstones`,
+    * later batches stop matching them, prior verdicts are untouched —
+    * the [[tombstoneIvfIndex]] contract applied to the eval side.
+    */
+  def tombstoneEvalScreen(s: SparkSession, stageDir: String,
+                          ids: Seq[Long]): String = {
+    tombstoneIvfIndex(s, evalProbesDir(stageDir), ids)
+    stageDir
+  }
+
+  /** Fold pending eval tombstones into the probe table physically (and
+    * clear them) — [[compactIvfIndex]]'s discipline; answers before and
+    * after are identical.
+    */
+  def compactEvalScreen(s: SparkSession, stageDir: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): String = {
+    compactIndexDir(s, evalProbesDir(stageDir), targetFileBytes,
+      Seq("centroid_id", "vec_id", "ev", "en"), None, Seq.empty)
+    stageDir
+  }
+
   /** Dialect-templated SQL twin of [[semanticDecontaminate]]: the same
     * first-N-quantizer IVF candidate screen as [[bitextMarginIndexSql]]
     * (assignment + top-nProbe probes via row_number over

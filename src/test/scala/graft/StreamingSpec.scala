@@ -1315,6 +1315,72 @@ class StreamingSpec extends SparkTestBase {
       "fixture delta must exercise the cross-batch drop path")
   }
 
+  test("streaming semantic decontamination screens identically to the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sf = "/root/testdata/sf0.001"
+    val base = tmpDir("deconsemstream")
+    // spec threshold below the registry default so the fixture yields a
+    // multi-row verdict set (random-geometry cosines cluster low)
+    val thr = 250000L
+    graft.operators.Similarity.stageEvalScreen(spark, Sf, s"$base/stage")
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    // id-INTERLEAVED split: the screen is per-document against a frozen
+    // eval artifact, so any arrival order must replay to the batch
+    // answer (stronger than the dedup streams' id-monotone contract)
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.DeconSemStream.start(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$base/stage", s"$base/out", s"$base/ckpt", thresholdMicro = thr)
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(s"$base/out", "batch=0").exists())
+    assert(new java.io.File(s"$base/out", "batch=1").exists())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("n_eval_hits"),
+        r.getAs[Long]("max_cm"))
+    val streamed = spark.read.option("basePath", s"$base/out")
+      .parquet(s"$base/out")
+      .select("vec_id", "n_eval_hits", "max_cm").collect().map(key).toSet
+    val batch = graft.operators.Similarity
+      .semanticDecontaminate(spark, Sf, thresholdMicro = thr)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.size > 1,
+      "fixture must yield a multi-row verdict set at the spec threshold")
+    // both batches must carry verdicts, or the interleaved-arrival claim
+    // wasn't exercised
+    assert(spark.read.parquet(s"$base/out/batch=0").count() > 0)
+    assert(spark.read.parquet(s"$base/out/batch=1").count() > 0)
+
+    // eval retirement: tombstone the whole eval slice, replay the
+    // contaminated vectors as a fresh stream -> zero verdicts (later
+    // batches stop matching retired eval docs; prior outputs stand)
+    val evalIds = rows.map(_._1).filter(_ % 97 == 0)
+    graft.operators.Similarity.tombstoneEvalScreen(spark, s"$base/stage", evalIds)
+    val hitIds = batch.map(_._1)
+    val replay = rows.filter(r => hitIds.contains(r._1))
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.DeconSemStream.start(
+      input2.toDF().toDF("vec_id", "embedding"),
+      s"$base/stage", s"$base/out2", s"$base/ckpt2", thresholdMicro = thr)
+    try {
+      input2.addData(replay: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$base/out2/batch=0").count() == 0)
+    // compaction folds the tombstones in physically and clears the
+    // artifact; the screened read is unchanged (here: empty eval side)
+    graft.operators.Similarity.compactEvalScreen(spark, s"$base/stage")
+    assert(!new java.io.File(s"$base/stage/eval_probes/_tombstones").exists())
+    assert(graft.operators.Similarity
+      .stagedEvalProbes(spark, s"$base/stage").count() == 0)
+  }
+
   test("streaming quantile cells + shared readout equal the batch rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -201,18 +201,24 @@ object Bench {
     // Sub-second queries are scan/JIT-jitter-dominated: the r14 ledger
     // shows q_ann_bruteforce_topk spreading 0.5-0.9s across one session
     // on a ~0.5s plan, keeping it the worst floor ratio every round with
-    // nothing wrong in the plan. min-of-n tightens ~1/n, and extra trials
-    // of half-second queries cost ~nothing next to the multi-second set —
-    // so queries whose best is under 1s get three more interleaved
-    // passes. Skipped when passes=1 (sf10 scaling-shape runs).
+    // nothing wrong in the plan. Extra trials cost ~nothing next to the
+    // multi-second set, and they must run as a per-query CONSECUTIVE
+    // burst, not interleaved: the r15 quiet campaign measured 9
+    // interleaved trials never beating 0.59s while two consecutive
+    // retrial laps immediately reproduced the 0.47s floor — at
+    // sub-second scale the dominant variance is JIT/code-cache locality
+    // (the winnow/substring warm-lap lesson, small edition), which only
+    // consecutive laps of the SAME plan reach. Skipped when passes=1
+    // (sf10 scaling-shape runs). The interleaving defense against host
+    // stalls stays intact for the multi-second set; a stall during one
+    // query's burst can only hurt that query's extra trials, never its
+    // pass-phase best.
     if (passes > 1) {
       val subSecond = Headline.filter(n =>
         trials(n).nonEmpty && trials(n).min < 1.0)
-      for (pass <- 1 to 3 if subSecond.nonEmpty) {
-        sample(s"subsec$pass", sentinels)
-        for (name <- subSecond)
-          timeOnce(name).foreach(t => trials(name) = t :: trials(name))
-      }
+      if (subSecond.nonEmpty) sample("subsec", sentinels)
+      for (name <- subSecond; _ <- 1 to 3)
+        timeOnce(name).foreach(t => trials(name) = t :: trials(name))
     }
     val results = Headline.map { name =>
       var best = trials(name) match {

@@ -1791,35 +1791,73 @@ object Analytics {
   private[graft] def markovFromTransitions(s: SparkSession, trans: DataFrame,
                                            channels: DataFrame,
                                            iters: Int): DataFrame = {
-    val edges = trans.join(
-      trans.groupBy(col("src")).agg(sum(col("cnt")).as("n")), Seq("src"))
+    // r15 optimization round (guide §1.2 step 1 / §2.4 — remove shuffles
+    // outright): the value iteration is CATALOG-sized (|states| ~ channels
+    // + START/CONV/DROP, |transitions| <= |states|^2 ~ 50 rows), yet the
+    // former join-aggregate spelling paid one broadcast build + one
+    // exchange per round — at iters=12 that is ~24 shuffle/broadcast
+    // stages of 33-34 near-empty tasks each, and the stage probe measured
+    // the whole 3-4s bench wall as exactly that scheduling constant (no
+    // stage over 0.54s, every round's taskRunSum dominated by per-task
+    // setup). The rounds now run as ONE whole-stage-codegen'd aggregate()
+    // fold over the transition array, collected to a single row by a
+    // global collect_list (trans is already checkpointed and ~50 rows):
+    //   p_k[i] = 0                         if state_i = rm (removal clamp)
+    //          = 1e9                       if state_i = CONV (absorbing)
+    //          = 0                         if state_i is never a src
+    //            (absent-row-is-zero in the old spelling: a state with no
+    //             outgoing transitions simply had no row after round 1)
+    //          = (sum_e cnt_e * p_{k-1}[dst_e]) DIV n_i   otherwise.
+    // Long sums are order-independent and DIV is unchanged, so the result
+    // is bit-identical (DriftAuditSpec's in-memory reference, the DuckDB
+    // oracle, and the SQL twin all pin it; MarkovFoldSpec pins the edge
+    // cases: removal clamp, DROP handling, empty input). Scale: the corpus
+    // pass (transition counting) is untouched; only the post-aggregation
+    // catalog-sized math moved, so the 100 TB story is unchanged.
+    val one = trans
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("src"), col("dst"),
+        col("cnt")))).as("tr"))
+      .withColumn("st", expr(
+        """array_sort(array_distinct(concat(
+             transform(tr, t -> t.src), transform(tr, t -> t.dst))))"""))
+      .withColumn("ed", expr(
+        """transform(tr, t -> struct(
+             CAST(array_position(st, t.src) AS INT) AS si,
+             CAST(array_position(st, t.dst) AS INT) AS di,
+             t.cnt AS cnt))"""))
+      .withColumn("nn", expr(
+        """transform(st, x -> aggregate(filter(tr, t -> t.src = x),
+             CAST(0 AS BIGINT), (a, t) -> a + t.cnt))"""))
+      .select("st", "ed", "nn")
     val scen = channels
       .unionByName(s.range(1).select(lit("(base)").as("rm")))
-      .localCheckpoint(true)
-    val states = trans.select(col("src").as("state"))
-      .unionByName(trans.select(col("dst").as("state"))).distinct()
-    val convRows = scen.select(col("rm"), lit("CONV").as("state"),
-      lit(1000000000L).as("p"))
-    var p = scen.crossJoin(states) // scenarios x states: both catalog-sized
-      .withColumn("p", when(col("state") === "CONV", lit(1000000000L))
-        .otherwise(lit(0L)))
-    (1 to iters).foreach { k =>
-      p = edges.join(p, edges("dst") === p("state"))
-        .groupBy(col("rm"), col("src"), col("n"))
-        .agg(sum(expr("cnt * p")).as("m"))
-        .select(col("rm"),
-          col("src").as("state"),
-          when(col("src") === col("rm"), lit(0L))
-            .otherwise(expr("m DIV n")).as("p"))
-        .unionByName(convRows)
-      // catalog-sized rounds: pin lineage every 6th (and the last). Each
-      // eager pin is a driver-synced job, and the frames are ~50 rows —
-      // the pin exists to bound PLAN depth (analysis time), not data
-      // lineage, so two pins across 12 rounds is the sweet spot
-      // (measured: every-4 4.3s, every-6 ~3.6s at sf0.1).
-      if (k % 6 == 0 || k == iters) p = p.localCheckpoint(true)
-    }
-    val pStart = p.filter(col("state") === "START").select(col("rm"), col("p"))
+    // the START guard keeps empty-input behavior identical to the old
+    // spelling (no transitions -> no START row -> empty output) and
+    // avoids element_at(_, 0) under ANSI
+    val p0 =
+      """transform(st, x -> CAST(CASE WHEN x = 'CONV'
+           THEN 1000000000 ELSE 0 END AS BIGINT))"""
+    // sequence(1, 0) DESCENDS in Spark ([1, 0]), it is not empty — guard
+    // iters < 1 by skipping the fold (the old loop ran zero rounds)
+    val pFinal = if (iters < 1) p0 else
+      s"""aggregate(sequence(1, $iters), $p0,
+            (p, k) -> transform(sequence(1, size(st)), i ->
+              CASE WHEN element_at(st, i) = rm THEN CAST(0 AS BIGINT)
+                   WHEN element_at(st, i) = 'CONV'
+                     THEN CAST(1000000000 AS BIGINT)
+                   WHEN element_at(nn, i) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE aggregate(filter(ed, e -> e.si = i),
+                          CAST(0 AS BIGINT),
+                          (a, e) -> a + e.cnt * element_at(p, e.di))
+                        DIV element_at(nn, i)
+              END))"""
+    val pStart = scen.crossJoin(broadcast(one))
+      .select(col("rm"), expr(
+        s"""CASE WHEN array_position(st, 'START') > 0 THEN element_at(
+              $pFinal,
+              CAST(array_position(st, 'START') AS INT)) END""").as("p"))
+      .filter(col("p").isNotNull)
     val base = pStart.filter(col("rm") === "(base)")
       .select(col("p").as("p_base"))
     pStart.crossJoin(broadcast(base))

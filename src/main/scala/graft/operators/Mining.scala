@@ -643,6 +643,16 @@ object Mining {
                        y -> struct(x AS u, y AS v))))""")).as("e"))
       .select(col("e.u"), col("e.v"))
       .distinct()
+      // r15 (guide §2.5/§2.6 — scale-adaptive width, not a constant): the
+      // distinct's exchange is AQE-coalesced by BYTE size, and two long
+      // columns compress a multi-million-edge frame under one advisory
+      // partition — the checkpoint then materializes 2-8 partitions and
+      // every downstream consumer (degree census, orient join, adjacency
+      // aggs, the intersect stage) inherits that width for CPU-bound
+      // array work. Pin cluster width before the checkpoint; the keyed
+      // repartition replaces the coalescible exchange rather than adding
+      // one (same key), and defaultParallelism scales with the cluster.
+      .repartition(s.sparkContext.defaultParallelism, col("u"), col("v"))
       .localCheckpoint(true)
 
   def triangleCount(s: SparkSession, dir: String,
@@ -662,6 +672,13 @@ object Mining {
         when(col("deg_u") < col("deg_v") ||
              (col("deg_u") === col("deg_v") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      // r15: same width pinning as basketEdges — the r15 stage probe
+      // measured this checkpoint materializing at TWO partitions (AQE
+      // byte-coalesced), putting the whole 4s-CPU intersect stage on two
+      // cores (2.45s wall); keyed by src so the adjacency aggregates and
+      // the wedge join consume a balanced, cluster-wide layout
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
       .localCheckpoint(true) // the edge stream and both adjacency sides
     // edge-iterator enumeration over oriented adjacency lists: for each
     // oriented edge (u -> v) the triangles through it are N+(u) ∩ N+(v)
@@ -672,8 +689,14 @@ object Mining {
     // orientation bounds (~sqrt of edge count), and only the actual
     // triangles (1.9M) are ever rows. Inner joins drop dst nodes with no
     // out-list — an empty intersection closes nothing.
+    // r15: nbrs is a SHARED frame (both wedge-join build sides) — without
+    // a pin each BroadcastExchange re-ran the whole collect_list aggregate
+    // from the oriented checkpoint (the r9 materialization discipline).
+    // Node-sized (one row per src with its orientation-bounded out-list),
+    // so the eager pin is cheap and both broadcasts build from it.
     val nbrs = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+      .localCheckpoint(true)
     // ONE pass credits all three corners: the union-of-three-projections
     // spelling recomputes the intersection join per branch (Catalyst does
     // not common it up); a nested explode keeps the join single-shot and
@@ -1152,9 +1175,19 @@ object Mining {
         when(col("deg_u") < col("deg_v") ||
              (col("deg_u") === col("deg_v") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      // r15: same cluster-width pin as triangleCount — the AQE
+      // byte-coalesced checkpoint otherwise feeds the CPU-bound
+      // intersect stage a 2-partition layout
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
       .localCheckpoint(true)
+    // r15: nbrs is a SHARED frame (both wedge-join build sides) — without
+    // a pin each BroadcastExchange re-ran the whole collect_list aggregate
+    // from the oriented checkpoint (the r9 materialization discipline).
+    // Node-sized (one row per src with its orientation-bounded out-list),
+    // so the eager pin is cheap and both broadcasts build from it.
     val nbrs = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbr"))
+      .localCheckpoint(true)
     val tri = oriented
       .join(nbrs.toDF("src", "nu"), Seq("src"))
       .join(nbrs.toDF("dst", "nv"), Seq("dst"))

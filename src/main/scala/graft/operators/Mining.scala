@@ -204,11 +204,29 @@ object Mining {
         """flatten(transform(its, (x, i) ->
              transform(slice(its, i + 2, size(its) - i - 1),
                        y -> struct(x AS u, y AS v))))""")).as("e"))
-      .groupBy(col("e.u").as("src"), col("e.v").as("dst"))
+      .select(col("e.u").as("src"), col("e.v").as("dst"))
+      // r15 width pin (guide §2.5 — scale-adaptive, not a constant): the
+      // pair-count exchange is AQE-coalesced by byte size (two longs and
+      // a count compress the multi-million-pair frame under a handful of
+      // advisory partitions), so the final aggregate AND the checkpoint
+      // downstream of it ran on ~6 tasks (stage probe: 0.96s wall, 5.4s
+      // CPU). A user repartition on the SAME keys replaces the
+      // coalescible ENSURE_REQUIREMENTS exchange — the aggregate then
+      // runs in-stage at cluster width. Map-side combine is not worth
+      // its stage here: raw canonical pairs ~= distinct pairs (measured
+      // 1,066,508 vs 1,063,648 at sf0.1 — co-purchase pairs almost never
+      // repeat), so the exchange carries the same bytes either way.
+      .repartition(s.sparkContext.defaultParallelism,
+        col("src"), col("dst"))
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
+    // the mirror union doubles partition count (both arms scan the
+    // checkpoint); fold back to cluster width shuffle-free so per-round
+    // consumers schedule n tasks, not 2n near-empty ones
     canon.unionByName(canon.select(col("dst").as("src"),
-      col("src").as("dst"), col("w")))
+        col("src").as("dst"), col("w")))
+      .coalesce(s.sparkContext.defaultParallelism)
   }
 
   /** Weighted PageRank over the co-purchase graph — the "which items
@@ -642,17 +660,18 @@ object Mining {
              transform(slice(its, i + 2, size(its) - i - 1),
                        y -> struct(x AS u, y AS v))))""")).as("e"))
       .select(col("e.u"), col("e.v"))
-      .distinct()
       // r15 (guide §2.5/§2.6 — scale-adaptive width, not a constant): the
       // distinct's exchange is AQE-coalesced by BYTE size, and two long
       // columns compress a multi-million-edge frame under one advisory
       // partition — the checkpoint then materializes 2-8 partitions and
       // every downstream consumer (degree census, orient join, adjacency
       // aggs, the intersect stage) inherits that width for CPU-bound
-      // array work. Pin cluster width before the checkpoint; the keyed
-      // repartition replaces the coalescible exchange rather than adding
-      // one (same key), and defaultParallelism scales with the cluster.
+      // array work. The user repartition on the SAME keys REPLACES the
+      // coalescible exchange (the distinct aggregates in-stage on it), so
+      // the checkpoint materializes at cluster width with no extra
+      // shuffle; defaultParallelism scales with the cluster.
       .repartition(s.sparkContext.defaultParallelism, col("u"), col("v"))
+      .distinct()
       .localCheckpoint(true)
 
   def triangleCount(s: SparkSession, dir: String,

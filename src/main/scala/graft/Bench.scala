@@ -144,13 +144,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sentinels = scala.collection.mutable.ListBuffer.empty[Sentinel]
     sample("start", sentinels) // before Spark: loadavg still uncontaminated
-    val spark = SparkSession.builder()
+    // r16: shared engine shuffle tuning (GraftSession.shuffleTuning — the
+    // Unsafe-writer + local-dir fix; same master/core-count contract, same
+    // timing methodology, every query still computes from parquet)
+    val spark = GraftSession.shuffleTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up on the smallest fixture: whole-stage codegen compilation is

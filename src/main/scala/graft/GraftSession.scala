@@ -11,10 +11,41 @@ import org.apache.spark.sql.SparkSession
   * (src/etl/transform.py:34, src/etl/__main__.py:28).
   */
 object GraftSession {
+  /** Shuffle-layer tuning shared by every engine entry point (r16
+    * optimization round, guide §1.1/§2.1). Stack-sampling the bench's
+    * exchange stages showed the dominant per-task cost was FILE-OPEN
+    * syscalls in BypassMergeSortShuffleWriter (one file per reduce
+    * partition per map task — 32x32 = 1024 opens+merges per exchange on
+    * this box), not row work: a synthetic 2.1M-row hash-partitioned
+    * exchange cost 0.35s wall with the bypass writer vs 0.17s with the
+    * single-file-per-map-task Unsafe writer on tmpfs.
+    *
+    *  - bypassMergeThreshold=1: always use the serialized sort writer
+    *    (one output file + index per map task). Scale-neutral: the bypass
+    *    path only ever applies to shuffles with <= 200 reduce partitions,
+    *    which at 100 TB are the tiny catalog-sized exchanges; the big
+    *    shuffles already use the Unsafe writer.
+    *  - spark.local.dir on tmpfs (when /dev/shm exists): shuffle files
+    *    and block-manager spill are latency-bound here, not
+    *    capacity-bound. Parameterised: SPARK_GRAFT_LOCAL_DIR overrides
+    *    (production: point at the NVMe array; a 100 TB shuffle does NOT
+    *    belong in RAM — the default only stands on a one-box sandbox).
+    */
+  def shuffleTuning(b: SparkSession.Builder): SparkSession.Builder = {
+    val withBypass = b.config("spark.shuffle.sort.bypassMergeThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-local")
+      else None
+    }
+    localDir.fold(withBypass)(d => withBypass.config("spark.local.dir", d))
+  }
+
   def builder(appName: String = "graft",
               master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
               shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+    shuffleTuning(SparkSession.builder()
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -22,7 +53,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
 
   def create(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

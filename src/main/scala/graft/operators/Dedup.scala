@@ -1325,16 +1325,40 @@ object Dedup {
   private[graft] def substringDedupCore(docs: DataFrame, k: Int,
                                         dfCap: Long, minLen: Long): DataFrame = {
     require(minLen >= k, "a reportable span cannot be shorter than one gram")
-    val grams = gramRows(docs, k)
-    val rare = grams.select(col("gram"), col("doc_id")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // r16 (guide §2.4 remove shuffles outright / §3.1 join strategy): the
+    // former census + rare-join + equi self-join spelling planned FOUR
+    // gram explodes (Catalyst does not CSE the subtree across the two
+    // join sides and their two census copies), TWO multi-million-row
+    // broadcasts of the rare-gram set, and then broadcast an ENTIRE
+    // self-join side (the r15 plan's nodes 47-48) — a shape that breaks
+    // past the broadcast cap and measured as most of the query locally.
+    // Grouping ONCE by gram replaces all of it: one user repartition on
+    // the gram is the single corpus-wide exchange (the (gram, doc) agg,
+    // the df window, and the per-gram pair explode all ride it
+    // in-stage), the df cap is priced on distinct docs exactly as
+    // before (the (gram, doc) pre-agg makes window count(*) the df),
+    // and hot boilerplate grams are dropped by the SPILLABLE window
+    // filter before any per-gram occurrence list is materialized — the
+    // collect_list only ever sees df <= dfCap groups, so group state
+    // stays cap-bounded at any corpus size.
+    val byDoc = gramRows(docs, k)
+      .repartition(col("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps"))
+    val kept = byDoc
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("df") <= dfCap)
-      .select(col("gram"))
-    val kept = grams.join(rare, Seq("gram"))
-    val m = kept.as("a").join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val m = kept
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("doc_id"), col("ps"))).as("os"))
+      .select(explode(expr(
+        """flatten(transform(os, a ->
+             flatten(transform(filter(os, b -> b.doc_id > a.doc_id), b ->
+               flatten(transform(a.ps, pa ->
+                 transform(b.ps, pb ->
+                   struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          pa AS pa, pb AS pb))))))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.pa"), col("p.pb"))
     mergeSpans(m, k, minLen)
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
   }

@@ -44,7 +44,7 @@ object Mining {
     */
   def marketBasket(s: SparkSession, dir: String,
                    maxItems: Int, topK: Int): DataFrame = {
-    val incidence = Tables.spread(s, dir, "lineitem")
+    val incidence = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
     val sized = incidence.groupBy(col("basket"))
@@ -73,7 +73,7 @@ object Mining {
     */
   def basketTriples(s: SparkSession, dir: String, maxItems: Int,
                     topK: Int): DataFrame = {
-    Tables.spread(s, dir, "lineitem")
+    Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
@@ -136,7 +136,7 @@ object Mining {
     * kept, matching the NOT EXISTS oracle.
     */
   def paretoFrontier(s: SparkSession, dir: String, bandWidth: Long): DataFrame = {
-    val pts = Tables.spread(s, dir, "part")
+    val pts = Tables.part(s, dir)
       .select(col("p_partkey"),
         expr("CAST(floor(p_retailprice * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
           .as("price_cents"),
@@ -195,7 +195,7 @@ object Mining {
     // consumers (the mirror union's two arms and, downstream, the
     // out-weight aggregate) scan the 2M-row pair table instead of
     // re-running the basket explode per branch.
-    val canon = Tables.spread(s, dir, "lineitem")
+    val canon = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
@@ -371,34 +371,50 @@ object Mining {
                          maxItems: Int, iters: Int,
                          mode: RankJoinMode = BroadcastRanks): DataFrame = {
     val raw = copurchaseEdges(s, dir, maxItems)
-    // the out-weight side is node-catalog-sized: BROADCAST it onto the
-    // edge table (a checkpointed frame carries no stats, so leaving this
-    // to AQE shuffle-sorts the multi-million-row edge side instead)
-    val withW = raw
-      .join(broadcast(raw.groupBy(col("src")).agg(sum(col("w")).as("wsum"))),
-        Seq("src"))
-    // co-partitioned mode pays ONE edge shuffle here so no round moves
-    // edges again; broadcast mode never moves them at all
+    // the out-weight frame is node-catalog-sized and is ALSO the node
+    // catalog itself (every node appears as a src in the mirrored edge
+    // list), so one checkpointed aggregate serves three consumers: the
+    // per-edge wsum broadcast, the rank seed, and the |nodes| count —
+    // the former separate nodes.distinct() pass is gone (r16, §2.4)
+    val wsumf = raw.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+      .localCheckpoint(true)
+    // broadcast wsum onto the edge table explicitly (a checkpointed frame
+    // carries no stats, so leaving this to AQE shuffle-sorts the
+    // multi-million-row edge side instead); co-partitioned mode pays ONE
+    // edge shuffle fused behind the same join so no round moves edges
     val edges = (mode match {
-      case BroadcastRanks => withW
-      case CoPartitionedRanks => withW.repartition(col("src"))
+      case BroadcastRanks => raw.join(broadcast(wsumf), Seq("src"))
+      case CoPartitionedRanks =>
+        raw.join(broadcast(wsumf), Seq("src")).repartition(col("src"))
     }).persist()
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
-    val n = nodes.count()
-    var ranks = nodes.withColumn("pr", lit(1000000000L / n))
+    val n = wsumf.count()
+    var ranks = wsumf.select(col("src").as("node"),
+      lit(1000000000L / n).as("pr"))
     val base = 150000000L / n
     (1 to iters).foreach { i =>
       ranks = rankRound(edges, ranks, base, mode)
-      // lineage pin every SECOND round (and on the last): two joined
-      // rounds per job halve the driver syncs while plan depth stays
-      // bounded at two rounds
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
+      // broadcast mode pins every SECOND round: each round's broadcast
+      // build is a driver-blocking collect anyway, and unpinned lineage
+      // would re-execute the whole chain under every nested broadcast.
+      // Co-partitioned mode pins ONLY the last round (§2.4): every
+      // round's aggregate output is already hash-partitioned on the next
+      // join's key, so the rounds chain through node-sized exchanges
+      // inside ONE action. Broadcast stays the DEFAULT: the r16
+      // full-query A/B (PagerankModeAB, bench regime) measured broadcast
+      // 4.2s vs copart 7.7-9.6s at sf0.1 — the loop-only probe favored
+      // copart (1.56s vs 2.41s warm) but the unpinned 20-exchange chain
+      // replans under AQE round by round and loses more on the whole
+      // query than the loop saves; copart remains the past-broadcast-
+      // ceiling escape hatch (~1e8 nodes), not the local winner.
+      // The final pin makes the returned frame independent of
+      // the edge cache, so the unpersist below stays safe.
+      if ((mode == BroadcastRanks && i % 2 == 0) || i == iters)
+        ranks = ranks.localCheckpoint(true)
     }
     val out = ranks
       .select(col("node").as("p_partkey"), col("pr").as("rank_1e9"))
       .orderBy(col("rank_1e9").desc, col("p_partkey"))
     edges.unpersist()
-    nodes.unpersist()
     out
   }
 
@@ -547,7 +563,7 @@ object Mining {
     */
   def assocRules(s: SparkSession, dir: String, maxItems: Int = 8,
                  minCount: Long = 5, topK: Int = 25): DataFrame = {
-    val incidence = Tables.spread(s, dir, "lineitem")
+    val incidence = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
     val ok = incidence.groupBy(col("basket"))
@@ -650,7 +666,7 @@ object Mining {
     */
   private[graft] def basketEdges(s: SparkSession, dir: String,
                           maxItems: Int): DataFrame =
-    Tables.spread(s, dir, "lineitem")
+    Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
@@ -999,7 +1015,7 @@ object Mining {
     */
   def itemNeighborJaccard(s: SparkSession, dir: String, maxItems: Int = 40,
                           minCo: Int = 2, topN: Int = 100): DataFrame = {
-    val inc = Tables.spread(s, dir, "lineitem")
+    val inc = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
     val ok = inc.groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
@@ -1090,7 +1106,7 @@ object Mining {
     // raw graph is a single giant component at every SF), while the
     // repeat-support graph fragments into the actual product communities
     // this census exists to count.
-    val inc = Tables.spread(s, dir, "lineitem")
+    val inc = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
     val ok = inc.groupBy(col("basket")).agg(count(lit(1)).as("n_items"))
@@ -1328,7 +1344,7 @@ object Mining {
     */
   def kcoreMembership(s: SparkSession, dir: String, maxItems: Int = 40,
                       minCo: Int = 2, k: Int = 3, rounds: Int = 8): DataFrame = {
-    val inc = Tables.spread(s, dir, "lineitem")
+    val inc = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
       .distinct()
     val ok = inc.groupBy(col("basket")).agg(count(lit(1)).as("n_items"))

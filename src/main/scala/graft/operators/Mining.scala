@@ -75,6 +75,10 @@ object Mining {
                     topK: Int): DataFrame = {
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      // r16: same basket width pin as basketEdges — the C(n,3) triple
+      // explode below is the CPU-bound stage and must not inherit the
+      // byte-coalesced exchange width (§2.5)
+      .repartition(s.sparkContext.defaultParallelism, col("basket"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
       .filter(size(col("its")).between(3, maxItems))
@@ -186,17 +190,22 @@ object Mining {
     // basketEdges shape — one shuffle instead of the old incidence
     // distinct + whale join + basket self-join); co-purchase weight is
     // symmetric (# baskets containing both), so count canonical pairs
-    // and mirror
-    // per-basket sorted arrays + map-side canonical-pair explode (the
-    // basketEdges shape — one shuffle instead of the old incidence
-    // distinct + whale join + basket self-join); co-purchase weight is
-    // symmetric (# baskets containing both), so count canonical pairs
     // and mirror. The canonical frame is localCheckpointed so its THREE
     // consumers (the mirror union's two arms and, downstream, the
     // out-weight aggregate) scan the 2M-row pair table instead of
     // re-running the basket explode per branch.
+    //
+    // r16 width pin on the BASKET exchange (guide §2.5, the r15
+    // pair-count-exchange lesson one stage earlier): the basket frame is
+    // byte-small (sorted item arrays), so AQE coalesced the
+    // ENSURE_REQUIREMENTS exchange to ~4 read partitions and the
+    // CPU-bound canonical-pair explode ran 4-wide (stage probe: 1.08s
+    // wall, 3.4s CPU). A user repartition on the same key replaces the
+    // coalescible exchange — same bytes move, the explode runs in-stage
+    // at cluster width.
     val canon = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .repartition(s.sparkContext.defaultParallelism, col("basket"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
       .filter(size(col("its")) <= maxItems) // whale-basket guard
@@ -668,6 +677,11 @@ object Mining {
                           maxItems: Int): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      // r16: user repartition on basket replaces the AQE-coalescible
+      // ENSURE_REQUIREMENTS exchange so the CPU-bound pair explode below
+      // runs at cluster width, not the ~4 byte-coalesced partitions the
+      // stage probe measured (the copurchaseEdges fix, same §2.5 lesson)
+      .repartition(s.sparkContext.defaultParallelism, col("basket"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
       .filter(size(col("its")) <= maxItems) // whale-basket guard

@@ -499,17 +499,37 @@ object Mining {
         col("src"), mode)
       .persist()
     val src = edges.agg(min(col("src"))).head().getLong(0)
-    var dist = s.range(1)
-      .select(lit(src).as("node"), lit(0L).as("d"))
+    // r16 frontier-only relaxation (§2.4 shuffle fewer bytes): the former
+    // spelling joined the FULL settled-distance frame with the edge list
+    // every round, so the per-round fanout grew monotonically with the
+    // reach set even when almost nothing improved. Relaxing only the
+    // nodes whose distance improved last round is round-for-round
+    // IDENTICAL (any offer dist_{i-1}(u)+len the full relaxation makes at
+    // round i was already made at round j+1 <= i where j is u's last
+    // improvement, and distances are monotone — the textbook SPFA =
+    // synchronous-Bellman-Ford equality; MiningSpec pins it against the
+    // unrolled-SQL twin and both modes). The carried frame holds the
+    // previous distance `od` alongside `d`, so the frontier is a FILTER
+    // (d < od, or od null = newly reached) and the candidate arm joins
+    // frontier-sized, not reach-sized; late rounds offer ~nothing.
+    var agg = s.range(1)
+      .select(lit(src).as("node"), lit(0L).as("d"),
+        lit(null).cast("long").as("od"))
       .localCheckpoint(true)
     (1 to rounds).foreach { i =>
-      dist = frontierJoin(edges, dist, edges("src") === dist("node"), mode)
-        .select(col("dst").as("node"), (col("d") + col("len")).as("d"))
-        .unionByName(dist)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
-      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint(true)
+      val frontier = agg.filter(col("od").isNull || col("d") < col("od"))
+        .select(col("node"), col("d"))
+      val cand = frontierJoin(edges, frontier,
+          edges("src") === frontier("node"), mode)
+        .select(col("dst").as("node"), (col("d") + col("len")).as("d"),
+          lit(null).cast("long").as("old"))
+      agg = cand
+        .unionByName(agg.select(col("node"), col("d"), col("d").as("old")))
+        .groupBy(col("node"))
+        .agg(min(col("d")).as("d"), min(col("old")).as("od"))
+      if (i % 2 == 0 || i == rounds) agg = agg.localCheckpoint(true)
     }
-    val out = dist
+    val out = agg
       .select(col("node").as("p_partkey"), col("d").as("dist"))
       .orderBy(col("dist"), col("p_partkey"))
       .limit(topN)

@@ -1161,18 +1161,35 @@ object Dedup {
   private[graft] def winnowPairsCore(docs: DataFrame, k: Int, w: Int,
                                      minShared: Long, dfCap: Long,
                                      overlapMin1e4: Long = 0L): DataFrame = {
-    val fps = TextAnalysis.winnowSelections(docs, k, w)
+    // r16 (guide §2.4, the substringDedupCore rewrite applied to the
+    // fingerprint join): the former distinct + census + rare-join + equi
+    // self-join spelling materialized the fingerprint frame once
+    // (checkpoint), re-aggregated it for the census, broadcast the rare
+    // set onto BOTH join sides, and self-joined. Grouping ONCE by
+    // fingerprint replaces all of it: one fp exchange carries the
+    // (fp, doc) dedup aggregate, the df-cap window, and the per-fp
+    // doc-list collect in-stage; the SPILLABLE window filter drops
+    // boilerplate fps BEFORE any per-fp doc list is materialized, so
+    // group state stays dfCap-bounded at any corpus size. The capped
+    // per-fp doc lists then serve BOTH remaining consumers — the
+    // canonical-pair explode and the per-doc size census — off one
+    // cheap checkpoint.
+    val byFp = TextAnalysis.winnowSelections(docs, k, w)
       .select(col("doc_id"), expr("substring(wmin, 1, 32)").as("fp"))
-      .distinct()
-      .localCheckpoint(true)
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .repartition(col("fp"))
+      .distinct() // rides the fp exchange: partitioning(fp) clusters (fp, doc)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= dfCap)
-      .select(col("fp"))
-    val kept = fps.join(rare, Seq("fp"))
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .localCheckpoint(true)
+    val sizes = byFp.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    byFp.select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds) - i - 1),
+                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))

@@ -30,16 +30,30 @@ object GraftSession {
     *    capacity-bound. Parameterised: SPARK_GRAFT_LOCAL_DIR overrides
     *    (production: point at the NVMe array; a 100 TB shuffle does NOT
     *    belong in RAM — the default only stands on a one-box sandbox).
+    *  - AQE coalesce floor 64k (default 1m): parallelism-first coalescing
+    *    targets all cores but is FLOORED by minPartitionSize, so
+    *    byte-small intermediates (candidate pairs, node tables — two
+    *    longs compress a million rows under a few MB) collapsed to 1-5
+    *    read tasks and their CPU-bound downstream work serialized — the
+    *    signature the per-site width pins fixed by hand, as an engine
+    *    default. Scale-neutral: post-shuffle partitions at 100 TB dwarf
+    *    either floor, so the knob only acts where parallelism should
+    *    win anyway. Measured (MinPartProbe, warm, sf0.1): prefix 1.68 ->
+    *    1.36s, semantic_dedup 1.61 -> 1.39s, hybrid 1.32 -> 0.92s,
+    *    pagerank 2.99 -> 2.74s; none slower. SPARK_GRAFT_AQE_MIN_PART
+    *    overrides.
     */
   def shuffleTuning(b: SparkSession.Builder): SparkSession.Builder = {
-    val withBypass = b.config("spark.shuffle.sort.bypassMergeThreshold",
-      sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+    val tuned = b.config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-local")
       else None
     }
-    localDir.fold(withBypass)(d => withBypass.config("spark.local.dir", d))
+    localDir.fold(tuned)(d => tuned.config("spark.local.dir", d))
   }
 
   def builder(appName: String = "graft",

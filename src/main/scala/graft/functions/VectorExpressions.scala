@@ -586,6 +586,18 @@ object GraftFunctions {
               s"minhash_sig requires exactly 1 argument, got ${exprs.length}")
           MinHashSignature(exprs.head)
         }, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("gram_pack")))
+      reg.createOrReplaceTempFunction(
+        "gram_pack", exprs => {
+          require(exprs.length == 3,
+            s"gram_pack(s, lo, hi) takes 3 arguments, got ${exprs.length}")
+          def lit(e: Expression): Int = e.eval(null) match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"gram_pack bounds must be INT literals, got $other")
+          }
+          GramPack(exprs.head, lit(exprs(1)), lit(exprs(2)))
+        }, "built-in")
     if (!reg.functionExists(FunctionIdentifier("kll_agg")))
       reg.createOrReplaceTempFunction(
         "kll_agg", KllFunctions.buildAgg, "built-in")

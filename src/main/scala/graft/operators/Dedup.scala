@@ -1358,15 +1358,37 @@ object Dedup {
     // filter before any per-gram occurrence list is materialized — the
     // collect_list only ever sees df <= dfCap groups, so group state
     // stays cap-bounded at any corpus size.
-    val byDoc = gramRows(docs, k)
-      .repartition(col("gram"))
-      .groupBy(col("gram"), col("doc_id"))
+    //
+    // Gram key packing (k <= 16 only; §2.3 shuffle fewer bytes / narrower
+    // types): the gram value is pure JOIN IDENTITY here — no output
+    // column ever exposes it — and the canonical text is 7-bit
+    // ([a-z0-9 ] after the fold), so the k chars pack BIJECTIVELY into
+    // two longs (positional base-128: equal longs <=> equal grams, NO
+    // hashing, NO collisions). The exchange then carries 16 fixed bytes
+    // per gram instead of a ~16-char string payload, the three keyed
+    // operators hash/compare longs instead of strings, and the packed
+    // projection is a flat codegen'd arithmetic chain computed straight
+    // off the document text — the per-gram string is never materialized
+    // at all.
+    val byDoc = (if (k <= 16) {
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      gramRows(docs, k).select(col("doc_id"), col("pos"),
+        expr(s"gram_pack(gram, 0, ${math.min(7, k - 1)})").as("g1"),
+        expr(s"gram_pack(gram, 8, ${k - 1})").as("g2"))
+    } else {
+      // k > 16 exceeds two 7-bit longs: keep the exact string key
+      gramRows(docs, k).select(col("doc_id"), col("pos"),
+        col("gram").as("g1"), lit(0L).as("g2"))
+    })
+      .repartition(col("g1"), col("g2"))
+      .groupBy(col("g1"), col("g2"), col("doc_id"))
       .agg(collect_list(col("pos")).as("ps"))
     val kept = byDoc
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("g1"), col("g2"))))
       .filter(col("df") <= dfCap)
     val m = kept
-      .groupBy(col("gram"))
+      .groupBy(col("g1"), col("g2"))
       .agg(collect_list(struct(col("doc_id"), col("ps"))).as("os"))
       .select(explode(expr(
         """flatten(transform(os, a ->

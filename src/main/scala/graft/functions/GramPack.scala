@@ -56,3 +56,47 @@ case class GramPack(child: Expression, lo: Int, hi: Int)
   override protected def withNewChildInternal(newChild: Expression): GramPack =
     copy(child = newChild)
 }
+
+/** [[GramPack]]'s 4-bit sibling for HEX identities: bytes [lo, hi] of a
+  * lowercase-hex string (hi - lo <= 16, e.g. one md5 half) fold into one
+  * long at 4 bits per char — bijective on hex strings, so packed
+  * equality IS string equality. Used by winnow pair detection, whose
+  * fingerprint is an md5-hex prefix consumed purely as join/group
+  * identity. A non-hex byte is a caller bug (the fingerprint is md5
+  * output by construction) and fails loudly rather than colliding.
+  */
+case class HexPack(child: Expression, lo: Int, hi: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(lo >= 0 && hi >= lo - 1 && hi - lo < 16,
+    s"HexPack packs at most 16 hex chars, got [$lo, $hi]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hex_pack"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hex_pack expects STRING, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    var v = 0L
+    var i = lo
+    while (i <= hi) {
+      val b = if (i < n) s.getByte(i).toInt else '0'
+      val nib =
+        if (b >= '0' && b <= '9') b - '0'
+        else if (b >= 'a' && b <= 'f') b - 'a' + 10
+        else throw new IllegalArgumentException(
+          s"hex_pack: non-hex byte ${b.toChar} at $i in '$s'")
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HexPack =
+    copy(child = newChild)
+}

@@ -598,6 +598,18 @@ object GraftFunctions {
           }
           GramPack(exprs.head, lit(exprs(1)), lit(exprs(2)))
         }, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("hex_pack")))
+      reg.createOrReplaceTempFunction(
+        "hex_pack", exprs => {
+          require(exprs.length == 3,
+            s"hex_pack(s, lo, hi) takes 3 arguments, got ${exprs.length}")
+          def lit(e: Expression): Int = e.eval(null) match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"hex_pack bounds must be INT literals, got $other")
+          }
+          HexPack(exprs.head, lit(exprs(1)), lit(exprs(2)))
+        }, "built-in")
     if (!reg.functionExists(FunctionIdentifier("kll_agg")))
       reg.createOrReplaceTempFunction(
         "kll_agg", KllFunctions.buildAgg, "built-in")

@@ -1174,13 +1174,22 @@ object Dedup {
     // per-fp doc lists then serve BOTH remaining consumers — the
     // canonical-pair explode and the per-doc size census — off one
     // cheap checkpoint.
+    // the fingerprint is substring(wmin, 1, 32) = an md5-hex prefix used
+    // purely as join/group identity — 32 hex chars pack BIJECTIVELY into
+    // two 4-bit-per-char longs (hex_pack; packed equality IS string
+    // equality), so the corpus-wide exchange carries 16 fixed key bytes
+    // per row and every keyed operator hashes longs (§2.3 narrower types)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val byFp = TextAnalysis.winnowSelections(docs, k, w)
-      .select(col("doc_id"), expr("substring(wmin, 1, 32)").as("fp"))
-      .repartition(col("fp"))
+      .select(col("doc_id"),
+        expr("hex_pack(wmin, 0, 15)").as("f1"),
+        expr("hex_pack(wmin, 16, 31)").as("f2"))
+      .repartition(col("f1"), col("f2"))
       .distinct() // rides the fp exchange: partitioning(fp) clusters (fp, doc)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("f1"), col("f2"))))
       .filter(col("df") <= dfCap)
-      .groupBy(col("fp"))
+      .groupBy(col("f1"), col("f2"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .localCheckpoint(true)
     val sizes = byFp.select(explode(col("ds")).as("doc_id"))

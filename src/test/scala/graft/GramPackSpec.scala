@@ -42,6 +42,62 @@ class GramPackSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(1))
   }
 
+  test("hex_pack is the base-16 positional fold and rejects non-hex bytes") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq("0123456789abcdef0123456789abcdef",
+      "ffffffffffffffff0000000000000000").toDF("h")
+      .selectExpr("h", "hex_pack(h, 0, 15) AS p1", "hex_pack(h, 16, 31) AS p2")
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      def fold(lo: Int, hi: Int): Long = (lo to hi).foldLeft(0L) { (a, i) =>
+        (a << 4) | java.lang.Long.parseLong(s.charAt(i).toString, 16)
+      }
+      assert(r.getLong(1) == fold(0, 15) && r.getLong(2) == fold(16, 31))
+    }
+    val err = intercept[Exception] {
+      spark.sql("SELECT hex_pack('zzzz', 0, 3)").collect()
+    }
+    assert(err.getMessage.contains("non-hex") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-hex")))
+  }
+
+  test("winnow pairs are identical through the hex-packed and string key paths") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "quick brown fox jumps over the lazy dog again and again yes"),
+      (2L, "entirely unrelated content with no shared runs whatsoever!!"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val packed = Dedup.winnowPairsCore(docs, 8, 4, 1L, 100L).collect()
+    // string-key re-derivation (the pre-pack spelling)
+    val fps = graft.operators.TextAnalysis.winnowSelections(docs, 8, 4)
+      .select(col("doc_id"), expr("substring(wmin, 1, 32)").as("fp"))
+      .distinct()
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100L).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val reference = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 1L)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
+      .withColumn("overlap_1e4", expr(
+        "CAST((20000 * n_shared + least(na, nb)) DIV (2 * least(na, nb)) AS BIGINT)"))
+      .filter(col("overlap_1e4") >= 0L)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap_1e4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect()
+    assert(packed.nonEmpty, "fixture must produce at least one pair")
+    assert(packed.map(_.toString).toSeq == reference.map(_.toString).toSeq)
+  }
+
   test("substring dedup spans are identical through the packed and string key paths") {
     // k = 16 packs (two longs); k = 17 exceeds the pack and keeps the
     // string key — same algorithm either side of the branch. Compare the
